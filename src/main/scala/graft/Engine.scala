@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * The engine replaces the reference's session mode / container reuse
+  * (tez-api/src/main/java/org/apache/tez/client/TezClient.java:313,
+  * TezConfiguration.java:176-177) with one long-lived SparkSession with AQE
+  * enabled — AQE subsumes the reference's ShuffleVertexManager
+  * auto-reduce-parallelism (ShuffleVertexManager.java:100-111,557).
+  */
+object Engine {
+
+  /** Tuned for local[N] correctness runs AND mirroring what a 1000-executor
+    * cluster config would look like: AQE on (runtime partition coalescing,
+    * skew-join splitting, join-strategy switch), 100 MB advisory partition
+    * size (= the reference's desired-task-input-size,
+    * ShuffleVertexManager.java:108-111), broadcast threshold generous since
+    * dims are small relative to facts.
+    */
+  def session(cores: Int = defaultCores, appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+    configure(b, cores).getOrCreate()
+  }
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
+
+  /** Apply engine defaults to any builder (shared by Bench/Verify/tests). */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100m")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    .config("spark.sql.files.maxPartitionBytes", "128m")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
+    // read as long and convert (Tables.events) to the same µs truncation
+    // DuckDB applies, so oracle comparisons line up exactly.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+}
+
+/** Typed handle on one scale-factor directory of the harness tables
+  * (TESTDATA.md). Every query takes (SparkSession, sfDir) and goes through
+  * here so the scan layer stays in one place (column pruning + predicate
+  * pushdown are Catalyst's job; we only declare the reads).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  /** ts arrives as raw nanos (see Engine.configure); truncate to µs exactly
+    * like DuckDB's parquet reader so both engines see identical timestamps.
+    */
+  def events: DataFrame =
+    table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

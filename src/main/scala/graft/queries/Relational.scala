@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.SecondarySort
+
+/** Relational parity queries — one per operator row of SURVEY.md §2, each
+  * with a DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Numeric-determinism convention: every double aggregate is computed as
+  * `sum(cast(x as decimal(18,2)))` then cast back to double. The source money
+  * columns are exact 2-decimal values, so the decimal sum is exact in both
+  * engines and the final double is bit-identical — no tolerance needed for
+  * the driver's hash compare. Scalar double arithmetic (no aggregation) is
+  * IEEE-deterministic and left in double.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact 2-dp decimal sum surfaced as double (see scaladoc above). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // ---------------------------------------------------------------------
+  // q01 — partitioned group-agg with map-side combine (WordCount SumProcessor
+  // + Combiner parity: tez-examples/.../WordCount.java:113-138). TPC-H Q1
+  // shape; Catalyst plans partial+final HashAggregate = Tez combiner.
+  private def q01(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // q02 — tokenize + count: TokenProcessor flat-map → scatter-gather edge →
+  // SumProcessor (tez-examples/.../WordCount.java:73-138).
+  private def q02(t: Tables): DataFrame =
+    t.documents
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q02Sql =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents) t
+      |WHERE length(word) > 0
+      |GROUP BY word""".stripMargin
+
+  // q03 — OrderedWordCount: adds the ordered funnel
+  // (tez-examples/.../OrderedWordCount.java:103-165). Spark range-partitions
+  // the global sort instead of funneling to one reducer.
+  private def q03(t: Tables): DataFrame =
+    q02(t).orderBy(desc("cnt"), asc("word"))
+
+  private val q03Sql = q02Sql + "\nORDER BY cnt DESC, word"
+
+  // q04 — broadcast hash join (HashJoinExample broadcast variant,
+  // tez-examples/.../HashJoinExample.java:216-246).
+  private def q04(t: Tables): DataFrame =
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  private val q04Sql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // q05 — shuffled (repartition) hash join
+  // (tez-examples/.../HashJoinExample.java:141-260).
+  private def q05(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n_items"))
+
+  private val q05Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // q06 — sort-merge join (tez-examples/.../SortMergeJoinExample.java:144-310).
+  private def q06(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+
+  private val q06Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
+  // q07 — semi join (HashJoinExample doBroadcast=false leftSemi semantics).
+  private def q07(t: Tables): DataFrame =
+    t.orders
+      .join(t.lineitem.filter(col("l_quantity") > 45), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val q07Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin
+
+  // q08 — anti join: JoinValidate's missing-key check
+  // (tez-examples/.../JoinValidate.java:131-210).
+  private def q08(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val q08Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+
+  // q09 — VertexGroup union feeding one aggregation
+  // (tez-tests/.../examples/UnionExample.java:70-230).
+  private def q09(t: Tables): DataFrame =
+    t.orders.select(col("o_custkey").as("key"))
+      .union(t.customer.select(col("c_custkey").as("key")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q09Sql =
+    """SELECT key, COUNT(*) AS cnt
+      |FROM (SELECT o_custkey AS key FROM orders UNION ALL SELECT c_custkey AS key FROM customer) t
+      |GROUP BY key""".stripMargin
+
+  // q10 — group-by + order-by MRR chain
+  // (tez-tests/.../examples/GroupByOrderByMRRTest.java:99-252).
+  private def q10(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("event_type"))
+
+  private val q10Sql =
+    """SELECT event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, event_type""".stripMargin
+
+  // q11 — secondary sort (tez-tests/.../examples/SecondarySort.java:60-229):
+  // first event per user under (ts, event_id) secondary order, implemented
+  // with the reference's physical plan (hash-partition + composite sort +
+  // streaming group iteration), not a window function.
+  private def q11(t: Tables): DataFrame =
+    SecondarySort
+      .firstRowPerGroup(t.events, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("ts").as("first_ts"), col("event_type").as("first_type"))
+
+  private val q11Sql =
+    """SELECT user_id, ts AS first_ts, event_type AS first_type
+      |FROM (SELECT user_id, ts, event_type,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  // q12 — global ordered funnel → top-k (OrderedWordCount single-reducer
+  // shape, upgraded to TakeOrderedAndProject). Unique-key tiebreak keeps the
+  // selected set deterministic.
+  private def q12(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+
+  private val q12Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // q13 — distinct (Catalyst capability beyond reference, SURVEY §2.5).
+  private def q13(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey"), col("c_mktsegment")).distinct()
+
+  private val q13Sql = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+  // q14/q15 — set ops (SURVEY §2.7; JoinValidate is except-shaped).
+  private def q14(t: Tables): DataFrame =
+    t.orders.select(col("o_custkey").as("custkey"))
+      .intersect(t.customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey")))
+
+  private val q14Sql =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin
+
+  private def q15(t: Tables): DataFrame =
+    t.customer.select(col("c_custkey").as("custkey"))
+      .except(t.orders.select(col("o_custkey").as("custkey")))
+
+  private val q15Sql =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders""".stripMargin
+
+  // q16 — rollup, q22 — cube (SURVEY §2.5 "free via Catalyst" extensions).
+  private def q16(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  private val q16Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // q17 — window rank per group (grouped-iteration upgrade).
+  private def q17(t: Tables): DataFrame =
+    t.customer
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col("c_nationkey")).orderBy(desc("c_acctbal"), asc("c_custkey"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+
+  private val q17Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rnk
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |        rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer) t
+      |WHERE rnk <= 3""".stripMargin
+
+  // q18 — FilterLinesByWord (tez-tests/.../FilterLinesByWord.java:82): filter
+  // by a word pushed to all tasks; here the predicate is pushed to the scan.
+  private def q18(t: Tables): DataFrame =
+    t.documents
+      .filter(col("text").like("%spark%"))
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  private val q18Sql =
+    "SELECT doc_id, source, lang FROM documents WHERE text LIKE '%spark%'"
+
+  // q19 — flagship multi-join (TPC-H Q5 shape): exercises join reordering,
+  // dimension broadcast, partial agg — the plan Tez would need 6 vertices for.
+  private def q19(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey") && col("r_name") === lit("ASIA"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("revenue"))
+
+  private val q19Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  // q20 — exact distinct aggregation (Catalyst expand-based count distinct).
+  private def q20(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+
+  private val q20Sql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // q21 — tumbling event-time window (batch form of the Structured Streaming
+  // query in graft.streaming; events extension per SURVEY §2.9).
+  private def q21(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+
+  private val q21Sql =
+    """SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  private def q22(t: Tables): DataFrame =
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q22Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  // q23 — scalar expression surface (SURVEY §2.8): date parts, CASE,
+  // substring, all codegen'd Catalyst expressions.
+  private def q23(t: Tables): DataFrame =
+    t.orders
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        when(col("o_totalprice") > 200000, lit("big")).otherwise(lit("small")).as("bucket"),
+        substring(col("o_orderpriority"), 1, 1).as("prio"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("bucket"), col("prio"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+
+  private val q23Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket,
+      |  substring(o_orderpriority, 1, 1) AS prio,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // q24 — ONE_TO_ONE narrow edge + processor (SURVEY §2.2):
+  // per-partition imperative pass with no shuffle, the Tez
+  // ForwardingProcessor/MapProcessor shape. Scalar double math is
+  // IEEE-identical in both engines (no aggregation), so no decimal detour.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    src
+      .mapPartitions(_.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2) * (1 - r.getDouble(3)))))
+      .toDF("l_orderkey", "l_linenumber", "net_price")
+  }
+
+  private val q24Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem""".stripMargin
+
+  // q25 — semi-structured props extraction (events extension).
+  private def q25(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  private val q25Sql =
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
+
+  // ---------------------------------------------------------------------
+
+  private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
+
+  val defs: Map[String, Q] = Map(
+    "q01_group_agg" -> wrap(q01),
+    "q02_wordcount" -> wrap(q02),
+    "q03_ordered_wordcount" -> wrap(q03),
+    "q04_broadcast_hash_join" -> wrap(q04),
+    "q05_shuffled_hash_join" -> wrap(q05),
+    "q06_sort_merge_join" -> wrap(q06),
+    "q07_semi_join" -> wrap(q07),
+    "q08_anti_join" -> wrap(q08),
+    "q09_union_agg" -> wrap(q09),
+    "q10_groupby_orderby" -> wrap(q10),
+    "q11_secondary_sort" -> wrap(q11),
+    "q12_topk" -> wrap(q12),
+    "q13_distinct" -> wrap(q13),
+    "q14_intersect" -> wrap(q14),
+    "q15_except" -> wrap(q15),
+    "q16_rollup" -> wrap(q16),
+    "q17_window_rank" -> wrap(q17),
+    "q18_filter_project" -> wrap(q18),
+    "q19_multijoin_revenue" -> wrap(q19),
+    "q20_count_distinct" -> wrap(q20),
+    "q21_tumbling_window" -> wrap(q21),
+    "q22_cube" -> wrap(q22),
+    "q23_scalar_exprs" -> wrap(q23),
+    "q24_one_to_one_map" -> (q24 _),
+    "q25_json_extract" -> wrap(q25)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_group_agg" -> q01Sql,
+    "q02_wordcount" -> q02Sql,
+    "q03_ordered_wordcount" -> q03Sql,
+    "q04_broadcast_hash_join" -> q04Sql,
+    "q05_shuffled_hash_join" -> q05Sql,
+    "q06_sort_merge_join" -> q06Sql,
+    "q07_semi_join" -> q07Sql,
+    "q08_anti_join" -> q08Sql,
+    "q09_union_agg" -> q09Sql,
+    "q10_groupby_orderby" -> q10Sql,
+    "q11_secondary_sort" -> q11Sql,
+    "q12_topk" -> q12Sql,
+    "q13_distinct" -> q13Sql,
+    "q14_intersect" -> q14Sql,
+    "q15_except" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_window_rank" -> q17Sql,
+    "q18_filter_project" -> q18Sql,
+    "q19_multijoin_revenue" -> q19Sql,
+    "q20_count_distinct" -> q20Sql,
+    "q21_tumbling_window" -> q21Sql,
+    "q22_cube" -> q22Sql,
+    "q23_scalar_exprs" -> q23Sql,
+    "q24_one_to_one_map" -> q24Sql,
+    "q25_json_extract" -> q25Sql
+  )
+}
