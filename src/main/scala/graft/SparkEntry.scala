@@ -17,13 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q19_multijoin_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (Relational)
+    * plus the training-data pipeline extensions (Pipeline).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++ graft.queries.Pipeline.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Pipeline.oracles
 }

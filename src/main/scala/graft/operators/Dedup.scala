@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * The reference has no dedup capability (its closest shape is the
+  * JoinValidate anti-join, tez-examples/.../JoinValidate.java:131-210); these
+  * are the LLM-pipeline extensions of SURVEY.md §7.2 step 6.
+  *
+  * Scale design: candidate generation is always *banded* (LSH buckets or
+  * hash-chunk buckets), never an O(n²) cross join — at 100 TB the only
+  * shuffles are explode-by-band + band-key join + distinct, all AQE-friendly
+  * hash exchanges. Verification (exact Jaccard / hamming) runs only on
+  * bucket-collision pairs. On adversarial data a hot band key can skew the
+  * join; AQE skew-join splitting handles that (Engine.configure).
+  *
+  * Determinism: the hash family is built on md5 (same bytes in any engine),
+  * so the DuckDB oracle can run the *identical algorithm* — candidates and
+  * all — rather than a weaker rows-only check. A production variant would
+  * swap [[SharedHash.hash28]] for xxhash64 (native, faster); semantics are
+  * unchanged.
+  */
+object Dedup {
+
+  /** Cross-engine deterministic hashes: int from a prefix of md5's hex.
+    * Spark: conv(hex,16,10); DuckDB: CAST('0x'||hex AS BIGINT).
+    */
+  object SharedHash {
+    /** 28-bit hash (7 hex chars) — small enough that a*x+b stays in int64. */
+    def hash28(c: Column): Column =
+      conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    def hash28Sql(e: String): String =
+      s"CAST('0x' || substr(md5($e),1,7) AS BIGINT)"
+
+    /** 60-bit hash (15 hex chars) for SimHash bit sampling. */
+    def hash60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def hash60Sql(e: String): String =
+      s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+  }
+
+  val P = 1000000007L
+  /** MinHash family h_i(x) = (a_i·x + b_i) mod P — fixed, engine-neutral. */
+  def hashA(i: Int): Long = (i.toLong * 2654435761L + 1L) % P
+  def hashB(i: Int): Long = (i.toLong * 40503L + 17L) % P
+
+  /** Exact dedup groups: one row per distinct text hash with group size and
+    * the survivor id (min). A single hash-partitioned aggregate — the
+    * canonical 100 TB exact-dedup plan (partial agg on md5, tiny shuffle).
+    */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
+
+  /** MinHash signature as an array column: numHashes mins over the shingle
+    * hash array. The shingle hashes are materialized once (`transform`),
+    * then each signature slot is an `array_min(transform(...))` — all
+    * codegen'd, zero UDFs, zero shuffles.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val xs = transform(shingles, s => SharedHash.hash28(s))
+    array((0 until numHashes).map { i =>
+      array_min(transform(xs, x => (lit(hashA(i)) * x + lit(hashB(i))) % lit(P)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * numHashes split into `bands` bands of numHashes/bands rows; docs
+    * colliding on any band become candidates; candidates are verified with
+    * exact Jaccard ≥ `threshold` on the distinct-shingle arrays.
+    *
+    * Plan shape: scan → narrow signature compute → explode bands (×bands) →
+    * hash join on (band, key) → distinct pair ids → re-join shingle arrays →
+    * narrow verify. No O(n²) stage anywhere.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, // columns: id, shingles
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val withSig = docs
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+    val banded = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
+            _.cast("string"))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sh = withSig.select(col("id"), col("shingles"), col("n_sh"))
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via the inverted-index (shared-shingle)
+    * join: explode distinct shingles, self-join on shingle, count shared
+    * occurrences per pair = |A∩B|, then J = c/(|A|+|B|-c).
+    *
+    * Exact (no banding) — the standard set-similarity join. Candidate count
+    * is bounded by Σ df(s)², so at open-web scale a df cap / prefix filter
+    * is mandatory; `maxDf` drops shingles seen in more than maxDf docs from
+    * candidate generation (a shingle that common cannot push a pair over
+    * `threshold` alone and only inflates candidates; 0 = no cap for exact
+    * parity with the oracle).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, // columns: id, shingles
+      threshold: Double,
+      maxDf: Long = 0L): DataFrame = {
+    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+    val inv0 = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val inv =
+      if (maxDf <= 0) inv0
+      else {
+        val df_ = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+        inv0.join(broadcast(df_.filter(col("df") <= maxDf).select("s")), "s")
+      }
+    inv.as("x")
+      .join(inv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  val SimHashBits = 60
+
+  /** 60-bit SimHash fingerprint from a token array: bit j is set when the
+    * majority of token hashes have bit j set. Token hashes are materialized
+    * once; the 60 per-bit sums are codegen'd folds over that int array.
+    */
+  def simhash(tokens: Column): Column = {
+    val hs = transform(tokens, t => SharedHash.hash60(t))
+    val n = size(hs)
+    (0 until SimHashBits).map { j =>
+      val cnt = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
+      when(cnt * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    *
+    * Scale path: split the 60-bit fingerprint into maxHamming+1 chunks; by
+    * pigeonhole any pair within maxHamming differs in zero bits of at least
+    * one chunk, so an equi-join per chunk finds *all* such pairs (lossless
+    * banding) — then verify with bit_count(xor). Output is therefore
+    * identical to the O(n²) scan the oracle runs.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // docs: id, fp
+    val chunks = maxHamming + 1
+    val width = (SimHashBits + chunks - 1) / chunks
+    val mask = (1L << width) - 1
+    val banded = docs.select(
+      col("id"), col("fp"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * width).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("ck"))
+      .select(col("id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

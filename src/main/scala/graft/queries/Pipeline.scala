@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
+  * search, text analysis, multimodal plumbing, sessionization.
+  *
+  * Each op ships with a DuckDB oracle that runs the *identical algorithm*
+  * (same md5-derived hash families, same LSH bucketing constants, same
+  * rounding), so even the approximate ops get a full hash-match check rather
+  * than a rows-only one. The oracle SQL is generated here from the same
+  * Scala constants the Spark expressions use — one source of truth.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
+
+  // ===== shared SQL fragments (must mirror the Scala operators exactly) ====
+
+  /** DuckDB mirror of TextOps.shingles over a `words` list column. */
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(words)-${n - 1}, 0)), " +
+      s"i -> array_to_string(words[i:i+${n - 1}], ' ')))"
+
+  private val wordsCte =
+    """w AS (SELECT doc_id AS id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents)"""
+
+  /** DuckDB mirror of Similarity.cosine over DOUBLE[] exprs (sequential
+    * left-to-right sums = Spark's `aggregate` fold).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, len($x)), i -> $x[i]*$y[i]), (p,q) -> p+q)"
+    def norm(x: String) = s"sqrt(list_reduce(list_transform($x, e -> e*e), (p,q) -> p+q))"
+    s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+  }
+
+  private val Dim = 64
+
+  private def planeListSql(j: Int, planes: Int): String =
+    (0 until Dim).map(d => Similarity.planeComponent(j, d, Dim).toString)
+      .mkString("[", ", ", "]")
+
+  /** DuckDB mirror of Similarity.lshBucket as a CTE pair (planes VALUES +
+    * grouped sign-bit sum over `e(vec_id, v)`).
+    */
+  private def bucketCtesSql(planes: Int): String = {
+    val values = (0 until planes).map(j => s"($j, ${planeListSql(j, planes)})").mkString(", ")
+    s"""planes AS (SELECT * FROM (VALUES $values) AS t(j, w)),
+       |b AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CAST(sum(CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), i -> v[i]*w[i]), (p,q) -> p+q) >= 0
+       |             THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, v)""".stripMargin
+  }
+
+  // ===== q26 exact dedup =================================================
+
+  private def q26(t: Tables): DataFrame =
+    Dedup.exactGroups(t.documents, col("text"), col("doc_id"))
+
+  private val q26Sql =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ===== q27 token counting ==============================================
+
+  private def q27(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      TextOps.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+
+  private val q27Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.bpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // ===== q28 quality scoring =============================================
+
+  private def q28(t: Tables): DataFrame =
+    TextOps.qualityFeatures(t.documents, col("text"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("alpha_ratio"), col("punct_ratio"), col("stopword_ratio"), col("avg_token_len"))
+
+  private val q28Sql = {
+    val enStop = TextOps.stopwords.head._2
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+       |  round(CAST(len(regexp_extract_all(lower(text), '$enStop')) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')), 4) AS stopword_ratio,
+       |  round(CAST(length(text) - (len(regexp_extract_all(text, '\\S+')) - 1) AS DOUBLE) / len(regexp_extract_all(text, '\\S+')), 4) AS avg_token_len
+       |FROM documents""".stripMargin
+  }
+
+  // ===== q29 language id =================================================
+
+  private def q29(t: Tables): DataFrame =
+    t.documents
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .select(col("doc_id"), col("pred_lang"), (col("pred_lang") === col("lang")).as("is_match"))
+
+  private val q29Sql = {
+    val scores = ("zh" -> s"3*len(regexp_extract_all(text, '${TextOps.cjkPattern}'))") +:
+      TextOps.stopwords.map { case (l, p) => l -> s"len(regexp_extract_all(lower(text), '$p'))" }
+    val best = "greatest(" + scores.map(_._1).map(l => s"s_$l").mkString(", ") + ")"
+    val cases = scores.map(_._1)
+      .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id, lang, ${scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")} FROM documents),
+       |m AS (SELECT doc_id, lang, $best AS best, ${scores.map(_._1).map(l => s"s_$l").mkString(", ")} FROM s)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang,
+       |  (CASE $cases ELSE 'und' END = lang) AS is_match
+       |FROM m""".stripMargin
+  }
+
+  // ===== q30 fingerprint (rolling hash) ==================================
+
+  private def q30(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  private val q30Sql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+      |    (h, c) -> (h*31 + c) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  // ===== q31 MinHash+LSH dedup ===========================================
+
+  private val MinHashes = 64
+  private val Bands = 16
+  private val JaccardT = 0.7
+
+  private def q31(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id").as("id"),
+      TextOps.shingles(col("text"), 3).as("shingles"))
+    Dedup.minhashLshPairs(docs, MinHashes, Bands, JaccardT)
+  }
+
+  private val q31Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |  list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM d WHERE len(ss) > 0),
+       |sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM h),
+       |bands AS (SELECT id, t.b AS band,
+       |            array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows), z -> CAST(z AS VARCHAR)), '_') AS key
+       |          FROM sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+       |v AS (SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |        a.n_sh AS na, b.n_sh AS nb
+       |      FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
+       |FROM v WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $JaccardT""".stripMargin
+  }
+
+  // ===== q32 SimHash dedup ===============================================
+
+  private val MaxHamming = 3
+
+  private def q32(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id").as("id"),
+      Dedup.simhash(split(lower(col("text")), """\s+""")).as("fp"))
+    Dedup.simhashPairs(docs, MaxHamming)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  private val q32Sql = {
+    val terms = (0 until Dedup.SimHashBits).map { j =>
+      s"CASE WHEN 2*CAST(list_sum(list_transform(hs, h -> (h >> $j) & 1)) AS BIGINT) > len(hs) " +
+        s"THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id AS id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |h AS MATERIALIZED (SELECT id, list_transform(toks, t -> ${Dedup.SharedHash.hash60Sql("t")}) AS hs FROM tk),
+       |f AS MATERIALIZED (SELECT id, ($terms) AS fp FROM h)
+       |SELECT x.id AS id_a, y.id AS id_b, CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+       |FROM f x JOIN f y ON x.id < y.id
+       |WHERE bit_count(xor(x.fp, y.fp)) <= $MaxHamming""".stripMargin
+  }
+
+  // ===== q33 exact n-gram Jaccard dedup ==================================
+
+  private def q33(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id").as("id"),
+      TextOps.shingles(col("text"), 3).as("shingles"))
+    Dedup.ngramJaccardPairs(docs, JaccardT)
+  }
+
+  private val q33Sql =
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |s AS MATERIALIZED (SELECT id, len(ss) AS n_sh, unnest(ss) AS s FROM d WHERE len(ss) > 0),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS c
+       |      FROM s x JOIN s y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
+       |FROM p WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $JaccardT""".stripMargin
+
+  // ===== q34 embedding-cosine near-dup ===================================
+
+  private val CosT = 0.35
+  private val NearDupPlanes = 8
+
+  private def q34(t: Tables): DataFrame =
+    Similarity.cosineNearDupPairs(t.embeddings, Dim, CosT, NearDupPlanes)
+
+  private val q34Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(NearDupPlanes)}
+       |SELECT x.vec_id AS id_a, y.vec_id AS id_b, round(${cosSql("x.v", "y.v")}, 4) AS score
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT""".stripMargin
+
+  // ===== q35 brute-force cosine top-k ====================================
+
+  private val TopK = 10
+  private val QueryMod = 50
+
+  private def q35(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(queries, e, TopK)
+  }
+
+  private val q35Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |s AS (SELECT q_id, vec_id, round(${cosSql("qv", "v")}, 4) AS score
+       |      FROM q CROSS JOIN e WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  // ===== q36 LSH-bucketed approximate top-k ==============================
+
+  private def q36(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopK(queries, e, Dim, TopK, Similarity.LshPlanes)
+  }
+
+  private val q36Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(Similarity.LshPlanes)},
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id % $QueryMod = 0),
+       |s AS (SELECT q_id, b.vec_id, round(${cosSql("qv", "b.v")}, 4) AS score
+       |      FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  // ===== q37 multimodal decode/resize plumbing ===========================
+
+  private def q37(t: Tables): DataFrame = {
+    val media = Multimodal.withMediaColumn(t.documents, "text")
+    val decoded = Multimodal.decodeFeatures(media, "media")
+    Multimodal.resize(decoded, 256)
+      .select(col("doc_id"), col("media_checksum"), col("n_bytes"),
+        col("width"), col("height"), col("out_w"), col("out_h"))
+  }
+
+  private val q37Sql =
+    """WITH m AS (SELECT doc_id, md5(text) AS media_checksum,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |d AS (SELECT *,
+      |    CAST(16 + CAST('0x' || substr(media_checksum, 1, 4) AS BIGINT) % 1024 AS INTEGER) AS width,
+      |    CAST(16 + CAST('0x' || substr(media_checksum, 5, 4) AS BIGINT) % 1024 AS INTEGER) AS height
+      |  FROM m),
+      |r AS (SELECT *, least(greatest(width, height), 256) AS sc FROM d)
+      |SELECT doc_id, media_checksum, n_bytes, width, height,
+      |  CAST(floor(width*sc/greatest(width, height)) AS INTEGER) AS out_w,
+      |  CAST(floor(height*sc/greatest(width, height)) AS INTEGER) AS out_h
+      |FROM r""".stripMargin
+
+  // ===== q38 sessionization (session_window batch form) ==================
+
+  private val SessionGap = "30 minutes"
+
+  private def q38(t: Tables): DataFrame =
+    t.events
+      .groupBy(session_window(col("ts"), SessionGap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  private val q38Sql =
+    """WITH x AS (SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  // =======================================================================
+
+  val defs: Map[String, Q] = Map(
+    "q26_dedup_exact" -> wrap(q26),
+    "q27_token_count" -> wrap(q27),
+    "q28_quality_score" -> wrap(q28),
+    "q29_lang_id" -> wrap(q29),
+    "q30_fingerprint" -> wrap(q30),
+    "q31_dedup_minhash_lsh" -> wrap(q31),
+    "q32_dedup_simhash" -> wrap(q32),
+    "q33_dedup_ngram_jaccard" -> wrap(q33),
+    "q34_dedup_embedding" -> wrap(q34),
+    "q35_ann_cosine_topk" -> wrap(q35),
+    "q36_ann_lsh_topk" -> wrap(q36),
+    "q37_media_decode" -> wrap(q37),
+    "q38_sessionize" -> wrap(q38)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" -> q26Sql,
+    "q27_token_count" -> q27Sql,
+    "q28_quality_score" -> q28Sql,
+    "q29_lang_id" -> q29Sql,
+    "q30_fingerprint" -> q30Sql,
+    "q31_dedup_minhash_lsh" -> q31Sql,
+    "q32_dedup_simhash" -> q32Sql,
+    "q33_dedup_ngram_jaccard" -> q33Sql,
+    "q34_dedup_embedding" -> q34Sql,
+    "q35_ann_cosine_topk" -> q35Sql,
+    "q36_ann_lsh_topk" -> q36Sql,
+    "q37_media_decode" -> q37Sql,
+    "q38_sessionize" -> q38Sql
+  )
+}
