@@ -49,6 +49,19 @@ object Engine {
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 }
 
+object Fanout {
+  /** Explicit-width repartition before CPU-heavy per-row work (hashing,
+    * shingling, vector math). Small dimension-ish tables arrive as ONE scan
+    * partition (file < maxPartitionBytes), which would serialize the
+    * expensive narrow stage on a single core; an explicit number (unlike
+    * `repartition()`) is exempt from AQE partition coalescing, so the work
+    * actually spreads. At real scale the scan has many splits and this is a
+    * cheap no-op-ish shuffle of the raw rows.
+    */
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
 /** Typed handle on one scale-factor directory of the harness tables
   * (TESTDATA.md). Every query takes (SparkSession, sfDir) and goes through
   * here so the scan layer stays in one place (column pruning + predicate

@@ -55,16 +55,30 @@ object Dedup {
     df.groupBy(md5(text).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
 
-  /** MinHash signature as an array column: numHashes mins over the shingle
-    * hash array. The shingle hashes are materialized once (`transform`),
-    * then each signature slot is an `array_min(transform(...))` — all
-    * codegen'd, zero UDFs, zero shuffles.
+  /** MinHash signatures for all docs at once: explode shingles, hash each
+    * shingle ONCE, then one hash-aggregate with numHashes `min` slots.
+    *
+    * This shape beats per-row nested higher-order functions decisively:
+    * (a) md5 runs once per shingle, not once per (shingle × hash-slot) —
+    * Catalyst's CollapseProject would inline an aliased hash array into
+    * every slot expression; (b) a 64-slot min aggregate is partial-agg
+    * (map-side combine) so the shuffle carries 64 longs per doc — the plan
+    * that still works when docs are 100 TB.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val xs = transform(shingles, s => SharedHash.hash28(s))
-    array((0 until numHashes).map { i =>
-      array_min(transform(xs, x => (lit(hashA(i)) * x + lit(hashB(i))) % lit(P)))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    // md5 as its own projection: referenced by 64 aggregate inputs, it must
+    // be an attribute — inlining the hash expression would run md5 once per
+    // (row × slot) since aggregate inputs get no subexpression elimination.
+    val hashed = docs.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), SharedHash.hash28(col("s")).as("x"))
+    val x = col("x")
+    hashed
+      .groupBy("id")
+      .agg(
+        min((lit(hashA(0)) * x + lit(hashB(0))) % lit(P)).as("m0"),
+        (1 until numHashes).map { i =>
+          min((lit(hashA(i)) * x + lit(hashB(i))) % lit(P)).as(s"m$i")
+        }: _*)
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
@@ -84,16 +98,24 @@ object Dedup {
       threshold: Double): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    val withSig = docs
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    // The shingled corpus feeds three subplans (signature agg + both sides
+    // of the verify join); caching it avoids re-shingling 3×. MEMORY_AND_DISK
+    // spills gracefully at scale — same tradeoff Spark ML's MinHashLSH makes.
+    val sized = docs
       .withColumn("n_sh", size(col("shingles")))
       .filter(col("n_sh") > 0)
-    val banded = withSig.select(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig is tiny (numHashes longs per doc) and feeds both sides of the
+    // band self-join — persisting it pins exchange reuse instead of hoping
+    // AQE's ReusedExchange fires.
+    val sig = minhashSignatures(sized.select(col("id"), col("shingles")), numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows),
-            _.cast("string"))).as("key"))
+          concat_ws("_", (0 until rows).map(r =>
+            col(s"m${b * rows + r}").cast("string")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("x")
@@ -102,7 +124,7 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = withSig.select(col("id"), col("shingles"), col("n_sh"))
+    val sh = sized.select(col("id"), col("shingles"), col("n_sh"))
     cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
@@ -129,8 +151,10 @@ object Dedup {
       docs: DataFrame, // columns: id, shingles
       threshold: Double,
       maxDf: Long = 0L): DataFrame = {
+    // inverted index feeds both sides of the self-join — cache it.
     val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
     val inv0 = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv =
       if (maxDf <= 0) inv0
       else {
@@ -150,17 +174,29 @@ object Dedup {
 
   val SimHashBits = 60
 
-  /** 60-bit SimHash fingerprint from a token array: bit j is set when the
-    * majority of token hashes have bit j set. Token hashes are materialized
-    * once; the 60 per-bit sums are codegen'd folds over that int array.
+  /** 60-bit SimHash fingerprints for all docs at once: bit j is set when
+    * the majority of token hashes have bit j set. Same explode+aggregate
+    * shape as [[minhashSignatures]]: md5 once per token, then a 61-slot
+    * partial-aggregable sum — the shuffle carries 61 longs per doc.
+    * Input: (id, tokens array with duplicates); output: (id, fp).
     */
-  def simhash(tokens: Column): Column = {
-    val hs = transform(tokens, t => SharedHash.hash60(t))
-    val n = size(hs)
-    (0 until SimHashBits).map { j =>
-      val cnt = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
-      when(cnt * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    // same attribute-materialization as minhashSignatures: 60 aggregate
+    // inputs must share ONE md5 evaluation per token.
+    val hashed = docs.select(col("id"), explode(col("tokens")).as("t"))
+      .select(col("id"), SharedHash.hash60(col("t")).as("h"))
+    val h = col("h")
+    val agged = hashed
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        (0 until SimHashBits).map { j =>
+          sum(shiftright(h, j).bitwiseAND(lit(1L))).as(s"c$j")
+        }: _*)
+    agged.select(col("id"),
+      (0 until SimHashBits).map { j =>
+        when(col(s"c$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as("fp"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.

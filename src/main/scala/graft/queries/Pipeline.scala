@@ -139,11 +139,13 @@ object Pipeline {
   private val Bands = 16
   private val JaccardT = 0.7
 
-  private def q31(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id").as("id"),
-      TextOps.shingles(col("text"), 3).as("shingles"))
-    Dedup.minhashLshPairs(docs, MinHashes, Bands, JaccardT)
-  }
+  private def shingledDocs(t: Tables): DataFrame =
+    TextOps.withShingles(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      col("text"), 3, "shingles").select(col("id"), col("shingles"))
+
+  private def q31(t: Tables): DataFrame =
+    Dedup.minhashLshPairs(shingledDocs(t), MinHashes, Bands, JaccardT)
 
   private val q31Sql = {
     val rows = MinHashes / Bands
@@ -172,8 +174,9 @@ object Pipeline {
   private val MaxHamming = 3
 
   private def q32(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id").as("id"),
-      Dedup.simhash(split(lower(col("text")), """\s+""")).as("fp"))
+    val docs = Dedup.simhashFingerprints(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"),
+        split(lower(col("text")), """\s+""").as("tokens"))))
     Dedup.simhashPairs(docs, MaxHamming)
       .withColumn("hamming", col("hamming").cast("long"))
   }
@@ -193,11 +196,8 @@ object Pipeline {
 
   // ===== q33 exact n-gram Jaccard dedup ==================================
 
-  private def q33(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id").as("id"),
-      TextOps.shingles(col("text"), 3).as("shingles"))
-    Dedup.ngramJaccardPairs(docs, JaccardT)
-  }
+  private def q33(t: Tables): DataFrame =
+    Dedup.ngramJaccardPairs(shingledDocs(t), JaccardT)
 
   private val q33Sql =
     s"""WITH $wordsCte,
@@ -214,7 +214,7 @@ object Pipeline {
   private val NearDupPlanes = 8
 
   private def q34(t: Tables): DataFrame =
-    Similarity.cosineNearDupPairs(t.embeddings, Dim, CosT, NearDupPlanes)
+    Similarity.cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CosT, NearDupPlanes)
 
   private val q34Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -229,7 +229,7 @@ object Pipeline {
   private val QueryMod = 50
 
   private def q35(t: Tables): DataFrame = {
-    val e = t.embeddings
+    val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.bruteForceTopK(queries, e, TopK)
@@ -248,7 +248,7 @@ object Pipeline {
   // ===== q36 LSH-bucketed approximate top-k ==============================
 
   private def q36(t: Tables): DataFrame = {
-    val e = t.embeddings
+    val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.lshTopK(queries, e, Dim, TopK, Similarity.LshPlanes)
@@ -268,7 +268,7 @@ object Pipeline {
   // ===== q37 multimodal decode/resize plumbing ===========================
 
   private def q37(t: Tables): DataFrame = {
-    val media = Multimodal.withMediaColumn(t.documents, "text")
+    val media = Multimodal.withMediaColumn(graft.Fanout(t.documents), "text")
     val decoded = Multimodal.decodeFeatures(media, "media")
     Multimodal.resize(decoded, 256)
       .select(col("doc_id"), col("media_checksum"), col("n_bytes"),
