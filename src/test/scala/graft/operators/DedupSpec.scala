@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about distributed query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (5L, "yet another unrelated document mentioning sorting shuffling joining")
+  ).toDF("doc_id", "text")
+
+  private def shingled =
+    TextOps.withShingles(corpus.select(col("doc_id").as("id"), col("text")),
+      col("text"), 3, "shingles").select("id", "shingles")
+
+  test("exactGroups: identical texts share a group, survivor is min id") {
+    val g = Dedup.exactGroups(corpus, col("text"), col("doc_id"))
+      .as[(String, Long, Long)].collect()
+    assert(g.length == 4) // 5 docs, one exact pair
+    val dupGroup = g.find(_._2 == 2L).get
+    assert(dupGroup._3 == 1L) // keep_id = min(1, 4)
+  }
+
+  test("minhashLshPairs finds near and exact dup pairs with correct jaccard") {
+    val pairs = Dedup.minhashLshPairs(shingled, 64, 16, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.5) // near dup
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("ngramJaccardPairs is exact: hand-checked jaccard for the near pair") {
+    val pairs = Dedup.ngramJaccardPairs(shingled, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // docs 1/2: 13 words -> 11 distinct 3-gram shingles each; the differing
+    // last word appears only in the final shingle, so 10 are shared:
+    // J = 10 / (11 + 11 - 10) = 0.8333
+    assert(pairs((1L, 2L)) == 0.8333)
+    assert(pairs((1L, 4L)) == 1.0)
+  }
+
+  test("maxDf cap drops only candidate generation via common shingles") {
+    // with a df cap of 1 no shingle is shared by < =1 docs... cap 1 removes
+    // every shingle appearing in 2+ docs, so no candidates survive
+    val none = Dedup.ngramJaccardPairs(shingled, 0.5, maxDf = 1L)
+    assert(none.count() == 0)
+  }
+
+  test("simhash: exact dups have identical fingerprints; pairs found at hamming 0") {
+    val fps = Dedup.simhashFingerprints(
+      corpus.select(col("doc_id").as("id"), split(lower(col("text")), """\s+""").as("tokens")))
+    val m = fps.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(4L))
+    val pairs = Dedup.simhashPairs(fps, 3).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("simhash banding is lossless: banded pairs == brute force at the cutoff") {
+    val fps = Dedup.simhashFingerprints(
+      corpus.select(col("doc_id").as("id"), split(lower(col("text")), """\s+""").as("tokens")))
+    val banded = Dedup.simhashPairs(fps, 3).as[(Long, Long, Int)].collect().toSet
+    val all = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("hello world, it's 42 degrees!").toDF("text")
+    val (ws, bpe) = df.select(
+      TextOps.wsTokenCount($"text"), TextOps.bpeTokenCount($"text"))
+      .as[(Int, Int)].head()
+    assert(ws == 5)
+    // hello | world | , | it | ' | s | 42 | degrees | !
+    assert(bpe == 9)
+  }
+
+  test("shingles: 3-grams of a 5-word text, distinct, too-short text empty") {
+    val df = Seq((1, "a b c d e"), (2, "x y")).toDF("id", "text")
+    val sh = TextOps.withShingles(df, $"text", 3, "sh")
+      .select($"id", $"sh").as[(Int, Seq[String])].collect().toMap
+    assert(sh(1) == Seq("a b c", "b c d", "c d e"))
+    assert(sh(2).isEmpty)
+  }
+
+  test("langId picks the language with most stopword hits; CJK wins; und fallback") {
+    val df = Seq(
+      "the cat of the house is in the garden",
+      "le chat de la maison est dans le jardin et les fleurs",
+      "der hund und die katze ist ein tier",
+      "los gatos y el perro es un animal en la casa",
+      "你好世界 这是中文",
+      "zzz qqq www"
+    ).toDF("text")
+    val langs = df.select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(langs == Seq("en", "fr", "de", "es", "zh", "und"))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq("abc", "acb", "abc", "").toDF("text")
+    val fps = df.select(TextOps.fingerprint($"text")).as[Long].collect().toSeq
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+    assert(fps(3) == 7L) // seed survives empty input
+    // h = ((7*31+97)*31+98)*31+99 mod 1e9+7
+    assert(fps(0) == ((7L * 31 + 'a') * 31 + 'b') * 31 + 'c')
+  }
+
+  test("qualityFeatures ratios are exact round-4 of integer counts") {
+    val df = Seq("the cat!").toDF("text") // 8 chars, 6 alpha, 1 punct, 2 tokens, 1 stopword
+    val r = TextOps.qualityFeatures(df, $"text")
+      .select($"n_tokens", $"alpha_ratio", $"punct_ratio", $"stopword_ratio")
+      .as[(Int, Double, Double, Double)].head()
+    assert(r == ((2, 0.75, 0.125, 0.5)))
+  }
+}
