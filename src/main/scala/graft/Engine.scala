@@ -82,6 +82,17 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame =
     table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  /** Streaming read of the events table (same µs conversion as [[events]]).
+    * The file source needs a directory; the glob filter scopes it to the
+    * events file so other tables in the SF dir aren't picked up.
+    */
+  def eventsStream: DataFrame =
+    spark.readStream
+      .schema(table("events").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

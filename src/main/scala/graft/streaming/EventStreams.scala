@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has NO streaming capability — Tez is strictly batch; the
+  * hooks that would allow pipelined execution are explicitly unsupported
+  * (tez-api/.../dag/api/EdgeProperty.java:83-89,102-107). This module is the
+  * additive extension of SURVEY.md §2.9: the same aggregations the batch
+  * queries declare, re-expressed incrementally with watermarks and state.
+  *
+  * Scale design: all state is keyed and bounded by watermark eviction;
+  * nothing accumulates on the driver. At 100 TB/day the windowed counts
+  * shuffle only (window, event_type) partial aggregates, and sessionization
+  * state is one small case class per active user.
+  */
+object EventStreams {
+
+  /** Tumbling event-time counts with late-data handling — the streaming
+    * twin of q21_tumbling_window. Append-mode-capable: the watermark closes
+    * windows `delay` after the latest seen event time.
+    */
+  def windowedCounts(events: DataFrame, window_ : String, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming twin
+    * of q38_sessionize. A session closes when no event arrives within
+    * `gapMs` (enforced by event-time timeout against the watermark), then
+    * emits one Session row. Typed keyed state is the Spark form of the
+    * reference's arbitrary-Processor extension point (SURVEY §2.10).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long, delay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastTs + gapMs), s.nEvents))
+          } else {
+            // fold the micro-batch in event-time order, closing sessions at
+            // every gap larger than gapMs
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastTs + gapMs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Running per-type counters in update mode (no watermark needed) — the
+    * smallest useful always-on monitor over the stream.
+    */
+  def runningTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{Counters, Engine, Tables}
+import graft.plans.{DagBuilder, Edge}
+import graft.streaming.EventStreams
+
+/** End-to-end usage example of the facade surfaces (DAG builder, counters,
+  * streaming) over the harness tables — what a user migrating from the
+  * reference would write first.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session(cores = 8, appName = "graft-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val t = Tables(spark, dir)
+
+    // 1. The reference's canonical WordCount DAG, via the DAG facade
+    val (top, counters) = Counters.track(spark) {
+      DagBuilder.create("wordcount")
+        .addSource("docs")(t.documents)
+        .addProcessor("tokenizer") { case Seq(d) =>
+          d.select(explode(split(col("text"), "\\s+")).as("word"))
+        }
+        .addProcessor("summer") { case Seq(w) =>
+          w.groupBy("word").agg(count(lit(1)).as("cnt"))
+        }
+        .addEdge("docs", "tokenizer", Edge.oneToOne)
+        .addEdge("tokenizer", "summer", Edge.scatterGather("word"))
+        .output("summer")
+        .orderBy(desc("cnt")).limit(3)
+        .collect()
+    }
+    println(s"[demo] top words: ${top.map(r => s"${r.get(0)}=${r.get(1)}").mkString(", ")}")
+    println(s"[demo] counters: tasks=${counters.tasks} shuffleRead=${counters.shuffleReadBytes}B")
+
+    // 2. Streaming sessionization over the events parquet, driven as a
+    // bounded stream (one trigger pass over the existing file).
+    import spark.implicits._
+    val stream = t.eventsStream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapMs = 30 * 60000L, delay = "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    println(s"[demo] closed sessions so far: ${spark.table("sessions").count()}")
+    spark.stop()
+  }
+}

