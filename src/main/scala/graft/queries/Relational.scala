@@ -129,16 +129,20 @@ object Relational {
       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin
 
   // q08 — anti join: JoinValidate's missing-key check
-  // (tez-examples/.../JoinValidate.java:131-210).
+  // (tez-examples/.../JoinValidate.java:131-210). The rhs is filtered to
+  // urgent orders so the anti-join has real survivors (every customer has
+  // SOME order in this data, which would make the unfiltered form empty).
   private def q08(t: Tables): DataFrame =
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   private val q08Sql =
     """SELECT c_custkey, c_name
       |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
 
   // q09 — VertexGroup union feeding one aggregation
   // (tez-tests/.../examples/UnionExample.java:70-230).
@@ -213,14 +217,17 @@ object Relational {
       |INTERSECT
       |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin
 
+  // rhs filtered to high-value orders so the difference is non-empty (see
+  // q08 note: every customer has some order).
   private def q15(t: Tables): DataFrame =
     t.customer.select(col("c_custkey").as("custkey"))
-      .except(t.orders.select(col("o_custkey").as("custkey")))
+      .except(t.orders.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("custkey")))
 
   private val q15Sql =
     """SELECT c_custkey AS custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS custkey FROM orders""".stripMargin
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000""".stripMargin
 
   // q16 — rollup, q22 — cube (SURVEY §2.5 "free via Catalyst" extensions).
   private def q16(t: Tables): DataFrame =
@@ -370,6 +377,104 @@ object Relational {
   private val q25Sql =
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
 
+  // q26+ live in Pipeline.scala; q39+ below extend the Catalyst-native
+  // aggregation/expression surface (SURVEY §2.5/§2.8 "free via Catalyst").
+
+  // q39 — explicit grouping sets (beyond rollup/cube).
+  private def q39(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  private val q39Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  // q40 — exact interpolated percentiles (median/p95) per group.
+  private def q40(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
+  private val q40Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // q41 — full outer join with unmatched rows on both sides.
+  private def q41(t: Tables): DataFrame = {
+    val bigCust = t.customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val bigOrders = t.orders.filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    bigCust.join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("n_big_orders"))
+  }
+
+  private val q41Sql =
+    """SELECT c_custkey, c_name, o_custkey, n_big_orders
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_big_orders
+      |           FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey""".stripMargin
+
+  // q42 — scalar string/math surface (SURVEY §2.8: the functions library IS
+  // the engine's expression capability; all codegen'd).
+  private def q42(t: Tables): DataFrame =
+    t.part.select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 5)).as("up5"),
+      replace(col("p_type"), lit(" "), lit("_")).as("tp"),
+      lpad(col("p_size").cast("string"), 4, "0").as("sz"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      length(trim(col("p_name"))).cast("long").as("nlen"),
+      round(sqrt(col("p_retailprice")), 4).as("sq"),
+      round(log(col("p_retailprice") + 1), 4).as("lg"),
+      abs(col("p_size") - 25).as("ab"),
+      ceil(col("p_retailprice") / 100).cast("long").as("ce"))
+
+  private val q42Sql =
+    """SELECT p_partkey,
+      |  upper(substring(p_name, 1, 5)) AS up5,
+      |  replace(p_type, ' ', '_') AS tp,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS sz,
+      |  concat_ws('|', p_brand, p_type) AS bt,
+      |  CAST(length(trim(p_name)) AS BIGINT) AS nlen,
+      |  round(sqrt(p_retailprice), 4) AS sq,
+      |  round(ln(p_retailprice + 1), 4) AS lg,
+      |  abs(p_size - 25) AS ab,
+      |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS ce
+      |FROM part""".stripMargin
+
+  // q43 — date/time expression surface over orders.
+  private def q43(t: Tables): DataFrame =
+    t.orders.select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("mon"),
+      year(col("o_orderdate")).as("yr"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).as("days_left"))
+
+  private val q43Sql =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS mon,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_left
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -399,7 +504,12 @@ object Relational {
     "q22_cube" -> wrap(q22),
     "q23_scalar_exprs" -> wrap(q23),
     "q24_one_to_one_map" -> (q24 _),
-    "q25_json_extract" -> wrap(q25)
+    "q25_json_extract" -> wrap(q25),
+    "q39_grouping_sets" -> wrap(q39),
+    "q40_percentiles" -> wrap(q40),
+    "q41_full_outer_join" -> wrap(q41),
+    "q42_scalar_string_math" -> wrap(q42),
+    "q43_date_functions" -> wrap(q43)
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,6 +537,11 @@ object Relational {
     "q22_cube" -> q22Sql,
     "q23_scalar_exprs" -> q23Sql,
     "q24_one_to_one_map" -> q24Sql,
-    "q25_json_extract" -> q25Sql
+    "q25_json_extract" -> q25Sql,
+    "q39_grouping_sets" -> q39Sql,
+    "q40_percentiles" -> q40Sql,
+    "q41_full_outer_join" -> q41Sql,
+    "q42_scalar_string_math" -> q42Sql,
+    "q43_date_functions" -> q43Sql
   )
 }
