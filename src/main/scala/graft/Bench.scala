@@ -14,14 +14,25 @@ object Bench {
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: absorbs session/codegen/file-listing startup so the
-    // alphabetically-first query isn't charged for it.
-    try SparkEntry.queries("q18_filter_project")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Untimed pre-warm at the smallest SF (≅ the reference's session
+    // pre-warm, PreWarmVertex.java:54): running every query shape once
+    // compiles its generated classes and JITs the hot paths, so the timed
+    // loop measures steady-state engine throughput instead of first-run
+    // janino/JIT storms (which at sf0.1 dominate the heavy dedup queries).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators that persist reused subplans (minhash/jaccard) would
+      // otherwise accumulate cached blocks across queries and skew later
+      // timings with eviction/GC pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

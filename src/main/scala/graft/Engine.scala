@@ -42,6 +42,10 @@ object Engine {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // The MinHash/SimHash signature aggregates carry 64/61 agg slots; the
+    // default maxFields=100 (buffer + key + input fields) silently drops
+    // those stages out of whole-stage codegen into interpreted mode.
+    .config("spark.sql.codegen.maxFields", "400")
     // events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp —
     // read as long and convert (Tables.events) to the same µs truncation
     // DuckDB applies, so oracle comparisons line up exactly.

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
+
+import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, SimHashFpExpr}
+import graft.operators.Dedup
+
+/** Column-level entry points for the native kernels (Scala API), plus the
+  * SparkSessionExtensions installer that exposes them to SQL.
+  */
+package object functions {
+
+  def minhash_sig(xs: Column, num: Int): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(xs), num))
+
+  def simhash_fp(hs: Column, bits: Int = Dedup.SimHashBits): Column =
+    ExpressionUtils.column(SimHashFpExpr(ExpressionUtils.expression(hs), bits))
+
+  def cosine_f(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineFExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def lsh_bucket(emb: Column, planes: Int): Column =
+    ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(emb), planes))
+}
+
+package functions {
+
+  /** SQL registration: `spark.sql.extensions=graft.GraftFunctionExtensions`
+    * (or `Builder.withExtensions`) makes `minhash_sig(xs, 64)`,
+    * `simhash_fp(hs)`, `cosine_f(a, b)` callable from SQL — the engine's
+    * extension mechanism of record (SparkSessionExtensions.injectFunction).
+    */
+  private[graft] object Register {
+    private def lit(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+    }
+
+    val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+        (args: Seq[Expression]) => MinHashSigExpr(args.head, if (args.size > 1) lit(args(1)) else 64)),
+      (FunctionIdentifier("simhash_fp"),
+        new ExpressionInfo(classOf[SimHashFpExpr].getName, "simhash_fp"),
+        (args: Seq[Expression]) => SimHashFpExpr(args.head, if (args.size > 1) lit(args(1)) else Dedup.SimHashBits)),
+      (FunctionIdentifier("cosine_f"),
+        new ExpressionInfo(classOf[CosineFExpr].getName, "cosine_f"),
+        (args: Seq[Expression]) => CosineFExpr(args.head, args(1))),
+      (FunctionIdentifier("lsh_bucket"),
+        new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+        (args: Seq[Expression]) => LshBucketExpr(args.head, lit(args(1)))))
+  }
+}
+
+/** Zero-arg extensions class usable via spark.sql.extensions. */
+class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.Register.entries.foreach(ext.injectFunction)
+}

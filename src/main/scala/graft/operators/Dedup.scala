@@ -55,30 +55,21 @@ object Dedup {
     df.groupBy(md5(text).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
 
-  /** MinHash signatures for all docs at once: explode shingles, hash each
-    * shingle ONCE, then one hash-aggregate with numHashes `min` slots.
-    *
-    * This shape beats per-row nested higher-order functions decisively:
-    * (a) md5 runs once per shingle, not once per (shingle × hash-slot) —
-    * Catalyst's CollapseProject would inline an aliased hash array into
-    * every slot expression; (b) a 64-slot min aggregate is partial-agg
-    * (map-side combine) so the shuffle carries 64 longs per doc — the plan
-    * that still works when docs are 100 TB.
+  /** MinHash signatures as a pure narrow map — zero shuffle: the shingle
+    * hash array is materialized ONCE per row (as an attribute, so the slot
+    * expressions share it instead of re-running md5 per slot), then the
+    * whole signature comes from ONE native kernel call
+    * (graft.functions.MinHashSigExpr — tight JVM loop inside codegen; the
+    * equivalent 64 × array_min(transform(...)) tree is interpreted HOF
+    * soup with a huge first-run analysis/JIT bill).
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    // md5 as its own projection: referenced by 64 aggregate inputs, it must
-    // be an attribute — inlining the hash expression would run md5 once per
-    // (row × slot) since aggregate inputs get no subexpression elimination.
-    val hashed = docs.select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), SharedHash.hash28(col("s")).as("x"))
-    val x = col("x")
-    hashed
-      .groupBy("id")
-      .agg(
-        min((lit(hashA(0)) * x + lit(hashB(0))) % lit(P)).as("m0"),
-        (1 until numHashes).map { i =>
-          min((lit(hashA(i)) * x + lit(hashB(i))) % lit(P)).as(s"m$i")
-        }: _*)
+    val sig = docs
+      .withColumn("__xs", transform(col("shingles"), s => SharedHash.hash28(s)))
+      .withColumn("__sig", graft.functions.minhash_sig(col("__xs"), numHashes))
+    sig.select(
+      col("id") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
@@ -174,30 +165,17 @@ object Dedup {
 
   val SimHashBits = 60
 
-  /** 60-bit SimHash fingerprints for all docs at once: bit j is set when
-    * the majority of token hashes have bit j set. Same explode+aggregate
-    * shape as [[minhashSignatures]]: md5 once per token, then a 61-slot
-    * partial-aggregable sum — the shuffle carries 61 longs per doc.
+  /** 60-bit SimHash fingerprints as a pure narrow map (same shape and
+    * rationale as [[minhashSignatures]]): bit j is set when the majority of
+    * token hashes have bit j set. Token hashes are materialized once per
+    * row; the 60 per-bit counts are folds over that attribute.
     * Input: (id, tokens array with duplicates); output: (id, fp).
     */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    // same attribute-materialization as minhashSignatures: 60 aggregate
-    // inputs must share ONE md5 evaluation per token.
-    val hashed = docs.select(col("id"), explode(col("tokens")).as("t"))
-      .select(col("id"), SharedHash.hash60(col("t")).as("h"))
-    val h = col("h")
-    val agged = hashed
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_tok"),
-        (0 until SimHashBits).map { j =>
-          sum(shiftright(h, j).bitwiseAND(lit(1L))).as(s"c$j")
-        }: _*)
-    agged.select(col("id"),
-      (0 until SimHashBits).map { j =>
-        when(col(s"c$j") * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as("fp"))
-  }
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__hs", transform(col("tokens"), t => SharedHash.hash60(t)))
+      .select(col("id"),
+        graft.functions.simhash_fp(col("__hs"), SimHashBits).as("fp"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     *

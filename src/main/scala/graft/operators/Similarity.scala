@@ -18,15 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, _.cast("double"))
-    val da = d(a); val db = d(b)
-    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(da, lit(0.0), (s, x) => s + x * x))
-    val nb = sqrt(aggregate(db, lit(0.0), (s, x) => s + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double via
+    * the native kernel (graft.functions.CosineFExpr) — bit-identical to the
+    * composable `aggregate(zip_with(...))` fold (same sequential order,
+    * same float→double widening) but one codegen'd call instead of
+    * interpreted per-element lambdas.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.cosine_f(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force): broadcast
     * the (small) query set against the full corpus, rank per query.
@@ -57,15 +55,12 @@ object Similarity {
   def planeComponent(j: Int, d: Int, dim: Int): Double =
     ((((j.toLong * dim + d) * 2654435761L) % 2001L) - 1000L) / 1000.0
 
-  /** Sign-LSH bucket id (`planes` bits) of an embedding column. */
-  def lshBucket(emb: Column, dim: Int, planes: Int = LshPlanes): Column = {
-    val de = transform(emb, _.cast("double"))
-    (0 until planes).map { j =>
-      val w = array((0 until dim).map(d => lit(planeComponent(j, d, dim))): _*)
-      val dot = aggregate(zip_with(de, w, (x, y) => x * y), lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** Sign-LSH bucket id (`planes` bits) of an embedding column — native
+    * kernel (graft.functions.LshBucketExpr) computing [[planeComponent]]
+    * inline; `dim` is taken from the array itself.
+    */
+  def lshBucket(emb: Column, dim: Int, planes: Int = LshPlanes): Column =
+    graft.functions.lsh_bucket(emb, planes)
 
   /** Approximate top-k: rank only within the query's LSH bucket. The
     * bucket equi-join replaces the cross product — at 100 TB this is one

@@ -24,26 +24,19 @@ object Probe {
       col("text"), 3, "shingles").select(col("id"), col("shingles"))
 
     time("warmup")(t.documents.count())
-    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
-    val sig = Dedup.minhashSignatures(sized.select(col("id"), col("shingles")), 64)
-    time("signatures")(sig.count())
-    time("full-minhash")(Dedup.minhashLshPairs(docs, 64, 16, 0.7).count())
-
-    // narrow variant: hash array materialized once, 64 array_min over attr
-    val xsDf = sized.select(col("id"), col("shingles"))
-      .withColumn("xs", transform(col("shingles"), s => Dedup.SharedHash.hash28(s)))
-    val sigNarrow = xsDf.select(
-      (col("id") +: (0 until 64).map { i =>
-        array_min(transform(col("xs"), x =>
-          (lit(Dedup.hashA(i)) * x + lit(Dedup.hashB(i))) % lit(Dedup.P))).as(s"m$i")
-      }): _*)
-    time("sig-narrow")(sigNarrow.count())
-    time("sig-narrow-again")(sigNarrow.count())
-
-    val cachedDocs = docs.persist()
-    time("docs-cache-fill")(cachedDocs.count())
-    time("full-minhash-cacheddocs")(Dedup.minhashLshPairs(cachedDocs, 64, 16, 0.7).count())
-    cachedDocs.unpersist()
+    for (round <- 1 to 3) {
+      time(s"r$round q31-minhash")(Dedup.minhashLshPairs(docs, 64, 16, 0.7).count())
+      spark.catalog.clearCache()
+      time(s"r$round q33-jaccard")(Dedup.ngramJaccardPairs(docs, 0.7).count())
+      spark.catalog.clearCache()
+      time(s"r$round q32-simhash") {
+        val fps = Dedup.simhashFingerprints(
+          Fanout(t.documents).select(col("doc_id").as("id"),
+            split(lower(col("text")), """\s+""").as("tokens")))
+        Dedup.simhashPairs(fps, 3).count()
+      }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
