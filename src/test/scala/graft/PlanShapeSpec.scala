@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the optimizations the engine's design
+  * depends on must actually fire (SURVEY §4 — these are exactly the
+  * capabilities the reference lacks and Catalyst grants for free; a
+  * regression here is a silent 10-100× at scale).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private lazy val dir = {
+    // small parquet fixtures on disk so scans go through the real v1 file
+    // source (pushdown/pruning paths), not LocalRelation
+    val d = Files.createTempDirectory("planshape").toString
+    (1 to 1000).map(i => (i.toLong, i % 7, s"name_$i", i * 1.5))
+      .toDF("id", "grp", "name", "v").write.mode("overwrite").parquet(s"$d/fact")
+    (0 until 7).map(i => (i, s"g$i")).toDF("gid", "gname")
+      .write.mode("overwrite").parquet(s"$d/dim")
+    d
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val q = spark.read.parquet(s"$dir/fact").filter($"grp" === 3).select("id", "grp")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint,grp:int>"), p)
+  }
+
+  test("small dimension joins broadcast; no shuffle of the fact side") {
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val p = plan(fact.join(dim, $"grp" === $"gid"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("group-by aggregation is partial (map-side combine ≅ Tez Combiner)") {
+    val q = spark.read.parquet(s"$dir/fact").groupBy("grp").agg(sum("v"))
+    val p = plan(q)
+    // two HashAggregates around the exchange: partial then final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(grp"), p)
+  }
+
+  test("orderBy().limit() plans as TakeOrderedAndProject, not a global sort") {
+    val q = spark.read.parquet(s"$dir/fact").orderBy(desc("v")).limit(5)
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val wh = Files.createTempDirectory("warehouse").toString
+    val s2 = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .getOrCreate()
+    import s2.implicits._
+    try {
+      (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "a")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+      (1 to 1000).map(i => (i.toLong, i * 3.0)).toDF("k", "b")
+        .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+      val j = s2.table("bkt_a").join(s2.table("bkt_b"), "k")
+      val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), p) // bucketing pre-partitioned both sides
+      assert(j.count() == 1000)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS bkt_a")
+      s2.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("AQE coalesces an over-partitioned shuffle at runtime") {
+    val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
+      .groupBy("grp").count()
+    q.collect()
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("AQEShuffleRead") || p.contains("coalesced"), p)
+  }
+}
