@@ -81,6 +81,39 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path besides
+    * sign-LSH. Coarse quantizer: the first `nCells` corpus vectors serve as
+    * deterministic centroids (training-free IVF flavor — no k-means RNG, so
+    * the oracle can reproduce cell assignment exactly). Every vector is
+    * assigned to its max-cosine cell (narrow |corpus|·nCells pass against
+    * broadcast centroids); a query probes its `nProbe` best cells and ranks
+    * only those inverted lists. At 100 TB: assignment is a broadcast-join
+    * map, probing is a cell-key equi-join — no cross product anywhere.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, nCells: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    def bestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) =
+      df.join(broadcast(cents), lit(true))
+        .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 4))
+        .withColumn("crn",
+          row_number().over(Window.partitionBy(col(idCol))
+            .orderBy(desc("cscore"), asc("cent_id"))))
+        .filter(col("crn") <= n)
+        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    val lists = bestCells(corpus, "vec_id", "embedding", 1)
+    val probes = bestCells(queries, "q_id", "q_vec", nProbe)
+    lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidates generated through the LSH bucket join (pairs must collide
     * in at least one of `repeats` independent bucketings to be considered;

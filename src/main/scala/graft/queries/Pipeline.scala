@@ -265,6 +265,50 @@ object Pipeline {
        |      FROM s)
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
+  // ===== q44 IVF approximate top-k =======================================
+
+  private val IvfCells = 16
+  private val IvfProbe = 2
+
+  private def q44(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopK(queries, e, IvfCells, IvfProbe, TopK)
+  }
+
+  private val q44Sql = {
+    def best(src: String, id: String, vec: String, n: String) =
+      s"""SELECT $id, $vec, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.$id
+         |      ORDER BY round(${cosSql(s"s.$vec", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM $src s CROSS JOIN cents c) WHERE crn <= $n""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |lists AS (${best("e", "vec_id", "v", "1")}),
+       |probes AS (${best("q0", "q_id", "qv", IvfProbe.toString)}),
+       |s AS (SELECT p.q_id, l.vec_id, round(${cosSql("p.qv", "l.v")}, 4) AS score
+       |      FROM probes p JOIN lists l ON p.cell = l.cell AND l.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ===== q45 approximate sketches (HLL / quantile sketch) ================
+  // No DuckDB oracle: sketch implementations differ across engines by
+  // design, so the driver records the weaker rows-only check. The exact
+  // twins are q20 (count distinct) and q40 (percentiles).
+
+  private def q45(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+
   // ===== q37 multimodal decode/resize plumbing ===========================
 
   private def q37(t: Tables): DataFrame = {
@@ -328,7 +372,9 @@ object Pipeline {
     "q35_ann_cosine_topk" -> wrap(q35),
     "q36_ann_lsh_topk" -> wrap(q36),
     "q37_media_decode" -> wrap(q37),
-    "q38_sessionize" -> wrap(q38)
+    "q38_sessionize" -> wrap(q38),
+    "q44_ann_ivf_topk" -> wrap(q44),
+    "q45_approx_sketches" -> wrap(q45)
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +390,8 @@ object Pipeline {
     "q35_ann_cosine_topk" -> q35Sql,
     "q36_ann_lsh_topk" -> q36Sql,
     "q37_media_decode" -> q37Sql,
-    "q38_sessionize" -> q38Sql
+    "q38_sessionize" -> q38Sql,
+    "q44_ann_ivf_topk" -> q44Sql
+    // q45_approx_sketches intentionally has no oracle (rows-only check)
   )
 }
