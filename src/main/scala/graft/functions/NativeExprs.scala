@@ -23,6 +23,110 @@ import graft.operators.Dedup
   * same float→double widening), so the DuckDB oracles are unchanged.
   */
 object NativeKernels {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 28 bits of md5(s) — equal to
+    * conv(substring(md5(s),1,7),16,10): hex chars 1-7 are digest bytes
+    * 0-3's high nibbles, i.e. b0<<20 | b1<<12 | b2<<4 | b3>>>4.
+    */
+  def md5Hash28(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+  }
+
+  /** First 60 bits of md5(s) — equal to conv(substring(md5(s),1,15),16,10). */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Distinct word n-gram shingles in first-occurrence order — identical
+    * to array_distinct(transform(...)) over the same words.
+    */
+  def shinglesOf(words: ArrayData, n: Int): ArrayData = {
+    val cnt = words.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused kernel: word n-gram shingles → md5 28-bit hashes → minhash
+    * signature, one pass, no materialized shingle strings. MinHash over
+    * duplicate shingles equals minhash over the distinct set (min is
+    * idempotent), so the string-side array_distinct does not need
+    * replicating here.
+    */
+  def minhashFromWords(words: ArrayData, n: Int, num: Int): ArrayData = {
+    val cnt = words.numElements()
+    val out = new Array[Long](num)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    if (cnt < n) return null
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val x = md5Hash28(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var k = 0
+      while (k < num) {
+        val h = (Dedup.hashA(k) * x + Dedup.hashB(k)) % Dedup.P
+        if (h < out(k)) out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused kernel: token array → md5 60-bit hashes → SimHash fingerprint. */
+  def simhashFromTokens(tokens: ArrayData, bits: Int): Long = {
+    val cnt = tokens.numElements()
+    val counts = new Array[Long](bits)
+    var i = 0
+    while (i < cnt) {
+      val h = md5Hash60(
+        tokens.getUTF8String(i).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < bits) { counts(j) += (h >> j) & 1L; j += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) * 2 > cnt) fp |= 1L << j; j += 1 }
+    fp
+  }
   /** MinHash: out(j) = min over xs of (A(j)·x + B(j)) mod P. */
   def minhashSig(xs: ArrayData, num: Int): ArrayData = {
     val out = new Array[Long](num)
@@ -114,6 +218,52 @@ case class MinHashSigExpr(child: Expression, num: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NativeKernels.minhashSig($c, $num);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** shingles_of(array<string>, n) → distinct word n-grams, first-occurrence
+  * order (= array_distinct of the composable construction).
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.shinglesOf(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.shinglesOf($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_words(array<string>, n, num) → fused shingle+hash+minhash;
+  * null when the document has fewer than n words (callers filter nulls,
+  * matching the string path's n_sh > 0 filter).
+  */
+case class MinHashWordsExpr(child: Expression, n: Int, num: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.minhashFromWords(input.asInstanceOf[ArrayData], n, num)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeKernels.minhashFromWords($c, $n, $num);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash_words(array<string>) → fused token-hash + SimHash fingerprint. */
+case class SimHashWordsExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.simhashFromTokens(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.simhashFromTokens($c, $bits);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

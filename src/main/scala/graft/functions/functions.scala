@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
 
-import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, SimHashFpExpr}
+import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr}
 import graft.operators.Dedup
 
 /** Column-level entry points for the native kernels (Scala API), plus the
@@ -24,6 +24,15 @@ package object functions {
 
   def lsh_bucket(emb: Column, planes: Int): Column =
     ExpressionUtils.column(LshBucketExpr(ExpressionUtils.expression(emb), planes))
+
+  def shingles_of(words: Column, n: Int): Column =
+    ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(words), n))
+
+  def minhash_words(words: Column, n: Int, num: Int): Column =
+    ExpressionUtils.column(MinHashWordsExpr(ExpressionUtils.expression(words), n, num))
+
+  def simhash_words(tokens: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHashWordsExpr(ExpressionUtils.expression(tokens), bits))
 }
 
 package functions {

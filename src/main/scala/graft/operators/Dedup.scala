@@ -74,32 +74,39 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     *
-    * numHashes split into `bands` bands of numHashes/bands rows; docs
-    * colliding on any band become candidates; candidates are verified with
-    * exact Jaccard ≥ `threshold` on the distinct-shingle arrays.
+    * Signatures come from the fused native kernel (words → shingles → md5
+    * → numHashes mins in one pass, no materialized shingle strings);
+    * candidates from band-key equi-joins; verification re-joins the
+    * materialized distinct-shingle arrays for exact Jaccard ≥ `threshold`.
     *
-    * Plan shape: scan → narrow signature compute → explode bands (×bands) →
-    * hash join on (band, key) → distinct pair ids → re-join shingle arrays →
-    * narrow verify. No O(n²) stage anywhere.
+    * Plan shape: scan → narrow signature kernel (zero shuffle) → explode
+    * bands (×bands) → hash join on (band, key) → distinct pair ids →
+    * re-join shingle arrays → narrow verify. No O(n²) stage anywhere.
     */
   def minhashLshPairs(
-      docs: DataFrame, // columns: id, shingles
+      docs: DataFrame, // columns: id, text
+      n: Int,
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, "bands must divide numHashes")
-    // The shingled corpus feeds three subplans (signature agg + both sides
-    // of the verify join); caching it avoids re-shingling 3×. MEMORY_AND_DISK
-    // spills gracefully at scale — same tradeoff Spark ML's MinHashLSH makes.
-    val sized = docs
+    // The shingled corpus feeds both sides of the verify join; caching it
+    // avoids re-shingling. MEMORY_AND_DISK spills gracefully at scale —
+    // same tradeoff Spark ML's MinHashLSH makes.
+    val sized = TextOps.withShingles(docs, col("text"), n, "shingles")
       .withColumn("n_sh", size(col("shingles")))
       .filter(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sig is tiny (numHashes longs per doc) and feeds both sides of the
     // band self-join — persisting it pins exchange reuse instead of hoping
     // AQE's ReusedExchange fires.
-    val sig = minhashSignatures(sized.select(col("id"), col("shingles")), numHashes)
+    val sig = docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .withColumn("__sig", graft.functions.minhash_words(col("__w"), n, numHashes))
+      .filter(col("__sig").isNotNull)
+      .select(col("id") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("id"),
@@ -172,10 +179,8 @@ object Dedup {
     * Input: (id, tokens array with duplicates); output: (id, fp).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__hs", transform(col("tokens"), t => SharedHash.hash60(t)))
-      .select(col("id"),
-        graft.functions.simhash_fp(col("__hs"), SimHashBits).as("fp"))
+    docs.select(col("id"),
+      graft.functions.simhash_words(col("tokens"), SimHashBits).as("fp"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     *

@@ -85,27 +85,13 @@ object TextOps {
       lit(7L),
       (h, c) => (h * lit(31L) + ascii(c)) % lit(1000000007L))
 
-  /** Word n-gram shingles (lowercased), distinct — the unit of MinHash and
-    * exact-Jaccard dedup. Appended as column `out`.
-    *
-    * The words array MUST be materialized as a real column first: a
-    * `split(...)` subtree referenced inside a higher-order-function lambda
-    * is re-evaluated once per lambda invocation (HOFs run interpreted with
-    * no subexpression elimination), turning shingling into O(words²) regex
-    * splits per document — measured 16× slower at sf0.1. As an attribute,
-    * `words` is bound once per row and CollapseProject keeps it separate
-    * (non-cheap expression referenced multiple times).
+  /** Word n-gram shingles (lowercased), distinct, first-occurrence order —
+    * the unit of MinHash and exact-Jaccard dedup. Appended as column `out`.
+    * Native kernel (graft.functions.ShinglesExpr): the composable
+    * array_distinct(transform(sequence…, slice+concat_ws)) equivalent runs
+    * interpreted and cost ~7s of every dedup query at sf0.1.
     */
-  def withShingles(df: DataFrame, text: Column, n: Int, out: String): DataFrame = {
-    val w = col("__graft_words")
-    df.withColumn("__graft_words", split(lower(text), """\s+"""))
-      .withColumn(out,
-        array_distinct(
-          filter(
-            transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
-              i => when(i <= size(w) - n,
-                concat_ws(" ", slice(w, i + 1, lit(n))))),
-            s => s.isNotNull)))
-      .drop("__graft_words")
-  }
+  def withShingles(df: DataFrame, text: Column, n: Int, out: String): DataFrame =
+    df.withColumn(out,
+      graft.functions.shingles_of(split(lower(text), """\s+"""), n))
 }

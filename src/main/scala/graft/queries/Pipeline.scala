@@ -145,7 +145,9 @@ object Pipeline {
       col("text"), 3, "shingles").select(col("id"), col("shingles"))
 
   private def q31(t: Tables): DataFrame =
-    Dedup.minhashLshPairs(shingledDocs(t), MinHashes, Bands, JaccardT)
+    Dedup.minhashLshPairs(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      3, MinHashes, Bands, JaccardT)
 
   private val q31Sql = {
     val rows = MinHashes / Bands

@@ -19,13 +19,13 @@ object Probe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
 
-    val docs = TextOps.withShingles(
-      Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
-      col("text"), 3, "shingles").select(col("id"), col("shingles"))
+    val textDocs = Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    val docs = TextOps.withShingles(textDocs, col("text"), 3, "shingles")
+      .select(col("id"), col("shingles"))
 
     time("warmup")(t.documents.count())
     for (round <- 1 to 3) {
-      time(s"r$round q31-minhash")(Dedup.minhashLshPairs(docs, 64, 16, 0.7).count())
+      time(s"r$round q31-minhash")(Dedup.minhashLshPairs(textDocs, 3, 64, 16, 0.7).count())
       spark.catalog.clearCache()
       time(s"r$round q33-jaccard")(Dedup.ngramJaccardPairs(docs, 0.7).count())
       spark.catalog.clearCache()

@@ -2,10 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.{Engine, Tables}
-import graft.operators.TextOps
+import graft.{Engine, Fanout, Tables}
+import graft.operators.{Dedup, TextOps}
 
-/** Dev-only: isolate shingle-construction cost. */
+/** Dev-only: decompose q31 minhash stage costs. */
 object Probe2 {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 32, appName = "probe2")
@@ -18,24 +18,43 @@ object Probe2 {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n")
     }
 
-    val docs = TextOps.withShingles(
-      t.documents.select(col("doc_id").as("id"), col("text")),
-      col("text"), 3, "shingles").select(col("id"), col("shingles"))
+    val textDocs = Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    time("warmup")(t.documents.count())
 
-    time("warm-scan")(t.documents.count())
-    time("sum-size-shingles")(docs.select(sum(size(col("shingles")))).collect()(0))
-    time("sum-size-again")(docs.select(sum(size(col("shingles")))).collect()(0))
-    time("explode-count")(docs.select(explode(col("shingles"))).count())
-    // variant: words built but shingle via simple transform w/o slice
-    val d2 = t.documents.select(col("doc_id").as("id"), col("text"))
-      .withColumn("w", split(lower(col("text")), """\s+"""))
-    time("just-words-sumsize")(d2.select(sum(size(col("w")))).collect()(0))
-    val d3 = d2.withColumn("sh",
-      transform(col("w"), (e, i) =>
-        concat_ws(" ", e, element_at(col("w"), i + 2), element_at(col("w"), i + 3))))
-    time("transform-elemat")(d3.select(sum(size(col("sh")))).collect()(0))
-    time("explode-elemat")(d3.select(explode(col("sh"))).count())
-    docs.select(explode(col("shingles"))).explain("formatted")
+    val sigPlain = textDocs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .withColumn("__sig", graft.functions.minhash_words(col("__w"), 3, 64))
+      .filter(col("__sig").isNotNull)
+      .select(col("id") +: (0 until 64).map(i => element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+    time("sig-kernel")(sigPlain.count())
+    time("sig-kernel-2")(sigPlain.count())
+
+    val sig = sigPlain.persist()
+    time("sig-cache-fill")(sig.count())
+    val banded = sig.select(col("id"), explode(array((0 until 16).map { b =>
+      struct(lit(b).as("band"), concat_ws("_", (0 until 4).map(r =>
+        col(s"m${b * 4 + r}").cast("string")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    time("banded-explode")(banded.count())
+    val cand = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    time("cand-join")(cand.count())
+
+    val sized = TextOps.withShingles(textDocs, col("text"), 3, "shingles")
+      .withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+    time("shingles-count")(sized.select(sum(size(col("shingles")))).collect()(0))
+    val sizedC = sized.persist()
+    time("shingles-cache-fill")(sizedC.count())
+    val candC = cand.persist(); candC.count()
+    val verify = candC
+      .join(sizedC.as("a"), col("id_a") === col("a.id"))
+      .join(sizedC.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .filter(col("n_common") > 0)
+    time("verify-join")(verify.count())
+    time("full-q31")(Dedup.minhashLshPairs(textDocs, 3, 64, 16, 0.7).count())
     spark.stop()
   }
 }

@@ -30,7 +30,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhashLshPairs finds near and exact dup pairs with correct jaccard") {
-    val pairs = Dedup.minhashLshPairs(shingled, 64, 16, 0.5)
+    val pairs = Dedup.minhashLshPairs(
+      corpus.select(col("doc_id").as("id"), col("text")), 3, 64, 16, 0.5)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
     assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 0.5) // near dup
