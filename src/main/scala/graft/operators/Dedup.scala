@@ -170,6 +170,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** End-to-end corpus dedup: drop exact duplicates (keep min id per
+    * identical text) then near-duplicates (drop any doc similar to a
+    * lower-id doc at Jaccard ≥ threshold via MinHash-LSH). The keep-lowest
+    * policy is deterministic and fully distributed: two anti-joins, no
+    * driver-side union-find — at 100 TB the survivors never leave the
+    * executors.
+    */
+  def dedupCorpus(docs: DataFrame, // columns: id, text
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val exactSurvivors = docs
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__keep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("id") === col("__keep"))
+      .drop("__h", "__keep")
+    val nearPairs = minhashLshPairs(exactSurvivors, n, numHashes, bands, threshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    exactSurvivors.join(nearPairs, col("id") === col("drop_id"), "left_anti")
+  }
+
   val SimHashBits = 60
 
   /** 60-bit SimHash fingerprints as a pure narrow map (same shape and

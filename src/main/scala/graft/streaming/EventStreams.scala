@@ -91,4 +91,14 @@ object EventStreams {
     */
   def runningTypeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+
+  /** Stream-static enrichment: join each event against a static dimension
+    * (broadcast per micro-batch — the streaming twin of the reference's
+    * broadcast edge / FilterLinesByWord payload distribution,
+    * tez-tests/.../FilterLinesByWord.java:201).
+    */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
 }

@@ -55,6 +55,14 @@ class DedupSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("dedupCorpus drops exact and near dups, keeping the lowest id") {
+    val clean = Dedup.dedupCorpus(
+      corpus.select(col("doc_id").as("id"), col("text")), threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    // 4 is an exact dup of 1; 2 is a near-dup of 1 (J=0.8333 >= 0.8)
+    assert(clean == Set(1L, 3L, 5L))
+  }
+
   test("simhash: exact dups have identical fingerprints; pairs found at hamming 0") {
     val fps = Dedup.simhashFingerprints(
       corpus.select(col("doc_id").as("id"), split(lower(col("text")), """\s+""").as("tokens")))
