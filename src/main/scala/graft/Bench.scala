@@ -13,6 +13,7 @@ object Bench {
     val spark = Engine
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
+    graft.functions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed pre-warm at the smallest SF (≅ the reference's session
     // pre-warm, PreWarmVertex.java:54): running every query shape once

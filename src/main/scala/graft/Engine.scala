@@ -24,7 +24,9 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-    configure(b, cores).getOrCreate()
+    val s = configure(b, cores).getOrCreate()
+    graft.functions.install(s)
+    s
   }
 
   def defaultCores: Int =

@@ -13,6 +13,7 @@ object Verify {
     val spark = Engine
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
+    graft.functions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

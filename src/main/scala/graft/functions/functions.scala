@@ -33,6 +33,12 @@ package object functions {
 
   def simhash_words(tokens: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashWordsExpr(ExpressionUtils.expression(tokens), bits))
+
+  /** Register the SQL functions into an already-running session
+    * (getOrCreate ignores withExtensions when a session exists).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.ColumnBridge.registerFunctions(spark, Register.entries)
 }
 
 package functions {
@@ -60,7 +66,18 @@ package functions {
         (args: Seq[Expression]) => CosineFExpr(args.head, args(1))),
       (FunctionIdentifier("lsh_bucket"),
         new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
-        (args: Seq[Expression]) => LshBucketExpr(args.head, lit(args(1)))))
+        (args: Seq[Expression]) => LshBucketExpr(args.head, lit(args(1)))),
+      (FunctionIdentifier("shingles_of"),
+        new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles_of"),
+        (args: Seq[Expression]) => ShinglesExpr(args.head, if (args.size > 1) lit(args(1)) else 3)),
+      (FunctionIdentifier("minhash_words"),
+        new ExpressionInfo(classOf[MinHashWordsExpr].getName, "minhash_words"),
+        (args: Seq[Expression]) => MinHashWordsExpr(args.head,
+          if (args.size > 1) lit(args(1)) else 3, if (args.size > 2) lit(args(2)) else 64)),
+      (FunctionIdentifier("simhash_words"),
+        new ExpressionInfo(classOf[SimHashWordsExpr].getName, "simhash_words"),
+        (args: Seq[Expression]) => SimHashWordsExpr(args.head,
+          if (args.size > 1) lit(args(1)) else Dedup.SimHashBits)))
   }
 }
 

@@ -92,6 +92,14 @@ object EventStreams {
   def runningTypeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming exact dedup: drop events whose `idCol` was already seen,
+    * with state bounded by the watermark (late duplicates beyond `delay`
+    * age out of the state store — the standard at-least-once → effectively-
+    * once repair for replayed sources).
+    */
+  def dedupStream(events: DataFrame, idCol: String, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
+
   /** Stream-static enrichment: join each event against a static dimension
     * (broadcast per micro-batch — the streaming twin of the reference's
     * broadcast edge / FilterLinesByWord payload distribution,

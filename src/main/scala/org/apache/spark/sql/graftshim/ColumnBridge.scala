@@ -11,4 +11,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register functions into a LIVE session's registry — needed because
+    * `getOrCreate()` ignores `withExtensions` when a session already
+    * exists (sessionState is private[sql], hence this shim).
+    */
+  def registerFunctions(
+      spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

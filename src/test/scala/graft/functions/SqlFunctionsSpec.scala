@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration path: the native kernels must be
+  * callable from plain SQL in a session built with GraftFunctionExtensions.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate may return the suite-shared session; install() covers
+    // that path (withExtensions only applies to a fresh session)
+    val s = SparkSession.builder().master("local[2]")
+      .appName("graft-sql-ext")
+      .withExtensions(new graft.GraftFunctionExtensions)
+      .getOrCreate()
+    graft.functions.install(s)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("native kernels are callable from SQL") {
+    import spark.implicits._
+    Seq((1L, Seq("a", "b", "a", "c"), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "toks", "v1", "v2").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT size(minhash_sig(transform(toks, x -> length(x) * 7L), 8)) AS n,
+        |       simhash_fp(transform(toks, x -> length(x) * 7L)) AS fp,
+        |       cosine_f(v1, v2) AS cos,
+        |       lsh_bucket(v1, 4) AS bucket,
+        |       size(shingles_of(toks, 2)) AS nsh
+        |FROM t""".stripMargin).head()
+    assert(row.getAs[Int]("n") == 8)
+    assert(row.getAs[Double]("cos") == 0.0)
+    assert(row.getAs[Long]("bucket") >= 0L && row.getAs[Long]("bucket") < 16L)
+    assert(row.getAs[Int]("nsh") == 3) // "a b","b a","a c"
+  }
+
+  test("SQL results match the Column API") {
+    import spark.implicits._
+    val df = Seq((Array(0.5f, 0.5f), Array(0.5f, -0.1f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT cosine_f(a, b) AS c FROM vecs").as[Double].head()
+    val viaCol = df.select(graft.functions.cosine_f($"a", $"b").as("c")).as[Double].head()
+    assert(viaSql == viaCol)
+  }
+}
