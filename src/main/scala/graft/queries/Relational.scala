@@ -475,6 +475,80 @@ object Relational {
       |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_left
       |FROM orders""".stripMargin
 
+  // q46 — pivot (crosstab): linestatus columns per returnflag.
+  private def q46(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot(col("l_linestatus"), Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "cnt_f").withColumnRenamed("O", "cnt_o")
+      .na.fill(0L, Seq("cnt_f", "cnt_o"))
+
+  private val q46Sql =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // q47 — generator with ordinality (posexplode ≅ the reference's flat-map
+  // processors with positional output).
+  private def q47(t: Tables): DataFrame =
+    t.documents
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), """\s+""")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+
+  private val q47Sql =
+    """SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.word
+      |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words
+      |      FROM documents WHERE doc_id < 50) w,
+      |  unnest(list_transform(generate_series(1, len(words)), i -> {'pos': i - 1, 'word': words[i]})) AS t(u)""".stripMargin
+
+  // q48 — scalar subquery: orders above the global average price.
+  private def q48(t: Tables): DataFrame = {
+    val avgPrice = t.orders.agg(avg(col("o_totalprice")).as("g_avg"))
+    t.orders
+      .join(broadcast(avgPrice), col("o_totalprice") > col("g_avg"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val q48Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin
+
+  // q49 — array expression surface, stringified for stable comparison.
+  private def q49(t: Tables): DataFrame = {
+    val words = split(lower(col("text")), """\s+""")
+    t.documents.select(
+      col("doc_id"),
+      concat_ws(",", sort_array(array_distinct(slice(words, 1, 8)))).as("first8_sorted"),
+      array_contains(words, "the").as("has_the"),
+      size(array_distinct(words)).cast("long").as("n_distinct"))
+  }
+
+  private val q49Sql =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(list_slice(regexp_split_to_array(lower(text), '\s+'), 1, 8))), ',') AS first8_sorted,
+      |  list_contains(regexp_split_to_array(lower(text), '\s+'), 'the') AS has_the,
+      |  CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n_distinct
+      |FROM documents""".stripMargin
+
+  // q50 — hopping (sliding) event-time window: 1-day windows every 12h;
+  // each event lands in exactly width/slide = 2 windows.
+  private def q50(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+  private val q50Sql =
+    """SELECT ws, event_type, COUNT(*) AS cnt
+      |FROM (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL 12 HOUR, ts) - k * INTERVAL 12 HOUR AS ws
+      |  FROM events, unnest([0, 1]) AS t(k))
+      |GROUP BY ws, event_type""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -509,7 +583,12 @@ object Relational {
     "q40_percentiles" -> wrap(q40),
     "q41_full_outer_join" -> wrap(q41),
     "q42_scalar_string_math" -> wrap(q42),
-    "q43_date_functions" -> wrap(q43)
+    "q43_date_functions" -> wrap(q43),
+    "q46_pivot" -> wrap(q46),
+    "q47_posexplode" -> wrap(q47),
+    "q48_scalar_subquery" -> wrap(q48),
+    "q49_array_ops" -> wrap(q49),
+    "q50_hopping_window" -> wrap(q50)
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,6 +621,11 @@ object Relational {
     "q40_percentiles" -> q40Sql,
     "q41_full_outer_join" -> q41Sql,
     "q42_scalar_string_math" -> q42Sql,
-    "q43_date_functions" -> q43Sql
+    "q43_date_functions" -> q43Sql,
+    "q46_pivot" -> q46Sql,
+    "q47_posexplode" -> q47Sql,
+    "q48_scalar_subquery" -> q48Sql,
+    "q49_array_ops" -> q49Sql,
+    "q50_hopping_window" -> q50Sql
   )
 }
