@@ -101,4 +101,17 @@ final case class Tables(spark: SparkSession, dir: String) {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** All harness tables. */
+  def names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the full surface is usable from
+    * `spark.sql(...)` alongside the custom functions — the one-call setup a
+    * user migrating from the reference needs for a SQL workflow.
+    */
+  def registerViews(): Unit = names.foreach { n =>
+    val df = if (n == "events") events else table(n)
+    df.createOrReplaceTempView(n)
+  }
 }
