@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{Dedup, SecondarySort}
+
+/** ScalaCheck properties over the pure kernels (SURVEY §5's adopted
+  * strategy: property tests replace the reference's fault-injection focus).
+  * These run on the JVM directly — no Spark jobs — so hundreds of cases are
+  * cheap.
+  */
+object KernelProperties extends Properties("NativeKernels") {
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+  private def sarr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[AnyRef])
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val words = Gen.listOf(word)
+  private val bytes = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  property("md5Hash28 equals the hex-prefix parse (conv path)") = forAll(bytes) { b =>
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+    NativeKernels.md5Hash28(b) == java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
+  property("md5Hash60 equals the hex-prefix parse") = forAll(bytes) { b =>
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+    NativeKernels.md5Hash60(b) == java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  property("shinglesOf: distinct, count bounded, all n words long") =
+    forAll(words, Gen.choose(1, 4)) { (ws, n) =>
+      val out = NativeKernels.shinglesOf(sarr(ws), n)
+      val ss = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      ss.distinct == ss &&
+        ss.size <= math.max(0, ws.size - n + 1) &&
+        ss.forall(_.split(" ", -1).length == n)
+    }
+
+  property("minhash signature: concatenation = slot-wise min") =
+    forAll(Gen.listOf(Gen.choose(0L, (1L << 28) - 1)),
+      Gen.listOf(Gen.choose(0L, (1L << 28) - 1))) { (a, b) =>
+      val sa = NativeKernels.minhashSig(arr(a), 16)
+      val sb = NativeKernels.minhashSig(arr(b), 16)
+      val sab = NativeKernels.minhashSig(arr(a ++ b), 16)
+      (0 until 16).forall { i =>
+        sab.getLong(i) == math.min(sa.getLong(i), sb.getLong(i))
+      }
+    }
+
+  property("simhash hamming ≤ 3 implies an identical 15-bit chunk (pigeonhole)") =
+    forAll(Gen.choose(0L, (1L << 60) - 1), Gen.listOfN(3, Gen.choose(0, 59))) { (fp, flips) =>
+      val fp2 = flips.foldLeft(fp)((v, j) => v ^ (1L << j))
+      val mask = (1L << 15) - 1
+      (0 until 4).exists(c => ((fp >> (c * 15)) & mask) == ((fp2 >> (c * 15)) & mask))
+    }
+
+  private val vec = Gen.nonEmptyListOf(Gen.chooseNum(-10f, 10f)).suchThat(_.exists(_ != 0f))
+
+  property("cosine: self-similarity 1, symmetry, negation flips sign") = forAll(vec) { v =>
+    val a = new GenericArrayData(v.toArray)
+    val neg = new GenericArrayData(v.map(-_).toArray)
+    val self = NativeKernels.cosineF(a, a)
+    math.abs(self - 1.0) < 1e-9 &&
+      NativeKernels.cosineF(a, neg) == -self &&
+      NativeKernels.cosineF(a, a) == NativeKernels.cosineF(a, a)
+  }
+
+  property("GroupedIterator: concatenating groups reproduces the input") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))) { pairs =>
+      val sorted = pairs.sortBy(_._1)
+      val rows = sorted.map { case (k, v) => Row(k, v) }
+      val gi = new SecondarySort.GroupedIterator(rows.iterator, r => Seq(r.get(0)))
+      val rebuilt = gi.flatMap { case (_, g) => g.toList }.toList
+      rebuilt == rows
+    }
+
+  property("hash family stays in [0, P)") =
+    forAll(Gen.choose(0, 63), Gen.choose(0L, (1L << 28) - 1)) { (i, x) =>
+      val h = (Dedup.hashA(i) * x + Dedup.hashB(i)) % Dedup.P
+      h >= 0 && h < Dedup.P
+    }
+}
