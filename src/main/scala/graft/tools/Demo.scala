@@ -47,6 +47,20 @@ object Demo {
     q.processAllAvailable()
     q.stop()
     println(s"[demo] closed sessions so far: ${spark.table("sessions").count()}")
+
+    // 3. SQL workflow: catalog views + custom native functions from SQL
+    t.registerViews()
+    val sqlRes = spark.sql(
+      """SELECT d.lang, count(*) AS docs,
+        |       round(avg(cosine_f(e.embedding, e.embedding)), 2) AS self_cos
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang ORDER BY docs DESC""".stripMargin).collect()
+    println(s"[demo] sql+native fns: ${sqlRes.take(2).mkString(" | ")}")
+
+    // 4. One-call corpus dedup (exact + MinHash near-dup, keep lowest id)
+    val docs = t.documents.select(col("doc_id").as("id"), col("text"))
+    val kept = graft.operators.Dedup.dedupCorpus(docs, threshold = 0.8).count()
+    println(s"[demo] dedupCorpus kept $kept of ${docs.count()} docs")
     spark.stop()
   }
 }

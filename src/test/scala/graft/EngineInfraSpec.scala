@@ -33,6 +33,19 @@ class EngineInfraSpec extends AnyFunSuite {
     assert(snap.shuffleWriteBytes > 0 && snap.shuffleReadBytes > 0)
   }
 
+  test("partitioned sink round-trips and prunes partitions on read") {
+    val dir = Files.createTempDirectory("psink").toString
+    Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0))
+      .toDF("id", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).filter($"part" === "A")
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val p = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // partition filter handled by pruning, not a data filter
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("Fanout spreads a single-partition frame to defaultParallelism") {
     val one = spark.range(100).coalesce(1).toDF()
     assert(one.rdd.getNumPartitions == 1)
