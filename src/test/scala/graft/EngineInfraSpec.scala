@@ -46,6 +46,17 @@ class EngineInfraSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("stratified sampling (sampleBy) is seed-deterministic per stratum") {
+    val df = spark.range(10000).select($"id", ($"id" % 4).cast("string").as("grp"))
+    val fractions = Map("0" -> 0.5, "1" -> 0.1, "2" -> 0.0, "3" -> 1.0)
+    val s1 = df.stat.sampleBy("grp", fractions, seed = 42L)
+    val s2 = df.stat.sampleBy("grp", fractions, seed = 42L)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // deterministic
+    val counts = s1.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("2") && counts("3") == 2500)
+    assert(math.abs(counts("0") - 1250.0) < 200 && math.abs(counts("1") - 250.0) < 100)
+  }
+
   test("Fanout spreads a single-partition frame to defaultParallelism") {
     val one = spark.range(100).coalesce(1).toDF()
     assert(one.rdd.getNumPartitions == 1)
