@@ -549,6 +549,72 @@ object Relational {
       |  FROM events, unnest([0, 1]) AS t(k))
       |GROUP BY ws, event_type""".stripMargin
 
+  // q51 — TPC-H Q3 shape: top-10 highest-revenue urgent orders not yet
+  // shipped (3-way join + agg + ordered top-k).
+  private def q51(t: Tables): DataFrame =
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp") &&
+        col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  private val q51Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // q52 — TPC-H Q10 shape: customers ranked by returned-item revenue.
+  private def q52(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+
+  private val q52Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // q53 — semi-structured: parse props JSON to a typed struct (from_json),
+  // aggregate over an extracted field.
+  private def q53(t: Tables): DataFrame =
+    t.events
+      .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))))
+      .groupBy(col("event_type"), col("p.k").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q53Sql =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -588,7 +654,10 @@ object Relational {
     "q47_posexplode" -> wrap(q47),
     "q48_scalar_subquery" -> wrap(q48),
     "q49_array_ops" -> wrap(q49),
-    "q50_hopping_window" -> wrap(q50)
+    "q50_hopping_window" -> wrap(q50),
+    "q51_tpch_q3_shape" -> wrap(q51),
+    "q52_tpch_q10_shape" -> wrap(q52),
+    "q53_json_struct" -> wrap(q53)
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,6 +695,9 @@ object Relational {
     "q47_posexplode" -> q47Sql,
     "q48_scalar_subquery" -> q48Sql,
     "q49_array_ops" -> q49Sql,
-    "q50_hopping_window" -> q50Sql
+    "q50_hopping_window" -> q50Sql,
+    "q51_tpch_q3_shape" -> q51Sql,
+    "q52_tpch_q10_shape" -> q52Sql,
+    "q53_json_struct" -> q53Sql
   )
 }
