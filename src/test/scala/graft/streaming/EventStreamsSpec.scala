@@ -60,6 +60,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful queries run on the RocksDB state store (large-state scale path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, String, Double)]
+      val out = EventStreams.windowedCounts(
+        input.toDF().toDF("ts", "event_type", "value"), "10 minutes", "5 minutes")
+      val q = out.writeStream.format("memory").queryName("wc_rocks").outputMode("append").start()
+      try {
+        input.addData((ts(61), "a", 1.0), (ts(62), "a", 2.0))
+        q.processAllAvailable()
+        input.addData((ts(90), "a", 1.0)) // closes [60,70)
+        q.processAllAvailable()
+        val rows = spark.table("wc_rocks")
+          .as[(Timestamp, String, Long, Double)].collect().toSeq
+        assert(rows == Seq((ts(60), "a", 2L, 3.0)))
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("runningTypeCounts in update mode tracks totals incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
