@@ -110,6 +110,51 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint (the MOSS scheme): hash every word n-gram in
+    * positional order (duplicates kept), slide a window of `w` hashes,
+    * select the window minimum with RIGHTMOST tiebreak, dedupe selections.
+    * Returns an array of "pos:hash" strings (1-based positions) — callers
+    * explode to (pos, hash) rows, making comparison order-independent.
+    */
+  def winnow(words: ArrayData, n: Int, w: Int): ArrayData = {
+    val cnt = words.numElements()
+    val m = math.max(0, cnt - n + 1)
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      hs(i) = md5Hash28(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i + w <= m) {
+      var best = i
+      var j = i
+      while (j < i + w) {
+        if (hs(j) <= hs(best)) best = j // rightmost minimum
+        j += 1
+      }
+      seen.add(s"${best + 1}:${hs(best)}")
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused kernel: token array → md5 60-bit hashes → SimHash fingerprint. */
   def simhashFromTokens(tokens: ArrayData, bits: Int): Long = {
     val cnt = tokens.numElements()
@@ -233,6 +278,19 @@ case class ShinglesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NativeKernels.shinglesOf($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** winnow(array<string>, n, w) → array of "pos:hash" fingerprint strings. */
+case class WinnowExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.winnow(input.asInstanceOf[ArrayData], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.winnow($c, $n, $w);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
 
-import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr}
+import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr, WinnowExpr}
 import graft.operators.Dedup
 
 /** Column-level entry points for the native kernels (Scala API), plus the
@@ -33,6 +33,9 @@ package object functions {
 
   def simhash_words(tokens: Column, bits: Int): Column =
     ExpressionUtils.column(SimHashWordsExpr(ExpressionUtils.expression(tokens), bits))
+
+  def winnow(words: Column, n: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(words), n, w))
 
   /** Register the SQL functions into an already-running session
     * (getOrCreate ignores withExtensions when a session exists).

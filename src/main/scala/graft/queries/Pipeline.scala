@@ -359,6 +359,30 @@ object Pipeline {
       |  count(*) AS n_events
       |FROM g GROUP BY user_id, sid""".stripMargin
 
+  // ===== q54 winnowing fingerprints (MOSS scheme) ========================
+
+  private val WinnowN = 3
+  private val WinnowW = 4
+
+  private def q54(t: Tables): DataFrame =
+    graft.Fanout(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("sel", graft.functions.winnow(
+        split(lower(col("text")), """\s+"""), WinnowN, WinnowW))
+      .select(col("doc_id"), explode(col("sel")).as("ph"))
+      .select(col("doc_id"),
+        split(col("ph"), ":").getItem(0).cast("long").as("pos"),
+        split(col("ph"), ":").getItem(1).cast("long").as("fp"))
+
+  private val q54Sql =
+    s"""WITH w1 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words FROM documents),
+       |h AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-${WinnowN - 1}, 0)),
+       |        i -> ${Dedup.SharedHash.hash28Sql(s"array_to_string(words[i:i+${WinnowN - 1}], ' ')")}) AS hs FROM w1),
+       |sel AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(hs)-${WinnowW - 1}),
+       |    i -> {'pos': i + $WinnowW - list_position(list_reverse(list_slice(hs, i, i+${WinnowW - 1})), list_min(list_slice(hs, i, i+${WinnowW - 1}))),
+       |          'fp': list_min(list_slice(hs, i, i+${WinnowW - 1}))})) AS u
+       |  FROM h)
+       |SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.fp AS BIGINT) AS fp FROM sel""".stripMargin
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -376,7 +400,8 @@ object Pipeline {
     "q37_media_decode" -> wrap(q37),
     "q38_sessionize" -> wrap(q38),
     "q44_ann_ivf_topk" -> wrap(q44),
-    "q45_approx_sketches" -> wrap(q45)
+    "q45_approx_sketches" -> wrap(q45),
+    "q54_winnowing_fingerprint" -> wrap(q54)
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,7 +418,8 @@ object Pipeline {
     "q36_ann_lsh_topk" -> q36Sql,
     "q37_media_decode" -> q37Sql,
     "q38_sessionize" -> q38Sql,
-    "q44_ann_ivf_topk" -> q44Sql
+    "q44_ann_ivf_topk" -> q44Sql,
     // q45_approx_sketches intentionally has no oracle (rows-only check)
+    "q54_winnowing_fingerprint" -> q54Sql
   )
 }
