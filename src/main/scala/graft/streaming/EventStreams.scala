@@ -100,6 +100,21 @@ object EventStreams {
   def dedupStream(events: DataFrame, idCol: String, delay: String): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
 
+  /** Stream-stream interval join: match records of two event streams on a
+    * key within a bounded event-time window. Both watermarks + the interval
+    * condition bound the buffered state on each side — the streaming twin
+    * of the batch equi-join with a time predicate.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      delay: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", delay).as("l")
+    val r = right.withWatermark("rts", delay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.rts") >= col("l.ts") &&
+        col("r.rts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Stream-static enrichment: join each event against a static dimension
     * (broadcast per micro-batch — the streaming twin of the reference's
     * broadcast edge / FilterLinesByWord payload distribution,
