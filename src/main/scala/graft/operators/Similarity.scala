@@ -115,10 +115,10 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
-    * candidates generated through the LSH bucket join (pairs must collide
-    * in at least one of `repeats` independent bucketings to be considered;
-    * near-identical vectors collide with overwhelming probability), then
-    * exact-verified. Approximate-recall / exact-precision, like MinHash.
+    * candidates generated through one sign-LSH bucket join (fewer `planes`
+    * → bigger buckets → higher recall at more verify cost; near-identical
+    * vectors collide with overwhelming probability), then exact-verified.
+    * Approximate-recall / exact-precision, like MinHash.
     */
   def cosineNearDupPairs(corpus: DataFrame, dim: Int, threshold: Double,
       planes: Int = 8): DataFrame = {
