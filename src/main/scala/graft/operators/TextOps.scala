@@ -85,6 +85,25 @@ object TextOps {
       lit(7L),
       (h, c) => (h * lit(31L) + ascii(c)) % lit(1000000007L))
 
+  /** PII patterns for scrub/report passes (no lookarounds — portable across
+    * regex engines). Deliberately simple: production filters would add
+    * locale-specific variants; the pipeline shape is identical.
+    */
+  val emailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val urlPattern = """https?://[^\s]+"""
+  val phonePattern = """\+?[0-9][0-9()\-. ]{7,}[0-9]"""
+
+  /** Count + scrub the PII patterns: returns df with per-doc match counts
+    * and a redacted text column — the standard safety pre-filter stage.
+    */
+  def withPiiScrub(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_urls", size(regexp_extract_all(text, lit(urlPattern), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(text, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(text,
+          emailPattern, "<EMAIL>"), urlPattern, "<URL>"), phonePattern, "<PHONE>"))
+
   /** Word n-gram shingles (lowercased), distinct, first-occurrence order —
     * the unit of MinHash and exact-Jaccard dedup. Appended as column `out`.
     * Native kernel (graft.functions.ShinglesExpr): the composable

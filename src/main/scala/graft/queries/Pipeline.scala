@@ -383,6 +383,60 @@ object Pipeline {
        |  FROM h)
        |SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.fp AS BIGINT) AS fp FROM sel""".stripMargin
 
+  // ===== q55 PII scrub (safety pre-filter) ===============================
+
+  private def q55(t: Tables): DataFrame =
+    TextOps.withPiiScrub(t.documents, col("text"))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_phones"),
+        length(col("scrubbed")).cast("long").as("scrubbed_len"))
+
+  private val q55Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.urlPattern}')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS BIGINT) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+       |    '${TextOps.urlPattern}', '<URL>', 'g'),
+       |    '${TextOps.phonePattern}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+       |FROM documents""".stripMargin
+
+  // ===== q56 repetition quality signals (C4/Gopher-style) ================
+  // max 2-gram frequency ratio + distinct-word ratio: high repetition =
+  // low-quality machine-generated text, the classic pre-train filter.
+
+  private def q56(t: Tables): DataFrame = {
+    val docs = graft.Fanout(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("words", split(lower(col("text")), """\s+"""))
+    // raw (non-distinct) 2-grams, one narrow pass; sequence() would count
+    // DOWN for single-word docs (sequence(1,0) = [1,0]), hence the guard
+    val w = col("words")
+    val grams = docs.select(
+      col("doc_id"), size(w).as("n_words"),
+      explode(when(size(w) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))).as("g"))
+    grams
+      .groupBy(col("doc_id"), col("n_words"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(max(col("c")).as("max_2gram"), count(lit(1)).as("n_distinct_2grams"))
+      .withColumn("max_2gram_ratio",
+        round(col("max_2gram").cast("double") / (col("n_words") - 1), 4))
+      .select(col("doc_id"), col("max_2gram"), col("n_distinct_2grams"), col("max_2gram_ratio"))
+  }
+
+  private val q56Sql =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents),
+      |g AS (SELECT doc_id, len(words) AS n_words,
+      |        unnest(list_transform(generate_series(1, len(words)-1),
+      |          i -> array_to_string(words[i:i+1], ' '))) AS g
+      |      FROM w),
+      |c AS (SELECT doc_id, n_words, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3)
+      |SELECT doc_id, max(c) AS max_2gram, COUNT(*) AS n_distinct_2grams,
+      |  round(CAST(max(c) AS DOUBLE) / (n_words - 1), 4) AS max_2gram_ratio
+      |FROM c GROUP BY doc_id, n_words""".stripMargin
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -401,7 +455,9 @@ object Pipeline {
     "q38_sessionize" -> wrap(q38),
     "q44_ann_ivf_topk" -> wrap(q44),
     "q45_approx_sketches" -> wrap(q45),
-    "q54_winnowing_fingerprint" -> wrap(q54)
+    "q54_winnowing_fingerprint" -> wrap(q54),
+    "q55_pii_scrub" -> wrap(q55),
+    "q56_repetition_signals" -> wrap(q56)
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,6 +476,8 @@ object Pipeline {
     "q38_sessionize" -> q38Sql,
     "q44_ann_ivf_topk" -> q44Sql,
     // q45_approx_sketches intentionally has no oracle (rows-only check)
-    "q54_winnowing_fingerprint" -> q54Sql
+    "q54_winnowing_fingerprint" -> q54Sql,
+    "q55_pii_scrub" -> q55Sql,
+    "q56_repetition_signals" -> q56Sql
   )
 }
