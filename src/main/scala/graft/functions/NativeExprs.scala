@@ -237,6 +237,39 @@ object NativeKernels {
     bucket
   }
 
+  /** Per-doc repetition signals in ONE narrow pass:
+    * `[max n-gram count, distinct n-gram count]` over positional word
+    * n-grams (duplicates counted). Returns null when the doc has fewer
+    * than `n` words — callers filter nulls, matching the explode-based
+    * form which drops such docs. Replaces an explode + two shuffled
+    * aggregations (~n_tokens rows per doc through two exchanges) with a
+    * zero-shuffle map, same values.
+    */
+  def repetitionSignals(words: ArrayData, n: Int): ArrayData = {
+    val cnt = words.numElements()
+    if (cnt < n) return null
+    val counts = new java.util.HashMap[String, Integer](64)
+    val sb = new java.lang.StringBuilder(64)
+    var max = 0
+    var i = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val key = sb.toString
+      val prev = counts.get(key)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(key, c)
+      if (c > max) max = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](max.toLong, counts.size.toLong))
+  }
+
   /** Cosine over float arrays, accumulated in double, sequential order —
     * identical to fold(0.0)(+) over per-element products.
     */
@@ -335,6 +368,23 @@ case class SimHashFpExpr(child: Expression, bits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NativeKernels.simhashFp($c, $bits);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** repetition_signals(array<string>, n) → [max_ngram_count, n_distinct_ngrams];
+  * null for docs shorter than n words.
+  */
+case class RepetitionSignalsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.repetitionSignals(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeKernels.repetitionSignals($c, $n);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
 
-import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr, WinnowExpr}
+import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, RepetitionSignalsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr, TopKByScore, WinnowExpr}
 import graft.operators.Dedup
 
 /** Column-level entry points for the native kernels (Scala API), plus the
@@ -36,6 +36,17 @@ package object functions {
 
   def winnow(words: Column, n: Int, w: Int): Column =
     ExpressionUtils.column(WinnowExpr(ExpressionUtils.expression(words), n, w))
+
+  def repetition_signals(words: Column, n: Int): Column =
+    ExpressionUtils.column(RepetitionSignalsExpr(ExpressionUtils.expression(words), n))
+
+  /** Bounded per-group top-k aggregate (score desc, id asc) — O(k) state,
+    * partial+final; see [[graft.functions.TopKByScore]].
+    */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(TopKByScore(
+      ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
+      .toAggregateExpression())
 
   /** Register the SQL functions into an already-running session
     * (getOrCreate ignores withExtensions when a session exists).
@@ -80,7 +91,11 @@ package functions {
       (FunctionIdentifier("simhash_words"),
         new ExpressionInfo(classOf[SimHashWordsExpr].getName, "simhash_words"),
         (args: Seq[Expression]) => SimHashWordsExpr(args.head,
-          if (args.size > 1) lit(args(1)) else Dedup.SimHashBits)))
+          if (args.size > 1) lit(args(1)) else Dedup.SimHashBits)),
+      (FunctionIdentifier("repetition_signals"),
+        new ExpressionInfo(classOf[RepetitionSignalsExpr].getName, "repetition_signals"),
+        (args: Seq[Expression]) => RepetitionSignalsExpr(args.head,
+          if (args.size > 1) lit(args(1)) else 2)))
   }
 }
 

@@ -35,9 +35,12 @@ object Multimodal {
     * ffmpeg bindings); signature and batch shape stay identical.
     */
   object StubCodec {
+    private val md5 = new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
     def md5Hex(bytes: Array[Byte]): String =
-      MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
+      md5.get().digest(bytes).map("%02x".format(_)).mkString
 
     /** (checksum, nBytes, width, height) — width/height are pure functions
       * of the checksum so a SQL oracle can reproduce them.

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`): brute-force
@@ -26,10 +25,27 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.cosine_f(a, b)
 
+  /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
+    * aggregate — identical rows to
+    * `row_number().over(partitionBy(q_id).orderBy(desc(score), asc(id)))
+    * .filter(rnk <= k)` but with O(k) state per query through partial+final
+    * aggregation: the map side reduces each partition to k structs per
+    * query before the exchange, so shuffle volume is |Q|·k instead of the
+    * window's all-scored-rows shuffle (which also funnels each query's
+    * entire score set through one task's sort).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("score"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"), col("s.score").as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
   /** Exact top-k neighbors for each query vector (brute force): broadcast
     * the (small) query set against the full corpus, rank per query.
     * This is the correctness baseline; cost is |Q|·|corpus| narrow work with
-    * one shuffle for the per-query rank — fine for |Q| ≪ |corpus|, which is
+    * one k-bounded aggregation — fine for |Q| ≪ |corpus|, which is
     * the training-pipeline shape (probe set vs 100 TB corpus).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -37,12 +53,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(queries), col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
-    scored
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+    rankTopK(scored, k)
   }
 
   /** Number of random hyperplanes (signature bits) for LSH bucketing. */
@@ -71,14 +82,10 @@ object Similarity {
       planes: Int = LshPlanes): DataFrame = {
     val qb = queries.withColumn("bucket", lshBucket(col("q_vec"), dim, planes))
     val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, planes))
-    cb.join(broadcast(qb), Seq("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path besides
@@ -94,24 +101,25 @@ object Similarity {
       k: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    // Cell assignment ranks nCells candidates per vector with the bounded
+    // top-k aggregate: the map side collapses to n structs per vector
+    // before the exchange (vs shuffling all |df|·nCells scored rows into a
+    // per-vector window sort). first(vec) is well-defined — every row of a
+    // group carries the same vector.
     def bestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) =
       df.join(broadcast(cents), lit(true))
         .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 4))
-        .withColumn("crn",
-          row_number().over(Window.partitionBy(col(idCol))
-            .orderBy(desc("cscore"), asc("cent_id"))))
-        .filter(col("crn") <= n)
-        .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+        .groupBy(col(idCol))
+        .agg(
+          graft.functions.topk_by_score(col("cscore"), col("cent_id"), n).as("top"),
+          first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col(vecCol), explode(col("top.id")).as("cell"))
     val lists = bestCells(corpus, "vec_id", "embedding", 1)
     val probes = bestCells(queries, "q_id", "q_vec", nProbe)
-    lists.join(broadcast(probes), Seq("cell"))
+    val scored = lists.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(desc("score"), asc("vec_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"), col("rnk"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,

@@ -15,22 +15,29 @@ import org.apache.spark.sql.expressions.Aggregator
 object TypedAggs {
 
   /** Per-group top-k of (score, tag) pairs with a bounded buffer — the
-    * scalable alternative to rank-window top-k when a group is huge: state
-    * is O(k) per group through both partial and final phases, so one
-    * pathological group cannot blow a task (a rank window must sort the
-    * whole group first).
+    * typed-Aggregator face of the same idea as
+    * [[graft.functions.TopKByScore]] (which is the recommended path for
+    * numeric-id top-k on DataFrames): state is O(k) per group through both
+    * partial and final phases, so one pathological group cannot blow a
+    * task (a rank window must sort the whole group first). Per-row cost is
+    * an O(k) worst-scan + insert, not a full buffer re-sort.
     */
   final class TopK(k: Int) extends Aggregator[(Double, String), List[(Double, String)], String] {
+    // best = higher score, tie lower tag; worst is the reverse
+    private def worseThan(a: (Double, String), b: (Double, String)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
     override def zero: List[(Double, String)] = Nil
-    private def trim(l: List[(Double, String)]): List[(Double, String)] =
-      l.sortBy { case (s, t) => (-s, t) }.take(k)
     override def reduce(b: List[(Double, String)], in: (Double, String)): List[(Double, String)] =
-      trim(in :: b)
+      if (b.lengthCompare(k) < 0) in :: b
+      else {
+        val worst = b.reduceLeft((x, y) => if (worseThan(x, y)) x else y)
+        if (worseThan(in, worst)) b else in :: b.diff(List(worst))
+      }
     override def merge(a: List[(Double, String)], b: List[(Double, String)]): List[(Double, String)] =
-      trim(a ++ b)
+      b.foldLeft(a)(reduce)
     /** Tags of the top-k rows, best first, comma-joined. */
     override def finish(r: List[(Double, String)]): String =
-      r.map(_._2).mkString(",")
+      r.sortBy { case (s, t) => (-s, t) }.map(_._2).mkString(",")
     override def bufferEncoder: Encoder[List[(Double, String)]] =
       Encoders.kryo[List[(Double, String)]]
     override def outputEncoder: Encoder[String] = Encoders.STRING

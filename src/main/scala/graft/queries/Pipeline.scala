@@ -406,24 +406,21 @@ object Pipeline {
   // low-quality machine-generated text, the classic pre-train filter.
 
   private def q56(t: Tables): DataFrame = {
-    val docs = graft.Fanout(t.documents.select(col("doc_id"), col("text")))
+    // One zero-shuffle narrow pass: the repetition_signals kernel counts
+    // all positional 2-grams per doc in a single map (NativeExprs), where
+    // the previous form exploded ~n_tokens rows per doc through two
+    // shuffled aggregations. Null signal = doc shorter than 2 words,
+    // which the explode-based form (and the oracle) drops.
+    graft.Fanout(t.documents.select(col("doc_id"), col("text")))
       .withColumn("words", split(lower(col("text")), """\s+"""))
-    // raw (non-distinct) 2-grams, one narrow pass; sequence() would count
-    // DOWN for single-word docs (sequence(1,0) = [1,0]), hence the guard
-    val w = col("words")
-    val grams = docs.select(
-      col("doc_id"), size(w).as("n_words"),
-      explode(when(size(w) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))).as("g"))
-    grams
-      .groupBy(col("doc_id"), col("n_words"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_words"))
-      .agg(max(col("c")).as("max_2gram"), count(lit(1)).as("n_distinct_2grams"))
-      .withColumn("max_2gram_ratio",
-        round(col("max_2gram").cast("double") / (col("n_words") - 1), 4))
-      .select(col("doc_id"), col("max_2gram"), col("n_distinct_2grams"), col("max_2gram_ratio"))
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        graft.functions.repetition_signals(col("words"), 2).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("max_2gram"),
+        element_at(col("sig"), 2).as("n_distinct_2grams"),
+        round(element_at(col("sig"), 1).cast("double") / (col("n_words") - 1), 4)
+          .as("max_2gram_ratio"))
   }
 
   private val q56Sql =

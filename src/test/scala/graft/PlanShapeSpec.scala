@@ -83,6 +83,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("vector top-k plans as a bounded aggregate, not a rank window") {
+    // TopKByScore replaces row_number().over(partitionBy(q_id)): the plan
+    // must show partial+final ObjectHashAggregate and NO Window operator —
+    // the window would shuffle every scored row and sort whole groups.
+    val queries = (1 to 3).map(i => (i.toLong, Array.fill(8)(i * 0.1f)))
+      .toDF("q_id", "q_vec")
+    val corpus = (1 to 100).map(i => (i.toLong, Array.fill(8)(1.0f / i)))
+      .toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.bruteForceTopK(queries, corpus, 5)
+    val p = plan(q)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
