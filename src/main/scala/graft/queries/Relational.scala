@@ -615,6 +615,70 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  // q57 — text-format scan through the Hadoop InputFormat adapter (MRInput
+  // parity: MRInput.java:84 roots a DAG on TextInputFormat; WordCount.java:
+  // 140-195 is the canonical consumer). Lines are parsed and aggregated;
+  // the oracle recomputes from the parquet original, checking the
+  // write→TextInputFormat-read round-trip end to end.
+  private def q57(t: Tables): DataFrame =
+    graft.sources.HadoopInput
+      .textLines(t.spark, graft.sources.FileFormats.nationTextPath(t))
+      .select(split(col("value"), "\\|").as("f"))
+      .select(
+        element_at(col("f"), 2).as("n_name"),
+        element_at(col("f"), 3).cast("long").as("n_regionkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+
+  private val q57Sql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_nations,
+      |  min(n_name) AS first_name
+      |FROM nation GROUP BY 1""".stripMargin
+
+  // q58 — CSV source scan (MROutput/MRInput adapt any format; CSV is the
+  // ubiquitous text table shape). Explicit schema — no inference scan.
+  private def q58(t: Tables): DataFrame =
+    graft.sources.FileFormats.customerCsv(t)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_acctbal"),
+        max(col("c_name")).as("max_name"))
+
+  private val q58Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+      |  max(c_name) AS max_name
+      |FROM customer GROUP BY 1""".stripMargin
+
+  // q59 — JSON-lines source scan with explicit schema.
+  private def q59(t: Tables): DataFrame =
+    graft.sources.FileFormats.ordersJson(t)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+
+  private val q59Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  // q60 — correlated EXISTS through the SQL surface: Catalyst decorrelates
+  // (RewritePredicateSubquery) into the same semi join q07 declares
+  // directly — the subquery-shaped face of §2.4's semi-join row.
+  private def q60(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 350000)""".stripMargin)
+  }
+
+  private val q60Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 350000)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -657,7 +721,11 @@ object Relational {
     "q50_hopping_window" -> wrap(q50),
     "q51_tpch_q3_shape" -> wrap(q51),
     "q52_tpch_q10_shape" -> wrap(q52),
-    "q53_json_struct" -> wrap(q53)
+    "q53_json_struct" -> wrap(q53),
+    "q57_text_scan" -> wrap(q57),
+    "q58_csv_scan" -> wrap(q58),
+    "q59_json_scan" -> wrap(q59),
+    "q60_correlated_exists" -> wrap(q60)
   )
 
   val oracles: Map[String, String] = Map(
@@ -698,6 +766,10 @@ object Relational {
     "q50_hopping_window" -> q50Sql,
     "q51_tpch_q3_shape" -> q51Sql,
     "q52_tpch_q10_shape" -> q52Sql,
-    "q53_json_struct" -> q53Sql
+    "q53_json_struct" -> q53Sql,
+    "q57_text_scan" -> q57Sql,
+    "q58_csv_scan" -> q58Sql,
+    "q59_json_scan" -> q59Sql,
+    "q60_correlated_exists" -> q60Sql
   )
 }

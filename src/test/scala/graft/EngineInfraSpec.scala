@@ -17,11 +17,22 @@ class EngineInfraSpec extends AnyFunSuite {
     val df = spark.range(100).select($"id", rand(42).as("r"))
     val counts = MultiSink.writeAll(df, Seq(
       "a" -> ((d: org.apache.spark.sql.DataFrame) => d.write.mode("overwrite").parquet(s"$dir/a")),
-      "b" -> ((d: org.apache.spark.sql.DataFrame) => d.write.mode("overwrite").parquet(s"$dir/b"))))
-    assert(counts == Map("a" -> 100L, "b" -> 100L))
+      "b" -> ((d: org.apache.spark.sql.DataFrame) => d.write.mode("overwrite").parquet(s"$dir/b")),
+      // MROutput adapts any OutputFormat (write-format breadth): same
+      // snapshot also lands as CSV and text lines
+      "c" -> ((d: org.apache.spark.sql.DataFrame) =>
+        d.write.mode("overwrite").option("header", "true").csv(s"$dir/c")),
+      "t" -> ((d: org.apache.spark.sql.DataFrame) =>
+        d.select(concat_ws("|", $"id", $"r")).write.mode("overwrite").text(s"$dir/t"))))
+    assert(counts == Map("a" -> 100L, "b" -> 100L, "c" -> 100L, "t" -> 100L))
     val a = spark.read.parquet(s"$dir/a").orderBy("id").as[(Long, Double)].collect().toSeq
     val b = spark.read.parquet(s"$dir/b").orderBy("id").as[(Long, Double)].collect().toSeq
     assert(a == b)
+    val c = spark.read.option("header", "true").csv(s"$dir/c")
+      .select($"id".cast("long"), $"r".cast("double")).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(c == a) // Double.toString round-trips exactly
+    assert(spark.read.text(s"$dir/t").count() == 100)
   }
 
   test("Counters.track aggregates task metrics for the bracketed scope") {
