@@ -170,6 +170,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs via LOSSLESS prefix filtering — the
+    * AllPairs/PPJoin scheme (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    * order every doc's shingles by ascending global document frequency
+    * (ties by shingle — a total order), keep only the first
+    * `n_sh − ⌈t·n_sh⌉ + 1` as the doc's *prefix*, and generate candidates
+    * from the prefix inverted index only. The prefix-filtering principle
+    * guarantees this drops NO qualifying pair: J(A,B) ≥ t requires overlap
+    * α = ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, and two sets whose
+    * prefixes (of length |x| − α + 1 or longer) are disjoint can overlap at
+    * most α − 1 elements. Exact verification over the full shingle arrays
+    * then returns rows IDENTICAL to [[ngramJaccardPairs]] — but candidate
+    * generation sees only rare-shingle collisions (frequent shingles sit at
+    * the tail of the order, outside every prefix), so the Σ df² stop-
+    * shingle blow-up that makes the naive form a scale-killer on open-web
+    * data never materializes. This is the default/benched form; the naive
+    * form remains as the small-scale cross-check.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, // columns: id, shingles (distinct within a doc)
+      threshold: Double): DataFrame = {
+    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sized.select(col("id"), explode(col("shingles")).as("s"))
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // Per-doc df-ascending order via one aggregation (collect_list order is
+    // nondeterministic; sort_array imposes the total (df, s) order). The
+    // 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
+    // a longer prefix only adds candidates, a shorter one could lose pairs.
+    val prefInv = inv.join(dfs, "s")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .withColumn("p",
+        (size(col("ord")) - ceil(lit(threshold) * size(col("ord")) - lit(1e-6)) + 1).cast("int"))
+      .select(col("id"), explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefInv.as("x")
+      .join(prefInv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sh = sized.select(col("id"), col("shingles"), col("n_sh"))
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** End-to-end corpus dedup: drop exact duplicates (keep min id per
     * identical text) then near-duplicates (drop any doc similar to a
     * lower-id doc at Jaccard ≥ threshold via MinHash-LSH). The keep-lowest

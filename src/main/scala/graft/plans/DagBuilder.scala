@@ -37,11 +37,23 @@ object Edge {
   final case class ScatterGather(keys: Seq[String], numPartitions: Option[Int] = None) extends Movement
   case object Broadcast extends Movement
   case object OneToOne extends Movement
+  /** User-supplied Partitioner ≅ the reference's pluggable Partitioner
+    * extension point (tez-runtime-library/.../api/Partitioner.java:44-53):
+    * `key` extracts the routing key from a row, `partitioner` decides
+    * placement. Routed through an RDD `partitionBy` bridge — the one
+    * movement Catalyst cannot express, so it deliberately steps outside
+    * the optimizer, exactly like a CUSTOM EdgeManager steps outside the
+    * reference's stock routing.
+    */
+  final case class Custom(partitioner: org.apache.spark.Partitioner,
+      key: org.apache.spark.sql.Row => Any) extends Movement
 
   def scatterGatherSorted(keys: String*): Movement = ScatterGatherSorted(keys.toSeq)
   def scatterGather(keys: String*): Movement = ScatterGather(keys.toSeq)
   def broadcastEdge: Movement = Broadcast
   def oneToOne: Movement = OneToOne
+  def custom(partitioner: org.apache.spark.Partitioner)(key: org.apache.spark.sql.Row => Any): Movement =
+    Custom(partitioner, key)
 
   /** Apply the declared movement to the producer's output. */
   private[plans] def apply(m: Movement, df: DataFrame): DataFrame = m match {
@@ -53,7 +65,24 @@ object Edge {
       n.map(df.repartition(_, keys.map(col): _*)).getOrElse(df.repartition(keys.map(col): _*))
     case Broadcast => broadcast(df)
     case OneToOne  => df
+    case Custom(p, key) =>
+      val schema = df.schema
+      val rdd = df.rdd.map(r => (key(r), r)).partitionBy(p).values
+      df.sparkSession.createDataFrame(rdd, schema)
   }
+}
+
+/** The reference's default partitioner formula, verbatim semantics:
+  * `(key.hashCode & Integer.MAX_VALUE) % numPartitions`
+  * (tez-runtime-library/.../library/partitioner/HashPartitioner.java:30-35)
+  * — as a Spark Partitioner for [[Edge.Custom]], so a user can reproduce
+  * the reference's exact task placement (Spark's own HashPartitioner
+  * normalizes negative hashes differently).
+  */
+final class RefHashPartitioner(val parts: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = parts
+  override def getPartition(key: Any): Int =
+    (key.hashCode & Integer.MAX_VALUE) % parts
 }
 
 final class DagBuilder(val name: String) {
@@ -143,4 +172,21 @@ final class DagBuilder(val name: String) {
 object DagBuilder {
   /** ≅ DAG.create(name) (DAG.java:80). */
   def create(name: String): DagBuilder = new DagBuilder(name)
+
+  /** Two-input ONE_TO_ONE pairing: the i-th partition of `a` meets the
+    * i-th partition of `b` in one task — the
+    * BroadcastAndOneToOneExample shape (tez-examples/.../
+    * BroadcastAndOneToOneExample.java:171 connects two vertices with a
+    * ONE_TO_ONE edge so task i consumes exactly producer task i's
+    * output). Spark's narrow equivalent is `zipPartitions`: no shuffle,
+    * both inputs must have equal partition counts (same precondition the
+    * OneToOneEdgeManager enforces via equal task parallelism).
+    */
+  def pairedOneToOne(a: DataFrame, b: DataFrame,
+      schema: org.apache.spark.sql.types.StructType)(
+      f: (Iterator[org.apache.spark.sql.Row], Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    require(a.rdd.getNumPartitions == b.rdd.getNumPartitions,
+      "ONE_TO_ONE pairing requires equal parallelism on both producers")
+    a.sparkSession.createDataFrame(a.rdd.zipPartitions(b.rdd)(f), schema)
+  }
 }

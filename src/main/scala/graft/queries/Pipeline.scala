@@ -198,8 +198,12 @@ object Pipeline {
 
   // ===== q33 exact n-gram Jaccard dedup ==================================
 
+  // Benched form = lossless prefix filtering (provably identical rows to
+  // the naive inverted-index join the oracle runs — see the scaladoc proof
+  // on ngramJaccardPairsPrefix; the correctness gate checks the identity
+  // at every sf).
   private def q33(t: Tables): DataFrame =
-    Dedup.ngramJaccardPairs(shingledDocs(t), JaccardT)
+    Dedup.ngramJaccardPairsPrefix(shingledDocs(t), JaccardT)
 
   private val q33Sql =
     s"""WITH $wordsCte,

@@ -48,6 +48,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 4L)) == 1.0)
   }
 
+  test("prefix-filtered Jaccard returns IDENTICAL pairs to the naive join") {
+    // the prefix filter is provably lossless; check the identity on the
+    // hand corpus across thresholds and on real documents (sf0.001)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val naive = Dedup.ngramJaccardPairs(shingled, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(shingled, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == naive, s"threshold $t")
+    }
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id").as("id"), col("text"))
+    val sh = TextOps.withShingles(docs, col("text"), 3, "shingles")
+      .select("id", "shingles")
+    val naive = Dedup.ngramJaccardPairs(sh, 0.7).as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(sh, 0.7).as[(Long, Long, Double)].collect().toSet
+    assert(pref == naive && naive.nonEmpty)
+  }
+
   test("maxDf cap drops only candidate generation via common shingles") {
     // with a df cap of 1 no shingle is shared by < =1 docs... cap 1 removes
     // every shingle appearing in 2+ docs, so no candidates survive

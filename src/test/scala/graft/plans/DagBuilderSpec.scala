@@ -56,6 +56,65 @@ class DagBuilderSpec extends AnyFunSuite {
     assert(parts.count(_.contains(1)) == 1) // key co-location
   }
 
+  test("Edge.Custom routes rows exactly where the reference formula says") {
+    // placement parity with HashPartitioner.java:30-35:
+    // (key.hashCode & Integer.MAX_VALUE) % numPartitions
+    val n = 5
+    val df = Seq.tabulate(100)(i => (s"key_$i", i)).toDF("k", "v")
+    val moved = Edge(Edge.custom(new RefHashPartitioner(n))(r => r.getString(0)), df)
+    assert(moved.rdd.getNumPartitions == n)
+    val placement = moved.rdd
+      .mapPartitionsWithIndex((p, it) => it.map(r => (r.getString(0), p)))
+      .collect().toMap
+    for ((k, p) <- placement)
+      assert(p == (k.hashCode & Integer.MAX_VALUE) % n, s"key $k")
+    // the movement only re-routes rows; content is unchanged
+    assert(moved.as[(String, Int)].collect().toSet ==
+      Seq.tabulate(100)(i => (s"key_$i", i)).toSet)
+  }
+
+  test("Edge.Custom composes inside a DAG (vertex-to-vertex movement)") {
+    val out = DagBuilder.create("custom-edge")
+      .addSource("src")(Seq.tabulate(20)(i => (i % 4, i)).toDF("k", "v"))
+      .addProcessor("sum") { case Seq(in) =>
+        // per-partition sums — correctness requires the custom movement
+        // to have co-located every key
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("sum", org.apache.spark.sql.types.IntegerType)))
+        in.sparkSession.createDataFrame(
+          in.rdd.mapPartitions { it =>
+            val m = scala.collection.mutable.Map.empty[Int, Int]
+            it.foreach(r => m.updateWith(r.getInt(0))(v => Some(v.getOrElse(0) + r.getInt(1))))
+            m.iterator.map { case (k, s) => org.apache.spark.sql.Row(k, s) }
+          }, schema)
+      }
+      .addEdge("src", "sum", Edge.custom(new RefHashPartitioner(3))(_.getInt(0)))
+      .output("sum")
+    val expect = Seq.tabulate(20)(i => (i % 4, i)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(out.as[(Int, Int)].collect().toMap == expect)
+  }
+
+  test("pairedOneToOne zips the i-th partitions of two vertices (no shuffle)") {
+    // two producers with aligned partitioning: task i of the consumer sees
+    // exactly partition i of each (BroadcastAndOneToOneExample.java:171)
+    val a = spark.range(0, 8, 1, numPartitions = 4).toDF("id")
+    val b = spark.range(100, 108, 1, numPartitions = 4).toDF("id")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pair_sum", org.apache.spark.sql.types.LongType)))
+    val out = DagBuilder.pairedOneToOne(a, b, schema) { (ia, ib) =>
+      ia.zip(ib).map { case (x, y) => org.apache.spark.sql.Row(x.getLong(0) + y.getLong(0)) }
+    }
+    // range splits 2 ids per partition; i-th pairs with i-th → sums are exact
+    assert(out.as[Long].collect().sorted.toSeq ==
+      (0 until 8).map(i => i + 100L + i).sorted)
+    assert(out.rdd.getNumPartitions == 4)
+    val mismatched = spark.range(0, 8, 1, numPartitions = 2).toDF("id")
+    assertThrows[IllegalArgumentException](
+      DagBuilder.pairedOneToOne(a, mismatched, schema)((x, _) => x))
+  }
+
   test("verify rejects cycles and unknown vertices") {
     val cyclic = DagBuilder.create("cycle")
       .addSource("a")(Seq(1).toDF("x"))
