@@ -270,6 +270,24 @@ object NativeKernels {
     new GenericArrayData(Array[Long](max.toLong, counts.size.toLong))
   }
 
+  /** |A ∩ B| of two arrays SORTED in binary UTF8 order (sort_array's
+    * order), one merge pass — the exact-verify kernel for set-similarity
+    * joins. Equal to size(array_intersect(a, b)) on distinct-element
+    * arrays, but a tight two-pointer loop instead of an interpreted
+    * hash-set build per row.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Cosine over float arrays, accumulated in double, sequential order —
     * identical to fold(0.0)(+) over per-element products.
     */
@@ -400,6 +418,22 @@ case class LshBucketExpr(child: Expression, planes: Int)
       s"${ev.value} = graft.functions.NativeKernels.lshBucket($c, $planes);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** sorted_intersect_count(array<string>, array<string>) → int; both inputs
+  * must be sorted in binary UTF8 order (sort_array).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** cosine_f(array<float>, array<float>) → double. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.{ColumnBridge => ExpressionUtils}
 
-import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, RepetitionSignalsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr, TopKByScore, WinnowExpr}
+import graft.functions.{CosineFExpr, LshBucketExpr, MinHashSigExpr, MinHashWordsExpr, RepetitionSignalsExpr, ShinglesExpr, SimHashFpExpr, SimHashWordsExpr, SortedIntersectCountExpr, TopKByScore, WinnowExpr}
 import graft.operators.Dedup
 
 /** Column-level entry points for the native kernels (Scala API), plus the
@@ -39,6 +39,10 @@ package object functions {
 
   def repetition_signals(words: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionSignalsExpr(ExpressionUtils.expression(words), n))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCountExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Bounded per-group top-k aggregate (score desc, id asc) — O(k) state,
     * partial+final; see [[graft.functions.TopKByScore]].

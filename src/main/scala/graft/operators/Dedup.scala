@@ -192,33 +192,46 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sized.select(col("id"), explode(col("shingles")).as("s"))
+    val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
     // Per-doc df-ascending order via one aggregation (collect_list order is
     // nondeterministic; sort_array imposes the total (df, s) order). The
     // 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
     // a longer prefix only adds candidates, a shorter one could lose pairs.
     val prefInv = inv.join(dfs, "s")
-      .groupBy(col("id"))
+      .groupBy(col("id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
       .withColumn("p",
-        (size(col("ord")) - ceil(lit(threshold) * size(col("ord")) - lit(1e-6)) + 1).cast("int"))
-      .select(col("id"), explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a codegen'd predicate
+    // on the raw collision rows, applied before the distinct
     val cand = prefInv.as("x")
-      .join(prefInv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .join(prefInv.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+          col("x.n_sh") >= lit(threshold) * col("y.n_sh") &&
+          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val sh = sized.select(col("id"), col("shingles"), col("n_sh"))
+    // exact verify over pre-sorted arrays with the one-pass native merge
+    // kernel (graft.functions.SortedIntersectCountExpr) — identical count
+    // to size(array_intersect(...)) but no per-row hash-set build. A pair
+    // colliding on several prefix shingles is verified that many times
+    // (verify is cheap); the distinct runs on the tiny qualifying output
+    // instead of the full candidate stream — one less wide exchange.
+    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
     cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
-      .withColumn("n_common", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
   }
 
   /** End-to-end corpus dedup: drop exact duplicates (keep min id per

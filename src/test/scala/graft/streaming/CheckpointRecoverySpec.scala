@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end streaming durability: a file-source → transform → file-sink
+  * query is stopped and RESTARTED from its checkpoint; the second
+  * incarnation must pick up exactly where the first left off and the sink
+  * must contain every input exactly once (the checkpoint's offset log
+  * de-duplicates re-reads; the sink's transaction log makes output commits
+  * atomic). This is the durability surface MemoryStream tests can't cover —
+  * it is also the capability gap the reference never closed (Tez recovery
+  * replays non-committed work at the DAG level; exactly-once sink output is
+  * left to the application).
+  */
+class CheckpointRecoverySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("restart from checkpoint resumes offsets and keeps file output exactly-once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ckpt").toString
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    new java.io.File(in).mkdirs()
+
+    def startQuery() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      .parquet(in)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+
+    // incarnation 1: first batch of input, then stop (≅ crash between
+    // micro-batches; committed progress lives only in the checkpoint)
+    spark.range(0, 50).toDF("id").coalesce(1).write.mode("append").parquet(in)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 50L)
+
+    // more input lands while the query is down
+    spark.range(50, 100).toDF("id").coalesce(1).write.mode("append").parquet(in)
+
+    // incarnation 2: same checkpoint → must process ONLY the new files
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out).select("id", "doubled")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // exactly-once: every id exactly once (no re-emit of batch 1), transform applied
+    assert(result == (0L until 100L).map(i => (i, i * 2)))
+  }
+
+  test("restart re-running an already-committed batch does not duplicate output") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ckpt2").toString
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    new java.io.File(in).mkdirs()
+
+    spark.range(0, 10).toDF("id").coalesce(1).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+        .parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    run() // no new input: the restarted query must emit nothing new
+    assert(spark.read.parquet(out).count() == 10L)
+  }
+}
