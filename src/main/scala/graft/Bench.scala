@@ -61,8 +61,15 @@ object Bench {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)
     Seq("graft_cmp_orders", "graft_cmp_orders_bkt",
-      "graft_cmp_lineitem", "graft_cmp_lineitem_bkt")
-      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      "graft_cmp_lineitem", "graft_cmp_lineitem_bkt").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      // the default catalog is in-memory per JVM: a previous run's table
+      // DIRECTORY survives while its catalog entry doesn't, and
+      // saveAsTable refuses an existing location — clear it on disk too
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), n)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     t.orders.write.saveAsTable("graft_cmp_orders")
     t.lineitem.write.saveAsTable("graft_cmp_lineitem")
     t.orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")

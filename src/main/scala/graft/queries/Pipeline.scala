@@ -171,6 +171,44 @@ object Pipeline {
        |FROM v WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $JaccardT""".stripMargin
   }
 
+  // ===== q61 end-to-end corpus dedup =====================================
+  // The full pipeline a training-data run executes: exact dedup (keep min
+  // id per identical text) → MinHash-LSH near-dup pairs over the exact
+  // survivors → drop every doc similar (J ≥ 0.8) to a lower-id doc. The
+  // oracle replays the identical two stages.
+
+  private val CorpusT = 0.8
+
+  private def q61(t: Tables): DataFrame =
+    Dedup.dedupCorpus(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      3, MinHashes, Bands, CorpusT)
+      .select(col("id"))
+
+  private val q61Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+       |w AS (SELECT id, regexp_split_to_array(lower(text), '\\s+') AS words FROM ex),
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |  list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM d WHERE len(ss) > 0),
+       |sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM h),
+       |bands AS (SELECT id, t.b AS band,
+       |            array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows), z -> CAST(z AS VARCHAR)), '_') AS key
+       |          FROM sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+       |v AS (SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |        a.n_sh AS na, b.n_sh AS nb
+       |      FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id),
+       |drops AS (SELECT DISTINCT id_b FROM v
+       |          WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT)
+       |SELECT id FROM ex WHERE id NOT IN (SELECT id_b FROM drops)""".stripMargin
+  }
+
   // ===== q32 SimHash dedup ===============================================
 
   private val MaxHamming = 3
@@ -458,7 +496,8 @@ object Pipeline {
     "q45_approx_sketches" -> wrap(q45),
     "q54_winnowing_fingerprint" -> wrap(q54),
     "q55_pii_scrub" -> wrap(q55),
-    "q56_repetition_signals" -> wrap(q56)
+    "q56_repetition_signals" -> wrap(q56),
+    "q61_dedup_corpus" -> wrap(q61)
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,6 +518,7 @@ object Pipeline {
     // q45_approx_sketches intentionally has no oracle (rows-only check)
     "q54_winnowing_fingerprint" -> q54Sql,
     "q55_pii_scrub" -> q55Sql,
-    "q56_repetition_signals" -> q56Sql
+    "q56_repetition_signals" -> q56Sql,
+    "q61_dedup_corpus" -> q61Sql
   )
 }
