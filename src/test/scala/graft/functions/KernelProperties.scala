@@ -87,4 +87,46 @@ object KernelProperties extends Properties("NativeKernels") {
       val h = (Dedup.hashA(i) * x + Dedup.hashB(i)) % Dedup.P
       h >= 0 && h < Dedup.P
     }
+
+  property("repetitionSignals equals the explode-count reference") =
+    forAll(words, Gen.choose(1, 3)) { (ws, n) =>
+      val out = NativeKernels.repetitionSignals(sarr(ws), n)
+      if (ws.size < n) out == null
+      else {
+        val grams = (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        out.getLong(0) == counts.values.max.toLong &&
+          out.getLong(1) == counts.size.toLong
+      }
+    }
+
+  property("sortedIntersectCount equals set-intersection size") =
+    forAll(Gen.listOf(word), Gen.listOf(word)) { (a0, b0) =>
+      val a = a0.distinct.sorted
+      val b = b0.distinct.sorted
+      NativeKernels.sortedIntersectCount(sarr(a), sarr(b)) ==
+        (a.toSet & b.toSet).size
+    }
+
+  property("TopKHeap matches sort-take-k under (score desc, id asc)") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.choose(0L, 20L))),
+      Gen.choose(0, 8)) { (xs, k) =>
+      val h = new TopKHeap(k)
+      xs.foreach { case (s, id) => h.insert(s, id) }
+      val expect = xs.sortWith((x, y) => x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)).take(k)
+      h.sortedBestFirst.toList == expect
+    }
+
+  property("TopKHeap merge order does not change the result") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.choose(0L, 50L))),
+      Gen.choose(1, 5)) { (xs, k) =>
+      val (l, r) = xs.splitAt(xs.size / 2)
+      def heapOf(ys: Seq[(Double, Long)]) = {
+        val h = new TopKHeap(k); ys.foreach { case (s, i) => h.insert(s, i) }; h
+      }
+      val merged = heapOf(l)
+      val other = heapOf(r)
+      (0 until other.size).foreach(i => merged.insert(other.scores(i), other.ids(i)))
+      merged.sortedBestFirst.toList == heapOf(xs).sortedBestFirst.toList
+    }
 }
