@@ -255,6 +255,58 @@ object Dedup {
     exactSurvivors.join(nearPairs, col("id") === col("drop_id"), "left_anti")
   }
 
+  /** Distributed connected components over a near-dup pair graph:
+    * cluster id = min doc id reachable through the similarity relation,
+    * computed by iterative min-label propagation — each round is one
+    * hash join (labels through edges) + one min-aggregation, entirely
+    * executor-side; the driver observes only the per-round change COUNT
+    * (convergence test), never the data. Rounds needed = graph diameter,
+    * which for near-dup clusters is tiny (dup clusters are dense); maxIter
+    * bounds adversarial chains. This is the transitive-closure step that
+    * [[dedupCorpus]]'s one-shot keep-lowest policy deliberately skips —
+    * use it when "A≈B≈C ⇒ one survivor for all three" must hold even
+    * though A≉C directly.
+    *
+    * At 100 TB: |E| is the (banded, verified) pair set — orders of
+    * magnitude smaller than the corpus; each round shuffles |E|+|V| rows
+    * of two longs. The alternating-star optimization (Kiveris et al.)
+    * halves round count on adversarial graphs; plain min-propagation is
+    * the right default for dedup-shaped graphs.
+    */
+  def connectedComponents(edges: DataFrame, // columns: id_a, id_b
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint each round: an iterative DataFrame loop that
+    // only persists still embeds every prior round's plan inside the next
+    // one (InMemoryRelation keeps its producing plan), so analysis/codegen
+    // cost and driver memory grow per iteration until the JVM dies on long
+    // chains. Checkpointing truncates the lineage to the materialized
+    // partitions — plans stay O(1) per round. (On a cluster with an
+    // unreliable executor fleet, prefer `checkpoint()` to a reliable dir.)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = und.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+      val newLabels = labels.select(col("id"), col("comp"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = newLabels.as("n")
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") < col("old")).count()
+      labels = newLabels
+      iter += 1
+    }
+    und.unpersist(blocking = false)
+    labels
+  }
+
   val SimHashBits = 60
 
   /** 60-bit SimHash fingerprints as a pure narrow map (same shape and

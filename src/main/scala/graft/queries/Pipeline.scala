@@ -209,6 +209,52 @@ object Pipeline {
        |SELECT id FROM ex WHERE id NOT IN (SELECT id_b FROM drops)""".stripMargin
   }
 
+  // ===== q62 near-dup cluster assignment =================================
+  // Transitive closure over the near-dup relation: every doc gets the MIN
+  // doc id of its connected component in the (MinHash-LSH, J ≥ 0.8) pair
+  // graph — the clustering a real pipeline needs when A≈B≈C must yield
+  // one survivor even though A≉C directly. Spark: iterative distributed
+  // min-label propagation; oracle: recursive-CTE transitive closure.
+
+  private def q62(t: Tables): DataFrame = {
+    val docs = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    val pairs = Dedup.minhashLshPairs(docs, 3, MinHashes, Bands, CorpusT)
+    val labels = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "lid")
+    t.documents.select(col("doc_id").as("id"))
+      .join(labels, col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  private val q62Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |  list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM d WHERE len(ss) > 0),
+       |sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM h),
+       |bands AS (SELECT id, t.b AS band,
+       |            array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows), z -> CAST(z AS VARCHAR)), '_') AS key
+       |          FROM sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+       |v AS (SELECT c.id_a, c.id_b FROM cand c
+       |      JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id
+       |      WHERE round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       |                  /(a.n_sh + b.n_sh - len(list_intersect(a.ss, b.ss))), 4) >= $CorpusT),
+       |und AS (SELECT id_a AS a, id_b AS b FROM v UNION SELECT id_b, id_a FROM v),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+       |SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+       |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
+  }
+
   // ===== q32 SimHash dedup ===============================================
 
   private val MaxHamming = 3
@@ -497,7 +543,8 @@ object Pipeline {
     "q54_winnowing_fingerprint" -> wrap(q54),
     "q55_pii_scrub" -> wrap(q55),
     "q56_repetition_signals" -> wrap(q56),
-    "q61_dedup_corpus" -> wrap(q61)
+    "q61_dedup_corpus" -> wrap(q61),
+    "q62_neardup_clusters" -> wrap(q62)
   )
 
   val oracles: Map[String, String] = Map(
@@ -519,6 +566,7 @@ object Pipeline {
     "q54_winnowing_fingerprint" -> q54Sql,
     "q55_pii_scrub" -> q55Sql,
     "q56_repetition_signals" -> q56Sql,
-    "q61_dedup_corpus" -> q61Sql
+    "q61_dedup_corpus" -> q61Sql,
+    "q62_neardup_clusters" -> q62Sql
   )
 }

@@ -82,6 +82,22 @@ class DedupSpec extends AnyFunSuite {
     assert(clean == Set(1L, 3L, 5L))
   }
 
+  test("connectedComponents: min-label propagation across multi-hop chains") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (diameter 3 → needs
+    // multiple rounds); {10,11}; {20,21,22} via star at 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a long chain still converges (maxIter bound respected)
+    val chain = (1L to 15L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val chainLabels = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(chainLabels.values.toSet == Set(1L) && chainLabels.size == 15)
+  }
+
   test("simhash: exact dups have identical fingerprints; pairs found at hamming 0") {
     val fps = Dedup.simhashFingerprints(
       corpus.select(col("doc_id").as("id"), split(lower(col("text")), """\s+""").as("tokens")))
