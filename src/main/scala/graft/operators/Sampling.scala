@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset assembly ops for training pipelines: deterministic splits and
+  * skew-safe joins. The reference has no notion of either (its unit of
+  * routing is the hash-partitioned edge); these are LLM-pipeline
+  * extensions in the spirit of SURVEY.md §7.2 step 6.
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment by content-stable hash:
+    * bucket = first-28-md5-bits(id) mod 100, then range-mapped by the
+    * cumulative weights. Properties that matter at 100 TB: stable under
+    * re-partitioning, re-runs, and engine changes (md5 is engine-neutral —
+    * the DuckDB oracle reproduces the exact assignment); adding data never
+    * reassigns existing rows (per-row hash, no global count involved);
+    * zero shuffle (pure narrow map).
+    *
+    * `weights` are integer percents summing to ≤ 100, e.g.
+    * ("train",80),("val",10),("test",10).
+    */
+  def hashSplit(df: DataFrame, id: Column, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum <= 100 && weights.nonEmpty, "weights are percents")
+    val bucket = pmod(Dedup.SharedHash.hash28(id.cast("string")), lit(100))
+    val cum = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.map(_._1).zip(cum).foldRight(lit(weights.last._1)) {
+      case ((name, hi), els) => when(bucket < hi, name).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** SQL twin of [[hashSplit]]'s assignment for the oracle. */
+  def hashSplitSql(idExpr: String, weights: Seq[(String, Int)]): String = {
+    val bucket = s"(${Dedup.SharedHash.hash28Sql(s"CAST($idExpr AS VARCHAR)")} % 100)"
+    val cum = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val cases = weights.map(_._1).zip(cum)
+      .map { case (name, hi) => s"WHEN $bucket < $hi THEN '$name'" }.mkString(" ")
+    s"CASE $cases ELSE '${weights.last._1}' END"
+  }
+
+  /** Salted equi-join for skewed keys — the manual fallback when AQE's
+    * runtime skew splitting can't help (e.g. the skew is in a broadcast-
+    * ineligible dimension or a non-AQE sink pins the plan). The big side
+    * scatters each row into one of `salt` sub-keys; the small side is
+    * replicated `salt` ways; the join key becomes (key, salt), so a hot
+    * key's rows spread over `salt` reducers instead of one. Output rows
+    * are IDENTICAL to the plain equi-join (pinned by SkewJoinSpec).
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt > 0)
+    // any per-row spread works; id-hash is deterministic across retries
+    val b = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -255,6 +255,69 @@ object Pipeline {
        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
   }
 
+  // ===== q63 deterministic hash split ====================================
+  // Train/val/test assembly: content-stable md5 bucketing (Sampling.
+  // hashSplit) — stable under repartitioning/reruns/engines, no global
+  // count involved, zero shuffle.
+
+  private val SplitWeights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  private def q63(t: Tables): DataFrame =
+    graft.operators.Sampling.hashSplit(
+      t.documents.select(col("doc_id")), col("doc_id"), SplitWeights)
+
+  private val q63Sql =
+    s"""SELECT doc_id, ${graft.operators.Sampling.hashSplitSql("doc_id", SplitWeights)} AS split
+       |FROM documents""".stripMargin
+
+  // ===== q64 embedding normalization + int8 quantization =================
+  // Vector hygiene for similarity pipelines: l2 norm (sequential double
+  // fold = the cosine kernel's convention) and symmetric int8 quantization
+  // of the leading dims — both pure narrow maps.
+
+  private def q64(t: Tables): DataFrame = {
+    val v = col("embedding")
+    t.embeddings
+      .withColumn("nrm",
+        sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)))
+      .select(col("vec_id"), round(col("nrm"), 4).as("l2_norm"),
+        concat_ws(",", transform(slice(v, 1, 8), x =>
+          floor(lit(127.0) * x.cast("double") / col("nrm") + lit(0.5))
+            .cast("string"))).as("q8"))
+  }
+
+  private val q64Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (p,q) -> p+q)) AS nrm FROM e)
+      |SELECT vec_id, round(nrm, 4) AS l2_norm,
+      |  array_to_string(list_transform(v[1:8], x -> CAST(CAST(floor(127*x/nrm + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q8
+      |FROM n""".stripMargin
+
+  // ===== q65 corpus vocabulary / TF-IDF statistics =======================
+  // Global document-frequency table with idf — the corpus-level statistic
+  // feeding quality filters and rare-token analyses. One exploded distinct-
+  // word aggregation; the doc count arrives as a broadcast scalar, not a
+  // driver-side collect.
+
+  private def q65(t: Tables): DataFrame = {
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    t.documents
+      .select(explode(array_distinct(split(lower(col("text")), """\s+"""))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .join(broadcast(n), lit(true))
+      .select(col("word"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 4).as("idf"))
+  }
+
+  private val q65Sql =
+    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (SELECT unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS word FROM documents),
+      |d AS (SELECT word, COUNT(*) AS df FROM w WHERE length(word) > 0 GROUP BY word)
+      |SELECT word, df, round(ln(CAST(n_docs AS DOUBLE)/df), 4) AS idf
+      |FROM d CROSS JOIN n""".stripMargin
+
   // ===== q32 SimHash dedup ===============================================
 
   private val MaxHamming = 3
@@ -544,7 +607,10 @@ object Pipeline {
     "q55_pii_scrub" -> wrap(q55),
     "q56_repetition_signals" -> wrap(q56),
     "q61_dedup_corpus" -> wrap(q61),
-    "q62_neardup_clusters" -> wrap(q62)
+    "q62_neardup_clusters" -> wrap(q62),
+    "q63_hash_split" -> wrap(q63),
+    "q64_embedding_norm" -> wrap(q64),
+    "q65_tfidf_vocab" -> wrap(q65)
   )
 
   val oracles: Map[String, String] = Map(
@@ -567,6 +633,9 @@ object Pipeline {
     "q55_pii_scrub" -> q55Sql,
     "q56_repetition_signals" -> q56Sql,
     "q61_dedup_corpus" -> q61Sql,
-    "q62_neardup_clusters" -> q62Sql
+    "q62_neardup_clusters" -> q62Sql,
+    "q63_hash_split" -> q63Sql,
+    "q64_embedding_norm" -> q64Sql,
+    "q65_tfidf_vocab" -> q65Sql
   )
 }
