@@ -679,6 +679,49 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey
       |                AND o.o_totalprice > 350000)""".stripMargin
 
+  // q66 — TPC-H Q18 shape: HAVING over an aggregate + IN-subquery
+  // (decorrelated to a semi join) + top-k. Covers the aggregate-filter and
+  // IN-subquery surfaces in one realistic query.
+  private def q66(t: Tables): DataFrame = {
+    val bigOrders = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t.orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q66Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+      |) ON o_orderkey = l_orderkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // q67 — running-total window frame (ROWS UNBOUNDED PRECEDING → CURRENT):
+  // the frame-based window surface beside q17's rank-based one.
+  private def q67(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_custkey") < 50)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+
+  private val q67Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+      |FROM orders WHERE o_custkey < 50""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -725,7 +768,9 @@ object Relational {
     "q57_text_scan" -> wrap(q57),
     "q58_csv_scan" -> wrap(q58),
     "q59_json_scan" -> wrap(q59),
-    "q60_correlated_exists" -> wrap(q60)
+    "q60_correlated_exists" -> wrap(q60),
+    "q66_having_topk" -> wrap(q66),
+    "q67_running_window" -> wrap(q67)
   )
 
   val oracles: Map[String, String] = Map(
@@ -770,6 +815,8 @@ object Relational {
     "q57_text_scan" -> q57Sql,
     "q58_csv_scan" -> q58Sql,
     "q59_json_scan" -> q59Sql,
-    "q60_correlated_exists" -> q60Sql
+    "q60_correlated_exists" -> q60Sql,
+    "q66_having_topk" -> q66Sql,
+    "q67_running_window" -> q67Sql
   )
 }
