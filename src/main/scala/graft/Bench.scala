@@ -20,16 +20,22 @@ object Bench {
     // compiles its generated classes and JITs the hot paths, so the timed
     // loop measures steady-state engine throughput instead of first-run
     // janino/JIT storms (which at sf0.1 dominate the heavy dedup queries).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // two-stage warm: sf0.001 compiles every query shape cheaply; sf0.01
+    // additionally triggers the AQE plan variants (join-strategy switches)
+    // that only appear past broadcast thresholds, so the timed sf0.1 runs
+    // don't pay a scale-shift janino/JIT bill on their first pass
+    for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of two passes: single-shot timings on this box are polluted by
-      // sporadic multi-second host stalls (measured on trivial queries too);
-      // min-of-2 reports the engine's actual steady-state cost
-      val dt = (1 to 2).map { _ =>
+      // best of three passes: single-shot timings on this box are polluted
+      // by sporadic multi-second host stalls (measured on trivial queries
+      // too — BENCH_LOCAL.md); min-of-3 reports the engine's actual
+      // steady-state cost with two chances to dodge a stall
+      val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
