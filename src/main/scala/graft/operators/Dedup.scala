@@ -122,11 +122,15 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = sized.select(col("id"), col("shingles"), col("n_sh"))
+    // exact verify with the one-pass sorted-merge kernel (same exactness
+    // as array_intersect over the distinct shingle sets, no per-pair
+    // hash-set build — see ngramJaccardPairsPrefix)
+    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
     cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
-      .withColumn("n_common", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))

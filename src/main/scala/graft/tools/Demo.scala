@@ -61,6 +61,22 @@ object Demo {
     val docs = t.documents.select(col("doc_id").as("id"), col("text"))
     val kept = graft.operators.Dedup.dedupCorpus(docs, threshold = 0.8).count()
     println(s"[demo] dedupCorpus kept $kept of ${docs.count()} docs")
+
+    // 5. Near-dup cluster ids (transitive closure) + a stable train split —
+    // the dataset-assembly tail of a training pipeline
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, 3, 64, 16, 0.8)
+    val clusters = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    println(s"[demo] near-dup clusters: ${clusters.select("comp").distinct().count()}")
+    val splitSizes = graft.operators.Sampling.hashSplit(docs, col("id"),
+      Seq("train" -> 90, "heldout" -> 10))
+      .groupBy("split").count().collect()
+    println(s"[demo] split sizes: ${splitSizes.mkString(" ")}")
+
+    // 6. Text read through the bring-your-own-InputFormat adapter
+    val textPath = graft.sources.FileFormats.nationTextPath(t)
+    val lines = graft.sources.HadoopInput.textLines(spark, textPath).count()
+    println(s"[demo] TextInputFormat adapter read $lines nation lines")
     spark.stop()
   }
 }

@@ -52,6 +52,34 @@ class HadoopInputSpec extends AnyFunSuite {
     assert(rdd.count() == 100)
   }
 
+  test("malformed records: PERMISSIVE nulls and captures, FAILFAST raises") {
+    // the data-quality surface a real text/CSV pipeline needs: bad rows
+    // must be quarantineable, not silently dropped or fatal by surprise
+    val d = Files.createTempDirectory("badcsv").toString
+    Seq("id,v", "1,10", "2,notanumber", "3,30").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    // cache: Spark disallows querying ONLY the corrupt column off the raw
+    // file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — parse once, then ask
+    val permissive = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(d)
+      .cache()
+    val rows = permissive.collect()
+    assert(rows.length == 3)
+    val bad = permissive.filter(col("_corrupt").isNotNull)
+      .select("_corrupt").as[String].collect()
+    assert(bad.toSeq == Seq("2,notanumber")) // quarantined, value preserved
+    assertThrows[org.apache.spark.SparkException] {
+      spark.read.schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+        .option("header", "true").option("mode", "FAILFAST").csv(d).collect()
+    }
+  }
+
   test("CSV and JSON derived sources round-trip the parquet tables exactly") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val csvBack = FileFormats.customerCsv(t)
