@@ -37,6 +37,38 @@ object Counters {
     } finally spark.sparkContext.removeSparkListener(acc)
   }
 
+  /** Named data-path counters via `Dataset.observe` — the reference's
+    * user-defined counter surface (`TezCounters` incremented inside a
+    * Processor) re-expressed the Spark-idiomatic way: observed metrics
+    * ride the query itself (codegen'd aggregates, no second job, exact
+    * even under retries), and land in QueryExecutionListener /
+    * StreamingQueryProgress. Returns the observed row for a batch query
+    * after `action` runs it.
+    */
+  def observed[T](spark: SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame,
+      metrics: Seq[org.apache.spark.sql.Column])(
+      action: org.apache.spark.sql.DataFrame => T): (T, org.apache.spark.sql.Row) = {
+    @volatile var captured: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val m = qe.observedMetrics.get(name)
+        if (m.isDefined) captured = m
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = action(df.observe(name, metrics.head, metrics.tail: _*))
+      org.apache.spark.graftaccess.ListenerBusAccess.drain(spark.sparkContext)
+      var waited = 0
+      while (captured.isEmpty && waited < 5000) { Thread.sleep(50); waited += 50 }
+      (r, captured.getOrElse(throw new IllegalStateException("observed metrics not delivered")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   private final class TaskAccumulator extends SparkListener {
     private val m = mutable.Map.empty[String, Long].withDefaultValue(0L)
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {

@@ -44,6 +44,17 @@ class EngineInfraSpec extends AnyFunSuite {
     assert(snap.shuffleWriteBytes > 0 && snap.shuffleReadBytes > 0)
   }
 
+  test("observe() counters ride the data path and report exact values") {
+    val df = spark.range(1000).select($"id", ($"id" % 10).as("k"))
+    val (cnt, metrics) = Counters.observed(spark, "probe", df,
+      Seq(count(lit(1)).as("rows"), sum($"id").as("id_sum"))) { observed =>
+      observed.filter($"k" >= 0).count()
+    }
+    assert(cnt == 1000L)
+    assert(metrics.getAs[Long]("rows") == 1000L)
+    assert(metrics.getAs[Long]("id_sum") == (0L until 1000L).sum)
+  }
+
   test("partitioned sink round-trips and prunes partitions on read") {
     val dir = Files.createTempDirectory("psink").toString
     Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0))
