@@ -282,16 +282,21 @@ object Pipeline {
         sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
           lit(0.0), (a, x) => a + x)))
       .select(col("vec_id"), round(col("nrm"), 4).as("l2_norm"),
-        concat_ws(",", transform(slice(v, 1, 8), x =>
-          floor(lit(127.0) * x.cast("double") / col("nrm") + lit(0.5))
-            .cast("string"))).as("q8"))
+        // zero-norm guard: a degenerate vector quantizes to null rather
+        // than Infinity-overflowing the integer cast (ANSI mode)
+        when(col("nrm") === 0, lit(null).cast("string")).otherwise(
+          concat_ws(",", transform(slice(v, 1, 8), x =>
+            floor(lit(127.0) * x.cast("double") / col("nrm") + lit(0.5))
+              .cast("string")))).as("q8"))
   }
 
   private val q64Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x*x), (p,q) -> p+q)) AS nrm FROM e)
       |SELECT vec_id, round(nrm, 4) AS l2_norm,
-      |  array_to_string(list_transform(v[1:8], x -> CAST(CAST(floor(127*x/nrm + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q8
+      |  CASE WHEN nrm = 0 THEN NULL ELSE
+      |    array_to_string(list_transform(v[1:8], x -> CAST(CAST(floor(127*x/nrm + 0.5) AS BIGINT) AS VARCHAR)), ',')
+      |  END AS q8
       |FROM n""".stripMargin
 
   // ===== q65 corpus vocabulary / TF-IDF statistics =======================
