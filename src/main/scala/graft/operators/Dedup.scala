@@ -289,8 +289,10 @@ object Dedup {
     // chains. Checkpointing truncates the lineage to the materialized
     // partitions — plans stay O(1) per round. (On a cluster with an
     // unreliable executor fleet, prefer `checkpoint()` to a reliable dir.)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // init = min over the 1-hop closed neighborhood (folds the first
+    // propagation round into the distinct-vertices aggregation)
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
