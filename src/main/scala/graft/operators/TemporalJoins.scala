@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for — as-of and range —
+  * implemented with the shapes that survive 100 TB instead of the
+  * inequality-join nested loop Catalyst would otherwise plan.
+  * (The reference has no temporal join either; its HashJoinExample family
+  * is strictly equi-key. These extend §2.4's join matrix.)
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the single right row
+    * with the greatest `rightTs` ≤ `leftTs` on the same key (nulls when no
+    * prior right row exists) — "latest state as of this moment".
+    *
+    * Implementation is the union/carry-forward pattern: tag both sides,
+    * union, ONE hash exchange on `key` with a per-partition sort on
+    * (ts, side), then a last-non-null running window fills each left row
+    * from the most recent right row at-or-before it. Right rows sort
+    * before left rows at equal ts, so an exact-timestamp match is taken
+    * (ASOF `≤` semantics). Cost: |L|+|R| rows through one exchange+sort —
+    * never the |L|·|R| BroadcastNestedLoop a naive `l.ts >= r.ts` join
+    * plans, and no per-left-row probe. A pathologically hot key funnels
+    * its rows into one sort task (same caveat as any keyed window) —
+    * pre-split such keys by coarse time bucket if needed.
+    *
+    * `rightVals` must be functionally determined by (key, rightTs) —
+    * pre-aggregate the right side otherwise (ties would be nondeterministic
+    * in ANY as-of engine).
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lCols = left.columns.toSeq
+    val lAligned = left.select(
+      lCols.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        rightVals.map(v => lit(null).cast(rightTypes(v)).as(v)): _*)
+    val rAligned = right.select(
+      lCols.map(c => if (c == key) col(key)
+        else lit(null).cast(leftTypes(c)).as(c)) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(lAligned.unionByName(rAligned)) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Point-in-interval range join on a shared key: every (point, interval)
+    * pair with `start ≤ pt ≤ end`. Intervals are exploded onto the
+    * fixed-width time-bin grid they overlap; points land in exactly one
+    * bin; the equi-join on (key, bin) finds every candidate pair, and the
+    * exact BETWEEN predicate keeps the true ones. Shuffle volume is
+    * |points| + Σ⌈span/bin⌉ interval copies, hash-partitioned — never the
+    * |L|·|R| nested-loop a raw inequality join plans. Pick `binSeconds`
+    * near the typical interval span: shorter bins = more interval copies,
+    * longer bins = more false candidates for the filter.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+      pt: String, start: String, end: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    val binUs = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
+    val p = points.withColumn("__bin", binOf(col(pt)))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(start)), binOf(col(end)))))
+    p.join(i, Seq(key, "__bin"))
+      .filter(col(pt) >= col(start) && col(pt) <= col(end))
+      .drop("__bin")
+  }
+}

@@ -722,6 +722,55 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
       |FROM orders WHERE o_custkey < 50""".stripMargin
 
+  // q68 — backward AS-OF join (an operator Spark lacks natively): each
+  // click is annotated with the user's most recent purchase at-or-before
+  // it. Union/carry-forward implementation — one exchange, no range
+  // explosion (operators/TemporalJoins.asOfBackward); DuckDB oracles it
+  // with its native ASOF LEFT JOIN.
+  private def q68(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pvalue"))
+      .select(col("user_id"), col("pts"), col("pts").as("pts_val"), col("pvalue"))
+    graft.operators.TemporalJoins
+      .asOfBackward(clicks, purchases, "user_id", "ts", "pts", Seq("pts_val", "pvalue"))
+      .select(col("event_id"), col("user_id"),
+        col("pts_val").as("last_purchase_ts"), col("pvalue").as("last_purchase_value"))
+  }
+
+  private val q68Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS pts, max(value) AS pvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, p.pts AS last_purchase_ts,
+      |       p.pvalue AS last_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.pts <= c.ts""".stripMargin
+
+  // q69 — point-in-interval range join via time-bin equi-join (the second
+  // temporal operator Spark lacks): every (purchase, click-in-the-prior-
+  // hour) pair, candidates from the bin grid, exact BETWEEN filter.
+  private def q69(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withColumn("wstart", col("pts") - expr("INTERVAL 1 HOUR"))
+    graft.operators.TemporalJoins
+      .pointInInterval(clicks, purchases, "user_id", "ts", "wstart", "pts", 3600L)
+      .select(col("purchase_id"), col("click_id"))
+  }
+
+  private val q69Sql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -770,7 +819,9 @@ object Relational {
     "q59_json_scan" -> wrap(q59),
     "q60_correlated_exists" -> wrap(q60),
     "q66_having_topk" -> wrap(q66),
-    "q67_running_window" -> wrap(q67)
+    "q67_running_window" -> wrap(q67),
+    "q68_asof_join" -> wrap(q68),
+    "q69_range_join" -> wrap(q69)
   )
 
   val oracles: Map[String, String] = Map(
@@ -817,6 +868,8 @@ object Relational {
     "q59_json_scan" -> q59Sql,
     "q60_correlated_exists" -> q60Sql,
     "q66_having_topk" -> q66Sql,
-    "q67_running_window" -> q67Sql
+    "q67_running_window" -> q67Sql,
+    "q68_asof_join" -> q68Sql,
+    "q69_range_join" -> q69Sql
   )
 }
