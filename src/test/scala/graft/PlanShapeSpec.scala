@@ -98,6 +98,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("as-of join plans as exchange + sort + window — no nested loop") {
+    val left = (1 to 100).map(i => (i.toLong, i % 5, new java.sql.Timestamp(i * 1000L)))
+      .toDF("event_id", "k", "ts")
+    val right = (1 to 50).map(j => (j % 5, new java.sql.Timestamp(j * 1700L), j * 1.0))
+      .toDF("k", "rts", "v")
+      .select($"k", $"rts", $"v")
+    val q = graft.operators.TemporalJoins.asOfBackward(left, right, "k", "ts", "rts", Seq("v"))
+    val p = plan(q)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
