@@ -297,16 +297,20 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val viaNeighbor = und.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"))
-      val newLabels = labels.select(col("id"), col("comp"))
-        .union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // one aggregation yields BOTH the new label (min over self +
+      // neighbors) and the old one (the self row's value — unique per id),
+      // so convergence is a cheap filter over the checkpointed result
+      // instead of a second shuffled join per round
+      val selfRows = labels.select(col("id"), col("comp"), lit(1).as("__self"))
+      val nbrRows = und.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"), lit(0).as("__self"))
+      val step = selfRows.union(nbrRows)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          max(when(col("__self") === 1, col("comp"))).as("old"))
         .localCheckpoint(true)
-      changed = newLabels.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") < col("old")).count()
-      labels = newLabels
+      changed = step.filter(col("comp") < col("old")).count()
+      labels = step.select(col("id"), col("comp"))
       iter += 1
     }
     und.unpersist(blocking = false)
