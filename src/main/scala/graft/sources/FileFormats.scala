@@ -27,17 +27,24 @@ object FileFormats {
   private def root(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_derived/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
-  /** Write-once materialization guarded by the sink's _SUCCESS marker. */
-  private def ensure(name: String, sfDir: String)(build: String => Unit): String =
+  /** Write-once materialization guarded by the sink's _SUCCESS marker.
+    * The cache key embeds the SOURCE parquet's (length, mtime) fingerprint
+    * so a regenerated test dataset can never be served a stale derivation
+    * from an earlier run on the same machine.
+    */
+  private def ensure(name: String, sfDir: String, sourceTable: String)(
+      build: String => Unit): String =
     synchronized {
-      val path = s"${root(sfDir)}/$name"
+      val src = new java.io.File(s"$sfDir/$sourceTable.parquet")
+      val fp = s"${src.length()}_${src.lastModified()}"
+      val path = s"${root(sfDir)}/${name}_$fp"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) build(path)
       path
     }
 
   /** nation as '|'-joined text lines — the TextInputFormat shape. */
   def nationTextPath(t: Tables): String =
-    ensure("nation_text", t.dir) { p =>
+    ensure("nation_text", t.dir, "nation") { p =>
       t.nation
         .select(concat_ws("|",
           col("n_nationkey"), col("n_name"), col("n_regionkey")))
@@ -55,7 +62,7 @@ object FileFormats {
     * inference would be an extra full scan at 100 TB).
     */
   def customerCsv(t: Tables): DataFrame = {
-    val p = ensure("customer_csv", t.dir) { path =>
+    val p = ensure("customer_csv", t.dir, "customer") { path =>
       t.customer.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
     }
     t.spark.read.schema(customerCsvSchema).option("header", "true").csv(p)
@@ -73,7 +80,7 @@ object FileFormats {
     * µs values — the other five columns round-trip exactly).
     */
   def ordersJson(t: Tables): DataFrame = {
-    val p = ensure("orders_json", t.dir) { path =>
+    val p = ensure("orders_json", t.dir, "orders") { path =>
       t.orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
