@@ -124,4 +124,18 @@ object EventStreams {
       dimKey: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       col(eventKey) === col(dimKey), "left")
+
+  /** foreachBatch writer that stays exactly-once on a sink WITHOUT a
+    * transaction log (the JDBC/object-store/custom-sink case the built-in
+    * file sink's log doesn't cover): each micro-batch lands in a
+    * deterministic `batch=<id>` location with overwrite semantics, so a
+    * replayed batch — after a crash between the sink write and the
+    * checkpoint commit — overwrites its own previous attempt instead of
+    * appending a duplicate. The (batchId → same location, idempotent
+    * write) pair is the general recipe; swap the parquet write for a
+    * keyed MERGE/upsert on sinks with primary keys.
+    */
+  def idempotentBatchWriter(outDir: String): (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 }

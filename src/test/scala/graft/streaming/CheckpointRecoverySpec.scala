@@ -60,6 +60,34 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     assert(result == (0L until 100L).map(i => (i, i * 2)))
   }
 
+  test("foreachBatch idempotent writer survives batch replay without duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("febatch").toString
+    val in = s"$root/in"; val out = s"$root/out"
+    new java.io.File(in).mkdirs()
+    spark.range(0, 25).toDF("id").coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(chk: String): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+        .parquet(in)
+        .writeStream
+        .foreachBatch(EventStreams.idempotentBatchWriter(out))
+        .option("checkpointLocation", chk)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce(s"$root/chk1")
+    // a FRESH checkpoint re-delivers the same input as batch 0 — the
+    // crash-replay shape; the deterministic batch location must overwrite,
+    // not append
+    runOnce(s"$root/chk2")
+    val result = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(result == (0L until 25L))
+  }
+
   test("restart re-running an already-committed batch does not duplicate output") {
     import spark.implicits._
     val root = Files.createTempDirectory("ckpt2").toString
