@@ -24,13 +24,19 @@ object Bench {
     // additionally triggers the AQE plan variants (join-strategy switches)
     // that only appear past broadcast thresholds, so the timed sf0.1 runs
     // don't pay a scale-shift janino/JIT bill on their first pass
+    // Dev filter: SPARK_GRAFT_ONLY=q61,q62 times a subset (driver runs
+    // without it → full suite; the bucketed rows are skipped when filtered)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
     for (warmDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best of three passes: single-shot timings on this box are polluted
       // by sporadic multi-second host stalls (measured on trivial queries
       // too — BENCH_LOCAL.md); min-of-3 reports the engine's actual
@@ -47,11 +53,18 @@ object Bench {
       }.min
       name -> dt
     }
-    val all = results ++ bucketedComparison(spark, sfDir)
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    val all = results ++
+      (if (only.isEmpty) bucketedComparison(spark, sfDir) else Nil)
+    // Per-query values rounded to ms and the total placed LAST: the
+    // harness stores only the final ~2KB of output, so with the map first
+    // a truncated capture still ends with ...,"metric":"total","value":N}
+    // (round 2 lost the total to exactly this truncation).
+    def ms(v: Double): String = // locale-proof: '.' decimal sep always
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${ms(total)}}""")
     spark.stop()
   }
 

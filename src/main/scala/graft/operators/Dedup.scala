@@ -248,12 +248,16 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, // columns: id, text
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // Persisted because it feeds THREE consumers (shingling + signatures
+    // inside minhashLshPairs, and the final anti-join); unpersisted, the
+    // md5-window shuffle would run three times.
     val exactSurvivors = docs
       .withColumn("__h", md5(col("text")))
       .withColumn("__keep", min(col("id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("id") === col("__keep"))
       .drop("__h", "__keep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearPairs = minhashLshPairs(exactSurvivors, n, numHashes, bands, threshold)
       .select(col("id_b").as("drop_id")).distinct()
     exactSurvivors.join(nearPairs, col("id") === col("drop_id"), "left_anti")
@@ -279,8 +283,14 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, // columns: id_a, id_b
       maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Symmetrize with ONE pass over `edges` (explode of a 2-element array)
+    // instead of union(edges, edges.flipped): a union evaluates its input
+    // twice, and `edges` is typically the whole LSH candidate pipeline —
+    // materializing it twice doubled q62's cost before this was caught.
+    val und = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Eager localCheckpoint each round: an iterative DataFrame loop that
     // only persists still embeds every prior round's plan inside the next
