@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly: per-domain caps,
+  * benchmark decontamination, and token-budget packing.
+  *
+  * The reference has no corpus notion at all (its data plane is untyped KV
+  * edges); these extend the LLM-pipeline surface of SURVEY.md §7.2 step 6
+  * alongside [[Dedup]]/[[Similarity]]/[[TextOps]].
+  */
+object Curation {
+
+  /** Keep at most `k` documents per domain/source, best-first by
+    * (score desc, id asc) — the classic web-corpus balance step ("no more
+    * than N pages per host").
+    *
+    * Scale design: this is NOT a rank window. A window must shuffle and
+    * sort every domain's full row set before discarding all but k —
+    * a hot domain (a crawl with 10^9 pages of one host) lands on one task.
+    * The bounded [[graft.functions.TopKByScore]] aggregate keeps O(k)
+    * state per domain through partial+final aggregation, so shuffle volume
+    * is |domains|·k structs and a hot domain costs its map-side passes
+    * only. Output: (domain, rank 1..k, id, score) — identical rows to the
+    * row_number window form (pinned by CurationSpec).
+    */
+  def domainCap(df: DataFrame, domain: Column, id: Column, score: Column,
+      k: Int): DataFrame =
+    df.groupBy(domain.as("domain"))
+      .agg(graft.functions.topk_by_score(score, id, k).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("domain"), (col("pos") + 1).as("rank"),
+        col("e.id").as("id"), col("e.score").as("score"))
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word n-gram with any document of the (small) benchmark set.
+    * Returns (id, n_hits = number of distinct contaminated n-grams).
+    *
+    * Scale design: the benchmark shingle set is tiny next to a 100 TB
+    * corpus — dedup it, broadcast it, and the corpus side stays a narrow
+    * scan + broadcast semi-join + per-doc aggregate over collision rows
+    * (hash-partial, no raw-corpus shuffle). Shingling is the same fused
+    * kernel the dedup family uses ([[TextOps.withShingles]]).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, // columns: id, text
+      n: Int): DataFrame = {
+    def grams(d: DataFrame): DataFrame =
+      TextOps.withShingles(d, col("text"), n, "ss")
+        .select(col("id"), explode(col("ss")).as("s"))
+    val benchSet = grams(bench).select(col("s")).distinct()
+    grams(train)
+      .join(broadcast(benchSet), "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits")) // shingles are distinct within a doc
+  }
+
+  /** Token-budget packing: assign documents, in (domain, id) order, to
+    * consecutive bins of ~`budget` tokens — the concat-and-chunk sharding
+    * step before sequence packing. A document straddling a boundary opens
+    * the next bin (standard approximate packing; bins can overflow by at
+    * most one document).
+    *
+    * bin = floor(exclusive-prefix-sum(tokens) / budget), per domain. The
+    * prefix sum is a running window WITHIN each domain partition — at
+    * 100 TB that is one hash exchange on domain + per-partition sort, not
+    * a global total-order sort; parallelism = |domains|. Returns one row
+    * per bin: (domain, bin, n_docs, bin_tokens).
+    */
+  def packBins(df: DataFrame, domain: Column, id: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dom")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(domain.as("__dom"), id.as("__id"), tokens.as("__tok"))
+      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cum") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("__dom").as("domain"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("bin_tokens"))
+  }
+}

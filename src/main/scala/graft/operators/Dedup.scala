@@ -83,6 +83,39 @@ object Dedup {
     * bands (×bands) → hash join on (band, key) → distinct pair ids →
     * re-join shingle arrays → narrow verify. No O(n²) stage anywhere.
     */
+  /** Fused words→shingles→md5→minhash signature (id, m0..m{num-1}) — the
+    * shared front half of every LSH variant. Pure narrow map.
+    */
+  private def lshSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .withColumn("__sig", graft.functions.minhash_words(col("__w"), n, numHashes))
+      .filter(col("__sig").isNotNull)
+      .select(col("id") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+
+  /** Explode a signature row into its `bands` (band, key) bucket rows. */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rows).map(r =>
+            col(s"m${b * rows + r}").cast("string")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Sorted distinct-shingle arrays (id, sh, n_sh) for exact-Jaccard
+    * verification with the one-pass merge kernel.
+    */
+  private def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    TextOps.withShingles(docs, col("text"), n, "shingles")
+      .withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+      .select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
+
   def minhashLshPairs(
       docs: DataFrame, // columns: id, text
       n: Int,
@@ -94,28 +127,14 @@ object Dedup {
     // The shingled corpus feeds both sides of the verify join; caching it
     // avoids re-shingling. MEMORY_AND_DISK spills gracefully at scale —
     // same tradeoff Spark ML's MinHashLSH makes.
-    val sized = TextOps.withShingles(docs, col("text"), n, "shingles")
-      .withColumn("n_sh", size(col("shingles")))
-      .filter(col("n_sh") > 0)
+    val sh = shingleArrays(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sig is tiny (numHashes longs per doc) and feeds both sides of the
     // band self-join — persisting it pins exchange reuse instead of hoping
     // AQE's ReusedExchange fires.
-    val sig = docs
-      .withColumn("__w", split(lower(col("text")), """\s+"""))
-      .withColumn("__sig", graft.functions.minhash_words(col("__w"), n, numHashes))
-      .filter(col("__sig").isNotNull)
-      .select(col("id") +: (0 until numHashes).map(i =>
-        element_at(col("__sig"), i + 1).as(s"m$i")): _*)
+    val sig = lshSignatures(docs, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(
-      col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until rows).map(r =>
-            col(s"m${b * rows + r}").cast("string")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandKeys(sig, numHashes, bands)
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -125,7 +144,6 @@ object Dedup {
     // exact verify with the one-pass sorted-merge kernel (same exactness
     // as array_intersect over the distinct shingle sets, no per-pair
     // hash-set build — see ngramJaccardPairsPrefix)
-    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
     cand
       .join(sh.as("a"), col("id_a") === col("a.id"))
       .join(sh.as("b"), col("id_b") === col("b.id"))
@@ -261,6 +279,50 @@ object Dedup {
     val nearPairs = minhashLshPairs(exactSurvivors, n, numHashes, bands, threshold)
       .select(col("id_b").as("drop_id")).distinct()
     exactSurvivors.join(nearPairs, col("id") === col("drop_id"), "left_anti")
+  }
+
+  /** Incremental (cross-corpus) dedup: of the `newDocs` batch, keep only
+    * documents that are neither an exact copy nor a near-duplicate
+    * (MinHash-LSH, Jaccard ≥ threshold) of ANY document already in
+    * `existing` — the ingestion-time step that keeps a continuously
+    * crawled 100 TB corpus duplicate-free without re-deduping the whole
+    * corpus per batch. Within-batch duplicates are out of scope here
+    * (compose with [[dedupCorpus]] on the batch).
+    *
+    * Scale design: both corpora flow through the same narrow signature
+    * kernel; candidates come from the band-key equi-join ACROSS corpora
+    * (new × existing — no self-joins, no id ordering), verification runs
+    * only on bucket collisions. The existing side is touched once for
+    * signatures + once for shingle arrays of candidate ids; in production
+    * both are precomputed-and-stored once per corpus, making a batch's
+    * marginal cost proportional to the batch, not the corpus.
+    */
+  def dedupAgainst(newDocs: DataFrame, existing: DataFrame, // columns: id, text
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val nd = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactDrops = nd.select(col("id"), md5(col("text")).as("__h"))
+      .join(existing.select(md5(col("text")).as("__h")), "__h")
+      .select(col("id"))
+    val bandedNew = bandKeys(lshSignatures(nd, n, numHashes), numHashes, bands)
+    val bandedEx = bandKeys(lshSignatures(existing, n, numHashes), numHashes, bands)
+    val cand = bandedNew.as("x")
+      .join(bandedEx.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id_n"), col("y.id").as("id_e"))
+      .distinct()
+    val shNew = shingleArrays(nd, n)
+    val shEx = shingleArrays(existing, n)
+    val nearDrops = cand
+      .join(shNew.as("a"), col("id_n") === col("a.id"))
+      .join(shEx.as("b"), col("id_e") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+      .filter(round(col("n_common").cast("double") /
+        (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4) >= threshold)
+      .select(col("id_n").as("id"))
+    nd.join(exactDrops.union(nearDrops).distinct(),
+      Seq("id"), "left_anti")
   }
 
   /** Distributed connected components over a near-dup pair graph:

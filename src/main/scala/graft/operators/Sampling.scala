@@ -40,6 +40,35 @@ object Sampling {
     s"CASE $cases ELSE '${weights.last._1}' END"
   }
 
+  /** Weighted mixture sampling: keep each row with a per-source percentage
+    * (the corpus-mixing step of a pre-train run: 100% of curated sources,
+    * 10% of the raw crawl). Same engineering properties as [[hashSplit]]:
+    * content-stable md5 bucket per row → deterministic across engines,
+    * re-runs and repartitioning; zero shuffle (narrow filter); growing a
+    * source never flips decisions for existing rows.
+    *
+    * `rates` maps source → keep-percent (0..100); unlisted sources use
+    * `defaultRate`.
+    */
+  def mixtureSample(df: DataFrame, id: Column, source: Column,
+      rates: Seq[(String, Int)], defaultRate: Int): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 100))
+    val bucket = pmod(Dedup.SharedHash.hash28(id.cast("string")), lit(100))
+    val rate = rates.foldRight(lit(defaultRate)) { case ((s, r), els) =>
+      when(source === s, r).otherwise(els)
+    }
+    df.filter(bucket < rate)
+  }
+
+  /** SQL twin of [[mixtureSample]]'s keep predicate for the oracle. */
+  def mixtureSampleSql(idExpr: String, sourceExpr: String,
+      rates: Seq[(String, Int)], defaultRate: Int): String = {
+    val bucket = s"(${Dedup.SharedHash.hash28Sql(s"CAST($idExpr AS VARCHAR)")} % 100)"
+    val cases = rates.map { case (s, r) => s"WHEN $sourceExpr = '$s' THEN $r" }
+      .mkString(" ")
+    s"$bucket < (CASE $cases ELSE $defaultRate END)"
+  }
+
   /** Salted equi-join for skewed keys — the manual fallback when AQE's
     * runtime skew splitting can't help (e.g. the skew is in a broadcast-
     * ineligible dimension or a non-AQE sink pins the plan). The big side

@@ -590,6 +590,136 @@ object Pipeline {
       |  round(CAST(max(c) AS DOUBLE) / (n_words - 1), 4) AS max_2gram_ratio
       |FROM c GROUP BY doc_id, n_words""".stripMargin
 
+  // ===== q70 per-domain document caps ====================================
+  // "At most k pages per host": the web-corpus balance step. Spark side is
+  // the bounded TopKByScore aggregate (O(k) state per domain, partial+
+  // final, no window sort of a hot domain); the oracle is the equivalent
+  // rank window — identical rows by TopKByScore's (score desc, id asc)
+  // order contract.
+
+  private val DomainCapK = 10
+
+  private def q70(t: Tables): DataFrame =
+    graft.operators.Curation.domainCap(
+      t.documents, col("source"), col("doc_id"), col("n_chars").cast("double"),
+      DomainCapK)
+      .select(col("domain").as("source"), col("rank").as("rnk"),
+        col("id").as("doc_id"), col("score").cast("long").as("n_chars"))
+
+  private val q70Sql =
+    s"""SELECT source, rnk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents) WHERE rnk <= $DomainCapK""".stripMargin
+
+  // ===== q71 benchmark decontamination ===================================
+  // Flag training docs sharing any word 4-gram with the benchmark set
+  // (doc_id ≡ 0 mod 50 stands in for the eval suite). The benchmark
+  // shingle set is broadcast — the corpus side never shuffles raw text.
+  // (Real decontamination uses 8-13-grams; 4 fits this corpus's short
+  // synthetic docs while keeping the hit set non-trivial.)
+
+  private val DecontamN = 4
+
+  private def q71(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id").as("id"), col("text"))
+    graft.operators.Curation.decontaminate(
+      d.filter(col("id") % 50 =!= 0), d.filter(col("id") % 50 === 0), DecontamN)
+      .select(col("id").as("doc_id"), col("n_hits"))
+  }
+
+  private val q71Sql =
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, unnest(${shinglesSql(DecontamN)}) AS s FROM w),
+       |bench AS (SELECT DISTINCT s FROM d WHERE id % 50 = 0),
+       |train AS (SELECT id, s FROM d WHERE id % 50 <> 0)
+       |SELECT id AS doc_id, COUNT(*) AS n_hits
+       |FROM train JOIN bench USING (s) GROUP BY id""".stripMargin
+
+  // ===== q72 token-budget packing ========================================
+  // Concat-and-chunk sharding: per source, documents in id order fill
+  // consecutive ~1000-token bins (bin = exclusive-prefix-sum DIV budget).
+  // The window is per-source (hash exchange + partition sort), not a
+  // global total-order sort — parallelism stays |sources| at 100 TB.
+
+  private val PackBudget = 1000L
+
+  private def q72(t: Tables): DataFrame =
+    graft.operators.Curation.packBins(
+      t.documents.select(col("source"), col("doc_id"),
+        graft.operators.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok")),
+      col("source"), col("doc_id"), col("n_tok"), PackBudget)
+      .select(col("domain").as("source"), col("bin"), col("n_docs"),
+        col("bin_tokens"))
+
+  private val q72Sql =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT source, n_tok,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM d)
+       |SELECT source, CAST(floor(cum / $PackBudget.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ===== q73 weighted mixture sampling ===================================
+  // Corpus mixing: keep 100% of src0, 50% of src1, 25% of src2, 10% of
+  // everything else — decided by the content-stable md5 bucket, so the
+  // oracle reproduces the exact sample.
+
+  private val MixRates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 25)
+  private val MixDefault = 10
+
+  private def q73(t: Tables): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+      t.documents.select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"), MixRates, MixDefault)
+
+  private val q73Sql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${graft.operators.Sampling.mixtureSampleSql("doc_id", "source", MixRates, MixDefault)}""".stripMargin
+
+  // ===== q74 incremental (cross-corpus) dedup ============================
+  // Ingestion-time dedup: of the "new batch" (doc_id ≡ 7 mod 10), keep
+  // docs that are neither exact copies nor LSH near-dups (J ≥ 0.8) of the
+  // existing corpus. Candidates come from the band join ACROSS corpora.
+
+  private def q74(t: Tables): DataFrame = {
+    val d = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    Dedup.dedupAgainst(
+      d.filter(col("id") % 10 === 7), d.filter(col("id") % 10 =!= 7),
+      3, MinHashes, Bands, CorpusT)
+      .select(col("id"))
+  }
+
+  private val q74Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |  list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM d WHERE len(ss) > 0),
+       |sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM h),
+       |bands AS (SELECT id, t.b AS band,
+       |            array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows), z -> CAST(z AS VARCHAR)), '_') AS key
+       |          FROM sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_n, y.id AS id_e
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |         WHERE x.id % 10 = 7 AND y.id % 10 <> 7),
+       |near AS (SELECT DISTINCT c.id_n AS id
+       |         FROM cand c JOIN sig a ON c.id_n = a.id JOIN sig b ON c.id_e = b.id
+       |         WHERE round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       |                     /(a.n_sh + b.n_sh - len(list_intersect(a.ss, b.ss))), 4) >= $CorpusT),
+       |exd AS (SELECT DISTINCT n.doc_id AS id FROM documents n JOIN documents e
+       |        ON md5(n.text) = md5(e.text) AND n.doc_id % 10 = 7 AND e.doc_id % 10 <> 7)
+       |SELECT doc_id AS id FROM documents
+       |WHERE doc_id % 10 = 7
+       |  AND doc_id NOT IN (SELECT id FROM near)
+       |  AND doc_id NOT IN (SELECT id FROM exd)""".stripMargin
+  }
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -615,7 +745,12 @@ object Pipeline {
     "q62_neardup_clusters" -> wrap(q62),
     "q63_hash_split" -> wrap(q63),
     "q64_embedding_norm" -> wrap(q64),
-    "q65_tfidf_vocab" -> wrap(q65)
+    "q65_tfidf_vocab" -> wrap(q65),
+    "q70_domain_cap" -> wrap(q70),
+    "q71_decontaminate" -> wrap(q71),
+    "q72_token_pack" -> wrap(q72),
+    "q73_mixture_sample" -> wrap(q73),
+    "q74_dedup_incremental" -> wrap(q74)
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,6 +776,11 @@ object Pipeline {
     "q62_neardup_clusters" -> q62Sql,
     "q63_hash_split" -> q63Sql,
     "q64_embedding_norm" -> q64Sql,
-    "q65_tfidf_vocab" -> q65Sql
+    "q65_tfidf_vocab" -> q65Sql,
+    "q70_domain_cap" -> q70Sql,
+    "q71_decontaminate" -> q71Sql,
+    "q72_token_pack" -> q72Sql,
+    "q73_mixture_sample" -> q73Sql,
+    "q74_dedup_incremental" -> q74Sql
   )
 }

@@ -98,6 +98,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("domain cap plans as a bounded aggregate, not a rank window") {
+    // Same contract as vector top-k: a hot domain must not funnel its full
+    // row set through one task's window sort — TopKByScore keeps O(k)
+    // state per domain through partial+final ObjectHashAggregate.
+    val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}", i * 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val q = graft.operators.Curation.domainCap(
+      docs, col("source"), col("doc_id"), col("n_chars").cast("double"), 5)
+    val p = plan(q)
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("as-of join plans as exchange + sort + window — no nested loop") {
     val left = (1 to 100).map(i => (i.toLong, i % 5, new java.sql.Timestamp(i * 1000L)))
       .toDF("event_id", "k", "ts")

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("domainCap returns exactly the rank-window rows (score desc, id asc)") {
+    val k = 3
+    val agg = Curation.domainCap(docs, col("source"), col("doc_id"),
+      col("n_chars").cast("double"), k)
+      .select(col("domain"), col("rank"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val win = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))).as("rnk"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(agg == win && agg.nonEmpty)
+  }
+
+  test("domainCap caps each domain at k") {
+    val perDomain = Curation.domainCap(docs, col("source"), col("doc_id"),
+      col("n_chars").cast("double"), 2)
+      .groupBy("domain").count().as[(String, Long)].collect()
+    assert(perDomain.nonEmpty && perDomain.forall(_._2 <= 2))
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with bench") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // bench
+      (2L, "zeta eta theta iota kappa"), // bench
+      (3L, "x alpha beta gamma delta y"), // shares 4-gram "alpha beta gamma delta"
+      (4L, "alpha beta zeta eta theta"), // no shared 4-gram
+      (5L, "zeta eta theta iota zz") // shares "zeta eta theta iota"
+    ).toDF("id", "text")
+    val hits = Curation.decontaminate(
+      corpus.filter(col("id") > 2), corpus.filter(col("id") <= 2), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(3L -> 1L, 5L -> 1L))
+  }
+
+  test("packBins: sequential prefix-sum binning, totals preserved") {
+    val d = Seq(
+      ("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L), // bins 0,0,0 (cum 0,400,800)
+      ("a", 4L, 400L), // cum 1200 -> bin 1
+      ("b", 5L, 2500L), // bin 0
+      ("b", 6L, 100L) // cum 2500 -> bin 2
+    ).toDF("src", "id", "tok")
+    val bins = Curation.packBins(d, col("src"), col("id"), col("tok"), 1000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(bins == Map(
+      ("a", 0L) -> (3L, 1200L), ("a", 1L) -> (1L, 400L),
+      ("b", 0L) -> (1L, 2500L), ("b", 2L) -> (1L, 100L)))
+  }
+
+  test("mixtureSample applies per-source rates deterministically") {
+    val d = docs.select(col("doc_id"), col("source"))
+    val rates = Seq("src0" -> 100, "src1" -> 0)
+    val s1 = Sampling.mixtureSample(d, col("doc_id"), col("source"), rates, 50)
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.mixtureSample(d, col("doc_id"), col("source"), rates, 50)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2) // deterministic
+    val bySrc = d.as[(Long, String)].collect().groupBy(_._2)
+    val kept = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept.getOrElse("src0", 0) == bySrc("src0").length) // 100%
+    assert(!kept.contains("src1") || kept("src1") == 0) // 0%
+    // default-rate sources keep a strict, nonempty subset
+    val others = bySrc.keySet -- Set("src0", "src1")
+    val keptOthers = others.toSeq.map(s => kept.getOrElse(s, 0)).sum
+    val allOthers = others.toSeq.map(s => bySrc(s).length).sum
+    assert(keptOthers > 0 && keptOthers < allOthers)
+  }
+
+  test("dedupAgainst drops exact and near dups of the existing corpus only") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about distributed query engines at scale")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+      (12L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+      (13L, "entirely novel text mentioning sorting shuffling joining and sampling"),
+      (14L, "entirely novel text mentioning sorting shuffling joining and sampling") // within-batch dup: kept (out of scope)
+    ).toDF("id", "text")
+    val kept = Dedup.dedupAgainst(batch, existing, 3, 64, 16, 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(13L, 14L))
+  }
+}
