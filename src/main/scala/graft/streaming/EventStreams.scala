@@ -100,6 +100,35 @@ object EventStreams {
   def dedupStream(events: DataFrame, idCol: String, delay: String): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates(idCol, "ts")
 
+  /** Streaming dedup for retries that re-stamp the event: unlike
+    * [[dedupStream]] (exact (id, ts) key), this drops ANY later record with
+    * a seen id as long as it arrives within the watermark delay of the
+    * first — the at-least-once repair for sources whose replays carry a
+    * fresh timestamp (producer retries, reconnect storms). State per id is
+    * evicted once the watermark passes its first-seen ts + delay.
+    */
+  def dedupStreamWithinWatermark(events: DataFrame, idCol: String,
+      delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]] but
+    * left rows with no match within the interval are still emitted (null
+    * right side) once the right watermark passes the interval's end — the
+    * streaming form of "orders with no matching payment in 10 minutes".
+    * Both watermarks are mandatory: they bound the buffered state AND
+    * decide when an unmatched left row is final.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      delay: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", delay).as("l")
+    val r = right.withWatermark("rts", delay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.rts") >= col("l.ts") &&
+        col("r.rts") <= col("l.ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   /** Stream-stream interval join: match records of two event streams on a
     * key within a bounded event-time window. Both watermarks + the interval
     * condition bound the buffered state on each side — the streaming twin

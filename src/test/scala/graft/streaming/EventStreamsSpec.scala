@@ -86,6 +86,51 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupStreamWithinWatermark drops re-stamped duplicates, passes distinct ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStreams.dedupStreamWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "event_type"), "event_id", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    try {
+      input.addData((1L, ts(60), "a"), (2L, ts(61), "b"))
+      q.processAllAvailable()
+      // id 1 replayed with a LATER timestamp: dropDuplicates(id, ts) would
+      // pass it; within-watermark dedup must drop it
+      input.addData((1L, ts(63), "a"), (3L, ts(64), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("ddw").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("left-outer interval join emits unmatched left rows with nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[(Long, Timestamp)]
+    val rin = MemoryStream[(Long, Timestamp, Double)]
+    val out = EventStreams.intervalJoinLeftOuter(
+      lin.toDF().toDF("user_id", "ts"),
+      rin.toDF().toDF("user_id", "rts", "value"),
+      "user_id", "5 minutes", "10 minutes")
+      .select(col("l.user_id"), col("value"))
+    val q = out.writeStream.format("memory").queryName("loj").outputMode("append").start()
+    try {
+      lin.addData((7L, ts(60)), (8L, ts(60))) // 8 will never match
+      rin.addData((7L, ts(65), 42.0)) // within [60, 70] for user 7
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 70 so user 8's null row is final
+      lin.addData((99L, ts(200))); rin.addData((98L, ts(200), 0.0))
+      q.processAllAvailable()
+      lin.addData((97L, ts(400))); rin.addData((96L, ts(400), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("loj").as[(Long, Option[Double])].collect()
+        .filter(r => r._1 == 7L || r._1 == 8L).sortBy(_._1)
+      assert(got.toSeq == Seq((7L, Some(42.0)), (8L, None)))
+    } finally q.stop()
+  }
+
   test("runningTypeCounts in update mode tracks totals incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
