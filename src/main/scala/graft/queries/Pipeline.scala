@@ -679,6 +679,29 @@ object Pipeline {
     s"""SELECT doc_id, source FROM documents
        |WHERE ${graft.operators.Sampling.mixtureSampleSql("doc_id", "source", MixRates, MixDefault)}""".stripMargin
 
+  // ===== q75 stratified deterministic sample =============================
+  // Exactly-N-per-stratum sampling (balanced eval sets, per-language
+  // calibration subsets): rank docs within each stratum by the content-
+  // stable md5 hash — uniform but reproducible — and keep the top N.
+  // Implementation IS domainCap with the hash as the score, so it
+  // inherits the O(k)-state aggregate plan (no hot-stratum window sort).
+
+  private val StratumN = 20
+
+  private def q75(t: Tables): DataFrame =
+    graft.operators.Curation.domainCap(
+      t.documents, col("lang"), col("doc_id"),
+      Dedup.SharedHash.hash28(col("doc_id").cast("string")).cast("double"),
+      StratumN)
+      .select(col("domain").as("lang"), col("rank").as("rnk"),
+        col("id").as("doc_id"))
+
+  private val q75Sql =
+    s"""SELECT lang, rnk, doc_id FROM (
+       |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(doc_id AS VARCHAR)")} DESC, doc_id) AS rnk
+       |  FROM documents) WHERE rnk <= $StratumN""".stripMargin
+
   // ===== q74 incremental (cross-corpus) dedup ============================
   // Ingestion-time dedup: of the "new batch" (doc_id ≡ 7 mod 10), keep
   // docs that are neither exact copies nor LSH near-dups (J ≥ 0.8) of the
@@ -750,7 +773,8 @@ object Pipeline {
     "q71_decontaminate" -> wrap(q71),
     "q72_token_pack" -> wrap(q72),
     "q73_mixture_sample" -> wrap(q73),
-    "q74_dedup_incremental" -> wrap(q74)
+    "q74_dedup_incremental" -> wrap(q74),
+    "q75_stratified_sample" -> wrap(q75)
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,6 +805,7 @@ object Pipeline {
     "q71_decontaminate" -> q71Sql,
     "q72_token_pack" -> q72Sql,
     "q73_mixture_sample" -> q73Sql,
-    "q74_dedup_incremental" -> q74Sql
+    "q74_dedup_incremental" -> q74Sql,
+    "q75_stratified_sample" -> q75Sql
   )
 }
