@@ -97,29 +97,66 @@ object Similarity {
     * only those inverted lists. At 100 TB: assignment is a broadcast-join
     * map, probing is a cell-key equi-join — no cross product anywhere.
     */
+  /** Deterministic training-free coarse quantizer: the first `nCells`
+    * corpus vectors are the centroids (no k-means RNG, so the oracle can
+    * reproduce cell assignment exactly).
+    */
+  private def centroidsOf(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+
+  /** Assign each row to its `n` max-cosine cells. Ranks nCells candidates
+    * per vector with the bounded top-k aggregate: the map side collapses
+    * to n structs per vector before the exchange (vs shuffling all
+    * |df|·nCells scored rows into a per-vector window sort). first(vec) is
+    * well-defined — every row of a group carries the same vector.
+    */
+  private def bestCells(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, n: Int): DataFrame =
+    df.join(broadcast(cents), lit(true))
+      .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 4))
+      .groupBy(col(idCol))
+      .agg(
+        graft.functions.topk_by_score(col("cscore"), col("cent_id"), n).as("top"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), explode(col("top.id")).as("cell"))
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, nCells: Int, nProbe: Int,
       k: Int): DataFrame = {
-    val cents = corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    // Cell assignment ranks nCells candidates per vector with the bounded
-    // top-k aggregate: the map side collapses to n structs per vector
-    // before the exchange (vs shuffling all |df|·nCells scored rows into a
-    // per-vector window sort). first(vec) is well-defined — every row of a
-    // group carries the same vector.
-    def bestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) =
-      df.join(broadcast(cents), lit(true))
-        .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), 4))
-        .groupBy(col(idCol))
-        .agg(
-          graft.functions.topk_by_score(col("cscore"), col("cent_id"), n).as("top"),
-          first(col(vecCol)).as(vecCol))
-        .select(col(idCol), col(vecCol), explode(col("top.id")).as("cell"))
-    val lists = bestCells(corpus, "vec_id", "embedding", 1)
-    val probes = bestCells(queries, "q_id", "q_vec", nProbe)
+    val cents = centroidsOf(corpus, nCells)
+    val lists = bestCells(corpus, cents, "vec_id", "embedding", 1)
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
     val scored = lists.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
     rankTopK(scored, k)
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023-style): partition the
+    * corpus into IVF cells, drop every vector with cosine ≥ threshold to a
+    * lower-id vector WITHIN its cell, return the survivors. Cluster-scoped
+    * candidate generation is the published algorithm's tradeoff: cross-cell
+    * near-dups are missed by design, in exchange for candidate pairs
+    * bounded by Σ|cell|² instead of |corpus|² — with balanced cells at
+    * 100 TB that is a per-cell-key equi-join AQE can split further on
+    * skew. Exact-verify (the cosine) runs only inside cells.
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int,
+      threshold: Double): DataFrame = {
+    val cents = centroidsOf(corpus, nCells)
+    // the cell assignment feeds both sides of the self-join — persist, or
+    // the centroid broadcast-score pass runs twice
+    val lists = bestCells(corpus, cents, "vec_id", "embedding", 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = lists.as("x")
+      .join(lists.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cosine(col("x.embedding"), col("y.embedding")), 4)
+        >= threshold)
+      .select(col("y.vec_id").as("drop_id"))
+      .distinct()
+    corpus.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"))
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,

@@ -455,6 +455,30 @@ object Pipeline {
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ===== q76 semantic dedup (SemDeDup-style) =============================
+  // Cluster-then-dedup: IVF-cell assignment (deterministic centroids, as
+  // q44), then drop any vector with cosine ≥ threshold to a lower-id
+  // vector within its cell. Output = surviving vec_ids.
+
+  private def q76(t: Tables): DataFrame =
+    Similarity.semanticDedup(graft.Fanout(t.embeddings), IvfCells, CosT)
+
+  private val q76Sql = {
+    val best =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY round(${cosSql("s.v", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM e s CROSS JOIN cents c) WHERE crn <= 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |lists AS MATERIALIZED ($best),
+       |drops AS (SELECT DISTINCT y.vec_id AS drop_id
+       |          FROM lists x JOIN lists y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |          WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT)
+       |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
+  }
+
   // ===== q45 approximate sketches (HLL / quantile sketch) ================
   // No DuckDB oracle: sketch implementations differ across engines by
   // design, so the driver records the weaker rows-only check. The exact
@@ -774,7 +798,8 @@ object Pipeline {
     "q72_token_pack" -> wrap(q72),
     "q73_mixture_sample" -> wrap(q73),
     "q74_dedup_incremental" -> wrap(q74),
-    "q75_stratified_sample" -> wrap(q75)
+    "q75_stratified_sample" -> wrap(q75),
+    "q76_semantic_dedup" -> wrap(q76)
   )
 
   val oracles: Map[String, String] = Map(
@@ -806,6 +831,7 @@ object Pipeline {
     "q72_token_pack" -> q72Sql,
     "q73_mixture_sample" -> q73Sql,
     "q74_dedup_incremental" -> q74Sql,
-    "q75_stratified_sample" -> q75Sql
+    "q75_stratified_sample" -> q75Sql,
+    "q76_semantic_dedup" -> q76Sql
   )
 }

@@ -55,4 +55,13 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 1.0))
   }
+
+  test("semanticDedup drops the higher-id duplicate within a cell, keeps the rest") {
+    // vec 4 is identical to vec 0 (cosine 1.0) -> same cell, 4 dropped;
+    // 0 survives as the lower id; everything else is unique enough
+    val kept = Similarity.semanticDedup(vecs, nCells = 2, threshold = 0.99)
+      .as[Long].collect().toSet
+    assert(!kept.contains(4L) && kept.contains(0L))
+    assert(kept.size == vecs.count() - 1)
+  }
 }
