@@ -92,6 +92,47 @@ object EventStreams {
   def runningTypeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
 
+  final case class Totals(n_events: Long, sum_value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user running totals on the `transformWithState` (state v2) API —
+    * the successor to flatMapGroupsWithState: named typed state cells with
+    * per-cell TTL, timers decoupled from output, RocksDB-backed. This is
+    * the extension point a long-running 100 TB/day pipeline should target
+    * for custom state (TTL evicts dormant keys without hand-rolled timer
+    * bookkeeping the way [[sessionize]] must). Requires the RocksDB state
+    * store provider.
+    */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Totals]("totals",
+        org.apache.spark.sql.Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      var n = 0L
+      var s = 0.0
+      rows.foreach { e => n += 1; s += e.value }
+      val prev = if (totals.exists()) totals.get() else Totals(0L, 0.0)
+      val next = Totals(prev.n_events + n, prev.sum_value + s)
+      totals.update(next)
+      Iterator.single(UserTotal(key, next.n_events, next.sum_value))
+    }
+  }
+
+  /** Update-mode per-user totals via [[RunningTotalsProcessor]]. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup: drop events whose `idCol` was already seen,
     * with state bounded by the watermark (late duplicates beyond `delay`
     * age out of the state store — the standard at-least-once → effectively-

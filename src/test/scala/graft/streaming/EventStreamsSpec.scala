@@ -86,6 +86,33 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB provider (state v2)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val out = EventStreams.runningUserTotals(input.toDS())
+      val q = out.writeStream.format("memory").queryName("tws").outputMode("update").start()
+      try {
+        input.addData(Event(1, ts(60), 7L, "x", 2.0), Event(2, ts(61), 7L, "x", 3.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(62), 7L, "x", 5.0), Event(4, ts(62), 8L, "y", 1.0))
+        q.processAllAvailable()
+        val last = spark.table("tws").as[EventStreams.UserTotal].collect()
+          .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+        assert(last(7L) == EventStreams.UserTotal(7L, 3L, 10.0))
+        assert(last(8L) == EventStreams.UserTotal(8L, 1L, 1.0))
+      } finally q.stop()
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("dedupStreamWithinWatermark drops re-stamped duplicates, passes distinct ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
