@@ -771,6 +771,53 @@ object Relational {
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
       | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin
 
+  // q77 — unpivot/melt (wide → long): lineitem's three measures become
+  // (metric, value) rows. Plans as a single Expand — a narrow 3× flat-map
+  // (the reference's TokenProcessor shape over columns instead of words),
+  // no shuffle.
+  private def q77(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_orderkey") < 1000)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
+  private val q77Sql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |FROM lineitem WHERE l_orderkey < 1000
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM lineitem WHERE l_orderkey < 1000
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |FROM lineitem WHERE l_orderkey < 1000""".stripMargin
+
+  // q78 — lag/lead analytic windows: per-user event deltas (value change
+  // and seconds since the previous event). One hash exchange on user_id +
+  // per-partition sort; no global ordering anywhere.
+  private def q78(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events.select(
+      col("event_id"), col("user_id"),
+      round(col("value") - lag(col("value"), 1).over(w), 4).as("d_value"),
+      // integer µs on both engines: DuckDB's double→BIGINT cast ROUNDS
+      // while Spark's timestamp→long cast truncates — epoch_us/unix_micros
+      // sidesteps the fractional-second mismatch entirely
+      (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .as("gap_us"),
+      (lead(col("event_id"), 1).over(w)).as("next_id"))
+  }
+
+  private val q78Sql =
+    """SELECT event_id, user_id,
+      |  round(value - lag(value, 1) OVER w, 4) AS d_value,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+      |  lead(event_id, 1) OVER w AS next_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
@@ -821,7 +868,9 @@ object Relational {
     "q66_having_topk" -> wrap(q66),
     "q67_running_window" -> wrap(q67),
     "q68_asof_join" -> wrap(q68),
-    "q69_range_join" -> wrap(q69)
+    "q69_range_join" -> wrap(q69),
+    "q77_unpivot" -> wrap(q77),
+    "q78_lead_lag" -> wrap(q78)
   )
 
   val oracles: Map[String, String] = Map(
@@ -870,6 +919,8 @@ object Relational {
     "q66_having_topk" -> q66Sql,
     "q67_running_window" -> q67Sql,
     "q68_asof_join" -> q68Sql,
-    "q69_range_join" -> q69Sql
+    "q69_range_join" -> q69Sql,
+    "q77_unpivot" -> q77Sql,
+    "q78_lead_lag" -> q78Sql
   )
 }
