@@ -68,14 +68,76 @@ object Curation {
     * per bin: (domain, bin, n_docs, bin_tokens).
     */
   def packBins(df: DataFrame, domain: Column, id: Column, tokens: Column,
-      budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__dom")).orderBy(col("__id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(domain.as("__dom"), id.as("__id"), tokens.as("__tok"))
-      .withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      budget: Long): DataFrame =
+    binsOf(df, domain, id, tokens, None)
       .withColumn("bin", floor(col("__cum") / lit(budget.toDouble)).cast("long"))
       .groupBy(col("__dom").as("domain"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("bin_tokens"))
+
+  /** The window form's scale ceiling is parallelism = |domains|: one
+    * enormous domain funnels its whole row set through a single task's
+    * running sum. [[packBinsScalable]] removes it with the classic
+    * distributed scan: range-partition by (domain, id) so global order
+    * holds ACROSS partitions, run the prefix sum locally per partition
+    * (one sequential pass), aggregate one subtotal per (partition, domain)
+    * — a tiny table — cumulate those into per-partition starting offsets
+    * with a window over the tiny table only, and broadcast the offsets
+    * back. Identical output to [[packBins]] for any partition count (bin
+    * ids depend only on the global order and totals, not boundaries) —
+    * pinned by CurationSpec.
+    */
+  def packBinsScalable(df: DataFrame, domain: Column, id: Column,
+      tokens: Column, budget: Long, partitions: Int): DataFrame =
+    binsOf(df, domain, id, tokens, Some(partitions))
+      .withColumn("bin", floor(col("__cum") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("__dom").as("domain"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("bin_tokens"))
+
+  /** Rows with the per-domain exclusive prefix sum in `__cum`:
+    * single-window form (scanParts = None) or distributed-scan form.
+    */
+  private def binsOf(df: DataFrame, domain: Column, id: Column,
+      tokens: Column, scanParts: Option[Int]): DataFrame = {
+    val base = df.select(domain.cast("string").as("__dom"),
+      id.cast("long").as("__id"), tokens.cast("long").as("__tok"))
+    scanParts match {
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__dom")).orderBy(col("__id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        base.withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      case Some(parts) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        // local exclusive prefix per (partition, domain): one sequential
+        // pass over each range partition's sorted iterator
+        val local = base
+          .repartitionByRange(parts, col("__dom"), col("__id"))
+          .sortWithinPartitions(col("__dom"), col("__id"))
+          .as[(String, Long, Long)]
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var cur: String = null
+            var run = 0L
+            it.map { case (d, i, t) =>
+              if (d != cur) { cur = d; run = 0L }
+              val excl = run
+              run += t
+              (d, i, t, pid, excl)
+            }
+          }
+          .toDF("__dom", "__id", "__tok", "__pid", "__local")
+        // per-(domain, partition) subtotals are |partitions|-scale rows —
+        // the only data the cross-partition window ever touches
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__dom")).orderBy(col("__pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("__dom"), col("__pid"))
+          .agg(sum(col("__tok")).as("__ptot"))
+          .withColumn("__off", coalesce(sum(col("__ptot")).over(w), lit(0L)))
+          .select(col("__dom"), col("__pid"), col("__off"))
+        local.join(broadcast(offsets), Seq("__dom", "__pid"))
+          .withColumn("__cum", col("__local") + col("__off"))
+    }
   }
 }

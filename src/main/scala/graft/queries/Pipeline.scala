@@ -663,16 +663,20 @@ object Pipeline {
   // ===== q72 token-budget packing ========================================
   // Concat-and-chunk sharding: per source, documents in id order fill
   // consecutive ~1000-token bins (bin = exclusive-prefix-sum DIV budget).
-  // The window is per-source (hash exchange + partition sort), not a
-  // global total-order sort — parallelism stays |sources| at 100 TB.
+  // Benched in the DISTRIBUTED-scan form (range partition → local prefix
+  // → tiny offsets table): parallelism is the partition count, not
+  // |sources| — one giant source cannot funnel through a single window
+  // task. Bin ids are partitioning-invariant (identity with the one-window
+  // form pinned by CurationSpec), so the oracle is the plain window SQL.
 
   private val PackBudget = 1000L
 
   private def q72(t: Tables): DataFrame =
-    graft.operators.Curation.packBins(
+    graft.operators.Curation.packBinsScalable(
       t.documents.select(col("source"), col("doc_id"),
         graft.operators.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok")),
-      col("source"), col("doc_id"), col("n_tok"), PackBudget)
+      col("source"), col("doc_id"), col("n_tok"), PackBudget,
+      partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_docs"),
         col("bin_tokens"))
 

@@ -64,6 +64,20 @@ class CurationSpec extends AnyFunSuite {
       ("b", 0L) -> (1L, 2500L), ("b", 2L) -> (1L, 100L)))
   }
 
+  test("packBinsScalable is identical to the window form for any partition count") {
+    val d = docs.select(col("source"), col("doc_id"),
+      (col("n_chars") % 700).as("tok"))
+    val win = Curation.packBins(d, col("source"), col("doc_id"), col("tok"), 1000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (parts <- Seq(1, 3, 16)) {
+      val dist = Curation.packBinsScalable(
+        d, col("source"), col("doc_id"), col("tok"), 1000L, parts)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(dist == win, s"parts=$parts")
+    }
+    assert(win.nonEmpty)
+  }
+
   test("mixtureSample applies per-source rates deterministically") {
     val d = docs.select(col("doc_id"), col("source"))
     val rates = Seq("src0" -> 100, "src1" -> 0)
