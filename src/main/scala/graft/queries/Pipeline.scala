@@ -730,6 +730,29 @@ object Pipeline {
        |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(doc_id AS VARCHAR)")} DESC, doc_id) AS rnk
        |  FROM documents) WHERE rnk <= $StratumN""".stripMargin
 
+  // ===== q79 per-language percentile quality cutoff ======================
+  // Keep documents above their language's p90 token count — the grouped-
+  // quantile filter shape every quality pipeline runs (per-stratum cutoffs
+  // beat a global one when strata differ structurally). Exact interpolated
+  // percentile per group, tiny cutoff table broadcast back, narrow filter.
+
+  private def q79(t: Tables): DataFrame = {
+    val toks = t.documents.select(col("doc_id"), col("lang"),
+      graft.operators.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    val cuts = toks.groupBy(col("lang"))
+      .agg(round(expr("percentile(n_tok, 0.9)"), 4).as("p90"))
+    toks.join(broadcast(cuts), Seq("lang"))
+      .filter(col("n_tok") > col("p90"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+  }
+
+  private val q79Sql =
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT lang, round(quantile_cont(n_tok, 0.9), 4) AS p90 FROM tk GROUP BY lang)
+       |SELECT doc_id, tk.lang, n_tok FROM tk JOIN c ON tk.lang = c.lang
+       |WHERE n_tok > p90""".stripMargin
+
   // ===== q74 incremental (cross-corpus) dedup ============================
   // Ingestion-time dedup: of the "new batch" (doc_id ≡ 7 mod 10), keep
   // docs that are neither exact copies nor LSH near-dups (J ≥ 0.8) of the
@@ -803,7 +826,8 @@ object Pipeline {
     "q73_mixture_sample" -> wrap(q73),
     "q74_dedup_incremental" -> wrap(q74),
     "q75_stratified_sample" -> wrap(q75),
-    "q76_semantic_dedup" -> wrap(q76)
+    "q76_semantic_dedup" -> wrap(q76),
+    "q79_quality_cutoff" -> wrap(q79)
   )
 
   val oracles: Map[String, String] = Map(
@@ -836,6 +860,7 @@ object Pipeline {
     "q73_mixture_sample" -> q73Sql,
     "q74_dedup_incremental" -> q74Sql,
     "q75_stratified_sample" -> q75Sql,
-    "q76_semantic_dedup" -> q76Sql
+    "q76_semantic_dedup" -> q76Sql,
+    "q79_quality_cutoff" -> q79Sql
   )
 }
