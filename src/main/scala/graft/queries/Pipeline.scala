@@ -730,6 +730,38 @@ object Pipeline {
        |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(doc_id AS VARCHAR)")} DESC, doc_id) AS rnk
        |  FROM documents) WHERE rnk <= $StratumN""".stripMargin
 
+  // ===== q80 overlapping document chunking ===============================
+  // Sliding-window chunking before tokenization: every doc becomes
+  // ⌈n/stride⌉ chunks of ≤ ChunkLen tokens starting every ChunkStride —
+  // the long-context sharding step. Pure narrow map + explode (zero
+  // shuffle); chunks identified by start offset and content md5 so the
+  // output stays compact.
+
+  private val ChunkLen = 50
+  private val ChunkStride = 25
+
+  private def q80(t: Tables): DataFrame =
+    t.documents
+      .withColumn("words", split(lower(col("text")), """\s+"""))
+      .withColumn("n", size(col("words")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("chunk_start"))
+      .withColumn("chunk",
+        slice(col("words"), col("chunk_start") + 1, lit(ChunkLen)))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+
+  private val q80Sql =
+    s"""WITH $wordsCte,
+       |s AS (SELECT id, words, unnest(generate_series(0, len(words) - 1, $ChunkStride)) AS st
+       |      FROM w WHERE len(words) > 0)
+       |SELECT id AS doc_id, CAST(st AS BIGINT) AS chunk_start,
+       |  CAST(len(words[st+1:st+$ChunkLen]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(words[st+1:st+$ChunkLen], ' ')) AS chunk_md5
+       |FROM s""".stripMargin
+
   // ===== q79 per-language percentile quality cutoff ======================
   // Keep documents above their language's p90 token count — the grouped-
   // quantile filter shape every quality pipeline runs (per-stratum cutoffs
@@ -827,7 +859,8 @@ object Pipeline {
     "q74_dedup_incremental" -> wrap(q74),
     "q75_stratified_sample" -> wrap(q75),
     "q76_semantic_dedup" -> wrap(q76),
-    "q79_quality_cutoff" -> wrap(q79)
+    "q79_quality_cutoff" -> wrap(q79),
+    "q80_doc_chunking" -> wrap(q80)
   )
 
   val oracles: Map[String, String] = Map(
@@ -861,6 +894,7 @@ object Pipeline {
     "q74_dedup_incremental" -> q74Sql,
     "q75_stratified_sample" -> q75Sql,
     "q76_semantic_dedup" -> q76Sql,
-    "q79_quality_cutoff" -> q79Sql
+    "q79_quality_cutoff" -> q79Sql,
+    "q80_doc_chunking" -> q80Sql
   )
 }
