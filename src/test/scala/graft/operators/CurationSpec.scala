@@ -78,6 +78,23 @@ class CurationSpec extends AnyFunSuite {
     assert(win.nonEmpty)
   }
 
+  test("packBinsScalable handles a hot domain spanning many partitions") {
+    // 9k rows in one domain vs 50 each in two others: the window form puts
+    // the hot domain on one task; the distributed form must still match it
+    val rows = (1 to 9000).map(i => ("hot", i.toLong, (i % 7 + 1).toLong)) ++
+      (1 to 50).map(i => ("a", 10000L + i, 3L)) ++
+      (1 to 50).map(i => ("b", 20000L + i, 5L))
+    val d = rows.toDF("src", "id", "tok")
+    val win = Curation.packBins(d, col("src"), col("id"), col("tok"), 100L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val dist = Curation.packBinsScalable(d, col("src"), col("id"), col("tok"),
+      100L, partitions = 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(dist == win)
+    // the hot domain really spans bins: ~9000*4 tokens / 100 per bin
+    assert(win.count(_._1 == "hot") > 100)
+  }
+
   test("mixtureSample applies per-source rates deterministically") {
     val d = docs.select(col("doc_id"), col("source"))
     val rates = Seq("src0" -> 100, "src1" -> 0)
