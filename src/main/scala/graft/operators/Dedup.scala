@@ -299,23 +299,62 @@ object Dedup {
     */
   def dedupAgainst(newDocs: DataFrame, existing: DataFrame, // columns: id, text
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    dedupAgainstParts(newDocs,
+      existing.select(md5(col("text")).as("h")),
+      bandKeys(lshSignatures(existing, n, numHashes), numHashes, bands),
+      shingleArrays(existing, n),
+      n, numHashes, bands, threshold)
+
+  /** The three derived views of a corpus that [[dedupAgainst]] actually
+    * joins against — exact-text hashes, LSH band keys, shingle arrays —
+    * written to parquet once. At 100 TB this is the production shape: the
+    * index is built (or incrementally appended) when documents are
+    * ingested, and each new batch's dedup cost is then proportional to
+    * the BATCH, never the corpus. Band keys are written partitioned by
+    * band so a probe scans only colliding bands.
+    */
+  def writeCorpusIndex(docs: DataFrame, dir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    docs.select(md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    shingleArrays(docs, n)
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** [[dedupAgainst]] against a stored [[writeCorpusIndex]] — identical
+    * output, corpus-side compute replaced by three parquet scans.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, dir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    dedupAgainstParts(newDocs,
+      spark.read.parquet(s"$dir/hashes"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      n, numHashes, bands, threshold)
+  }
+
+  private def dedupAgainstParts(newDocs: DataFrame, exHashes: DataFrame,
+      exBands: DataFrame, exShingles: DataFrame,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val nd = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exactDrops = nd.select(col("id"), md5(col("text")).as("__h"))
-      .join(existing.select(md5(col("text")).as("__h")), "__h")
+    val exactDrops = nd.select(col("id"), md5(col("text")).as("h"))
+      .join(exHashes, "h")
       .select(col("id"))
     val bandedNew = bandKeys(lshSignatures(nd, n, numHashes), numHashes, bands)
-    val bandedEx = bandKeys(lshSignatures(existing, n, numHashes), numHashes, bands)
     val cand = bandedNew.as("x")
-      .join(bandedEx.as("y"),
+      .join(exBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.id").as("id_n"), col("y.id").as("id_e"))
       .distinct()
     val shNew = shingleArrays(nd, n)
-    val shEx = shingleArrays(existing, n)
     val nearDrops = cand
       .join(shNew.as("a"), col("id_n") === col("a.id"))
-      .join(shEx.as("b"), col("id_e") === col("b.id"))
+      .join(exShingles.as("b"), col("id_e") === col("b.id"))
       .withColumn("n_common",
         graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
       .filter(round(col("n_common").cast("double") /

@@ -114,6 +114,19 @@ class CurationSpec extends AnyFunSuite {
     assert(keptOthers > 0 && keptOthers < allOthers)
   }
 
+  test("dedupAgainstIndex over a stored corpus index matches the direct form") {
+    val d = docs.select(col("doc_id").as("id"), col("text"))
+    val existing = d.filter(col("id") % 3 =!= 0)
+    val batch = d.filter(col("id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    Dedup.writeCorpusIndex(existing, dir, 3, 64, 16)
+    val direct = Dedup.dedupAgainst(batch, existing, 3, 64, 16, 0.8)
+      .select("id").as[Long].collect().toSet
+    val indexed = Dedup.dedupAgainstIndex(batch, dir, 3, 64, 16, 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
   test("dedupAgainst drops exact and near dups of the existing corpus only") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
