@@ -471,4 +471,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Segment-level (paragraph-level) dedup: split every document into
+    * consecutive `segLen`-token segments, keep each distinct segment only
+    * at its globally-first occurrence (lowest (id, position)), and
+    * reassemble the surviving text per document in original order. This is
+    * the C4/CCNet-style "drop repeated paragraphs across the corpus" step —
+    * finer-grained than document dedup, catches boilerplate shared by
+    * otherwise-distinct pages. Documents whose every segment is owned
+    * elsewhere disappear entirely. Input: (id, text); output:
+    * (id, n_kept, text).
+    *
+    * Scale design: the explode is a narrow map bounded by n_tokens/segLen
+    * rows per doc (total rows ≈ corpus token count / segLen). First-owner
+    * election is ONE hash-partitioned aggregate on the segment hash with
+    * partial min — a hot segment (site boilerplate repeated 10^9 times)
+    * costs O(1) aggregation state per partition, never a windowed sort of
+    * the hot group. The winner set joins back on the hash (AQE skew-join
+    * splits hot hashes) and reassembly is one shuffle by doc id. Total:
+    * two hash shuffles of segment-sized rows, no O(n²) stage, no window
+    * over an unbounded group.
+    */
+  def segmentDedup(docs: DataFrame, segLen: Int): DataFrame = {
+    val segs = docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .filter(size(col("__w")) > 0)
+      .select(col("id"), col("__w"),
+        explode(expr(s"sequence(0, size(__w) - 1, $segLen)")).as("__st"))
+      .select(col("id"), col("__st").cast("long").as("pos"),
+        concat_ws(" ", slice(col("__w"), col("__st") + 1, lit(segLen))).as("seg"))
+      .withColumn("h", md5(col("seg")))
+      // first-owner key: (id, pos) packed into one long — docs are far
+      // shorter than 2^20 tokens, and the same encoding is trivially
+      // reproducible in any SQL engine (id * 2^20 + pos)
+      .withColumn("fk", col("id") * lit(1048576L) + col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstOwner = segs.groupBy(col("h")).agg(min(col("fk")).as("mfk"))
+    segs.join(firstOwner,
+        segs("h") === firstOwner("h") && segs("fk") === firstOwner("mfk"))
+      .groupBy(segs("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          e => e.getField("seg"))).as("text"))
+  }
 }

@@ -762,6 +762,37 @@ object Pipeline {
        |  md5(array_to_string(words[st+1:st+$ChunkLen], ' ')) AS chunk_md5
        |FROM s""".stripMargin
 
+  // ===== q81 segment-level (paragraph) dedup =============================
+  // C4/CCNet-shaped cross-document segment dedup: every SegDedupLen-token
+  // segment survives only at its globally-first (id, pos); docs are
+  // reassembled from surviving segments. One hash aggregate elects owners
+  // (partial min — hot boilerplate segments cost O(1) state), one join
+  // back, one reassembly shuffle. Output compacted to (doc_id, n_kept,
+  // md5 of the surviving text).
+
+  private val SegDedupLen = 3
+
+  private def q81(t: Tables): DataFrame =
+    Dedup.segmentDedup(
+      t.documents.select(col("doc_id").as("id"), col("text")), SegDedupLen)
+      .select(col("id").as("doc_id"), col("n_kept"),
+        md5(col("text")).as("kept_md5"))
+
+  private val q81Sql =
+    s"""WITH $wordsCte,
+       |s0 AS (SELECT id, words, unnest(generate_series(0, len(words) - 1, $SegDedupLen)) AS st
+       |       FROM w WHERE len(words) > 0),
+       |h AS (SELECT id, CAST(st AS BIGINT) AS pos,
+       |        array_to_string(words[st+1:st+$SegDedupLen], ' ') AS seg,
+       |        md5(array_to_string(words[st+1:st+$SegDedupLen], ' ')) AS hh,
+       |        id * 1048576 + st AS fk
+       |      FROM s0),
+       |f AS (SELECT hh, min(fk) AS mfk FROM h GROUP BY hh)
+       |SELECT id AS doc_id, count(*) AS n_kept,
+       |  md5(string_agg(seg, ' ' ORDER BY pos)) AS kept_md5
+       |FROM h JOIN f ON h.hh = f.hh AND h.fk = f.mfk
+       |GROUP BY id""".stripMargin
+
   // ===== q79 per-language percentile quality cutoff ======================
   // Keep documents above their language's p90 token count — the grouped-
   // quantile filter shape every quality pipeline runs (per-stratum cutoffs
@@ -860,7 +891,8 @@ object Pipeline {
     "q75_stratified_sample" -> wrap(q75),
     "q76_semantic_dedup" -> wrap(q76),
     "q79_quality_cutoff" -> wrap(q79),
-    "q80_doc_chunking" -> wrap(q80)
+    "q80_doc_chunking" -> wrap(q80),
+    "q81_segment_dedup" -> wrap(q81)
   )
 
   val oracles: Map[String, String] = Map(
@@ -895,6 +927,7 @@ object Pipeline {
     "q75_stratified_sample" -> q75Sql,
     "q76_semantic_dedup" -> q76Sql,
     "q79_quality_cutoff" -> q79Sql,
-    "q80_doc_chunking" -> q80Sql
+    "q80_doc_chunking" -> q80Sql,
+    "q81_segment_dedup" -> q81Sql
   )
 }

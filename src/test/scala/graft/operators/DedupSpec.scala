@@ -118,4 +118,26 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib, h)).toSet
     assert(banded == brute)
   }
+
+  test("segmentDedup keeps each segment at its first owner and reassembles in order") {
+    // segLen=4: doc 1 = [A B C D] [E F G H]; doc 2 shares segment [A B C D]
+    // and owns [X Y Z W]; doc 3 is entirely a copy of doc 1's segments.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z w"),
+      (3L, "e f g h a b c d")
+    ).toDF("id", "text")
+    val out = Dedup.segmentDedup(docs, 4)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (2L, "a b c d e f g h")) // owns both its segments
+    assert(out(2L) == (1L, "x y z w"))         // shared prefix dropped
+    assert(!out.contains(3L))                  // nothing left to keep
+  }
+
+  test("segmentDedup drops a within-doc repeated segment after its first position") {
+    val docs = Seq((7L, "p q r s p q r s t u v w")).toDF("id", "text")
+    val out = Dedup.segmentDedup(docs, 4)
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((7L, 2L, "p q r s t u v w")))
+  }
 }
