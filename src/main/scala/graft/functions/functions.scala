@@ -105,6 +105,8 @@ package functions {
 
 /** Zero-arg extensions class usable via spark.sql.extensions. */
 class GraftFunctionExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.Register.entries.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -1,0 +1,108 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.TemporalJoins
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("native as-of matches the brute-force latest-at-or-before per row") {
+    val left = Seq(
+      (1L, 1, ts(100)), (2L, 1, ts(205)), (3L, 1, ts(300)),
+      (4L, 2, ts(150)), (5L, 3, ts(500))
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1, ts(90), 9.0), (1, ts(205), 20.5), (1, ts(250), 25.0),
+      (2, ts(200), 99.0)
+    ).toDF("k", "rts", "v")
+      .select($"k", $"rts", $"rts".as("rts_val"), $"v")
+
+    val got = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("rts_val", "v"))
+      .select("event_id", "rts_val", "v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map { case (id, t, v) => id -> ((t, v)) }.toMap
+
+    assert(got(1L) == ((Some(ts(90)), Some(9.0))))
+    assert(got(2L) == ((Some(ts(205)), Some(20.5))))
+    assert(got(3L) == ((Some(ts(250)), Some(25.0))))
+    assert(got(4L) == ((None, None)))
+    assert(got(5L) == ((None, None)))
+  }
+
+  test("native as-of agrees with asOfBackward on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 2000).map { i =>
+      (i.toLong, rnd.nextInt(40), ts(rnd.nextInt(10000).toLong))
+    }.toDF("event_id", "k", "ts").repartition(7)
+    val right = (1 to 800).map { i =>
+      (rnd.nextInt(50), ts(rnd.nextInt(10000).toLong), rnd.nextInt(1000) / 10.0)
+    }.distinct.groupBy(_._1).flatMap { case (_, rows) =>
+      // unique per (key, ts): keep max value like the q68 pre-aggregation
+      rows.groupBy(_._2).map { case (t, g) => (g.head._1, t, g.map(_._3).max) }
+    }.toSeq.toDF("k", "rts", "v")
+      .select($"k", $"rts", $"rts".as("rts_val"), $"v").repartition(5)
+
+    val a = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("rts_val", "v"))
+      .select("event_id", "rts_val", "v").collect().map(_.toSeq).toSet
+    val b = TemporalJoins.asOfBackward(left, right, "k", "ts", "rts", Seq("rts_val", "v"))
+      .select("event_id", "rts_val", "v").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("NULL keys and NULL timestamps never match") {
+    val left = Seq(
+      (1L, Option(1), Option(ts(100))),
+      (2L, Option.empty[Int], Option(ts(100))),
+      (3L, Option(1), Option.empty[Timestamp])
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (Option(1), Option(ts(50)), 5.0),
+      (Option.empty[Int], Option(ts(40)), 4.0),
+      (Option(1), Option.empty[Timestamp], 3.0)
+    ).toDF("k", "rts", "v").select($"k", $"rts", $"v")
+
+    val got = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("v"))
+      .select("event_id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) == Some(5.0))  // only the non-null right row matches
+    assert(got(2L) == None)
+    assert(got(3L) == None)
+  }
+
+  test("plan is the merge operator — no nested loop, no window exchange") {
+    val left = Seq((1L, 1, ts(100))).toDF("event_id", "k", "ts")
+    val right = Seq((1, ts(90), 9.0)).toDF("k", "rts", "v")
+    val df = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("self-derived sides (shared base relation) produce correct output") {
+    // Both sides derive from the same DataFrame — expr-id collision is the
+    // classic failure mode for hand-built logical plans; the re-alias in
+    // asOfNative must keep them disjoint.
+    val ev = Seq(
+      (1L, 1, "click", ts(100), 0.0),
+      (2L, 1, "purchase", ts(90), 9.0),
+      (3L, 1, "click", ts(200), 0.0),
+      (4L, 1, "purchase", ts(150), 15.0)
+    ).toDF("event_id", "k", "etype", "ts", "value")
+    val clicks = ev.filter($"etype" === "click").select($"event_id", $"k", $"ts")
+    val purchases = ev.filter($"etype" === "purchase")
+      .select($"k", $"ts".as("pts"), $"value".as("pvalue"))
+    val got = AsOfJoin.asOfNative(clicks, purchases, "k", "ts", "pts", Seq("pvalue"))
+      .select("event_id", "pvalue").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) == Some(9.0))
+    assert(got(3L) == Some(15.0))
+  }
+}
