@@ -52,20 +52,33 @@ object Engine {
     // read as long and convert (Tables.events) to the same µs truncation
     // DuckDB applies, so oracle comparisons line up exactly.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Straggler re-execution (≅ the reference's legacy speculator,
+    // tez-dag/.../speculation/legacy/LegacySpeculator.java, off by default
+    // via TezConfiguration.java:438-439): Spark's speculative execution is
+    // the same knob. Off here — single-JVM local mode has no slow-node
+    // stragglers, only contention, where a speculative copy doubles the
+    // work. On a 1000-executor fleet set spark.speculation=true (with the
+    // default quantile/multiplier) to cut tail latency from sick hosts.
+    .config("spark.speculation", "false")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 }
 
 object Fanout {
   /** Explicit-width repartition before CPU-heavy per-row work (hashing,
-    * shingling, vector math). Small dimension-ish tables arrive as ONE scan
-    * partition (file < maxPartitionBytes), which would serialize the
-    * expensive narrow stage on a single core; an explicit number (unlike
-    * `repartition()`) is exempt from AQE partition coalescing, so the work
-    * actually spreads. At real scale the scan has many splits and this is a
-    * cheap no-op-ish shuffle of the raw rows.
+    * shingling, vector math) — GATED on the input's actual partition count.
+    * Small dimension-ish tables arrive as ONE scan partition (file <
+    * maxPartitionBytes), which would serialize the expensive narrow stage
+    * on a single core; an explicit number (unlike `repartition()`) is
+    * exempt from AQE partition coalescing, so the work actually spreads.
+    * At real scale the scan already has ≥ defaultParallelism splits and the
+    * repartition would be a FULL exchange of the raw corpus for nothing —
+    * so it is skipped entirely (no Exchange in the plan), not inserted and
+    * hoped away.
     */
-  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
 
 /** Typed handle on one scale-factor directory of the harness tables

@@ -266,15 +266,17 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, // columns: id, text
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // Exact stage = the same partial-min hash aggregate as [[exactGroups]]
+    // + a semi-join on the surviving ids — O(1) aggregation state per text
+    // hash, so a pathological duplicate (site boilerplate repeated 10⁹×)
+    // costs one combiner cell per partition, never a windowed sort of the
+    // hot group in a single task (the previous window-min form's fragility).
     // Persisted because it feeds THREE consumers (shingling + signatures
-    // inside minhashLshPairs, and the final anti-join); unpersisted, the
-    // md5-window shuffle would run three times.
+    // inside minhashLshPairs, and the final anti-join).
+    val keepIds = exactGroups(docs, col("text"), col("id"))
+      .select(col("keep_id").as("id"))
     val exactSurvivors = docs
-      .withColumn("__h", md5(col("text")))
-      .withColumn("__keep", min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
-      .filter(col("id") === col("__keep"))
-      .drop("__h", "__keep")
+      .join(keepIds, Seq("id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearPairs = minhashLshPairs(exactSurvivors, n, numHashes, bands, threshold)
       .select(col("id_b").as("drop_id")).distinct()

@@ -27,6 +27,13 @@ object TemporalJoins {
     * its rows into one sort task (same caveat as any keyed window) —
     * pre-split such keys by coarse time bucket if needed.
     *
+    * NULL semantics match [[graft.plans.AsOfJoin.asOfNative]] (join-
+    * predicate semantics): right rows with a NULL key or NULL ts are
+    * filtered out, left rows with a NULL key or NULL ts get NULL vals, and
+    * the matched right row's values are carried forward as ONE struct —
+    * row-atomic, so a matched row's NULL val stays NULL instead of being
+    * back-filled per-column from an older right row.
+    *
     * `rightVals` must be functionally determined by (key, rightTs) —
     * pre-aggregate the right side otherwise (ties would be nondeterministic
     * in ANY as-of engine).
@@ -36,21 +43,29 @@ object TemporalJoins {
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val lCols = left.columns.toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => org.apache.spark.sql.types.StructField(v, rightTypes(v))))
     val lAligned = left.select(
       lCols.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        rightVals.map(v => lit(null).cast(rightTypes(v)).as(v)): _*)
-    val rAligned = right.select(
-      lCols.map(c => if (c == key) col(key)
-        else lit(null).cast(leftTypes(c)).as(c)) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        rightVals.map(col): _*)
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(rvType).as("__rv")): _*)
+    val rAligned = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        lCols.map(c => if (c == key) col(key)
+          else lit(null).cast(leftTypes(c)).as(c)) ++
+          Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+            struct(rightVals.map(col): _*).as("__rv")): _*)
+    // NULL-ts left rows sort first within their key (nulls-first ascending),
+    // so no right row precedes them and they fill with the NULL struct;
+    // NULL-key left rows partition alone (right side filtered) — same.
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(lAligned.unionByName(rAligned)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rightVals.map(v => col("__rv").getField(v).as(v)): _*)
   }
 
   /** Point-in-interval range join on a shared key: every (point, interval)

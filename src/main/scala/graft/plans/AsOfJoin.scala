@@ -42,6 +42,17 @@ case class AsOfJoinNode(
     rightTs: Attribute,
     rightVals: Seq[Attribute]) extends BinaryNode {
 
+  // The merge exec reads BOTH sides' key/ts fields through the LEFT side's
+  // data types; a mismatch (e.g. right ts as raw long vs left timestamp)
+  // would silently reinterpret bytes instead of failing analysis. Catch it
+  // at construction, like the analyzer's implicit-cast check would.
+  require(leftKey.dataType.sql == rightKey.dataType.sql,
+    s"as-of key types differ: left ${leftKey.dataType.sql} vs right " +
+      s"${rightKey.dataType.sql} — cast one side before joining")
+  require(leftTs.dataType.sql == rightTs.dataType.sql,
+    s"as-of timestamp types differ: left ${leftTs.dataType.sql} vs right " +
+      s"${rightTs.dataType.sql} — cast one side before joining")
+
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
 
@@ -181,13 +192,27 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 object AsOfJoin {
 
-  /** Backward as-of join through the native operator. Same contract as
-    * [[graft.operators.TemporalJoins.asOfBackward]]: `rightVals` names
-    * must not collide with left column names, and right rows must be
-    * unique per (key, rightTs).
+  /** Backward as-of join through the native operator. Contract:
+    * `rightVals` names must not collide with left column names (enforced),
+    * right rows must be unique per (key, rightTs), and key/ts types must
+    * match across sides (enforced — the merge reads both sides through the
+    * left types, so a silent mismatch would reinterpret bytes).
+    *
+    * NULL semantics are join-predicate semantics: a NULL key or NULL ts on
+    * either side never matches, and a matched right row's values are taken
+    * row-atomically (NULL vals stay NULL — never back-filled from an older
+    * right row). [[graft.operators.TemporalJoins.asOfBackward]] implements
+    * the same contract via the union/carry-forward rewrite; the randomized
+    * agreement test in AsOfJoinSpec draws NULL keys, timestamps and vals.
     */
   def asOfNative(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val dup = rightVals.diff(rightVals.distinct).distinct
+    require(dup.isEmpty, s"duplicate rightVals names: ${dup.mkString(", ")}")
+    val clash = rightVals.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"rightVals collide with left columns: ${clash.mkString(", ")} — " +
+        "alias the right-side value columns before joining")
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = left.queryExecution.analyzed

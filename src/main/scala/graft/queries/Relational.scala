@@ -749,6 +749,24 @@ object Relational {
       |       p.pvalue AS last_purchase_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.pts <= c.ts""".stripMargin
 
+  // q82 — the SAME as-of query through the native Catalyst operator
+  // (plans/AsOfJoin.scala: logical node → planner strategy → merge exec) —
+  // the full custom-operator ladder sitting behind the DuckDB ASOF oracle,
+  // not just its unit spec. One exchange + sort per side, O(|L|+|R|) merge.
+  private def q82(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pvalue"))
+      .select(col("user_id"), col("pts"), col("pts").as("pts_val"), col("pvalue"))
+    graft.plans.AsOfJoin
+      .asOfNative(clicks, purchases, "user_id", "ts", "pts", Seq("pts_val", "pvalue"))
+      .select(col("event_id"), col("user_id"),
+        col("pts_val").as("last_purchase_ts"), col("pvalue").as("last_purchase_value"))
+  }
+
   // q69 — point-in-interval range join via time-bin equi-join (the second
   // temporal operator Spark lacks): every (purchase, click-in-the-prior-
   // hour) pair, candidates from the bin grid, exact BETWEEN filter.
@@ -868,6 +886,7 @@ object Relational {
     "q66_having_topk" -> wrap(q66),
     "q67_running_window" -> wrap(q67),
     "q68_asof_join" -> wrap(q68),
+    "q82_asof_native" -> wrap(q82),
     "q69_range_join" -> wrap(q69),
     "q77_unpivot" -> wrap(q77),
     "q78_lead_lag" -> wrap(q78)
@@ -919,6 +938,7 @@ object Relational {
     "q66_having_topk" -> q66Sql,
     "q67_running_window" -> q67Sql,
     "q68_asof_join" -> q68Sql,
+    "q82_asof_native" -> q68Sql,
     "q69_range_join" -> q69Sql,
     "q77_unpivot" -> q77Sql,
     "q78_lead_lag" -> q78Sql

@@ -125,6 +125,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("corpus dedup exact stage is an aggregate + semi-join, not a window-min") {
+    // A hot text hash (boilerplate duplicated 10⁹×) must cost O(1) combiner
+    // state per partition, never a windowed sort of the whole group in one
+    // task: the plan must be window-free end to end.
+    val docs = (1 to 60).map(i => (i.toLong, s"body text ${i % 12} repeated"))
+      .toDF("id", "text")
+    val p = plan(graft.operators.Dedup.dedupCorpus(docs))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("Fanout is a no-op for an already-parallel input — no exchange added") {
+    val target = spark.sparkContext.defaultParallelism
+    val pre = (1 to 1000).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+      .repartition(target)
+    val out = graft.Fanout(pre)
+    assert(out eq pre) // same object: Fanout inserted nothing at all
+    // and a single-partition input still spreads to full width
+    val single = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("id", "text").coalesce(1)
+    assert(graft.Fanout(single).rdd.getNumPartitions == target)
+  }
+
+  test("q82 runs through the native AsOfJoinExec — no nested loop, no window") {
+    val df = graft.queries.Relational.defs("q82_asof_native")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()

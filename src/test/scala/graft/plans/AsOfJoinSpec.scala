@@ -37,16 +37,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(5L) == ((None, None)))
   }
 
-  test("native as-of agrees with asOfBackward on randomized data") {
+  test("native as-of agrees with asOfBackward on randomized data incl. NULLs") {
     val rnd = new scala.util.Random(42)
+    // ~5% NULL keys and NULL timestamps on BOTH sides, ~10% NULL right
+    // vals: the two implementations must agree on join-predicate NULL
+    // semantics (NULL key/ts never matches) and row-atomic NULL vals, not
+    // just on the all-non-NULL happy path.
+    def maybe[T](x: T): Option[T] = if (rnd.nextInt(20) == 0) None else Some(x)
     val left = (1 to 2000).map { i =>
-      (i.toLong, rnd.nextInt(40), ts(rnd.nextInt(10000).toLong))
+      (i.toLong, maybe(rnd.nextInt(40)), maybe(ts(rnd.nextInt(10000).toLong)))
     }.toDF("event_id", "k", "ts").repartition(7)
     val right = (1 to 800).map { i =>
-      (rnd.nextInt(50), ts(rnd.nextInt(10000).toLong), rnd.nextInt(1000) / 10.0)
-    }.distinct.groupBy(_._1).flatMap { case (_, rows) =>
+      (maybe(rnd.nextInt(50)), maybe(ts(rnd.nextInt(10000).toLong)),
+        rnd.nextInt(1000) / 10.0)
+    }.distinct.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
       // unique per (key, ts): keep max value like the q68 pre-aggregation
-      rows.groupBy(_._2).map { case (t, g) => (g.head._1, t, g.map(_._3).max) }
+      (k, t, if (rnd.nextInt(10) == 0) Option.empty[Double] else Some(g.map(_._3).max))
     }.toSeq.toDF("k", "rts", "v")
       .select($"k", $"rts", $"rts".as("rts_val"), $"v").repartition(5)
 
@@ -55,6 +61,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     val b = TemporalJoins.asOfBackward(left, right, "k", "ts", "rts", Seq("rts_val", "v"))
       .select("event_id", "rts_val", "v").collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  test("matched right row's NULL val stays NULL (row-atomic, no back-fill)") {
+    // At ts=200 the matched purchase has v=NULL; per-column carry-forward
+    // would back-fill 9.0 from the older row — both implementations must
+    // return NULL instead.
+    val left = Seq((1L, 1, ts(300))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1, ts(100), Option(9.0)), (1, ts(200), Option.empty[Double])
+    ).toDF("k", "rts", "v")
+    val native = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    val rewrite = TemporalJoins.asOfBackward(left, right, "k", "ts", "rts", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(native(1L).isEmpty)
+    assert(rewrite(1L).isEmpty)
+  }
+
+  test("mismatched key/ts types are rejected, not silently reinterpreted") {
+    val left = Seq((1L, 1, ts(100))).toDF("event_id", "k", "ts")
+    val rightBadTs = Seq((1, 90L, 9.0)).toDF("k", "rts", "v") // long, not timestamp
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, rightBadTs, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e1.getMessage.contains("timestamp types differ"))
+    val rightBadKey = Seq(("1", ts(90), 9.0)).toDF("k", "rts", "v") // string key
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, rightBadKey, "k", "ts", "rts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("key types differ"))
+  }
+
+  test("rightVals colliding with left columns (or duplicated) are rejected") {
+    val left = Seq((1L, 1, ts(100))).toDF("event_id", "k", "ts")
+    val right = Seq((1, ts(90), 9.0)).toDF("k", "rts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("event_id"))
+    }
+    assert(e.getMessage.contains("collide"))
+    val right2 = Seq((1, ts(90), 9.0)).toDF("k", "rts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, right2, "k", "ts", "rts", Seq("v", "v"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
   }
 
   test("NULL keys and NULL timestamps never match") {
