@@ -367,34 +367,155 @@ object Dedup {
   }
 
   /** Distributed connected components over a near-dup pair graph:
-    * cluster id = min doc id reachable through the similarity relation,
-    * computed by iterative min-label propagation — each round is one
-    * hash join (labels through edges) + one min-aggregation, entirely
-    * executor-side; the driver observes only the per-round change COUNT
-    * (convergence test), never the data. Rounds needed = graph diameter,
-    * which for near-dup clusters is tiny (dup clusters are dense); maxIter
-    * bounds adversarial chains. This is the transitive-closure step that
-    * [[dedupCorpus]]'s one-shot keep-lowest policy deliberately skips —
-    * use it when "A≈B≈C ⇒ one survivor for all three" must hold even
-    * though A≉C directly.
+    * cluster id = min doc id reachable through the similarity relation.
     *
-    * At 100 TB: |E| is the (banded, verified) pair set — orders of
-    * magnitude smaller than the corpus; each round shuffles |E|+|V| rows
-    * of two longs. The alternating-star optimization (Kiveris et al.)
-    * halves round count on adversarial graphs; plain min-propagation is
-    * the right default for dedup-shaped graphs.
+    * HYBRID implementation, tuned for the two graph shapes that actually
+    * occur: (1) a few rounds of cheap min-label propagation — near-dup
+    * clusters are dense (diameter 1-2), so the common case converges here
+    * at one join + one aggregate per round; (2) if not converged, the
+    * residue is deep (chain-shaped), so the remaining work runs as the
+    * ALTERNATING-STAR algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) on the QUOTIENT graph (edges between
+    * phase-1 labels — no larger than the input, usually much smaller).
+    * Star rounds contract paths multiplicatively, so a diameter-d chain
+    * finishes in O(log d) alternating rounds vs d propagation rounds
+    * (`DedupSpec` pins the round-count gap on a 1000-node path). Phase-1
+    * labels are valid partial contractions (each label is the min id of a
+    * connected subset, and every component min labels itself), so
+    * composing the quotient's labels through phase 1's is exact.
+    *
+    * The driver observes only per-round convergence counts, never the
+    * data; eager `localCheckpoint` truncates lineage each round. At
+    * 100 TB: |E| is the (banded, verified) pair set — orders of magnitude
+    * smaller than the corpus; each round shuffles O(|E|) rows of two
+    * longs. This is the transitive-closure step that [[dedupCorpus]]'s
+    * one-shot keep-lowest policy deliberately skips — use it when
+    * "A≈B≈C ⇒ one survivor for all three" must hold even though A≉C
+    * directly.
     */
   def connectedComponents(edges: DataFrame, // columns: id_a, id_b
-      maxIter: Int = 20): DataFrame = {
-    // Symmetrize with ONE pass over `edges` (explode of a 2-element array)
-    // instead of union(edges, edges.flipped): a union evaluates its input
-    // twice, and `edges` is typically the whole LSH candidate pipeline —
-    // materializing it twice doubled q62's cost before this was caught.
-    val und = edges.select(explode(array(
+      maxIter: Int = 50): DataFrame = {
+    val und = symmetrized(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (labels, _, converged) = minLabelLoop(und, maxRounds = 3)
+    val out =
+      if (converged) labels
+      else {
+        val q = und
+          .join(labels.select(col("id").as("src"), col("comp").as("__qa")), Seq("src"))
+          .join(labels.select(col("id").as("dst"), col("comp").as("__qb")), Seq("dst"))
+          .filter(col("__qa") =!= col("__qb"))
+          .select(col("__qa").as("id_a"), col("__qb").as("id_b"))
+          .distinct()
+        val (qlabels, _) = connectedComponentsAltStarRounds(q, maxIter)
+        labels.join(
+            qlabels.select(col("id").as("__c1"), col("comp").as("__c2")),
+            col("comp") === col("__c1"), "left")
+          .select(col("id"), coalesce(col("__c2"), col("comp")).as("comp"))
+      }
+    und.unpersist(blocking = false)
+    out
+  }
+
+  /** Undirected view of an (id_a, id_b) pair set — ONE pass over `edges`
+    * (explode of a 2-element array) instead of union(edges,
+    * edges.flipped): a union evaluates its input twice, and `edges` is
+    * typically the whole LSH candidate pipeline.
+    */
+  private def symmetrized(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** [[connectedComponents]] exposing the number of alternating rounds
+    * actually run — one round = one large-star + one small-star + the
+    * fixpoint check.
+    */
+  private[operators] def connectedComponentsAltStarRounds(edges: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
+    // Undirected edge set, deduped, self-loops dropped; the vertex set is
+    // captured ONCE up front (star rounds erase converged singleton stars'
+    // roots from the src side, and self-loop-only vertices entirely).
+    val e0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // eager checkpoint, not a lazy persist: the final labels join must not
+    // re-derive the (possibly expensive) upstream edge pipeline after the
+    // caller has released it
+    val verts = e0.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().localCheckpoint(true)
+    // large-star: for every u, m = min(Γ(u) ∪ {u}); emit (v, m) for each
+    // neighbor v > u. small-star: orient edges large→small, m = min of u's
+    // smaller neighborhood (∪ {u}); emit (v, m) for the smaller neighbors
+    // AND u itself. Both are one aggregate + one join, both keep every
+    // edge's endpoints connected through m (connectivity-preserving).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(least(col("u"), min(col("dst"))).as("m"))
+      sym.join(mins, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = oriented.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      oriented.join(mins, col("src") === col("u"))
+        .select(explode(array(col("dst"), col("src"))).as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = e0.distinct().localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint test on the checkpointed sets: tiny long-pair frames,
+      // two anti-joins (set equality), executor-side
+      changed = next.join(e, Seq("src", "dst"), "left_anti").count() +
+        e.join(next, Seq("src", "dst"), "left_anti").count()
+      e = next
+      iter += 1
+    }
+    // At the fixpoint e is min-rooted stars: every non-root is a src
+    // exactly once. groupBy-min instead of a bare select guards the
+    // maxIter-hit case (multiple tentative parents → take the min).
+    val parents = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("p"))
+    val labels = verts.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("p"), col("id")).as("comp"))
+    (labels, iter)
+  }
+
+  /** Plain iterative min-label propagation — the pre-alternating-star
+    * implementation, kept for round-count comparison and as the simpler
+    * shape for dense dup-cluster graphs (diameter ~1-2, where star rounds
+    * buy nothing). Rounds needed = graph diameter; maxIter bounds
+    * adversarial chains.
+    */
+  def connectedComponentsMinLabel(edges: DataFrame, // columns: id_a, id_b
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsMinLabelRounds(edges, maxIter)._1
+
+  private[operators] def connectedComponentsMinLabelRounds(edges: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
+    val und = symmetrized(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (labels, iter, _) = minLabelLoop(und, maxIter)
+    und.unpersist(blocking = false)
+    (labels, iter)
+  }
+
+  /** Min-label propagation rounds over a pre-symmetrized, persisted edge
+    * view. Returns (labels, rounds run, converged).
+    */
+  private def minLabelLoop(und: DataFrame,
+      maxRounds: Int): (DataFrame, Int, Boolean) = {
     // Eager localCheckpoint each round: an iterative DataFrame loop that
     // only persists still embeds every prior round's plan inside the next
     // one (InMemoryRelation keeps its producing plan), so analysis/codegen
@@ -409,7 +530,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < maxRounds) {
       // one aggregation yields BOTH the new label (min over self +
       // neighbors) and the old one (the self row's value — unique per id),
       // so convergence is a cheap filter over the checkpointed result
@@ -426,8 +547,7 @@ object Dedup {
       labels = step.select(col("id"), col("comp"))
       iter += 1
     }
-    und.unpersist(blocking = false)
-    labels
+    (labels, iter, changed == 0)
   }
 
   val SimHashBits = 60

@@ -159,6 +159,130 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Scale-capped semantic dedup — [[semanticDedup]] with the cell
+    * population kept corpus-proportional and bounded, so the in-cell
+    * self-join's Σ|cell|² pair count cannot degenerate toward n² no
+    * matter the corpus size or skew. A FIXED cell count is quadratic at
+    * scale (cells grow ∝ n); the published SemDeDup uses ~10⁵ clusters
+    * precisely so cells stay bounded — this is that knob, automated:
+    *
+    *  1. **Exact collapse**: identical embeddings are deduped first with
+    *     one hash aggregate (keep min id). Parity-preserving — every
+    *     dropped copy has cosine 1 to a lower-id vector, and any pair the
+    *     copy could witness is witnessed by its representative — and it
+    *     removes the worst skew source (the same vector repeated 10⁹×)
+    *     BEFORE any cell can absorb it.
+    *  2. **Corpus-proportional cells**: nCells = ⌈n / targetCellSize⌉ from
+    *     one count of the collapsed corpus; centroids = the nCells
+    *     smallest-id representatives (deterministic, training-free).
+    *  3. **Split oversized cells semantically**: any cell above the cap
+    *     (4 × targetCellSize) is re-quantized against `fanout` sub-
+    *     centroids drawn from its own members (smallest ids, via the
+    *     bounded top-k aggregate — no window), one hash join on the cell
+    *     key. AQE can redistribute a hot cell's JOIN but cannot shrink its
+    *     pair count — only splitting the cell does.
+    *  4. **Salt the residue**: a cell still above the cap after splitting
+    *     (near-identical but distinct vectors that tie on every
+    *     sub-centroid) is sliced by deterministic id-hash into
+    *     ⌈size/target⌉ slices. This caps the pair count unconditionally;
+    *     slicing such a cell loses only cross-slice pairs inside a region
+    *     the quantizer could not resolve — the documented approximate-
+    *     recall tradeoff SemDeDup already makes cross-cell.
+    *
+    * In-cell dedup then runs exactly as [[semanticDedup]]: drop any
+    * vector with cosine ≥ threshold to a lower-id vector in its final
+    * cell. Output: surviving vec_ids.
+    */
+  def semanticDedupCapped(corpus: DataFrame, targetCellSize: Int,
+      threshold: Double, fanout: Int = 16): DataFrame = {
+    // the assignment feeds both sides of the self-join — persist, or the
+    // whole quantize/split pipeline runs twice
+    val cells = cappedCells(corpus, targetCellSize, fanout)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = cells.as("x")
+      .join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cosine(col("x.embedding"), col("y.embedding")), 4)
+        >= threshold)
+      .select(col("y.vec_id").as("drop_id"))
+      .distinct()
+    // survivors = corpus minus exact-collapse drops minus in-cell drops;
+    // the semi-join against the (already persisted) assignment covers the
+    // former — non-representatives never entered a cell
+    corpus.join(cells.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"))
+  }
+
+  /** One representative (min id) per distinct embedding — step 1 of
+    * [[semanticDedupCapped]]. One hash aggregate, partial min.
+    */
+  private def repsOf(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+
+  /** Bounded cell assignment (vec_id, embedding, cell:string) for the
+    * collapsed corpus — steps 2–4 of [[semanticDedupCapped]]. Exposed for
+    * the SimilaritySpec invariant that no cell exceeds the cap.
+    */
+  private[operators] def cappedCells(corpus: DataFrame, targetCellSize: Int,
+      fanout: Int = 16): DataFrame = {
+    require(targetCellSize > 0)
+    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cap = 4L * targetCellSize
+    val reps = repsOf(corpus).persist(ckpt)
+    // ONE driver-side count to size the quantizer — the same setup-time
+    // action any IVF build performs; never a per-row collect.
+    val n = reps.count()
+    val nCells = ((n + targetCellSize - 1) / targetCellSize).max(1L).toInt
+    val cents = reps.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val assigned = bestCells(reps, cents, "vec_id", "embedding", 1)
+      .withColumn("cell", col("cell").cast("string"))
+      .persist(ckpt)
+    // -- step 3: semantic sub-split of over-cap cells ----------------------
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val overCells = sizes.filter(col("sz") > cap).select(col("cell"))
+    val over = assigned.join(overCells, Seq("cell"), "left_semi").persist(ckpt)
+    val ok = assigned.join(overCells, Seq("cell"), "left_anti")
+    // fanout smallest-id members per oversized cell = its sub-centroids;
+    // bounded top-k aggregate (score = -id ranks ascending), never a window
+    val subIds = over.groupBy(col("cell"))
+      .agg(graft.functions.topk_by_score(
+        -col("vec_id").cast("double"), col("vec_id"), fanout).as("top"))
+      .select(col("cell"), explode(col("top.id")).as("cent_id"))
+    val subCents = subIds.join(
+        over.select(col("cell"), col("vec_id").as("cent_id"), col("embedding").as("cvec")),
+        Seq("cell", "cent_id"))
+    // re-quantize members against their OWN cell's sub-centroids: hash
+    // join on the cell key (≤ fanout candidates per member), then the
+    // bounded top-1 pick — same determinism as bestCells (score desc,
+    // cent_id asc)
+    val resplit = over.join(subCents, Seq("cell"))
+      .withColumn("cscore", round(cosine(col("embedding"), col("cvec")), 4))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(
+        graft.functions.topk_by_score(col("cscore"), col("cent_id"), 1).as("top"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        concat_ws("_", col("cell"), col("top.id").getItem(0)).as("cell"))
+    val afterSplit = ok.select(col("vec_id"), col("embedding"), col("cell"))
+      .unionByName(resplit)
+    // -- step 4: id-hash salt for cells the split could not separate -------
+    val sizes2 = afterSplit.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val salted = afterSplit
+      .join(sizes2, Seq("cell"))
+      .withColumn("cell",
+        when(col("sz") > cap,
+          concat_ws("#", col("cell"),
+            pmod(graft.operators.Dedup.SharedHash.hash28(col("vec_id").cast("string")),
+              ceil(col("sz") / lit(targetCellSize.toDouble)).cast("long"))))
+          .otherwise(col("cell")))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    salted
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidates generated through one sign-LSH bucket join (fewer `planes`
     * → bigger buckets → higher recall at more verify cost; near-identical

@@ -857,6 +857,32 @@ object Pipeline {
        |  AND doc_id NOT IN (SELECT id FROM exd)""".stripMargin
   }
 
+  // ===== q83 stored-index incremental dedup ==============================
+  // Same contract and oracle as q74, but the corpus side is a STORED
+  // index: writeCorpusIndex persists the three derived views (text
+  // hashes, LSH band keys partitioned by band, shingle arrays) to
+  // parquet, and the probe joins the batch against those scans — the
+  // production ingestion shape where a batch's dedup cost is
+  // proportional to the BATCH, never the corpus. The build is
+  // idempotent: it runs once per (sf dir, params, format version) and
+  // later invocations probe the existing index — exactly the
+  // ingestion-time cost model the operator exists to demonstrate.
+
+  private def q83(t: Tables): DataFrame = {
+    val d = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    // dir key = source + params + format version (bump on layout change,
+    // never reuse an index written by a different scheme)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_index_v1_" +
+      java.lang.Integer.toHexString(t.dir.hashCode) + s"_3_${MinHashes}_$Bands"
+    val built = Seq("hashes", "bands", "shingles")
+      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
+    if (!built)
+      Dedup.writeCorpusIndex(d.filter(col("id") % 10 =!= 7), dir, 3, MinHashes, Bands)
+    Dedup.dedupAgainstIndex(d.filter(col("id") % 10 === 7), dir,
+      3, MinHashes, Bands, CorpusT)
+      .select(col("id"))
+  }
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -888,6 +914,7 @@ object Pipeline {
     "q72_token_pack" -> wrap(q72),
     "q73_mixture_sample" -> wrap(q73),
     "q74_dedup_incremental" -> wrap(q74),
+    "q83_dedup_stored_index" -> wrap(q83),
     "q75_stratified_sample" -> wrap(q75),
     "q76_semantic_dedup" -> wrap(q76),
     "q79_quality_cutoff" -> wrap(q79),
@@ -924,6 +951,7 @@ object Pipeline {
     "q72_token_pack" -> q72Sql,
     "q73_mixture_sample" -> q73Sql,
     "q74_dedup_incremental" -> q74Sql,
+    "q83_dedup_stored_index" -> q74Sql,
     "q75_stratified_sample" -> q75Sql,
     "q76_semantic_dedup" -> q76Sql,
     "q79_quality_cutoff" -> q79Sql,

@@ -98,6 +98,38 @@ class DedupSpec extends AnyFunSuite {
     assert(chainLabels.values.toSet == Set(1L) && chainLabels.size == 15)
   }
 
+  test("alternating-star converges in O(log diameter) rounds on a path graph") {
+    // 1000-node path = diameter 999, the adversarial shape for plain
+    // min-label propagation (1 hop/round → ~999 rounds, far past its
+    // maxIter=20 bound). Star rounds contract paths multiplicatively:
+    // ⌈log₂ 999⌉ = 10, allow +5 slack.
+    val path = (1L to 1000L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsAltStarRounds(path, 50)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 1000 && got.values.toSet == Set(1L))
+    assert(rounds <= 15, s"alternating-star took $rounds rounds")
+    // the plain min-label form needs ~diameter rounds on the same graph —
+    // pin the gap (capped at 30 to keep the test fast; it must NOT have
+    // converged by then)
+    val (_, mlRounds) = Dedup.connectedComponentsMinLabelRounds(path, 30)
+    assert(mlRounds == 30, s"min-label unexpectedly converged in $mlRounds rounds")
+    // the hybrid default (dense min-label phase → quotient alt-star) must
+    // land the same labels on the deep graph
+    val hybrid = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(hybrid == got)
+  }
+
+  test("alternating-star and min-label agree on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsMinLabel(edges).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("simhash: exact dups have identical fingerprints; pairs found at hamming 0") {
     val fps = Dedup.simhashFingerprints(
       corpus.select(col("doc_id").as("id"), split(lower(col("text")), """\s+""").as("tokens")))

@@ -64,4 +64,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!kept.contains(4L) && kept.contains(0L))
     assert(kept.size == vecs.count() - 1)
   }
+
+  // Adversarially skewed corpus: 1500 copies of ONE vector + 300
+  // near-identical-but-distinct vectors in one tight direction + 200
+  // spread vectors. A fixed small cell count would put ~1800 rows in one
+  // cell (≈1.6M candidate pairs); the capped assignment must keep every
+  // cell under the 4×target cap regardless.
+  private def skewed = {
+    val dim = 8
+    def unit(d: Int) = Array.tabulate(dim)(i => if (i == d % dim) 1.0f else 0.0f)
+    val copies = (0 until 1500).map(i => (i.toLong, unit(0)))
+    val tight = (1500 until 1800).map { i =>
+      // distinct but nearly parallel: tiny second component
+      (i.toLong, Array.tabulate(dim)(d =>
+        if (d == 0) 1.0f else if (d == 1) (i - 1499) * 1e-6f else 0.0f))
+    }
+    // deterministic pseudo-random signed vectors (seeded per id — JVM
+    // LCG is platform-stable): pairwise distinct, cosine centered on 0,
+    // far from the 0.999 dedup threshold
+    val spread = (1800 until 2000).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(dim)(r.nextFloat() * 2f - 1f))
+    }
+    (copies ++ tight ++ spread).toDF("vec_id", "embedding")
+  }
+
+  test("cappedCells: no cell exceeds the cap on an adversarially skewed corpus") {
+    val target = 50
+    val cells = Similarity.cappedCells(skewed, target)
+    // exact collapse first: 1500 copies → 1 representative
+    assert(cells.count() == (2000 - 1500 + 1))
+    val maxSz = cells.groupBy("cell").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxSz <= 4L * target,
+      s"a cell holds $maxSz rows — pair bound broken (cap ${4 * target})")
+  }
+
+  test("semanticDedupCapped: keeps min-id of the duplicate mass, bounded cells") {
+    val kept = Similarity.semanticDedupCapped(skewed, 50, 0.999)
+      .as[Long].collect().toSet
+    // the 1500 identical copies collapse to their min id
+    assert(kept.contains(0L))
+    assert((1L until 1500L).forall(i => !kept.contains(i)))
+    // spread vectors survive (allow a handful of chance near-dups among
+    // the pseudo-random directions)
+    assert((1800L until 2000L).count(kept.contains) >= 190)
+    // and it agrees with the uncapped form on the small benign corpus
+    val a = Similarity.semanticDedupCapped(vecs, targetCellSize = 3, threshold = 0.99)
+      .as[Long].collect().toSet
+    assert(!a.contains(4L) && a.contains(0L))
+  }
 }
