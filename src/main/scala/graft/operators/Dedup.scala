@@ -637,4 +637,37 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("seg")))),
           e => e.getField("seg"))).as("text"))
   }
+
+  /** Cross-document duplicated passages: every `passLen`-token window
+    * (stride 1 — EVERY alignment, unlike [[segmentDedup]]'s fixed grid or
+    * winnowing's sampled fingerprints) that occurs in ≥ 2 distinct
+    * documents, with its document frequency, total occurrence count, and
+    * first owner. This is the detection half of exact substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — their suffix-array pass finds repeated spans; fixed-length
+    * rolling windows are the shuffle-friendly distributed equivalent).
+    * Input: (id, text); output: (h, n_docs, n_occ, first_id).
+    *
+    * Scale design: the window hashes are produced by ONE narrow map —
+    * `transform` over the offset sequence materializes only the md5s
+    * (~n_tokens rows per doc after posexplode, each a 32-char hash, never
+    * the windows themselves), so the exploded volume is a constant factor
+    * of the token count, independent of passLen. The rest is a single
+    * hash-partitioned aggregate with partial combine — a boilerplate
+    * passage repeated 10^9 times costs O(1) state per partition. No
+    * window function, no self-join.
+    */
+  def duplicatePassages(docs: DataFrame, passLen: Int): DataFrame =
+    docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .filter(size(col("__w")) >= passLen)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $passLen), " +
+          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $passLen))))"))
+        .as(Seq("pos", "h")))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("id")).as("first_id"))
+      .filter(col("n_docs") >= 2)
 }

@@ -883,6 +883,48 @@ object Pipeline {
       .select(col("id"))
   }
 
+  // ===== q84 cross-document duplicated passages ==========================
+  // Exact substring-dedup detection (Lee et al. 2022 shape): every
+  // PassLen-token window at EVERY alignment (stride 1) occurring in >= 2
+  // distinct docs, with document frequency / occurrence count / first
+  // owner. Complements winnowing (q54, sampled fingerprints) with the
+  // exhaustive exact pass. One narrow window-hash map + one partial-agg
+  // hash aggregate — no window function, no self-join (Dedup.duplicatePassages).
+
+  private val PassLen = 8
+
+  private def q84(t: Tables): DataFrame =
+    Dedup.duplicatePassages(
+      t.documents.select(col("doc_id").as("id"), col("text")), PassLen)
+
+  private val q84Sql =
+    s"""WITH $wordsCte,
+       |s AS (SELECT id, words, unnest(generate_series(0, len(words) - $PassLen)) AS st
+       |      FROM w WHERE len(words) >= $PassLen)
+       |SELECT md5(array_to_string(words[st+1:st+$PassLen], ' ')) AS h,
+       |  count(DISTINCT id) AS n_docs, count(*) AS n_occ, min(id) AS first_id
+       |FROM s GROUP BY 1 HAVING count(DISTINCT id) >= 2""".stripMargin
+
+  // ===== q90 sorted group-concat (grouped ValuesIterator with sort) ======
+  // The reference's ordered-grouped-values shape (ValuesIterator over a
+  // sorted run, OrderedWordCount.java's per-key iteration) surfaced as an
+  // aggregate: per (lang, source), the member doc_ids in numeric order,
+  // compacted to an md5 so the row stays narrow. collect_list holds one
+  // group in memory — fine for bounded groups like (lang, source); for
+  // unbounded groups use segmentDedup-style reassembly or secondarySort.
+
+  private def q90(t: Tables): DataFrame =
+    t.documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws(",",
+          expr("transform(array_sort(collect_list(doc_id)), x -> cast(x as string))")))
+          .as("ids_md5"))
+
+  private val q90Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents GROUP BY lang, source""".stripMargin
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -919,7 +961,9 @@ object Pipeline {
     "q76_semantic_dedup" -> wrap(q76),
     "q79_quality_cutoff" -> wrap(q79),
     "q80_doc_chunking" -> wrap(q80),
-    "q81_segment_dedup" -> wrap(q81)
+    "q81_segment_dedup" -> wrap(q81),
+    "q84_duplicate_passages" -> wrap(q84),
+    "q90_sorted_group_concat" -> wrap(q90)
   )
 
   val oracles: Map[String, String] = Map(
@@ -956,6 +1000,8 @@ object Pipeline {
     "q76_semantic_dedup" -> q76Sql,
     "q79_quality_cutoff" -> q79Sql,
     "q80_doc_chunking" -> q80Sql,
-    "q81_segment_dedup" -> q81Sql
+    "q81_segment_dedup" -> q81Sql,
+    "q84_duplicate_passages" -> q84Sql,
+    "q90_sorted_group_concat" -> q90Sql
   )
 }

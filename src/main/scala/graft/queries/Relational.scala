@@ -837,6 +837,135 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q85 — single-pass grouped argmax: each customer's highest-value order
+  // via ONE hash aggregate carrying O(1) state (max of a (price, -key)
+  // struct — ties break to the smallest orderkey deterministically). The
+  // classic two-pass form (max per group, join back, re-aggregate) — which
+  // the oracle uses — costs an extra shuffle and a join; the struct-max is
+  // the plan you want at 100 TB. Grouped-agg parity row: SURVEY §2.5.
+  private def q85(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), (-col("o_orderkey")).as("__nk"))).as("m"))
+      .select(col("o_custkey"), col("m.o_totalprice").as("top_price"),
+        (-col("m.__nk")).as("top_order"))
+
+  private val q85Sql =
+    """WITH m AS (SELECT o_custkey, max(o_totalprice) AS top_price
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT o.o_custkey, m.top_price, min(o.o_orderkey) AS top_order
+      |FROM orders o JOIN m ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.top_price
+      |GROUP BY o.o_custkey, m.top_price""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q86 — Bloom-pruned semi-join (BloomPrune.semiJoin): the big side is
+  // filtered by a Catalyst BloomFilterAggregate sketch (scalar subquery,
+  // codegen'd might_contain probe inside the scan's codegen span) BEFORE
+  // the exact semi-join, so at scale the corpus-side shuffle carries only
+  // probable matches. False positives are removed by the exact join — the
+  // result equals the plain semi-join, which is exactly what the oracle
+  // checks.
+  private def q86(t: Tables): DataFrame = {
+    val urgent = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomPrune.semiJoin(t.lineitem, "l_orderkey", urgent, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
+  private val q86Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q87 — keyed MERGE/upsert (Merge.upsert): an update batch (revised
+  // balances for custkey ≡ 3 mod 7, plus inserted NEW- rows) applied onto
+  // the customer base as updates ∪ (base anti-join update-keys). The
+  // anti-join broadcasts the batch's key set, so the base never shuffles
+  // (pinned in MergeSpec). The +100.0 is IEEE-exact in both engines (no
+  // rounding needed).
+  private def q87(t: Tables): DataFrame = {
+    val base = t.customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"))
+    val revised = base.filter(col("c_custkey") % 7 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val inserts = base.filter(col("c_custkey") % 11 === 5)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"))
+    graft.operators.Merge.upsert(base, revised.unionByName(inserts), "c_custkey")
+  }
+
+  private val q87Sql =
+    """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal
+      |  FROM base WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW-' || c_name, c_nationkey, c_acctbal
+      |  FROM base WHERE c_custkey % 11 = 5)
+      |SELECT * FROM upd
+      |UNION ALL
+      |SELECT * FROM base b
+      |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM upd)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — window FRAME variants beside q17 (rank) / q67 (running sum) /
+  // q78 (lead/lag): a bounded sliding ROWS frame (last 4 events) and a
+  // cumulative frame per user. min/max/count are exact value-picks, so
+  // the doubles pass through bit-identically on both engines.
+  private def q88(t: Tables): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w4 = ord.rowsBetween(-3, 0)
+    val wc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events.select(col("event_id"), col("user_id"),
+      min(col("value")).over(w4).as("min4"),
+      max(col("value")).over(w4).as("max4"),
+      count(lit(1)).over(w4).as("cnt4"),
+      max(col("value")).over(wc).as("cummax"))
+  }
+
+  private val q88Sql =
+    """SELECT event_id, user_id,
+      |  min(value) OVER w4 AS min4,
+      |  max(value) OVER w4 AS max4,
+      |  count(*) OVER w4 AS cnt4,
+      |  max(value) OVER wc AS cummax
+      |FROM events
+      |WINDOW
+      |  w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q89 — manual salted join on the correctness gate (the operator was
+  // previously only spec-pinned): the fact side's hot keys are spread
+  // across `salt` sub-partitions, the dim side replicated ×salt, so one
+  // hot user can never funnel a single join task even with AQE off. The
+  // salt column is dropped before the aggregate; the result equals the
+  // plain join, which is what the oracle checks.
+  private def q89(t: Tables): DataFrame = {
+    val dim = t.customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Sampling.saltedEquiJoin(t.events, dim, "user_id", salt = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("value")).as("max_value"))
+  }
+
+  private val q89Sql =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users, max(value) AS max_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -889,7 +1018,12 @@ object Relational {
     "q82_asof_native" -> wrap(q82),
     "q69_range_join" -> wrap(q69),
     "q77_unpivot" -> wrap(q77),
-    "q78_lead_lag" -> wrap(q78)
+    "q78_lead_lag" -> wrap(q78),
+    "q85_argmax_group" -> wrap(q85),
+    "q86_bloom_semi_join" -> wrap(q86),
+    "q87_merge_upsert" -> wrap(q87),
+    "q88_window_frames" -> wrap(q88),
+    "q89_salted_join" -> wrap(q89)
   )
 
   val oracles: Map[String, String] = Map(
@@ -941,6 +1075,11 @@ object Relational {
     "q82_asof_native" -> q68Sql,
     "q69_range_join" -> q69Sql,
     "q77_unpivot" -> q77Sql,
-    "q78_lead_lag" -> q78Sql
+    "q78_lead_lag" -> q78Sql,
+    "q85_argmax_group" -> q85Sql,
+    "q86_bloom_semi_join" -> q86Sql,
+    "q87_merge_upsert" -> q87Sql,
+    "q88_window_frames" -> q88Sql,
+    "q89_salted_join" -> q89Sql
   )
 }

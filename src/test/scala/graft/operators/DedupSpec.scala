@@ -172,4 +172,23 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect()
     assert(out.toSeq == Seq((7L, 2L, "p q r s t u v w")))
   }
+
+  test("duplicatePassages finds every cross-doc window at every alignment") {
+    // docs 1 and 2 share the run "c d e f" (one 3-token window at stride 1
+    // with passLen 3 would be 2 windows; with passLen 4 exactly one);
+    // doc 3 repeats it again, so n_docs=3. The run "x y z" is within-doc
+    // repeated in doc 4 only → n_docs=1, must NOT appear.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "c d e f q r s"),
+      (3L, "t c d e f u v"),
+      (4L, "x y z m x y z")
+    ).toDF("id", "text")
+    val out = Dedup.duplicatePassages(docs, 4)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4)).toSeq
+    // exactly one shared window ("c d e f"), in 3 docs, 3 occurrences,
+    // first owner doc 1
+    assert(out == Seq((3L, 3L, 1L)))
+  }
 }
