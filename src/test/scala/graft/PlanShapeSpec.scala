@@ -155,6 +155,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("grouped argmax is one partial+final aggregate — no window, no join") {
+    // q85's struct-max: the naive forms (rank window, or max-then-join)
+    // either funnel hot groups through one sort task or double the
+    // shuffles; the single-pass aggregate must survive as the plan.
+    val df = graft.queries.Relational.defs("q85_argmax_group")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // struct-valued max isn't hash-aggregable, so Catalyst plans
+    // SortAggregate — still partial+final (map-side combine, O(1) state
+    // per group) with exactly one exchange
+    assert("partial_max".r.findAllIn(p).size >= 1, p)
+    assert("""\(\d+\) (Sort|Hash)Aggregate""".r.findAllIn(p).size == 2, p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("duplicate passages plan is window-free with partial aggregation") {
+    val df = graft.queries.Pipeline.defs("q84_duplicate_passages")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
