@@ -966,6 +966,68 @@ object Relational {
       |GROUP BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q91 — strictly-ordered funnel (view → later click → later purchase):
+  // each stage is a min-timestamp aggregate joined to the previous stage
+  // with a range predicate — three partial-agg aggregates + two equi-joins
+  // on user_id, entirely window-free. The classic sequence-analytics shape
+  // every event warehouse runs; at scale each stage's frame shrinks, so
+  // the joins get cheaper as the funnel deepens.
+  private def q91(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(c.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(p.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+  }
+
+  private val q91Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q92 — retention cohorts: users grouped by first-active week, counted
+  // per week-offset they return. distinct(user, week) → min-week cohort →
+  // offset aggregate: three shuffles on bounded keys, no window. Both
+  // engines truncate weeks to Monday, so offsets are exact multiples of
+  // 7 days and the /7 division is exact.
+  private def q92(t: Tables): DataFrame = {
+    val uw = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    uw.join(cohort, "user_id")
+      .select(col("cohort").cast("date").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / lit(7)).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val q92Sql =
+    """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |ch AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+      |SELECT CAST(cohort AS DATE) AS cohort_week,
+      |  date_diff('day', cohort, wk) // 7 AS week_offset,
+      |  count(*) AS n_users
+      |FROM uw JOIN ch ON uw.user_id = ch.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1023,7 +1085,9 @@ object Relational {
     "q86_bloom_semi_join" -> wrap(q86),
     "q87_merge_upsert" -> wrap(q87),
     "q88_window_frames" -> wrap(q88),
-    "q89_salted_join" -> wrap(q89)
+    "q89_salted_join" -> wrap(q89),
+    "q91_funnel" -> wrap(q91),
+    "q92_retention" -> wrap(q92)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1080,6 +1144,8 @@ object Relational {
     "q86_bloom_semi_join" -> q86Sql,
     "q87_merge_upsert" -> q87Sql,
     "q88_window_frames" -> q88Sql,
-    "q89_salted_join" -> q89Sql
+    "q89_salted_join" -> q89Sql,
+    "q91_funnel" -> q91Sql,
+    "q92_retention" -> q92Sql
   )
 }
