@@ -270,6 +270,21 @@ object NativeKernels {
     new GenericArrayData(Array[Long](max.toLong, counts.size.toLong))
   }
 
+  /** Morton interleave of the low 16 bits of a and b (a → even bit
+    * positions, b → odd): branch-free magic-mask bit spread.
+    */
+  def zValue16(a: Long, b: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xffffL
+      v = (v | (v << 8)) & 0x00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0fL
+      v = (v | (v << 2)) & 0x33333333L
+      v = (v | (v << 1)) & 0x55555555L
+      v
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
   /** |A ∩ B| of two arrays SORTED in binary UTF8 order (sort_array's
     * order), one merge pass — the exact-verify kernel for set-similarity
     * joins. Equal to size(array_intersect(a, b)) on distinct-element
@@ -445,6 +460,27 @@ case class CosineFExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.NativeKernels.cosineF($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** z_value16(bigint, bigint) → bigint: Morton (Z-order) interleave of the
+  * low 16 bits of each input — `a`'s bits land on even positions, `b`'s on
+  * odd. Used by `Compaction.zOrderParquet` to lay data out so that files
+  * carry tight min/max ranges on BOTH columns and scans filtered on either
+  * one prune whole files (multi-dimensional data skipping; single-column
+  * sort ranges only prune its own column). Magic-mask spread is branch-free
+  * and codegen'd. Oracle-reproducible: equals
+  * Σ_i ((a>>i & 1) << 2i) + ((b>>i & 1) << (2i+1)) for i in 0..15.
+  */
+case class ZValue16Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.zValue16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.zValue16($a, $b);")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

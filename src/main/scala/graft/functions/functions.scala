@@ -44,6 +44,14 @@ package object functions {
     ExpressionUtils.column(SortedIntersectCountExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Morton (Z-order) interleave of the low 16 bits of two long columns —
+    * the layout key for multi-dimensional data skipping
+    * ([[graft.operators.Compaction.zOrderParquet]]).
+    */
+  def z_value16(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.ZValue16Expr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Bounded per-group top-k aggregate (score desc, id asc) — O(k) state,
     * partial+final; see [[graft.functions.TopKByScore]].
     */
@@ -99,7 +107,10 @@ package functions {
       (FunctionIdentifier("repetition_signals"),
         new ExpressionInfo(classOf[RepetitionSignalsExpr].getName, "repetition_signals"),
         (args: Seq[Expression]) => RepetitionSignalsExpr(args.head,
-          if (args.size > 1) lit(args(1)) else 2)))
+          if (args.size > 1) lit(args(1)) else 2)),
+      (FunctionIdentifier("z_value16"),
+        new ExpressionInfo(classOf[ZValue16Expr].getName, "z_value16"),
+        (args: Seq[Expression]) => ZValue16Expr(args.head, args(1))))
   }
 }
 

@@ -56,4 +56,35 @@ object Compaction {
     out.write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Z-order layout rewrite: range-partition + sort the dataset on the
+    * Morton interleave of two long filter columns, so every output file's
+    * footer carries a tight min/max range on BOTH columns and a predicate
+    * on EITHER prunes whole files. A single-column sorted layout
+    * ([[compactParquet]] with `sortCols`) skips perfectly on its sort
+    * column and not at all on any other; Z-order trades a little skipping
+    * on each for real skipping on both — the standard lakehouse layout for
+    * two-dimensional access patterns (e.g. corpus queries by (domain hash,
+    * crawl date)).
+    *
+    * The z key is computed by the codegen'd native [[graft.functions.ZValue16Expr]]
+    * over the columns' low 16 bits (callers with wider domains bucket
+    * first, e.g. `pmod(hash(col), 65536)`); it orders the write only and
+    * is not persisted.
+    */
+  def zOrderParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, colA: String, colB: String): Int = {
+    require(targetBytes > 0)
+    val n = math.max(1L, (dataBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val z = graft.functions.z_value16(
+      org.apache.spark.sql.functions.col(colA).cast("long"),
+      org.apache.spark.sql.functions.col(colB).cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(n, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

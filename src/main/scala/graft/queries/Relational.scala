@@ -1028,6 +1028,22 @@ object Relational {
       |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q93 — Z-order (Morton) layout key over two filter columns: the native
+  // codegen'd z_value16 kernel that Compaction.zOrderParquet sorts by for
+  // two-dimensional data skipping. The oracle replays the interleave
+  // bit-by-bit in SQL, pinning the kernel's exact semantics.
+  private def q93(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      graft.functions.z_value16(col("l_partkey"), col("l_suppkey")).as("z"))
+
+  private val q93Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+      |    (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1))))
+      |    AS BIGINT) AS z
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1087,7 +1103,8 @@ object Relational {
     "q88_window_frames" -> wrap(q88),
     "q89_salted_join" -> wrap(q89),
     "q91_funnel" -> wrap(q91),
-    "q92_retention" -> wrap(q92)
+    "q92_retention" -> wrap(q92),
+    "q93_zorder_key" -> wrap(q93)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1146,6 +1163,7 @@ object Relational {
     "q88_window_frames" -> q88Sql,
     "q89_salted_join" -> q89Sql,
     "q91_funnel" -> q91Sql,
-    "q92_retention" -> q92Sql
+    "q92_retention" -> q92Sql,
+    "q93_zorder_key" -> q93Sql
   )
 }

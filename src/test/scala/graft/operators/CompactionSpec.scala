@@ -51,4 +51,42 @@ class CompactionSpec extends AnyFunSuite {
     // a point predicate could therefore skip all but one file
     assert(ranges.size >= 4)
   }
+
+  test("z_value16 interleaves bits exactly (a even, b odd)") {
+    import graft.functions.NativeKernels.zValue16
+    assert(zValue16(0L, 0L) == 0L)
+    assert(zValue16(5L, 3L) == 27L)          // 101 ⨯ 011 → 011011
+    assert(zValue16(0xffffL, 0L) == 0x55555555L)
+    assert(zValue16(0L, 0xffffL) == 0xaaaaaaaaL)
+    assert(zValue16(0x10000L, 0L) == 0L)     // only low 16 bits participate
+  }
+
+  test("zOrderParquet files skip on BOTH dimensions; a-sorted layout on one") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val in = s"$base/in"; val za = s"$base/z"; val sa = s"$base/s"
+    import spark.implicits._
+    // full 64×64 grid, shuffled on disk
+    val grid = for { a <- 0 until 64; b <- 0 until 64 } yield (a.toLong, b.toLong)
+    grid.toDF("a", "b").repartition(8).write.parquet(in)
+    val total = Compaction.dataBytes(spark, in)
+    Compaction.zOrderParquet(spark, in, za, total / 8, "a", "b")
+    Compaction.compactParquet(spark, in, sa, total / 8, Seq(col("a")))
+
+    def filesMatching(dir: String, c: String, v: Long): Int =
+      parquetFiles(dir).count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(min(c), max(c)).head()
+        r.getLong(0) <= v && v <= r.getLong(1)
+      }
+    val nz = parquetFiles(za).size
+    val ns = parquetFiles(sa).size
+    // a-sorted layout: perfect on a, useless on b (every file spans all b)
+    assert(filesMatching(sa, "a", 7) <= 2)
+    assert(filesMatching(sa, "b", 7) == ns)
+    // z-order: real skipping on BOTH dimensions
+    assert(filesMatching(za, "a", 7) <= nz / 2, s"a-skip: ${filesMatching(za, "a", 7)}/$nz")
+    assert(filesMatching(za, "b", 7) <= nz / 2, s"b-skip: ${filesMatching(za, "b", 7)}/$nz")
+    // layout change must not change content
+    assert(spark.read.parquet(za).count() == 4096 &&
+      spark.read.parquet(za).distinct().count() == 4096)
+  }
 }
