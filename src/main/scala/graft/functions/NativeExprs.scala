@@ -270,6 +270,42 @@ object NativeKernels {
     new GenericArrayData(Array[Long](max.toLong, counts.size.toLong))
   }
 
+  /** All stride-1 n-word window md5s (full 32-hex-char digests, matching
+    * SQL `md5(concat_ws(' ', window))` exactly) in window order, duplicates
+    * kept — the passage-hash kernel behind `Dedup.duplicatePassages`. One
+    * tight loop instead of an interpreted `transform` lambda whose every
+    * element pays slice + concat_ws + md5 expression dispatch.
+    */
+  def md5Windows(words: ArrayData, n: Int): ArrayData = {
+    val cnt = words.numElements()
+    val m = math.max(0, cnt - n + 1)
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder(64)
+    val hexd = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val d = md5.get().digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = hexd((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = hexd(d(k) & 0xf)
+        k += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Morton interleave of the low 16 bits of a and b (a → even bit
     * positions, b → odd): branch-free magic-mask bit spread.
     */
@@ -462,6 +498,20 @@ case class CosineFExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.NativeKernels.cosineF($a, $b);")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** md5_windows(array<string>, n) → array<string>: all stride-1 n-word
+  * window digests, duplicates kept (see [[NativeKernels.md5Windows]]).
+  */
+case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(words: Any): Any =
+    NativeKernels.md5Windows(words.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.md5Windows($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** z_value16(bigint, bigint) → bigint: Morton (Z-order) interleave of the

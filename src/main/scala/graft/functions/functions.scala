@@ -44,6 +44,13 @@ package object functions {
     ExpressionUtils.column(SortedIntersectCountExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** All stride-1 n-word window md5s (duplicates kept, window order) —
+    * the passage-hash kernel for [[graft.operators.Dedup.duplicatePassages]].
+    */
+  def md5_windows(words: Column, n: Int): Column =
+    ExpressionUtils.column(graft.functions.Md5WindowsExpr(
+      ExpressionUtils.expression(words), n))
+
   /** Morton (Z-order) interleave of the low 16 bits of two long columns —
     * the layout key for multi-dimensional data skipping
     * ([[graft.operators.Compaction.zOrderParquet]]).
@@ -110,7 +117,10 @@ package functions {
           if (args.size > 1) lit(args(1)) else 2)),
       (FunctionIdentifier("z_value16"),
         new ExpressionInfo(classOf[ZValue16Expr].getName, "z_value16"),
-        (args: Seq[Expression]) => ZValue16Expr(args.head, args(1))))
+        (args: Seq[Expression]) => ZValue16Expr(args.head, args(1))),
+      (FunctionIdentifier("md5_windows"),
+        new ExpressionInfo(classOf[Md5WindowsExpr].getName, "md5_windows"),
+        (args: Seq[Expression]) => Md5WindowsExpr(args.head, lit(args(1)))))
   }
 }
 

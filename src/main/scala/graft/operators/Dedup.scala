@@ -648,23 +648,23 @@ object Dedup {
     * rolling windows are the shuffle-friendly distributed equivalent).
     * Input: (id, text); output: (h, n_docs, n_occ, first_id).
     *
-    * Scale design: the window hashes are produced by ONE narrow map —
-    * `transform` over the offset sequence materializes only the md5s
-    * (~n_tokens rows per doc after posexplode, each a 32-char hash, never
-    * the windows themselves), so the exploded volume is a constant factor
-    * of the token count, independent of passLen. The rest is a single
-    * hash-partitioned aggregate with partial combine — a boilerplate
-    * passage repeated 10^9 times costs O(1) state per partition. No
-    * window function, no self-join.
+    * Scale design: the window hashes are produced by ONE narrow map — the
+    * native `md5_windows` kernel (graft.functions.Md5WindowsExpr, a tight
+    * codegen'd loop; the composable transform/slice/md5 lambda form pays
+    * interpreted per-window expression dispatch) materializes only the
+    * md5s (~n_tokens rows per doc after explode, each a 32-char hash,
+    * never the windows themselves), so the exploded volume is a constant
+    * factor of the token count, independent of passLen. The rest is a
+    * single hash-partitioned aggregate with partial combine — a
+    * boilerplate passage repeated 10^9 times costs O(1) state per
+    * partition. No window function, no self-join.
     */
   def duplicatePassages(docs: DataFrame, passLen: Int): DataFrame =
     docs
       .withColumn("__w", split(lower(col("text")), """\s+"""))
       .filter(size(col("__w")) >= passLen)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, size(__w) - $passLen), " +
-          s"i -> md5(concat_ws(' ', slice(__w, i + 1, $passLen))))"))
-        .as(Seq("pos", "h")))
+      .select(col("id"),
+        explode(graft.functions.md5_windows(col("__w"), passLen)).as("h"))
       .groupBy(col("h"))
       .agg(countDistinct(col("id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
