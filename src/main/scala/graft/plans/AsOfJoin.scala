@@ -233,4 +233,21 @@ object AsOfJoin {
       rightVals.map(attrOf(rOut, _)))
     ColumnBridge.ofRows(spark, node)
   }
+
+  /** Forward as-of join (nearest right row at-or-AFTER each left ts) for
+    * timestamp keys, by running [[asOfNative]] on negated epoch-micros:
+    * backward's "max rts' ≤ ts'" under negation is exactly "min rts ≥ ts".
+    * Same contract and NULL semantics as [[asOfNative]]; costs the same
+    * one exchange + sort per side and two narrow column maps.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    require(!left.columns.contains("__fwd_ts") && !right.columns.contains("__fwd_rts"),
+      "__fwd_ts/__fwd_rts are reserved by asOfForward")
+    val l = left.withColumn("__fwd_ts",
+      org.apache.spark.sql.functions.expr(s"-unix_micros($leftTs)"))
+    val r = right.withColumn("__fwd_rts",
+      org.apache.spark.sql.functions.expr(s"-unix_micros($rightTs)"))
+    asOfNative(l, r, key, "__fwd_ts", "__fwd_rts", rightVals).drop("__fwd_ts")
+  }
 }

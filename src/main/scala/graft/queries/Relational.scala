@@ -767,6 +767,32 @@ object Relational {
         col("pts_val").as("last_purchase_ts"), col("pvalue").as("last_purchase_value"))
   }
 
+  // q94 — FORWARD as-of join (nearest purchase at-or-AFTER each click),
+  // completing the as-of direction pair: the native operator runs on
+  // negated epoch-micros (plans/AsOfJoin.asOfForward), DuckDB oracles it
+  // with ASOF LEFT JOIN on pts >= ts.
+  private def q94(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pvalue"))
+      .select(col("user_id"), col("pts"), col("pts").as("pts_val"), col("pvalue"))
+    graft.plans.AsOfJoin
+      .asOfForward(clicks, purchases, "user_id", "ts", "pts", Seq("pts_val", "pvalue"))
+      .select(col("event_id"), col("user_id"),
+        col("pts_val").as("next_purchase_ts"), col("pvalue").as("next_purchase_value"))
+  }
+
+  private val q94Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS pts, max(value) AS pvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, p.pts AS next_purchase_ts,
+      |       p.pvalue AS next_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.pts >= c.ts""".stripMargin
+
   // q69 — point-in-interval range join via time-bin equi-join (the second
   // temporal operator Spark lacks): every (purchase, click-in-the-prior-
   // hour) pair, candidates from the bin grid, exact BETWEEN filter.
@@ -1104,7 +1130,8 @@ object Relational {
     "q89_salted_join" -> wrap(q89),
     "q91_funnel" -> wrap(q91),
     "q92_retention" -> wrap(q92),
-    "q93_zorder_key" -> wrap(q93)
+    "q93_zorder_key" -> wrap(q93),
+    "q94_asof_forward" -> wrap(q94)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1164,6 +1191,7 @@ object Relational {
     "q89_salted_join" -> q89Sql,
     "q91_funnel" -> q91Sql,
     "q92_retention" -> q92Sql,
-    "q93_zorder_key" -> q93Sql
+    "q93_zorder_key" -> q93Sql,
+    "q94_asof_forward" -> q94Sql
   )
 }

@@ -155,4 +155,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(1L) == Some(9.0))
     assert(got(3L) == Some(15.0))
   }
+
+  test("asOfForward picks the EARLIEST right row at-or-after each left ts") {
+    val left = Seq(
+      (1L, 1, ts(100)), (2L, 1, ts(205)), (3L, 1, ts(300)),
+      (4L, 2, ts(250)), (5L, 3, ts(500))
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1, ts(90), 9.0), (1, ts(205), 20.5), (1, ts(250), 25.0),
+      (2, ts(200), 99.0)
+    ).toDF("k", "rts", "v")
+      .select($"k", $"rts", $"rts".as("rts_val"), $"v")
+
+    val got = AsOfJoin.asOfForward(left, right, "k", "ts", "rts", Seq("rts_val", "v"))
+      .select("event_id", "rts_val", "v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map { case (id, t, v) => id -> ((t, v)) }.toMap
+
+    assert(got(1L) == ((Some(ts(205)), Some(20.5)))) // not ts(90): it's before
+    assert(got(2L) == ((Some(ts(205)), Some(20.5)))) // at-or-after includes ties
+    assert(got(3L) == ((None, None)))                // nothing after 300 for k=1
+    assert(got(4L) == ((None, None)))                // k=2's only row is before
+    assert(got(5L) == ((None, None)))
+  }
 }
