@@ -925,6 +925,66 @@ object Pipeline {
       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  // ===== q95 end-to-end curation pipeline ================================
+  // The flagship composition: language filter → token-count quality gate →
+  // exact dedup → MinHash-LSH near-dedup (keep-lowest-id) → per-source
+  // domain cap — the C4-style corpus curation ladder as ONE dataframe,
+  // oracled as ONE SQL statement replaying every stage with the shared
+  // hash family. Proves the operators compose without interference (each
+  // stage is individually oracled by q26/q61/q70/q75/q79). Scale posture
+  // is the union of the stages': narrow filters → partial-agg dedup →
+  // banded LSH → bounded top-k aggregate; no window over unbounded
+  // groups, no collect, no cross join anywhere in the chain.
+
+  private val PipeMinTok = 5
+  private val PipeCap = 8
+
+  private def q95(t: Tables): DataFrame = {
+    val f = t.documents
+      .filter(col("lang") === "en")
+      .filter(TextOps.wsTokenCount(col("text")) >= PipeMinTok)
+      .select(col("doc_id").as("id"), col("text"), col("source"))
+    val surv = Dedup.dedupCorpus(
+      graft.Fanout(f.select(col("id"), col("text"))),
+      3, MinHashes, Bands, CorpusT).select(col("id"))
+    val kept = f.select(col("id"), col("source"))
+      .join(surv, Seq("id"), "left_semi")
+    graft.operators.Curation.domainCap(kept, col("source"), col("id"),
+      Dedup.SharedHash.hash28(col("id").cast("string")).cast("double"), PipeCap)
+      .select(col("domain").as("source"), col("rank").as("rnk"), col("id"))
+  }
+
+  private val q95Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH f AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+       |  WHERE lang = 'en' AND len(regexp_extract_all(text, '\\S+')) >= $PipeMinTok),
+       |ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM f GROUP BY text),
+       |w AS (SELECT id, regexp_split_to_array(lower(text), '\\s+') AS words FROM ex),
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |  list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM d WHERE len(ss) > 0),
+       |sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM h),
+       |bands AS (SELECT id, t.b AS band,
+       |            array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows), z -> CAST(z AS VARCHAR)), '_') AS key
+       |          FROM sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+       |v AS (SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |        a.n_sh AS na, b.n_sh AS nb
+       |      FROM cand c JOIN sig a ON c.id_a = a.id JOIN sig b ON c.id_b = b.id),
+       |drops AS (SELECT DISTINCT id_b FROM v
+       |          WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT),
+       |s AS (SELECT id FROM ex WHERE id NOT IN (SELECT id_b FROM drops)),
+       |k AS (SELECT f.doc_id AS id, f.source FROM f JOIN s ON f.doc_id = s.id)
+       |SELECT source, rnk, id FROM (
+       |  SELECT source, id, row_number() OVER (PARTITION BY source
+       |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(id AS VARCHAR)")} DESC, id) AS rnk
+       |  FROM k) WHERE rnk <= $PipeCap""".stripMargin
+  }
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -963,7 +1023,8 @@ object Pipeline {
     "q80_doc_chunking" -> wrap(q80),
     "q81_segment_dedup" -> wrap(q81),
     "q84_duplicate_passages" -> wrap(q84),
-    "q90_sorted_group_concat" -> wrap(q90)
+    "q90_sorted_group_concat" -> wrap(q90),
+    "q95_curation_pipeline" -> wrap(q95)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1002,6 +1063,7 @@ object Pipeline {
     "q80_doc_chunking" -> q80Sql,
     "q81_segment_dedup" -> q81Sql,
     "q84_duplicate_passages" -> q84Sql,
-    "q90_sorted_group_concat" -> q90Sql
+    "q90_sorted_group_concat" -> q90Sql,
+    "q95_curation_pipeline" -> q95Sql
   )
 }
