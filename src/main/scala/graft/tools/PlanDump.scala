@@ -24,7 +24,7 @@ object PlanDump {
     "q56_repetition_signals" -> "Pure narrow map: split + repetition_signals native kernel + project. Zero exchanges.",
     "q57_text_scan" -> "TextInputFormat via the HadoopInput adapter (one partition per split) -> parse -> partial+final aggregate.",
     "q58_csv_scan" -> "CSV file source with explicit schema; scan shows the csv format with the 5-column ReadSchema, then partial+final aggregate.",
-    "q61_dedup_corpus" -> "Exact-dedup window on md5 groups, MinHash-LSH pair generation over survivors, two anti-join drops — all distributed, no driver union-find.",
+    "q61_dedup_corpus" -> "Exact-dedup via partial-min hash aggregate + semi-join (window-free — a hot md5 group costs O(1) combiner state), MinHash-LSH pair generation over survivors, anti-join drop — all distributed, no driver union-find.",
     "q68_asof_join" -> "As-of via union + carry-forward: ONE exchange on the key, per-partition sort, running last-non-null window. No BroadcastNestedLoopJoin anywhere in the plan.",
     "q69_range_join" -> "Range join as a (key, time-bin) equi-join over exploded interval bins + exact BETWEEN filter — a hash join, not a nested loop.",
     "q70_domain_cap" -> "Per-domain top-k via the bounded TopKByScore aggregate: partial+final ObjectHashAggregate, |domains|·k shuffle rows, NO Window — a hot domain never funnels through one task's sort.",
@@ -34,7 +34,13 @@ object PlanDump {
     "q76_semantic_dedup" -> "IVF-cell assignment via broadcast centroids + bounded top-k aggregate, persisted once, then an in-cell equi self-join with the cosine verify — no cross product, no window.",
     "q77_unpivot" -> "Wide->long melt as ONE narrow Expand (3x row multiplier, no shuffle) with the l_orderkey filter pushed to the scan.",
     "q78_lead_lag" -> "lag/lead deltas: one hash exchange on user_id + per-partition sort feeding a single Window — no global ordering.",
-    "q80_doc_chunking" -> "Sliding-window chunking: scan -> narrow split/sequence/explode/slice/md5 — zero exchanges end to end.")
+    "q80_doc_chunking" -> "Sliding-window chunking: scan -> narrow split/sequence/explode/slice/md5 — zero exchanges end to end.",
+    "q82_asof_native" -> "The custom operator ladder: AsOfJoinExec with requiredChildDistribution/Ordering — one exchange + sort per side, O(|L|+|R|) merge. No window, no nested loop.",
+    "q84_duplicate_passages" -> "Native md5_windows kernel (narrow, codegen'd) -> explode of 32-char hashes only -> ONE hash aggregate with partial combine. No window, no self-join; a 10^9-copy boilerplate passage costs O(1) combiner state.",
+    "q86_bloom_semi_join" -> "BloomFilterAggregate sketch built as a scalar subquery over the dim side; might_contain probe sits inside the big side's scan stage (WholeStageCodegen), so the semi-join shuffle carries only probable matches. Exact join removes false positives.",
+    "q87_merge_upsert" -> "MERGE as updates UNION (base broadcast-anti-join update keys): the base never shuffles — no SortMergeJoin anywhere; the batch's key column is the only broadcast payload.",
+    "q93_zorder_key" -> "Pure narrow map: scan -> native z_value16 Morton kernel -> project. Zero exchanges; the layout rewrite (Compaction.zOrderParquet) adds one range shuffle at write time only.",
+    "q95_curation_pipeline" -> "Filters feed the exact-dedup partial aggregate, LSH banding runs on survivors only, the domain cap's bounded top-k sees only deduped rows — every stage shrinks the data before the next shuffle.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
