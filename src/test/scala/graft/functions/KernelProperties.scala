@@ -129,4 +129,41 @@ object KernelProperties extends Properties("NativeKernels") {
       (0 until other.size).foreach(i => merged.insert(other.scores(i), other.ids(i)))
       merged.sortedBestFirst.toList == heapOf(xs).sortedBestFirst.toList
     }
+
+  property("md5Windows equals the per-window md5 of the joined words") =
+    forAll(words, Gen.choose(1, 4)) { (ws, n) =>
+      val out = NativeKernels.md5Windows(sarr(ws), n)
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val expect = ws.sliding(n).filter(_.size == n).map { w =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+      got == expect && got.size == math.max(0, ws.size - n + 1)
+    }
+
+  property("zValue16: deinterleave round-trips both inputs' low 16 bits") =
+    forAll(Gen.choose(0L, 0xffffL), Gen.choose(0L, 0xffffL)) { (a, b) =>
+      val z = NativeKernels.zValue16(a, b)
+      def collapse(v0: Long): Long = {
+        var v = v0 & 0x55555555L
+        v = (v | (v >> 1)) & 0x33333333L
+        v = (v | (v >> 2)) & 0x0f0f0f0fL
+        v = (v | (v >> 4)) & 0x00ff00ffL
+        v = (v | (v >> 8)) & 0x0000ffffL
+        v
+      }
+      collapse(z) == a && collapse(z >> 1) == b
+    }
+
+  property("zValue16 preserves per-dimension order within the other's value") =
+    forAll(Gen.choose(0L, 0xffffL), Gen.choose(0L, 0xffffL), Gen.choose(0L, 0xffffL)) {
+      (a1, a2, b) =>
+        // fixing one dimension, z is monotone in the other — the property
+        // that makes z-ranges usable for per-column min/max pruning
+        val (lo, hi) = if (a1 <= a2) (a1, a2) else (a2, a1)
+        lo == hi ||
+          (NativeKernels.zValue16(lo, b) < NativeKernels.zValue16(hi, b) &&
+            NativeKernels.zValue16(b, lo) < NativeKernels.zValue16(b, hi))
+    }
 }
