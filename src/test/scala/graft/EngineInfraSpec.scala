@@ -23,8 +23,14 @@ class EngineInfraSpec extends AnyFunSuite {
       "c" -> ((d: org.apache.spark.sql.DataFrame) =>
         d.write.mode("overwrite").option("header", "true").csv(s"$dir/c")),
       "t" -> ((d: org.apache.spark.sql.DataFrame) =>
-        d.select(concat_ws("|", $"id", $"r")).write.mode("overwrite").text(s"$dir/t"))))
-    assert(counts == Map("a" -> 100L, "b" -> 100L, "c" -> 100L, "t" -> 100L))
+        d.select(concat_ws("|", $"id", $"r")).write.mode("overwrite").text(s"$dir/t")),
+      // columnar-format breadth: the same snapshot as ORC and JSON-lines
+      "o" -> ((d: org.apache.spark.sql.DataFrame) =>
+        d.write.mode("overwrite").orc(s"$dir/o")),
+      "j" -> ((d: org.apache.spark.sql.DataFrame) =>
+        d.write.mode("overwrite").json(s"$dir/j"))))
+    assert(counts == Map("a" -> 100L, "b" -> 100L, "c" -> 100L, "t" -> 100L,
+      "o" -> 100L, "j" -> 100L))
     val a = spark.read.parquet(s"$dir/a").orderBy("id").as[(Long, Double)].collect().toSeq
     val b = spark.read.parquet(s"$dir/b").orderBy("id").as[(Long, Double)].collect().toSeq
     assert(a == b)
@@ -33,6 +39,11 @@ class EngineInfraSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(c == a) // Double.toString round-trips exactly
     assert(spark.read.text(s"$dir/t").count() == 100)
+    val o = spark.read.orc(s"$dir/o").orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(o == a) // ORC round-trips the snapshot bit-exactly
+    val j = spark.read.json(s"$dir/j").select($"id".cast("long"), $"r".cast("double"))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(j == a)
   }
 
   test("Counters.track aggregates task metrics for the bracketed scope") {
