@@ -45,6 +45,7 @@ object BloomPrune {
     */
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, expectedItems: Long = 4000000L): DataFrame = {
+    require(!big.columns.contains("__bp_key"), "__bp_key is reserved by semiJoin")
     val pruned = prune(big, bigKey, small, smallKey, expectedItems)
     val dim = small.select(col(smallKey).as("__bp_key"))
     pruned.join(dim, col(bigKey) === col("__bp_key"), "left_semi")

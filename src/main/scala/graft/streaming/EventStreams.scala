@@ -60,7 +60,11 @@ object EventStreams {
               new Timestamp(s.lastTs + gapMs), s.nEvents))
           } else {
             // fold the micro-batch in event-time order, closing sessions at
-            // every gap larger than gapMs
+            // every gap larger than gapMs. The sort materializes ONE
+            // (user, micro-batch) group — bounded by events per user per
+            // trigger interval, not by stream length; a user hot enough to
+            // overflow an executor here needs trigger-interval tuning, not
+            // a different operator
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
