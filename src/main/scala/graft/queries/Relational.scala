@@ -1070,6 +1070,26 @@ object Relational {
       |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q96 — script transform: rows piped through an EXTERNAL PROCESS
+  // (`tr a-z A-Z`), Spark's `SELECT TRANSFORM ... USING` in no-serde mode.
+  // This is the Hive-on-Tez ScriptOperator surface — the reference's
+  // "arbitrary per-task user code" escape hatch beyond JVM Processors
+  // (SURVEY §2.10) — kept narrow: one forked process per task, rows
+  // streamed through stdin/stdout, no shuffle. The oracle replays the
+  // uppercase in SQL.
+  private def q96(t: Tables): DataFrame = {
+    t.events.select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView("graft_q96_in")
+    t.spark.sql(
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+        |FROM (SELECT TRANSFORM(event_id, event_type) USING 'tr a-z A-Z'
+        |      AS (event_id STRING, event_type STRING) FROM graft_q96_in)""".stripMargin)
+  }
+
+  private val q96Sql =
+    "SELECT event_id, upper(event_type) AS event_type FROM events"
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1131,7 +1151,8 @@ object Relational {
     "q91_funnel" -> wrap(q91),
     "q92_retention" -> wrap(q92),
     "q93_zorder_key" -> wrap(q93),
-    "q94_asof_forward" -> wrap(q94)
+    "q94_asof_forward" -> wrap(q94),
+    "q96_script_transform" -> wrap(q96)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1192,6 +1213,7 @@ object Relational {
     "q91_funnel" -> q91Sql,
     "q92_retention" -> q92Sql,
     "q93_zorder_key" -> q93Sql,
-    "q94_asof_forward" -> q94Sql
+    "q94_asof_forward" -> q94Sql,
+    "q96_script_transform" -> q96Sql
   )
 }
