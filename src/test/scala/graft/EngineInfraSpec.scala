@@ -46,6 +46,24 @@ class EngineInfraSpec extends AnyFunSuite {
     assert(j == a)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // INSERT OVERWRITE ... PARTITION semantics (the warehouse ingest
+    // contract): a batch that writes partition grp=1 must not clobber the
+    // other partitions — static overwrite mode would wipe the whole table
+    val dir = Files.createTempDirectory("dynpart").toString + "/t"
+    val full = spark.range(40).select($"id", ($"id" % 4).as("grp"))
+    full.write.partitionBy("grp").parquet(dir)
+    spark.range(100, 105).select($"id", lit(1L).as("grp"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("grp").parquet(dir)
+    val back = spark.read.parquet(dir).select($"id", $"grp".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val expect = (0L until 40L).filter(_ % 4 != 1).map(i => (i, i % 4)).toSet ++
+      (100L until 105L).map(i => (i, 1L))
+    assert(back == expect)
+  }
+
   test("Counters.track aggregates task metrics for the bracketed scope") {
     val (result, snap) = Counters.track(spark) {
       spark.range(10000).repartition(4).groupBy(($"id" % 10).as("k")).count().collect().length
