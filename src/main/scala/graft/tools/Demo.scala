@@ -77,6 +77,16 @@ object Demo {
     val textPath = graft.sources.FileFormats.nationTextPath(t)
     val lines = graft.sources.HadoopInput.textLines(spark, textPath).count()
     println(s"[demo] TextInputFormat adapter read $lines nation lines")
+
+    // 7. Warehouse maintenance: keyed MERGE + Bloom-pruned semi-join +
+    // Z-order layout — the round-4 surface in three calls
+    val base = t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val batch = base.limit(5).withColumn("c_acctbal", col("c_acctbal") + 1.0)
+    println(s"[demo] upsert merged rows: ${graft.operators.Merge.upsert(base, batch, "c_custkey").count()}")
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    println(s"[demo] bloom-pruned semi-join survivors: ${
+      graft.operators.BloomPrune.semiJoin(t.lineitem, "l_orderkey", urgent, "o_orderkey").count()}")
+    println(s"[demo] z-order key of (42, 7): ${graft.functions.NativeKernels.zValue16(42L, 7L)}")
     spark.stop()
   }
 }
