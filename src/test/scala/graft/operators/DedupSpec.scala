@@ -173,6 +173,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((7L, 2L, "p q r s t u v w")))
   }
 
+  test("dedupCorpus handles a pathological hot duplicate (50k copies, one group)") {
+    // the scenario the window-free exact stage exists for: one text
+    // repeated massively must flow through partial-min combiner state,
+    // not a single task's window sort. 50k copies + 100 distinct docs →
+    // exactly 101 survivors, lowest id kept for the hot group.
+    val hot = spark.range(0, 50000).selectExpr("id", "'the same boilerplate line' AS text")
+    val distinct = spark.range(100000, 100100)
+      .selectExpr("id", "concat('unique text number ', id, ' with words') AS text")
+    val out = Dedup.dedupCorpus(hot.unionAll(distinct))
+    assert(out.count() == 101L)
+    assert(out.agg(min("id")).head().getLong(0) == 0L) // hot group's survivor
+  }
+
   test("duplicatePassages finds every cross-doc window at every alignment") {
     // docs 1 and 2 share the run "c d e f" (one 3-token window at stride 1
     // with passLen 3 would be 2 windows; with passLen 4 exactly one);
