@@ -173,4 +173,26 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(m == Map("a" -> 2L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("streamingMerge: micro-batches upsert into a keyed table, latest seq wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("smerge").toString + "/t"
+    val input = MemoryStream[(Long, Long, String)] // (key, seq, payload)
+    val q = input.toDF().toDF("k", "seq", "payload")
+      .writeStream
+      .foreachBatch(EventStreams.streamingMerge(dir, "k", "seq"))
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      // batch 2: update k=1 (two rows for the same key — highest seq must
+      // win), insert k=3
+      input.addData((1L, 2L, "a2"), (1L, 3L, "a3"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      val got = EventStreams.mergedTable(spark, dir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == Set((1L, 3L, "a3"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+    } finally q.stop()
+  }
 }
