@@ -1090,6 +1090,36 @@ object Relational {
     "SELECT event_id, upper(event_type) AS event_type FROM events"
 
   // ---------------------------------------------------------------------
+  // q97 — time-series gap fill / resample: every (user, day) cell of the
+  // observation month gets a row, zero-filled where no events exist — the
+  // dense-grid completion every metrics/training-curve pipeline needs
+  // before windowed models. The day dimension is a broadcast 30-row
+  // explode (narrow ×30 multiplier, not a shuffle); the sparse counts are
+  // one partial aggregate; the left join is AQE-managed. Output size =
+  // the grid, which is the point.
+  private def q97(t: Tables): DataFrame = {
+    val counts = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+    val days = t.spark.range(1).select(explode(expr(
+      "sequence(to_date('2024-01-01'), to_date('2024-01-30'), interval 1 day)")).as("day"))
+    val users = t.events.select(col("user_id")).distinct()
+    users.crossJoin(broadcast(days))
+      .join(counts, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val q97Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |d AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+      |                                         INTERVAL 1 DAY)) AS DATE) AS day),
+      |c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, d.day, coalesce(c.n, 0) AS n
+      |FROM u CROSS JOIN d
+      |LEFT JOIN c ON u.user_id = c.user_id AND d.day = c.day""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1152,7 +1182,8 @@ object Relational {
     "q92_retention" -> wrap(q92),
     "q93_zorder_key" -> wrap(q93),
     "q94_asof_forward" -> wrap(q94),
-    "q96_script_transform" -> wrap(q96)
+    "q96_script_transform" -> wrap(q96),
+    "q97_gap_fill" -> wrap(q97)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1214,6 +1245,7 @@ object Relational {
     "q92_retention" -> q92Sql,
     "q93_zorder_key" -> q93Sql,
     "q94_asof_forward" -> q94Sql,
-    "q96_script_transform" -> q96Sql
+    "q96_script_transform" -> q96Sql,
+    "q97_gap_fill" -> q97Sql
   )
 }
