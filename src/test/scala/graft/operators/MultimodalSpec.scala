@@ -51,4 +51,61 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"frame_idx").as[Int].collect().toSeq
     assert(frames == Seq(0, 4, 8)) // n_frames = 10 % 240 + 1 = 11
   }
+
+  // hand-crafted headers per the format specs — no codec lib anywhere
+  private def png(w: Int, h: Int): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+  }
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ Array[Byte]((w & 0xff).toByte, (w >> 8).toByte,
+      (h & 0xff).toByte, (h >> 8).toByte)
+  private def wav(channels: Int, rate: Int, bits: Int): Array[Byte] = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * bits / 8) ++ le16(channels * bits / 8) ++ le16(bits)
+  }
+  private def jpeg(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte, 0, 17, 8) ++
+      Array[Byte]((h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte)
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++ le32(w) ++ le32(h)
+  }
+
+  test("HeaderCodec parses real PNG/GIF/WAV/JPEG headers, rejects garbage") {
+    import Multimodal.HeaderCodec._
+    assert(pngDims(png(640, 480)) == Some((640, 480)))
+    assert(gifDims(gif(320, 200)) == Some((320, 200)))
+    assert(bmpDims(bmp(800, 600)) == Some((800, 600)))
+    assert(bmpDims(bmp(800, -600)) == Some((800, 600))) // top-down bitmap
+    assert(wavMeta(wav(2, 44100, 16)) == Some((2, 44100, 16)))
+    assert(jpegDims(jpeg(1920, 1080)) == Some((1920, 1080)))
+    assert(sniff("just some text".getBytes) == ("unknown", 0, 0, 0, 0))
+    assert(sniff(Array.empty[Byte]) == ("unknown", 0, 0, 0, 0))
+    assert(sniff(png(1, 1).take(12)) == ("unknown", 0, 0, 0, 0)) // truncated
+  }
+
+  test("decodeHeaders: distributed dispatch on magic bytes, unknowns survive") {
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, wav(1, 16000, 16)),
+      (4L, jpeg(64, 32)), (5L, "plain text".getBytes), (6L, null)
+    ).toDF("id", "media")
+    val got = Multimodal.decodeHeaders(rows, "media")
+      .select($"id", $"kind", $"width", $"height", $"channels", $"sample_rate")
+      .as[(Long, String, Int, Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "png", 640, 480, 0, 0),
+      (2L, "gif", 320, 200, 0, 0),
+      (3L, "wav", 0, 0, 1, 16000),
+      (4L, "jpeg", 64, 32, 0, 0),
+      (5L, "unknown", 0, 0, 0, 0),
+      (6L, "null", 0, 0, 0, 0)))
+  }
 }
