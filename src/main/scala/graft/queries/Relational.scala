@@ -1120,6 +1120,37 @@ object Relational {
       |LEFT JOIN c ON u.user_id = c.user_id AND d.day = c.day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q98 — the remaining analytic-window family in one query: ntile
+  // buckets, percent_rank / cume_dist (exact integer ratios → identical
+  // doubles in both engines), dense_rank, and first/last_value over a
+  // bounded frame. Total order inside each partition is made unique by
+  // the (n_chars, doc_id) tiebreak, so every function is deterministic.
+  private def q98(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    t.documents.select(col("doc_id"), col("lang"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      dense_rank().over(w).as("drank"),
+      first_value(col("doc_id")).over(w.rowsBetween(-2, 0)).as("first_in3"),
+      last_value(col("doc_id")).over(w.rowsBetween(-2, 0)).as("last_in3"))
+  }
+
+  private val q98Sql =
+    """SELECT doc_id, lang,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  dense_rank() OVER w AS drank,
+      |  first_value(doc_id) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS first_in3,
+      |  last_value(doc_id) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last_in3
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1183,7 +1214,8 @@ object Relational {
     "q93_zorder_key" -> wrap(q93),
     "q94_asof_forward" -> wrap(q94),
     "q96_script_transform" -> wrap(q96),
-    "q97_gap_fill" -> wrap(q97)
+    "q97_gap_fill" -> wrap(q97),
+    "q98_rank_family" -> wrap(q98)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1246,6 +1278,7 @@ object Relational {
     "q93_zorder_key" -> q93Sql,
     "q94_asof_forward" -> q94Sql,
     "q96_script_transform" -> q96Sql,
-    "q97_gap_fill" -> q97Sql
+    "q97_gap_fill" -> q97Sql,
+    "q98_rank_family" -> q98Sql
   )
 }
