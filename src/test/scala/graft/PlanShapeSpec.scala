@@ -181,6 +181,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("rank<=k window filter plans a WindowGroupLimit below the shuffle") {
+    // users who write the natural row_number()-then-filter form still get
+    // a bounded plan: Catalyst's InferWindowGroupLimit inserts a per-map-
+    // partition top-k (WindowGroupLimit) BEFORE the exchange, so a hot
+    // partition ships at most k rows per mapper instead of its whole
+    // group — the built-in cousin of our TopKByScore aggregate
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"grp").orderBy($"v".desc)
+    val q = spark.read.parquet(s"$dir/fact")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
