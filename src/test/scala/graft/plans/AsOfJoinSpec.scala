@@ -156,6 +156,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(3L) == Some(15.0))
   }
 
+  test("asOfForward agrees with a brute-force model on randomized data incl. NULLs") {
+    val rnd = new scala.util.Random(7)
+    def maybe[T](x: T): Option[T] = if (rnd.nextInt(20) == 0) None else Some(x)
+    val leftRows = (1 to 1500).map { i =>
+      (i.toLong, maybe(rnd.nextInt(30)), maybe(ts(rnd.nextInt(8000).toLong)))
+    }
+    val rightRows = (1 to 600).map { _ =>
+      (maybe(rnd.nextInt(40)), maybe(ts(rnd.nextInt(8000).toLong)),
+        rnd.nextInt(1000) / 10.0)
+    }.groupBy(r => (r._1, r._2)).map { case ((k, t), g) =>
+      (k, t, g.map(_._3).max)
+    }.toSeq
+    val left = leftRows.toDF("event_id", "k", "ts").repartition(6)
+    val right = rightRows.toDF("k", "rts", "v").repartition(4)
+
+    val got = AsOfJoin.asOfForward(left, right, "k", "ts", "rts", Seq("v"))
+      .select("event_id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    // brute force: earliest right at-or-after, NULL key/ts never matches
+    val model = leftRows.map { case (id, k, t) =>
+      id -> (for {
+        kk <- k; tt <- t
+        best <- rightRows
+          .filter(r => r._1.contains(kk) && r._2.exists(!_.before(tt)))
+          .sortBy(_._2.get.getTime).headOption
+      } yield best._3)
+    }.toMap
+    assert(got == model)
+  }
+
   test("asOfForward picks the EARLIEST right row at-or-after each left ts") {
     val left = Seq(
       (1L, 1, ts(100)), (2L, 1, ts(205)), (3L, 1, ts(300)),
