@@ -190,6 +190,37 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule (`Rule[LogicalPlan]` — the last rung of the custom-
+  * operator ladder): push left-side filters through [[AsOfJoinNode]].
+  *
+  * Catalyst's built-in `PushPredicateThroughJoin` only understands its own
+  * join node, so without this rule a `result.filter(left_col = x)` above
+  * an as-of join shuffles, sorts and merges the FULL inputs and filters
+  * last. The as-of join emits every left row exactly once (left-outer
+  * contract), so any deterministic predicate over left columns commutes
+  * with the join exactly; pushing it below the node lets the standard
+  * rules carry it all the way into the parquet scan (`PushedFilters`) and
+  * shrinks the exchange+sort. Predicates touching right-side output
+  * columns stay above (their values depend on the match).
+  */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoin {
 
   /** Backward as-of join through the native operator. Contract:
@@ -215,6 +246,7 @@ object AsOfJoin {
         "alias the right-side value columns before joining")
     val spark = left.sparkSession
     ColumnBridge.addStrategy(spark, AsOfJoinStrategy)
+    ColumnBridge.addOptimizerRule(spark, AsOfJoinFilterPushdown)
     val lPlan = left.queryExecution.analyzed
     // Re-alias the right side so its expr-ids are disjoint from the
     // left's even when both derive from the same base relation (the

@@ -32,6 +32,16 @@ object ColumnBridge {
     if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
   }
 
+  /** Idempotently add an optimizer rule to a LIVE session (same
+    * getOrCreate caveat as [[addStrategy]]).
+    */
+  def addOptimizerRule(spark: org.apache.spark.sql.SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r)) exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
+
   /** Register functions into a LIVE session's registry — needed because
     * `getOrCreate()` ignores `withExtensions` when a session already
     * exists (sessionState is private[sql], hence this shim).

@@ -186,6 +186,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == model)
   }
 
+  test("AsOfJoinFilterPushdown: left-only filters sink below the join node") {
+    // write the left side to parquet so the pushed predicate has a scan
+    // to land in — the full chain is custom rule → below AsOfJoinNode →
+    // Catalyst's own pushdown → PushedFilters in the file scan
+    val dir = java.nio.file.Files.createTempDirectory("asofpd").toString
+    (1 to 500).map(i => (i.toLong, i % 7, ts(i * 10L)))
+      .toDF("event_id", "k", "ts").write.parquet(s"$dir/left")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = Seq((1, ts(90), 9.0), (2, ts(50), 5.0))
+      .toDF("k", "rts", "v")
+
+    val joined = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("v"))
+    val filtered = joined.filter($"event_id" <= 100)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must be INSIDE the join's left child, not above the node
+    assert(optimized.indexOf("AsOfJoin") < optimized.indexOf("event_id#"),
+      optimized)
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(event_id), LessThanOrEqual(event_id,100)]")
+      || physical.contains("LessThanOrEqual(event_id,100)"), physical)
+    // and a mixed predicate keeps its right-side half above the join
+    val mixed = joined.filter($"event_id" <= 100 && $"v" > 1.0)
+    assert(mixed.collect().map(_.getLong(0)).toSet ==
+      joined.collect().filter(r => r.getLong(0) <= 100 &&
+        Option(r.getAs[java.lang.Double]("v")).exists(_ > 1.0)).map(_.getLong(0)).toSet)
+    // result identity: filter-above == filter-below
+    val above = filtered.collect().map(_.toSeq).toSet
+    val below = AsOfJoin.asOfNative(left.filter($"event_id" <= 100), right,
+      "k", "ts", "rts", Seq("v")).collect().map(_.toSeq).toSet
+    assert(above == below && above.size == 100)
+  }
+
   test("asOfForward picks the EARLIEST right row at-or-after each left ts") {
     val left = Seq(
       (1L, 1, ts(100)), (2L, 1, ts(205)), (3L, 1, ts(300)),
