@@ -206,7 +206,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoinFilterPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -218,6 +218,17 @@ object AsOfJoinFilterPushdown
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+    // column pruning: a Project above the node keeps only some left
+    // columns — narrow the left child to (referenced ∪ key ∪ ts) so the
+    // scan never decodes the dropped columns. The node's output derives
+    // from its children, so the copy() shrinks it automatically; reaches
+    // a fixed point once nothing more can be dropped.
+    case p @ Project(projList, j: AsOfJoinNode) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.leftKey, j.leftTs))
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.size == j.left.output.size) p
+      else p.copy(child = j.copy(left = Project(keptLeft, j.left)))
   }
 }
 

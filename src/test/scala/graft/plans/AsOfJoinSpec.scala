@@ -218,6 +218,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(above == below && above.size == 100)
   }
 
+  test("AsOfJoinFilterPushdown: unused left columns are pruned from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("asofcp").toString
+    (1 to 200).map(i => (i.toLong, i % 5, ts(i * 10L), "x" * 50))
+      .toDF("event_id", "k", "ts", "fat_payload").write.parquet(s"$dir/left")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = Seq((1, ts(90), 9.0)).toDF("k", "rts", "v")
+    val q = AsOfJoin.asOfNative(left, right, "k", "ts", "rts", Seq("v"))
+      .select("event_id", "v")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("fat_payload"), physical)
+    assert(q.collect().length == 200)
+  }
+
   test("asOfForward picks the EARLIEST right row at-or-after each left ts") {
     val left = Seq(
       (1L, 1, ts(100)), (2L, 1, ts(205)), (3L, 1, ts(300)),
