@@ -90,4 +90,32 @@ object TemporalJoins {
       .filter(col(pt) >= col(start) && col(pt) <= col(end))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join on a key: every (left, right) pair
+    * whose [start, end] ranges intersect. Same bin-grid reduction as
+    * [[pointInInterval]] — both sides explode to their covered bins and
+    * equi-join on (key, bin) — plus the CANONICAL-BIN trick: a pair
+    * overlapping k bins would surface k times, so instead of a distinct
+    * (an extra shuffle of the whole candidate set) the join keeps only
+    * the collision in bin max(binOf(lStart), binOf(rStart)), which two
+    * overlapping intervals share exactly once (it's ≥ both starts and,
+    * when they overlap, ≤ both ends). The exact predicate then removes
+    * same-bin false candidates. Shuffle volume is Σ⌈span/bin⌉ copies per
+    * side; never |L|·|R|, never a distinct over candidates.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    val binUs = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
+    val l = left.withColumn("__bin",
+      explode(sequence(binOf(col(lStart)), binOf(col(lEnd)))))
+    val r = right.withColumn("__bin",
+      explode(sequence(binOf(col(rStart)), binOf(col(rEnd)))))
+    l.join(r, Seq(key, "__bin"))
+      .filter(col("__bin") === greatest(binOf(col(lStart)), binOf(col(rStart))))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__bin")
+  }
 }

@@ -1151,6 +1151,32 @@ object Relational {
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q99 — interval × interval overlap join (the third temporal primitive
+  // beside as-of and point-in-interval): purchase attention windows
+  // [ts, ts+1h] × error windows [ts, ts+30m] per user. Bin-grid equi-join
+  // with the canonical-bin dedup (TemporalJoins.intervalOverlap) — a hash
+  // join, no nested loop, no distinct over candidates.
+  private def q99(t: Tables): DataFrame = {
+    val ev = t.events
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts").as("a_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("a_end"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("b_id"), col("user_id"),
+        col("ts").as("b_start"), (col("ts") + expr("INTERVAL 30 MINUTE")).as("b_end"))
+    graft.operators.TemporalJoins
+      .intervalOverlap(a, b, "user_id", "a_start", "a_end", "b_start", "b_end", 1800L)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  private val q99Sql =
+    """SELECT p.event_id AS a_id, e.event_id AS b_id
+      |FROM events p JOIN events e ON p.user_id = e.user_id
+      |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+      |  AND p.ts <= e.ts + INTERVAL 30 MINUTE
+      |  AND e.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1215,7 +1241,8 @@ object Relational {
     "q94_asof_forward" -> wrap(q94),
     "q96_script_transform" -> wrap(q96),
     "q97_gap_fill" -> wrap(q97),
-    "q98_rank_family" -> wrap(q98)
+    "q98_rank_family" -> wrap(q98),
+    "q99_interval_join" -> wrap(q99)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1279,6 +1306,7 @@ object Relational {
     "q94_asof_forward" -> q94Sql,
     "q96_script_transform" -> q96Sql,
     "q97_gap_fill" -> q97Sql,
-    "q98_rank_family" -> q98Sql
+    "q98_rank_family" -> q98Sql,
+    "q99_interval_join" -> q99Sql
   )
 }

@@ -53,4 +53,23 @@ class TemporalJoinsSpec extends AnyFunSuite {
       assert(got == expect, s"binSeconds=$bin")
     }
   }
+
+  test("intervalOverlap equals the naive inequality join across bin sizes") {
+    val left = (1 to 70)
+      .map(i => (i.toLong, i % 4, ts(i * 40L), ts(i * 40L + 90)))
+      .toDF("a_id", "k", "as", "ae")
+    val right = (1 to 50)
+      .map(j => (j.toLong, j % 4, ts(j * 55L), ts(j * 55L + 60)))
+      .toDF("b_id", "k", "bs", "be")
+    val expect = left.join(right, Seq("k"))
+      .filter($"as" <= $"be" && $"bs" <= $"ae")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(expect.nonEmpty)
+    for (bin <- Seq(13L, 60L, 90L, 500L)) {
+      val got = TemporalJoins.intervalOverlap(
+        left, right, "k", "as", "ae", "bs", "be", bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"binSeconds=$bin")
+    }
+  }
 }
