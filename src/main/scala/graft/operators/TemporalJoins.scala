@@ -102,6 +102,9 @@ object TemporalJoins {
     * when they overlap, ≤ both ends). The exact predicate then removes
     * same-bin false candidates. Shuffle volume is Σ⌈span/bin⌉ copies per
     * side; never |L|·|R|, never a distinct over candidates.
+    *
+    * Precondition: every interval must satisfy start ≤ end (Spark's
+    * `sequence` rejects a descending range) — filter malformed rows first.
     */
   def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
       lStart: String, lEnd: String, rStart: String, rEnd: String,

@@ -985,6 +985,35 @@ object Pipeline {
        |  FROM k) WHERE rnk <= $PipeCap""".stripMargin
   }
 
+  // ===== q100 corpus report card =========================================
+  // The one-pass stats report every pipeline owner runs before and after
+  // curation: per-language rows, per-source rows, and a global row — all
+  // from ONE grouping-sets aggregate (single Expand + partial agg, one
+  // shuffle), with exact token-count percentiles. At 100 TB this is the
+  // scan you run once and cache the 200-row answer, not a dashboard of
+  // separate scans.
+
+  private def q100(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("lang"), col("source"),
+      TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    tok.groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tok"),
+        round(expr("percentile(n_tok, 0.9)"), 4).as("p90_tok"))
+  }
+
+  private val q100Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(n_tok) AS total_tokens,
+      |  round(quantile_cont(n_tok, 0.5), 4) AS p50_tok,
+      |  round(quantile_cont(n_tok, 0.9), 4) AS p90_tok
+      |FROM (SELECT lang, source,
+      |        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+      |      FROM documents)
+      |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin
+
   // =======================================================================
 
   val defs: Map[String, Q] = Map(
@@ -1024,7 +1053,8 @@ object Pipeline {
     "q81_segment_dedup" -> wrap(q81),
     "q84_duplicate_passages" -> wrap(q84),
     "q90_sorted_group_concat" -> wrap(q90),
-    "q95_curation_pipeline" -> wrap(q95)
+    "q95_curation_pipeline" -> wrap(q95),
+    "q100_corpus_report" -> wrap(q100)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1064,6 +1094,7 @@ object Pipeline {
     "q81_segment_dedup" -> q81Sql,
     "q84_duplicate_passages" -> q84Sql,
     "q90_sorted_group_concat" -> q90Sql,
-    "q95_curation_pipeline" -> q95Sql
+    "q95_curation_pipeline" -> q95Sql,
+    "q100_corpus_report" -> q100Sql
   )
 }

@@ -25,6 +25,6 @@ class SparkEntryContractSpec extends AnyFunSuite {
     val nums = keys.toSeq.map(_.takeWhile(_ != '_'))
     assert(nums.distinct.size == nums.size,
       s"duplicate query numbers: ${nums.diff(nums.distinct)}")
-    assert(keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")), keys.toSeq.sorted.mkString(","))
+    assert(keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), keys.toSeq.sorted.mkString(","))
   }
 }
