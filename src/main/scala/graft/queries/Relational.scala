@@ -1177,6 +1177,40 @@ object Relational {
       |  AND e.ts <= p.ts + INTERVAL 1 HOUR""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q101 — SCD-2 history-keeping MERGE (Merge.upsertHistory): q87's update
+  // batch applied so superseded rows survive flagged is_current = false —
+  // the slowly-changing-dimension shape warehouse history tables need.
+  // Same batch-broadcast plan as q87 plus one semi-join for the
+  // superseded set.
+  private def q101(t: Tables): DataFrame = {
+    val base = t.customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"))
+    val revised = base.filter(col("c_custkey") % 7 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val inserts = base.filter(col("c_custkey") % 11 === 5)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"))
+    graft.operators.Merge.upsertHistory(base, revised.unionByName(inserts), "c_custkey")
+  }
+
+  private val q101Sql =
+    """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal
+      |  FROM base WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW-' || c_name, c_nationkey, c_acctbal
+      |  FROM base WHERE c_custkey % 11 = 5)
+      |SELECT *, TRUE AS is_current FROM upd
+      |UNION ALL
+      |SELECT *, TRUE AS is_current FROM base b
+      |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM upd)
+      |UNION ALL
+      |SELECT *, FALSE AS is_current FROM base b
+      |WHERE b.c_custkey IN (SELECT c_custkey FROM upd)""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1242,7 +1276,8 @@ object Relational {
     "q96_script_transform" -> wrap(q96),
     "q97_gap_fill" -> wrap(q97),
     "q98_rank_family" -> wrap(q98),
-    "q99_interval_join" -> wrap(q99)
+    "q99_interval_join" -> wrap(q99),
+    "q101_scd2_history" -> wrap(q101)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1307,6 +1342,7 @@ object Relational {
     "q96_script_transform" -> q96Sql,
     "q97_gap_fill" -> q97Sql,
     "q98_rank_family" -> q98Sql,
-    "q99_interval_join" -> q99Sql
+    "q99_interval_join" -> q99Sql,
+    "q101_scd2_history" -> q101Sql
   )
 }
