@@ -51,21 +51,54 @@ object BloomPrune {
     pruned.join(dim, col(bigKey) === col("__bp_key"), "left_semi")
   }
 
+  /** `big ▷ small` (left anti) with a Bloom short-circuit: a Bloom "no" is
+    * definitive, so rows whose key is definitely NOT in the small side keep
+    * WITHOUT touching the join — only the "might match" sliver (true
+    * matches + the few-percent false positives) goes through the exact
+    * anti-join. Two complementary narrow filters over the scan (a filter
+    * is cheap; the join shuffle is what's expensive) — at 100 TB this is
+    * the decontamination/blocklist shape: the join-side volume shrinks
+    * from |corpus| to |hits + ε|. NULL keys never match a join predicate,
+    * so they are always kept, matching plain anti-join semantics (the
+    * bloom branch handles this: xxhash64(NULL) is NULL and
+    * might_contain(NULL) is NULL → NOT NULL is not true → NULL-key rows
+    * route to the exact anti-join, which keeps them).
+    */
+  def antiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long = 4000000L): DataFrame = {
+    require(!big.columns.contains("__bp_key"), "__bp_key is reserved by antiJoin")
+    val probe = probeColumn(big, bigKey, small, smallKey, expectedItems)
+    val definiteKeep = big.where(!probe) // bloom "no" — exact by definition
+    val dim = small.select(col(smallKey).as("__bp_key"))
+    definiteKeep.unionByName(
+      big.where(probe.isNull || probe)
+        .join(dim, col(bigKey) === col("__bp_key"), "left_anti"))
+  }
+
   /** Just the probe stage: `big` filtered to rows whose `bigKey` *might* be
     * in `small(smallKey)` (superset of the exact match set). Compose with
     * any exact join downstream.
     */
   def prune(big: DataFrame, bigKey: String, small: DataFrame,
-      smallKey: String, expectedItems: Long = 4000000L): DataFrame = {
+      smallKey: String, expectedItems: Long = 4000000L): DataFrame =
+    big.where(probeColumn(big, bigKey, small, smallKey, expectedItems))
+
+  /** The raw `might_contain(<sketch subquery>, xxhash64(bigKey))` column —
+    * three-valued: true (maybe present), false (definitely absent), null
+    * (NULL key). Exposed so both the semi (keep true) and anti (keep
+    * false, join the rest) shapes reuse one build.
+    */
+  def probeColumn(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long = 4000000L)
+      : org.apache.spark.sql.Column = {
     val build = small
       .select(CB.column(new BloomFilterAggregate(
           XxHash64(Seq(CB.expression(small(smallKey))), 42L), expectedItems)
         .toAggregateExpression()).as("bf"))
       .queryExecution.analyzed
-    val probe = CB.column(BloomFilterMightContain(
+    CB.column(BloomFilterMightContain(
       ScalarSubquery(build, Seq.empty, NamedExpression.newExprId, Seq.empty,
         None, None, None),
       XxHash64(Seq(CB.expression(big(bigKey))), 42L)))
-    big.where(probe)
   }
 }

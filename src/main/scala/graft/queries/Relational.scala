@@ -1211,6 +1211,28 @@ object Relational {
       |WHERE b.c_custkey IN (SELECT c_custkey FROM upd)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q102 — Bloom-short-circuited ANTI join (BloomPrune.antiJoin), q86's
+  // complement and the blocklist/decontamination shape: rows the sketch
+  // rules out keep without touching the join; only the might-match sliver
+  // pays the exact anti-join. Oracled as a plain NOT IN.
+  private def q102(t: Tables): DataFrame = {
+    val urgent = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomPrune.antiJoin(t.lineitem, "l_orderkey", urgent, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
+  private val q102Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1277,7 +1299,8 @@ object Relational {
     "q97_gap_fill" -> wrap(q97),
     "q98_rank_family" -> wrap(q98),
     "q99_interval_join" -> wrap(q99),
-    "q101_scd2_history" -> wrap(q101)
+    "q101_scd2_history" -> wrap(q101),
+    "q102_bloom_anti_join" -> wrap(q102)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1343,6 +1366,7 @@ object Relational {
     "q97_gap_fill" -> q97Sql,
     "q98_rank_family" -> q98Sql,
     "q99_interval_join" -> q99Sql,
-    "q101_scd2_history" -> q101Sql
+    "q101_scd2_history" -> q101Sql,
+    "q102_bloom_anti_join" -> q102Sql
   )
 }

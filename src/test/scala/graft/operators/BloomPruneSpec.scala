@@ -34,6 +34,19 @@ class BloomPruneSpec extends AnyFunSuite {
       s"bloom sketch not delivered via subquery:\n$plan")
   }
 
+  test("antiJoin equals the plain left-anti join, including NULL big keys") {
+    import spark.implicits._
+    val big = (Seq.tabulate(500)(i => Option(i.toLong)) ++ Seq(None, None))
+      .toDF("k")
+    val dim = spark.range(0, 100).select(($"id" * 3).as("j")) // 0,3,...,297
+    val pruned = BloomPrune.antiJoin(big, "k", dim, "j")
+      .as[Option[Long]].collect().toSeq.sorted
+    val plain = big.join(dim, $"k" === $"j", "left_anti")
+      .as[Option[Long]].collect().toSeq.sorted
+    assert(pruned == plain && pruned.nonEmpty)
+    assert(pruned.count(_.isEmpty) == 2) // NULL keys kept, like plain anti
+  }
+
   test("prune admits a superset of true matches and drops most non-matches") {
     // keys 0..999 on the big side, dim covers 0..49: the bloom must keep
     // all 50 true keys and, at the default FPP, prune the vast majority
