@@ -37,6 +37,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("nsh") == 3) // "a b","b a","a c"
   }
 
+  test("round-4 kernels are callable from SQL") {
+    import spark.implicits._
+    Seq((5L, 3L, Seq("a", "b", "c", "d"))).toDF("x", "y", "ws")
+      .createOrReplaceTempView("r4t")
+    val row = spark.sql(
+      """SELECT z_value16(x, y) AS z, md5_windows(ws, 2) AS hs FROM r4t""").head()
+    assert(row.getAs[Long]("z") == 27L)
+    val hs = row.getSeq[String](1)
+    assert(hs.length == 3 && hs.forall(_.matches("[0-9a-f]{32}")))
+  }
+
   test("SQL results match the Column API") {
     import spark.implicits._
     val df = Seq((Array(0.5f, 0.5f), Array(0.5f, -0.1f))).toDF("a", "b")
