@@ -326,6 +326,24 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
+  /** Incrementally extend a stored [[writeCorpusIndex]] with (already
+    * deduplicated) new documents — append-mode writes of the same three
+    * views, so ingestion grows the index by the batch instead of
+    * rebuilding it. Duplicate index entries from a replayed append are
+    * semantically harmless (the index is a membership structure: repeated
+    * hashes/bands only produce repeated candidates, which the probe
+    * dedups); exactly-once appends belong to a transactional table layer.
+    */
+  def appendToCorpusIndex(docs: DataFrame, dir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    docs.select(md5(col("text")).as("h"))
+      .write.mode("append").parquet(s"$dir/hashes")
+    bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    shingleArrays(docs, n)
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
   /** [[dedupAgainst]] against a stored [[writeCorpusIndex]] — identical
     * output, corpus-side compute replaced by three parquet scans.
     */

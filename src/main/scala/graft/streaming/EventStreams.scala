@@ -258,6 +258,41 @@ object EventStreams {
       merged.write.mode("overwrite").parquet(s"$tableDir/version=$batchId")
     }
 
+  /** Streaming ingestion dedup — the production corpus-ingest loop as a
+    * foreachBatch sink: each micro-batch of (id, text) documents is
+    * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,
+    * keep-lowest-id), (2) deduplicated AGAINST the stored corpus index,
+    * (3) written to `outDir/batch=<id>` (idempotent overwrite), and
+    * (4) appended to the index so later batches see it. Per-batch cost is
+    * proportional to the batch (index probes are band-partitioned scans);
+    * the corpus is never recomputed. A replayed batch rewrites its output
+    * dir idempotently and may re-append index entries — harmless, see
+    * [[graft.operators.Dedup.appendToCorpusIndex]].
+    */
+  def dedupIngest(indexDir: String, outDir: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      import org.apache.spark.sql.functions.col
+      val spark = batch.sparkSession
+      val docs = batch.select(col("id"), col("text"))
+      val withinBatch = graft.operators.Dedup
+        .dedupCorpus(docs, n, numHashes, bands, threshold)
+        .select(col("id"), col("text"))
+      val indexExists = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
+      val kept = (if (indexExists)
+        graft.operators.Dedup.dedupAgainstIndex(
+          withinBatch, indexDir, n, numHashes, bands, threshold)
+          .select(col("id"), col("text"))
+        else withinBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.operators.Dedup.appendToCorpusIndex(kept, indexDir, n, numHashes, bands)
+      kept.unpersist()
+    }
+
   /** Read the current state of a [[streamingMerge]] table. */
   def mergedTable(spark: org.apache.spark.sql.SparkSession, tableDir: String)
       : org.apache.spark.sql.DataFrame = {

@@ -195,4 +195,36 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == Set((1L, 3L, "a3"), (2L, 1L, "b1"), (3L, 1L, "c1")))
     } finally q.stop()
   }
+
+  test("dedupIngest: batches dedup within themselves, against the index, and extend it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("dedupingest").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.dedupIngest(idx, out))
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "a completely different document body with other words"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1 (via index)
+        (4L, "yet another unrelated piece of text arriving later"),
+        (5L, "yet another unrelated piece of text arriving later")) // dup of 4 within batch
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L))
+      // the index grew with every kept doc: a third batch duplicating
+      // batch-2's survivor is dropped too
+      input.addData((6L, "yet another unrelated piece of text arriving later"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+        == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
