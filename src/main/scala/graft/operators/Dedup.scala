@@ -330,9 +330,12 @@ object Dedup {
     * deduplicated) new documents — append-mode writes of the same three
     * views, so ingestion grows the index by the batch instead of
     * rebuilding it. Duplicate index entries from a replayed append are
-    * semantically harmless (the index is a membership structure: repeated
-    * hashes/bands only produce repeated candidates, which the probe
-    * dedups); exactly-once appends belong to a transactional table layer.
+    * semantically harmless for MEMBERSHIP (repeated hashes/bands only
+    * produce repeated candidates, which the probe dedups) — but note a
+    * replayed producer that re-PROBES after re-appending would see its own
+    * entries; replay-safe ingestion needs the batch-versioned layout
+    * ([[graft.streaming.EventStreams.dedupIngest]] probes only strictly
+    * older batches and overwrites its own partition on replay).
     */
   def appendToCorpusIndex(docs: DataFrame, dir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
@@ -343,6 +346,18 @@ object Dedup {
     shingleArrays(docs, n)
       .write.mode("append").parquet(s"$dir/shingles")
   }
+
+  /** The (band, key, id) view of a doc batch — the banded half of the
+    * index layout, for callers maintaining a batch-partitioned index
+    * (graft.streaming.EventStreams.dedupIngest).
+    */
+  private[graft] def batchBandKeys(docs: DataFrame, n: Int, numHashes: Int,
+      bands: Int): DataFrame =
+    bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+
+  /** The (id, sh, n_sh) shingle view of a doc batch (same callers). */
+  private[graft] def batchShingleArrays(docs: DataFrame, n: Int): DataFrame =
+    shingleArrays(docs, n)
 
   /** [[dedupAgainst]] against a stored [[writeCorpusIndex]] — identical
     * output, corpus-side compute replaced by three parquet scans.
@@ -358,7 +373,7 @@ object Dedup {
       n, numHashes, bands, threshold)
   }
 
-  private def dedupAgainstParts(newDocs: DataFrame, exHashes: DataFrame,
+  private[graft] def dedupAgainstParts(newDocs: DataFrame, exHashes: DataFrame,
       exBands: DataFrame, exShingles: DataFrame,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val nd = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

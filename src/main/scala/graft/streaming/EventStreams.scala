@@ -263,33 +263,55 @@ object EventStreams {
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,
     * keep-lowest-id), (2) deduplicated AGAINST the stored corpus index,
     * (3) written to `outDir/batch=<id>` (idempotent overwrite), and
-    * (4) appended to the index so later batches see it. Per-batch cost is
-    * proportional to the batch (index probes are band-partitioned scans);
-    * the corpus is never recomputed. A replayed batch rewrites its output
-    * dir idempotently and may re-append index entries — harmless, see
-    * [[graft.operators.Dedup.appendToCorpusIndex]].
+    * (4) written into the index under `batch=<id>` partitions so later
+    * batches see it. Per-batch cost is proportional to the batch (index
+    * probes are partition-pruned scans); the corpus is never recomputed.
+    *
+    * REPLAY SAFETY — why the index is batch-versioned: the probe reads
+    * only index partitions with `batch < batchId`, and the write
+    * overwrites this batch's own partitions. A replayed batch therefore
+    * probes exactly what the first attempt probed (its own half-written
+    * entries are invisible) and re-derives the identical kept set; an
+    * unversioned append-then-probe loop would see its own first-attempt
+    * entries on replay and drop the whole batch as duplicates.
     */
   def dedupIngest(indexDir: String, outDir: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, md5}
       val spark = batch.sparkSession
       val docs = batch.select(col("id"), col("text"))
       val withinBatch = graft.operators.Dedup
         .dedupCorpus(docs, n, numHashes, bands, threshold)
         .select(col("id"), col("text"))
-      val indexExists = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
-      val kept = (if (indexExists)
-        graft.operators.Dedup.dedupAgainstIndex(
-          withinBatch, indexDir, n, numHashes, bands, threshold)
+      def priorBatches(view: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$view")
+        fs.exists(p) && fs.listStatus(p).exists { st =>
+          val nm = st.getPath.getName
+          nm.startsWith("batch=") && nm.stripPrefix("batch=").toLong < batchId
+        }
+      }
+      val kept = (if (priorBatches("hashes"))
+        graft.operators.Dedup.dedupAgainstParts(withinBatch,
+          spark.read.parquet(s"$indexDir/hashes").where(col("batch") < batchId),
+          spark.read.parquet(s"$indexDir/bands").where(col("batch") < batchId),
+          spark.read.parquet(s"$indexDir/shingles").where(col("batch") < batchId),
+          n, numHashes, bands, threshold)
           .select(col("id"), col("text"))
         else withinBatch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      graft.operators.Dedup.appendToCorpusIndex(kept, indexDir, n, numHashes, bands)
+      // this batch's index partitions — overwrite, so replays converge
+      kept.select(md5(col("text")).as("h"))
+        .write.mode("overwrite").parquet(s"$indexDir/hashes/batch=$batchId")
+      graft.operators.Dedup.batchBandKeys(kept, n, numHashes, bands)
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$indexDir/bands/batch=$batchId")
+      graft.operators.Dedup.batchShingleArrays(kept, n)
+        .write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batchId")
       kept.unpersist()
     }
 

@@ -227,4 +227,23 @@ class EventStreamsSpec extends AnyFunSuite {
         == Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("dedupIngest replay: a re-delivered batch re-derives the same kept set") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedupingest2").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    val sink = EventStreams.dedupIngest(idx, out)
+    val b0 = Seq((1L, "first document with some words in it"),
+      (2L, "second totally different body of text")).toDF("id", "text")
+    val b1 = Seq((3L, "first document with some words in it"), // dup of 1
+      (4L, "a fresh third document unlike the others")).toDF("id", "text")
+    sink(b0, 0); sink(b1, 1)
+    val first = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(first == Set(1L, 2L, 4L))
+    // crash-replay of batch 1: must probe only batch 0's index entries
+    // (not its own first attempt) and re-derive the identical kept set
+    sink(b1, 1)
+    val second = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(second == first)
+  }
 }
