@@ -132,7 +132,8 @@ object Multimodal {
       while (i + 4 <= b.length) {
         if ((b(i) & 0xff) != 0xff) return None
         val marker = b(i + 1) & 0xff
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+        if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) { i += 2 } // no-payload markers
         else {
           val size = be16(b, i + 2)
           if (size < 2) return None
