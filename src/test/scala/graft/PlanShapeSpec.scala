@@ -195,6 +195,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // THE 100 TB scan feature for date/domain-partitioned tables: a filter
+    // on the dim side becomes a runtime subquery predicate on the fact's
+    // PARTITION column, so the fact scan opens only matching directories —
+    // without DPP a 1000-partition fact is read in full for a 3-partition
+    // join. (Hive-on-Tez ships the same idea as dynamic partition pruning
+    // via events; Spark plans it as a DynamicPruning subquery.)
+    val d = Files.createTempDirectory("dpp").toString
+    (1 to 2000).map(i => (i.toLong, i % 50))
+      .toDF("id", "part_key").write.partitionBy("part_key").parquet(s"$d/fact")
+    (0 until 50).map(i => (i, s"g${i % 5}")).toDF("gid", "grp")
+      .write.parquet(s"$d/dim")
+    val fact = spark.read.parquet(s"$d/fact")
+    val dim = spark.read.parquet(s"$d/dim").filter($"grp" === "g0")
+    val q = fact.join(dim, $"part_key" === $"gid")
+    val p = plan(q)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // and the join result is correct: 10 of 50 part_keys survive
+    assert(q.count() == 2000 / 50 * 10)
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
