@@ -88,6 +88,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe sign-LSH top-k: each query additionally probes every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign — the
+    * planes a near neighbour most plausibly disagrees on), i.e. planes+1
+    * probe rows per query instead of 1. Single-bucket sign-LSH recall
+    * collapses when buckets outnumber vectors (measured 0.03–0.18 recall@10
+    * on the harness embeddings); multi-probe recovers most of it for a
+    * (planes+1)× probe-side blow-up that is still negligible next to the
+    * corpus (SimilaritySpec pins the measured improvement). A (query,
+    * vector) pair can collide in at most ONE probed bucket (the corpus
+    * vector has a single bucket), so no candidate dedup is needed.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, dim: Int,
+      k: Int, planes: Int = LshPlanes): DataFrame = {
+    val probes = array((col("__b0") +: (0 until planes).map(j =>
+      col("__b0").bitwiseXOR(lit(1L << j)))): _*)
+    val qb = queries
+      .withColumn("__b0", lshBucket(col("q_vec"), dim, planes))
+      .withColumn("bucket", explode(probes))
+      .drop("__b0")
+    val cb = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, planes))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(scored, k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path besides
     * sign-LSH. Coarse quantizer: the first `nCells` corpus vectors serve as
     * deterministic centroids (training-free IVF flavor — no k-means RNG, so

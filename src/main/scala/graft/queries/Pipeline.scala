@@ -423,6 +423,38 @@ object Pipeline {
        |      FROM s)
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
+  // ===== q103 multi-probe LSH top-k ======================================
+  // q36's single-bucket probing collapses when buckets outnumber vectors
+  // (recall@10 measured 0.03 at 12 planes on the harness embeddings);
+  // probing all Hamming-1 buckets (planes+1 probes/query) recovers ~3x
+  // the recall for a probe-side-only blow-up (SimilaritySpec pins the
+  // measured numbers). Oracle replays the same probe expansion with the
+  // shared plane family.
+
+  private def q103(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.lshTopKMultiProbe(queries, e, Dim, TopK, Similarity.LshPlanes)
+  }
+
+  private val q103Sql = {
+    val planes = Similarity.LshPlanes
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(planes)},
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id % $QueryMod = 0),
+       |qp AS (SELECT q_id, qv,
+       |         CASE WHEN t.j = -1 THEN bucket
+       |              ELSE xor(bucket, CAST(1 AS BIGINT) << t.j) END AS pbucket
+       |       FROM q CROSS JOIN generate_series(-1, ${planes - 1}) AS t(j)),
+       |s AS (SELECT q_id, b.vec_id, round(${cosSql("qv", "b.v")}, 4) AS score
+       |      FROM qp JOIN b ON qp.pbucket = b.bucket AND b.vec_id <> qp.q_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ===== q44 IVF approximate top-k =======================================
 
   private val IvfCells = 16
@@ -1054,7 +1086,8 @@ object Pipeline {
     "q84_duplicate_passages" -> wrap(q84),
     "q90_sorted_group_concat" -> wrap(q90),
     "q95_curation_pipeline" -> wrap(q95),
-    "q100_corpus_report" -> wrap(q100)
+    "q100_corpus_report" -> wrap(q100),
+    "q103_ann_multiprobe" -> wrap(q103)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1095,6 +1128,7 @@ object Pipeline {
     "q84_duplicate_passages" -> q84Sql,
     "q90_sorted_group_concat" -> q90Sql,
     "q95_curation_pipeline" -> q95Sql,
-    "q100_corpus_report" -> q100Sql
+    "q100_corpus_report" -> q100Sql,
+    "q103_ann_multiprobe" -> q103Sql
   )
 }

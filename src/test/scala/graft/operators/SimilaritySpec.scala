@@ -114,4 +114,28 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(!a.contains(4L) && a.contains(0L))
   }
+
+  test("multi-probe LSH recalls far more true neighbours than single-bucket") {
+    // measured on the REAL harness embeddings (deterministic data +
+    // deterministic planes → exact repeatable numbers): at 4 planes,
+    // recall@10 = 0.475 multi-probe vs 0.175 single-bucket. Pin slightly
+    // below the measurement so a legit plan change can't flake it, and
+    // pin the ratio — the reason the operator exists.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSet(Similarity.bruteForceTopK(queries, corpus, 10))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        approx.getOrElse(q, Set.empty).count(e).toDouble / e.size
+      }.sum / exact.size
+    val single = recall(topSet(Similarity.lshTopK(queries, corpus, 64, 10, planes = 4)))
+    val multi = recall(topSet(Similarity.lshTopKMultiProbe(queries, corpus, 64, 10, planes = 4)))
+    assert(multi >= 0.45, s"multi-probe recall $multi")
+    assert(multi >= 2 * single, s"multi $multi vs single $single")
+  }
 }
