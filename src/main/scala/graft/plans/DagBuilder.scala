@@ -86,9 +86,7 @@ final class RefHashPartitioner(val parts: Int) extends org.apache.spark.Partitio
 }
 
 final class DagBuilder(val name: String) {
-  private sealed trait Node
-  private final case class Source(df: () => DataFrame) extends Node
-  private final case class Processor(f: Seq[DataFrame] => DataFrame) extends Node
+  import DagBuilder.{Node, Processor, Source}
 
   private val vertices = mutable.LinkedHashMap.empty[String, Node]
   private val inEdges = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[(String, Edge.Movement)]]
@@ -170,6 +168,12 @@ final class DagBuilder(val name: String) {
 }
 
 object DagBuilder {
+  // vertex payloads live on the companion so case-class pattern matches
+  // carry no outer-instance reference
+  private sealed trait Node
+  private final case class Source(df: () => DataFrame) extends Node
+  private final case class Processor(f: Seq[DataFrame] => DataFrame) extends Node
+
   /** ≅ DAG.create(name) (DAG.java:80). */
   def create(name: String): DagBuilder = new DagBuilder(name)
 

@@ -246,10 +246,10 @@ object EventStreams {
       val cols = batch.columns
       val dedup = batch
         .groupBy(col(key))
-        .agg(max(struct(col(seqCol) +: cols.filter(c => c != key && c != seqCol)
-          .map(col): _*)).as("__m"))
-        .select(col(key) +: (Seq(seqCol) ++ cols.filter(c => c != key && c != seqCol))
-          .map(c => col(s"__m.$c").as(c)): _*)
+        .agg(max(struct((col(seqCol) +: cols.filter(c => c != key && c != seqCol)
+          .map(col)).toIndexedSeq: _*)).as("__m"))
+        .select((col(key) +: (Seq(seqCol) ++ cols.filter(c => c != key && c != seqCol))
+          .map(c => col(s"__m.$c").as(c))).toIndexedSeq: _*)
         .select(cols.map(col).toIndexedSeq: _*)
       val merged =
         if (versions.isEmpty) dedup
