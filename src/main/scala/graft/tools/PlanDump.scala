@@ -40,7 +40,11 @@ object PlanDump {
     "q86_bloom_semi_join" -> "BloomFilterAggregate sketch built as a scalar subquery over the dim side; might_contain probe sits inside the big side's scan stage (WholeStageCodegen), so the semi-join shuffle carries only probable matches. Exact join removes false positives.",
     "q87_merge_upsert" -> "MERGE as updates UNION (base broadcast-anti-join update keys): the base never shuffles — no SortMergeJoin anywhere; the batch's key column is the only broadcast payload.",
     "q93_zorder_key" -> "Pure narrow map: scan -> native z_value16 Morton kernel -> project. Zero exchanges; the layout rewrite (Compaction.zOrderParquet) adds one range shuffle at write time only.",
-    "q95_curation_pipeline" -> "Filters feed the exact-dedup partial aggregate, LSH banding runs on survivors only, the domain cap's bounded top-k sees only deduped rows — every stage shrinks the data before the next shuffle.")
+    "q95_curation_pipeline" -> "Filters feed the exact-dedup partial aggregate, LSH banding runs on survivors only, the domain cap's bounded top-k sees only deduped rows — every stage shrinks the data before the next shuffle.",
+    "q91_funnel" -> "Three stage aggregates chained by user_id equi-joins with range predicates — window-free sequence analytics; each stage's input shrinks.",
+    "q97_gap_fill" -> "Dense (user, day) grid: the 30-row day dimension broadcasts into a narrow multiplier (the only BroadcastNestedLoopJoin is that 30-row explode), sparse counts partial-aggregate, left join fills zeros.",
+    "q100_corpus_report" -> "One grouping-sets pass: single Expand (x3) + partial+final aggregate with exact percentiles — per-lang, per-source and global stats in one scan.",
+    "q103_ann_multiprobe" -> "Multi-probe sign-LSH: planes+1 probe rows per QUERY (tiny side) exploded before the bucket equi-join; corpus bucketed once; bounded TopKByScore ranking — no window, no cross product.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
