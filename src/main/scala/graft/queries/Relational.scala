@@ -1233,6 +1233,25 @@ object Relational {
       |GROUP BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q104 — equi-width histogram: events.value binned into fixed 5-unit
+  // buckets with per-bin count and exact bounds — the numeric-profiling
+  // companion to q100's categorical report. One partial+final aggregate
+  // on the bin key; integer bin arithmetic (floor of an IEEE-exact
+  // division by a power-of-two-free constant is deterministic in both
+  // engines since the inputs are identical doubles).
+  private def q104(t: Tables): DataFrame =
+    t.events
+      .select(floor(col("value") / lit(5.0)).cast("long").as("bin"), col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+
+  private val q104Sql =
+    """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n,
+      |  min(value) AS lo, max(value) AS hi
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1300,7 +1319,8 @@ object Relational {
     "q98_rank_family" -> wrap(q98),
     "q99_interval_join" -> wrap(q99),
     "q101_scd2_history" -> wrap(q101),
-    "q102_bloom_anti_join" -> wrap(q102)
+    "q102_bloom_anti_join" -> wrap(q102),
+    "q104_histogram" -> wrap(q104)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1367,6 +1387,7 @@ object Relational {
     "q98_rank_family" -> q98Sql,
     "q99_interval_join" -> q99Sql,
     "q101_scd2_history" -> q101Sql,
-    "q102_bloom_anti_join" -> q102Sql
+    "q102_bloom_anti_join" -> q102Sql,
+    "q104_histogram" -> q104Sql
   )
 }
