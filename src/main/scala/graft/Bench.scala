@@ -69,7 +69,14 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${ms(total)}}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${ms(total)}}"""
+    println(line)
+    // also persist to a file: the harness stores only the final ~2KB of
+    // stdout, which has tail-truncated the per-query map two rounds in a
+    // row — the file copy always carries all rows
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -503,7 +503,11 @@ case class CosineFExpr(left: Expression, right: Expression)
 /** md5_windows(array<string>, n) → array<string>: all stride-1 n-word
   * window digests, duplicates kept (see [[NativeKernels.md5Windows]]).
   */
-case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression {
+case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  // SQL-registered: a mistyped call (non-array input) must fail at analysis
+  // with a clear message, not ClassCastException at eval time
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(words: Any): Any =
     NativeKernels.md5Windows(words.asInstanceOf[ArrayData], n)
@@ -524,7 +528,11 @@ case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression {
   * Σ_i ((a>>i & 1) << 2i) + ((b>>i & 1) << (2i+1)) for i in 0..15.
   */
 case class ZValue16Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // SQL-registered: INT inputs would CCE in interpreted eval yet silently
+  // widen under codegen — declaring LongType makes analysis insert the
+  // cast so both eval paths agree (and mistyped calls error clearly)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     NativeKernels.zValue16(a.asInstanceOf[Long], b.asInstanceOf[Long])

@@ -63,15 +63,29 @@ object BloomPrune {
     * bloom branch handles this: xxhash64(NULL) is NULL and
     * might_contain(NULL) is NULL → NOT NULL is not true → NULL-key rows
     * route to the exact anti-join, which keeps them).
+    *
+    * DOUBLE-EVALUATION CAVEAT: the two branches each evaluate `big`
+    * (definite-no scan ∪ might-match scan). Over a parquet scan this is
+    * the right trade — two cheap codegen'd scans beat one full shuffle —
+    * but over an EXPENSIVE UPSTREAM PIPELINE it doubles that pipeline's
+    * cost. For such inputs pass `persistBig = true` (persists `big`
+    * MEMORY_AND_DISK so the upstream runs once; both branches then read
+    * the cached blocks — the caller should `spark.catalog.clearCache()`
+    * or `big.unpersist()` when the result has been consumed), or persist
+    * `big` yourself before calling.
     */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame,
-      smallKey: String, expectedItems: Long = 4000000L): DataFrame = {
+      smallKey: String, expectedItems: Long = 4000000L,
+      persistBig: Boolean = false): DataFrame = {
     require(!big.columns.contains("__bp_key"), "__bp_key is reserved by antiJoin")
-    val probe = probeColumn(big, bigKey, small, smallKey, expectedItems)
-    val definiteKeep = big.where(!probe) // bloom "no" — exact by definition
+    val b = if (persistBig)
+      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else big
+    val probe = probeColumn(b, bigKey, small, smallKey, expectedItems)
+    val definiteKeep = b.where(!probe) // bloom "no" — exact by definition
     val dim = small.select(col(smallKey).as("__bp_key"))
     definiteKeep.unionByName(
-      big.where(probe.isNull || probe)
+      b.where(probe.isNull || probe)
         .join(dim, col(bigKey) === col("__bp_key"), "left_anti"))
   }
 

@@ -41,6 +41,14 @@ object Merge {
     * rows; inserts and untouched rows emit one, `is_current = true`).
     */
   def upsertHistory(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    // single-shot by contract: applied to its own prior output, withColumn
+    // would silently overwrite is_current and re-flag historical rows as
+    // current. To iterate, filter the previous output to is_current rows
+    // and drop the flag before calling again.
+    require(!base.columns.contains("is_current") &&
+      !updates.columns.contains("is_current"),
+      "upsertHistory inputs must not already carry is_current; " +
+        "filter a prior output to is_current=true and drop the column first")
     val current = upsert(base, updates, key).withColumn("is_current", lit(true))
     val superseded = base.join(updates.select(col(key)), Seq(key), "left_semi")
       .withColumn("is_current", lit(false))

@@ -116,7 +116,11 @@ object Multimodal {
             Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
           else None
         }
-        if (size < 0) return None
+        // a crafted size near Int.MaxValue would overflow the offset to a
+        // negative index (the guard `i + 8 <= b.length` stays true for
+        // negative i); any chunk claiming more bytes than remain means the
+        // next header is past the buffer — corrupt, stop the walk
+        if (size < 0 || size.toLong > b.length.toLong - i - 8) return None
         i += 8 + size + (size & 1) // chunks are word-aligned
       }
       None

@@ -663,7 +663,7 @@ object Pipeline {
         col("id").as("doc_id"), col("score").cast("long").as("n_chars"))
 
   private val q70Sql =
-    s"""SELECT source, rnk, doc_id, n_chars FROM (
+    s"""SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars FROM (
        |  SELECT source, doc_id, n_chars,
        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
        |  FROM documents) WHERE rnk <= $DomainCapK""".stripMargin
@@ -757,7 +757,7 @@ object Pipeline {
         col("id").as("doc_id"))
 
   private val q75Sql =
-    s"""SELECT lang, rnk, doc_id FROM (
+    s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
        |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(doc_id AS VARCHAR)")} DESC, doc_id) AS rnk
        |  FROM documents) WHERE rnk <= $StratumN""".stripMargin
@@ -1011,7 +1011,7 @@ object Pipeline {
        |          WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT),
        |s AS (SELECT id FROM ex WHERE id NOT IN (SELECT id_b FROM drops)),
        |k AS (SELECT f.doc_id AS id, f.source FROM f JOIN s ON f.doc_id = s.id)
-       |SELECT source, rnk, id FROM (
+       |SELECT source, CAST(rnk AS INTEGER) AS rnk, id FROM (
        |  SELECT source, id, row_number() OVER (PARTITION BY source
        |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(id AS VARCHAR)")} DESC, id) AS rnk
        |  FROM k) WHERE rnk <= $PipeCap""".stripMargin
@@ -1038,7 +1038,7 @@ object Pipeline {
 
   private val q100Sql =
     """SELECT lang, source, count(*) AS n_docs,
-      |  sum(n_tok) AS total_tokens,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
       |  round(quantile_cont(n_tok, 0.5), 4) AS p50_tok,
       |  round(quantile_cont(n_tok, 0.9), 4) AS p90_tok
       |FROM (SELECT lang, source,

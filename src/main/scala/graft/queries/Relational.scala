@@ -467,7 +467,7 @@ object Relational {
 
   private val q43Sql =
     """SELECT o_orderkey,
-      |  date_trunc('month', o_orderdate) AS mon,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
       |  CAST(year(o_orderdate) AS INT) AS yr,
       |  CAST(quarter(o_orderdate) AS INT) AS qtr,
       |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
@@ -1078,12 +1078,15 @@ object Relational {
   // streamed through stdin/stdout, no shuffle. The oracle replays the
   // uppercase in SQL.
   private def q96(t: Tables): DataFrame = {
+    // unique per-invocation view name: temp views are session-global, so a
+    // fixed name would collide across concurrent invocations in one session
+    val view = s"graft_q96_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     t.events.select(col("event_id"), col("event_type"))
-      .createOrReplaceTempView("graft_q96_in")
+      .createOrReplaceTempView(view)
     t.spark.sql(
-      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type
-        |FROM (SELECT TRANSFORM(event_id, event_type) USING 'tr a-z A-Z'
-        |      AS (event_id STRING, event_type STRING) FROM graft_q96_in)""".stripMargin)
+      s"""SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+         |FROM (SELECT TRANSFORM(event_id, event_type) USING 'tr a-z A-Z'
+         |      AS (event_id STRING, event_type STRING) FROM $view)""".stripMargin)
   }
 
   private val q96Sql =
@@ -1139,10 +1142,10 @@ object Relational {
 
   private val q98Sql =
     """SELECT doc_id, lang,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  percent_rank() OVER w AS pct_rank,
       |  cume_dist() OVER w AS cume,
-      |  dense_rank() OVER w AS drank,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
       |  first_value(doc_id) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS first_in3,
       |  last_value(doc_id) OVER (PARTITION BY lang ORDER BY n_chars, doc_id

@@ -236,11 +236,23 @@ object EventStreams {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(tableDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val versions = if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
+      val allVersions = if (fs.exists(new org.apache.hadoop.fs.Path(tableDir)))
         fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
           .map(_.getPath.getName).filter(_.startsWith("version="))
-          .map(_.stripPrefix("version=").toLong).filter(_ < batchId)
+          .map(_.stripPrefix("version=").toLong)
         else Array.empty[Long]
+      // A table is bound to ONE checkpoint lineage: versions key on the
+      // streaming batchId, so restarting with a FRESH checkpoint resets
+      // batchId to 0 while the table still holds higher versions — the
+      // merge would silently ignore them (filter `< batchId` matches
+      // none) while mergedTable keeps reading the stale old max. Fail
+      // fast instead of forking the version history. (`== batchId` is a
+      // legitimate same-checkpoint replay and is overwritten below.)
+      require(!allVersions.exists(_ > batchId),
+        s"$tableDir has version=${allVersions.max} > batchId=$batchId: " +
+          "this table belongs to a different checkpoint lineage; use a " +
+          "fresh table dir or restore the original checkpoint")
+      val versions = allVersions.filter(_ < batchId)
       // latest row per key within the batch (highest seq, struct-max —
       // O(1) state per key, no window)
       val cols = batch.columns

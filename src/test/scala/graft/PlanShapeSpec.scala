@@ -61,6 +61,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("bucketed tables join with zero exchanges (co-located join)") {
     val wh = Files.createTempDirectory("warehouse").toString
+    // getOrCreate returns the suite-shared session and APPLIES these
+    // configs to it — capture and restore them below, or every later
+    // suite in the JVM silently runs with broadcast disabled and 4
+    // shuffle partitions (this bit MergeSpec when suite order changed)
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.get(k))
     val s2 = org.apache.spark.sql.SparkSession.builder().master("local[4]")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -80,6 +87,7 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally {
       s2.sql("DROP TABLE IF EXISTS bkt_a")
       s2.sql("DROP TABLE IF EXISTS bkt_b")
+      prev.foreach { case (k, v) => s2.conf.set(k, v) }
     }
   }
 
@@ -214,6 +222,73 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
     // and the join result is correct: 10 of 50 part_keys survive
     assert(q.count() == 2000 / 50 * 10)
+  }
+
+  test("q86 shape: bloom probe filters the big side BELOW the join exchange") {
+    // The whole point of BloomPrune at 100 TB: the might_contain predicate
+    // must run BEFORE the shuffle (inside the scan-side codegen span), so
+    // the exchange carries only probable matches. If the probe ever
+    // migrates above the exchange the operator silently degrades to a
+    // plain join plus overhead.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.{FilterExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"gid" < 3).select($"gid")
+      val q = graft.operators.BloomPrune.semiJoin(big, "grp", dim, "gid")
+      val exec = q.queryExecution.executedPlan
+      def hasProbe(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.exists {
+          case f: FilterExec =>
+            f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+          case _ => false
+        }
+      // the probe filter sits under a shuffle exchange (pre-shuffle prune)…
+      val exchanges = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.exists(e => hasProbe(e.child)), exec.toString)
+      // …and inside a WholeStageCodegen span that also holds the scan
+      val codegenWithProbe = exec.collect {
+        case w: WholeStageCodegenExec if hasProbe(w.child) => w
+      }
+      assert(codegenWithProbe.exists(_.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _ => false
+      }), exec.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("q102 shape: definite-no branch joins nothing; anti-join only on might-match side") {
+    // antiJoin's short-circuit: the bloom "no" rows must reach the union
+    // with NO join in their branch (they are exact by definition), and the
+    // exact anti-join must appear exactly once, on the might-match branch.
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"gid" < 3).select($"gid")
+      val q = graft.operators.BloomPrune.antiJoin(big, "grp", dim, "gid")
+      val exec = q.queryExecution.executedPlan
+      val unions = exec.collect { case u: UnionExec => u }
+      assert(unions.size == 1, exec.toString)
+      val branchJoinCounts = unions.head.children.map(
+        _.collect { case j: BaseJoinExec => j }.size)
+      assert(branchJoinCounts.sorted == Seq(0, 1), exec.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
   }
 
   test("AQE coalesces an over-partitioned shuffle at runtime") {

@@ -48,6 +48,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(hs.length == 3 && hs.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("mistyped calls fail at analysis; INT inputs widen identically in both eval paths") {
+    import spark.implicits._
+    // an array can never be a Morton key — clear analysis error, not a
+    // runtime ClassCastException (strings follow the built-ins: implicit
+    // cast to LONG, so a non-numeric string errors at runtime under ANSI)
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT z_value16(array(1L), 2L)").head()
+    }
+    // md5_windows over a non-array errors at analysis too
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT md5_windows('not an array', 2)").head()
+    }
+    // INT columns get an analysis-inserted cast to LONG, so interpreted
+    // eval agrees with codegen (previously interpreted eval CCE'd)
+    Seq((5, 3)).toDF("xi", "yi").createOrReplaceTempView("zints")
+    assert(spark.sql("SELECT z_value16(xi, yi) AS z FROM zints")
+      .head().getAs[Long]("z") == 27L)
+  }
+
   test("SQL results match the Column API") {
     import spark.implicits._
     val df = Seq((Array(0.5f, 0.5f), Array(0.5f, -0.1f))).toDF("a", "b")

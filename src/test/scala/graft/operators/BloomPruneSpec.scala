@@ -47,6 +47,26 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(pruned.count(_.isEmpty) == 2) // NULL keys kept, like plain anti
   }
 
+  test("antiJoin(persistBig) runs a non-scan upstream once: both branches read the cache") {
+    // over an expensive upstream pipeline the two-branch shape would
+    // evaluate it twice; persistBig caches it so each branch is an
+    // InMemoryTableScan — the upstream computes once
+    import spark.implicits._
+    val upstream = spark.range(0, 500).toDF("k")
+      .withColumn("payload", concat(lit("p"), col("k"))) // stand-in pipeline
+    val dim = spark.range(0, 100).select(($"id" * 3).as("j"))
+    try {
+      val out = BloomPrune.antiJoin(upstream, "k", dim, "j", persistBig = true)
+      val p = out.queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+      // and the result still equals the plain anti-join
+      val got = out.select($"k").as[Long].collect().toSet
+      val plain = upstream.join(dim, $"k" === $"j", "left_anti")
+        .select($"k").as[Long].collect().toSet
+      assert(got == plain && got.nonEmpty)
+    } finally spark.catalog.clearCache()
+  }
+
   test("prune admits a superset of true matches and drops most non-matches") {
     // keys 0..999 on the big side, dim covers 0..49: the bloom must keep
     // all 50 true keys and, at the default FPP, prune the vast majority

@@ -42,6 +42,22 @@ class MergeSpec extends AnyFunSuite {
       (3L, "c", 30.0, true)))
   }
 
+  test("upsertHistory rejects inputs that already carry is_current") {
+    // single-shot contract: re-applying to its own output would silently
+    // overwrite the flag and re-mark historical rows as current
+    val updates = Seq((2L, "b2", 25.0)).toDF("k", "name", "bal")
+    val once = Merge.upsertHistory(base, updates, "k")
+    intercept[IllegalArgumentException] {
+      Merge.upsertHistory(once, updates.withColumn("is_current", lit(true)), "k")
+    }
+    // the documented iteration path works: filter to current rows, drop flag
+    val iterated = Merge.upsertHistory(
+      once.filter(col("is_current")).drop("is_current"),
+      Seq((3L, "c2", 35.0)).toDF("k", "name", "bal"), "k")
+    assert(iterated.filter(col("is_current")).count() == 3) // keys 1, 2', 3'
+    assert(iterated.filter(!col("is_current")).count() == 1) // superseded 3
+  }
+
   test("small batch onto large base broadcasts the batch (base unshuffled)") {
     val big = spark.range(0, 100000).select($"id".as("k"),
       concat(lit("n"), $"id").as("name"), ($"id" * 1.0).as("bal"))

@@ -92,6 +92,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniff(png(1, 1).take(12)) == ("unknown", 0, 0, 0, 0)) // truncated
   }
 
+  test("wavMeta: chunk size near Int.MaxValue terminates the walk, no overflow") {
+    // a crafted RIFF chunk size of 0x7ffffff8 used to overflow the chunk
+    // offset to a negative index and throw ArrayIndexOutOfBoundsException —
+    // corrupt blobs must come back None/unknown, never fail the task
+    import Multimodal.HeaderCodec._
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val crafted = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0x7ffffff8) ++ Array.fill[Byte](32)(0)
+    assert(wavMeta(crafted).isEmpty)
+    assert(sniff(crafted)._1 == "unknown")
+    // and a chunk merely claiming more bytes than remain also stops cleanly
+    val truncated = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(1000) ++ Array.fill[Byte](8)(0)
+    assert(wavMeta(truncated).isEmpty)
+  }
+
   test("decodeHeaders: distributed dispatch on magic bytes, unknowns survive") {
     val rows = Seq(
       (1L, png(640, 480)), (2L, gif(320, 200)), (3L, wav(1, 16000, 16)),

@@ -123,6 +123,28 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     assert(first == second && first == Set((1L, 1L, "v1"), (2L, 1L, "w1")))
   }
 
+  test("streamingMerge refuses a table bound to a different checkpoint lineage") {
+    // versions key on batchId: a fresh checkpoint resets batchId to 0, so
+    // against a table already at version=5 the merge would silently ignore
+    // all existing versions while readers keep seeing the stale max —
+    // fail fast instead of forking the version history
+    import spark.implicits._
+    val root = Files.createTempDirectory("smergelineage").toString
+    val tbl = s"$root/tbl"
+    Seq((1L, 1L, "v1")).toDF("k", "seq", "payload")
+      .write.parquet(s"$tbl/version=5")
+    val fn = EventStreams.streamingMerge(tbl, "k", "seq")
+    val err = intercept[IllegalArgumentException] {
+      fn(Seq((2L, 1L, "w1")).toDF("k", "seq", "payload"), 0L)
+    }
+    assert(err.getMessage.contains("checkpoint lineage"))
+    // same-checkpoint replay of the max version itself is legitimate: the
+    // re-delivered batch overwrites version=5 with identical content
+    fn(Seq((1L, 1L, "v1")).toDF("k", "seq", "payload"), 5L)
+    assert(EventStreams.mergedTable(spark, tbl)
+      .as[(Long, Long, String)].collect().toSet == Set((1L, 1L, "v1")))
+  }
+
   test("restart re-running an already-committed batch does not duplicate output") {
     import spark.implicits._
     val root = Files.createTempDirectory("ckpt2").toString
