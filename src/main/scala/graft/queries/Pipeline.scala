@@ -511,6 +511,65 @@ object Pipeline {
        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
   }
 
+  // ===== q105 scale-capped semantic dedup ================================
+  // The production-scale SemDeDup path (Similarity.semanticDedupCapped):
+  // exact collapse → corpus-proportional cells → semantic split of over-cap
+  // cells → id-hash salt for the residue — the variant whose in-cell pair
+  // count stays bounded no matter the corpus size or skew (q76 keeps the
+  // published fixed-cell form). The corpus is the embeddings table doubled
+  // with offset ids, so the exact-collapse stage does real work on the
+  // gate (every vector has two copies; only the min-id copy survives into
+  // a cell). The oracle replays all four stages — the assignment is
+  // engine-neutral (min-id reps, smallest-id centroids, round(cos,4)
+  // scoring, shared md5 hash family for the salt).
+
+  private val CapTarget = 30
+
+  private def q105(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings).select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    Similarity.semanticDedupCapped(doubled, CapTarget, CosT)
+  }
+
+  private val q105Sql = {
+    val cap = 4 * CapTarget
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000, v FROM e0),
+       |reps AS (SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v),
+       |p AS (SELECT CAST(ceil(count(*) / $CapTarget.0) AS BIGINT) AS ncells FROM reps),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM (
+       |  SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM reps), p WHERE rn <= p.ncells),
+       |assigned AS (SELECT vec_id, v, CAST(cell AS VARCHAR) AS cell FROM (
+       |  SELECT s.vec_id, s.v, c.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY round(${cosSql("s.v", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+       |  FROM reps s CROSS JOIN cents c) WHERE crn <= 1),
+       |sizes AS (SELECT cell, count(*) AS sz FROM assigned GROUP BY cell),
+       |over_cells AS (SELECT cell FROM sizes WHERE sz > $cap),
+       |ok AS (SELECT a.* FROM assigned a WHERE cell NOT IN (SELECT cell FROM over_cells)),
+       |over_m AS (SELECT a.* FROM assigned a WHERE cell IN (SELECT cell FROM over_cells)),
+       |sub_cents AS (SELECT cell, vec_id AS cent_id, v AS cvec FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM over_m) WHERE rn <= 16),
+       |resplit AS (SELECT vec_id, v, cell || '_' || CAST(cent_id AS VARCHAR) AS cell FROM (
+       |  SELECT m.vec_id, m.v, m.cell, c.cent_id,
+       |    row_number() OVER (PARTITION BY m.cell, m.vec_id ORDER BY round(${cosSql("m.v", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+       |  FROM over_m m JOIN sub_cents c ON m.cell = c.cell) WHERE crn <= 1),
+       |after_split AS (SELECT * FROM ok UNION ALL SELECT * FROM resplit),
+       |sizes2 AS (SELECT cell, count(*) AS sz FROM after_split GROUP BY cell),
+       |cells AS MATERIALIZED (
+       |  SELECT a.vec_id, a.v,
+       |    CASE WHEN s.sz > $cap THEN a.cell || '#' ||
+       |      CAST(${Dedup.SharedHash.hash28Sql("CAST(a.vec_id AS VARCHAR)")} % CAST(ceil(s.sz / $CapTarget.0) AS BIGINT) AS VARCHAR)
+       |    ELSE a.cell END AS cell
+       |  FROM after_split a JOIN sizes2 s ON a.cell = s.cell),
+       |drops AS (SELECT DISTINCT y.vec_id AS drop_id
+       |          FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |          WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT)
+       |SELECT vec_id FROM e
+       |WHERE vec_id IN (SELECT vec_id FROM cells)
+       |  AND vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
+  }
+
   // ===== q45 approximate sketches (HLL / quantile sketch) ================
   // No DuckDB oracle: sketch implementations differ across engines by
   // design, so the driver records the weaker rows-only check. The exact
@@ -1087,7 +1146,8 @@ object Pipeline {
     "q90_sorted_group_concat" -> wrap(q90),
     "q95_curation_pipeline" -> wrap(q95),
     "q100_corpus_report" -> wrap(q100),
-    "q103_ann_multiprobe" -> wrap(q103)
+    "q103_ann_multiprobe" -> wrap(q103),
+    "q105_semantic_dedup_capped" -> wrap(q105)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1129,6 +1189,7 @@ object Pipeline {
     "q90_sorted_group_concat" -> q90Sql,
     "q95_curation_pipeline" -> q95Sql,
     "q100_corpus_report" -> q100Sql,
-    "q103_ann_multiprobe" -> q103Sql
+    "q103_ann_multiprobe" -> q103Sql,
+    "q105_semantic_dedup_capped" -> q105Sql
   )
 }

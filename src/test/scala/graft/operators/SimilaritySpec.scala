@@ -115,6 +115,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!a.contains(4L) && a.contains(0L))
   }
 
+  test("semanticDedupCapped: pinned drop-recall floor and perfect precision on real embeddings") {
+    // measured on the REAL harness embeddings (deterministic): brute force
+    // finds 188 of 500 vectors with cosine >= 0.35 to a lower-id vector;
+    // the capped form at target 30 drops 50 of them (recall 0.266 — the
+    // in-cell restriction misses cross-cell pairs by design, the published
+    // SemDeDup tradeoff). Pin slightly below the measurement, and pin the
+    // exactness property: every capped drop IS a true near-dup (the cosine
+    // verify is exact inside cells, so precision is 1.0 by construction).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val t = 0.35
+    val trueDrops = emb.as("x").join(emb.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 4) >= t)
+      .select(col("y.vec_id")).distinct().as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    val kept = Similarity.semanticDedupCapped(emb, 30, t).as[Long].collect().toSet
+    val cappedDrops = allIds -- kept
+    assert(cappedDrops.subsetOf(trueDrops),
+      s"capped dropped non-near-dups: ${(cappedDrops -- trueDrops).take(5)}")
+    val recall = cappedDrops.size.toDouble / trueDrops.size
+    assert(recall >= 0.25, s"drop recall $recall (${cappedDrops.size}/${trueDrops.size})")
+  }
+
   test("multi-probe LSH recalls far more true neighbours than single-bucket") {
     // measured on the REAL harness embeddings (deterministic data +
     // deterministic planes → exact repeatable numbers): at 4 planes,
