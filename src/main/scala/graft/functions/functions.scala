@@ -67,6 +67,13 @@ package object functions {
       ExpressionUtils.expression(score), ExpressionUtils.expression(id), k)
       .toAggregateExpression())
 
+  /** Misra-Gries frequent-items summary — one pass, O(k) state per group
+    * at every aggregation stage; see [[graft.functions.ApproxTopItems]].
+    */
+  def approx_top_items(item: Column, k: Int): Column =
+    ExpressionUtils.column(ApproxTopItems(
+      ExpressionUtils.expression(item), k).toAggregateExpression())
+
   /** Register the SQL functions into an already-running session
     * (getOrCreate ignores withExtensions when a session exists).
     */

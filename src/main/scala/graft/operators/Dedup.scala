@@ -256,6 +256,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric containment pairs: (id_a, id_b, containment) where
+    * C(A→B) = |A ∩ B| / |A| ≥ threshold and a ≠ b — "A's shingles are
+    * mostly inside B". This is the QUOTE/SUBSET detector Jaccard misses:
+    * a paragraph copied into a much larger page scores near-zero Jaccard
+    * (union is huge) but containment 1.0. Prefix filtering adapts
+    * losslessly to the asymmetric case with the probe-side-only prefix:
+    * C ≥ t needs overlap α ≥ ⌈t·|A|⌉, so if none of A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (rarest-first order) hits B, the overlap
+    * is ≤ ⌈t·|A|⌉ − 1 — B must collide with A's prefix to qualify. The
+    * INDEX side stays full (α depends on |A|, unknown at index time),
+    * but join keys come only from probe prefixes — rare shingles — so
+    * the df² stop-shingle blow-up still never materializes. The only
+    * index-side pre-filter containment admits is |B| ≥ t·|A| (overlap
+    * can't exceed |B|), applied as a codegen'd predicate on the
+    * collision rows. Verify is the exact native sorted-merge count over
+    * the full arrays, divided by |A| only.
+    */
+  def containmentPairs(
+      docs: DataFrame, // columns: id, shingles (distinct within a doc)
+      threshold: Double): DataFrame = {
+    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefProbe = inv.join(dfs, "s")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
+    val cand = prefProbe.as("x")
+      .join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.id") =!= col("y.id") &&
+          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("a.n_sh"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .distinct()
+  }
+
   /** End-to-end corpus dedup: drop exact duplicates (keep min id per
     * identical text) then near-duplicates (drop any doc similar to a
     * lower-id doc at Jaccard ≥ threshold via MinHash-LSH). The keep-lowest

@@ -366,6 +366,28 @@ object Pipeline {
        |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
        |FROM p WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $JaccardT""".stripMargin
 
+  // ===== q113 containment (quote/subset) dedup ===========================
+  // Asymmetric near-dup: C(A→B) = |A∩B|/|A| ≥ t finds documents mostly
+  // CONTAINED in another (quotes, excerpts, boilerplate-wrapped copies) —
+  // pairs Jaccard structurally misses when |B| ≫ |A|. The benched form is
+  // the probe-prefix-filtered join (lossless — scaladoc proof on
+  // Dedup.containmentPairs); the oracle is the naive inverted-index join
+  // with the identical containment formula.
+
+  private val ContainT = 0.6
+
+  private def q113(t: Tables): DataFrame =
+    Dedup.containmentPairs(shingledDocs(t), ContainT)
+
+  private val q113Sql =
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |s AS MATERIALIZED (SELECT id, len(ss) AS n_sh, unnest(ss) AS s FROM d WHERE len(ss) > 0),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, count(*) AS c
+       |      FROM s x JOIN s y ON x.s = y.s AND x.id <> y.id GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / na, 4) AS containment
+       |FROM p WHERE round(CAST(c AS DOUBLE) / na, 4) >= $ContainT""".stripMargin
+
   // ===== q34 embedding-cosine near-dup ===================================
 
   private val CosT = 0.35
@@ -569,6 +591,53 @@ object Pipeline {
        |WHERE vec_id IN (SELECT vec_id FROM cells)
        |  AND vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
   }
+
+  // ===== q106 vocabulary heavy hitters ===================================
+  // Exact global top-K tokens by frequency — the corpus-vocabulary report
+  // (tokenizer coverage, stopword policy, BPE merge seeding all start
+  // here). Plan shape at 100 TB: partial+final hash aggregate on token,
+  // then TakeOrderedAndProject — every mapper ships at most K rows to the
+  // driver-side merge; there is NO global sort and no single-task window.
+  // The approximate single-pass companion (Misra-Gries summary, no
+  // second aggregate) is `graft.functions.approx_top_items`, spec-pinned
+  // against this exact form.
+
+  private val HhK = 20
+
+  private def q106(t: Tables): DataFrame =
+    graft.Fanout(t.documents)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(HhK)
+
+  private val q106Sql =
+    s"""SELECT token, cnt FROM (
+       |  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+       |  FROM (SELECT token, count(*) AS cnt FROM (
+       |          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |          FROM documents)
+       |        WHERE len(token) > 0 GROUP BY token))
+       |WHERE rn <= $HhK""".stripMargin
+
+  // ===== q107 weighted document sampling =================================
+  // Deterministic weighted Bernoulli sampling: doc kept with probability
+  // ∝ min(n_chars, 500)/1000 via a salted content-stable hash — the
+  // quality-weighted downsampling step of a data mixture. Content-stable
+  // (same doc → same decision on every run and every engine), zero
+  // shuffle, pure codegen'd narrow filter; at 100 TB this is a scan.
+
+  private def q107(t: Tables): DataFrame =
+    graft.Fanout(t.documents)
+      .filter(Dedup.SharedHash.hash28(concat(lit("ws:"), col("doc_id").cast("string"))) % 1000
+        < least(col("n_chars"), lit(500L)))
+      .select(col("doc_id"), col("n_chars"))
+
+  private val q107Sql =
+    s"""SELECT doc_id, n_chars FROM documents
+       |WHERE ${Dedup.SharedHash.hash28Sql("'ws:' || CAST(doc_id AS VARCHAR)")} % 1000
+       |      < least(n_chars, 500)""".stripMargin
 
   // ===== q45 approximate sketches (HLL / quantile sketch) ================
   // No DuckDB oracle: sketch implementations differ across engines by
@@ -1147,7 +1216,10 @@ object Pipeline {
     "q95_curation_pipeline" -> wrap(q95),
     "q100_corpus_report" -> wrap(q100),
     "q103_ann_multiprobe" -> wrap(q103),
-    "q105_semantic_dedup_capped" -> wrap(q105)
+    "q105_semantic_dedup_capped" -> wrap(q105),
+    "q106_heavy_hitters" -> wrap(q106),
+    "q107_weighted_sample" -> wrap(q107),
+    "q113_containment_dedup" -> wrap(q113)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1190,6 +1262,9 @@ object Pipeline {
     "q95_curation_pipeline" -> q95Sql,
     "q100_corpus_report" -> q100Sql,
     "q103_ann_multiprobe" -> q103Sql,
-    "q105_semantic_dedup_capped" -> q105Sql
+    "q105_semantic_dedup_capped" -> q105Sql,
+    "q106_heavy_hitters" -> q106Sql,
+    "q107_weighted_sample" -> q107Sql,
+    "q113_containment_dedup" -> q113Sql
   )
 }

@@ -1255,6 +1255,200 @@ object Relational {
       |FROM events GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q108 — exponentially weighted moving average per user over the last
+  // 16 events (α = 0.5, powers of two → IEEE-exact weights): the smoothed
+  // metric every drift/latency dashboard computes. BOUNDED window frame
+  // (16 rows of O(1) state per row, per-user partitions — never a whole
+  // group in one buffer); the weighted fold runs left-to-right in both
+  // engines over the identical frame order, so doubles agree bit-for-bit
+  // before the final round.
+  private def q108(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, 0)
+    t.events
+      .select(col("user_id"), col("event_id"),
+        collect_list(col("value")).over(w).as("lst"))
+      .select(col("user_id"), col("event_id"),
+        expr(
+          """aggregate(zip_with(lst, sequence(size(lst)-1, 0, -1),
+            |          (x, k) -> x * pow(0.5, k)), 0D, (a, b) -> a + b)""".stripMargin)
+          .as("ewma"))
+    // no round(): the weights are powers of two (x·2⁻ᵏ is exact), the
+    // fold is left-to-right in both engines over the same frame order, so
+    // the raw doubles are bit-identical — rounding would only ADD
+    // cross-engine tie-break noise (round-half at the 4th decimal is
+    // where DuckDB's scaled-multiply and the JVM's BigDecimal disagree)
+  }
+
+  private val q108Sql =
+    """SELECT user_id, event_id,
+      |  list_reduce(list_transform(generate_series(1, len(lst)),
+      |          i -> lst[i] * pow(0.5, len(lst) - i)), (a, b) -> a + b) AS ewma
+      |FROM (SELECT user_id, event_id,
+      |        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+      |      FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q109 — per-user anomaly flags: |z-score| ≥ 2 against the user's own
+  // mean/σ. Two passes (stats aggregate, then join+filter) — both shuffle
+  // on user_id so AQE plans one exchange reuse; no window. Determinism
+  // across engines: sums run in exact DECIMAL (value has 2 decimals,
+  // value² has 4), so mean/σ derive from order-independent numbers and
+  // the z expression is a single identical double computation.
+  private def q109(t: Tables): DataFrame = {
+    val stats = t.events.groupBy(col("user_id"))
+      .agg(
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 4))).cast("double").as("ss"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .withColumn("variance",
+        (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      .filter(col("variance") > 0)
+    t.events.join(stats, "user_id")
+      .withColumn("z",
+        round((col("value") - col("s") / col("n")) / sqrt(col("variance")), 4))
+      .filter(abs(col("z")) >= 2.0)
+      .select(col("user_id"), col("event_id"), col("value"), col("z"))
+  }
+
+  private val q109Sql =
+    """WITH st AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS ss,
+      |    count(*) AS n
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT *, (ss - s * s / n) / (n - 1) AS variance FROM st
+      |      WHERE n > 1 AND (ss - s * s / n) / (n - 1) > 0)
+      |SELECT e.user_id, e.event_id, e.value,
+      |  round((e.value - s / n) / sqrt(variance), 4) AS z
+      |FROM events e JOIN v ON e.user_id = v.user_id
+      |WHERE abs(round((e.value - s / n) / sqrt(variance), 4)) >= 2.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q110 — CDC changelog apply: a stream of I/U/D operations keyed by
+  // user collapses to the final state (last op wins, deletes drop the
+  // key) — the snapshot-from-changelog step of any replication pipeline.
+  // Single-pass struct-max per key (the q85 argmax shape: partial+final
+  // aggregate, O(1) state, no window, no join), so a hot key costs its
+  // combiner one struct, not a sorted group.
+  private def q110(t: Tables): DataFrame =
+    t.events
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("value"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("user_id"), col("m.op").as("op"), col("m.value").as("value"))
+
+  private val q110Sql =
+    """SELECT user_id, op, value FROM (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'click' THEN 'U' ELSE 'I' END AS op,
+      |    value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q111 — event-type transition matrix (first-order Markov): bigram
+  // counts over each user's event sequence with per-source transition
+  // probabilities — the session-model / anomalous-flow profile. lead()
+  // runs in per-user partitions (no global sort); the two aggregates are
+  // partial+final on bounded keys (|types|² rows).
+  private def q111(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t.events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val cnt = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("src")).agg(sum(col("cnt")).as("tot"))
+    cnt.join(tot, "src")
+      .select(col("src"), col("dst"), col("cnt"),
+        round(col("cnt") / col("tot"), 4).as("prob"))
+  }
+
+  private val q111Sql =
+    """WITH pairs AS (
+      |  SELECT src, dst FROM (
+      |    SELECT event_type AS src,
+      |      lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |    FROM events)
+      |  WHERE dst IS NOT NULL),
+      |c AS (SELECT src, dst, count(*) AS cnt FROM pairs GROUP BY src, dst),
+      |t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY src)
+      |SELECT c.src, c.dst, c.cnt, round(c.cnt / t.tot, 4) AS prob
+      |FROM c JOIN t ON c.src = t.src""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q112 — exact equi-depth (equal-frequency) histogram of lineitem
+  // prices: q104's companion for skewed metrics where fixed-width bins
+  // collapse into one bar. Crucially NOT ntile-over-a-global-sort (one
+  // task owns the table): distinct-value counts → distributed prefix sum
+  // (range partition + local scan + subtotal cumulation over scanParts
+  // rows) → integer bucket id → bucket aggregate. See Profiling.equiDepth.
+  private val DepthK = 10
+
+  private def q112(t: Tables): DataFrame =
+    graft.operators.Profiling.equiDepth(t.lineitem, col("l_extendedprice"), DepthK)
+
+  private val q112Sql =
+    s"""WITH c AS (SELECT l_extendedprice AS v, count(*) AS c
+       |           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |cum AS (SELECT v, c,
+       |          CAST(coalesce(sum(c) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |        FROM c)
+       |SELECT CAST((cb * $DepthK) // n AS BIGINT) AS bucket,
+       |  min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS cnt
+       |FROM cum, n GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114 — incremental aggregate maintenance (materialized-view refresh):
+  // a pre-aggregated base partition (orders before the cutoff) merges
+  // with a freshly aggregated delta by re-aggregating the PARTIAL states
+  // (sum-of-sums, sum-of-counts; avg derived at the end) — the base raw
+  // data is never rescanned. At 100 TB the base agg is a stored table and
+  // each refresh costs O(|delta| + |distinct keys|). The oracle is the
+  // full recompute over all raw rows: the gate proves merged partials
+  // equal the from-scratch answer. Sums run in exact DECIMAL so the
+  // base/delta split cannot perturb float addition order.
+  private def q114(t: Tables): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    def part(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"),
+        count(lit(1)).as("c"))
+    val base = part(t.orders.filter(col("o_orderdate") < cutoff))
+    val delta = part(t.orders.filter(col("o_orderdate") >= cutoff))
+    base.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("s")).as("sd"), sum(col("c")).as("n_orders"))
+      .select(col("o_custkey"),
+        col("sd").cast("double").as("total_spend"),
+        col("n_orders"),
+        // raw double quotient: numerator is an exact DECIMAL sum, so both
+        // engines divide the same two numbers — identical IEEE result;
+        // round() would re-introduce tie-break differences
+        (col("sd").cast("double") / col("n_orders")).as("avg_spend"))
+  }
+
+  private val q114Sql =
+    """SELECT o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_spend
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1323,7 +1517,13 @@ object Relational {
     "q99_interval_join" -> wrap(q99),
     "q101_scd2_history" -> wrap(q101),
     "q102_bloom_anti_join" -> wrap(q102),
-    "q104_histogram" -> wrap(q104)
+    "q104_histogram" -> wrap(q104),
+    "q108_ewma" -> wrap(q108),
+    "q109_anomaly_zscore" -> wrap(q109),
+    "q110_cdc_apply" -> wrap(q110),
+    "q111_bigram_transitions" -> wrap(q111),
+    "q112_equidepth_histogram" -> wrap(q112),
+    "q114_incremental_agg" -> wrap(q114)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1391,6 +1591,12 @@ object Relational {
     "q99_interval_join" -> q99Sql,
     "q101_scd2_history" -> q101Sql,
     "q102_bloom_anti_join" -> q102Sql,
-    "q104_histogram" -> q104Sql
+    "q104_histogram" -> q104Sql,
+    "q108_ewma" -> q108Sql,
+    "q109_anomaly_zscore" -> q109Sql,
+    "q110_cdc_apply" -> q110Sql,
+    "q111_bigram_transitions" -> q111Sql,
+    "q112_equidepth_histogram" -> q112Sql,
+    "q114_incremental_agg" -> q114Sql
   )
 }

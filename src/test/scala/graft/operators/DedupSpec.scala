@@ -67,6 +67,49 @@ class DedupSpec extends AnyFunSuite {
     assert(pref == naive && naive.nonEmpty)
   }
 
+  test("containmentPairs finds a quote inside a larger page that Jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val page = ("breaking news report " * 8) + quote + (" closing analysis section" * 8)
+    val docs = Seq((1L, quote), (2L, page), (3L, "entirely unrelated text here"))
+      .toDF("id", "text")
+    val sh = TextOps.withShingles(docs, col("text"), 3, "shingles")
+      .select("id", "shingles")
+    // every 3-gram of the quote appears in the page → containment 1.0
+    val cont = Dedup.containmentPairs(sh, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont.contains((1L, 2L, 1.0)))
+    assert(!cont.exists { case (a, b, _) => a == 3L || b == 3L })
+    // the symmetric direction does NOT hold (the page is not inside the quote)
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    // and Jaccard at any useful threshold misses the pair (union is huge)
+    val jac = Dedup.ngramJaccardPairsPrefix(sh, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) })
+  }
+
+  test("containmentPairs probe-prefix filter is lossless vs the naive form") {
+    // naive = inverted-index join without the prefix restriction; the
+    // probe-prefix + |B| ≥ t|A| filters must not lose a qualifying pair
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id").as("id"), col("text"))
+    val sh = TextOps.withShingles(docs, col("text"), 3, "shingles")
+      .select("id", "shingles")
+      .withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+    val t = 0.6
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val naive = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.n_sh").as("na"))
+      .count()
+      .withColumn("containment", round(col("count").cast("double") / col("na"), 4))
+      .filter(col("containment") >= t)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.containmentPairs(sh.select("id", "shingles"), t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == naive && naive.nonEmpty)
+  }
+
   test("maxDf cap drops only candidate generation via common shingles") {
     // with a df cap of 1 no shingle is shared by < =1 docs... cap 1 removes
     // every shingle appearing in 2+ docs, so no candidates survive

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val prices = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .select(col("l_extendedprice"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, Double, Long)] =
+    df.as[(Long, Double, Double, Long)].collect().toSet
+
+  test("equiDepth equals the single-window reference for any scan partition count") {
+    val k = 10
+    // reference: plain window cumsum over distinct values (the form whose
+    // single global window the operator exists to avoid)
+    val counts = prices.groupBy(col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum("c")).as[Long].head()
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ref = counts
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("bucket", expr(s"CAST((cb * $k) DIV $n AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("cnt"))
+    val refRows = rows(ref)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows(Profiling.equiDepth(prices, col("l_extendedprice"), k, parts))
+      assert(got == refRows, s"equiDepth($parts) diverged from the window reference")
+    }
+  }
+
+  test("equiDepth buckets cover all rows, are ordered, and are depth-balanced") {
+    val k = 8
+    val total = prices.count()
+    val got = rows(Profiling.equiDepth(prices, col("l_extendedprice"), k))
+      .toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0L until k.toLong)) // every bucket present
+    assert(got.map(_._4).sum == total)
+    // ranges are disjoint and ascending
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._3 < b._2) case _ => }
+    // depth balance: prices are near-unique, so each bucket is within one
+    // value-multiplicity of the ideal n/k
+    val ideal = total.toDouble / k
+    got.foreach { case (b, _, _, cnt) =>
+      assert(math.abs(cnt - ideal) <= ideal * 0.25 + 2,
+        s"bucket $b depth $cnt vs ideal $ideal")
+    }
+  }
+}
