@@ -25,7 +25,7 @@ object PlanDump {
     "q57_text_scan" -> "TextInputFormat via the HadoopInput adapter (one partition per split) -> parse -> partial+final aggregate.",
     "q58_csv_scan" -> "CSV file source with explicit schema; scan shows the csv format with the 5-column ReadSchema, then partial+final aggregate.",
     "q61_dedup_corpus" -> "Exact-dedup via partial-min hash aggregate + semi-join (window-free — a hot md5 group costs O(1) combiner state), MinHash-LSH pair generation over survivors, anti-join drop — all distributed, no driver union-find.",
-    "q68_asof_join" -> "As-of via union + carry-forward: ONE exchange on the key, per-partition sort, running last-non-null window. No BroadcastNestedLoopJoin anywhere in the plan.",
+    "q68_asof_join" -> "As-of via union + carry-forward: ONE exchange on the key, per-partition sort, running last-non-null window. No BroadcastNestedLoopJoin anywhere in the plan. Deliberately kept on the composed-rewrite path (vs q82's native AsOfJoinExec): the two queries pin BOTH as-of strategies — the rewrite any Spark user can express, and the custom operator — so a regression in either is caught independently.",
     "q69_range_join" -> "Range join as a (key, time-bin) equi-join over exploded interval bins + exact BETWEEN filter — a hash join, not a nested loop.",
     "q70_domain_cap" -> "Per-domain top-k via the bounded TopKByScore aggregate: partial+final ObjectHashAggregate, |domains|·k shuffle rows, NO Window — a hot domain never funnels through one task's sort.",
     "q71_decontaminate" -> "Benchmark shingles deduped then BroadcastExchange; corpus side is a narrow shingle kernel + BroadcastHashJoin + partial+final count — the raw corpus never shuffles.",
@@ -44,7 +44,17 @@ object PlanDump {
     "q91_funnel" -> "Three stage aggregates chained by user_id equi-joins with range predicates — window-free sequence analytics; each stage's input shrinks.",
     "q97_gap_fill" -> "Dense (user, day) grid: the 30-row day dimension broadcasts into a narrow multiplier (the only BroadcastNestedLoopJoin is that 30-row explode), sparse counts partial-aggregate, left join fills zeros.",
     "q100_corpus_report" -> "One grouping-sets pass: single Expand (x3) + partial+final aggregate with exact percentiles — per-lang, per-source and global stats in one scan.",
-    "q103_ann_multiprobe" -> "Multi-probe sign-LSH: planes+1 probe rows per QUERY (tiny side) exploded before the bucket equi-join; corpus bucketed once; bounded TopKByScore ranking — no window, no cross product.")
+    "q103_ann_multiprobe" -> "Multi-probe sign-LSH: planes+1 probe rows per QUERY (tiny side) exploded before the bucket equi-join; corpus bucketed once; bounded TopKByScore ranking — no window, no cross product.",
+    "q105_semantic_dedup_capped" -> "The production SemDeDup path: exact-collapse hash aggregate, ONE setup count sizes the quantizer, broadcast centroids + bounded top-k assignment, over-cap cells re-quantized via a cell-key hash join, residue salted — the in-cell self-join's pair count is bounded no matter the corpus size or skew.",
+    "q106_heavy_hitters" -> "Exact global top-K tokens: explode -> partial+final hash aggregate on token -> TakeOrderedAndProject (each mapper ships at most K rows). No global sort, no window.",
+    "q107_weighted_sample" -> "Deterministic weighted Bernoulli sampling: scan -> codegen'd salted-hash threshold filter -> project. Zero exchanges; the decision is content-stable across runs, partitionings and engines.",
+    "q108_ewma" -> "EWMA over a BOUNDED 16-row frame: one hash exchange on user_id + partition sort feeding a single Window whose per-row state is 16 doubles — never a whole group in one buffer.",
+    "q109_anomaly_zscore" -> "Two passes sharing the user_id exchange: exact-DECIMAL moment aggregate, then join+filter with the z expression in codegen. No window.",
+    "q110_cdc_apply" -> "Changelog -> snapshot via single-pass struct-max per key (partial+final, O(1) state): last op wins, deletes filtered after the aggregate. No window, no join.",
+    "q111_bigram_transitions" -> "Per-user lead() in key partitions (no global sort), then two partial+final aggregates on bounded keys (|types|² rows) joined for the per-source normalizer.",
+    "q112_equidepth_histogram" -> "Equal-frequency histogram WITHOUT ntile-over-global-sort: distinct-value counts, range-partitioned local prefix scans, subtotal cumulation over scanParts rows only (the lone single-task window), integer bucket ids, bucket aggregate.",
+    "q113_containment_dedup" -> "Asymmetric containment: df aggregation orders each probe's shingles rarest-first, only probe PREFIXES join the full inverted index (|B| >= t|A| size filter in codegen), then the native sorted-merge verify divides by |A| alone.",
+    "q114_incremental_agg" -> "Materialized-view refresh: base and delta partial aggregates union and re-aggregate (sum-of-sums) — the raw base is never rescanned; avg derives from exact DECIMAL partials at the end.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
