@@ -126,6 +126,45 @@ object Multimodal {
       None
     }
 
+    /** REAL full decode for 16-bit PCM WAV — PCM needs no codec library,
+      * the data chunk IS the samples (little-endian int16, channels
+      * interleaved). Returns (channels, sampleRate, samples) or None for
+      * anything that is not int16 PCM (audioFormat ≠ 1, other bit depths,
+      * truncated/corrupt containers) — partial escape hatch from the
+      * "pixel decode is stubbed" caveat: audio decode here is genuine.
+      */
+    def wavPcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+          b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+          b(11) != 'E') return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (audioFmt, ch, rate, bits)
+      var data: Option[(Int, Int)] = None // (offset, size)
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = le32(b, i + 4)
+        if (size < 0 || size.toLong > b.length.toLong - i - 8) return None
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+          if (size < 16) return None
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+          data = Some((i + 8, size))
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, ch, rate, 16)), Some((off, sz))) if ch > 0 && rate > 0 =>
+          val n = sz / 2
+          val out = new Array[Short](n)
+          var j = 0
+          while (j < n) {
+            out(j) = ((b(off + 2 * j) & 0xff) | (b(off + 2 * j + 1) << 8)).toShort
+            j += 1
+          }
+          Some((ch, rate, out))
+        case _ => None
+      }
+    }
+
     /** JPEG: walk markers to the first SOF0-SOF15 frame header →
       * (width, height) from its big-endian fields.
       */
@@ -185,6 +224,55 @@ object Multimodal {
       rows.map { r =>
         val (k, w, h, c, sr) = HeaderCodec.sniff(r.getAs[Array[Byte]](idx))
         Row.fromSeq(r.toSeq ++ Seq(k, w, h, c, sr))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Audio-feature schema appended by [[decodeWavAudio]]. */
+  val wavFeatureSchema: StructType = StructType(Seq(
+    StructField("wav_channels", IntegerType),
+    StructField("wav_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** REAL audio decode + features over a binary column: 16-bit PCM WAV
+    * payloads are fully decoded ([[HeaderCodec.wavPcm16]] — PCM needs no
+    * codec library) and reduced to (channels, rate, sample count,
+    * duration, RMS energy, peak amplitude) in one narrow pass. Energy
+    * accumulates in exact Long arithmetic (int16² sums — no float-order
+    * sensitivity); non-PCM/corrupt payloads yield null features, not
+    * failures. This is the genuine end of the multimodal pipeline the
+    * image path can only stub in this environment.
+    */
+  def decodeWavAudio(df: DataFrame, mediaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ wavFeatureSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = Option(payload).flatMap(HeaderCodec.wavPcm16) match {
+          case Some((ch, rate, samples)) if samples.nonEmpty =>
+            var sumSq = 0L
+            var peak = 0
+            var j = 0
+            while (j < samples.length) {
+              val s = samples(j).toInt
+              sumSq += s.toLong * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              j += 1
+            }
+            val frames = samples.length.toLong / ch
+            Seq[Any](ch, rate, samples.length.toLong,
+              frames.toDouble / rate,
+              math.sqrt(sumSq.toDouble / samples.length) / 32768.0, peak)
+          case Some((ch, rate, _)) =>
+            Seq[Any](ch, rate, 0L, 0.0, 0.0, 0)
+          case None => Seq[Any](null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ feats)
       }
     }(Encoders.row(outSchema))
   }

@@ -42,7 +42,42 @@ object Profiling {
     */
   def equiDepth(df: DataFrame, value: Column, k: Int,
       scanParts: Int = 32): DataFrame = {
-    require(k > 0 && scanParts > 0)
+    require(k > 0)
+    cumCounts(df, value, scanParts)
+      .withColumn("bucket", expr(s"CAST((__cum * $k) DIV __n AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        sum(col("__c")).as("cnt"))
+  }
+
+  /** Exact quantiles at arbitrary probabilities WITHOUT a global sort and
+    * WITHOUT collecting per-group value arrays (Spark's built-in exact
+    * `percentile` buffers every value of a group in one aggregation
+    * buffer — an executor-OOM at corpus scale). Same distributed scan as
+    * [[equiDepth]]; each probability then selects the unique distinct
+    * value whose cumulative range covers rank ⌈p·n⌉ via a broadcast join
+    * of |probs| rows. Lower-nearest (type-1 / "disc") quantile semantics:
+    * the returned value is an element of the data.
+    */
+  def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
+      scanParts: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = cumCounts(df, value, scanParts)
+    val ps = probs.toDF("prob")
+    cum.join(broadcast(ps),
+        col("__cum") < ceil(col("prob") * col("__n")).cast("long") &&
+          ceil(col("prob") * col("__n")).cast("long") <= col("__cum") + col("__c"))
+      .select(col("prob"), col("__v").as("value"))
+  }
+
+  /** Distinct-value counts with the exclusive global prefix sum `__cum`
+    * and grand total `__n` — steps 1–2 of the scalable profiling ops.
+    */
+  private def cumCounts(df: DataFrame, value: Column,
+      scanParts: Int): DataFrame = {
+    require(scanParts > 0)
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.select(value.cast("double").as("__v"))
@@ -58,6 +93,14 @@ object Profiling {
         it.map { case (v, c) => val excl = run; run += c; (v, c, pid, excl) }
       }
       .toDF("__v", "__c", "__pid", "__local")
+      // persist is CORRECTNESS here, not just cost: three consumers read
+      // this frame (rows, per-partition subtotals, grand total), and an
+      // unpersisted plan evaluates the repartitionByRange three times —
+      // RangePartitioner samples boundaries with an RDD-id-dependent seed,
+      // so independent evaluations can place a value in DIFFERENT
+      // partitions, misaligning __local against the offsets computed by
+      // the other branch (reproduced at sf0.01: per-partition-local cums)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition subtotals: scanParts rows — the only single-task
     // window in the plan runs here
     val w = Window.orderBy(col("__pid"))
@@ -69,9 +112,7 @@ object Profiling {
       .crossJoin(broadcast(n)) // 1 row onto scanParts rows
       .select(col("__pid"), col("__off"), col("__n"))
     local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("bucket", expr(s"CAST(((__local + __off) * $k) DIV __n AS BIGINT)"))
-      .groupBy(col("bucket"))
-      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
-        sum(col("__c")).as("cnt"))
+      .withColumn("__cum", col("__local") + col("__off"))
+      .select(col("__v"), col("__c"), col("__cum"), col("__n"))
   }
 }

@@ -403,6 +403,36 @@ object Pipeline {
        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT""".stripMargin
 
+  // ===== q116 triangle count on the near-dup graph =======================
+  // Graph analytics over a pipeline-derived graph: triangles in the
+  // embedding near-dup graph (q34's edges) measure cluster cohesion —
+  // the transitivity check run before trusting near-dup CLUSTERS (q62)
+  // built from pairwise edges. Edges are id-oriented (a < b), so each
+  // triangle is counted exactly once by the two-hop join a<b<c; at 100 TB
+  // the standard refinement is degree-ordered orientation, which bounds
+  // each join's fanout by the max out-degree (≤ √(2|E|)) — same plan
+  // shape, different orientation key.
+  private def q116(t: Tables): DataFrame = {
+    val e = Similarity
+      .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CosT, NearDupPlanes)
+      .select(col("id_a").as("a"), col("id_b").as("b")) // oriented: a < b
+    e.as("xy")
+      .join(e.as("yz"), col("xy.b") === col("yz.a"))
+      .join(e.as("xz"),
+        col("xz.a") === col("xy.a") && col("xz.b") === col("yz.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val q116Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(NearDupPlanes)},
+       |edges AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |          WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT)
+       |SELECT count(*) AS n_triangles
+       |FROM edges xy JOIN edges yz ON xy.b = yz.a
+       |     JOIN edges xz ON xz.a = xy.a AND xz.b = yz.b""".stripMargin
+
   // ===== q35 brute-force cosine top-k ====================================
 
   private val TopK = 10
@@ -1219,7 +1249,8 @@ object Pipeline {
     "q105_semantic_dedup_capped" -> wrap(q105),
     "q106_heavy_hitters" -> wrap(q106),
     "q107_weighted_sample" -> wrap(q107),
-    "q113_containment_dedup" -> wrap(q113)
+    "q113_containment_dedup" -> wrap(q113),
+    "q116_triangle_count" -> wrap(q116)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1265,6 +1296,7 @@ object Pipeline {
     "q105_semantic_dedup_capped" -> q105Sql,
     "q106_heavy_hitters" -> q106Sql,
     "q107_weighted_sample" -> q107Sql,
-    "q113_containment_dedup" -> q113Sql
+    "q113_containment_dedup" -> q113Sql,
+    "q116_triangle_count" -> q116Sql
   )
 }

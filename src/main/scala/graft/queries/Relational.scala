@@ -1412,6 +1412,35 @@ object Relational {
        |FROM cum, n GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q115 — exact quantiles at scale: Spark's built-in exact `percentile`
+  // buffers EVERY value of a group in one aggregation buffer (executor
+  // OOM at corpus scale — fine for q40's small groups, fatal for a global
+  // quantile over 10¹² rows). Profiling.exactQuantiles reuses q112's
+  // distributed prefix-sum scan and selects each probability's value with
+  // a broadcast join of |probs| rows: exact type-1 quantiles, no global
+  // sort, no per-group value arrays. Oracle replays rank selection
+  // directly.
+  private val QuantPs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private def q115(t: Tables): DataFrame =
+    graft.operators.Profiling.exactQuantiles(
+      t.lineitem, col("l_extendedprice"), QuantPs)
+
+  private val q115Sql =
+    s"""WITH c AS (SELECT l_extendedprice AS v, count(*) AS c
+       |           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |cum AS (SELECT v, c,
+       |          CAST(coalesce(sum(c) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |        FROM c),
+       |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
+       |SELECT p.prob, v AS value
+       |FROM cum, n, p
+       |WHERE cb < CAST(ceil(p.prob * n.n) AS BIGINT)
+       |  AND CAST(ceil(p.prob * n.n) AS BIGINT) <= cb + c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):
   // a pre-aggregated base partition (orders before the cutoff) merges
   // with a freshly aggregated delta by re-aggregating the PARTIAL states
@@ -1523,7 +1552,8 @@ object Relational {
     "q110_cdc_apply" -> wrap(q110),
     "q111_bigram_transitions" -> wrap(q111),
     "q112_equidepth_histogram" -> wrap(q112),
-    "q114_incremental_agg" -> wrap(q114)
+    "q114_incremental_agg" -> wrap(q114),
+    "q115_exact_quantiles" -> wrap(q115)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1597,6 +1627,7 @@ object Relational {
     "q110_cdc_apply" -> q110Sql,
     "q111_bigram_transitions" -> q111Sql,
     "q112_equidepth_histogram" -> q112Sql,
-    "q114_incremental_agg" -> q114Sql
+    "q114_incremental_agg" -> q114Sql,
+    "q115_exact_quantiles" -> q115Sql
   )
 }

@@ -92,6 +92,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniff(png(1, 1).take(12)) == ("unknown", 0, 0, 0, 0)) // truncated
   }
 
+  test("wavPcm16 + decodeWavAudio: REAL PCM decode, exact energy features") {
+    import Multimodal.HeaderCodec._
+    def le16b(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def le32b(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def pcmWav(rate: Int, ch: Int, samples: Array[Short]): Array[Byte] = {
+      val data = samples.flatMap(s => le16b(s.toInt & 0xffff))
+      "RIFF".getBytes ++ le32b(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(ch) ++ le32b(rate) ++
+        le32b(rate * ch * 2) ++ le16b(ch * 2) ++ le16b(16) ++
+        "data".getBytes ++ le32b(data.length) ++ data
+    }
+    val samples = Array[Short](1000, -1000, 2000, -2000, 16000, -16000, 0, 32767)
+    val wavBytes = pcmWav(8000, 2, samples)
+    // the raw decode round-trips the exact samples
+    val Some((ch, rate, decoded)) = wavPcm16(wavBytes)
+    assert(ch == 2 && rate == 8000 && decoded.toSeq == samples.toSeq)
+    // non-PCM (audioFormat=3 float) and truncated payloads → None, not throw
+    val nonPcm = pcmWav(8000, 2, samples)
+      .patch(20, le16b(3), 2) // audioFormat at offset 20
+    assert(wavPcm16(nonPcm).isEmpty)
+    assert(wavPcm16(wavBytes.take(30)).isEmpty)
+    // distributed features: exact integer-accumulated energy
+    val rows = Seq((1L, wavBytes), (2L, "not audio".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val got = Multimodal.decodeWavAudio(rows, "media")
+      .select($"id", $"wav_channels", $"wav_rate", $"n_samples",
+        $"duration_s", $"rms", $"peak")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getInt(1) == 2 && r1.getInt(2) == 8000 && r1.getLong(3) == 8L)
+    assert(r1.getDouble(4) == 4.0 / 8000) // 8 samples / 2 ch / 8000 Hz
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(r1.getDouble(5) == math.sqrt(sumSq.toDouble / 8) / 32768.0)
+    assert(r1.getInt(6) == 32767)
+    assert(got(2L).isNullAt(1) && got(3L).isNullAt(1)) // non-wav rows survive
+  }
+
   test("wavMeta: chunk size near Int.MaxValue terminates the walk, no overflow") {
     // a crafted RIFF chunk size of 0x7ffffff8 used to overflow the chunk
     // offset to a negative index and throw ArrayIndexOutOfBoundsException —

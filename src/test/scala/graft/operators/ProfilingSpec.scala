@@ -37,6 +37,22 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles matches the sort-based reference for any scan partition count") {
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    // reference: type-1 (lower-nearest) quantile straight off the sorted
+    // values — the definition, computed the naive way
+    val sorted = prices.orderBy("l_extendedprice")
+      .as[Double].collect()
+    val ref = probs.map { p =>
+      p -> sorted(math.ceil(p * sorted.length).toLong.toInt - 1)
+    }.toSet
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Profiling.exactQuantiles(prices, col("l_extendedprice"), probs, parts)
+        .as[(Double, Double)].collect().toSet
+      assert(got == ref, s"exactQuantiles($parts) diverged: $got vs $ref")
+    }
+  }
+
   test("equiDepth buckets cover all rows, are ordered, and are depth-balanced") {
     val k = 8
     val total = prices.count()

@@ -174,6 +174,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: approx_top_items accumulates across micro-batches") {
+    // the Misra-Gries TypedImperativeAggregate runs as STREAMING state:
+    // O(k) bytes per group in the state store, merged incrementally —
+    // trending-tokens over an unbounded stream without a vocabulary table
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = input.toDF().toDF("token")
+      .groupBy()
+      .agg(graft.functions.approx_top_items(col("token"), 4).as("top"))
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(25)("hot2") ++ Seq("d", "e"): _*)
+      q.processAllAvailable()
+      val top = spark.table("hh")
+        .select(explode(col("top"))).select("col.item", "col.est")
+        .as[(String, Long)].collect().toMap
+      // n = 60; bound = n/(k+1) = 12: hot (30) and hot2 (25) must be
+      // present, estimates within the MG bound
+      assert(top.contains("hot") && top.contains("hot2"))
+      assert(top("hot") <= 30 && top("hot") >= 30 - 12)
+      assert(top("hot2") <= 25 && top("hot2") >= 25 - 12)
+    } finally q.stop()
+  }
+
   test("streamingMerge: micro-batches upsert into a keyed table, latest seq wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
