@@ -72,6 +72,36 @@ object Profiling {
       .select(col("prob"), col("__v").as("value"))
   }
 
+  /** Per-GROUP exact quantiles without per-group value buffering.
+    * Spark's exact `percentile` holds every value of a group in one
+    * aggregation buffer; here a group's state is its DISTINCT-value
+    * counts flowing through a per-group running window (O(1) window
+    * state, groups processed in parallel). Right when there are many
+    * groups of moderate distinct-value cardinality — for ONE giant group
+    * use [[exactQuantiles]], whose distributed scan has no per-group
+    * funnel. Type-1 (lower-nearest) semantics, as [[exactQuantiles]].
+    */
+  def groupedQuantiles(df: DataFrame, grp: Column, value: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(grp.as("group"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("group"), col("__v")).agg(count(lit(1)).as("__c"))
+    val run = Window.partitionBy(col("group")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("group"))
+    val cum = counts
+      .withColumn("__cum", coalesce(sum(col("__c")).over(run), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(tot))
+    cum.join(broadcast(probs.toDF("prob")),
+        col("__cum") < ceil(col("prob") * col("__n")).cast("long") &&
+          ceil(col("prob") * col("__n")).cast("long") <= col("__cum") + col("__c"))
+      .select(col("group"), col("prob"), col("__v").as("value"))
+  }
+
   /** Distinct-value counts with the exclusive global prefix sum `__cum`
     * and grand total `__n` — steps 1–2 of the scalable profiling ops.
     */

@@ -270,6 +270,12 @@ object Similarity {
     // -- step 3: semantic sub-split of over-cap cells ----------------------
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
     val overCells = sizes.filter(col("sz") > cap).select(col("cell"))
+    // short-circuit the common case: proportional sizing keeps cells near
+    // the target, so most corpora have NO over-cap cell — one scalar
+    // action on the tiny per-cell size table skips two joins, a union and
+    // the salt pass entirely (steps 3-4 are no-ops on an empty overCells
+    // set either way; this just prunes them from the plan)
+    if (overCells.isEmpty) return assigned
     val over = assigned.join(overCells, Seq("cell"), "left_semi").persist(ckpt)
     val ok = assigned.join(overCells, Seq("cell"), "left_anti")
     // fanout smallest-id members per oversized cell = its sub-centroids;

@@ -1441,6 +1441,31 @@ object Relational {
        |  AND CAST(ceil(p.prob * n.n) AS BIGINT) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q117 — per-group exact quantiles: q115's grouped sibling. The window
+  // runs over DISTINCT (group, value) rows inside each group's partition
+  // (O(1) running-sum state, groups in parallel) — never a buffered value
+  // array per group like Spark's exact percentile, never a global sort.
+  // l_quantity has ~50 distinct values per flag, so the heavy-multiplicty
+  // tie path is exercised for real.
+  private def q117(t: Tables): DataFrame =
+    graft.operators.Profiling.groupedQuantiles(
+      t.lineitem, col("l_returnflag"), col("l_quantity"), QuantPs)
+
+  private val q117Sql =
+    s"""WITH c AS (SELECT l_returnflag AS grp, l_quantity AS v, count(*) AS c
+       |           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+       |cum AS (SELECT grp, v, c,
+       |          CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+       |          CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+       |        FROM c),
+       |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
+       |SELECT grp AS "group", p.prob, v AS value
+       |FROM cum, p
+       |WHERE cb < CAST(ceil(p.prob * n) AS BIGINT)
+       |  AND CAST(ceil(p.prob * n) AS BIGINT) <= cb + c""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):
   // a pre-aggregated base partition (orders before the cutoff) merges
   // with a freshly aggregated delta by re-aggregating the PARTIAL states
@@ -1553,7 +1578,8 @@ object Relational {
     "q111_bigram_transitions" -> wrap(q111),
     "q112_equidepth_histogram" -> wrap(q112),
     "q114_incremental_agg" -> wrap(q114),
-    "q115_exact_quantiles" -> wrap(q115)
+    "q115_exact_quantiles" -> wrap(q115),
+    "q117_grouped_quantiles" -> wrap(q117)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1628,6 +1654,7 @@ object Relational {
     "q111_bigram_transitions" -> q111Sql,
     "q112_equidepth_histogram" -> q112Sql,
     "q114_incremental_agg" -> q114Sql,
-    "q115_exact_quantiles" -> q115Sql
+    "q115_exact_quantiles" -> q115Sql,
+    "q117_grouped_quantiles" -> q117Sql
   )
 }

@@ -53,6 +53,21 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedQuantiles matches the per-group sort-based reference, heavy ties included") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val probs = Seq(0.25, 0.5, 0.9)
+    val byGroup = li.select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    val ref = byGroup.flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      probs.map(p => (g, p, sorted(math.ceil(p * sorted.length).toInt - 1)))
+    }.toSet
+    val got = Profiling.groupedQuantiles(li, col("l_returnflag"),
+        col("l_quantity"), probs)
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == ref && ref.nonEmpty)
+  }
+
   test("equiDepth buckets cover all rows, are ordered, and are depth-balanced") {
     val k = 8
     val total = prices.count()
