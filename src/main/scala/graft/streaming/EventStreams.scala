@@ -338,4 +338,22 @@ object EventStreams {
     require(versions.nonEmpty, s"no versions under $tableDir")
     spark.read.parquet(s"$tableDir/version=${versions.max}")
   }
+
+  /** Time travel over a [[streamingMerge]] table: the state as of batch
+    * `version` — i.e. the LARGEST materialized version ≤ the request
+    * (versions are checkpointed batch ids, so gaps are normal: a batch
+    * that arrived empty writes nothing). Every version is a full
+    * snapshot, so this is one partition-pruned read, no log replay.
+    */
+  def mergedTableAsOf(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, version: Long): org.apache.spark.sql.DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .map(_.getPath.getName).filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toLong).filter(_ <= version)
+    require(versions.nonEmpty,
+      s"no version <= $version under $tableDir (earliest retained is later)")
+    spark.read.parquet(s"$tableDir/version=${versions.max}")
+  }
 }

@@ -54,7 +54,10 @@ object PlanDump {
     "q111_bigram_transitions" -> "Per-user lead() in key partitions (no global sort), then two partial+final aggregates on bounded keys (|types|² rows) joined for the per-source normalizer.",
     "q112_equidepth_histogram" -> "Equal-frequency histogram WITHOUT ntile-over-global-sort: distinct-value counts, range-partitioned local prefix scans, subtotal cumulation over scanParts rows only (the lone single-task window), integer bucket ids, bucket aggregate.",
     "q113_containment_dedup" -> "Asymmetric containment: df aggregation orders each probe's shingles rarest-first, only probe PREFIXES join the full inverted index (|B| >= t|A| size filter in codegen), then the native sorted-merge verify divides by |A| alone.",
-    "q114_incremental_agg" -> "Materialized-view refresh: base and delta partial aggregates union and re-aggregate (sum-of-sums) — the raw base is never rescanned; avg derives from exact DECIMAL partials at the end.")
+    "q114_incremental_agg" -> "Materialized-view refresh: base and delta partial aggregates union and re-aggregate (sum-of-sums) — the raw base is never rescanned; avg derives from exact DECIMAL partials at the end.",
+    "q115_exact_quantiles" -> "Exact global quantiles with NO global sort and NO per-group value buffering: q112's persisted prefix-sum scan + a broadcast join of |probs| rows selecting each rank's covering value.",
+    "q116_triangle_count" -> "Triangles on the near-dup graph: id-oriented edges (a<b) so each triangle counts once; two hash joins + count. Degree-ordered orientation is the same plan at 100 TB with the fanout bounded by sqrt(2|E|).",
+    "q117_grouped_quantiles" -> "Per-group exact quantiles: distinct-value counts through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — never a buffered value array per group.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

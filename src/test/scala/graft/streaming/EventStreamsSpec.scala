@@ -224,6 +224,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mergedTableAsOf time-travels to any materialized version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stravel").toString + "/t"
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("k", "seq", "payload")
+      .writeStream
+      .foreachBatch(EventStreams.streamingMerge(dir, "k", "seq"))
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L, "a1"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      def asOf(v: Long) = EventStreams.mergedTableAsOf(spark, dir, v)
+        .as[(Long, Long, String)].collect().toSet
+      assert(asOf(0L) == Set((1L, 1L, "a1")))
+      assert(asOf(1L) == Set((1L, 2L, "a2"), (2L, 1L, "b1")))
+      assert(asOf(99L) == asOf(1L)) // requests past the head read the head
+      intercept[IllegalArgumentException] {
+        EventStreams.mergedTableAsOf(spark, dir, -1L)
+      }
+    } finally q.stop()
+  }
+
   test("dedupIngest: batches dedup within themselves, against the index, and extend it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
