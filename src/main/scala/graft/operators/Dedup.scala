@@ -212,22 +212,8 @@ object Dedup {
   def ngramJaccardPairsPrefix(
       docs: DataFrame, // columns: id, shingles (distinct within a doc)
       threshold: Double): DataFrame = {
-    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
-    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    // Per-doc df-ascending order via one aggregation (collect_list order is
-    // nondeterministic; sort_array imposes the total (df, s) order). The
-    // 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
-    // a longer prefix only adds candidates, a shorter one could lose pairs.
-    val prefInv = inv.join(dfs, "s")
-      .groupBy(col("id"), col("n_sh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
-      .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
-      .select(col("id"), col("n_sh"),
-        explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = sizedShingles(docs)
+    val prefInv = rarestFirstPrefix(sized, threshold)
     // size filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a codegen'd predicate
     // on the raw collision rows, applied before the distinct
     val cand = prefInv.as("x")
@@ -236,24 +222,62 @@ object Dedup {
           col("x.n_sh") >= lit(threshold) * col("y.n_sh") &&
           col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    // exact verify over pre-sorted arrays with the one-pass native merge
-    // kernel (graft.functions.SortedIntersectCountExpr) — identical count
-    // to size(array_intersect(...)) but no per-row hash-set build. A pair
-    // colliding on several prefix shingles is verified that many times
-    // (verify is cheap); the distinct runs on the tiny qualifying output
-    // instead of the full candidate stream — one less wide exchange.
-    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
-    cand
-      .join(sh.as("a"), col("id_a") === col("a.id"))
-      .join(sh.as("b"), col("id_b") === col("b.id"))
-      .withColumn("n_common",
-        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+    verifyPairs(sized, cand)
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .distinct()
+  }
+
+  /** `docs` with per-doc shingle counts, empty docs dropped, persisted
+    * (feeds both candidate generation and the verify join).
+    */
+  private def sizedShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The prefix inverted index (id, n_sh, s): each doc's shingles ordered
+    * by ascending global document frequency (ties by shingle — a total
+    * order), truncated to the first `n_sh − ⌈t·n_sh⌉ + 1`. Shared by the
+    * Jaccard and containment prefix filters — the required overlap is
+    * ⌈t·|A|⌉ in both, so the prefix length formula is identical.
+    *
+    * Per-doc df-ascending order via one aggregation (collect_list order is
+    * nondeterministic; sort_array imposes the total (df, s) order). The
+    * 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
+    * a longer prefix only adds candidates, a shorter one could lose pairs.
+    */
+  private def rarestFirstPrefix(sized: DataFrame, threshold: Double): DataFrame = {
+    val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    inv.join(dfs, "s")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidates (id_a, id_b) joined against both docs' SORTED shingle
+    * arrays with the exact one-pass native merge count
+    * (graft.functions.SortedIntersectCountExpr) — identical count to
+    * size(array_intersect(...)) but no per-row hash-set build. A pair
+    * colliding on several prefix shingles is verified that many times
+    * (verify is cheap); callers run their `distinct()` on the tiny
+    * qualifying output instead of the full candidate stream — one less
+    * wide exchange. Output: cand columns + `a.n_sh`, `b.n_sh`, `n_common`.
+    */
+  private def verifyPairs(sized: DataFrame, cand: DataFrame): DataFrame = {
+    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
   }
 
   /** Asymmetric containment pairs: (id_a, id_b, containment) where
@@ -276,28 +300,18 @@ object Dedup {
   def containmentPairs(
       docs: DataFrame, // columns: id, shingles (distinct within a doc)
       threshold: Double): DataFrame = {
-    val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = sizedShingles(docs)
+    // probe side: the shared rarest-first prefix (required overlap is
+    // ⌈t·|A|⌉, same as Jaccard); index side: the FULL inverted index —
+    // containment puts no size-dependent prefix on B, only |B| ≥ t·|A|
+    val prefProbe = rarestFirstPrefix(sized, threshold)
     val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
-    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    val prefProbe = inv.join(dfs, "s")
-      .groupBy(col("id"), col("n_sh"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
-      .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
-      .select(col("id"), col("n_sh"),
-        explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
     val cand = prefProbe.as("x")
       .join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.id") =!= col("y.id") &&
           col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
-    cand
-      .join(sh.as("a"), col("id_a") === col("a.id"))
-      .join(sh.as("b"), col("id_b") === col("b.id"))
-      .withColumn("n_common",
-        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+    verifyPairs(sized, cand)
       .withColumn("containment",
         round(col("n_common").cast("double") / col("a.n_sh"), 4))
       .filter(col("containment") >= threshold)

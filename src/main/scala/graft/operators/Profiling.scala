@@ -67,10 +67,20 @@ object Profiling {
     val cum = cumCounts(df, value, scanParts)
     val ps = probs.toDF("prob")
     cum.join(broadcast(ps),
-        col("__cum") < ceil(col("prob") * col("__n")).cast("long") &&
-          ceil(col("prob") * col("__n")).cast("long") <= col("__cum") + col("__c"))
+        col("__cum") < rankOf(col("prob"), col("__n")) &&
+          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
       .select(col("prob"), col("__v").as("value"))
   }
+
+  /** Target rank ⌈p·n⌉ with the FP-ceil guard: p·n that is mathematically
+    * integral can land just ABOVE the integer in doubles (0.07·100 =
+    * 7.000000000000001), and a raw ceil would then return rank+1 — the
+    * wrong element. The 1e-6 slack (same guard as
+    * Dedup.ngramJaccardPairsPrefix's prefix length) absorbs it; fractional
+    * parts below 1e-6 cannot arise from meaningful probabilities.
+    */
+  private def rankOf(prob: Column, n: Column): Column =
+    ceil(prob * n - lit(1e-6)).cast("long")
 
   /** Per-GROUP exact quantiles without per-group value buffering.
     * Spark's exact `percentile` holds every value of a group in one
@@ -97,13 +107,19 @@ object Profiling {
       .withColumn("__cum", coalesce(sum(col("__c")).over(run), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(tot))
     cum.join(broadcast(probs.toDF("prob")),
-        col("__cum") < ceil(col("prob") * col("__n")).cast("long") &&
-          ceil(col("prob") * col("__n")).cast("long") <= col("__cum") + col("__c"))
+        col("__cum") < rankOf(col("prob"), col("__n")) &&
+          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
       .select(col("group"), col("prob"), col("__v").as("value"))
   }
 
   /** Distinct-value counts with the exclusive global prefix sum `__cum`
     * and grand total `__n` — steps 1–2 of the scalable profiling ops.
+    *
+    * The returned frame is persisted (correctness — see the inline
+    * comment) and stays cached for the session: callers that profile many
+    * columns in one long-lived session should `spark.catalog.clearCache()`
+    * (or unpersist the result) once the derived output is materialized,
+    * the same contract as `BloomPrune.antiJoin(persistBig = true)`.
     */
   private def cumCounts(df: DataFrame, value: Column,
       scanParts: Int): DataFrame = {

@@ -416,6 +416,9 @@ object Pipeline {
     val e = Similarity
       .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CosT, NearDupPlanes)
       .select(col("id_a").as("a"), col("id_b").as("b")) // oriented: a < b
+      // three consumers with different join keys — without the persist the
+      // bucket self-join + cosine verify pipeline executes three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.as("xy")
       .join(e.as("yz"), col("xy.b") === col("yz.a"))
       .join(e.as("xz"),
@@ -579,15 +582,21 @@ object Pipeline {
 
   private def q105(t: Tables): DataFrame = {
     val e = graft.Fanout(t.embeddings).select(col("vec_id"), col("embedding"))
+    // offset derived from the data (one scalar action), not hard-coded:
+    // a fixed +10000 would silently collide with real ids at larger SFs,
+    // and the mirrored oracle would mask the degradation
+    val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val doubled = e.unionByName(
-      e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+      e.select((col("vec_id") + off).as("vec_id"), col("embedding")))
     Similarity.semanticDedupCapped(doubled, CapTarget, CosT)
   }
 
   private val q105Sql = {
     val cap = 4 * CapTarget
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000, v FROM e0),
+       |off AS (SELECT max(vec_id) + 1 AS o FROM e0),
+       |e AS (SELECT vec_id, v FROM e0
+       |      UNION ALL SELECT vec_id + (SELECT o FROM off), v FROM e0),
        |reps AS (SELECT min(vec_id) AS vec_id, v FROM e GROUP BY v),
        |p AS (SELECT CAST(ceil(count(*) / $CapTarget.0) AS BIGINT) AS ncells FROM reps),
        |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM (

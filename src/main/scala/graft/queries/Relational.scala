@@ -1077,17 +1077,17 @@ object Relational {
   // (SURVEY §2.10) — kept narrow: one forked process per task, rows
   // streamed through stdin/stdout, no shuffle. The oracle replays the
   // uppercase in SQL.
-  private def q96(t: Tables): DataFrame = {
-    // unique per-invocation view name: temp views are session-global, so a
-    // fixed name would collide across concurrent invocations in one session
-    val view = s"graft_q96_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    t.events.select(col("event_id"), col("event_type"))
-      .createOrReplaceTempView(view)
+  private def q96(t: Tables): DataFrame =
+    // no temp view at all (a per-invocation UUID view fixed the collision
+    // but leaked a catalog entry per call): TRANSFORM reads the parquet
+    // path inline. Only event_id/event_type are touched, so the nanos-ts
+    // conversion Tables.events performs is irrelevant here.
     t.spark.sql(
       s"""SELECT CAST(event_id AS BIGINT) AS event_id, event_type
          |FROM (SELECT TRANSFORM(event_id, event_type) USING 'tr a-z A-Z'
-         |      AS (event_id STRING, event_type STRING) FROM $view)""".stripMargin)
-  }
+         |      AS (event_id STRING, event_type STRING)
+         |      FROM (SELECT event_id, event_type
+         |            FROM parquet.`${t.dir}/events.parquet`))""".stripMargin)
 
   private val q96Sql =
     "SELECT event_id, upper(event_type) AS event_type FROM events"
@@ -1437,8 +1437,8 @@ object Relational {
        |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
        |SELECT p.prob, v AS value
        |FROM cum, n, p
-       |WHERE cb < CAST(ceil(p.prob * n.n) AS BIGINT)
-       |  AND CAST(ceil(p.prob * n.n) AS BIGINT) <= cb + c""".stripMargin
+       |WHERE cb < CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)
+       |  AND CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
   // q117 — per-group exact quantiles: q115's grouped sibling. The window
@@ -1462,8 +1462,8 @@ object Relational {
        |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
        |SELECT grp AS "group", p.prob, v AS value
        |FROM cum, p
-       |WHERE cb < CAST(ceil(p.prob * n) AS BIGINT)
-       |  AND CAST(ceil(p.prob * n) AS BIGINT) <= cb + c""".stripMargin
+       |WHERE cb < CAST(ceil(p.prob * n - 1e-6) AS BIGINT)
+       |  AND CAST(ceil(p.prob * n - 1e-6) AS BIGINT) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):

@@ -53,6 +53,20 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile rank guards the FP ceil: p=0.07 over 100 rows is rank 7, not 8") {
+    // the double nearest 0.07 times 100 is 7.000000000000001 — a raw
+    // ceil returns rank 8 (the wrong element); the 1e-6 slack pins the
+    // intended decimal semantics. Regression for the round-5 review.
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Profiling.exactQuantiles(df, col("v"), Seq(0.07), scanParts = 4)
+      .as[(Double, Double)].collect().toSet
+    assert(got == Set((0.07, 7.0)), s"got $got")
+    val grouped = Profiling.groupedQuantiles(
+      df.withColumn("g", lit("x")), col("g"), col("v"), Seq(0.07))
+      .as[(String, Double, Double)].collect().toSet
+    assert(grouped == Set(("x", 0.07, 7.0)), s"got $grouped")
+  }
+
   test("groupedQuantiles matches the per-group sort-based reference, heavy ties included") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val probs = Seq(0.25, 0.5, 0.9)
