@@ -72,6 +72,53 @@ object Profiling {
       .select(col("prob"), col("__v").as("value"))
   }
 
+  /** Interpolated (type-7) per-group quantiles — the SAME values as
+    * Spark's exact `percentile` / DuckDB's `quantile_cont`, WITHOUT
+    * buffering every group value in one aggregation buffer (`percentile`
+    * holds the whole group; a billion-row group is an executor OOM). The
+    * distinct-value running-window machinery of [[groupedQuantiles]]
+    * selects the two covering elements of h = p·(n−1) (0-indexed) and
+    * interpolates v_lo + (h−⌊h⌋)·(v_hi−v_lo) — exactly the built-in's
+    * formula, pinned value-identical in ProfilingSpec. Use this as the
+    * drop-in scale path wherever `percentile(col, p)` appears per group.
+    */
+  def groupedQuantilesCont(df: DataFrame, grp: Column, value: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(grp.as("group"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("group"), col("__v")).agg(count(lit(1)).as("__c"))
+    val run = Window.partitionBy(col("group")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("group"))
+    val cum = counts
+      .withColumn("__cum", coalesce(sum(col("__c")).over(run), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(tot))
+    val ps = broadcast(probs.toDF("prob"))
+    // 0-indexed position h; the element at position k is the distinct
+    // value with __cum <= k < __cum + __c. No FP slack here: the oracle
+    // replays the identical double expression, and at near-integral h the
+    // interpolation weight collapses to ~0/~1 — continuous, not a cliff.
+    val h = col("prob") * (col("__n") - 1)
+    def covering(k: Column): Column = col("__cum") <= k && k < col("__cum") + col("__c")
+    val lo = cum.join(ps, covering(floor(h).cast("long")))
+      .select(col("group"), col("prob"), col("__v").as("__vlo"), col("__n"))
+    val hi = cum.join(ps, covering(ceil(h).cast("long")))
+      .select(col("group"), col("prob"), col("__v").as("__vhi"))
+    // Spark Percentile.getPercentile's exact arithmetic shape —
+    // (higher−pos)·vlo + (pos−lower)·vhi with the integral-position
+    // special case — so the spec can pin BIT-identical results
+    val h2 = col("prob") * (col("__n") - 1)
+    lo.join(hi, Seq("group", "prob"))
+      .select(col("group"), col("prob"),
+        when(floor(h2) === ceil(h2), col("__vlo"))
+          .otherwise((ceil(h2) - h2) * col("__vlo")
+            + (h2 - floor(h2)) * col("__vhi")).as("value"))
+  }
+
   /** Target rank ⌈p·n⌉ with the FP-ceil guard: p·n that is mathematically
     * integral can land just ABOVE the integer in doubles (0.07·100 =
     * 7.000000000000001), and a raw ceil would then return rank+1 — the

@@ -996,13 +996,18 @@ object Pipeline {
   // Keep documents above their language's p90 token count — the grouped-
   // quantile filter shape every quality pipeline runs (per-stratum cutoffs
   // beat a global one when strata differ structurally). Exact interpolated
-  // percentile per group, tiny cutoff table broadcast back, narrow filter.
+  // percentile per group through Profiling.groupedQuantilesCont — the
+  // scale path whose state is distinct-value counts, NOT a buffered value
+  // array per group like the built-in `percentile` (bit-identical values,
+  // pinned in ProfilingSpec); tiny cutoff table broadcast back, narrow
+  // filter.
 
   private def q79(t: Tables): DataFrame = {
     val toks = t.documents.select(col("doc_id"), col("lang"),
       graft.operators.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
-    val cuts = toks.groupBy(col("lang"))
-      .agg(round(expr("percentile(n_tok, 0.9)"), 4).as("p90"))
+    val cuts = graft.operators.Profiling
+      .groupedQuantilesCont(toks, col("lang"), col("n_tok"), Seq(0.9))
+      .select(col("group").as("lang"), round(col("value"), 4).as("p90"))
     toks.join(broadcast(cuts), Seq("lang"))
       .filter(col("n_tok") > col("p90"))
       .select(col("doc_id"), col("lang"), col("n_tok"))

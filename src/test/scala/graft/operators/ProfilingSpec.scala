@@ -82,6 +82,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == ref && ref.nonEmpty)
   }
 
+  test("groupedQuantilesCont is BIT-identical to Spark's exact percentile") {
+    // the whole point of the operator: same values as the built-in, but
+    // O(distinct-values) state instead of a buffered array per group
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"),
+        graft.operators.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    for (p <- Seq(0.1, 0.5, 0.9, 0.95)) {
+      val builtin = docs.groupBy("lang")
+        .agg(expr(s"percentile(n_tok, $p)").as("v"))
+        .as[(String, Double)].collect().toMap
+      val ours = Profiling.groupedQuantilesCont(docs, col("lang"), col("n_tok"), Seq(p))
+        .select(col("group"), col("value"))
+        .as[(String, Double)].collect().toMap
+      assert(ours == builtin, s"p=$p: $ours vs $builtin")
+    }
+    // heavy ties: l_quantity has ~50 distinct values per group
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val b2 = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.37)").as("v"))
+      .as[(String, Double)].collect().toMap
+    val o2 = Profiling.groupedQuantilesCont(li, col("l_returnflag"),
+        col("l_quantity"), Seq(0.37))
+      .select(col("group"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(o2 == b2)
+  }
+
   test("equiDepth buckets cover all rows, are ordered, and are depth-balanced") {
     val k = 8
     val total = prices.count()
