@@ -34,6 +34,7 @@ object PlanDump {
     "q76_semantic_dedup" -> "IVF-cell assignment via broadcast centroids + bounded top-k aggregate, persisted once, then an in-cell equi self-join with the cosine verify — no cross product, no window.",
     "q77_unpivot" -> "Wide->long melt as ONE narrow Expand (3x row multiplier, no shuffle) with the l_orderkey filter pushed to the scan.",
     "q78_lead_lag" -> "lag/lead deltas: one hash exchange on user_id + per-partition sort feeding a single Window — no global ordering.",
+    "q79_quality_cutoff" -> "Per-language p90 cutoff via groupedQuantilesCont: distinct-value counts + per-group running windows (O(1) window state) pick and interpolate the two covering elements — bit-identical to the built-in percentile WITHOUT its buffer-every-value aggregation state; cutoff table broadcasts back into a narrow filter.",
     "q80_doc_chunking" -> "Sliding-window chunking: scan -> narrow split/sequence/explode/slice/md5 — zero exchanges end to end.",
     "q82_asof_native" -> "The custom operator ladder: AsOfJoinExec with requiredChildDistribution/Ordering — one exchange + sort per side, O(|L|+|R|) merge. No window, no nested loop.",
     "q84_duplicate_passages" -> "Native md5_windows kernel (narrow, codegen'd) -> explode of 32-char hashes only -> ONE hash aggregate with partial combine. No window, no self-join; a 10^9-copy boilerplate passage costs O(1) combiner state.",
