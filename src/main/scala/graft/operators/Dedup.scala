@@ -222,7 +222,7 @@ object Dedup {
           col("x.n_sh") >= lit(threshold) * col("y.n_sh") &&
           col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    verifyPairs(sized, cand)
+    verifyPairs(sized, sized, cand)
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
@@ -269,15 +269,49 @@ object Dedup {
     * colliding on several prefix shingles is verified that many times
     * (verify is cheap); callers run their `distinct()` on the tiny
     * qualifying output instead of the full candidate stream — one less
-    * wide exchange. Output: cand columns + `a.n_sh`, `b.n_sh`, `n_common`.
+    * wide exchange. `sizedA`/`sizedB` are the id_a/id_b corpora (the same
+    * frame for self-joins). Output: cand columns + `a.n_sh`, `b.n_sh`,
+    * `n_common`.
     */
-  private def verifyPairs(sized: DataFrame, cand: DataFrame): DataFrame = {
-    val sh = sized.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
+  private def verifyPairs(sizedA: DataFrame, sizedB: DataFrame,
+      cand: DataFrame): DataFrame = {
+    def sorted(s: DataFrame) =
+      s.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
     cand
-      .join(sh.as("a"), col("id_a") === col("a.id"))
-      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .join(sorted(sizedA).as("a"), col("id_a") === col("a.id"))
+      .join(sorted(sizedB).as("b"), col("id_b") === col("b.id"))
       .withColumn("n_common",
         graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+  }
+
+  /** Cross-corpus containment — the decontamination form: for each PROBE
+    * doc (the benchmark/eval set, typically small), every CORPUS doc that
+    * contains it at C(probe→corpus) = |P∩C|/|P| ≥ threshold. This is the
+    * detector n-gram-overlap decontamination (q71's shape) understates:
+    * a short eval item pasted into a long page keeps containment ≈ 1.0
+    * while its share of the page's shingles — and its Jaccard — vanishes.
+    * Probe prefixes (rarest-first, over the probe corpus's OWN df order)
+    * join the train corpus's full inverted index; |C| ≥ t·|P| is the only
+    * index-side filter containment admits. Same lossless argument as
+    * [[containmentPairs]].
+    */
+  def containmentAgainst(probe: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizedP = sizedShingles(probe)
+    val sizedC = sizedShingles(corpus)
+    val prefProbe = rarestFirstPrefix(sizedP, threshold)
+    val invC = sizedC.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val cand = prefProbe.as("x")
+      .join(invC.as("y"),
+        col("x.s") === col("y.s") &&
+          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    verifyPairs(sizedP, sizedC, cand)
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("a.n_sh"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .distinct()
   }
 
   /** Asymmetric containment pairs: (id_a, id_b, containment) where
@@ -311,7 +345,7 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.id") =!= col("y.id") &&
           col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    verifyPairs(sized, cand)
+    verifyPairs(sized, sized, cand)
       .withColumn("containment",
         round(col("n_common").cast("double") / col("a.n_sh"), 4))
       .filter(col("containment") >= threshold)

@@ -403,6 +403,33 @@ object Pipeline {
        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT""".stripMargin
 
+  // ===== q118 containment decontamination ================================
+  // q71's upgrade: an eval item pasted into a long train page keeps
+  // containment ≈ 1.0 while its Jaccard (and its share of the page's
+  // 4-grams) vanishes — so overlap-threshold decontamination misses
+  // exactly the worst contamination. Probe = the stand-in eval suite
+  // (doc_id ≡ 0 mod 10), corpus = the rest; output = every (eval, train)
+  // pair with C(eval→train) ≥ t. Probe prefixes only join the index
+  // (Dedup.containmentAgainst — lossless, proof shared with q113).
+
+  private val DecontT = 0.6
+
+  private def q118(t: Tables): DataFrame = {
+    val d = shingledDocs(t)
+    Dedup.containmentAgainst(
+      d.filter(col("id") % 10 === 0), d.filter(col("id") % 10 =!= 0), DecontT)
+  }
+
+  private val q118Sql =
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |s AS MATERIALIZED (SELECT id, len(ss) AS n_sh, unnest(ss) AS s FROM d WHERE len(ss) > 0),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, x.n_sh AS na, count(*) AS c
+       |      FROM s x JOIN s y ON x.s = y.s AND x.id % 10 = 0 AND y.id % 10 <> 0
+       |      GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / na, 4) AS containment
+       |FROM p WHERE round(CAST(c AS DOUBLE) / na, 4) >= $DecontT""".stripMargin
+
   // ===== q116 triangle count on the near-dup graph =======================
   // Graph analytics over a pipeline-derived graph: triangles in the
   // embedding near-dup graph (q34's edges) measure cluster cohesion —
@@ -1264,7 +1291,8 @@ object Pipeline {
     "q106_heavy_hitters" -> wrap(q106),
     "q107_weighted_sample" -> wrap(q107),
     "q113_containment_dedup" -> wrap(q113),
-    "q116_triangle_count" -> wrap(q116)
+    "q116_triangle_count" -> wrap(q116),
+    "q118_decontaminate_containment" -> wrap(q118)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1311,6 +1339,7 @@ object Pipeline {
     "q106_heavy_hitters" -> q106Sql,
     "q107_weighted_sample" -> q107Sql,
     "q113_containment_dedup" -> q113Sql,
-    "q116_triangle_count" -> q116Sql
+    "q116_triangle_count" -> q116Sql,
+    "q118_decontaminate_containment" -> q118Sql
   )
 }

@@ -87,6 +87,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!jac.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) })
   }
 
+  test("containmentAgainst finds the eval item inside a train page, cross-corpus only") {
+    val evalItem = "the quick brown fox jumps over the lazy dog"
+    val trainPage = ("background filler text " * 6) + evalItem + (" more filler" * 6)
+    val probe = Seq((100L, evalItem)).toDF("id", "text")
+    val corpus = Seq((1L, trainPage), (2L, "totally unrelated content here"))
+      .toDF("id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      TextOps.withShingles(df, col("text"), 3, "shingles").select("id", "shingles")
+    val hits = Dedup.containmentAgainst(sh(probe), sh(corpus), 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hits == Set((100L, 1L, 1.0)))
+    // and it is lossless vs the naive cross-corpus inverted join on real docs
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id").as("id"), col("text"))
+    val all = sh(docs).withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+    val p = all.filter(col("id") % 10 === 0)
+    val c = all.filter(col("id") % 10 =!= 0)
+    val t = 0.5
+    def inv(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val naive = inv(p).as("x").join(inv(c).as("y"), col("x.s") === col("y.s"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.n_sh").as("na"))
+      .count()
+      .withColumn("containment", round(col("count").cast("double") / col("na"), 4))
+      .filter(col("containment") >= t)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.containmentAgainst(
+        p.select("id", "shingles"), c.select("id", "shingles"), t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == naive)
+  }
+
   test("containmentPairs probe-prefix filter is lossless vs the naive form") {
     // naive = inverted-index join without the prefix restriction; the
     // probe-prefix + |B| ≥ t|A| filters must not lose a qualifying pair
