@@ -213,7 +213,7 @@ object Dedup {
       docs: DataFrame, // columns: id, shingles (distinct within a doc)
       threshold: Double): DataFrame = {
     val sized = sizedShingles(docs)
-    val prefInv = rarestFirstPrefix(sized, threshold)
+    val prefInv = rarestFirstPrefix(sized, threshold, selfJoin = true)
     // size filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a codegen'd predicate
     // on the raw collision rows, applied before the distinct
     val cand = prefInv.as("x")
@@ -248,18 +248,25 @@ object Dedup {
     * nondeterministic; sort_array imposes the total (df, s) order). The
     * 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
     * a longer prefix only adds candidates, a shorter one could lose pairs.
+    *
+    * `selfJoin = true` persists the result (it feeds BOTH sides of the
+    * Jaccard candidate self-join); the containment forms consume it once
+    * and must not pay a materialization + session cache entry for it.
     */
-  private def rarestFirstPrefix(sized: DataFrame, threshold: Double): DataFrame = {
+  private def rarestFirstPrefix(sized: DataFrame, threshold: Double,
+      selfJoin: Boolean): DataFrame = {
     val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
     val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    inv.join(dfs, "s")
+    val pref = inv.join(dfs, "s")
       .groupBy(col("id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
       .withColumn("p",
         (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
       .select(col("id"), col("n_sh"),
         explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (selfJoin)
+      pref.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pref
   }
 
   /** Candidates (id_a, id_b) joined against both docs' SORTED shingle
@@ -299,7 +306,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sizedP = sizedShingles(probe)
     val sizedC = sizedShingles(corpus)
-    val prefProbe = rarestFirstPrefix(sizedP, threshold)
+    val prefProbe = rarestFirstPrefix(sizedP, threshold, selfJoin = false)
     val invC = sizedC.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
     val cand = prefProbe.as("x")
       .join(invC.as("y"),
@@ -338,7 +345,7 @@ object Dedup {
     // probe side: the shared rarest-first prefix (required overlap is
     // ⌈t·|A|⌉, same as Jaccard); index side: the FULL inverted index —
     // containment puts no size-dependent prefix on B, only |B| ≥ t·|A|
-    val prefProbe = rarestFirstPrefix(sized, threshold)
+    val prefProbe = rarestFirstPrefix(sized, threshold, selfJoin = false)
     val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
     val cand = prefProbe.as("x")
       .join(inv.as("y"),

@@ -87,16 +87,7 @@ object Profiling {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df
-      .select(grp.as("group"), value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .groupBy(col("group"), col("__v")).agg(count(lit(1)).as("__c"))
-    val run = Window.partitionBy(col("group")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = Window.partitionBy(col("group"))
-    val cum = counts
-      .withColumn("__cum", coalesce(sum(col("__c")).over(run), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(tot))
+    val cum = groupedCumCounts(df, grp, value)
     val ps = broadcast(probs.toDF("prob"))
     // 0-indexed position h; the element at position k is the distinct
     // value with __cum <= k < __cum + __c. No FP slack here: the oracle
@@ -104,19 +95,30 @@ object Profiling {
     // interpolation weight collapses to ~0/~1 — continuous, not a cliff.
     val h = col("prob") * (col("__n") - 1)
     def covering(k: Column): Column = col("__cum") <= k && k < col("__cum") + col("__c")
-    val lo = cum.join(ps, covering(floor(h).cast("long")))
-      .select(col("group"), col("prob"), col("__v").as("__vlo"), col("__n"))
-    val hi = cum.join(ps, covering(ceil(h).cast("long")))
-      .select(col("group"), col("prob"), col("__v").as("__vhi"))
-    // Spark Percentile.getPercentile's exact arithmetic shape —
-    // (higher−pos)·vlo + (pos−lower)·vhi with the integral-position
-    // special case — so the spec can pin BIT-identical results
+    // ONE join tags each covering row lo and/or hi (≤ 2 rows per
+    // (group, prob)); a conditional aggregate folds them — the cum
+    // pipeline runs once, no self-join of two re-derivations
     val h2 = col("prob") * (col("__n") - 1)
-    lo.join(hi, Seq("group", "prob"))
-      .select(col("group"), col("prob"),
-        when(floor(h2) === ceil(h2), col("__vlo"))
-          .otherwise((ceil(h2) - h2) * col("__vlo")
-            + (h2 - floor(h2)) * col("__vhi")).as("value"))
+    cum.join(ps,
+        covering(floor(h).cast("long")) || covering(ceil(h).cast("long")))
+      .groupBy(col("group"), col("prob"))
+      .agg(
+        max(when(covering(floor(h2).cast("long")), col("__v"))).as("__vlo"),
+        max(when(covering(ceil(h2).cast("long")), col("__v"))).as("__vhi"),
+        max(col("__n")).as("__n"))
+      .select(col("group"), col("prob"), {
+        // Spark Percentile.getPercentile's exact arithmetic shape —
+        // (higher−pos)·vlo + (pos−lower)·vhi — INCLUDING both
+        // short-circuits: integral position AND lowerKey == higherKey
+        // (without the latter, ties spanning both covering positions
+        // interpolate (1−f)·v + f·v, which is off by 1 ulp for
+        // non-integral v — the built-in returns v exactly)
+        val hh = col("prob") * (col("__n") - 1)
+        when(floor(hh) === ceil(hh) || col("__vlo") === col("__vhi"),
+          col("__vlo"))
+          .otherwise((ceil(hh) - hh) * col("__vlo")
+            + (hh - floor(hh)) * col("__vhi")).as("value")
+      })
   }
 
   /** Target rank ⌈p·n⌉ with the FP-ceil guard: p·n that is mathematically
@@ -124,10 +126,12 @@ object Profiling {
     * 7.000000000000001), and a raw ceil would then return rank+1 — the
     * wrong element. The 1e-6 slack (same guard as
     * Dedup.ngramJaccardPairsPrefix's prefix length) absorbs it; fractional
-    * parts below 1e-6 cannot arise from meaningful probabilities.
+    * parts below 1e-6 cannot arise from meaningful probabilities. Clamped
+    * to ≥ 1 so a vanishing p·n (p ≤ 1e-6/n) returns the minimum instead
+    * of silently matching no row.
     */
   private def rankOf(prob: Column, n: Column): Column =
-    ceil(prob * n - lit(1e-6)).cast("long")
+    greatest(lit(1L), ceil(prob * n - lit(1e-6)).cast("long"))
 
   /** Per-GROUP exact quantiles without per-group value buffering.
     * Spark's exact `percentile` holds every value of a group in one
@@ -143,6 +147,20 @@ object Profiling {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
     val spark = df.sparkSession
     import spark.implicits._
+    val cum = groupedCumCounts(df, grp, value)
+    cum.join(broadcast(probs.toDF("prob")),
+        col("__cum") < rankOf(col("prob"), col("__n")) &&
+          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
+      .select(col("group"), col("prob"), col("__v").as("value"))
+  }
+
+  /** Per-group distinct-value counts with the exclusive per-group prefix
+    * sum `__cum` and group total `__n` — the shared scaffolding of both
+    * grouped quantile forms. All-deterministic (hash partition by group +
+    * windows), so unlike [[cumCounts]] no persist is needed.
+    */
+  private def groupedCumCounts(df: DataFrame, grp: Column,
+      value: Column): DataFrame = {
     val counts = df
       .select(grp.as("group"), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
@@ -150,13 +168,9 @@ object Profiling {
     val run = Window.partitionBy(col("group")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = Window.partitionBy(col("group"))
-    val cum = counts
+    counts
       .withColumn("__cum", coalesce(sum(col("__c")).over(run), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(tot))
-    cum.join(broadcast(probs.toDF("prob")),
-        col("__cum") < rankOf(col("prob"), col("__n")) &&
-          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
-      .select(col("group"), col("prob"), col("__v").as("value"))
   }
 
   /** Distinct-value counts with the exclusive global prefix sum `__cum`

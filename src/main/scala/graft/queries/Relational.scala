@@ -1077,17 +1077,22 @@ object Relational {
   // (SURVEY §2.10) — kept narrow: one forked process per task, rows
   // streamed through stdin/stdout, no shuffle. The oracle replays the
   // uppercase in SQL.
-  private def q96(t: Tables): DataFrame =
-    // no temp view at all (a per-invocation UUID view fixed the collision
-    // but leaked a catalog entry per call): TRANSFORM reads the parquet
-    // path inline. Only event_id/event_type are touched, so the nanos-ts
-    // conversion Tables.events performs is irrelevant here.
-    t.spark.sql(
+  private def q96(t: Tables): DataFrame = {
+    // TRANSFORM needs SQL text, so the input goes through a temp view —
+    // UUID-named (concurrent invocations in one session must not collide)
+    // and dropped IMMEDIATELY: spark.sql analyzes eagerly, so the returned
+    // DataFrame has already resolved the view into its plan and stays
+    // valid after the drop. No catalog leak, and the events read still
+    // goes through the Tables scan layer like every other query.
+    val view = s"graft_q96_in_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t.events.select(col("event_id"), col("event_type"))
+      .createOrReplaceTempView(view)
+    try t.spark.sql(
       s"""SELECT CAST(event_id AS BIGINT) AS event_id, event_type
          |FROM (SELECT TRANSFORM(event_id, event_type) USING 'tr a-z A-Z'
-         |      AS (event_id STRING, event_type STRING)
-         |      FROM (SELECT event_id, event_type
-         |            FROM parquet.`${t.dir}/events.parquet`))""".stripMargin)
+         |      AS (event_id STRING, event_type STRING) FROM $view)""".stripMargin)
+    finally t.spark.catalog.dropTempView(view)
+  }
 
   private val q96Sql =
     "SELECT event_id, upper(event_type) AS event_type FROM events"

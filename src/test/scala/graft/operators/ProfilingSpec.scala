@@ -82,6 +82,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got == ref && ref.nonEmpty)
   }
 
+  test("quantile edge cases: tie across covering positions; vanishing probability") {
+    // ties spanning floor(h) and ceil(h) on a NON-integral double: the
+    // built-in short-circuits lowerKey == higherKey and returns 0.1
+    // exactly; interpolating (1-f)*0.1 + f*0.1 would be off by 1 ulp
+    val ties = Seq(("x", 0.1), ("x", 0.1), ("x", 0.1), ("x", 0.2)).toDF("g", "v")
+    val builtin = ties.groupBy("g").agg(expr("percentile(v, 0.3)").as("p"))
+      .as[(String, Double)].collect().head._2
+    val ours = Profiling.groupedQuantilesCont(ties, col("g"), col("v"), Seq(0.3))
+      .select(col("value")).as[Double].collect().head
+    assert(ours == builtin && ours == 0.1)
+    // p so small that p*n - 1e-6 <= 0: the rank clamps to 1 (the minimum)
+    // instead of silently matching no row
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val tiny = Profiling.exactQuantiles(df, col("v"), Seq(1e-8), scanParts = 4)
+      .as[(Double, Double)].collect().toSet
+    assert(tiny == Set((1e-8, 1.0)), s"got $tiny")
+  }
+
   test("groupedQuantilesCont is BIT-identical to Spark's exact percentile") {
     // the whole point of the operator: same values as the built-in, but
     // O(distinct-values) state instead of a buffered array per group
