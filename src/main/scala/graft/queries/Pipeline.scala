@@ -430,6 +430,54 @@ object Pipeline {
        |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / na, 4) AS containment
        |FROM p WHERE round(CAST(c AS DOUBLE) / na, 4) >= $DecontT""".stripMargin
 
+  // ===== q119 per-source language drift (KL divergence) ==================
+  // Data-mixture QA: how far each source's language distribution sits
+  // from the corpus-wide one — KL(source ‖ corpus) = Σ p·ln(p/q) over the
+  // source's observed languages. Three bounded-key aggregates + broadcast
+  // joins (|sources|·|langs| rows — never the raw corpus twice).
+  // Cross-engine float determinism: terms are single expressions over
+  // identical doubles (ln matches the q65 precedent), and the SUM runs as
+  // an explicit lang-sorted left fold in both engines — never an
+  // order-nondeterministic SUM() over doubles — with one round(4) at the
+  // end.
+
+  private def q119(t: Tables): DataFrame = {
+    val counts = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = counts.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val langTot = counts.groupBy(col("lang")).agg(sum(col("c")).as("g"))
+    val glob = counts.agg(sum(col("c")).as("n_glob"))
+    counts.join(srcTot, "source")
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(glob)) // 1 row
+      .withColumn("term",
+        (col("c") / col("n_src"))
+          * log((col("c") / col("n_src")) / (col("g") / col("n_glob"))))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("lang"), col("term")))).as("ts"),
+        max(col("n_src")).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(expr("aggregate(ts, 0D, (a, x) -> a + x.term)"), 4).as("kl"))
+  }
+
+  private val q119Sql =
+    """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM c GROUP BY source),
+      |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY lang),
+      |gl AS (SELECT CAST(sum(c) AS BIGINT) AS n_glob FROM c),
+      |terms AS (
+      |  SELECT c.source, c.lang, st.n_src,
+      |    (c.c / st.n_src) * ln((c.c / st.n_src) / (lt.g / gl.n_glob)) AS term
+      |  FROM c JOIN st ON c.source = st.source
+      |       JOIN lt ON c.lang = lt.lang CROSS JOIN gl)
+      |SELECT source, max(n_src) AS n_docs,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_sort(list({'lang': lang, 'term': term})),
+      |        x -> x.term)),
+      |    (a, b) -> a + b), 4) AS kl
+      |FROM terms GROUP BY source""".stripMargin
+
   // ===== q116 triangle count on the near-dup graph =======================
   // Graph analytics over a pipeline-derived graph: triangles in the
   // embedding near-dup graph (q34's edges) measure cluster cohesion —
@@ -1292,7 +1340,8 @@ object Pipeline {
     "q107_weighted_sample" -> wrap(q107),
     "q113_containment_dedup" -> wrap(q113),
     "q116_triangle_count" -> wrap(q116),
-    "q118_decontaminate_containment" -> wrap(q118)
+    "q118_decontaminate_containment" -> wrap(q118),
+    "q119_lang_drift" -> wrap(q119)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1340,6 +1389,7 @@ object Pipeline {
     "q107_weighted_sample" -> q107Sql,
     "q113_containment_dedup" -> q113Sql,
     "q116_triangle_count" -> q116Sql,
-    "q118_decontaminate_containment" -> q118Sql
+    "q118_decontaminate_containment" -> q118Sql,
+    "q119_lang_drift" -> q119Sql
   )
 }
