@@ -478,6 +478,35 @@ object Pipeline {
       |    (a, b) -> a + b), 4) AS kl
       |FROM terms GROUP BY source""".stripMargin
 
+  // ===== q120 source overlap matrix ======================================
+  // Corpus provenance QA: for every source pair, how many distinct
+  // opening fingerprints (md5 of the first 10 words) they share — the
+  // mirror-site / re-crawl detector that tells you which sources to dedup
+  // against each other first. Opening fingerprints beat full-text hashes
+  // here: re-crawls mutate boilerplate tails but keep document openings
+  // (and on this corpus full-text sharing across sources is exactly 0).
+  // One distinct aggregate on (source, h) then a hash self-join on the
+  // 32-char digest (never the text) with source< ordering; output is the
+  // |sources|² upper triangle — bounded however big the corpus is.
+  private def q120(t: Tables): DataFrame = {
+    val sh = t.documents
+      .select(col("source"),
+        md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 10))).as("h"))
+      .distinct()
+    sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private val q120Sql =
+    """WITH sh AS (SELECT DISTINCT source,
+      |    md5(array_to_string(regexp_split_to_array(lower(text), '\s+')[1:10], ' ')) AS h
+      |  FROM documents)
+      |SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+      |FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+      |GROUP BY 1, 2""".stripMargin
+
   // ===== q116 triangle count on the near-dup graph =======================
   // Graph analytics over a pipeline-derived graph: triangles in the
   // embedding near-dup graph (q34's edges) measure cluster cohesion —
@@ -1341,7 +1370,8 @@ object Pipeline {
     "q113_containment_dedup" -> wrap(q113),
     "q116_triangle_count" -> wrap(q116),
     "q118_decontaminate_containment" -> wrap(q118),
-    "q119_lang_drift" -> wrap(q119)
+    "q119_lang_drift" -> wrap(q119),
+    "q120_source_overlap" -> wrap(q120)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,6 +1420,7 @@ object Pipeline {
     "q113_containment_dedup" -> q113Sql,
     "q116_triangle_count" -> q116Sql,
     "q118_decontaminate_containment" -> q118Sql,
-    "q119_lang_drift" -> q119Sql
+    "q119_lang_drift" -> q119Sql,
+    "q120_source_overlap" -> q120Sql
   )
 }
