@@ -442,8 +442,11 @@ object Pipeline {
   // end.
 
   private def q119(t: Tables): DataFrame = {
+    // counts is |sources|·|langs| rows and feeds FOUR consumers (itself +
+    // three totals) — persist, or the raw corpus is scanned four times
     val counts = t.documents.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcTot = counts.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
     val langTot = counts.groupBy(col("lang")).agg(sum(col("c")).as("g"))
     val glob = counts.agg(sum(col("c")).as("n_glob"))
@@ -493,6 +496,8 @@ object Pipeline {
       .select(col("source"),
         md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 10))).as("h"))
       .distinct()
+      // both sides of the self-join — persist, or scan+distinct runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))

@@ -60,7 +60,8 @@ object PlanDump {
     "q116_triangle_count" -> "Triangles on the near-dup graph: id-oriented edges (a<b) so each triangle counts once; two hash joins + count. Degree-ordered orientation is the same plan at 100 TB with the fanout bounded by sqrt(2|E|).",
     "q117_grouped_quantiles" -> "Per-group exact quantiles: distinct-value counts through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — never a buffered value array per group.",
     "q118_decontaminate_containment" -> "Cross-corpus containment: eval-probe prefixes (rarest-first) join the train corpus's full inverted index with the |C| >= t|A| codegen'd filter; exact sorted-merge verify divides by |probe| only. Catches eval items pasted inside long pages that overlap-share detectors miss.",
-    "q119_lang_drift" -> "KL(source || corpus) from three bounded-key aggregates + broadcast joins; the divergence folds lang-sorted (deterministic float order), one round at the end — the raw corpus is scanned once.")
+    "q119_lang_drift" -> "KL(source || corpus) from three bounded-key aggregates + broadcast joins; the divergence folds lang-sorted (deterministic float order), one round at the end — the raw corpus is scanned once (counts persisted).",
+    "q120_source_overlap" -> "Distinct (source, opening-fingerprint) aggregate persisted once, digest self-join with source< ordering, pair aggregate — the raw text never joins; output bounded by the source-pair triangle.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
