@@ -42,7 +42,9 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // operators that persist reused subplans (minhash/jaccard) would
       // otherwise accumulate cached blocks across queries and skew later
-      // timings with eviction/GC pressure
+      // timings with eviction/GC pressure; drain() also empties the
+      // CacheScope registry so it can't grow across the suite
+      CacheScope.drain()
       spark.catalog.clearCache()
       t
     }

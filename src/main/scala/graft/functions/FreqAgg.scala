@@ -30,7 +30,9 @@ final class MgSummary(val k: Int) {
 
   def offer(item: String): Unit = {
     processed += 1L
-    val cur = counts.get(item)
+    // getOrDefault, NOT get: j.u.HashMap.get returns null for an absent
+    // key, and relying on Scala unboxing null to 0L is a refactor trap
+    val cur = counts.getOrDefault(item, 0L)
     if (cur != 0L) counts.put(item, cur + 1L)
     else if (counts.size < k) counts.put(item, 1L)
     else decrementAll(1L)
@@ -56,8 +58,7 @@ final class MgSummary(val k: Int) {
   def merge(other: MgSummary): Unit = {
     processed += other.processed
     other.counts.forEach { (item, c) =>
-      val cur = counts.get(item)
-      counts.put(item, cur + c)
+      counts.put(item, counts.getOrDefault(item, 0L) + c)
     }
     if (counts.size > k) {
       val all = new Array[Long](counts.size)

@@ -70,16 +70,18 @@ object BloomPrune {
     * but over an EXPENSIVE UPSTREAM PIPELINE it doubles that pipeline's
     * cost. For such inputs pass `persistBig = true` (persists `big`
     * MEMORY_AND_DISK so the upstream runs once; both branches then read
-    * the cached blocks — the caller should `spark.catalog.clearCache()`
-    * or `big.unpersist()` when the result has been consumed), or persist
-    * `big` yourself before calling.
+    * the cached blocks — the persist is registered with
+    * [[graft.CacheScope]], so `CacheScope.drain()` after materializing
+    * the result releases it; `spark.catalog.clearCache()` works too), or
+    * persist `big` yourself before calling.
     */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, expectedItems: Long = 4000000L,
       persistBig: Boolean = false): DataFrame = {
     require(!big.columns.contains("__bp_key"), "__bp_key is reserved by antiJoin")
     val b = if (persistBig)
-      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheScope.register(
+        big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else big
     val probe = probeColumn(b, bigKey, small, smallKey, expectedItems)
     val definiteKeep = b.where(!probe) // bloom "no" — exact by definition

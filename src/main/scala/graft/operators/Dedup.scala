@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
+
 /** Deduplication operators for large-scale training-data pipelines: exact,
   * MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
   *
@@ -128,12 +130,12 @@ object Dedup {
     // avoids re-shingling. MEMORY_AND_DISK spills gracefully at scale —
     // same tradeoff Spark ML's MinHashLSH makes.
     val sh = shingleArrays(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // sig is tiny (numHashes longs per doc) and feeds both sides of the
     // band self-join — persisting it pins exchange reuse instead of hoping
     // AQE's ReusedExchange fires.
     val sig = lshSignatures(docs, n, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val banded = bandKeys(sig, numHashes, bands)
     val cand = banded.as("x")
       .join(banded.as("y"),
@@ -174,7 +176,7 @@ object Dedup {
     // inverted index feeds both sides of the self-join — cache it.
     val sized = docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
     val inv0 = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val inv =
       if (maxDf <= 0) inv0
       else {
@@ -214,13 +216,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sized = sizedShingles(docs)
     val prefInv = rarestFirstPrefix(sized, threshold, selfJoin = true)
-    // size filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — a codegen'd predicate
-    // on the raw collision rows, applied before the distinct
+    // size filter: J ≥ t' forces t'·|B| ≤ |A| ≤ |B|/t' — a codegen'd
+    // predicate on the raw collision rows, applied before the distinct.
+    // t' = pruneT(t): acceptance is round(J, 4) ≥ t, which admits TRUE
+    // J down to t − 5e-5, so every pruning bound uses the slacked t'
+    val pt = pruneT(threshold)
     val cand = prefInv.as("x")
       .join(prefInv.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
-          col("x.n_sh") >= lit(threshold) * col("y.n_sh") &&
-          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
+          col("x.n_sh") >= lit(pt) * col("y.n_sh") &&
+          col("y.n_sh") >= lit(pt) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     verifyPairs(sized, sized, cand)
       .withColumn("jaccard",
@@ -231,12 +236,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Pruning-side threshold: acceptance filters compare `round(sim, 4) >=
+    * t`, which admits pairs whose TRUE similarity is as low as t − 5e-5
+    * (half-ULP of the 4-digit round). Every candidate-pruning bound —
+    * prefix length and the |A|/|B| size pre-filters — must therefore be
+    * computed against this slacked threshold, or a pair sitting in
+    * [t − 5e-5, t) could be pruned by the index yet accepted by the
+    * full-index oracle: an impl-vs-oracle divergence that only shows up
+    * on large documents (≳4000 shingles), i.e. exactly at production
+    * scale. Verification is exact and unaffected — the slack only widens
+    * the candidate set by the razor-thin boundary band.
+    */
+  private def pruneT(threshold: Double): Double =
+    math.max(threshold - 5e-5, 1e-9)
+
   /** `docs` with per-doc shingle counts, empty docs dropped, persisted
     * (feeds both candidate generation and the verify join).
     */
   private def sizedShingles(docs: DataFrame): DataFrame =
     docs.withColumn("n_sh", size(col("shingles"))).filter(col("n_sh") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
 
   /** The prefix inverted index (id, n_sh, s): each doc's shingles ordered
     * by ascending global document frequency (ties by shingle — a total
@@ -248,6 +267,9 @@ object Dedup {
     * nondeterministic; sort_array imposes the total (df, s) order). The
     * 1e-6 slack keeps an FP-rounded-up ceil from shortening the prefix —
     * a longer prefix only adds candidates, a shorter one could lose pairs.
+    * The prefix length is computed against [[pruneT]], not the raw
+    * threshold: acceptance rounds to 4 digits, so the prefix must stay
+    * lossless down to t − 5e-5.
     *
     * `selfJoin = true` persists the result (it feeds BOTH sides of the
     * Jaccard candidate self-join); the containment forms consume it once
@@ -261,11 +283,11 @@ object Dedup {
       .groupBy(col("id"), col("n_sh"))
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
       .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
+        (col("n_sh") - ceil(lit(pruneT(threshold)) * col("n_sh") - lit(1e-6)) + 1).cast("int"))
       .select(col("id"), col("n_sh"),
         explode(slice(col("ord"), lit(1), col("p")).getField("s")).as("s"))
     if (selfJoin)
-      pref.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pref.persistScoped()
     else pref
   }
 
@@ -311,7 +333,7 @@ object Dedup {
     val cand = prefProbe.as("x")
       .join(invC.as("y"),
         col("x.s") === col("y.s") &&
-          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
+          col("y.n_sh") >= lit(pruneT(threshold)) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     verifyPairs(sizedP, sizedC, cand)
       .withColumn("containment",
@@ -350,7 +372,7 @@ object Dedup {
     val cand = prefProbe.as("x")
       .join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.id") =!= col("y.id") &&
-          col("y.n_sh") >= lit(threshold) * col("x.n_sh"))
+          col("y.n_sh") >= lit(pruneT(threshold)) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     verifyPairs(sized, sized, cand)
       .withColumn("containment",
@@ -381,7 +403,7 @@ object Dedup {
       .select(col("keep_id").as("id"))
     val exactSurvivors = docs
       .join(keepIds, Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val nearPairs = minhashLshPairs(exactSurvivors, n, numHashes, bands, threshold)
       .select(col("id_b").as("drop_id")).distinct()
     exactSurvivors.join(nearPairs, col("id") === col("drop_id"), "left_anti")
@@ -480,7 +502,7 @@ object Dedup {
   private[graft] def dedupAgainstParts(newDocs: DataFrame, exHashes: DataFrame,
       exBands: DataFrame, exShingles: DataFrame,
       n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val nd = newDocs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = newDocs.persistScoped()
     val exactDrops = nd.select(col("id"), md5(col("text")).as("h"))
       .join(exHashes, "h")
       .select(col("id"))
@@ -533,7 +555,7 @@ object Dedup {
   def connectedComponents(edges: DataFrame, // columns: id_a, id_b
       maxIter: Int = 50): DataFrame = {
     val und = symmetrized(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val (labels, _, converged) = minLabelLoop(und, maxRounds = 3)
     val out =
       if (converged) labels
@@ -642,7 +664,7 @@ object Dedup {
   private[operators] def connectedComponentsMinLabelRounds(edges: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val und = symmetrized(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val (labels, iter, _) = minLabelLoop(und, maxIter)
     und.unpersist(blocking = false)
     (labels, iter)
@@ -764,7 +786,7 @@ object Dedup {
       // shorter than 2^20 tokens, and the same encoding is trivially
       // reproducible in any SQL engine (id * 2^20 + pos)
       .withColumn("fk", col("id") * lit(1048576L) + col("pos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val firstOwner = segs.groupBy(col("h")).agg(min(col("fk")).as("mfk"))
     segs.join(firstOwner,
         segs("h") === firstOwner("h") && segs("fk") === firstOwner("mfk"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
+
 /** Numeric profiling beyond fixed-width binning: exact equal-frequency
   * (equi-depth) histograms, computed distributed.
   *
@@ -177,10 +179,11 @@ object Profiling {
     * and grand total `__n` — steps 1–2 of the scalable profiling ops.
     *
     * The returned frame is persisted (correctness — see the inline
-    * comment) and stays cached for the session: callers that profile many
-    * columns in one long-lived session should `spark.catalog.clearCache()`
-    * (or unpersist the result) once the derived output is materialized,
-    * the same contract as `BloomPrune.antiJoin(persistBig = true)`.
+    * comment) and registered with [[graft.CacheScope]]: callers that
+    * profile many columns in one long-lived session run
+    * `CacheScope.drain()` once the derived output is materialized (the
+    * same contract as `BloomPrune.antiJoin(persistBig = true)`; Bench and
+    * Verify drain after every query).
     */
   private def cumCounts(df: DataFrame, value: Column,
       scanParts: Int): DataFrame = {
@@ -207,7 +210,7 @@ object Profiling {
       // so independent evaluations can place a value in DIFFERENT
       // partitions, misaligning __local against the offsets computed by
       // the other branch (reproduced at sf0.01: per-partition-local cums)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // per-partition subtotals: scanParts rows — the only single-task
     // window in the plan runs here
     val w = Window.orderBy(col("__pid"))

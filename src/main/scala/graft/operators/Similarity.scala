@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
+
 /** Similarity search over an embedding column (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
   * variant as the scale path. LLM-pipeline extension (SURVEY.md §7.2 step 6);
@@ -173,7 +175,7 @@ object Similarity {
     // the cell assignment feeds both sides of the self-join — persist, or
     // the centroid broadcast-score pass runs twice
     val lists = bestCells(corpus, cents, "vec_id", "embedding", 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val drops = lists.as("x")
       .join(lists.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
@@ -224,7 +226,7 @@ object Similarity {
     // the assignment feeds both sides of the self-join — persist, or the
     // whole quantize/split pipeline runs twice
     val cells = cappedCells(corpus, targetCellSize, fanout)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val drops = cells.as("x")
       .join(cells.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
@@ -255,9 +257,8 @@ object Similarity {
   private[operators] def cappedCells(corpus: DataFrame, targetCellSize: Int,
       fanout: Int = 16): DataFrame = {
     require(targetCellSize > 0)
-    val ckpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cap = 4L * targetCellSize
-    val reps = repsOf(corpus).persist(ckpt)
+    val reps = repsOf(corpus).persistScoped()
     // ONE driver-side count to size the quantizer — the same setup-time
     // action any IVF build performs; never a per-row collect.
     val n = reps.count()
@@ -266,7 +267,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     val assigned = bestCells(reps, cents, "vec_id", "embedding", 1)
       .withColumn("cell", col("cell").cast("string"))
-      .persist(ckpt)
+      .persistScoped()
     // -- step 3: semantic sub-split of over-cap cells ----------------------
     val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
     val overCells = sizes.filter(col("sz") > cap).select(col("cell"))
@@ -276,7 +277,7 @@ object Similarity {
     // the salt pass entirely (steps 3-4 are no-ops on an empty overCells
     // set either way; this just prunes them from the plan)
     if (overCells.isEmpty) return assigned
-    val over = assigned.join(overCells, Seq("cell"), "left_semi").persist(ckpt)
+    val over = assigned.join(overCells, Seq("cell"), "left_semi").persistScoped()
     val ok = assigned.join(overCells, Seq("cell"), "left_anti")
     // fanout smallest-id members per oversized cell = its sub-centroids;
     // bounded top-k aggregate (score = -id ranks ascending), never a window

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedPersist
+
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
@@ -446,7 +448,7 @@ object Pipeline {
     // three totals) — persist, or the raw corpus is scanned four times
     val counts = t.documents.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val srcTot = counts.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
     val langTot = counts.groupBy(col("lang")).agg(sum(col("c")).as("g"))
     val glob = counts.agg(sum(col("c")).as("n_glob"))
@@ -497,7 +499,7 @@ object Pipeline {
         md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 10))).as("h"))
       .distinct()
       // both sides of the self-join — persist, or scan+distinct runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
@@ -516,34 +518,62 @@ object Pipeline {
   // Graph analytics over a pipeline-derived graph: triangles in the
   // embedding near-dup graph (q34's edges) measure cluster cohesion —
   // the transitivity check run before trusting near-dup CLUSTERS (q62)
-  // built from pairwise edges. Edges are id-oriented (a < b), so each
-  // triangle is counted exactly once by the two-hop join a<b<c; at 100 TB
-  // the standard refinement is degree-ordered orientation, which bounds
-  // each join's fanout by the max out-degree (≤ √(2|E|)) — same plan
-  // shape, different orientation key.
+  // built from pairwise edges. DEGREE-ORDERED orientation (the standard
+  // exact-triangle-count refinement): each undirected edge is directed
+  // from its lower-(degree, id) endpoint, so every node's OUT-degree is
+  // bounded by √(2|E|) — a hub of out-degree d in a dense near-dup
+  // cluster can no longer own |cluster| outgoing edges, which with the
+  // naive id-orientation made the wedge join's fanout approach
+  // |cluster|² on exactly the skewed corpora near-dup graphs model.
+  // Each triangle {u,v,w}, ordered u<v<w by (degree, id), is counted
+  // exactly once as the wedge u→v, v→w closed by u→w — the same
+  // two-hop + closure join as before, different orientation key.
   private def q116(t: Tables): DataFrame = {
-    val e = Similarity
+    val und = Similarity
       .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CosT, NearDupPlanes)
-      .select(col("id_a").as("a"), col("id_b").as("b")) // oriented: a < b
-      // three consumers with different join keys — without the persist the
-      // bucket self-join + cosine verify pipeline executes three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id_a").as("a"), col("id_b").as("b")) // undirected: a < b
+      // consumed by the degree aggregate (both endpoints) and the
+      // orientation join — without the persist the bucket self-join +
+      // cosine verify pipeline executes three times
+      .persistScoped()
+    // degree of every endpoint over the undirected edge set — one
+    // partial+final aggregate on |2E| exploded endpoint rows
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient from the lower-(degree, id) endpoint; und has a < b, so the
+    // degree tie breaks to a — two hash joins on the endpoint ids
+    val e = und
+      .join(deg.as("da"), col("a") === col("da.v"))
+      .join(deg.as("db"), col("b") === col("db.v"))
+      .select(
+        when(col("da.deg") <= col("db.deg"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da.deg") <= col("db.deg"), col("b")).otherwise(col("a")).as("dst"))
+      // three consumers with different join keys (wedge hop + closure)
+      .persistScoped()
     e.as("xy")
-      .join(e.as("yz"), col("xy.b") === col("yz.a"))
+      .join(e.as("yz"), col("xy.dst") === col("yz.src"))
       .join(e.as("xz"),
-        col("xz.a") === col("xy.a") && col("xz.b") === col("yz.b"))
+        col("xz.src") === col("xy.src") && col("xz.dst") === col("yz.dst"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
   private val q116Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${bucketCtesSql(NearDupPlanes)},
-       |edges AS (SELECT x.vec_id AS a, y.vec_id AS b
-       |          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |          WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT)
+       |und AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |        WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT),
+       |deg AS (SELECT v, count(*) AS deg FROM (
+       |          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+       |        GROUP BY v),
+       |edges AS (SELECT CASE WHEN da.deg <= db.deg THEN und.a ELSE und.b END AS src,
+       |                 CASE WHEN da.deg <= db.deg THEN und.b ELSE und.a END AS dst
+       |          FROM und JOIN deg da ON und.a = da.v
+       |               JOIN deg db ON und.b = db.v)
        |SELECT count(*) AS n_triangles
-       |FROM edges xy JOIN edges yz ON xy.b = yz.a
-       |     JOIN edges xz ON xz.a = xy.a AND xz.b = yz.b""".stripMargin
+       |FROM edges xy JOIN edges yz ON xy.dst = yz.src
+       |     JOIN edges xz ON xz.src = xy.src AND xz.dst = yz.dst""".stripMargin
 
   // ===== q35 brute-force cosine top-k ====================================
 

@@ -1442,8 +1442,8 @@ object Relational {
        |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
        |SELECT p.prob, v AS value
        |FROM cum, n, p
-       |WHERE cb < CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)
-       |  AND CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT) <= cb + c""".stripMargin
+       |WHERE cb < greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT))
+       |  AND greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
   // q117 — per-group exact quantiles: q115's grouped sibling. The window
@@ -1467,8 +1467,8 @@ object Relational {
        |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob)
        |SELECT grp AS "group", p.prob, v AS value
        |FROM cum, p
-       |WHERE cb < CAST(ceil(p.prob * n - 1e-6) AS BIGINT)
-       |  AND CAST(ceil(p.prob * n - 1e-6) AS BIGINT) <= cb + c""".stripMargin
+       |WHERE cb < greatest(1, CAST(ceil(p.prob * n - 1e-6) AS BIGINT))
+       |  AND greatest(1, CAST(ceil(p.prob * n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):

@@ -57,7 +57,7 @@ object PlanDump {
     "q113_containment_dedup" -> "Asymmetric containment: df aggregation orders each probe's shingles rarest-first, only probe PREFIXES join the full inverted index (|B| >= t|A| size filter in codegen), then the native sorted-merge verify divides by |A| alone.",
     "q114_incremental_agg" -> "Materialized-view refresh: base and delta partial aggregates union and re-aggregate (sum-of-sums) — the raw base is never rescanned; avg derives from exact DECIMAL partials at the end.",
     "q115_exact_quantiles" -> "Exact global quantiles with NO global sort and NO per-group value buffering: q112's persisted prefix-sum scan + a broadcast join of |probs| rows selecting each rank's covering value.",
-    "q116_triangle_count" -> "Triangles on the near-dup graph: id-oriented edges (a<b) so each triangle counts once; two hash joins + count. Degree-ordered orientation is the same plan at 100 TB with the fanout bounded by sqrt(2|E|).",
+    "q116_triangle_count" -> "Triangles on the near-dup graph, DEGREE-ORDERED (round 6): one endpoint-degree aggregate over the undirected edge set, each edge directed from its lower-(degree, id) endpoint, then the same wedge + closure hash joins keyed on (src, dst) + count. Out-degree of every node is bounded by sqrt(2|E|), so the wedge join's fanout can no longer approach |cluster|² on a low-id hub in a dense near-dup cluster (the round-5 id-oriented form's scale flaw). PlanShapeSpec pins that both joins key on the orientation columns and never on the raw id order; the oracle replays the identical orientation.",
     "q117_grouped_quantiles" -> "Per-group exact quantiles: distinct-value counts through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — never a buffered value array per group.",
     "q118_decontaminate_containment" -> "Cross-corpus containment: eval-probe prefixes (rarest-first) join the train corpus's full inverted index with the |C| >= t|A| codegen'd filter; exact sorted-merge verify divides by |probe| only. Catches eval items pasted inside long pages that overlap-share detectors miss.",
     "q119_lang_drift" -> "KL(source || corpus) from three bounded-key aggregates + broadcast joins; the divergence folds lang-sorted (deterministic float order), one round at the end — the raw corpus is scanned once (counts persisted).",

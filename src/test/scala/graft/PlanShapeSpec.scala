@@ -291,6 +291,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q116 wedge + closure joins key on the degree-ordered orientation") {
+    // The scale contract of the triangle count: both the wedge hop and the
+    // closure join must key on the ORIENTED edge columns (src/dst, directed
+    // from the lower-(degree, id) endpoint — out-degree ≤ √(2|E|)), never
+    // on the raw id order (a/b), whose fanout on a low-id hub in a dense
+    // near-dup cluster approaches |cluster|².
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.queries.Pipeline.defs("q116_triangle_count")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      def keys(j: Join): Seq[(String, String)] = j.condition.toSeq.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => (a.name, b.name)
+      })
+      val oriented = joins.map(keys).filter(ks =>
+        ks.nonEmpty && ks.forall { case (a, b) =>
+          Set("src", "dst")(a) && Set("src", "dst")(b) })
+      // wedge hop: xy.dst = yz.src
+      assert(oriented.exists(ks =>
+        ks.contains(("dst", "src")) || ks.contains(("src", "dst"))),
+        joins.map(keys).toString)
+      // closure: xz.src = xy.src AND xz.dst = yz.dst
+      assert(oriented.exists(ks =>
+        ks.toSet == Set(("src", "src"), ("dst", "dst"))),
+        joins.map(keys).toString)
+      // no triangle join keys on the raw undirected ids
+      assert(!joins.map(keys).exists(ks =>
+        ks.contains(("b", "a")) || ks.contains(("a", "b"))),
+        joins.map(keys).toString)
+      // and the orientation is derived from a degree aggregate
+      assert(plan(df).contains("deg#"), plan(df))
+    } finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()

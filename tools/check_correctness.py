@@ -156,7 +156,14 @@ def main():
             continue
         part = next(iter(sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))),
                     f"{out_dir}/{name}")
-        tfails, twarns = type_gate(name, pq.read_schema(part),
+        try:
+            spark_schema = pq.read_schema(part)
+        except Exception as e:
+            # a dir with no part file (empty/failed write) must fail this
+            # one query, not abort the whole gate run
+            print(f"FAIL {name}: schema read error ({e})")
+            continue
+        tfails, twarns = type_gate(name, spark_schema,
                                    duck_cols, duck_types)
         for w in twarns:
             print(f"WARN {name}: {w}")
