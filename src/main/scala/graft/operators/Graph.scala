@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope.ScopedPersist
+
+/** Graph analytics over pipeline-derived graphs (near-dup edges, citation
+  * links, co-occurrence): operators beyond the connected components of
+  * [[Dedup.connectedComponents]].
+  *
+  * Reference analogue: none — Tez has no graph operators (its closest
+  * shape is the iterative DAG re-submission of
+  * tez-examples/src/main/java/org/apache/tez/examples/SimpleSessionExample.java,
+  * which re-runs a DAG per input); these are additive analytics surface.
+  *
+  * Scale design: every iteration is (join on node id + partial+final
+  * aggregate) — the standard distributed PR shape; no driver-side state,
+  * no windows, no collect. Determinism design: ranks are FIXED-POINT
+  * BIGINTs (scaled by 1e12). All per-row arithmetic on doubles is
+  * IEEE-identical across engines given identical inputs; the ONLY
+  * cross-engine nondeterminism in a distributed aggregate is floating
+  * SUM ORDER — so the sums here run over integers (order-independent,
+  * exact) and every intermediate is floored back to BIGINT. The same
+  * unrolled iterations replayed in any SQL engine produce bit-identical
+  * ranks, which is what puts PageRank on a hash-compare oracle gate.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over an UNDIRECTED edge list (id_a, id_b), one
+    * row per edge (either orientation, no duplicates). Returns
+    * (id, pr_scaled: long) where pr_scaled ≈ rank · 1e12, after `iters`
+    * synchronous iterations with damping d = `dampingPct`/100:
+    *
+    *   pr₀ = ⌊1e12 / N⌋
+    *   prᵢ₊₁(v) = ⌊(1−d)·1e12/N⌋ + ⌊d · Σ_{u∈N(v)} (prᵢ(u) DIV deg(u))⌋
+    *
+    * The contribution sum is a BIGINT sum of integer divisions — exact
+    * and order-independent; the damping multiply is one double op on an
+    * integer < 2⁵³ (deterministic). Fixed iteration count (not
+    * convergence-tested) keeps the plan static and the oracle replayable
+    * as unrolled CTEs. Each iteration persists its rank frame (three
+    * consumers: the next iteration's join, degree reuse) registered with
+    * [[graft.CacheScope]].
+    *
+    * 100 TB posture: per iteration one hash join (edges ⋈ ranks on the
+    * source id) and one partial+final aggregate on the destination id —
+    * shuffle volume O(|E|) rows of two longs; AQE handles hub skew by
+    * splitting the hot reduce side. Degree-0 nodes cannot appear (every
+    * node comes from an edge endpoint).
+    */
+  def pageRankFixedPoint(edges: DataFrame, // columns: id_a, id_b
+      iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
+    val d = dampingPct.toDouble / 100.0
+    // NOT 1.0 - d: 1.0 - nearest(0.85) = 0.15000000000000002, one ulp off
+    // the nearest(0.15) an oracle's literal `0.15` parses to — enough to
+    // flip a floor(). 15/100.0 IS nearest(0.15), matching any engine's
+    // parsed literal.
+    val oneMinusD = (100 - dampingPct).toDouble / 100.0
+    // both directions: contribution flows along every incidence
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persistScoped()
+    val deg = dir.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .persistScoped()
+    val n = deg.agg(count(lit(1)).as("n_nodes")) // 1 row, broadcast
+    val scale = 1000000000000L // 1e12 fixed-point scale
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("id"), col("deg"),
+        floor(lit(scale.toDouble) / col("n_nodes")).cast("long").as("pr"))
+    for (_ <- 1 to iters) {
+      val prP = graft.CacheScope.register(
+        pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val contrib = dir
+        .join(prP, dir("src") === prP("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr DIV deg")).as("c")) // exact BIGINT sum
+      pr = deg.crossJoin(broadcast(n))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"),
+          (floor(lit(oneMinusD) * lit(scale.toDouble) / col("n_nodes")).cast("long")
+            + floor(lit(d) * coalesce(col("c"), lit(0L)).cast("double")).cast("long"))
+            .as("pr"))
+    }
+    pr.select(col("id"), col("pr").as("pr_scaled"))
+  }
+}

@@ -225,4 +225,111 @@ object Profiling {
       .withColumn("__cum", col("__local") + col("__off"))
       .select(col("__v"), col("__c"), col("__cum"), col("__n"))
   }
+
+  /** Per-column data-quality profile — the schema-drift / null-rate scan
+    * every ingestion pipeline runs before trusting a new drop: one row
+    * per profiled column with row count, null count, exact distinct
+    * count, and min/max (numeric columns surface them as doubles,
+    * string columns as strings — typed slots, so no cross-engine number
+    * formatting ever enters the compare).
+    *
+    * ONE aggregate over ONE scan: Catalyst plans the multi-column
+    * count(DISTINCT …) via a single Expand (×|cols| row multiplier)
+    * feeding partial+final aggregates — the standard exact plan; the
+    * row-multiplier is the price of exactness (the cheap alternative is
+    * approx_count_distinct, one pass, no Expand). The 1-row wide result
+    * is then melted to per-column rows by a narrow explode of literal
+    * structs — the melt happens on ONE row, never on the data.
+    */
+  def columnProfile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    require((numericCols ++ stringCols).nonEmpty)
+    val aggs = numericCols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))
+    } ++ stringCols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).as(s"__ms_$c"),
+        max(col(c)).as(s"__xs_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val slots = numericCols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ stringCols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"__ms_$c").as("min_str"), col(s"__xs_$c").as("max_str"))
+    }
+    wide.select(explode(array(slots: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Pairwise Pearson correlation matrix over fixed-decimal numeric
+    * columns — the feature-redundancy scan run before fitting anything on
+    * tabular data. Returns the upper triangle (col_a < col_b) with
+    * `corr` rounded to 4 digits.
+    *
+    * ONE partial+final aggregate over ONE scan computes every moment
+    * (n, Σx, Σx², Σxy); the |cols|² combine happens on a single row.
+    * Cross-engine determinism is the q109 DECIMAL trick: inputs carry at
+    * most `inputDecimals` fractional digits, so Σ in DECIMAL(38, 2·
+    * inputDecimals) is EXACT and order-independent; the correlation then
+    * derives from identical numbers with one identical double expression
+    * in every engine. Spark's built-in `corr` aggregates in doubles —
+    * correct statistically, but its partial-sum order would make a
+    * hash-compare oracle flaky; these moments make the matrix exactly
+    * reproducible.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      inputDecimals: Int = 2): DataFrame = {
+    require(cols.size >= 2)
+    val s2 = 2 * inputDecimals
+    def dsum(c: Column, scale: Int): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, scale)))
+        .cast("double")
+    val moments =
+      cols.map(c => dsum(col(c), inputDecimals).as(s"__s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c), s2).as(s"__ss_$c")) ++
+        cols.combinations(2).toSeq.map { case Seq(a, b) =>
+          dsum(col(a) * col(b), s2).as(s"__sp_${a}_$b") }
+    val wide = df.agg(count(lit(1)).as("__n"), moments: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("__n").cast("double")
+      val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(cov / sqrt(va) / sqrt(vb), 4).as("corr"))
+    }
+    wide.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** `value` winsorized (clamped) to its own exact [pLo, pHi] quantiles —
+    * the outlier-trim step before moment statistics on heavy-tailed
+    * data. The cutoffs come from [[exactQuantiles]] (distributed
+    * prefix-sum scan — no global sort, no value buffering), pivot to ONE
+    * row, and broadcast back onto a narrow clamp projection: at 100 TB
+    * the second pass is a pure scan. Returns `df` plus `outCol`.
+    */
+  def winsorize(df: DataFrame, value: Column, pLo: Double, pHi: Double,
+      outCol: String): DataFrame = {
+    require(pLo < pHi)
+    val cuts = exactQuantiles(df, value, Seq(pLo, pHi))
+      .agg(
+        min(when(col("prob") === pLo, col("value"))).as("__lo"),
+        max(when(col("prob") === pHi, col("value"))).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(outCol, least(greatest(value, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheScope.ScopedPersist
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
   * search, text analysis, multimodal plumbing, sessionization.
@@ -575,6 +575,180 @@ object Pipeline {
        |FROM edges xy JOIN edges yz ON xy.dst = yz.src
        |     JOIN edges xz ON xz.src = xy.src AND xz.dst = yz.dst""".stripMargin
 
+  // ===== q122 PageRank on the near-dup graph =============================
+  // Node centrality over the q34 edge set: which documents sit at the
+  // center of near-dup neighborhoods (the canonical-representative /
+  // crawl-hub signal a curation pipeline ranks clusters by). Fixed-point
+  // BIGINT ranks (Graph.pageRankFixedPoint): the contribution sums are
+  // exact integer sums — order-independent — so three unrolled
+  // iterations produce bit-identical ranks in any engine, which is what
+  // puts PR on a hash-compare gate at all. Per iteration: one hash join
+  // + one partial+final aggregate, O(|E|) shuffle rows of two longs.
+  private val PrIters = 3
+
+  private def q122(t: Tables): DataFrame =
+    Graph.pageRankFixedPoint(
+      Similarity
+        .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CosT, NearDupPlanes)
+        .select(col("id_a"), col("id_b")),
+      iters = PrIters)
+
+  private val q122Sql = {
+    // unrolled iterations: prK = rank table after iteration K
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (SELECT dst, sum(pr // deg) AS c
+         |        FROM dir JOIN $prev ON dir.src = $prev.id GROUP BY dst),
+         |pr$k AS (SELECT deg.id, deg.deg,
+         |           CAST(floor(0.15 * 1000000000000.0 / nn.n_nodes) AS BIGINT)
+         |             + CAST(floor(0.85 * CAST(coalesce(c.c, 0) AS DOUBLE)) AS BIGINT) AS pr
+         |         FROM deg CROSS JOIN nn LEFT JOIN c$k c ON deg.id = c.dst)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(NearDupPlanes)},
+       |und AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |        WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT),
+       |dir AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b AS src, a AS dst FROM und),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM dir GROUP BY src),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |pr0 AS (SELECT id, deg,
+       |          CAST(floor(1000000000000.0 / nn.n_nodes) AS BIGINT) AS pr
+       |        FROM deg CROSS JOIN nn),
+       |${(1 to PrIters).map(k => iter(s"pr${k - 1}", k)).mkString(",\n")}
+       |SELECT id, pr AS pr_scaled FROM pr$PrIters""".stripMargin
+  }
+
+  // ===== q125 per-source vocabulary uniqueness ===========================
+  // Which sources contribute NOVEL vocabulary vs re-hash the same tokens
+  // every other source has — the diversity signal behind source-mixture
+  // weighting. token→distinct-source inverted index (one aggregate on
+  // (token, source), one on token), then per-source distinct-token and
+  // unique-token counts. All aggregates are vocab-sized; the corpus text
+  // never shuffles.
+  private def q125(t: Tables): DataFrame = {
+    val ts = graft.Fanout(t.documents)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .persistScoped() // feeds the token-spread aggregate AND the per-source count
+    val spread = ts.groupBy(col("token")).agg(count(lit(1)).as("n_src"))
+    ts.join(spread, "token")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_tokens"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_tokens"), 4).as("unique_rate"))
+  }
+
+  private val q125Sql =
+    """WITH ts AS (SELECT DISTINCT source, token FROM (
+      |    SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE len(token) > 0),
+      |spread AS (SELECT token, count(*) AS n_src FROM ts GROUP BY token)
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  round(CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+      |    AS unique_rate
+      |FROM ts JOIN spread USING (token)
+      |GROUP BY source""".stripMargin
+
+  // ===== q127 bigram PMI collocations ====================================
+  // Top collocations by pointwise mutual information — the tokenizer /
+  // phrase-mining signal (which adjacent pairs co-occur far above
+  // chance). Bigram and unigram counts from one token stream (bigrams
+  // via a narrow transform over the word array — no self-join), two
+  // vocab-sized hash joins to attach unigram counts, PMI in one
+  // deterministic double expression (counts are exact integers), then
+  // TakeOrderedAndProject for the top-k — no global sort. min-count 5
+  // kills the hapax noise exactly like every published PMI table.
+  private val PmiK = 20
+  private val PmiMinCount = 5
+
+  private def q127(t: Tables): DataFrame = {
+    val words = graft.Fanout(t.documents)
+      .select(split(lower(col("text")), "\\s+").as("w"))
+      .select(expr("filter(w, x -> length(x) > 0)").as("w"))
+      .persistScoped() // unigram + bigram streams share the split
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .persistScoped() // joined twice (t1 and t2)
+    val nTok = uni.agg(sum(col("cnt")).as("n")) // 1 row
+    val bi = words
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i - 1] AS t1, w[i] AS t2))"))
+        .as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+    val nBi = bi.agg(sum(col("n_ab")).as("m")) // 1 row (post-filter mass)
+    bi.join(uni.select(col("t").as("t1"), col("cnt").as("n_a")), "t1")
+      .join(uni.select(col("t").as("t2"), col("cnt").as("n_b")), "t2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        round(log(
+          (col("n_ab").cast("double") / col("m"))
+            / ((col("n_a").cast("double") / col("n"))
+              * (col("n_b").cast("double") / col("n")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(PmiK)
+  }
+
+  private val q127Sql =
+    s"""WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                  x -> len(x) > 0) AS w FROM documents),
+       |uni AS (SELECT t, count(*) AS cnt FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni),
+       |bi AS (SELECT p.t1, p.t2, count(*) AS n_ab FROM (
+       |    SELECT unnest(list_transform(range(2, len(w) + 1),
+       |      i -> {'t1': w[i - 1], 't2': w[i]})) AS p FROM w)
+       |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+       |m AS (SELECT CAST(sum(n_ab) AS BIGINT) AS m FROM bi)
+       |SELECT t1, t2, n_ab, pmi FROM (
+       |  SELECT bi.t1, bi.t2, bi.n_ab,
+       |    round(ln((CAST(bi.n_ab AS DOUBLE) / m.m)
+       |      / ((CAST(a.cnt AS DOUBLE) / n.n) * (CAST(b.cnt AS DOUBLE) / n.n))), 4)
+       |      AS pmi,
+       |    row_number() OVER (ORDER BY round(ln((CAST(bi.n_ab AS DOUBLE) / m.m)
+       |      / ((CAST(a.cnt AS DOUBLE) / n.n) * (CAST(b.cnt AS DOUBLE) / n.n))), 4) DESC,
+       |      bi.t1, bi.t2) AS rn
+       |  FROM bi JOIN uni a ON bi.t1 = a.t
+       |       JOIN uni b ON bi.t2 = b.t
+       |       CROSS JOIN n CROSS JOIN m)
+       |WHERE rn <= $PmiK""".stripMargin
+
+  // ===== q128 per-source duplication profile =============================
+  // Which sources are internally duplicate-heavy — the provenance signal
+  // that decides dedup ORDER (dedup the worst source first) and mixture
+  // down-weighting. Exact-dup hash groups (one aggregate on md5), docs
+  // in >1-copy groups marked by a semi-join on the 32-char digest, then
+  // one per-source aggregate. The raw text never joins or reshuffles.
+  private def q128(t: Tables): DataFrame = {
+    val h = graft.Fanout(t.documents)
+      .select(col("source"), md5(col("text")).as("h"))
+      .persistScoped() // feeds the dup-hash aggregate and the per-source profile
+    val dupHashes = h.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    h.join(dupHashes.withColumn("__dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 4).as("dup_rate"))
+  }
+
+  private val q128Sql =
+    """WITH h AS (SELECT source, md5(text) AS h FROM documents),
+      |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM h GROUP BY h)
+      |        WHERE c > 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  round(CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS dup_rate
+      |FROM h LEFT JOIN dup ON h.h = dup.h
+      |GROUP BY source""".stripMargin
+
   // ===== q35 brute-force cosine top-k ====================================
 
   private val TopK = 10
@@ -798,6 +972,57 @@ object Pipeline {
        |          FROM documents)
        |        WHERE len(token) > 0 GROUP BY token))
        |WHERE rn <= $HhK""".stripMargin
+
+  // ===== q121 approx heavy hitters — the MG guarantee on the gate ========
+  // The Misra-Gries sketch (graft.functions.approx_top_items) is ONE pass
+  // with O(k) state at every aggregation stage — the 100 TB path when the
+  // full vocabulary aggregate of q106 is too expensive. Its raw output is
+  // merge-order-dependent (estimates vary run to run), so it can't be
+  // hashed directly; what IS deterministic and engine-neutral is its
+  // GUARANTEE: over n rows with k slots, every token with true frequency
+  // f > n/(k+1) must be present with estimate ĉ ∈ [f − n/(k+1), f]. This
+  // query runs the sketch, joins it against the exact counts, and emits
+  // one row per guaranteed-heavy token with the bound check; the oracle
+  // is pure exact SQL asserting `TRUE` — the hashes match iff the sketch
+  // honored the MG bounds on this corpus. (Same gate idea as q45's
+  // rows-only sketches, but strictly stronger: a violated bound is a
+  // hash MISMATCH, not an unchecked row count.)
+
+  private val MgK = 64
+
+  private def q121(t: Tables): DataFrame = {
+    // token stream feeds both the sketch and the exact side
+    val toks = graft.Fanout(t.documents)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .persistScoped()
+    val sketch = toks
+      .agg(graft.functions.approx_top_items(col("token"), MgK).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val tot = toks.agg(count(lit(1)).as("n")) // 1 row, broadcast
+    val slack = col("n").cast("double") / lit((MgK + 1).toDouble)
+    exact.crossJoin(broadcast(tot))
+      .filter(col("f").cast("double") > slack)
+      .join(sketch, Seq("token"), "left")
+      .select(col("token"), col("f"),
+        (col("est").isNotNull && col("est") <= col("f") &&
+          col("est").cast("double") >= col("f").cast("double") - slack)
+          .as("in_bounds"))
+  }
+
+  private val q121Sql =
+    s"""WITH toks AS (SELECT token FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |    FROM documents)
+       |  WHERE len(token) > 0),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+       |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+       |          FROM toks GROUP BY token)
+       |SELECT token, f, TRUE AS in_bounds
+       |FROM exact, n
+       |WHERE CAST(f AS DOUBLE) > CAST(n AS DOUBLE) / ${MgK + 1}.0""".stripMargin
 
   // ===== q107 weighted document sampling =================================
   // Deterministic weighted Bernoulli sampling: doc kept with probability
@@ -1406,7 +1631,12 @@ object Pipeline {
     "q116_triangle_count" -> wrap(q116),
     "q118_decontaminate_containment" -> wrap(q118),
     "q119_lang_drift" -> wrap(q119),
-    "q120_source_overlap" -> wrap(q120)
+    "q120_source_overlap" -> wrap(q120),
+    "q121_approx_heavy_hitters" -> wrap(q121),
+    "q122_pagerank" -> wrap(q122),
+    "q125_vocab_uniqueness" -> wrap(q125),
+    "q127_bigram_pmi" -> wrap(q127),
+    "q128_dup_profile" -> wrap(q128)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1456,6 +1686,11 @@ object Pipeline {
     "q116_triangle_count" -> q116Sql,
     "q118_decontaminate_containment" -> q118Sql,
     "q119_lang_drift" -> q119Sql,
-    "q120_source_overlap" -> q120Sql
+    "q120_source_overlap" -> q120Sql,
+    "q121_approx_heavy_hitters" -> q121Sql,
+    "q122_pagerank" -> q122Sql,
+    "q125_vocab_uniqueness" -> q125Sql,
+    "q127_bigram_pmi" -> q127Sql,
+    "q128_dup_profile" -> q128Sql
   )
 }

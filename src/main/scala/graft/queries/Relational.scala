@@ -1508,6 +1508,122 @@ object Relational {
       |FROM orders GROUP BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q123 — per-column data-quality profile: the schema-drift / null-rate
+  // scan run on every new data drop before anything downstream trusts
+  // it. ONE aggregate over ONE scan (exact distincts via a single Expand
+  // — the ×|cols| row multiplier is the price of exactness); the 1-row
+  // wide result melts to per-column rows on the driver side of the
+  // plan (narrow explode of ONE row). Numeric min/max surface as
+  // doubles and string min/max as strings — typed slots, so no
+  // cross-engine number formatting enters the hash.
+  private def q123(t: Tables): DataFrame =
+    graft.operators.Profiling.columnProfile(t.orders,
+      numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      stringCols = Seq("o_orderstatus", "o_orderpriority"))
+
+  private val q123Sql = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str
+         |FROM orders""".stripMargin
+    (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+      Seq("o_orderstatus", "o_orderpriority").map(str))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------------
+  // q124 — Pearson correlation matrix over the lineitem measures: the
+  // feature-redundancy scan before fitting anything on tabular data.
+  // One partial+final aggregate computes every moment (n, Σx, Σx², Σxy)
+  // in ONE pass; sums run in exact DECIMAL (all four columns are 2-dp,
+  // products 4-dp — the q109 determinism trick), so the correlation
+  // derives from order-independent numbers and one identical double
+  // expression per pair. Spark's built-in corr() aggregates in doubles —
+  // statistically fine, but its partial-sum ORDER would make the hash
+  // gate flaky; exact moments make the matrix reproducible bit-for-bit.
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def q124(t: Tables): DataFrame =
+    graft.operators.Profiling.corrMatrix(t.lineitem, CorrCols, inputDecimals = 2)
+
+  private val q124Sql = {
+    val ms = (CorrCols.map(c =>
+      s"CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS s_$c") ++
+      CorrCols.map(c =>
+        s"CAST(sum(CAST($c * $c AS DECIMAL(38,4))) AS DOUBLE) AS ss_$c") ++
+      CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+        s"CAST(sum(CAST($a * $b AS DECIMAL(38,4))) AS DOUBLE) AS sp_${a}_$b" })
+      .mkString(",\n  ")
+    val rows = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round((CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b)
+         |    / sqrt(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)
+         |    / sqrt(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b), 4) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH m AS (SELECT count(*) AS n,\n  $ms\nFROM lineitem)\n$rows"
+  }
+
+  // ---------------------------------------------------------------------
+  // q126 — winsorized moment statistics: l_extendedprice clamped to its
+  // exact [p01, p99] quantiles (Profiling.winsorize — the distributed
+  // prefix-sum scan, never a global sort), then per-returnflag n/mean/
+  // stddev from exact DECIMAL moments of the CLAMPED values (clamping
+  // preserves the 2-dp grid, so the q109 determinism trick still
+  // applies). The outlier-trim-then-moments shape every heavy-tailed
+  // metric pipeline runs; at 100 TB both passes are scans.
+  private def q126(t: Tables): DataFrame = {
+    val w = graft.operators.Profiling.winsorize(
+      t.lineitem.select(col("l_returnflag"), col("l_extendedprice")),
+      col("l_extendedprice"), 0.01, 0.99, "w")
+    w.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("w").cast(DecimalType(38, 2))).cast("double").as("s"),
+        sum((col("w") * col("w")).cast(DecimalType(38, 4))).cast("double").as("ss"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("s") / col("n"), 4).as("w_mean"),
+        round(sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4)
+          .as("w_std"))
+  }
+
+  private val q126Sql =
+    """WITH c AS (SELECT l_extendedprice AS v, count(*) AS c
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |cum AS (SELECT v, c,
+      |          CAST(coalesce(sum(c) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |        FROM c),
+      |p AS (SELECT CAST(unnest([0.01, 0.99]) AS DOUBLE) AS prob),
+      |q AS (SELECT p.prob, v AS value
+      |      FROM cum, n, p
+      |      WHERE cb < greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT))
+      |        AND greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)) <= cb + c),
+      |cuts AS (SELECT min(CASE WHEN prob = 0.01 THEN value END) AS lo,
+      |                max(CASE WHEN prob = 0.99 THEN value END) AS hi
+      |         FROM q),
+      |wt AS (SELECT l_returnflag, least(greatest(l_extendedprice, lo), hi) AS w
+      |       FROM lineitem, cuts),
+      |m AS (SELECT l_returnflag, count(*) AS n,
+      |        CAST(sum(CAST(w AS DECIMAL(38,2))) AS DOUBLE) AS s,
+      |        CAST(sum(CAST(w * w AS DECIMAL(38,4))) AS DOUBLE) AS ss
+      |      FROM wt GROUP BY 1)
+      |SELECT l_returnflag, n, round(s / n, 4) AS w_mean,
+      |  round(sqrt((ss - s * s / n) / (n - 1)), 4) AS w_std
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1584,7 +1700,10 @@ object Relational {
     "q112_equidepth_histogram" -> wrap(q112),
     "q114_incremental_agg" -> wrap(q114),
     "q115_exact_quantiles" -> wrap(q115),
-    "q117_grouped_quantiles" -> wrap(q117)
+    "q117_grouped_quantiles" -> wrap(q117),
+    "q123_column_profile" -> wrap(q123),
+    "q124_corr_matrix" -> wrap(q124),
+    "q126_winsorized_stats" -> wrap(q126)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1660,6 +1779,9 @@ object Relational {
     "q112_equidepth_histogram" -> q112Sql,
     "q114_incremental_agg" -> q114Sql,
     "q115_exact_quantiles" -> q115Sql,
-    "q117_grouped_quantiles" -> q117Sql
+    "q117_grouped_quantiles" -> q117Sql,
+    "q123_column_profile" -> q123Sql,
+    "q124_corr_matrix" -> q124Sql,
+    "q126_winsorized_stats" -> q126Sql
   )
 }

@@ -61,7 +61,12 @@ object PlanDump {
     "q117_grouped_quantiles" -> "Per-group exact quantiles: distinct-value counts through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — never a buffered value array per group.",
     "q118_decontaminate_containment" -> "Cross-corpus containment: eval-probe prefixes (rarest-first) join the train corpus's full inverted index with the |C| >= t|A| codegen'd filter; exact sorted-merge verify divides by |probe| only. Catches eval items pasted inside long pages that overlap-share detectors miss.",
     "q119_lang_drift" -> "KL(source || corpus) from three bounded-key aggregates + broadcast joins; the divergence folds lang-sorted (deterministic float order), one round at the end — the raw corpus is scanned once (counts persisted).",
-    "q120_source_overlap" -> "Distinct (source, opening-fingerprint) aggregate persisted once, digest self-join with source< ordering, pair aggregate — the raw text never joins; output bounded by the source-pair triangle.")
+    "q120_source_overlap" -> "Distinct (source, opening-fingerprint) aggregate persisted once, digest self-join with source< ordering, pair aggregate — the raw text never joins; output bounded by the source-pair triangle.",
+    "q121_approx_heavy_hitters" -> "The Misra-Gries guarantee on the gate: the one-pass O(k)-state sketch (ObjectHashAggregate partial+final) left-joins the exact token counts; output rows are the guaranteed-heavy tokens with the bound check — deterministic iff the MG bounds hold, which is exactly what the pure-SQL oracle's hash equality asserts.",
+    "q122_pagerank" -> "Fixed-point PageRank: per iteration ONE hash join (edges x ranks on source id) + ONE partial+final BIGINT-sum aggregate on destination id — O(|E|) shuffle rows of two longs, integer sums are order-independent so ranks are bit-identical in any engine and across any partitioning.",
+    "q124_corr_matrix" -> "Every moment (n, Sx, Sxx, Sxy for all pairs) in ONE partial+final aggregate over ONE scan; exact DECIMAL sums (2-dp inputs, 4-dp products) make the matrix bit-reproducible; the pair combine + explode runs on a single row.",
+    "q126_winsorized_stats" -> "Exact [p01,p99] cutoffs from the persisted prefix-sum scan pivot to ONE broadcast row; the clamp is a pure narrow projection feeding per-flag DECIMAL moment aggregates — two scans total, no global sort.",
+    "q127_bigram_pmi" -> "Bigrams via a narrow transform over the word array (no self-join), vocab-sized count aggregates, two hash joins to attach unigram counts, 1-row broadcasts for the normalizers, TakeOrderedAndProject top-k.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // path + triangle + isolated pair: 1-2-3 triangle, 3-4-5 path, 6-7 edge
+  private def edges = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+    .toDF("id_a", "id_b")
+
+  /** Local reference replaying the exact fixed-point recurrence. */
+  private def localPr(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val dir = es ++ es.map { case (a, b) => (b, a) }
+    val deg = dir.groupBy(_._1).map { case (v, g) => v -> g.size.toLong }
+    val n = deg.size
+    val scale = 1000000000000L
+    var pr = deg.map { case (v, _) => v -> (scale.toDouble / n).toLong }
+    for (_ <- 1 to iters) {
+      val contrib = dir.groupBy(_._2).map { case (v, g) =>
+        v -> g.map { case (u, _) => pr(u) / deg(u) }.sum }
+      pr = deg.map { case (v, _) =>
+        v -> (math.floor(0.15 * scale.toDouble / n).toLong +
+          math.floor(0.85 * contrib.getOrElse(v, 0L).toDouble).toLong) }
+    }
+    pr
+  }
+
+  test("pageRankFixedPoint matches the local recurrence exactly") {
+    try {
+      val got = Graph.pageRankFixedPoint(edges, iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == localPr(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+        (4L, 5L), (6L, 7L)), 3))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("ranks are partition-count independent (exact integer sums)") {
+    try {
+      val a = Graph.pageRankFixedPoint(edges.repartition(1), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      val b = Graph.pageRankFixedPoint(edges.repartition(13), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(a == b)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("rank mass stays within the fixed-point floor loss of 1e12") {
+    try {
+      val pr = Graph.pageRankFixedPoint(edges, iters = 3)
+        .as[(Long, Long)].collect()
+      val total = pr.map(_._2).sum
+      val n = pr.length
+      // each node loses < 2 units to the two floors per iteration, plus
+      // each edge division truncates < 1 unit of its source's rank
+      assert(total <= 1000000000000L)
+      assert(total > 1000000000000L - 10L * (n + 12))
+      // the triangle hub (node 3, degree 4) outranks every leaf
+      val m = pr.toMap
+      assert(m(3L) > m(5L) && m(3L) > m(6L))
+    } finally graft.CacheScope.drain()
+  }
+}

@@ -144,4 +144,67 @@ class ProfilingSpec extends AnyFunSuite {
         s"bucket $b depth $cnt vs ideal $ideal")
     }
   }
+
+  test("columnProfile reports exact per-column null/distinct/min/max") {
+    val df = Seq(
+      (1L, Some(2.5), Some("a")),
+      (2L, None, Some("b")),
+      (3L, Some(7.5), None),
+      (4L, Some(2.5), Some("a"))
+    ).toDF("k", "x", "s")
+    val got = Profiling.columnProfile(df, Seq("k", "x"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k", "x", "s"))
+    val k = got("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 0 && k.getLong(3) == 4)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 4.0 && k.isNullAt(6))
+    val x = got("x")
+    assert(x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 2.5 && x.getDouble(5) == 7.5)
+    val s = got("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.getString(6) == "a" && s.getString(7) == "b")
+  }
+
+  test("corrMatrix matches Spark's built-in corr to rounding tolerance") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val got = Profiling.corrMatrix(li, cols)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(got.keySet == Set(("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"), ("l_extendedprice", "l_discount")))
+    for (((a, b), c) <- got) {
+      val ref = li.agg(corr(col(a), col(b))).as[Double].head()
+      // built-in corr aggregates in doubles (order-dependent tail); the
+      // decimal-moment form is exact — they agree to well inside 1e-3
+      assert(math.abs(c - ref) < 1e-3, s"($a,$b): $c vs $ref")
+      assert(c.abs <= 1.0)
+    }
+  }
+
+  test("corrMatrix is partition-count independent (exact decimal moments)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Profiling.corrMatrix(df, cols).as[(String, String, Double)].collect().toSet
+    assert(m(li.repartition(1)) == m(li.repartition(17)))
+  }
+
+  test("winsorize clamps exactly to the p-lo/p-hi exact quantiles") {
+    try {
+      val cuts = Profiling.exactQuantiles(prices, col("l_extendedprice"),
+          Seq(0.05, 0.95)).as[(Double, Double)].collect().toMap
+      val (lo, hi) = (cuts(0.05), cuts(0.95))
+      val w = Profiling.winsorize(prices, col("l_extendedprice"), 0.05, 0.95, "w")
+        .select(col("l_extendedprice"), col("w"))
+        .as[(Double, Double)].collect()
+      assert(w.forall { case (_, ww) => ww >= lo && ww <= hi })
+      assert(w.forall { case (v, ww) =>
+        ww == math.min(math.max(v, lo), hi) })
+      // something actually clamps at both tails on near-unique prices
+      assert(w.exists { case (v, ww) => v < ww } &&
+        w.exists { case (v, ww) => v > ww })
+    } finally graft.CacheScope.drain()
+  }
 }
