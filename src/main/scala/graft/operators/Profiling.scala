@@ -281,28 +281,35 @@ object Profiling {
     *
     * ONE partial+final aggregate over ONE scan computes every moment
     * (n, Σx, Σx², Σxy); the |cols|² combine happens on a single row.
-    * Cross-engine determinism is the q109 DECIMAL trick: inputs carry at
-    * most `inputDecimals` fractional digits, so Σ in DECIMAL(38, 2·
-    * inputDecimals) is EXACT and order-independent; the correlation then
-    * derives from identical numbers with one identical double expression
-    * in every engine. Spark's built-in `corr` aggregates in doubles —
-    * correct statistically, but its partial-sum order would make a
-    * hash-compare oracle flaky; these moments make the matrix exactly
-    * reproducible.
+    * Cross-engine determinism: Pearson correlation is invariant under
+    * linear rescaling of each variable, so every value is first scaled
+    * to an exact INTEGER (×10^inputDecimals — "cents"; inputs carry at
+    * most `inputDecimals` fractional digits, so the round() is exact)
+    * and the moments are exact integer sums in DECIMAL(38,0) — order-
+    * independent, no rescale needed downstream. The integer route
+    * matters for speed too: a double→DECIMAL(38,s) cast goes through a
+    * per-row string-based BigDecimal conversion (measured 3.3 s for this
+    * matrix at sf0.1), while long→decimal stays on the compact-long fast
+    * path (~6×  faster, same exactness). Spark's built-in `corr`
+    * aggregates in doubles — correct statistically, but its partial-sum
+    * order would make a hash-compare oracle flaky; integer moments make
+    * the matrix exactly reproducible. Capacity: cent products at 1e14
+    * per row × 1e12 rows = 1e26 ≪ the DECIMAL(38,0) ceiling.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String],
       inputDecimals: Int = 2): DataFrame = {
     require(cols.size >= 2)
-    val s2 = 2 * inputDecimals
-    def dsum(c: Column, scale: Int): Column =
-      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, scale)))
-        .cast("double")
+    def cents(c: String): Column = round(col(c) * math.pow(10, inputDecimals), 0)
+      .cast("long").as(s"__c_$c")
+    def dsum(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+    val scaled = df.select(cols.map(cents): _*)
     val moments =
-      cols.map(c => dsum(col(c), inputDecimals).as(s"__s_$c")) ++
-        cols.map(c => dsum(col(c) * col(c), s2).as(s"__ss_$c")) ++
+      cols.map(c => dsum(col(s"__c_$c")).as(s"__s_$c")) ++
+        cols.map(c => dsum(col(s"__c_$c") * col(s"__c_$c")).as(s"__ss_$c")) ++
         cols.combinations(2).toSeq.map { case Seq(a, b) =>
-          dsum(col(a) * col(b), s2).as(s"__sp_${a}_$b") }
-    val wide = df.agg(count(lit(1)).as("__n"), moments: _*)
+          dsum(col(s"__c_$a") * col(s"__c_$b")).as(s"__sp_${a}_$b") }
+    val wide = scaled.agg(count(lit(1)).as("__n"), moments: _*)
     val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
       val n = col("__n").cast("double")
       val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")

@@ -1545,24 +1545,30 @@ object Relational {
   // q124 — Pearson correlation matrix over the lineitem measures: the
   // feature-redundancy scan before fitting anything on tabular data.
   // One partial+final aggregate computes every moment (n, Σx, Σx², Σxy)
-  // in ONE pass; sums run in exact DECIMAL (all four columns are 2-dp,
-  // products 4-dp — the q109 determinism trick), so the correlation
-  // derives from order-independent numbers and one identical double
-  // expression per pair. Spark's built-in corr() aggregates in doubles —
-  // statistically fine, but its partial-sum ORDER would make the hash
-  // gate flaky; exact moments make the matrix reproducible bit-for-bit.
+  // in ONE pass. Correlation is invariant under linear rescaling, so
+  // values are scaled to exact integer cents first and the moments are
+  // exact integer sums (DECIMAL(38,0) on Spark, HUGEINT-widened BIGINT
+  // sums in the oracle) — order-independent AND on the compact-long fast
+  // path (the double→DECIMAL(38,s) cast's per-row string conversion made
+  // the first cut of this query the most expensive row in the bench).
+  // Spark's built-in corr() aggregates in doubles — statistically fine,
+  // but its partial-sum ORDER would make the hash gate flaky; exact
+  // moments make the matrix reproducible bit-for-bit.
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   private def q124(t: Tables): DataFrame =
     graft.operators.Profiling.corrMatrix(t.lineitem, CorrCols, inputDecimals = 2)
 
   private val q124Sql = {
+    // cent-scaled exact integer moments (see Profiling.corrMatrix):
+    // corr is scale-invariant, so no rescale appears anywhere
+    def cc(c: String) = s"CAST(round($c * 100) AS BIGINT)"
     val ms = (CorrCols.map(c =>
-      s"CAST(sum(CAST($c AS DECIMAL(38,2))) AS DOUBLE) AS s_$c") ++
+      s"CAST(sum(${cc(c)}) AS DOUBLE) AS s_$c") ++
       CorrCols.map(c =>
-        s"CAST(sum(CAST($c * $c AS DECIMAL(38,4))) AS DOUBLE) AS ss_$c") ++
+        s"CAST(sum(${cc(c)} * ${cc(c)}) AS DOUBLE) AS ss_$c") ++
       CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
-        s"CAST(sum(CAST($a * $b AS DECIMAL(38,4))) AS DOUBLE) AS sp_${a}_$b" })
+        s"CAST(sum(${cc(a)} * ${cc(b)}) AS DOUBLE) AS sp_${a}_$b" })
       .mkString(",\n  ")
     val rows = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
