@@ -829,4 +829,75 @@ object Dedup {
         count(lit(1)).as("n_occ"),
         min(col("id")).as("first_id"))
       .filter(col("n_docs") >= 2)
+
+  /** Edit-distance similarity self-join (PassJoin-style segment
+    * filtering): all pairs (id_a, id_b, dist) with
+    * levenshtein(s_a, s_b) ≤ `maxDist`, id_a < id_b — the FUZZY exact-dup
+    * detector for short keys (titles, openings, normalized URLs) that
+    * hash dedup misses by one typo and shingle Jaccard can't see at all
+    * on strings this short.
+    *
+    * Candidate generation is LOSSLESS (the PassJoin pigeonhole, Li et
+    * al., VLDB'11): partition every INDEXED string t into k+1 contiguous
+    * segments (even split). An optimal alignment of ed(s,t) ≤ k has ≤ k
+    * edits, which can touch at most k of the k+1 segments — so at least
+    * one segment of t survives unedited and appears in s EXACTLY, shifted
+    * by at most the net indels before it (≤ k). The PROBE side therefore
+    * enumerates, for each candidate target length ℓ ∈ [|s|−k, |s|+k] and
+    * each segment index j, the substrings of s with segment-j geometry of
+    * a length-ℓ string at start offsets within ±k of that segment's home
+    * position — O(k²) probe rows per string, length-independent. The
+    * equi-join on (ℓ, j, substring) is the only wide operation; exact
+    * levenshtein (codegen'd) verifies collisions.
+    *
+    * KEYS MUST BE DISTINCT per id (collapse identical strings first —
+    * e.g. group by the key with min(id) as representative, the same
+    * exact-before-fuzzy order as [[dedupCorpus]]): identical-string
+    * groups would make candidate pairs quadratic in the multiplicity,
+    * exactly the hot-group blow-up exact dedup exists to remove.
+    */
+  def editDistancePairs(
+      strings: DataFrame, // columns: id, s (s distinct across rows)
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1)
+    val k = maxDist
+    val kk = k + 1
+    val sized = strings.select(col("id"), col("s"), length(col("s")).as("n"))
+      .filter(col("n") > 0)
+      .persistScoped() // feeds segments, probes and the verify join
+    // index side: the k+1 even-split segments of every string
+    val segs = sized.select(col("id").as("id_b"), col("n").as("l"),
+      explode(expr(
+        s"""filter(transform(sequence(0, $k), j -> struct(
+           |  j AS j,
+           |  substring(s, CAST(j * n DIV $kk + 1 AS INT),
+           |            CAST((j + 1) * n DIV $kk - j * n DIV $kk AS INT)) AS seg,
+           |  (j + 1) * n DIV $kk - j * n DIV $kk AS sl)),
+           |x -> x.sl > 0)""".stripMargin)).as("g"))
+      .select(col("id_b"), col("l"), col("g.j").as("j"), col("g.seg").as("seg"))
+    // probe side: substrings of s matching the segment geometry of every
+    // candidate target length, within the ±k offset window
+    val probes = sized.select(col("id").as("id_a"), explode(expr(
+      s"""flatten(transform(sequence(greatest(1, n - $k), n + $k), l ->
+         |  flatten(transform(sequence(0, $k), j ->
+         |    filter(transform(sequence(j * l DIV $kk + 1 - $k, j * l DIV $kk + 1 + $k), st ->
+         |      struct(l AS l, j AS j, st AS st,
+         |             (j + 1) * l DIV $kk - j * l DIV $kk AS sl)),
+         |      x -> x.st >= 1 AND x.sl > 0 AND x.st + x.sl - 1 <= n)))))""".stripMargin))
+      .as("p"),
+      col("s"))
+      .select(col("id_a"), col("p.l").as("l"), col("p.j").as("j"),
+        expr("substring(s, CAST(p.st AS INT), CAST(p.sl AS INT))").as("seg"))
+    val cand = probes.join(segs, Seq("l", "j", "seg"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    cand
+      .join(sized.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(sized.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -85,4 +85,42 @@ object Graph {
     }
     pr.select(col("id"), col("pr").as("pr_scaled"))
   }
+
+  /** Bounded k-core peeling over an UNDIRECTED edge list (id_a, id_b):
+    * `rounds` synchronous rounds of "drop every node with degree < k,
+    * then drop edges touching dropped nodes". Returns the surviving
+    * (id, deg) after the last round (deg = degree within the surviving
+    * subgraph of the previous round).
+    *
+    * A FIXED round count, not peel-to-fixpoint: each round is one
+    * degree aggregate + one broadcast-or-shuffle semi-join per side, so
+    * the plan stays static and an oracle replays it as unrolled CTEs.
+    * The first rounds do the heavy lifting (they remove the long
+    * low-degree tail that dominates near-dup graphs); callers needing
+    * the exact fixpoint loop this operator with a convergence check —
+    * the same localCheckpoint pattern as Dedup.connectedComponents.
+    * Dense cores this filter EXTRACTS are exactly the boilerplate /
+    * template clusters worth special-casing before pairwise dedup.
+    *
+    * 100 TB posture: per round O(|E|) shuffle rows of two longs; the
+    * edge set only shrinks. No windows, no driver state.
+    */
+  def kCoreBounded(edges: DataFrame, // columns: id_a, id_b
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .persistScoped()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .persistScoped()
+      e = e.join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persistScoped()
+    }
+    deg.select(col("v").as("id"), col("deg"))
+  }
 }

@@ -618,6 +618,178 @@ object Pipeline {
        |SELECT id, pr AS pr_scaled FROM pr$PrIters""".stripMargin
   }
 
+  // ===== q129 bounded k-core of the near-dup graph =======================
+  // Dense-core extraction: after 3 peel rounds at k=3, what survives of
+  // the near-dup graph are its template/boilerplate clusters — the
+  // components worth special-casing (collapse-by-rule) BEFORE paying
+  // pairwise dedup on them. Fixed-round peeling (Graph.kCoreBounded)
+  // keeps the plan static so the oracle replays it as unrolled CTEs; a
+  // degree aggregate + two semi-joins per round, edge set only shrinks.
+  private val CoreK = 3
+  private val CoreRounds = 3
+  // looser similarity than q34's near-dup edges: k-core extraction is a
+  // CLUSTER-STRUCTURE scan, so it runs on the 0.15-similarity graph
+  // where template families are connected (at 0.35 the 8-plane-bucketed graph
+  // is a forest and every core is empty — nothing to extract)
+  private val CoreCosT = 0.15
+
+  private def q129(t: Tables): DataFrame =
+    Graph.kCoreBounded(
+      Similarity
+        .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CoreCosT, NearDupPlanes)
+        .select(col("id_a"), col("id_b")),
+      k = CoreK, rounds = CoreRounds)
+
+  private val q129Sql = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev)
+         |  GROUP BY v HAVING count(*) >= $CoreK),
+         |e$i AS (SELECT a, b FROM $prev
+         |        WHERE a IN (SELECT v FROM d$i) AND b IN (SELECT v FROM d$i))""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(NearDupPlanes)},
+       |e0 AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |       WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CoreCosT),
+       |${(1 to CoreRounds).map(round).mkString(",\n")}
+       |SELECT v AS id, deg FROM d$CoreRounds""".stripMargin
+  }
+
+  // ===== q130 char-bigram LM quality scoring =============================
+  // Language-model quality filtering without a trained model artifact:
+  // a char-bigram LM is fit on the corpus ITSELF (bigram counts over
+  // each doc's first 500 lowercased chars — the standard prefix sample),
+  // then every doc is scored by its per-bigram cross-entropy
+  // H(doc) = −(1/m)·Σ ln p(c₂|c₁). Anomalously high H = gibberish /
+  // wrong-language / encoding damage; this is the cheap proxy for the
+  // perplexity-filter step of an LLM data pipeline, kept fully inside
+  // the engine. p(c₂|c₁) = c(c₁c₂)/c(c₁·) with both counts from the
+  // corpus → no zero probabilities by construction.
+  //
+  // Determinism: counts are exact integers; each doc's Σ over its
+  // DISTINCT bigrams folds in sorted bigram order via the q119
+  // aggregate-over-sorted-array pattern (a plain SUM over doubles would
+  // be partial-sum-order nondeterministic). The fold's array is bounded
+  // by the doc's distinct-bigram count (≤ 500), never corpus-sized.
+  private val LmPrefix = 500
+
+  private def q130(t: Tables): DataFrame = {
+    val bi = graft.Fanout(t.documents)
+      .select(col("doc_id"),
+        expr(s"substring(lower(text), 1, $LmPrefix)").as("t"))
+      .select(col("doc_id"), split(col("t"), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(cs) - 1), i -> concat(cs[i - 1], cs[i]))"))
+        .as("bg"))
+      .persistScoped() // feeds the model counts AND the per-doc scoring
+    val cAB = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val cA = cAB.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("c_ab")).as("c_a"))
+    val model = cAB.join(cA, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg"), col("c_ab"), col("c_a"))
+    bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("m"),
+        sort_array(collect_list(struct(col("bg"),
+          (-col("n").cast("double")
+            * log(col("c_ab").cast("double") / col("c_a"))).as("term"))))
+          .as("ts"))
+      .select(col("doc_id"), col("m").as("n_bigrams"),
+        round(expr("aggregate(ts, 0D, (a, x) -> a + x.term)") / col("m"), 4)
+          .as("cross_entropy"))
+  }
+
+  private val q130Sql =
+    s"""WITH bi AS (
+       |  SELECT doc_id, bg FROM (
+       |    SELECT doc_id, unnest(list_transform(range(2, len(cs) + 1),
+       |        i -> cs[i - 1] || cs[i])) AS bg
+       |    FROM (SELECT doc_id,
+       |            regexp_split_to_array(substr(lower(text), 1, $LmPrefix), '') AS cs
+       |          FROM documents)
+       |    WHERE len(cs) >= 2)),
+       |cab AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg),
+       |ca AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(c_ab) AS BIGINT) AS c_a
+       |       FROM cab GROUP BY 1),
+       |model AS (SELECT bg, c_ab, c_a FROM cab
+       |          JOIN ca ON substr(cab.bg, 1, 1) = ca.c1),
+       |dn AS (SELECT doc_id, bg, count(*) AS n FROM bi GROUP BY 1, 2),
+       |terms AS (SELECT dn.doc_id, dn.bg, dn.n,
+       |    -CAST(dn.n AS DOUBLE) * ln(CAST(c_ab AS DOUBLE) / c_a) AS term
+       |  FROM dn JOIN model ON dn.bg = model.bg)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |  round(list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'bg': bg, 'term': term})),
+       |        x -> x.term)),
+       |    (a, b) -> a + b) / CAST(sum(n) AS BIGINT), 4) AS cross_entropy
+       |FROM terms GROUP BY doc_id""".stripMargin
+
+  // ===== q131 edit-distance fuzzy dedup (PassJoin) =======================
+  // Fuzzy duplicate short keys: each doc's opening bigram (first two
+  // lowercased tokens — the title-like key) joined against every other
+  // within levenshtein ≤ 2 — the typo-level near-dup detector that hash
+  // dedup misses by one character and shingle Jaccard can't see at all
+  // on strings this short. Identical keys collapse FIRST (min-doc_id
+  // representative — the exact-before-fuzzy order of dedupCorpus), so
+  // candidate pairs can't go quadratic on boilerplate. Candidate
+  // generation is the lossless PassJoin segment filter (proof in
+  // Dedup.editDistancePairs); the only wide op is the (ℓ, j, segment)
+  // equi-join, and exact levenshtein verifies collisions.
+  private val EdWords = 2
+  private val EdK = 2
+
+  private def q131(t: Tables): DataFrame = {
+    val keys = graft.Fanout(t.documents)
+      .select(concat_ws(" ",
+        slice(split(lower(col("text")), "\\s+"), 1, EdWords)).as("s"),
+        col("doc_id"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("id"))
+      .select(col("id"), col("s"))
+    Dedup.editDistancePairs(keys, EdK)
+  }
+
+  private val q131Sql = {
+    val kk = EdK + 1
+    s"""WITH keys AS (SELECT min(doc_id) AS id, s FROM (
+       |    SELECT doc_id, array_to_string(
+       |        regexp_split_to_array(lower(text), '\\s+')[1:$EdWords], ' ') AS s
+       |    FROM documents)
+       |  GROUP BY s),
+       |sized AS (SELECT id, s, len(s) AS n FROM keys WHERE len(s) > 0),
+       |segs AS (SELECT id AS id_b, n AS l, j,
+       |    substr(s, CAST(j * n // $kk + 1 AS INT),
+       |           CAST((j + 1) * n // $kk - j * n // $kk AS INT)) AS seg
+       |  FROM sized CROSS JOIN (SELECT unnest(range(0, $kk)) AS j)
+       |  WHERE (j + 1) * n // $kk - j * n // $kk > 0),
+       |probes0 AS (SELECT id, s, n, n + dl AS l, j,
+       |    j * (n + dl) // $kk + 1 + off AS st,
+       |    (j + 1) * (n + dl) // $kk - j * (n + dl) // $kk AS sl
+       |  FROM sized
+       |       CROSS JOIN (SELECT unnest(range(-$EdK, ${EdK + 1})) AS dl)
+       |       CROSS JOIN (SELECT unnest(range(0, $kk)) AS j)
+       |       CROSS JOIN (SELECT unnest(range(-$EdK, ${EdK + 1})) AS off)
+       |  WHERE n + dl >= 1),
+       |probes AS (SELECT id AS id_a, l, j,
+       |    substr(s, CAST(st AS INT), CAST(sl AS INT)) AS seg
+       |  FROM probes0 WHERE st >= 1 AND sl > 0 AND st + sl - 1 <= n),
+       |cand AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+       |                         greatest(id_a, id_b) AS id_b
+       |  FROM probes JOIN segs USING (l, j, seg)
+       |  WHERE id_a <> id_b)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+       |FROM cand c JOIN sized a ON c.id_a = a.id
+       |     JOIN sized b ON c.id_b = b.id
+       |WHERE levenshtein(a.s, b.s) <= $EdK""".stripMargin
+  }
+
   // ===== q125 per-source vocabulary uniqueness ===========================
   // Which sources contribute NOVEL vocabulary vs re-hash the same tokens
   // every other source has — the diversity signal behind source-mixture
@@ -1636,7 +1808,10 @@ object Pipeline {
     "q122_pagerank" -> wrap(q122),
     "q125_vocab_uniqueness" -> wrap(q125),
     "q127_bigram_pmi" -> wrap(q127),
-    "q128_dup_profile" -> wrap(q128)
+    "q128_dup_profile" -> wrap(q128),
+    "q129_kcore" -> wrap(q129),
+    "q130_lm_quality_score" -> wrap(q130),
+    "q131_fuzzy_dedup_editdist" -> wrap(q131)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1691,6 +1866,9 @@ object Pipeline {
     "q122_pagerank" -> q122Sql,
     "q125_vocab_uniqueness" -> q125Sql,
     "q127_bigram_pmi" -> q127Sql,
-    "q128_dup_profile" -> q128Sql
+    "q128_dup_profile" -> q128Sql,
+    "q129_kcore" -> q129Sql,
+    "q130_lm_quality_score" -> q130Sql,
+    "q131_fuzzy_dedup_editdist" -> q131Sql
   )
 }

@@ -66,7 +66,9 @@ object PlanDump {
     "q122_pagerank" -> "Fixed-point PageRank: per iteration ONE hash join (edges x ranks on source id) + ONE partial+final BIGINT-sum aggregate on destination id — O(|E|) shuffle rows of two longs, integer sums are order-independent so ranks are bit-identical in any engine and across any partitioning.",
     "q124_corr_matrix" -> "Every moment (n, Sx, Sxx, Sxy for all pairs) in ONE partial+final aggregate over ONE scan; exact DECIMAL sums (2-dp inputs, 4-dp products) make the matrix bit-reproducible; the pair combine + explode runs on a single row.",
     "q126_winsorized_stats" -> "Exact [p01,p99] cutoffs from the persisted prefix-sum scan pivot to ONE broadcast row; the clamp is a pure narrow projection feeding per-flag DECIMAL moment aggregates — two scans total, no global sort.",
-    "q127_bigram_pmi" -> "Bigrams via a narrow transform over the word array (no self-join), vocab-sized count aggregates, two hash joins to attach unigram counts, 1-row broadcasts for the normalizers, TakeOrderedAndProject top-k.")
+    "q127_bigram_pmi" -> "Bigrams via a narrow transform over the word array (no self-join), vocab-sized count aggregates, two hash joins to attach unigram counts, 1-row broadcasts for the normalizers, TakeOrderedAndProject top-k.",
+    "q130_lm_quality_score" -> "Corpus-fit char-bigram LM: model = two vocab-sized aggregates; per-doc cross-entropy joins doc-distinct bigram counts against the model, then folds each doc's terms in sorted order (deterministic double sum, array bounded by the doc's <=500 distinct bigrams).",
+    "q131_fuzzy_dedup_editdist" -> "PassJoin edit-distance self-join: identical keys collapse first (exact-before-fuzzy), every string emits its k+1 segments (index) and O(k^2) geometry-matched substrings (probe); ONE equi-join on (len, segment-index, segment), codegen'd levenshtein only on collisions. Lossless by the PassJoin pigeonhole, spec-pinned against brute force.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

@@ -281,4 +281,41 @@ class DedupSpec extends AnyFunSuite {
     // first owner doc 1
     assert(out == Seq((3L, 3L, 1L)))
   }
+
+  test("editDistancePairs is lossless against brute force (PassJoin pigeonhole)") {
+    // adversarial shapes: substitution / insertion / deletion at segment
+    // boundaries, length-mismatched pairs, a k+1-edit pair that must NOT
+    // match, and short strings below k+1 chars
+    val strings = Seq(
+      (1L, "spark engine"), (2L, "spork engine"), // 1 substitution
+      (3L, "sparkk engine"), // insertion at a segment edge vs 1
+      (4L, "park engine"), // deletion of the first char vs 1
+      (5L, "spark enginX"), // substitution in the LAST segment vs 1
+      (6L, "scala engine"), // 3 edits vs 1 — excluded
+      (7L, "ab"), (8L, "ba"), (9L, "a"), // short strings
+      (10L, "totally different text")
+    ).toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val data = Seq("spark engine", "spork engine", "sparkk engine",
+      "park engine", "spark enginX", "scala engine", "ab", "ba", "a",
+      "totally different text").zipWithIndex.map { case (s, i) => (i + 1L, s) }
+    val expected = (for {
+      (ia, sa) <- data; (ib, sb) <- data if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    try {
+      val got = Dedup.editDistancePairs(strings, maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"got $got expected $expected")
+      assert(expected.exists(_._3 == 1) && expected.exists(_._3 == 2))
+      assert(!got.exists(p => Set(p._1, p._2) == Set(1L, 6L))) // 3 edits out
+    } finally graft.CacheScope.drain()
+  }
+
 }

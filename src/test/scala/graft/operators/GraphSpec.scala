@@ -64,4 +64,24 @@ class GraphSpec extends AnyFunSuite {
       assert(m(3L) > m(5L) && m(3L) > m(6L))
     } finally graft.CacheScope.drain()
   }
+
+  test("kCoreBounded peels round-for-round: tail falls off one hop per round") {
+    // 1-2-3-1 triangle with a path 3-4-5-6: degrees 1:2 2:2 3:3 4:2 5:2 6:1
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    try {
+      // k=2 synchronous peel: round 1 drops 6, round 2 drops 5, round 3
+      // drops 4. Reported degrees are from the round-3 input graph
+      // (edge 3-4 still present when they were computed), so 3 keeps
+      // deg 3 — the documented "degree within the previous round's
+      // subgraph" semantics.
+      val got = Graph.kCoreBounded(es, k = 2, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+      // one more round reaches the fixpoint: the pure triangle
+      val fix = Graph.kCoreBounded(es, k = 2, rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(fix == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    } finally graft.CacheScope.drain()
+  }
 }
