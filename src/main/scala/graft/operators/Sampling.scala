@@ -87,4 +87,62 @@ object Sampling {
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Poisson(1) inverse-CDF thresholds over a [0, 10000) hash bucket:
+    * P(W=w) ≈ e⁻¹/w! truncated at 7. Shared by the Scala and SQL sides
+    * so both engines draw the identical weight for every (row, replicate).
+    */
+  private[operators] val PoissonCdf10k = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
+
+  /** One-pass deterministic Poisson bootstrap of a mean: `replicates`
+    * resamples of `df` where each row enters replicate r with weight
+    * W ~ Poisson(1), drawn from a content-stable hash of (r, id) — the
+    * standard streaming-bootstrap construction (per-row independent
+    * weights instead of an exact-n resample, which is what makes ONE
+    * pass possible). Returns (replicate, n_eff, mean); the spread of the
+    * means IS the sampling distribution — percentiles of these rows give
+    * the confidence interval with no second pass over the data.
+    *
+    * 100 TB posture: NO explode — all `replicates` weighted sums land in
+    * ONE partial+final aggregate over ONE scan (2·R agg expressions of
+    * O(1) state); the per-replicate melt happens on the single result
+    * row. Determinism: weights are integers from md5 (engine-neutral),
+    * value sums run in exact integer cents (DECIMAL(38,0) — the q124
+    * fast path), so every engine computes the identical means.
+    * `inputDecimals` bounds `value`'s fractional digits (cents scaling
+    * must be exact).
+    */
+  def bootstrapMeans(df: DataFrame, id: Column, value: Column,
+      replicates: Int, inputDecimals: Int = 2): DataFrame = {
+    require(replicates >= 2)
+    val scale = math.pow(10, inputDecimals)
+    def w(r: Int): Column = {
+      val h = pmod(Dedup.SharedHash.hash28(
+        concat(lit(s"bs$r:"), id.cast("string"))), lit(10000))
+      PoissonCdf10k.zipWithIndex.foldRight(lit(7): Column) {
+        case ((t, i), els) => when(h < t, lit(i)).otherwise(els)
+      }
+    }
+    val cents = round(value * scale, 0).cast("long")
+    val aggs = (0 until replicates).flatMap { r =>
+      Seq(sum(w(r)).cast("long").as(s"__n_$r"),
+        sum((w(r) * cents)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as(s"__s_$r"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val slots = (0 until replicates).map { r =>
+      struct(lit(r).as("replicate"), col(s"__n_$r").as("n_eff"),
+        round(col(s"__s_$r") / col(s"__n_$r") / lit(scale), 4).as("mean"))
+    }
+    wide.select(explode(array(slots: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** SQL twin of one replicate's Poisson weight for the oracle. */
+  def bootstrapWeightSql(idExpr: String, r: Int): String = {
+    val h = s"(${Dedup.SharedHash.hash28Sql(s"'bs$r:' || CAST($idExpr AS VARCHAR)")} % 10000)"
+    val cases = PoissonCdf10k.zipWithIndex
+      .map { case (t, i) => s"WHEN $h < $t THEN $i" }.mkString(" ")
+    s"(CASE $cases ELSE 7 END)"
+  }
 }

@@ -1630,6 +1630,104 @@ object Relational {
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q132 — one-pass deterministic Poisson bootstrap: 16 resampled means
+  // of l_extendedprice whose spread is the mean's sampling distribution
+  // (percentile these 16 rows → the CI, no second pass). NO explode —
+  // all 32 weighted sums run in ONE partial+final aggregate over ONE
+  // scan (Sampling.bootstrapMeans); weights are integers from the
+  // engine-neutral md5 hash, sums in exact integer cents, so the oracle
+  // reproduces every mean bit-for-bit.
+  private val BsR = 16
+
+  private def q132(t: Tables): DataFrame =
+    graft.operators.Sampling.bootstrapMeans(
+      t.lineitem,
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")),
+      col("l_extendedprice"), replicates = BsR)
+
+  private val q132Sql = {
+    val id = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    val rows = (0 until BsR).map { r =>
+      val w = graft.operators.Sampling.bootstrapWeightSql(id, r)
+      s"""SELECT $r AS replicate, CAST(sum($w) AS BIGINT) AS n_eff,
+         |  round(CAST(sum($w * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+         |    / CAST(sum($w) AS BIGINT) / 100.0, 4) AS mean
+         |FROM lineitem""".stripMargin
+    }
+    rows.mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------------
+  // q133 — incremental JOIN view maintenance: q114's sibling for the
+  // two-sided case. The orders⋈lineitem revenue view splits both inputs
+  // at a cutoff (base A₀/B₀ vs delta ΔA/ΔB) and refreshes by the delta
+  // algebra ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the base join A₀⋈B₀ is the
+  // stored aggregate; the three delta joins each touch only one stored
+  // side plus a delta. Partial states (counts, integer quantity sums)
+  // re-aggregate exactly; the oracle is the FULL recompute, so the gate
+  // proves the delta algebra ≡ a from-scratch join at the hash level.
+  private val IvmCut = "1995-01-01"
+
+  private def q133(t: Tables): DataFrame = {
+    val cut = lit(IvmCut).cast("date")
+    val a0 = t.orders.filter(col("o_orderdate") < cut)
+    val da = t.orders.filter(col("o_orderdate") >= cut)
+    val b0 = t.lineitem.filter(col("l_shipdate") < cut)
+    val db = t.lineitem.filter(col("l_shipdate") >= cut)
+    def part(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("long")).as("__q"))
+    part(a0, b0).unionByName(part(da, b0))
+      .unionByName(part(a0, db)).unionByName(part(da, db))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("__n")).as("n_rows"), sum(col("__q")).as("sum_qty"))
+  }
+
+  private val q133Sql =
+    s"""SELECT o_orderpriority, count(*) AS n_rows,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q134 — OHLC downsampling: per (user, hour) open/high/low/close bars
+  // over the event stream — the classic time-series reduction. Open and
+  // close come from single-pass struct-min/max (the q85/q110 argmax
+  // shape: partial+final aggregate, O(1) state, no window, no self-join;
+  // ties broken by event_id — a total order, so deterministic). The
+  // oracle replays selection with rank windows — naive is fine for an
+  // oracle; the ENGINE plan is the one that must scale.
+  private def q134(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("hour"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+
+  private val q134Sql =
+    """WITH x AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS ro,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rc
+      |  FROM events)
+      |SELECT user_id, hour,
+      |  max(CASE WHEN ro = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rc = 1 THEN value END) AS close,
+      |  count(*) AS n_events
+      |FROM x GROUP BY user_id, hour""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1709,7 +1807,10 @@ object Relational {
     "q117_grouped_quantiles" -> wrap(q117),
     "q123_column_profile" -> wrap(q123),
     "q124_corr_matrix" -> wrap(q124),
-    "q126_winsorized_stats" -> wrap(q126)
+    "q126_winsorized_stats" -> wrap(q126),
+    "q132_bootstrap_ci" -> wrap(q132),
+    "q133_join_ivm" -> wrap(q133),
+    "q134_ohlc_bars" -> wrap(q134)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1788,6 +1889,9 @@ object Relational {
     "q117_grouped_quantiles" -> q117Sql,
     "q123_column_profile" -> q123Sql,
     "q124_corr_matrix" -> q124Sql,
-    "q126_winsorized_stats" -> q126Sql
+    "q126_winsorized_stats" -> q126Sql,
+    "q132_bootstrap_ci" -> q132Sql,
+    "q133_join_ivm" -> q133Sql,
+    "q134_ohlc_bars" -> q134Sql
   )
 }

@@ -44,4 +44,32 @@ class SamplingSpec extends AnyFunSuite {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("__salt"), p)
   }
+
+  test("bootstrapMeans: Poisson weights resample to ~n with means around the truth") {
+    val n = 5000
+    val df = spark.range(n).select($"id", ($"id" % 100).cast("double").as("v"))
+    val out = Sampling.bootstrapMeans(df, $"id", $"v", replicates = 8,
+        inputDecimals = 0)
+      .as[(Int, Long, Double)].collect()
+    assert(out.length == 8 && out.map(_._1).sorted.toSeq == (0 until 8))
+    // Poisson(1) weights: each replicate's effective n concentrates at n
+    // (sd ≈ √n ≈ 71); 6σ bounds make this deterministic in practice —
+    // and the weights ARE deterministic given the hash, so this is a
+    // regression pin, not a flaky statistical test
+    out.foreach { case (_, ne, _) => assert(math.abs(ne - n) < 500, (ne, n)) }
+    // true mean of v is 49.5; bootstrap means must cluster around it
+    out.foreach { case (_, _, m) => assert(math.abs(m - 49.5) < 3.0, m) }
+    // replicates differ (the hash really varies by r)
+    assert(out.map(_._3).distinct.length > 1)
+  }
+
+  test("bootstrapMeans is partition-count independent (integer-cent sums)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string")).as("id"), $"l_extendedprice")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Sampling.bootstrapMeans(d, $"id", $"l_extendedprice", 4)
+        .as[(Int, Long, Double)].collect().toSet
+    assert(m(df.repartition(1)) == m(df.repartition(19)))
+  }
 }
