@@ -257,6 +257,39 @@ object Pipeline {
        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
   }
 
+  // ===== q135 cluster representative selection ===========================
+  // The step AFTER clustering: every near-dup cluster (q62's connected
+  // components) keeps ONE canonical document — here the longest member
+  // (max n_chars, ties to the lowest id; swap in any quality score).
+  // Selection is the q85 argmax shape: a single-pass struct-max per
+  // cluster — O(1) combiner state, no window, no self-join — so a
+  // boilerplate cluster with 10⁹ members costs its combiner one struct.
+  // The oracle extends q62's recursive-CTE clustering with a rank-window
+  // selection (naive is fine for an oracle).
+  private def q135(t: Tables): DataFrame =
+    q62(t)
+      .join(t.documents.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("id")).as("nid"), col("id").as("id")))
+          .as("m"))
+      .select(col("comp"), col("n_members"),
+        col("m.id").as("rep_id"), col("m.n_chars").as("rep_chars"))
+
+  private val q135Sql = q62Sql.replace(
+    """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+      |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin,
+    """,cl AS (SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+      |       FROM documents LEFT JOIN comp c ON doc_id = c.id),
+      |mm AS (SELECT cl.comp, cl.id, d.n_chars,
+      |         row_number() OVER (PARTITION BY cl.comp
+      |                            ORDER BY d.n_chars DESC, cl.id) AS rn
+      |       FROM cl JOIN documents d ON cl.id = d.doc_id)
+      |SELECT comp, count(*) AS n_members,
+      |  max(CASE WHEN rn = 1 THEN id END) AS rep_id,
+      |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
+      |FROM mm GROUP BY comp""".stripMargin)
+
   // ===== q63 deterministic hash split ====================================
   // Train/val/test assembly: content-stable md5 bucketing (Sampling.
   // hashSplit) — stable under repartitioning/reruns/engines, no global
@@ -1811,7 +1844,8 @@ object Pipeline {
     "q128_dup_profile" -> wrap(q128),
     "q129_kcore" -> wrap(q129),
     "q130_lm_quality_score" -> wrap(q130),
-    "q131_fuzzy_dedup_editdist" -> wrap(q131)
+    "q131_fuzzy_dedup_editdist" -> wrap(q131),
+    "q135_cluster_representatives" -> wrap(q135)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1869,6 +1903,7 @@ object Pipeline {
     "q128_dup_profile" -> q128Sql,
     "q129_kcore" -> q129Sql,
     "q130_lm_quality_score" -> q130Sql,
-    "q131_fuzzy_dedup_editdist" -> q131Sql
+    "q131_fuzzy_dedup_editdist" -> q131Sql,
+    "q135_cluster_representatives" -> q135Sql
   )
 }

@@ -1728,6 +1728,109 @@ object Relational {
       |FROM x GROUP BY user_id, hour""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q136 — MAD-based robust outlier screen: median and the median
+  // absolute deviation both from Profiling.exactQuantiles (distributed
+  // prefix-sum scan — no global sort, no value buffering), then one
+  // narrow count of values beyond 3·1.4826·MAD. Robust to the heavy
+  // tails that wreck z-score screens (q109's σ is itself inflated by
+  // the outliers it is supposed to find). Three scans total at any
+  // scale; the cutoff derivation is two 1-row broadcasts.
+  private def q136(t: Tables): DataFrame = {
+    val v = t.lineitem.select(col("l_extendedprice").as("v"))
+    val med1 = graft.operators.Profiling.exactQuantiles(v, col("v"), Seq(0.5))
+      .agg(min(col("value")).as("med"))
+    val dev = v.crossJoin(broadcast(med1))
+      .select(col("v"), col("med"), abs(col("v") - col("med")).as("ad"))
+    val mad1 = graft.operators.Profiling.exactQuantiles(dev, col("ad"), Seq(0.5))
+      .agg(min(col("value")).as("mad"))
+    dev.crossJoin(broadcast(mad1))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"))
+  }
+
+  private val q136Sql =
+    """WITH c AS (SELECT l_extendedprice AS v, count(*) AS c
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |cum AS (SELECT v, c,
+      |          CAST(coalesce(sum(c) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |        FROM c),
+      |med AS (SELECT v AS med FROM cum, n
+      |        WHERE cb < greatest(1, CAST(ceil(0.5 * n.n - 1e-6) AS BIGINT))
+      |          AND greatest(1, CAST(ceil(0.5 * n.n - 1e-6) AS BIGINT)) <= cb + c),
+      |dev AS (SELECT l_extendedprice AS v, med, abs(l_extendedprice - med) AS ad
+      |        FROM lineitem, med),
+      |dc AS (SELECT ad, count(*) AS c FROM dev GROUP BY 1),
+      |dn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dc),
+      |dcum AS (SELECT ad, c,
+      |           CAST(coalesce(sum(c) OVER (ORDER BY ad
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |         FROM dc),
+      |mad AS (SELECT ad AS mad FROM dcum, dn
+      |        WHERE cb < greatest(1, CAST(ceil(0.5 * dn.n - 1e-6) AS BIGINT))
+      |          AND greatest(1, CAST(ceil(0.5 * dn.n - 1e-6) AS BIGINT)) <= cb + c)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN ad > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  min(med) AS med, min(mad) AS mad
+      |FROM dev, mad""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q137 — per-group ordinary least squares (price on quantity by return
+  // flag): slope/intercept/r² from exact integer-cent moments in ONE
+  // partial+final aggregate — q124's regression sibling. The built-in
+  // regr_slope aggregates in doubles (partial-sum order → flaky hash
+  // gate); cent moments are exact, and slope is scale-invariant while
+  // the intercept rescales by a power of ten at the end.
+  private def q137(t: Tables): DataFrame = {
+    def cents(c: Column): Column = round(c * 100, 0).cast("long")
+    val m = t.lineitem
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("x"), cents(col("l_extendedprice")).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast("double").as("syy"))
+    val nn = col("n").cast("double")
+    val cov = nn * col("sxy") - col("sx") * col("sy")
+    val vx = nn * col("sxx") - col("sx") * col("sx")
+    val vy = nn * col("syy") - col("sy") * col("sy")
+    m.select(col("l_returnflag"), col("n"),
+      round(cov / vx, 6).as("slope"),
+      round((col("sy") - cov / vx * col("sx")) / nn / 100.0, 4).as("intercept"),
+      round(cov / sqrt(vx) / sqrt(vy) * (cov / sqrt(vx) / sqrt(vy)), 6).as("r2"))
+  }
+
+  private val q137Sql = {
+    def cc(c: String) = s"CAST(round($c * 100) AS BIGINT)"
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+       |    CAST(sum(${cc("l_quantity")}) AS DOUBLE) AS sx,
+       |    CAST(sum(${cc("l_extendedprice")}) AS DOUBLE) AS sy,
+       |    CAST(sum(${cc("l_quantity")} * ${cc("l_extendedprice")}) AS DOUBLE) AS sxy,
+       |    CAST(sum(${cc("l_quantity")} * ${cc("l_quantity")}) AS DOUBLE) AS sxx,
+       |    CAST(sum(${cc("l_extendedprice")} * ${cc("l_extendedprice")}) AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+       |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE) / 100.0, 4)
+       |    AS intercept,
+       |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+       |      / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+       |      / sqrt(CAST(n AS DOUBLE) * syy - sy * sy)
+       |    * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+       |      / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+       |      / sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1810,7 +1913,9 @@ object Relational {
     "q126_winsorized_stats" -> wrap(q126),
     "q132_bootstrap_ci" -> wrap(q132),
     "q133_join_ivm" -> wrap(q133),
-    "q134_ohlc_bars" -> wrap(q134)
+    "q134_ohlc_bars" -> wrap(q134),
+    "q136_mad_outliers" -> wrap(q136),
+    "q137_grouped_regression" -> wrap(q137)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1892,6 +1997,8 @@ object Relational {
     "q126_winsorized_stats" -> q126Sql,
     "q132_bootstrap_ci" -> q132Sql,
     "q133_join_ivm" -> q133Sql,
-    "q134_ohlc_bars" -> q134Sql
+    "q134_ohlc_bars" -> q134Sql,
+    "q136_mad_outliers" -> q136Sql,
+    "q137_grouped_regression" -> q137Sql
   )
 }

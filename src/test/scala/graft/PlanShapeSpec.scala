@@ -326,6 +326,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q132 bootstrap is ONE aggregate over ONE scan — no explode of data") {
+    // the whole point of the one-pass bootstrap: R resamples must NOT
+    // multiply the scan (no Generate/Expand over the fact table); the
+    // only explode runs on the single-row aggregate result
+    val df = graft.queries.Relational.defs("q132_bootstrap_ci")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert("""\(\d+\) HashAggregate""".r.findAllIn(p).size == 2, p) // partial+final
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    // Generate (explode) must sit ABOVE the aggregate, not below it.
+    // Formatted plans number nodes leaves-first, so the Generate's node
+    // id must exceed both aggregates' ids
+    val genId = """Generate \((\d+)\)""".r.findFirstMatchIn(p).get.group(1).toInt
+    val aggIds = """HashAggregate \((\d+)\)""".r.findAllMatchIn(p)
+      .map(_.group(1).toInt).toSeq
+    assert(aggIds.nonEmpty && genId > aggIds.max, p)
+  }
+
+  test("q134 OHLC selection is window-free partial+final aggregation") {
+    val df = graft.queries.Relational.defs("q134_ohlc_bars")(
+      spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q135 representative selection adds no window to the cluster pipeline") {
+    val df = graft.queries.Pipeline.defs("q135_cluster_representatives")(
+      spark, "/root/testdata/sf0.001")
+    try assert(!plan(df).contains("Window"), plan(df))
+    finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
