@@ -90,6 +90,27 @@ object EventStreams {
       }
   }
 
+  /** Native session_window streaming aggregation — the DECLARATIVE twin
+    * of [[sessionize]] (same dual-pin philosophy as the q68/q82 as-of
+    * pair: both forms stay tested so a regression in either is caught).
+    * Catalyst merges per-key session windows under the gap with state in
+    * the state store; append mode emits each session once its window
+    * falls behind the watermark. Prefer THIS form whenever the
+    * per-session result is expressible as an aggregate (count/sum/min/
+    * max/collect) — no user state code, codegen'd aggregation, RocksDB-
+    * backed state; drop to flatMapGroupsWithState only for session logic
+    * SQL can't express (mid-session emission, cross-session carryover).
+    * Output schema matches the batch q38 exactly.
+    */
+  def sessionizeNative(events: DataFrame, gap: String,
+      delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Running per-type counters in update mode (no watermark needed) — the
     * smallest useful always-on monitor over the stream.
     */

@@ -60,6 +60,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeNative (session_window agg) matches the batch q38 form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(60), 7L), (2L, ts(65), 7L), (3L, ts(90), 7L), // 7: two sessions
+      (4L, ts(62), 8L), (5L, ts(63), 8L)) // 8: one session
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val out = EventStreams.sessionizeNative(
+      input.toDF().toDF("event_id", "ts", "user_id"),
+      gap = "10 minutes", delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessnat")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((9L, ts(200), 9L)) // watermark past every session end
+      q.processAllAvailable()
+      val got = spark.table("sessnat")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      // batch reference: the exact q38 shape over the same rows
+      val batch = rows.toDF("event_id", "ts", "user_id")
+        .groupBy(org.apache.spark.sql.functions.session_window($"ts", "10 minutes")
+          .as("sw"), $"user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+        .select($"user_id", $"sw.start", $"sw.end", $"n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got.exists(_._1 == 7L) && got.exists(_._1 == 8L))
+      assert(got.count(_._1 == 7L) == 2) // the 25-min gap split user 7
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store (large-state scale path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
