@@ -850,6 +850,17 @@ object Dedup {
     * equi-join on (ℓ, j, substring) is the only wide operation; exact
     * levenshtein (codegen'd) verifies collisions.
     *
+    * SHORT-STRING COMPLETION (the edge the seeded-random spec caught in
+    * development): a string of length n ≤ k has an EMPTY even-split
+    * segment, so only k nonempty segments remain and k edits can touch
+    * them all — the pigeonhole gives nothing. The lemma therefore covers
+    * a pair whenever AT LEAST ONE side has n ≥ k+1 (that side indexes;
+    * the survivor segment's length is ≤ the probe's length by virtue of
+    * being its substring, so the probe windows always cover it). Pairs
+    * with BOTH sides ≤ k chars route through a direct pair join over the
+    * length-≤-k key set — bounded by |alphabet|^k DISTINCT strings, a
+    * broadcast-sized set at any corpus scale.
+    *
     * KEYS MUST BE DISTINCT per id (collapse identical strings first —
     * e.g. group by the key with min(id) as representative, the same
     * exact-before-fuzzy order as [[dedupCorpus]]): identical-string
@@ -888,11 +899,17 @@ object Dedup {
       col("s"))
       .select(col("id_a"), col("p.l").as("l"), col("p.j").as("j"),
         expr("substring(s, CAST(p.st AS INT), CAST(p.sl AS INT))").as("seg"))
-    val cand = probes.join(segs, Seq("l", "j", "seg"))
+    val segCand = probes.join(segs, Seq("l", "j", "seg"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
+    // both-short pairs: bounded |alphabet|^k distinct keys → the
+    // inequality-only join is a tiny broadcast nested loop by design
+    val shorts = sized.filter(col("n") <= k).select(col("id"))
+    val shortCand = shorts.as("x")
+      .join(shorts.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cand = segCand.unionByName(shortCand).distinct()
     cand
       .join(sized.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
       .join(sized.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))

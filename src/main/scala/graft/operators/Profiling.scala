@@ -186,45 +186,8 @@ object Profiling {
     * Verify drain after every query).
     */
   private def cumCounts(df: DataFrame, value: Column,
-      scanParts: Int): DataFrame = {
-    require(scanParts > 0)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = df.select(value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val local = counts
-      .repartitionByRange(scanParts, col("__v"))
-      .sortWithinPartitions(col("__v"))
-      .as[(Double, Long)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var run = 0L
-        it.map { case (v, c) => val excl = run; run += c; (v, c, pid, excl) }
-      }
-      .toDF("__v", "__c", "__pid", "__local")
-      // persist is CORRECTNESS here, not just cost: three consumers read
-      // this frame (rows, per-partition subtotals, grand total), and an
-      // unpersisted plan evaluates the repartitionByRange three times —
-      // RangePartitioner samples boundaries with an RDD-id-dependent seed,
-      // so independent evaluations can place a value in DIFFERENT
-      // partitions, misaligning __local against the offsets computed by
-      // the other branch (reproduced at sf0.01: per-partition-local cums)
-      .persistScoped()
-    // per-partition subtotals: scanParts rows — the only single-task
-    // window in the plan runs here
-    val w = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val subtotals = local.groupBy(col("__pid")).agg(sum(col("__c")).as("__ptot"))
-    val n = subtotals.agg(sum(col("__ptot")).as("__n"))
-    val offsets = subtotals
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(w), lit(0L)))
-      .crossJoin(broadcast(n)) // 1 row onto scanParts rows
-      .select(col("__pid"), col("__off"), col("__n"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__cum", col("__local") + col("__off"))
-      .select(col("__v"), col("__c"), col("__cum"), col("__n"))
-  }
+      scanParts: Int): DataFrame =
+    cumWeights(df, value, lit(1L), scanParts)
 
   /** Per-column data-quality profile — the schema-drift / null-rate scan
     * every ingestion pipeline runs before trusting a new drop: one row
@@ -319,6 +282,86 @@ object Profiling {
         round(cov / sqrt(va) / sqrt(vb), 4).as("corr"))
     }
     wide.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Exact WEIGHTED quantiles: the value at the smallest rank whose
+    * cumulative WEIGHT reaches p·W (type-1 semantics over the weight
+    * measure). The classic use is token-weighted document-length
+    * percentiles — "the p50 document BY TOKEN MASS", which differs from
+    * the row-count p50 whenever length and weight correlate (always, for
+    * corpora). Same distributed prefix-sum scan as [[exactQuantiles]]
+    * with `sum(weight)` in place of `count(*)`; weights must be
+    * non-negative integers (exact cumulative sums — fractional weights
+    * should be pre-scaled to a fixed grid).
+    */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      probs: Seq[Double], scanParts: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = cumWeights(df, value, weight, scanParts)
+    cum.join(broadcast(probs.toDF("prob")),
+        col("__cum") < rankOf(col("prob"), col("__n")) &&
+          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
+      .select(col("prob"), col("__v").as("value"))
+  }
+
+  /** Percentile-rank transform: every distinct value mapped to its
+    * mid-rank percentile (cum_before + multiplicity/2) / n — the
+    * quantile-normalization / rank-feature step of tabular ML
+    * preprocessing. One pass over the distinct-value scan; joining the
+    * result back to the raw rows is a broadcast or shuffle join on the
+    * value, so the raw table is never globally sorted.
+    */
+  def percentileRank(df: DataFrame, value: Column,
+      scanParts: Int = 32): DataFrame =
+    cumCounts(df, value, scanParts)
+      .select(col("__v").as("value"),
+        ((col("__cum").cast("double") + col("__c").cast("double") / 2)
+          / col("__n")).as("pct_rank"))
+
+  /** [[cumCounts]] over an integer weight measure instead of row counts:
+    * distinct-value WEIGHT sums with the exclusive prefix sum and grand
+    * total. Shares the persist-for-correctness contract.
+    */
+  private def cumWeights(df: DataFrame, value: Column, weight: Column,
+      scanParts: Int): DataFrame = {
+    require(scanParts > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(value.cast("double").as("__v"), weight.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") >= 0)
+      .groupBy(col("__v")).agg(sum(col("__w")).as("__c"))
+    val local = counts
+      .repartitionByRange(scanParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .as[(Double, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (v, c) => val excl = run; run += c; (v, c, pid, excl) }
+      }
+      .toDF("__v", "__c", "__pid", "__local")
+      // persist is CORRECTNESS here, not just cost: three consumers read
+      // this frame (rows, per-partition subtotals, grand total), and an
+      // unpersisted plan evaluates the repartitionByRange three times —
+      // RangePartitioner samples boundaries with an RDD-id-dependent seed,
+      // so independent evaluations can place a value in DIFFERENT
+      // partitions, misaligning __local against the offsets computed by
+      // the other branch (reproduced at sf0.01: per-partition-local cums)
+      .persistScoped()
+    val w = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subtotals = local.groupBy(col("__pid")).agg(sum(col("__c")).as("__ptot"))
+    val n = subtotals.agg(sum(col("__ptot")).as("__n"))
+    val offsets = subtotals
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(w), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("__pid"), col("__off"), col("__n"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum", col("__local") + col("__off"))
+      .select(col("__v"), col("__c"), col("__cum"), col("__n"))
   }
 
   /** `value` winsorized (clamped) to its own exact [pLo, pHi] quantiles —

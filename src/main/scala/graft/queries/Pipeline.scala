@@ -290,6 +290,36 @@ object Pipeline {
       |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
       |FROM mm GROUP BY comp""".stripMargin)
 
+  // ===== q138 token-weighted length quantiles ============================
+  // "The p50 document BY TOKEN MASS": length percentiles weighted by each
+  // doc's token count — the number that matters for packing/batching
+  // decisions (token budgets are spent per token, not per document; the
+  // row-count p50 understates long docs exactly when it matters). Same
+  // distributed prefix-sum scan as q115 with sum(weight) in place of
+  // count(*) — no global sort, no value buffering, at any corpus size.
+  private val WqPs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  private def q138(t: Tables): DataFrame =
+    graft.operators.Profiling.weightedQuantiles(
+      t.documents.select(col("n_chars"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tok")),
+      col("n_chars"), col("n_tok"), WqPs)
+
+  private val q138Sql =
+    s"""WITH c AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+       |    CAST(sum(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |cum AS (SELECT v, c,
+       |          CAST(coalesce(sum(c) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |        FROM c),
+       |p AS (SELECT CAST(unnest([${WqPs.mkString(", ")}]) AS DOUBLE) AS prob)
+       |SELECT p.prob, v AS value
+       |FROM cum, n, p
+       |WHERE cb < greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT))
+       |  AND greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
+
   // ===== q63 deterministic hash split ====================================
   // Train/val/test assembly: content-stable md5 bucketing (Sampling.
   // hashSplit) — stable under repartitioning/reruns/engines, no global
@@ -812,10 +842,14 @@ object Pipeline {
        |probes AS (SELECT id AS id_a, l, j,
        |    substr(s, CAST(st AS INT), CAST(sl AS INT)) AS seg
        |  FROM probes0 WHERE st >= 1 AND sl > 0 AND st + sl - 1 <= n),
-       |cand AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
-       |                         greatest(id_a, id_b) AS id_b
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
        |  FROM probes JOIN segs USING (l, j, seg)
-       |  WHERE id_a <> id_b)
+       |  WHERE id_a <> id_b
+       |  UNION ALL
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM (SELECT id FROM sized WHERE n <= $EdK) x
+       |       JOIN (SELECT id FROM sized WHERE n <= $EdK) y ON x.id < y.id))
        |SELECT c.id_a, c.id_b,
        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
        |FROM cand c JOIN sized a ON c.id_a = a.id
@@ -1845,7 +1879,8 @@ object Pipeline {
     "q129_kcore" -> wrap(q129),
     "q130_lm_quality_score" -> wrap(q130),
     "q131_fuzzy_dedup_editdist" -> wrap(q131),
-    "q135_cluster_representatives" -> wrap(q135)
+    "q135_cluster_representatives" -> wrap(q135),
+    "q138_weighted_quantiles" -> wrap(q138)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1904,6 +1939,7 @@ object Pipeline {
     "q129_kcore" -> q129Sql,
     "q130_lm_quality_score" -> q130Sql,
     "q131_fuzzy_dedup_editdist" -> q131Sql,
-    "q135_cluster_representatives" -> q135Sql
+    "q135_cluster_representatives" -> q135Sql,
+    "q138_weighted_quantiles" -> q138Sql
   )
 }

@@ -1831,6 +1831,29 @@ object Relational {
   }
 
   // ---------------------------------------------------------------------
+  // q139 — percentile-rank (quantile-normalization) transform: every
+  // distinct o_totalprice mapped to its mid-rank percentile — the rank
+  // feature of tabular ML preprocessing. One prefix-sum scan over the
+  // distinct values; the raw table is never globally sorted, and joining
+  // the tiny (value, pct_rank) map back onto raw rows is a plain hash
+  // join. All arithmetic derives from exact integer cumulative counts,
+  // so the doubles are identical in every engine — no rounding needed.
+  private def q139(t: Tables): DataFrame =
+    graft.operators.Profiling.percentileRank(t.orders, col("o_totalprice"))
+
+  private val q139Sql =
+    """WITH c AS (SELECT o_totalprice AS v, count(*) AS c
+      |           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |cum AS (SELECT v, c,
+      |          CAST(coalesce(sum(c) OVER (ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |        FROM c)
+      |SELECT v AS value,
+      |  (CAST(cb AS DOUBLE) + CAST(c AS DOUBLE) / 2) / n AS pct_rank
+      |FROM cum, n""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1915,7 +1938,8 @@ object Relational {
     "q133_join_ivm" -> wrap(q133),
     "q134_ohlc_bars" -> wrap(q134),
     "q136_mad_outliers" -> wrap(q136),
-    "q137_grouped_regression" -> wrap(q137)
+    "q137_grouped_regression" -> wrap(q137),
+    "q139_percentile_rank" -> wrap(q139)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1999,6 +2023,7 @@ object Relational {
     "q133_join_ivm" -> q133Sql,
     "q134_ohlc_bars" -> q134Sql,
     "q136_mad_outliers" -> q136Sql,
-    "q137_grouped_regression" -> q137Sql
+    "q137_grouped_regression" -> q137Sql,
+    "q139_percentile_rank" -> q139Sql
   )
 }

@@ -282,6 +282,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((3L, 3L, 1L)))
   }
 
+  test("editDistancePairs matches brute force on 60 seeded-random strings") {
+    // randomized-but-deterministic sweep over a 3-letter alphabet (high
+    // collision density — far more ed<=2 pairs than natural text) to
+    // exercise every segment-boundary case the hand-picked set can miss
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 60).map { i =>
+      val len = 1 + rnd.nextInt(10)
+      (i.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }.distinct.groupBy(_._2).map(_._2.head).toSeq // distinct strings (op contract)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    try {
+      val got = Dedup.editDistancePairs(strs.toDF("id", "s"), maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.size > 20, s"weak fixture: only ${expected.size} pairs")
+    } finally graft.CacheScope.drain()
+  }
+
   test("editDistancePairs is lossless against brute force (PassJoin pigeonhole)") {
     // adversarial shapes: substitution / insertion / deletion at segment
     // boundaries, length-mismatched pairs, a k+1-edit pair that must NOT
