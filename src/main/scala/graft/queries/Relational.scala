@@ -1736,13 +1736,17 @@ object Relational {
   // the outliers it is supposed to find). Three scans total at any
   // scale; the cutoff derivation is two 1-row broadcasts.
   private def q136(t: Tables): DataFrame = {
+    import graft.CacheScope.ScopedPersist
     val v = t.lineitem.select(col("l_extendedprice").as("v"))
+    // the 1-row cut frames persist (scoped): every downstream consumer
+    // would otherwise re-derive the whole quantile scan pipeline — the
+    // deviation pass and the final count each re-running the median scan
     val med1 = graft.operators.Profiling.exactQuantiles(v, col("v"), Seq(0.5))
-      .agg(min(col("value")).as("med"))
+      .agg(min(col("value")).as("med")).persistScoped()
     val dev = v.crossJoin(broadcast(med1))
       .select(col("v"), col("med"), abs(col("v") - col("med")).as("ad"))
     val mad1 = graft.operators.Profiling.exactQuantiles(dev, col("ad"), Seq(0.5))
-      .agg(min(col("value")).as("mad"))
+      .agg(min(col("value")).as("mad")).persistScoped()
     dev.crossJoin(broadcast(mad1))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))

@@ -68,7 +68,11 @@ object PlanDump {
     "q126_winsorized_stats" -> "Exact [p01,p99] cutoffs from the persisted prefix-sum scan pivot to ONE broadcast row; the clamp is a pure narrow projection feeding per-flag DECIMAL moment aggregates — two scans total, no global sort.",
     "q127_bigram_pmi" -> "Bigrams via a narrow transform over the word array (no self-join), vocab-sized count aggregates, two hash joins to attach unigram counts, 1-row broadcasts for the normalizers, TakeOrderedAndProject top-k.",
     "q130_lm_quality_score" -> "Corpus-fit char-bigram LM: model = two vocab-sized aggregates; per-doc cross-entropy joins doc-distinct bigram counts against the model, then folds each doc's terms in sorted order (deterministic double sum, array bounded by the doc's <=500 distinct bigrams).",
-    "q131_fuzzy_dedup_editdist" -> "PassJoin edit-distance self-join: identical keys collapse first (exact-before-fuzzy), every string emits its k+1 segments (index) and O(k^2) geometry-matched substrings (probe); ONE equi-join on (len, segment-index, segment), codegen'd levenshtein only on collisions. Lossless by the PassJoin pigeonhole, spec-pinned against brute force.")
+    "q131_fuzzy_dedup_editdist" -> "PassJoin edit-distance self-join: identical keys collapse first (exact-before-fuzzy), every string emits its k+1 segments (index) and O(k^2) geometry-matched substrings (probe); ONE equi-join on (len, segment-index, segment), codegen'd levenshtein only on collisions; both-sides-short pairs (bounded |alphabet|^k set) go through a direct broadcast path. Lossless by the PassJoin pigeonhole, spec-pinned against brute force on curated AND seeded-random fixtures.",
+    "q132_bootstrap_ci" -> "One-pass Poisson bootstrap: R resamples as 2R O(1)-state agg expressions in ONE partial+final aggregate over ONE scan (pinned: the only Generate sits ABOVE the aggregate); hash-drawn integer weights + exact cent sums make every mean bit-reproducible.",
+    "q135_cluster_representatives" -> "Representative per near-dup cluster: the CC label pipeline (LSH pairs -> hybrid min-label/alt-star) feeds ONE struct-max aggregate keyed by component — no window, no extra wide join (pinned); a 10^9-member boilerplate cluster costs its combiner one struct.",
+    "q137_grouped_regression" -> "Per-group OLS: five cent-scaled integer moments in one partial+final aggregate; slope/intercept/r2 derive on the aggregated rows from exact numbers — bit-reproducible where built-in regr_slope's double partial-sum order is not.",
+    "q139_percentile_rank" -> "Quantile-normalization map: distinct-value counts -> range-partitioned local prefix scans -> subtotal cumulation over scanParts rows (the lone single-task window) -> mid-rank percentile per distinct value. The raw table is never globally sorted; rejoining the map is a plain hash join.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
