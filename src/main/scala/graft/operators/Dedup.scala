@@ -913,8 +913,11 @@ object Dedup {
     cand
       .join(sized.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
       .join(sized.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= k)
+      // thresholded levenshtein = banded O(k·n) DP with early exit (-1
+      // past the threshold) instead of the full O(n²) table — the verify
+      // cost per candidate stays linear in string length at fixed k
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), k))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 }

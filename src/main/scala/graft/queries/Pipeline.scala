@@ -546,6 +546,65 @@ object Pipeline {
       |    (a, b) -> a + b), 4) AS kl
       |FROM terms GROUP BY source""".stripMargin
 
+  // ===== q141 per-source language information gain =======================
+  // The entropy companion to q119's KL drift: each source's language-
+  // distribution entropy H(lang | source=s) against the corpus-wide
+  // H(lang); ig = H_global − H_source > 0 marks sources more
+  // language-concentrated than the corpus (single-language silos worth
+  // separate mixture treatment). Same bounded-key aggregates as q119;
+  // both entropies fold lang-sorted (the q119 deterministic-sum
+  // pattern), ≤ |langs| terms per fold.
+  private def q141(t: Tables): DataFrame = {
+    val c = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped() // feeds the per-source AND the global entropy
+    // even the ≤|langs|-term global entropy keeps the sorted-fold
+    // discipline — a plain SUM over doubles is partial-sum-order
+    // nondeterministic regardless of how few terms it has
+    val globSorted = c.groupBy(col("lang")).agg(sum(col("c")).as("g"))
+      .crossJoin(broadcast(c.agg(sum(col("c")).as("n"))))
+      .agg(sort_array(collect_list(struct(col("lang"),
+        (-(col("g").cast("double") / col("n"))
+          * log(col("g").cast("double") / col("n"))).as("term")))).as("ts"))
+      .select(round(expr("aggregate(ts, 0D, (a, x) -> a + x.term)"), 4)
+        .as("h_global"))
+    val perSource = c
+      .join(c.groupBy(col("source")).agg(sum(col("c")).as("ns")), "source")
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        sort_array(collect_list(struct(col("lang"),
+          (-(col("c").cast("double") / col("ns"))
+            * log(col("c").cast("double") / col("ns"))).as("term")))).as("ts"))
+      .select(col("source"), col("n_docs"),
+        round(expr("aggregate(ts, 0D, (a, x) -> a + x.term)"), 4).as("h_lang"))
+    perSource.crossJoin(broadcast(globSorted))
+      .select(col("source"), col("n_docs"), col("h_lang"),
+        round(col("h_global") - col("h_lang"), 4).as("info_gain"))
+  }
+
+  private val q141Sql =
+    """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      |gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY lang),
+      |hg AS (SELECT round(list_reduce(
+      |    list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_sort(list({'lang': lang,
+      |        'term': -(CAST(g AS DOUBLE) / n) * ln(CAST(g AS DOUBLE) / n)})),
+      |        x -> x.term)),
+      |    (a, b) -> a + b), 4) AS h_global
+      |  FROM gl, n),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY source),
+      |ps AS (SELECT c.source, max(ns) AS n_docs,
+      |    round(list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(list_sort(list({'lang': lang,
+      |          'term': -(CAST(c AS DOUBLE) / ns) * ln(CAST(c AS DOUBLE) / ns)})),
+      |          x -> x.term)),
+      |      (a, b) -> a + b), 4) AS h_lang
+      |  FROM c JOIN st ON c.source = st.source GROUP BY c.source)
+      |SELECT source, n_docs, h_lang, round(h_global - h_lang, 4) AS info_gain
+      |FROM ps, hg""".stripMargin
+
   // ===== q120 source overlap matrix ======================================
   // Corpus provenance QA: for every source pair, how many distinct
   // opening fingerprints (md5 of the first 10 words) they share — the
@@ -1880,7 +1939,8 @@ object Pipeline {
     "q130_lm_quality_score" -> wrap(q130),
     "q131_fuzzy_dedup_editdist" -> wrap(q131),
     "q135_cluster_representatives" -> wrap(q135),
-    "q138_weighted_quantiles" -> wrap(q138)
+    "q138_weighted_quantiles" -> wrap(q138),
+    "q141_lang_info_gain" -> wrap(q141)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1940,6 +2000,7 @@ object Pipeline {
     "q130_lm_quality_score" -> q130Sql,
     "q131_fuzzy_dedup_editdist" -> q131Sql,
     "q135_cluster_representatives" -> q135Sql,
-    "q138_weighted_quantiles" -> q138Sql
+    "q138_weighted_quantiles" -> q138Sql,
+    "q141_lang_info_gain" -> q141Sql
   )
 }

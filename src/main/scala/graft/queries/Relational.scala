@@ -1858,6 +1858,37 @@ object Relational {
       |FROM cum, n""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q140 — join-key skew report: for each candidate join column, row
+  // count, distinct keys, the hottest key's frequency and the skew
+  // factor (max_freq · n_distinct / n_rows ≈ hottest key vs the average
+  // key). This is the advisor every large join consults first: skew > a
+  // few means AQE skew-split or a salted join (q89), broadcast thresholds
+  // need the distinct count, and a hot NULL/default key shows up as
+  // max_freq. One counts-aggregate + one 4-way summary per column; the
+  // per-column pipelines union (three scans — column-independent
+  // aggregates over different grouping keys can't share one).
+  private val SkewCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+
+  private def q140(t: Tables): DataFrame =
+    SkewCols.map { c =>
+      t.lineitem.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          max(col("f")).as("max_freq"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("max_freq"),
+          round(col("max_freq").cast("double") * col("n_distinct")
+            / col("n_rows"), 4).as("skew_factor"))
+    }.reduce(_.unionByName(_))
+
+  private val q140Sql = SkewCols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(sum(f) AS BIGINT) AS n_rows,
+       |  count(*) AS n_distinct, CAST(max(f) AS BIGINT) AS max_freq,
+       |  round(CAST(max(f) AS DOUBLE) * count(*) / CAST(sum(f) AS BIGINT), 4)
+       |    AS skew_factor
+       |FROM (SELECT $c, count(*) AS f FROM lineitem GROUP BY $c)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---------------------------------------------------------------------
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
@@ -1943,7 +1974,8 @@ object Relational {
     "q134_ohlc_bars" -> wrap(q134),
     "q136_mad_outliers" -> wrap(q136),
     "q137_grouped_regression" -> wrap(q137),
-    "q139_percentile_rank" -> wrap(q139)
+    "q139_percentile_rank" -> wrap(q139),
+    "q140_skew_report" -> wrap(q140)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2028,6 +2060,7 @@ object Relational {
     "q134_ohlc_bars" -> q134Sql,
     "q136_mad_outliers" -> q136Sql,
     "q137_grouped_regression" -> q137Sql,
-    "q139_percentile_rank" -> q139Sql
+    "q139_percentile_rank" -> q139Sql,
+    "q140_skew_report" -> q140Sql
   )
 }
