@@ -360,6 +360,26 @@ class PlanShapeSpec extends AnyFunSuite {
     finally CacheScope.drain()
   }
 
+  test("q131 PassJoin: segment candidates equi-join; the only nested loop is the bounded short path") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    val df = graft.queries.Pipeline.defs("q131_fuzzy_dedup_editdist")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      // exactly one non-equi join: the both-sides-short pair join over the
+      // bounded length<=k key set (everything else — segment candidates and
+      // the two verify joins — must carry equi-conditions)
+      def isEqui(j: Join): Boolean = j.condition.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
+        case _ => false
+      })
+      val nonEqui = joins.filterNot(isEqui).filterNot(_.joinType == Cross)
+      assert(nonEqui.size <= 1, joins.map(_.condition).toString)
+      assert(!plan(df).contains("CartesianProduct"), plan(df))
+    } finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
