@@ -605,6 +605,96 @@ object Pipeline {
       |SELECT source, n_docs, h_lang, round(h_global - h_lang, 4) AS info_gain
       |FROM ps, hg""".stripMargin
 
+  // ===== q142 TF-IDF top-term cosine pairs ===============================
+  // Term-level document similarity beside the embedding cosine (q34):
+  // docs sharing WORDING, not just meaning — the lexical near-dup signal
+  // that survives paraphrase-free plagiarism and template reuse. Terms
+  // are word BIGRAMS (unigram tf-idf degenerates on low-entropy vocab:
+  // this corpus has ~31 words, so every doc's top unigrams overlap and
+  // the pair set goes quadratic — measured 109k pairs; bigrams restore
+  // the Zipfian rarity structure the algorithm assumes). Each doc keeps
+  // its top-K terms by (tf·idf desc, term) — a deterministic total order
+  // both engines replay — which is ALSO the scale guard: common terms
+  // carry low idf and never make the top-K, so the Σdf² inverted-index
+  // blow-up never materializes. Every float sum (norms, pair dots) folds
+  // in sorted order (the q119 discipline); the per-doc collect is
+  // bounded by the doc's vocabulary, never the corpus.
+  private val TfK = 16
+  private val TfCosT = 0.5
+
+  private def q142(t: Tables): DataFrame = {
+    val tf = graft.Fanout(t.documents)
+      .select(col("doc_id").as("id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1, 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persistScoped() // feeds df counts, doc count and the weights
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct(col("id")).as("n_docs")) // 1 row
+    val w = tf.join(dfs, "term").crossJoin(broadcast(nd))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .filter(col("w") > 0) // idf of a term in EVERY doc is ln(1) = 0
+    val top = w.groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("w")).as("nw"), col("term").as("t"), col("w").as("ww")))),
+        1, TfK).as("v"))
+      .select(col("id"), col("v"),
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x.ww * x.ww)")).as("nrm"))
+    val inv = top.select(col("id"), col("nrm"), explode(col("v")).as("e"))
+      .select(col("id"), col("nrm"), col("e.t").as("t"), col("e.ww").as("ww"))
+      .persistScoped() // both sides of the term self-join
+    inv.as("x").join(inv.as("y"),
+        col("x.t") === col("y.t") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.nrm").as("na"), col("y.nrm").as("nb"))
+      .agg(sort_array(collect_list(struct(col("x.t").as("t"),
+        (col("x.ww") * col("y.ww")).as("p")))).as("ts"))
+      .select(col("id_a"), col("id_b"),
+        round(expr("aggregate(ts, 0D, (a, x) -> a + x.p)")
+          / (col("na") * col("nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= TfCosT)
+  }
+
+  private val q142Sql =
+    s"""WITH tf AS (SELECT id, term, count(*) AS tf FROM (
+       |    SELECT id, unnest(list_transform(range(2, len(ws) + 1),
+       |        i -> ws[i - 1] || ' ' || ws[i])) AS term
+       |    FROM (SELECT doc_id AS id, list_filter(
+       |            regexp_split_to_array(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws
+       |          FROM documents)
+       |    WHERE len(ws) >= 2)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
+       |w AS (SELECT id, term,
+       |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+       |  WHERE CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) > 0),
+       |top AS (SELECT id,
+       |    list_sort(list({'nw': -w, 't': term, 'ww': w}))[1:$TfK] AS v
+       |  FROM w GROUP BY id),
+       |tn AS (SELECT id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v, x -> x.ww * x.ww)), (a, b) -> a + b)) AS nrm
+       |  FROM top),
+       |inv AS (SELECT id, nrm, e.t AS t, e.ww AS ww
+       |        FROM tn, unnest(v) AS u(e))
+       |SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT x.id AS id_a, y.id AS id_b,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(list_sort(list({'t': x.t, 'p': x.ww * y.ww})),
+       |          e -> e.p)), (a, b) -> a + b)
+       |      / (x.nrm * y.nrm), 4) AS cos_sim
+       |  FROM inv x JOIN inv y ON x.t = y.t AND x.id < y.id
+       |  GROUP BY x.id, y.id, x.nrm, y.nrm)
+       |WHERE cos_sim >= $TfCosT""".stripMargin
+
   // ===== q120 source overlap matrix ======================================
   // Corpus provenance QA: for every source pair, how many distinct
   // opening fingerprints (md5 of the first 10 words) they share — the
@@ -1940,7 +2030,8 @@ object Pipeline {
     "q131_fuzzy_dedup_editdist" -> wrap(q131),
     "q135_cluster_representatives" -> wrap(q135),
     "q138_weighted_quantiles" -> wrap(q138),
-    "q141_lang_info_gain" -> wrap(q141)
+    "q141_lang_info_gain" -> wrap(q141),
+    "q142_tfidf_cosine_pairs" -> wrap(q142)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2001,6 +2092,7 @@ object Pipeline {
     "q131_fuzzy_dedup_editdist" -> q131Sql,
     "q135_cluster_representatives" -> q135Sql,
     "q138_weighted_quantiles" -> q138Sql,
-    "q141_lang_info_gain" -> q141Sql
+    "q141_lang_info_gain" -> q141Sql,
+    "q142_tfidf_cosine_pairs" -> q142Sql
   )
 }
