@@ -647,6 +647,11 @@ object Pipeline {
         sqrt(expr("aggregate(v, 0D, (a, x) -> a + x.ww * x.ww)")).as("nrm"))
     val inv = top.select(col("id"), col("nrm"), explode(col("v")).as("e"))
       .select(col("id"), col("nrm"), col("e.t").as("t"), col("e.ww").as("ww"))
+      // a term whose CORPUS df is 1 cannot collide in the self-join —
+      // lossless pre-filter that drops the hapax tail (most of a bigram
+      // vocabulary) before the shuffle
+      .join(dfs.filter(col("df") >= 2).select(col("term").as("t")), Seq("t"),
+        "left_semi")
       .persistScoped() // both sides of the term self-join
     inv.as("x").join(inv.as("y"),
         col("x.t") === col("y.t") && col("x.id") < col("y.id"))

@@ -111,6 +111,30 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming OHLC bars — q134's streaming twin: per (user, tumbling
+    * window) open/high/low/close where open/close come from the same
+    * single-pass struct-min/max the batch form uses (ties broken by
+    * event_id — deterministic), running as a watermarked windowed
+    * aggregate in append mode. State per open bar is two structs and
+    * three scalars; the watermark closes and evicts bars `delay` behind
+    * the stream. The time-series reduction every metrics pipeline keeps
+    * always-on.
+    */
+  def ohlcBars(events: DataFrame, window_ : String,
+      delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), window_).as("w"), col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("bar_start"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+
   /** Running per-type counters in update mode (no watermark needed) — the
     * smallest useful always-on monitor over the stream.
     */

@@ -72,7 +72,8 @@ object PlanDump {
     "q132_bootstrap_ci" -> "One-pass Poisson bootstrap: R resamples as 2R O(1)-state agg expressions in ONE partial+final aggregate over ONE scan (pinned: the only Generate sits ABOVE the aggregate); hash-drawn integer weights + exact cent sums make every mean bit-reproducible.",
     "q135_cluster_representatives" -> "Representative per near-dup cluster: the CC label pipeline (LSH pairs -> hybrid min-label/alt-star) feeds ONE struct-max aggregate keyed by component — no window, no extra wide join (pinned); a 10^9-member boilerplate cluster costs its combiner one struct.",
     "q137_grouped_regression" -> "Per-group OLS: five cent-scaled integer moments in one partial+final aggregate; slope/intercept/r2 derive on the aggregated rows from exact numbers — bit-reproducible where built-in regr_slope's double partial-sum order is not.",
-    "q139_percentile_rank" -> "Quantile-normalization map: distinct-value counts -> range-partitioned local prefix scans -> subtotal cumulation over scanParts rows (the lone single-task window) -> mid-rank percentile per distinct value. The raw table is never globally sorted; rejoining the map is a plain hash join.")
+    "q139_percentile_rank" -> "Quantile-normalization map: distinct-value counts -> range-partitioned local prefix scans -> subtotal cumulation over scanParts rows (the lone single-task window) -> mid-rank percentile per distinct value. The raw table is never globally sorted; rejoining the map is a plain hash join.",
+    "q142_tfidf_cosine_pairs" -> "Lexical similarity: bigram tf-idf weights, per-doc top-K truncation by (weight, term) total order (the stop-term guard — common terms never enter the inverted index), term equi-join, per-pair sorted-fold dot products. No cross product; candidates bounded by K * df over rare terms only.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

@@ -93,6 +93,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ohlcBars: struct-min/max open/close match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(61), 7L, 10.0), (2L, ts(62), 7L, 30.0), (3L, ts(63), 7L, 5.0),
+      (4L, ts(64), 7L, 20.0), // bar [60,70): open 10, high 30, low 5, close 20
+      (5L, ts(62), 8L, 1.0)) // second user, same bar
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val out = EventStreams.ohlcBars(
+      input.toDF().toDF("event_id", "ts", "user_id", "value"),
+      window_ = "10 minutes", delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ohlc")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((9L, ts(200), 9L, 1.0)) // watermark closes the bars
+      q.processAllAvailable()
+      val got = spark.table("ohlc")
+        .as[(Long, Timestamp, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(got.contains((7L, ts(60), 10.0, 30.0, 5.0, 20.0, 4L)), got)
+      assert(got.contains((8L, ts(60), 1.0, 1.0, 1.0, 1.0, 1L)), got)
+    } finally q.stop()
+  }
+
   test("stateful queries run on the RocksDB state store (large-state scale path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
