@@ -700,6 +700,40 @@ object Pipeline {
        |  GROUP BY x.id, y.id, x.nrm, y.nrm)
        |WHERE cos_sim >= $TfCosT""".stripMargin
 
+  // ===== q143 random-projection dimensionality reduction =================
+  // JL-style projection of the 64-dim embeddings onto 8 deterministic
+  // pseudo-random planes (the same hash-derived plane family as the
+  // sign-LSH buckets, kept as REAL-VALUED coordinates instead of sign
+  // bits) — the cheap dimensionality reduction run before IVF builds,
+  // clustering, or visualization at corpus scale. Pure narrow map, zero
+  // shuffle; each output coordinate is a sequential left-fold over the
+  // input dims (fixed order → the doubles are IEEE-identical in any
+  // engine, same discipline as the cosine oracle folds).
+  private val RpDim = 8
+
+  private def q143(t: Tables): DataFrame = {
+    val cols = (0 until RpDim).map { j =>
+      round(expr(
+        s"""aggregate(sequence(0, ${Dim - 1}), 0D, (a, d) ->
+           |  a + embedding[CAST(d AS INT)]
+           |    * (CAST(((${j.toLong * Dim} + d) * 2654435761L) % 2001 AS DOUBLE) - 1000.0)
+           |    / 1000.0)""".stripMargin), 4).as(s"p$j")
+    }
+    graft.Fanout(t.embeddings).select((col("vec_id") +: cols): _*)
+  }
+
+  private val q143Sql = {
+    val cols = (0 until RpDim).map { j =>
+      s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(0, ${Dim - 1}), d ->
+         |      v[d + 1] * (CAST(((${j.toLong * Dim} + d) * 2654435761) % 2001 AS DOUBLE) - 1000.0) / 1000.0)),
+         |  (a, b) -> a + b), 4) AS p$j""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+  }
+
   // ===== q120 source overlap matrix ======================================
   // Corpus provenance QA: for every source pair, how many distinct
   // opening fingerprints (md5 of the first 10 words) they share — the
@@ -2036,7 +2070,8 @@ object Pipeline {
     "q135_cluster_representatives" -> wrap(q135),
     "q138_weighted_quantiles" -> wrap(q138),
     "q141_lang_info_gain" -> wrap(q141),
-    "q142_tfidf_cosine_pairs" -> wrap(q142)
+    "q142_tfidf_cosine_pairs" -> wrap(q142),
+    "q143_random_projection" -> wrap(q143)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2098,6 +2133,7 @@ object Pipeline {
     "q135_cluster_representatives" -> q135Sql,
     "q138_weighted_quantiles" -> q138Sql,
     "q141_lang_info_gain" -> q141Sql,
-    "q142_tfidf_cosine_pairs" -> q142Sql
+    "q142_tfidf_cosine_pairs" -> q142Sql,
+    "q143_random_projection" -> q143Sql
   )
 }

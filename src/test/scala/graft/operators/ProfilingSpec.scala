@@ -191,6 +191,44 @@ class ProfilingSpec extends AnyFunSuite {
     assert(m(li.repartition(1)) == m(li.repartition(17)))
   }
 
+  test("weightedQuantiles equals row-count quantiles over the expanded multiset") {
+    // the definition: a value with weight w counts w times. Expand a
+    // small weighted set and compare against the sort-based reference.
+    val data = Seq((10.0, 1L), (20.0, 5L), (30.0, 2L), (40.0, 1L), (50.0, 3L))
+    val df = data.toDF("v", "w")
+    val expanded = data.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val ref = probs.map(p =>
+      p -> expanded(math.ceil(p * expanded.length).toInt - 1)).toMap
+    try {
+      for (parts <- Seq(1, 4, 32)) {
+        val got = Profiling.weightedQuantiles(df, col("v"), col("w"), probs, parts)
+          .as[(Double, Double)].collect().toMap
+        assert(got == ref, s"parts=$parts: $got vs $ref")
+      }
+      // zero-weight rows contribute nothing
+      val withZero = (data :+ (5.0, 0L)).toDF("v", "w")
+      val gz = Profiling.weightedQuantiles(withZero, col("v"), col("w"), Seq(0.1))
+        .as[(Double, Double)].collect().toMap
+      assert(gz(0.1) == ref(0.1))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("percentileRank is the mid-rank percentile, monotone, partition-independent") {
+    val df = Seq(1.0, 2.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
+    try {
+      val got = Profiling.percentileRank(df, col("v"))
+        .as[(Double, Double)].collect().toMap
+      // n=6: 1.0 -> (0 + 1/2)/6; 2.0 -> (1 + 3/2)/6; 3.0 -> (4 + 1/2)/6;
+      // 10.0 -> (5 + 1/2)/6
+      assert(got == Map(1.0 -> 0.5 / 6, 2.0 -> 2.5 / 6, 3.0 -> 4.5 / 6,
+        10.0 -> 5.5 / 6), got)
+      val g17 = Profiling.percentileRank(df.repartition(17), col("v"))
+        .as[(Double, Double)].collect().toMap
+      assert(g17 == got)
+    } finally graft.CacheScope.drain()
+  }
+
   test("winsorize clamps exactly to the p-lo/p-hi exact quantiles") {
     try {
       val cuts = Profiling.exactQuantiles(prices, col("l_extendedprice"),
