@@ -621,6 +621,15 @@ object Pipeline {
   // bounded by the doc's vocabulary, never the corpus.
   private val TfK = 16
   private val TfCosT = 0.5
+  // hard cap on TRUNCATED index df: a term kept by more than this many
+  // docs' top-K sets is dropped from the index, bounding candidate pairs
+  // by Σ tdf² ≤ cap·K·N — LINEAR in corpus size with a constant factor.
+  // Without it a pathological corpus (low-entropy vocab — this synthetic
+  // one!) still sends the pair join quadratic despite the top-K
+  // truncation. A stated recall cap, not a silent one: pairs relying
+  // ONLY on terms this common sit below any meaningful tf-idf cosine
+  // (such terms carry the corpus's lowest surviving idf).
+  private val TfMaxDf = 128
 
   private def q142(t: Tables): DataFrame = {
     val tf = graft.Fanout(t.documents)
@@ -645,13 +654,18 @@ object Pipeline {
         1, TfK).as("v"))
       .select(col("id"), col("v"),
         sqrt(expr("aggregate(v, 0D, (a, x) -> a + x.ww * x.ww)")).as("nrm"))
-    val inv = top.select(col("id"), col("nrm"), explode(col("v")).as("e"))
+    val inv0 = top.select(col("id"), col("nrm"), explode(col("v")).as("e"))
       .select(col("id"), col("nrm"), col("e.t").as("t"), col("e.ww").as("ww"))
       // a term whose CORPUS df is 1 cannot collide in the self-join —
       // lossless pre-filter that drops the hapax tail (most of a bigram
       // vocabulary) before the shuffle
       .join(dfs.filter(col("df") >= 2).select(col("term").as("t")), Seq("t"),
         "left_semi")
+      .persistScoped() // feeds the truncated-df counts and the capped index
+    // the TfMaxDf candidate bound (see above) on TRUNCATED df
+    val keepTerms = inv0.groupBy(col("t")).agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= TfMaxDf).select(col("t"))
+    val inv = inv0.join(keepTerms, Seq("t"), "left_semi")
       .persistScoped() // both sides of the term self-join
     inv.as("x").join(inv.as("y"),
         col("x.t") === col("y.t") && col("x.id") < col("y.id"))
@@ -688,8 +702,12 @@ object Pipeline {
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(v, x -> x.ww * x.ww)), (a, b) -> a + b)) AS nrm
        |  FROM top),
-       |inv AS (SELECT id, nrm, e.t AS t, e.ww AS ww
-       |        FROM tn, unnest(v) AS u(e))
+       |inv0 AS (SELECT id, nrm, e.t AS t, e.ww AS ww
+       |         FROM tn, unnest(v) AS u(e)
+       |         WHERE e.t IN (SELECT term FROM dfs WHERE df >= 2)),
+       |keep AS (SELECT t FROM (SELECT t, count(*) AS tdf FROM inv0 GROUP BY t)
+       |         WHERE tdf <= $TfMaxDf),
+       |inv AS (SELECT * FROM inv0 WHERE t IN (SELECT t FROM keep))
        |SELECT id_a, id_b, cos_sim FROM (
        |  SELECT x.id AS id_a, y.id AS id_b,
        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
