@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-min system load average BEFORE the session spins up — once the
+    // warm loop saturates local[32] the load reflects the bench itself,
+    // so only the start-of-process sample isolates EXTERNAL load. This
+    // box has shown host stalls that inflate timings 3-20× (the round-6
+    // driver run recorded 61s for a 48.6s suite); load_start ≳ 1 marks a
+    // contaminated record. load_end (bench + external) is recorded for
+    // completeness.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Engine.defaultCores
     val spark = Engine
@@ -71,8 +80,9 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
+    val loadEnd = osBean.getSystemLoadAverage
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${ms(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"unit":"sec","metric":"total","value":${ms(total)}}"""
     println(line)
     // also persist to a file: the harness stores only the final ~2KB of
     // stdout, which has tail-truncated the per-query map two rounds in a

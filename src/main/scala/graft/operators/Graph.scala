@@ -39,9 +39,10 @@ object Graph {
     * and order-independent; the damping multiply is one double op on an
     * integer < 2⁵³ (deterministic). Fixed iteration count (not
     * convergence-tested) keeps the plan static and the oracle replayable
-    * as unrolled CTEs. Each iteration persists its rank frame (three
-    * consumers: the next iteration's join, degree reuse) registered with
-    * [[graft.CacheScope]].
+    * as unrolled CTEs. Only `dir` and `deg` persist (each is read by
+    * every iteration); the per-iteration rank frame is consumed exactly
+    * once (the next contribution join), so persisting it would be pure
+    * cache-write overhead.
     *
     * 100 TB posture: per iteration one hash join (edges ⋈ ranks on the
     * source id) and one partial+final aggregate on the destination id —
@@ -70,10 +71,9 @@ object Graph {
       .select(col("id"), col("deg"),
         floor(lit(scale.toDouble) / col("n_nodes")).cast("long").as("pr"))
     for (_ <- 1 to iters) {
-      val prP = graft.CacheScope.register(
-        pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val prev = pr
       val contrib = dir
-        .join(prP, dir("src") === prP("id"))
+        .join(prev, dir("src") === prev("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("pr DIV deg")).as("c")) // exact BIGINT sum
       pr = deg.crossJoin(broadcast(n))

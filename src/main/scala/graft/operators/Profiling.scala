@@ -256,12 +256,24 @@ object Profiling {
     * path (~6×  faster, same exactness). Spark's built-in `corr`
     * aggregates in doubles — correct statistically, but its partial-sum
     * order would make a hash-compare oracle flaky; integer moments make
-    * the matrix exactly reproducible. Capacity: cent products at 1e14
-    * per row × 1e12 rows = 1e26 ≪ the DECIMAL(38,0) ceiling.
+    * the matrix exactly reproducible. Capacity: the SUM side (DECIMAL 38,0)
+    * holds 1e14-cent products × 1e12 rows = 1e26 with room to spare, but
+    * the PER-ROW product is computed in LONG for the compact-long fast
+    * path, so the binding ceiling is |cents| ≤ ⌊√(2⁶³−1)⌋ ≈ 3.037e9
+    * per value (|value| ≤ ~3e7 at inputDecimals = 2). That bound is
+    * ENFORCED, not assumed: the same single aggregate also computes each
+    * column's max |cents|, and any pair whose per-row product could have
+    * overflowed raises an error instead of returning a silently wrong
+    * corr. Callers with wider-magnitude columns should pre-scale (corr is
+    * invariant under per-column linear rescaling, so dividing a huge
+    * column by 10^k first changes nothing).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String],
       inputDecimals: Int = 2): DataFrame = {
     require(cols.size >= 2)
+    // ⌊√(2⁶³−1)⌋: if both factors' |cents| stay ≤ this, the long product
+    // cannot overflow (3037000500² > 2⁶³−1)
+    val MaxSafeCents = 3037000499L
     def cents(c: String): Column = round(col(c) * math.pow(10, inputDecimals), 0)
       .cast("long").as(s"__c_$c")
     def dsum(c: Column): Column =
@@ -270,6 +282,7 @@ object Profiling {
     val moments =
       cols.map(c => dsum(col(s"__c_$c")).as(s"__s_$c")) ++
         cols.map(c => dsum(col(s"__c_$c") * col(s"__c_$c")).as(s"__ss_$c")) ++
+        cols.map(c => max(abs(col(s"__c_$c"))).as(s"__ma_$c")) ++
         cols.combinations(2).toSeq.map { case Seq(a, b) =>
           dsum(col(s"__c_$a") * col(s"__c_$b")).as(s"__sp_${a}_$b") }
     val wide = scaled.agg(count(lit(1)).as("__n"), moments: _*)
@@ -278,8 +291,13 @@ object Profiling {
       val cov = n * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
       val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
       val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val safe = greatest(col(s"__ma_$a"), col(s"__ma_$b")) <= lit(MaxSafeCents)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(cov / sqrt(va) / sqrt(vb), 4).as("corr"))
+        when(safe, round(cov / sqrt(va) / sqrt(vb), 4))
+          .otherwise(raise_error(lit(
+            s"corrMatrix: |${a}*${b}| cents exceed the long product range — " +
+              "pre-scale the wide column (corr is rescale-invariant)")))
+          .as("corr"))
     }
     wide.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
   }

@@ -276,9 +276,15 @@ object Pipeline {
       .select(col("comp"), col("n_members"),
         col("m.id").as("rep_id"), col("m.n_chars").as("rep_chars"))
 
-  private val q135Sql = q62Sql.replace(
-    """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
-      |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin,
+  private val q135Sql = {
+    // the final SELECT of q62's oracle, replaced wholesale below; if q62Sql
+    // is ever reworded, replace() would silently no-op and this oracle
+    // would degenerate to q62's output — fail loudly at class init instead
+    val anchor =
+      """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
+    require(q62Sql.contains(anchor), "q135 oracle anchor missing from q62Sql")
+    q62Sql.replace(anchor,
     """,cl AS (SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
       |       FROM documents LEFT JOIN comp c ON doc_id = c.id),
       |mm AS (SELECT cl.comp, cl.id, d.n_chars,
@@ -289,6 +295,7 @@ object Pipeline {
       |  max(CASE WHEN rn = 1 THEN id END) AS rep_id,
       |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars
       |FROM mm GROUP BY comp""".stripMargin)
+  }
 
   // ===== q138 token-weighted length quantiles ============================
   // "The p50 document BY TOKEN MASS": length percentiles weighted by each
@@ -1447,13 +1454,18 @@ object Pipeline {
       .select(col("e.item").as("token"), col("e.est").as("est"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("f"))
     val tot = toks.agg(count(lit(1)).as("n")) // 1 row, broadcast
-    val slack = col("n").cast("double") / lit((MgK + 1).toDouble)
+    // EXACT rational arithmetic for both the heaviness cut and the bound:
+    // f > n/(k+1)  ⇔  f·(k+1) > n, and  est ≥ f − n/(k+1)  ⇔
+    // est·(k+1) ≥ f·(k+1) − n — all over longs (f, est, n ≤ n; ·65 is far
+    // from 2⁶³). A double n/65.0 can round such that a token sitting
+    // exactly ON the bound flips in_bounds and fails the gate flakily.
     exact.crossJoin(broadcast(tot))
-      .filter(col("f").cast("double") > slack)
+      .filter(col("f") * lit((MgK + 1).toLong) > col("n"))
       .join(sketch, Seq("token"), "left")
       .select(col("token"), col("f"),
         (col("est").isNotNull && col("est") <= col("f") &&
-          col("est").cast("double") >= col("f").cast("double") - slack)
+          col("est") * lit((MgK + 1).toLong) >=
+            col("f") * lit((MgK + 1).toLong) - col("n"))
           .as("in_bounds"))
   }
 
@@ -1467,7 +1479,7 @@ object Pipeline {
        |          FROM toks GROUP BY token)
        |SELECT token, f, TRUE AS in_bounds
        |FROM exact, n
-       |WHERE CAST(f AS DOUBLE) > CAST(n AS DOUBLE) / ${MgK + 1}.0""".stripMargin
+       |WHERE f * ${MgK + 1} > n""".stripMargin
 
   // ===== q107 weighted document sampling =================================
   // Deterministic weighted Bernoulli sampling: doc kept with probability

@@ -335,8 +335,14 @@ object EventStreams {
   def dedupIngest(indexDir: String, outDir: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-    (batch, batchId) => {
+    (batch, batchId) => graft.CacheScope.scoped {
+      // CacheScope.scoped: the inner dedup operators persistScoped their
+      // shingle corpora / inverted indexes; scoping them to the batch body
+      // (which materializes everything via the writes below) releases
+      // them per micro-batch even if a write throws, and keeps a
+      // concurrent batch query from draining them mid-flight.
       import org.apache.spark.sql.functions.{col, md5}
+      import graft.CacheScope.ScopedPersist
       val spark = batch.sparkSession
       val docs = batch.select(col("id"), col("text"))
       val withinBatch = graft.operators.Dedup
@@ -359,7 +365,7 @@ object EventStreams {
           n, numHashes, bands, threshold)
           .select(col("id"), col("text"))
         else withinBatch)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistScoped() // 4 consumers below; released at scope exit
       kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       // this batch's index partitions — overwrite, so replays converge
       kept.select(md5(col("text")).as("h"))
@@ -369,7 +375,6 @@ object EventStreams {
         .parquet(s"$indexDir/bands/batch=$batchId")
       graft.operators.Dedup.batchShingleArrays(kept, n)
         .write.mode("overwrite").parquet(s"$indexDir/shingles/batch=$batchId")
-      kept.unpersist()
     }
 
   /** Read the current state of a [[streamingMerge]] table. */
