@@ -323,19 +323,43 @@ object Dedup {
     * join the train corpus's full inverted index; |C| ≥ t·|P| is the only
     * index-side filter containment admits. Same lossless argument as
     * [[containmentPairs]].
+    *
+    * `smallProbe = true` (the decontamination contract: the probe IS the
+    * eval suite — thousands of items against a trillion-doc corpus)
+    * broadcast-hints the probe side of every join, so the train corpus's
+    * inverted index and shingle arrays are NEVER shuffled: the whole
+    * operator is (corpus scan + broadcast probe) → map-side candidate
+    * join → verify, shuffle-free on the corpus side. Set it false only
+    * when the probe is itself corpus-sized (then the equi-join shuffles
+    * both sides, which is the right plan at that shape — and AQE would
+    * refuse the broadcast anyway at runtime if the hint lied).
     */
   def containmentAgainst(probe: DataFrame, corpus: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, smallProbe: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (smallProbe) broadcast(df) else df
     val sizedP = sizedShingles(probe)
     val sizedC = sizedShingles(corpus)
     val prefProbe = rarestFirstPrefix(sizedP, threshold, selfJoin = false)
     val invC = sizedC.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
-    val cand = prefProbe.as("x")
+    val cand = hinted(prefProbe).as("x")
       .join(invC.as("y"),
         col("x.s") === col("y.s") &&
           col("y.n_sh") >= lit(pruneT(threshold)) * col("x.n_sh"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    verifyPairs(sizedP, sizedC, cand)
+    // Verify inline rather than via verifyPairs: the probe-side result of
+    // each join stays small (≤ prefix collisions of the eval set), so the
+    // hint must sit on the JOINED probe side too — hinting only the
+    // inputs would leave the second verify join unhinted (hints bind to
+    // the nearest ancestor join) and shuffle the corpus's sorted arrays.
+    def sortedSh(s: DataFrame) =
+      s.select(col("id"), sort_array(col("shingles")).as("sh"), col("n_sh"))
+    val withProbe = hinted(
+      cand.join(hinted(sortedSh(sizedP)).as("a"), col("id_a") === col("a.id")))
+    withProbe
+      .join(sortedSh(sizedC).as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
       .withColumn("containment",
         round(col("n_common").cast("double") / col("a.n_sh"), 4))
       .filter(col("containment") >= threshold)

@@ -380,6 +380,77 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q113/q118 candidate join: prefix-exploded probe side only; size filter ON the join") {
+    // The 100 TB contract of the two heaviest dedup operators: the
+    // candidate join must be (probe-prefix rows) ⋈ (inverted index) —
+    // the probe side carries ONLY the slice()'d rarest-first prefix, the
+    // index side is the full (un-slice'd) explode — and the |B| ≥ t·|A|
+    // size cut must be evaluated AS the join's own predicate on collision
+    // rows (its lowest legal position: it references both sides), never
+    // re-derived in a filter above the join output.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, Slice}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def hasSlice(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(_.isInstanceOf[Slice])))
+    for (q <- Seq("q113_containment_dedup", "q118_decontaminate_containment")) {
+      val df = graft.queries.Pipeline.defs(q)(spark, "/root/testdata/sf0.001")
+      try {
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        // the candidate join: shingle equality plus the size inequality in
+        // ONE condition (the df-ordering join in the prefix derivation also
+        // keys on s, but carries no inequality)
+        val cand = joins.filter(j => j.condition.exists(c =>
+          c.exists {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              a.name == "s" && b.name == "s"
+            case _ => false
+          } && c.exists(_.isInstanceOf[GreaterThanOrEqual])))
+        assert(cand.size == 1, joins.map(_.condition).toString)
+        // exactly one side is the slice'd prefix (probe); the index side
+        // must NOT be prefix-truncated (that would lose pairs)
+        assert(hasSlice(cand.head.left) != hasSlice(cand.head.right),
+          cand.head.toString)
+      } finally CacheScope.drain()
+    }
+  }
+
+  test("q118 decontamination: probe side broadcasts — the corpus index never shuffles") {
+    // containmentAgainst(smallProbe = true) is the decontamination
+    // contract: eval suites are thousands of rows against a corpus-sized
+    // train side, so every join must broadcast the probe side and STREAM
+    // the corpus — a shuffle of the train inverted index (or its sorted
+    // shingle arrays) at 100 TB is the regression this pins against.
+    // AQE + auto-broadcast are irrelevant: the plan carries explicit
+    // hints, so the static plan must already be right.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Pipeline.defs("q118_decontaminate_containment")(
+        spark, "/root/testdata/sf0.001")
+      val plans = df.queryExecution.executedPlan.collect { case p => p }
+      // every join in the query is a broadcast join (candidate + the two
+      // verify joins + the tiny df-order join) — no sort-merge/shuffled-
+      // hash join anywhere means the corpus side was never exchanged as
+      // join input
+      assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]), plans.toString)
+      assert(!plans.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]), plans.toString)
+      // the only shuffles permitted are probe-side (prefix derivation: its
+      // df aggregate + collect_list) and the final distinct() on the tiny
+      // qualifying pairs — none may carry the corpus's sorted shingle
+      // arrays (column `sh`)
+      val shuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.nonEmpty &&
+        shuffles.forall(!_.child.output.exists(_.name == "sh")), plans.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      CacheScope.drain()
+    }
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
