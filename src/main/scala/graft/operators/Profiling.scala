@@ -156,17 +156,50 @@ object Profiling {
       .select(col("group"), col("prob"), col("__v").as("value"))
   }
 
+  /** Per-GROUP weighted quantiles — [[groupedQuantiles]] over the weight
+    * measure of [[weightedQuantiles]] (the q117 × q138 composition): for
+    * each group, the value at the smallest rank whose cumulative WEIGHT
+    * within the group reaches p·W_group (type-1 semantics). This is the
+    * number mixture packing actually reads per source: "the p50 document
+    * length BY TOKEN MASS, per source" — each source's token budget is
+    * spent per token, so its packing percentiles must be token-weighted,
+    * and sources differ enough that the global q138 number misleads.
+    * Weights must be non-negative integers (exact cumulative sums).
+    * Scale shape is exactly [[groupedQuantiles]]'s: the window state is
+    * O(1) per group, groups in parallel, never a buffered value array.
+    */
+  def groupedWeightedQuantiles(df: DataFrame, grp: Column, value: Column,
+      weight: Column, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = groupedCumWeights(df, grp, value, weight)
+    cum.join(broadcast(probs.toDF("prob")),
+        col("__cum") < rankOf(col("prob"), col("__n")) &&
+          rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
+      .select(col("group"), col("prob"), col("__v").as("value"))
+  }
+
   /** Per-group distinct-value counts with the exclusive per-group prefix
-    * sum `__cum` and group total `__n` — the shared scaffolding of both
+    * sum `__cum` and group total `__n` — the shared scaffolding of the
     * grouped quantile forms. All-deterministic (hash partition by group +
     * windows), so unlike [[cumCounts]] no persist is needed.
     */
   private def groupedCumCounts(df: DataFrame, grp: Column,
-      value: Column): DataFrame = {
+      value: Column): DataFrame =
+    groupedCumWeights(df, grp, value, lit(1L))
+
+  /** [[groupedCumCounts]] over an integer weight measure: per-group
+    * distinct-value WEIGHT sums with the exclusive per-group prefix sum
+    * and group total.
+    */
+  private def groupedCumWeights(df: DataFrame, grp: Column,
+      value: Column, weight: Column): DataFrame = {
     val counts = df
-      .select(grp.as("group"), value.cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
-      .groupBy(col("group"), col("__v")).agg(count(lit(1)).as("__c"))
+      .select(grp.as("group"), value.cast("double").as("__v"),
+        weight.cast("long").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull && col("__w") >= 0)
+      .groupBy(col("group"), col("__v")).agg(sum(col("__w")).as("__c"))
     val run = Window.partitionBy(col("group")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = Window.partitionBy(col("group"))

@@ -160,6 +160,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Build a STORED IVF index: the production retrieval shape — build
+    * once, probe forever (the similarity sibling of
+    * [[Dedup.writeCorpusIndex]]). Two parquet views under `dir`:
+    *
+    *  - `centroids/`: (cent_id, cvec) — the deterministic training-free
+    *    coarse quantizer (first `nCells` corpus vectors), tiny;
+    *  - `lists/`: (vec_id, embedding) PARTITIONED BY `cell` — each
+    *    vector's max-cosine cell assignment, i.e. the inverted lists as
+    *    physical partition directories.
+    *
+    * The cell-partitioned layout is what makes the probe cost ∝ batch:
+    * a probe joins the lists scan on `cell` against a broadcast of the
+    * query batch's probed cells, so dynamic partition pruning opens ONLY
+    * the probed cells' directories — the corpus's other inverted lists
+    * are never read (the same mechanism as the DPP PlanShapeSpec pin).
+    * Build cost is one broadcast-score pass + one partitioned write;
+    * rebuilds are overwrite-idempotent.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String, nCells: Int): Unit = {
+    val cents = centroidsOf(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // cell as int: parquet partition-column inference reads the directory
+    // values back as ints, so writing ints keeps the probe join key
+    // cast-free (a cast on the partition column can defeat static pruning)
+    bestCells(corpus, cents, "vec_id", "embedding", 1)
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
+  /** Probe a stored [[writeIvfIndex]]: per-query top-k over the `nProbe`
+    * best cells' inverted lists, identical semantics (and identical
+    * result) to running [[ivfTopK]] against the full corpus with the same
+    * parameters — the index just amortizes the assignment. Per-batch
+    * cost: one broadcast-score pass of the BATCH against the tiny stored
+    * centroids + a partition-pruned scan of the probed cells only.
+    */
+  def ivfTopKAgainstIndex(queries: DataFrame, dir: String, nProbe: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+      .withColumn("cell", col("cell").cast("int"))
+    val scored = lists.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(scored, k)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023-style): partition the
     * corpus into IVF cells, drop every vector with cosine ≥ threshold to a
     * lower-id vector WITHIN its cell, return the survivors. Cluster-scoped

@@ -327,6 +327,35 @@ object Pipeline {
        |WHERE cb < greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT))
        |  AND greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
 
+  // ===== q144 per-source token-weighted length quantiles =================
+  // The q117 × q138 composition mixture packing actually reads: each
+  // source's token budget is spent per token, so its packing percentiles
+  // must be token-weighted PER SOURCE — sources differ enough (web vs
+  // code vs academic length distributions) that the global q138 number
+  // misleads every one of them. Same per-group prefix-sum window as q117
+  // with sum(weight) in place of count(*): O(1) window state per group,
+  // groups in parallel, no buffered value arrays, no global sort.
+  private def q144(t: Tables): DataFrame =
+    graft.operators.Profiling.groupedWeightedQuantiles(
+      t.documents.select(col("source"), col("n_chars"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("n_tok")),
+      col("source"), col("n_chars"), col("n_tok"), WqPs)
+
+  private val q144Sql =
+    s"""WITH c AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v,
+       |    CAST(sum(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (SELECT grp, v, c,
+       |          CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+       |          CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+       |        FROM c),
+       |p AS (SELECT CAST(unnest([${WqPs.mkString(", ")}]) AS DOUBLE) AS prob)
+       |SELECT grp AS "group", p.prob, v AS value
+       |FROM cum, p
+       |WHERE cb < greatest(1, CAST(ceil(p.prob * n - 1e-6) AS BIGINT))
+       |  AND greatest(1, CAST(ceil(p.prob * n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
+
   // ===== q63 deterministic hash split ====================================
   // Train/val/test assembly: content-stable md5 bucketing (Sampling.
   // hashSplit) — stable under repartitioning/reruns/engines, no global
@@ -1307,6 +1336,30 @@ object Pipeline {
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ===== q145 stored-ANN-index probe =====================================
+  // q44's production form and q83's similarity sibling: the IVF index
+  // (centroids + cell-partitioned inverted lists) is BUILT ONCE as
+  // parquet views, and the query batch probes it — every production
+  // retrieval pipeline builds the index once and probes forever, so the
+  // per-batch cost must be ∝ batch (broadcast batch × tiny centroids +
+  // a partition-pruned scan of the probed cells), never a corpus
+  // recompute. The oracle recomputes the identical deterministic
+  // algorithm from scratch (q44's SQL verbatim): stored-and-probed must
+  // equal freshly-derived, which is exactly the index-integrity contract.
+
+  private def q145(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // dir key = source + params + format version (bump on layout change)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_" +
+      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$IvfCells"
+    val built = Seq("centroids", "lists")
+      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
+    if (!built) Similarity.writeIvfIndex(e, dir, IvfCells)
+    Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
+  }
+
   // ===== q76 semantic dedup (SemDeDup-style) =============================
   // Cluster-then-dedup: IVF-cell assignment (deterministic centroids, as
   // q44), then drop any vector with cosine ≥ threshold to a lower-id
@@ -2101,7 +2154,9 @@ object Pipeline {
     "q138_weighted_quantiles" -> wrap(q138),
     "q141_lang_info_gain" -> wrap(q141),
     "q142_tfidf_cosine_pairs" -> wrap(q142),
-    "q143_random_projection" -> wrap(q143)
+    "q143_random_projection" -> wrap(q143),
+    "q144_grouped_weighted_quantiles" -> wrap(q144),
+    "q145_ann_stored_index" -> wrap(q145)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2164,6 +2219,9 @@ object Pipeline {
     "q138_weighted_quantiles" -> q138Sql,
     "q141_lang_info_gain" -> q141Sql,
     "q142_tfidf_cosine_pairs" -> q142Sql,
-    "q143_random_projection" -> q143Sql
+    "q143_random_projection" -> q143Sql,
+    "q144_grouped_weighted_quantiles" -> q144Sql,
+    // the stored index must equal the from-scratch derivation: q44's SQL
+    "q145_ann_stored_index" -> q44Sql
   )
 }

@@ -451,6 +451,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 stored-ANN probe: lists scan is dynamically pruned to the probed cells") {
+    // probe cost ∝ batch: the cell-partitioned inverted lists must be
+    // opened ONLY for cells the query batch probes — the scan's
+    // PartitionFilters must carry a dynamicpruning expression on `cell`
+    // fed from the broadcast probe side. Without it every probe reads the
+    // whole corpus index and the stored index is pointless.
+    val df = graft.queries.Pipeline.defs("q145_ann_stored_index")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val p = plan(df)
+      assert(p.toLowerCase.contains("dynamicpruningexpression(cell"), p)
+      assert(p.contains("BroadcastHashJoin"), p) // probes broadcast, lists streamed
+    } finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()

@@ -214,6 +214,28 @@ class ProfilingSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("groupedWeightedQuantiles equals per-group expanded-multiset quantiles; partition-invariant") {
+    // per-group definition: within each group, a value with weight w
+    // counts w times; compose the q117 grouping with the q138 weighting
+    val data = Seq(
+      ("a", 10.0, 1L), ("a", 20.0, 5L), ("a", 30.0, 2L),
+      ("b", 1.0, 3L), ("b", 2.0, 1L), ("b", 3.0, 4L), ("b", 4.0, 0L))
+    val probs = Seq(0.1, 0.5, 0.9, 1.0)
+    val ref = (for {
+      (g, rows) <- data.groupBy(_._1).toSeq
+      expanded = rows.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      p <- probs
+    } yield (g, p) -> expanded(math.ceil(p * expanded.length).toInt - 1)).toMap
+    for (parts <- Seq(1, 17)) {
+      val got = Profiling.groupedWeightedQuantiles(
+          data.toDF("g", "v", "w").repartition(parts),
+          col("g"), col("v"), col("w"), probs)
+        .as[(String, Double, Double)].collect()
+        .map { case (g, p, v) => (g, p) -> v }.toMap
+      assert(got == ref, s"parts=$parts: $got vs $ref")
+    }
+  }
+
   test("percentileRank is the mid-rank percentile, monotone, partition-independent") {
     val df = Seq(1.0, 2.0, 2.0, 2.0, 3.0, 10.0).toDF("v")
     try {

@@ -139,6 +139,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"drop recall $recall (${cappedDrops.size}/${trueDrops.size})")
   }
 
+  test("stored IVF index probe equals the from-scratch ivfTopK, and rebuild is idempotent") {
+    // the index-integrity contract: persisting centroids + cell lists and
+    // probing them must reproduce ivfTopK exactly (same deterministic
+    // quantizer, same rounding) — float embeddings round-trip parquet
+    // bit-identically
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.writeIvfIndex(emb, dir, 16)
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val stored = sorted(Similarity.ivfTopKAgainstIndex(queries, dir, 2, 10))
+      val fresh = sorted(Similarity.ivfTopK(queries, emb, 16, 2, 10))
+      assert(stored.nonEmpty && stored.toSeq == fresh.toSeq)
+      // overwrite-idempotent rebuild
+      Similarity.writeIvfIndex(emb, dir, 16)
+      assert(sorted(Similarity.ivfTopKAgainstIndex(queries, dir, 2, 10))
+        .toSeq == fresh.toSeq)
+    } finally graft.CacheScope.drain()
+  }
+
   test("multi-probe LSH recalls far more true neighbours than single-bucket") {
     // measured on the REAL harness embeddings (deterministic data +
     // deterministic planes → exact repeatable numbers): at 4 planes,
