@@ -123,4 +123,48 @@ object Graph {
     }
     deg.select(col("v").as("id"), col("deg"))
   }
+
+  /** EXACT k-core: peel to the fixpoint — the maximal subgraph in which
+    * every vertex has degree ≥ k. [[kCoreBounded]]'s peeling round looped
+    * with a convergence check (the `Dedup.connectedComponents`
+    * localCheckpoint pattern): each round's edge set is
+    * localCheckpoint'ed, truncating lineage so the plan stays
+    * round-sized, and ONE scalar count per round tests convergence (the
+    * edge set only shrinks, so an unchanged count IS the fixpoint — no
+    * frame diff needed). Same per-round cost as the bounded form;
+    * `maxRounds` is a runaway bound for adversarial chains (a path graph
+    * peels ~|V|/2 rounds — real near-dup graphs converge in a handful).
+    *
+    * 100 TB posture: identical to [[kCoreBounded]] per round; the
+    * convergence count is one partial+final count on a shrinking edge
+    * set. Returns (id, deg) of the exact core (deg = degree WITHIN the
+    * core).
+    */
+  def kCoreExact(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint()
+    var nE = e.count()
+    var converged = nE == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .persistScoped()
+      e = e.join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n2 = e.count()
+      converged = n2 == nE
+      nE = n2
+    }
+    // recompute degrees on the FINAL edge set: at the fixpoint every
+    // vertex already has deg >= k, so the filter keeps the whole core
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .select(col("v").as("id"), col("deg"))
+  }
 }

@@ -189,6 +189,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
   }
 
+  /** Incrementally extend a stored [[writeIvfIndex]] with new vectors:
+    * assign the BATCH against the stored centroids (broadcast, narrow)
+    * and append to the cell-partitioned lists — ingestion grows the
+    * index by the batch, never rebuilding the corpus assignment (the
+    * similarity sibling of [[Dedup.appendToCorpusIndex]]). The quantizer
+    * is frozen at build time — appended vectors never become centroids —
+    * so probes against build+append equal probes against a from-scratch
+    * build over the union whenever the build corpus contained the
+    * centroid id range (spec-pinned). Appends are NOT replay-safe
+    * (append-mode duplicates on redo); replaying producers need the
+    * batch-versioned layout of
+    * [[graft.streaming.EventStreams.dedupIngest]].
+    */
+  def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    bestCells(newVectors, cents, "vec_id", "embedding", 1)
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
   /** Probe a stored [[writeIvfIndex]]: per-query top-k over the `nProbe`
     * best cells' inverted lists, identical semantics (and identical
     * result) to running [[ivfTopK]] against the full corpus with the same

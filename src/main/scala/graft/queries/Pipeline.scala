@@ -1360,6 +1360,36 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
 
+  // ===== q146 incremental ANN-index ingestion ============================
+  // The ingestion companion of q145 (and q74/q83's similarity sibling):
+  // the index is built on the INITIAL corpus slice and each later batch
+  // is appended — assignment of the batch against the frozen stored
+  // centroids, append to the cell-partitioned lists. Cost per ingest is
+  // ∝ batch; the corpus assignment is never recomputed. Probing
+  // build+append must equal probing a from-scratch build over the union:
+  // the initial slice deliberately contains the whole centroid id range
+  // (vec_id < IvfCells), so the frozen quantizer IS the full-corpus
+  // quantizer and q44's from-scratch oracle applies verbatim.
+
+  private def q146(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_v1_" +
+      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$IvfCells"
+    val marker = new java.io.File(s"$dir/appended_ok")
+    if (!marker.exists()) {
+      // initial slice keeps vec_id < IvfCells so the frozen centroids
+      // equal the full-corpus centroids; the batch is everything else
+      val initial = e.filter(col("vec_id") < IvfCells || col("vec_id") % 10 =!= 7)
+      val batch = e.filter(col("vec_id") >= IvfCells && col("vec_id") % 10 === 7)
+      Similarity.writeIvfIndex(initial, dir, IvfCells)
+      Similarity.appendToIvfIndex(batch, dir)
+      marker.createNewFile() // marks build+append complete (append is not idempotent)
+    }
+    Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
+  }
+
   // ===== q76 semantic dedup (SemDeDup-style) =============================
   // Cluster-then-dedup: IVF-cell assignment (deterministic centroids, as
   // q44), then drop any vector with cosine ≥ threshold to a lower-id
@@ -2156,7 +2186,8 @@ object Pipeline {
     "q142_tfidf_cosine_pairs" -> wrap(q142),
     "q143_random_projection" -> wrap(q143),
     "q144_grouped_weighted_quantiles" -> wrap(q144),
-    "q145_ann_stored_index" -> wrap(q145)
+    "q145_ann_stored_index" -> wrap(q145),
+    "q146_ann_index_append" -> wrap(q146)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2222,6 +2253,8 @@ object Pipeline {
     "q143_random_projection" -> q143Sql,
     "q144_grouped_weighted_quantiles" -> q144Sql,
     // the stored index must equal the from-scratch derivation: q44's SQL
-    "q145_ann_stored_index" -> q44Sql
+    "q145_ann_stored_index" -> q44Sql,
+    // build+append must also equal the from-scratch derivation
+    "q146_ann_index_append" -> q44Sql
   )
 }

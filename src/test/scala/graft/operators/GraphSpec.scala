@@ -84,4 +84,25 @@ class GraphSpec extends AnyFunSuite {
       assert(fix == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     } finally graft.CacheScope.drain()
   }
+
+  test("kCoreExact converges to the fixpoint with in-core degrees; long chain strips to empty") {
+    // same graph: the exact 2-core is the triangle, with degrees WITHIN
+    // the core (node 3 drops to 2 once the path edge is gone)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    try {
+      val core = Graph.kCoreExact(es, k = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+      // a 40-node path has NO 2-core, but peeling takes ~20 synchronous
+      // rounds (one hop per end per round) — exactly the shape a fixed
+      // round count silently gets wrong and the convergence loop must not
+      val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      assert(Graph.kCoreExact(chain, k = 2).count() == 0)
+      // ...while the bounded form at 3 rounds still reports survivors
+      assert(Graph.kCoreBounded(chain, k = 2, rounds = 3).count() > 0)
+      // empty input: no rounds, empty output
+      assert(Graph.kCoreExact(es.filter($"id_a" < 0), k = 2).count() == 0)
+    } finally graft.CacheScope.drain()
+  }
 }

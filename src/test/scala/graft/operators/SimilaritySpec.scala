@@ -159,6 +159,17 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.writeIvfIndex(emb, dir, 16)
       assert(sorted(Similarity.ivfTopKAgainstIndex(queries, dir, 2, 10))
         .toSeq == fresh.toSeq)
+      // incremental ingestion: build on a slice that contains the whole
+      // centroid id range, append the rest — probing build+append must
+      // equal probing the from-scratch full build (frozen quantizer ==
+      // full-corpus quantizer by construction)
+      val dir2 = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+      Similarity.writeIvfIndex(
+        emb.filter($"vec_id" < 16 || $"vec_id" % 3 =!= 1), dir2, 16)
+      Similarity.appendToIvfIndex(
+        emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1), dir2)
+      assert(sorted(Similarity.ivfTopKAgainstIndex(queries, dir2, 2, 10))
+        .toSeq == fresh.toSeq)
     } finally graft.CacheScope.drain()
   }
 
