@@ -1390,6 +1390,42 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
 
+  // ===== q148 per-document novelty attribution ===========================
+  // "How much does each document ADD to the corpus?" — for every doc,
+  // the fraction of its distinct 3-shingles owned by no lower-id doc
+  // (owner = min doc id per shingle, the same first-owner election as
+  // q81's segment dedup). Near-1 novelty = genuinely new text; near-0 =
+  // recombination of existing corpus material — the ranking signal
+  // curation uses BETWEEN exact dedup (which only catches identity) and
+  // pairwise near-dup (which only catches concentrated overlap).
+  // Scale: one explode + two hash aggregates + one equi-join on the
+  // shingle (AQE-splittable); everything is integer/string — no float
+  // determinism surface at all.
+  private def q148(t: Tables): DataFrame = {
+    val sized = shingledDocs(t)
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+      .filter(col("n_sh") > 0)
+    val inv = sized.select(col("id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val owner = inv.groupBy(col("s")).agg(min(col("id")).as("owner"))
+    inv.join(owner, "s")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_sh"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_sh"), 4).as("novelty"))
+  }
+
+  private val q148Sql =
+    s"""WITH $wordsCte,
+       |d AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |s AS (SELECT id, CAST(len(ss) AS BIGINT) AS n_sh, unnest(ss) AS s
+       |      FROM d WHERE len(ss) > 0),
+       |o AS (SELECT s, min(id) AS owner FROM s GROUP BY s)
+       |SELECT s.id, s.n_sh,
+       |  CAST(count(CASE WHEN o.owner = s.id THEN 1 END) AS BIGINT) AS n_novel,
+       |  round(CAST(count(CASE WHEN o.owner = s.id THEN 1 END) AS DOUBLE) / s.n_sh, 4) AS novelty
+       |FROM s JOIN o ON s.s = o.s
+       |GROUP BY s.id, s.n_sh""".stripMargin
+
   // ===== q76 semantic dedup (SemDeDup-style) =============================
   // Cluster-then-dedup: IVF-cell assignment (deterministic centroids, as
   // q44), then drop any vector with cosine ≥ threshold to a lower-id
@@ -2187,7 +2223,8 @@ object Pipeline {
     "q143_random_projection" -> wrap(q143),
     "q144_grouped_weighted_quantiles" -> wrap(q144),
     "q145_ann_stored_index" -> wrap(q145),
-    "q146_ann_index_append" -> wrap(q146)
+    "q146_ann_index_append" -> wrap(q146),
+    "q148_novelty_attribution" -> wrap(q148)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2255,6 +2292,7 @@ object Pipeline {
     // the stored index must equal the from-scratch derivation: q44's SQL
     "q145_ann_stored_index" -> q44Sql,
     // build+append must also equal the from-scratch derivation
-    "q146_ann_index_append" -> q44Sql
+    "q146_ann_index_append" -> q44Sql,
+    "q148_novelty_attribution" -> q148Sql
   )
 }

@@ -1471,6 +1471,53 @@ object Relational {
        |  AND greatest(1, CAST(ceil(p.prob * n - 1e-6) AS BIGINT)) <= cb + c""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q147 — approximate quantiles ON the gate via their guarantee (the
+  // q121 idea applied to Spark's built-in GK sketch): percentile_approx
+  // with accuracy A guarantees the returned element's rank is within n/A
+  // of the target rank. The raw sketch VALUES are merge-order-dependent
+  // (vary with partitioning), so they can't be hashed; the GUARANTEE
+  // can: join each returned value against exact rank counts and check
+  // both sides of the band in EXACT integer arithmetic (probs are
+  // hundredths, so multiply through by 100·A and compare longs; ±one
+  // rank unit absorbs the sketch's floor-vs-ceil target convention
+  // without weakening the n/A band). The oracle is pure exact SQL
+  // asserting TRUE — a violated bound is a hash MISMATCH. At 100 TB the
+  // sketch is ONE pass with O(A·log n) state; the exact scan (q115)
+  // stays the right tool when distinct values are shuffle-affordable.
+  private val AqAcc = 100 // rank error ≤ n/AqAcc
+  private val AqPcs = Seq(25, 50, 75, 90) // probabilities in exact hundredths
+
+  private def q147(t: Tables): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    // feeds the sketch pass AND the exact-rank pass
+    val vals = t.lineitem.select(col("l_extendedprice").cast("double").as("v"))
+      .filter(col("v").isNotNull).persistScoped()
+    val aggs = AqPcs.map(pc => percentile_approx(col("v"),
+      lit(pc / 100.0), lit(AqAcc)).as(s"av_$pc"))
+    val probes = vals.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(AqPcs.map(pc =>
+        struct(lit(pc).cast("long").as("pc"), col(s"av_$pc").as("av"))): _*)).as("p"))
+      .select(col("p.pc"), col("p.av")) // |probs| rows
+    val ranks = vals.crossJoin(broadcast(probes))
+      .groupBy(col("pc"), col("av"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("av"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("av"), 1L).otherwise(0L)).as("le"))
+    // v attains some rank r ∈ [lt+1, le]; the guarantee needs r within
+    // [pc·n/100 − n/A, pc·n/100 + n/A] — over longs, ×(100·A):
+    val d = lit(100L * AqAcc)
+    ranks.select(
+      (col("pc").cast("double") / 100).as("prob"),
+      (col("le") * d >= col("pc") * lit(AqAcc.toLong) * col("n") - lit(100L) * col("n") - d &&
+        (col("lt") + 1) * d <= col("pc") * lit(AqAcc.toLong) * col("n") + lit(100L) * col("n") + d)
+        .as("in_bounds"))
+  }
+
+  private val q147Sql =
+    s"""SELECT CAST(unnest([${AqPcs.mkString(", ")}]) AS DOUBLE) / 100 AS prob,
+       |  TRUE AS in_bounds""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):
   // a pre-aggregated base partition (orders before the cutoff) merges
   // with a freshly aggregated delta by re-aggregating the PARTIAL states
@@ -1975,7 +2022,8 @@ object Relational {
     "q136_mad_outliers" -> wrap(q136),
     "q137_grouped_regression" -> wrap(q137),
     "q139_percentile_rank" -> wrap(q139),
-    "q140_skew_report" -> wrap(q140)
+    "q140_skew_report" -> wrap(q140),
+    "q147_approx_quantile_guarantee" -> wrap(q147)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2061,6 +2109,7 @@ object Relational {
     "q136_mad_outliers" -> q136Sql,
     "q137_grouped_regression" -> q137Sql,
     "q139_percentile_rank" -> q139Sql,
-    "q140_skew_report" -> q140Sql
+    "q140_skew_report" -> q140Sql,
+    "q147_approx_quantile_guarantee" -> q147Sql
   )
 }
