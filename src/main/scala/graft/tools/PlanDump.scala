@@ -59,7 +59,7 @@ object PlanDump {
     "q115_exact_quantiles" -> "Exact global quantiles with NO global sort and NO per-group value buffering: q112's persisted prefix-sum scan + a broadcast join of |probs| rows selecting each rank's covering value.",
     "q116_triangle_count" -> "Triangles on the near-dup graph, DEGREE-ORDERED (round 6): one endpoint-degree aggregate over the undirected edge set, each edge directed from its lower-(degree, id) endpoint, then the same wedge + closure hash joins keyed on (src, dst) + count. Out-degree of every node is bounded by sqrt(2|E|), so the wedge join's fanout can no longer approach |cluster|² on a low-id hub in a dense near-dup cluster (the round-5 id-oriented form's scale flaw). PlanShapeSpec pins that both joins key on the orientation columns and never on the raw id order; the oracle replays the identical orientation.",
     "q117_grouped_quantiles" -> "Per-group exact quantiles: distinct-value counts through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — never a buffered value array per group.",
-    "q118_decontaminate_containment" -> "Cross-corpus containment: eval-probe prefixes (rarest-first) join the train corpus's full inverted index with the |C| >= t|A| codegen'd filter; exact sorted-merge verify divides by |probe| only. Catches eval items pasted inside long pages that overlap-share detectors miss.",
+    "q118_decontaminate_containment" -> "Cross-corpus containment: eval-probe prefixes (rarest-first) join the train corpus's full inverted index with the |C| >= t|A| codegen'd filter; exact sorted-merge verify divides by |probe| only. Round 7: the probe side carries explicit broadcast hints end to end (smallProbe contract), so every join is a BroadcastHashJoin and the corpus index/arrays NEVER shuffle — pinned in PlanShapeSpec. Catches eval items pasted inside long pages that overlap-share detectors miss.",
     "q119_lang_drift" -> "KL(source || corpus) from three bounded-key aggregates + broadcast joins; the divergence folds lang-sorted (deterministic float order), one round at the end — the raw corpus is scanned once (counts persisted).",
     "q120_source_overlap" -> "Distinct (source, opening-fingerprint) aggregate persisted once, digest self-join with source< ordering, pair aggregate — the raw text never joins; output bounded by the source-pair triangle.",
     "q121_approx_heavy_hitters" -> "The Misra-Gries guarantee on the gate: the one-pass O(k)-state sketch (ObjectHashAggregate partial+final) left-joins the exact token counts; output rows are the guaranteed-heavy tokens with the bound check — deterministic iff the MG bounds hold, which is exactly what the pure-SQL oracle's hash equality asserts.",
@@ -73,7 +73,12 @@ object PlanDump {
     "q135_cluster_representatives" -> "Representative per near-dup cluster: the CC label pipeline (LSH pairs -> hybrid min-label/alt-star) feeds ONE struct-max aggregate keyed by component — no window, no extra wide join (pinned); a 10^9-member boilerplate cluster costs its combiner one struct.",
     "q137_grouped_regression" -> "Per-group OLS: five cent-scaled integer moments in one partial+final aggregate; slope/intercept/r2 derive on the aggregated rows from exact numbers — bit-reproducible where built-in regr_slope's double partial-sum order is not.",
     "q139_percentile_rank" -> "Quantile-normalization map: distinct-value counts -> range-partitioned local prefix scans -> subtotal cumulation over scanParts rows (the lone single-task window) -> mid-rank percentile per distinct value. The raw table is never globally sorted; rejoining the map is a plain hash join.",
-    "q142_tfidf_cosine_pairs" -> "Lexical similarity: bigram tf-idf weights, per-doc top-K truncation by (weight, term) total order (the stop-term guard — common terms never enter the inverted index), term equi-join, per-pair sorted-fold dot products. No cross product; candidates bounded by K * df over rare terms only.")
+    "q142_tfidf_cosine_pairs" -> "Lexical similarity: bigram tf-idf weights, per-doc top-K truncation by (weight, term) total order (the stop-term guard — common terms never enter the inverted index), term equi-join, per-pair sorted-fold dot products. No cross product; candidates bounded by K * df over rare terms only.",
+    "q144_grouped_weighted_quantiles" -> "Per-source token-mass percentiles: per-group distinct-value WEIGHT sums through per-group running windows (O(1) state, groups in parallel) + the |probs|-row broadcast rank join — a source's cost is its distinct value count, never its row count.",
+    "q145_ann_stored_index" -> "Stored IVF probe: query batch scored against the TINY stored centroids (broadcast, bounded top-k), then the cell-partitioned inverted lists join the broadcast probes — the lists scan's PartitionFilters carry a dynamicpruning expression, so only probed cell DIRECTORIES are opened. Probe cost proportional to the batch; pinned in PlanShapeSpec.",
+    "q146_ann_index_append" -> "Incremental ANN ingestion probe: identical probe plan to q145 over a build+append index — the batch was assigned against the FROZEN stored centroids and appended to the cell partitions, so ingestion cost is proportional to the batch and the probe plan (and result — q44's oracle) is unchanged.",
+    "q147_approx_quantile_guarantee" -> "GK sketch on the gate: percentile_approx (ONE pass, O(A log n) state) produces the probe values; exact rank counts come from one conditional aggregate over a broadcast of the 4 probe rows; the rank-band check is exact long arithmetic. Deterministic iff the sketch honors its n/A guarantee — which is what the pure-SQL TRUE oracle's hash equality asserts.",
+    "q148_novelty_attribution" -> "First-owner election per shingle (hash aggregate, partial min) + ONE equi-join of the exploded shingles against the owner table + per-doc conditional count — all integer/string, AQE-splittable on hot shingles; no float determinism surface anywhere.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
