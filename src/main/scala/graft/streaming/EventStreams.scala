@@ -315,6 +315,25 @@ object EventStreams {
       merged.write.mode("overwrite").parquet(s"$tableDir/version=$batchId")
     }
 
+  /** Streaming ANN retrieval — the online serving loop for a stored
+    * [[graft.operators.Similarity.writeIvfIndex]] index as a foreachBatch
+    * sink: each micro-batch of (q_id, q_vec) query vectors probes the
+    * stored centroids + cell-partitioned inverted lists
+    * ([[graft.operators.Similarity.ivfTopKAgainstIndex]] — broadcast
+    * batch × tiny centroids, dynamic-partition-pruned lists scan) and
+    * writes per-query top-k to `outDir/batch=<id>` (idempotent
+    * overwrite — a replayed batch probes a read-only index and re-derives
+    * identical results). Per-batch cost ∝ batch; the index is shared with
+    * the batch path, so offline build / online probe is ONE codebase.
+    */
+  def annProbeIngest(indexDir: String, outDir: String, nProbe: Int, k: Int)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ivfTopKAgainstIndex(batch.toDF(), indexDir, nProbe, k)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

@@ -340,6 +340,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annProbeIngest: streamed query batches probe the stored index; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("annprobe").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    graft.operators.Similarity.writeIvfIndex(emb, idx, 16)
+    // queries as a stream of (q_id, q_vec): two micro-batches
+    val probeRows = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = probeRows.splitAt(probeRows.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("q_id", "q_vec")
+      .writeStream.foreachBatch(EventStreams.annProbeIngest(idx, out, 2, 10))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // union of streamed batches == one offline probe of the same queries
+      val streamed = spark.read.parquet(out)
+        .select("q_id", "vec_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val offline = graft.operators.Similarity.ivfTopKAgainstIndex(
+          probeRows.toDF("q_id", "q_vec"), idx, 2, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch (same batchId dir) re-derives identical results
+      val sink = EventStreams.annProbeIngest(idx, out, 2, 10)
+      sink(b1.toDF("q_id", "q_vec"), 1)
+      val replayed = spark.read.parquet(out)
+        .select("q_id", "vec_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(replayed == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("dedupIngest replay: a re-delivered batch re-derives the same kept set") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("dedupingest2").toString
