@@ -96,22 +96,35 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** ts arrives as raw nanos (see Engine.configure); truncate to µs exactly
-    * like DuckDB's parquet reader so both engines see identical timestamps.
+  /** Normalize the events `ts` column to session-zone TimestampType however
+    * the generator wrote it: raw int96-era nanos read as long via
+    * `nanosAsLong` (truncate to µs exactly like DuckDB's parquet reader),
+    * native µs timestamps, or TIMESTAMP_NTZ (value-preserving cast under the
+    * UTC session zone). Keeps every downstream consumer — watermarks,
+    * unix_micros, window() — on one type regardless of fixture vintage.
     */
-  def events: DataFrame =
-    table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
-  /** Streaming read of the events table (same µs conversion as [[events]]).
+  def events: DataFrame = normalizeTs(table("events"))
+
+  /** Streaming read of the events table (same ts normalization as [[events]]).
     * The file source needs a directory; the glob filter scopes it to the
     * events file so other tables in the SF dir aren't picked up.
     */
   def eventsStream: DataFrame =
-    spark.readStream
-      .schema(table("events").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(
+      spark.readStream
+        .schema(table("events").schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
