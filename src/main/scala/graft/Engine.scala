@@ -104,12 +104,23 @@ final case class Tables(spark: SparkSession, dir: String) {
     * unix_micros, window() — on one type regardless of fixture vintage.
     */
   private def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => df
-      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+      // NTZ → instant via an NTZ-native micros-since-epoch diff:
+      // value-preserving regardless of the session time zone (a plain CAST
+      // would reinterpret the wall clock in the session zone — correct
+      // only under UTC; unix_micros rejects NTZ input outright).
+      case TimestampNTZType =>
+        df.withColumn("ts", expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
+      // any other dtype is fixture schema drift — fail loudly rather than
+      // silently reinterpret (e.g. an int column as epoch-seconds)
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other; expected LONG, TIMESTAMP or TIMESTAMP_NTZ")
     }
   }
 

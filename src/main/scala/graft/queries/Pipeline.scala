@@ -1619,16 +1619,61 @@ object Pipeline {
        |      < least(n_chars, 500)""".stripMargin
 
   // ===== q45 approximate sketches (HLL / quantile sketch) ================
-  // No DuckDB oracle: sketch implementations differ across engines by
-  // design, so the driver records the weaker rows-only check. The exact
-  // twins are q20 (count distinct) and q40 (percentiles).
+  // Gated via the sketches' GUARANTEES, the q121/q147 pattern: raw sketch
+  // outputs differ across engines (and with merge order) by design, so the
+  // values themselves can't be hashed against DuckDB — but the published
+  // error bounds CAN be checked in exact integer arithmetic against exact
+  // counts, and the oracle is pure exact SQL asserting TRUE per group. A
+  // violated bound is a hash MISMATCH, so the driver fully gates the row.
+  //
+  //  - HLL (approx_count_distinct, default rsd 0.05): the estimate's
+  //    relative standard error is rsd; we gate |approx − exact| ≤ 25% of
+  //    exact (5·rsd — far outside any plausible HLL++ deviation, and on a
+  //    fixed input the estimate is deterministic, so the check is stable).
+  //    Over longs: |a − e| · 4 ≤ e.
+  //  - GK quantile (percentile_approx, accuracy A=1000): rank error
+  //    ≤ n/A. Same exact-rank band as q147 (±one rank unit absorbs the
+  //    floor-vs-ceil target convention), per group, over longs ×(100·A).
+  //
+  // The exact twins stay q20 (count distinct) and q40 (percentiles); at
+  // 100 TB the sketches are the right tool (one pass, O(A·log n) /
+  // O(2^p) state) and this row proves they honor their bounds.
+  private val SkAcc = 1000 // percentile_approx rank error ≤ n/SkAcc
+  private val SkPc = 50    // median, in exact hundredths
 
-  private def q45(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy(col("l_returnflag"))
+  private def q45(t: Tables): DataFrame = {
+    val rows = t.lineitem
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persistScoped() // feeds the sketch pass AND the exact-rank pass
+    val sk = rows.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"))
+        approx_count_distinct(col("l_orderkey")).as("a"),
+        countDistinct(col("l_orderkey")).as("e"),
+        percentile_approx(col("v"), lit(SkPc / 100.0), lit(SkAcc)).as("av"))
+    val ranks = rows
+      .join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("a")).as("a"), first(col("e")).as("e"),
+        first(col("av")).as("av"),
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("av"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("av"), 1L).otherwise(0L)).as("le"))
+    // av attains some rank r ∈ [lt+1, le]; the GK guarantee needs r within
+    // [SkPc·n/100 − n/A, SkPc·n/100 + n/A] — over longs, ×(100·A):
+    val d = lit(100L * SkAcc)
+    ranks.select(
+      col("l_returnflag"),
+      (abs(col("a") - col("e")) * 4 <= col("e")).as("hll_in_bounds"),
+      (col("le") * d >= lit(SkPc.toLong) * lit(SkAcc.toLong) * col("n") - lit(100L) * col("n") - d &&
+        (col("lt") + 1) * d <= lit(SkPc.toLong) * lit(SkAcc.toLong) * col("n") + lit(100L) * col("n") + d)
+        .as("p50_in_bounds"))
+  }
+
+  private val q45Sql =
+    """SELECT l_returnflag, TRUE AS hll_in_bounds, TRUE AS p50_in_bounds
+      |FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1""".stripMargin
 
   // ===== q37 multimodal decode/resize plumbing ===========================
 
@@ -2242,7 +2287,7 @@ object Pipeline {
     "q37_media_decode" -> q37Sql,
     "q38_sessionize" -> q38Sql,
     "q44_ann_ivf_topk" -> q44Sql,
-    // q45_approx_sketches intentionally has no oracle (rows-only check)
+    "q45_approx_sketches" -> q45Sql,
     "q54_winnowing_fingerprint" -> q54Sql,
     "q55_pii_scrub" -> q55Sql,
     "q56_repetition_signals" -> q56Sql,

@@ -113,4 +113,39 @@ class EngineInfraSpec extends AnyFunSuite {
     assert(one.rdd.getNumPartitions == 1)
     assert(Fanout(one).rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
+
+  test("Tables.events NTZ normalization is session-zone independent") {
+    // An NTZ fixture's wall-clock values must map to the same instants
+    // (NTZ read as UTC wall clock) whatever the session zone — a plain
+    // CAST would reinterpret them in the session zone and shift.
+    val dir = Files.createTempDirectory("graft-ntz").toString
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS event_id,
+        |  timestampadd(SECOND, CAST(id AS INT),
+        |    to_timestamp_ntz('2024-01-01 00:00:00')) AS ts
+        |FROM range(3)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    def micros(): Seq[Long] = {
+      val t = Tables(spark, dir)
+      assert(t.events.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      t.events.select(expr("unix_micros(ts)")).as[Long].collect().toSeq.sorted
+    }
+    val inUtc = micros()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(micros() == inUtc, "NTZ normalization shifted with session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    assert(inUtc == Seq(expected, expected + 1000000L, expected + 2000000L))
+  }
+
+  test("Tables.events rejects an unexpected ts dtype loudly") {
+    val dir = Files.createTempDirectory("graft-ntz-bad").toString
+    spark.range(3).select($"id".as("event_id"), $"id".cast("int").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalStateException](Tables(spark, dir).events)
+    assert(ex.getMessage.contains("unexpected type"))
+  }
 }

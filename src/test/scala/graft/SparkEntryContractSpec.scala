@@ -8,10 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntryContractSpec extends AnyFunSuite {
 
-  test("every gated query has an oracle, except the documented rows-only set") {
-    val rowsOnly = Set("q45_approx_sketches") // engine-specific sketches
+  test("every gated query has an oracle — the rows-only set is empty") {
+    // q45 was the last rows-only row; since round 8 it gates its sketches
+    // via their error-bound guarantees (q121/q147 pattern), so EVERY
+    // registered query now has a full hash-match oracle.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly,
+    assert(missing.isEmpty,
       s"queries without an oracle (add SQL or document rows-only): $missing")
   }
 
