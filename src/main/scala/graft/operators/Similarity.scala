@@ -133,6 +133,56 @@ object Similarity {
     corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
 
+  /** TRAINED coarse quantizer: distributed spherical Lloyd's k-means over
+    * the corpus — the quality upgrade over [[centroidsOf]] real retrieval
+    * stacks use (training-free centroids are deterministic and
+    * oracle-friendly, but at scale recall hinges on quantizer quality).
+    * Deterministic by construction: init = the nCells smallest-id corpus
+    * vectors (no RNG seed to thread), a FIXED `iters` Lloyd iterations
+    * (no data-dependent stopping), ties in assignment broken by cent_id
+    * (the [[bestCells]] top-k aggregate's id tiebreak).
+    *
+    * Per iteration, Spark-shaped: (1) assignment is the [[bestCells]]
+    * broadcast-score pass (narrow, |corpus|·nCells ops, zero shuffle);
+    * (2) the new centroid = member mean, computed by posexploding to
+    * (cell, pos, x) and hash-aggregating avg — partial aggregation
+    * collapses each task to ≤ nCells·dim partial sums before the
+    * exchange, so the shuffle carries centroids, not the corpus; (3) the
+    * ≤ nCells·dim result folds back to arrays and localCheckpoints
+    * (centroid frames are tiny; truncating lineage keeps iteration N's
+    * plan from replaying iterations 1..N-1). A cell that loses all
+    * members keeps its previous centroid (standard Lloyd's). Cosine
+    * assignment is scale-invariant, so the mean needs no L2 re-norm.
+    *
+    * Float caveat (why the GATE keeps the training-free quantizer): the
+    * per-cell avg folds in partition order, so trained centroids are not
+    * bit-reproducible across engines — fine for an approximate index
+    * (recall is pinned in SimilaritySpec), wrong for a hash-matched
+    * oracle. At 100 TB, train on a deterministic sample (e.g. a vec_id
+    * hash-mod filter) and assign the full corpus — assignment, not
+    * training, is the full-data pass.
+    */
+  def centroidsKMeans(corpus: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    var cents = centroidsOf(corpus, nCells).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = bestCells(corpus, cents, "vec_id", "embedding", 1)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), p => p("m").cast("float")).as("mvec"))
+      cents = cents.as("c")
+        .join(means.as("m"), col("c.cent_id") === col("m.cent_id"), "left")
+        .select(col("c.cent_id").as("cent_id"),
+          coalesce(col("m.mvec"), col("c.cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Assign each row to its `n` max-cosine cells. Ranks nCells candidates
     * per vector with the bounded top-k aggregate: the map side collapses
     * to n structs per vector before the exchange (vs shuffling all
@@ -178,8 +228,15 @@ object Similarity {
     * Build cost is one broadcast-score pass + one partitioned write;
     * rebuilds are overwrite-idempotent.
     */
-  def writeIvfIndex(corpus: DataFrame, dir: String, nCells: Int): Unit = {
-    val cents = centroidsOf(corpus, nCells)
+  def writeIvfIndex(corpus: DataFrame, dir: String, nCells: Int,
+      trainIters: Int = 0): Unit = {
+    // trainIters = 0 → deterministic training-free quantizer (the gate's
+    // oracle-reproducible default); > 0 → k-means-trained centroids
+    // ([[centroidsKMeans]]) for recall. Probes don't care which built the
+    // index: the stored layout is identical.
+    val cents =
+      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters)
+      else centroidsOf(corpus, nCells)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // cell as int: parquet partition-column inference reads the directory
     // values back as ints, so writing ints keeps the probe join key
@@ -198,9 +255,10 @@ object Similarity {
     * so probes against build+append equal probes against a from-scratch
     * build over the union whenever the build corpus contained the
     * centroid id range (spec-pinned). Appends are NOT replay-safe
-    * (append-mode duplicates on redo); replaying producers need the
-    * batch-versioned layout of
-    * [[graft.streaming.EventStreams.dedupIngest]].
+    * (append-mode duplicates on redo); replaying producers use the
+    * batch-versioned layout instead — [[writeIvfIndexVersioned]] +
+    * [[ingestIntoIvfIndex]] (the
+    * [[graft.streaming.EventStreams.dedupIngest]] pattern).
     */
   def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
@@ -208,6 +266,48 @@ object Similarity {
     bestCells(newVectors, cents, "vec_id", "embedding", 1)
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
+  /** Build a stored IVF index in the BATCH-VERSIONED layout — the
+    * replay-safe sibling of [[writeIvfIndex]] for indexes that will be fed
+    * by a (possibly replaying) producer: inverted lists live under
+    * `lists/batch=<id>/cell=<c>/` (the build is batch 0), so an ingest
+    * batch OVERWRITES its own batch partition instead of appending —
+    * a crash-replayed batch converges to identical index contents rather
+    * than duplicating its vectors (exactly the
+    * [[graft.streaming.EventStreams.dedupIngest]] index layout). Probes
+    * ([[ivfTopKAgainstIndex]]) work unchanged: partition discovery reads
+    * `batch` as just another partition column, the probe joins on `cell`,
+    * and cell-directory pruning applies across every batch directory.
+    */
+  def writeIvfIndexVersioned(corpus: DataFrame, dir: String, nCells: Int,
+      trainIters: Int = 0): Unit = {
+    val cents =
+      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters)
+      else centroidsOf(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    bestCells(corpus, cents, "vec_id", "embedding", 1)
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists/batch=0")
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeIvfIndexVersioned]]
+    * index: assign the batch against the FROZEN stored centroids
+    * (broadcast, narrow — same frozen-quantizer semantics as
+    * [[appendToIvfIndex]]) and OVERWRITE this batch's own partition
+    * directory. Re-running the same (batch, batchId) — a streaming
+    * replay after a crash — rewrites the same files and leaves the index
+    * contents identical; per-ingest cost stays ∝ batch.
+    */
+  def ingestIntoIvfIndex(newVectors: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    bestCells(newVectors, cents, "vec_id", "embedding", 1)
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/lists/batch=$batchId")
   }
 
   /** Probe a stored [[writeIvfIndex]]: per-query top-k over the `nProbe`

@@ -334,6 +334,28 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming ANN index ingestion — the replay-safe producer loop for a
+    * [[graft.operators.Similarity.writeIvfIndexVersioned]] index as a
+    * foreachBatch sink: each micro-batch of (vec_id, embedding) vectors is
+    * assigned against the frozen stored centroids and OVERWRITES its own
+    * `lists/batch=<id>` partition
+    * ([[graft.operators.Similarity.ingestIntoIvfIndex]]), so a
+    * crash-replayed batch converges to identical index contents instead
+    * of duplicating its vectors — the same batch-versioned idempotence as
+    * [[dedupIngest]]'s index writes. Streaming batchIds start at 0 but
+    * batch 0 of the layout is the offline build, so the sink writes
+    * streaming batch N to `batch=N+1` (stable across replays, which
+    * re-deliver the same N). Per-batch cost ∝ batch; probes
+    * ([[annProbeIngest]] / the batch path) see each batch as soon as its
+    * partition lands.
+    */
+  def annIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ingestIntoIvfIndex(batch.toDF(), indexDir, batchId + 1)
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

@@ -377,6 +377,52 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("annIngest: streamed vectors extend a versioned index; replay leaves it identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("anningest").toString
+    val idx = s"$base/index"
+    // build on a slice containing the whole centroid id range (frozen
+    // quantizer == full-corpus quantizer, as in the append test), stream
+    // the rest in two micro-batches
+    graft.operators.Similarity.writeIvfIndexVersioned(
+      emb.filter($"vec_id" < 16 || $"vec_id" % 3 =!= 1), idx, 16)
+    val late = emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = late.splitAt(late.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(EventStreams.annIngest(idx))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // probing build+stream equals probing a from-scratch build of the
+      // full corpus (frozen-quantizer equivalence, now through the
+      // versioned layout — ivfTopKAgainstIndex reads batch=* unchanged)
+      val queries = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "vec_id", "score", "rnk")
+          .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val full = java.nio.file.Files.createTempDirectory("anningestfull").toString
+      graft.operators.Similarity.writeIvfIndexVersioned(emb, full, 16)
+      assert(sorted(graft.operators.Similarity.ivfTopKAgainstIndex(queries, idx, 2, 10))
+        == sorted(graft.operators.Similarity.ivfTopKAgainstIndex(queries, full, 2, 10)))
+      // crash-replay: re-delivering streaming batch 1 overwrites its own
+      // batch partition — index contents must be IDENTICAL, not doubled
+      def contents(): Set[(Long, Long, Int)] =
+        spark.read.parquet(s"$idx/lists")
+          .select($"vec_id", $"batch".cast("long"), $"cell")
+          .as[(Long, Long, Int)].collect().toSet
+      val before = contents()
+      val sink = EventStreams.annIngest(idx)
+      sink(b1.toDF("vec_id", "embedding"), 1)
+      assert(contents() == before, "replayed batch changed the index")
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("dedupIngest replay: a re-delivered batch re-derives the same kept set") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("dedupingest2").toString
