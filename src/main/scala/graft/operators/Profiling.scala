@@ -64,11 +64,16 @@ object Profiling {
   def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
       scanParts: Int = 32): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
-    val spark = df.sparkSession
+    quantilesFromCum(cumCounts(df, value, scanParts), probs)
+  }
+
+  /** Rank selection over an already-built [[cumCounts]] frame — split out
+    * so [[robustProfile]] can select many probability sets from ONE scan.
+    */
+  private def quantilesFromCum(cum: DataFrame, probs: Seq[Double]): DataFrame = {
+    val spark = cum.sparkSession
     import spark.implicits._
-    val cum = cumCounts(df, value, scanParts)
-    val ps = probs.toDF("prob")
-    cum.join(broadcast(ps),
+    cum.join(broadcast(probs.toDF("prob")),
         col("__cum") < rankOf(col("prob"), col("__n")) &&
           rankOf(col("prob"), col("__n")) <= col("__cum") + col("__c"))
       .select(col("prob"), col("__v").as("value"))
@@ -432,5 +437,71 @@ object Profiling {
     df.crossJoin(broadcast(cuts))
       .withColumn(outCol, least(greatest(value, col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
+  }
+
+  /** Shared-scan robust profile of one numeric column: exact quantiles,
+    * winsorized moments, and the MAD outlier screen — everything q115 +
+    * q126 + q136 compute — derived from ONE distinct-value prefix-sum
+    * scan instead of three. Run separately, each of those re-derives its
+    * own [[cumCounts]] of the SAME column (the scan dominates their
+    * cost); here one persisted cum frame feeds every rank selection
+    * (quantiles at `probs`, the pLo/pHi winsorize cutoffs, the MAD
+    * median), and the raw values take only the irreducible extra passes —
+    * one clamp-and-moments aggregate, one |v − med| deviation scan (a
+    * DIFFERENT value set, so it needs its own small scan), one outlier
+    * count. Output is ONE row: `quantiles` as a prob-sorted
+    * array<struct<prob,value>> plus n_rows / w_mean / w_std (winsorized,
+    * exact-DECIMAL moments — `inputDecimals` is the value grid, as
+    * [[corrMatrix]]) / med / mad / n_outliers (|v − med| > madK·MAD;
+    * 4.4478 = 3·1.4826 ≈ 3σ under normality).
+    *
+    * 100 TB posture: identical per-pass shape to the individual
+    * operators — no global sort, no value buffering, 1-row broadcasts
+    * between stages; this entry point only removes the repeated scans.
+    */
+  def robustProfile(df: DataFrame, value: Column, probs: Seq[Double],
+      pLo: Double = 0.01, pHi: Double = 0.99, madK: Double = 4.4478,
+      inputDecimals: Int = 2, scanParts: Int = 32): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1))
+    require(pLo < pHi)
+    import org.apache.spark.sql.types.DecimalType
+    // three raw passes read this frame (clamp moments, deviations,
+    // outlier count) — persist, or each re-runs the upstream plan
+    val vdf = df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull).persistScoped()
+    val qs = quantilesFromCum(cumCounts(vdf, col("__v"), scanParts),
+        (probs ++ Seq(pLo, pHi, 0.5)).distinct)
+      .persistScoped() // |probs|+3 rows; feeds the quantile array + cuts
+    val quantRow = qs.filter(col("prob").isin(probs: _*))
+      .agg(array_sort(collect_list(struct(col("prob"), col("value"))))
+        .as("quantiles"))
+    val cuts = qs.agg(
+      min(when(col("prob") === pLo, col("value"))).as("__lo"),
+      max(when(col("prob") === pHi, col("value"))).as("__hi"),
+      min(when(col("prob") === 0.5, col("value"))).as("med"))
+    val moments = vdf.crossJoin(broadcast(cuts))
+      .select(least(greatest(col("__v"), col("__lo")), col("__hi")).as("w"),
+        col("med"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("w").cast(DecimalType(38, inputDecimals))).cast("double").as("__s"),
+        sum((col("w") * col("w")).cast(DecimalType(38, 2 * inputDecimals)))
+          .cast("double").as("__ss"),
+        min(col("med")).as("med"))
+      .select(col("n_rows"),
+        round(col("__s") / col("n_rows"), 4).as("w_mean"),
+        round(sqrt((col("__ss") - col("__s") * col("__s") / col("n_rows"))
+          / (col("n_rows") - 1)), 4).as("w_std"),
+        col("med"))
+      .persistScoped() // 1 row; med feeds the deviation scan twice
+    val dev = vdf.crossJoin(broadcast(moments.select(col("med").as("__m"))))
+      .select(abs(col("__v") - col("__m")).as("__ad"))
+    val mad1 = quantilesFromCum(cumCounts(dev, col("__ad"), scanParts), Seq(0.5))
+      .agg(min(col("value")).as("mad")).persistScoped()
+    val outliers = dev.crossJoin(broadcast(mad1))
+      .agg(sum(when(col("__ad") > lit(madK) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"), min(col("mad")).as("mad"))
+    quantRow.crossJoin(moments).crossJoin(outliers)
+      .select(col("quantiles"), col("n_rows"), col("w_mean"), col("w_std"),
+        col("med"), col("mad"), col("n_outliers"))
   }
 }

@@ -357,6 +357,35 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Cross-cell recall variant of [[semanticDedup]]: each vector enters
+    * its top-`nAssign` (default 2) cells during CANDIDATE GENERATION, so a
+    * near-dup pair straddling a cell boundary — each vector's best cell is
+    * the other's runner-up — is still witnessed in a shared cell. This is
+    * the knob for the published SemDeDup trade (cross-cell misses by
+    * design): candidate rows grow ≤ nAssign× and pair count ≤ nAssign²×,
+    * still Σ|cell|²-bounded — a constant-factor recall/cost dial, not a
+    * new asymptotic. The drop set is `distinct`ed (already so in the base
+    * form) because a pair can now collide in up to nAssign shared cells.
+    * Candidate generation reuses the [[bestCells]] top-k aggregate — the
+    * exact machinery probes already use; nAssign = 1 IS [[semanticDedup]].
+    */
+  def semanticDedupMultiCell(corpus: DataFrame, nCells: Int,
+      threshold: Double, nAssign: Int = 2): DataFrame = {
+    require(nAssign >= 1)
+    val cents = centroidsOf(corpus, nCells)
+    val lists = bestCells(corpus, cents, "vec_id", "embedding", nAssign)
+      .persistScoped()
+    val drops = lists.as("x")
+      .join(lists.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cosine(col("x.embedding"), col("y.embedding")), 4)
+        >= threshold)
+      .select(col("y.vec_id").as("drop_id"))
+      .distinct()
+    corpus.join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"))
+  }
+
   /** Scale-capped semantic dedup — [[semanticDedup]] with the cell
     * population kept corpus-proportional and bounded, so the in-cell
     * self-join's Σ|cell|² pair count cannot degenerate toward n² no

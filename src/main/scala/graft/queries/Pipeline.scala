@@ -945,23 +945,58 @@ object Pipeline {
         .select(col("id_a"), col("id_b")),
       k = CoreK, rounds = CoreRounds)
 
-  private val q129Sql = {
+  /** Unrolled peel-round CTEs over the 0.15-similarity near-dup graph:
+    * shared by q129 (fixed 3 rounds) and q149 (rounds past the measured
+    * fixpoint — peeling is idempotent once converged, so extra unrolled
+    * rounds reproduce the exact core). The per-round CTEs are
+    * AS MATERIALIZED: each round references the previous one 4× (twice in
+    * the degree union, twice in the semi-filters), so DuckDB's default
+    * CTE inlining would re-evaluate the whole prefix per reference —
+    * exponential in rounds (3 unrolled rounds finish; 12 never do).
+    * Materialization makes the oracle linear in rounds, matching the
+    * Spark side's per-round localCheckpoint.
+    */
+  private def kCoreUnrolledSql(rounds: Int): String = {
     def round(i: Int): String = {
       val prev = if (i == 1) "e0" else s"e${i - 1}"
-      s"""d$i AS (SELECT v, count(*) AS deg FROM (
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
          |    SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev)
          |  GROUP BY v HAVING count(*) >= $CoreK),
-         |e$i AS (SELECT a, b FROM $prev
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
          |        WHERE a IN (SELECT v FROM d$i) AND b IN (SELECT v FROM d$i))""".stripMargin
     }
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${bucketCtesSql(NearDupPlanes)},
-       |e0 AS (SELECT x.vec_id AS a, y.vec_id AS b
+       |e0 AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
        |       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |       WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CoreCosT),
-       |${(1 to CoreRounds).map(round).mkString(",\n")}
-       |SELECT v AS id, deg FROM d$CoreRounds""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT v AS id, deg FROM d$rounds""".stripMargin
   }
+
+  private val q129Sql = kCoreUnrolledSql(CoreRounds)
+
+  // ===== q149 EXACT k-core fixpoint of the near-dup graph ================
+  // q129's bounded peel run to CONVERGENCE (Graph.kCoreExact): the maximal
+  // subgraph where every vertex keeps degree >= 3 — a long peel chain a
+  // fixed round count gets wrong. The Spark side loops with a scalar
+  // convergence count + localCheckpoint lineage truncation; the oracle
+  // unrolls 12 peel rounds — measured fixpoint is 10 rounds at sf0.001
+  // and 5 at sf0.01 (the 500-vector graph is the same fixture), and a
+  // converged peel round is idempotent, so extra unrolled rounds
+  // reproduce the exact core verbatim. This puts the driver's hash gate
+  // on the data-dependent-iteration operator itself, not just its
+  // fixed-round approximation.
+  private val KcUnroll = 12
+
+  private def q149(t: Tables): DataFrame =
+    Graph.kCoreExact(
+      Similarity
+        .cosineNearDupPairs(graft.Fanout(t.embeddings), Dim, CoreCosT, NearDupPlanes)
+        .select(col("id_a"), col("id_b")),
+      k = CoreK)
+
+  private val q149Sql = kCoreUnrolledSql(KcUnroll)
 
   // ===== q130 char-bigram LM quality scoring =============================
   // Language-model quality filtering without a trained model artifact:
@@ -2269,7 +2304,8 @@ object Pipeline {
     "q144_grouped_weighted_quantiles" -> wrap(q144),
     "q145_ann_stored_index" -> wrap(q145),
     "q146_ann_index_append" -> wrap(q146),
-    "q148_novelty_attribution" -> wrap(q148)
+    "q148_novelty_attribution" -> wrap(q148),
+    "q149_kcore_exact" -> wrap(q149)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2338,6 +2374,7 @@ object Pipeline {
     "q145_ann_stored_index" -> q44Sql,
     // build+append must also equal the from-scratch derivation
     "q146_ann_index_append" -> q44Sql,
-    "q148_novelty_attribution" -> q148Sql
+    "q148_novelty_attribution" -> q148Sql,
+    "q149_kcore_exact" -> q149Sql
   )
 }

@@ -267,4 +267,44 @@ class ProfilingSpec extends AnyFunSuite {
         w.exists { case (v, ww) => v > ww })
     } finally graft.CacheScope.drain()
   }
+
+  test("robustProfile equals the three individually-derived robust stat sets") {
+    // the scan-sharing contract: one cum scan must reproduce EXACTLY what
+    // exactQuantiles + winsorize-moments + the MAD pipeline produce when
+    // each runs its own scan (same rank arithmetic, same DECIMAL moments)
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    try {
+      val r = Profiling.robustProfile(prices, col("l_extendedprice"), probs,
+        pLo = 0.05, pHi = 0.95)
+        .as[(Seq[(Double, Double)], Long, Double, Double, Double, Double, Long)]
+        .collect().head
+      val (qArr, nRows, wMean, wStd, med, mad, nOut) = r
+      // quantiles
+      val qRef = Profiling.exactQuantiles(prices, col("l_extendedprice"), probs)
+        .as[(Double, Double)].collect().sortBy(_._1).toSeq
+      assert(qArr == qRef)
+      // winsorized moments (independent derivation through winsorize)
+      val wRef = Profiling.winsorize(prices, col("l_extendedprice"), 0.05, 0.95, "w")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+            .cast("double").as("s"),
+          sum((col("w") * col("w"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast("double").as("ss"))
+        .select(col("n"), round(col("s") / col("n"), 4),
+          round(sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 4))
+        .as[(Long, Double, Double)].collect().head
+      assert((nRows, wMean, wStd) == wRef)
+      // MAD screen (independent derivation)
+      val medRef = Profiling.exactQuantiles(prices, col("l_extendedprice"), Seq(0.5))
+        .as[(Double, Double)].collect().head._2
+      assert(med == medRef)
+      val dev = prices.select(abs(col("l_extendedprice") - lit(medRef)).as("ad"))
+      val madRef = Profiling.exactQuantiles(dev, col("ad"), Seq(0.5))
+        .as[(Double, Double)].collect().head._2
+      assert(mad == madRef)
+      val outRef = dev.filter(col("ad") > lit(4.4478) * lit(madRef)).count()
+      assert(nOut == outRef)
+    } finally graft.CacheScope.drain()
+  }
 }

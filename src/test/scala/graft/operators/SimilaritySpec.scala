@@ -139,6 +139,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"drop recall $recall (${cappedDrops.size}/${trueDrops.size})")
   }
 
+  test("semanticDedupMultiCell: catches a seeded boundary-straddling pair single-cell misses") {
+    // the exact failure mode the top-2 assignment exists for: vectors 10
+    // and 11 are near-identical (cos 0.9945) but sit on opposite sides of
+    // the c0/c1 centroid boundary — each one's best cell is the other's
+    // runner-up, so single-cell candidate generation never co-locates
+    // them; top-2 puts both in both cells and the pair is witnessed.
+    val fixture = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),  // centroid c0 (centroidsOf = first 2 ids)
+      (1L, Array(0f, 1f, 0f, 0f)),  // centroid c1
+      (10L, Array(0.9f, 1f, 0f, 0f)),  // best c1, runner-up c0
+      (11L, Array(1f, 0.9f, 0f, 0f))   // best c0, runner-up c1
+    ).toDF("vec_id", "embedding")
+    try {
+      val single = Similarity.semanticDedup(fixture, 2, 0.95)
+        .as[Long].collect().toSet
+      val multi = Similarity.semanticDedupMultiCell(fixture, 2, 0.95, 2)
+        .as[Long].collect().toSet
+      assert(single == Set(0L, 1L, 10L, 11L), s"single-cell missed nothing else: $single")
+      assert(multi == Set(0L, 1L, 10L), s"top-2 should drop 11 (dup of 10): $multi")
+    } finally graft.CacheScope.drain()
+  }
+
+  test("semanticDedupMultiCell: pinned recall gain over single-cell on real embeddings") {
+    // measured on the REAL harness embeddings (deterministic): of the 188
+    // true drops (cosine >= 0.35 to a lower-id vector), single-cell at
+    // nCells=16 finds 51 (recall 0.271), top-2 finds 112 (recall 0.596) —
+    // boundary-straddling pairs are most of what single-cell misses. Pin
+    // slightly below the measurements, pin the 2x improvement, and pin
+    // perfect precision (the in-cell cosine verify is exact).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val t = 0.35
+    try {
+      val trueDrops = emb.as("x").join(emb.as("y"),
+          col("x.vec_id") < col("y.vec_id"))
+        .filter(round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 4) >= t)
+        .select(col("y.vec_id")).distinct().as[Long].collect().toSet
+      val allIds = emb.select("vec_id").as[Long].collect().toSet
+      val singleDrops = allIds --
+        Similarity.semanticDedup(emb, 16, t).as[Long].collect().toSet
+      val multiDrops = allIds --
+        Similarity.semanticDedupMultiCell(emb, 16, t, 2).as[Long].collect().toSet
+      assert(multiDrops.subsetOf(trueDrops),
+        s"multi-cell dropped non-near-dups: ${(multiDrops -- trueDrops).take(5)}")
+      val rs = singleDrops.size.toDouble / trueDrops.size
+      val rm = multiDrops.size.toDouble / trueDrops.size
+      assert(rm >= 0.55, s"multi-cell recall $rm (measured 0.596)")
+      assert(rm >= 2 * rs, s"multi $rm vs single $rs — the reason the knob exists")
+    } finally graft.CacheScope.drain()
+  }
+
   test("stored IVF index probe equals the from-scratch ivfTopK, and rebuild is idempotent") {
     // the index-integrity contract: persisting centroids + cell lists and
     // probing them must reproduce ivfTopK exactly (same deterministic
