@@ -1518,6 +1518,69 @@ object Relational {
        |  TRUE AS in_bounds""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q150 — the SHARED-SCAN robust profile on the gate: everything q115 +
+  // q126 + q136 compute (exact quantiles, winsorized moments, MAD
+  // outlier screen) from ONE distinct-value prefix-sum scan
+  // (Profiling.robustProfile) instead of three. The quantile array is
+  // exploded back to rows and the 1-row stats ride along on every row,
+  // so the driver hashes the whole combined result; the oracle re-derives
+  // all of it from scratch with the q115/q126/q136 SQL fused over one cum
+  // CTE — proving scan-sharing changed the cost, not the answers.
+  private def q150(t: Tables): DataFrame =
+    graft.operators.Profiling.robustProfile(
+        t.lineitem, col("l_extendedprice"), QuantPs)
+      .select(explode(col("quantiles")).as("q"), col("n_rows"),
+        col("w_mean"), col("w_std"), col("med"), col("mad"), col("n_outliers"))
+      .select(col("q.prob").as("prob"), col("q.value").as("value"),
+        col("n_rows"), col("w_mean"), col("w_std"), col("med"), col("mad"),
+        col("n_outliers"))
+
+  private val q150Sql =
+    s"""WITH c AS (SELECT l_extendedprice AS v, count(*) AS c
+       |           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |cum AS (SELECT v, c,
+       |          CAST(coalesce(sum(c) OVER (ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |        FROM c),
+       |p AS (SELECT CAST(unnest([${QuantPs.mkString(", ")}]) AS DOUBLE) AS prob),
+       |sel AS (SELECT p.prob, v AS value
+       |        FROM cum, n, p
+       |        WHERE cb < greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT))
+       |          AND greatest(1, CAST(ceil(p.prob * n.n - 1e-6) AS BIGINT)) <= cb + c),
+       |cuts AS (SELECT min(CASE WHEN prob = 0.01 THEN value END) AS lo,
+       |                max(CASE WHEN prob = 0.99 THEN value END) AS hi,
+       |                min(CASE WHEN prob = 0.5 THEN value END) AS med
+       |         FROM sel),
+       |wt AS (SELECT least(greatest(l_extendedprice, lo), hi) AS w
+       |       FROM lineitem, cuts WHERE l_extendedprice IS NOT NULL),
+       |m AS (SELECT count(*) AS n_rows,
+       |        CAST(sum(CAST(w AS DECIMAL(38,2))) AS DOUBLE) AS s,
+       |        CAST(sum(CAST(w * w AS DECIMAL(38,4))) AS DOUBLE) AS ss
+       |      FROM wt),
+       |mo AS (SELECT n_rows, round(s / n_rows, 4) AS w_mean,
+       |         round(sqrt((ss - s * s / n_rows) / (n_rows - 1)), 4) AS w_std
+       |       FROM m),
+       |dev AS (SELECT abs(l_extendedprice - med) AS ad
+       |        FROM lineitem, cuts WHERE l_extendedprice IS NOT NULL),
+       |dc AS (SELECT ad, count(*) AS c FROM dev GROUP BY 1),
+       |dn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dc),
+       |dcum AS (SELECT ad, c,
+       |           CAST(coalesce(sum(c) OVER (ORDER BY ad
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |         FROM dc),
+       |mad AS (SELECT ad AS mad FROM dcum, dn
+       |        WHERE cb < greatest(1, CAST(ceil(0.5 * dn.n - 1e-6) AS BIGINT))
+       |          AND greatest(1, CAST(ceil(0.5 * dn.n - 1e-6) AS BIGINT)) <= cb + c),
+       |o AS (SELECT CAST(sum(CASE WHEN ad > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_outliers,
+       |        min(mad) AS mad
+       |      FROM dev, mad)
+       |SELECT sel.prob, sel.value, mo.n_rows, mo.w_mean, mo.w_std,
+       |  cuts.med, o.mad, o.n_outliers
+       |FROM sel, mo, cuts, o""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q114 — incremental aggregate maintenance (materialized-view refresh):
   // a pre-aggregated base partition (orders before the cutoff) merges
   // with a freshly aggregated delta by re-aggregating the PARTIAL states
@@ -2023,7 +2086,8 @@ object Relational {
     "q137_grouped_regression" -> wrap(q137),
     "q139_percentile_rank" -> wrap(q139),
     "q140_skew_report" -> wrap(q140),
-    "q147_approx_quantile_guarantee" -> wrap(q147)
+    "q147_approx_quantile_guarantee" -> wrap(q147),
+    "q150_robust_profile" -> wrap(q150)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2110,6 +2174,7 @@ object Relational {
     "q137_grouped_regression" -> q137Sql,
     "q139_percentile_rank" -> q139Sql,
     "q140_skew_report" -> q140Sql,
-    "q147_approx_quantile_guarantee" -> q147Sql
+    "q147_approx_quantile_guarantee" -> q147Sql,
+    "q150_robust_profile" -> q150Sql
   )
 }
