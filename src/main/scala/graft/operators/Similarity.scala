@@ -140,10 +140,11 @@ object Similarity {
     * Deterministic by construction: init = the nCells smallest-id corpus
     * vectors (no RNG seed to thread), a FIXED `iters` Lloyd iterations
     * (no data-dependent stopping), ties in assignment broken by cent_id
-    * (the [[bestCells]] top-k aggregate's id tiebreak).
+    * (the [[narrowBestCell]] first-max fold).
     *
-    * Per iteration, Spark-shaped: (1) assignment is the [[bestCells]]
-    * broadcast-score pass (narrow, |corpus|·nCells ops, zero shuffle);
+    * Per iteration, Spark-shaped: (1) assignment is the
+    * [[narrowBestCell]] fold over the broadcast centroid array (narrow,
+    * |corpus|·nCells ops, zero shuffle — the corpus never exchanges);
     * (2) the new centroid = member mean, computed by posexploding to
     * (cell, pos, x) and hash-aggregating avg — partial aggregation
     * collapses each task to ≤ nCells·dim partial sums before the
@@ -166,7 +167,7 @@ object Similarity {
     require(iters >= 1)
     var cents = centroidsOf(corpus, nCells).localCheckpoint()
     for (_ <- 1 to iters) {
-      val means = bestCells(corpus, cents, "vec_id", "embedding", 1)
+      val means = narrowBestCell(corpus, cents, "vec_id", "embedding")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -181,6 +182,35 @@ object Similarity {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Single-best-cell assignment as a ZERO-SHUFFLE narrow map: the
+    * centroids collapse to ONE broadcast row holding a cent_id-sorted
+    * array, and each corpus row folds over it with a strict-max argmax —
+    * first max wins, which on the 4-dp-rounded score ties selects the
+    * SMALLEST cent_id, exactly [[bestCells]]'s top-1 tiebreak (and the
+    * oracle's `ORDER BY score DESC, cent_id` with rank 1). Identical
+    * output to `bestCells(df, cents, idCol, vecCol, 1)`, but where that
+    * form exchanges one partially-aggregated row PER CORPUS VECTOR
+    * (embedding included) through its groupBy, this one exchanges
+    * nothing: assignment stays scan-bandwidth-bound at any corpus size.
+    * Used wherever only the best cell is needed (index builds, ingest,
+    * k-means training); probes keep [[bestCells]] — they need n > 1 and
+    * their batch side is small.
+    */
+  private def narrowBestCell(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val carr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cvec")))).as("__cents"))
+    val init = struct(lit(-1L).as("cent_id"), lit(-2.0).as("s"))
+    df.join(broadcast(carr), lit(true))
+      .withColumn("__best", aggregate(col("__cents"), init, (acc, c) => {
+        val s = round(cosine(col(vecCol), c.getField("cvec")), 4)
+        when(s > acc.getField("s"),
+          struct(c.getField("cent_id").as("cent_id"), s.as("s")))
+          .otherwise(acc)
+      }))
+      .select(col(idCol), col(vecCol), col("__best.cent_id").as("cell"))
   }
 
   /** Assign each row to its `n` max-cosine cells. Ranks nCells candidates
@@ -202,7 +232,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, nCells: Int, nProbe: Int,
       k: Int): DataFrame = {
     val cents = centroidsOf(corpus, nCells)
-    val lists = bestCells(corpus, cents, "vec_id", "embedding", 1)
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
     val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
     val scored = lists.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -241,7 +271,7 @@ object Similarity {
     // cell as int: parquet partition-column inference reads the directory
     // values back as ints, so writing ints keeps the probe join key
     // cast-free (a cast on the partition column can defeat static pruning)
-    bestCells(corpus, cents, "vec_id", "embedding", 1)
+    narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
   }
@@ -263,7 +293,7 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    bestCells(newVectors, cents, "vec_id", "embedding", 1)
+    narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
   }
@@ -286,7 +316,7 @@ object Similarity {
       if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters)
       else centroidsOf(corpus, nCells)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    bestCells(corpus, cents, "vec_id", "embedding", 1)
+    narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists/batch=0")
   }
@@ -304,7 +334,7 @@ object Similarity {
     require(batchId >= 1, s"batch 0 is the build (got $batchId)")
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
-    bestCells(newVectors, cents, "vec_id", "embedding", 1)
+    narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/lists/batch=$batchId")
@@ -344,7 +374,7 @@ object Similarity {
     val cents = centroidsOf(corpus, nCells)
     // the cell assignment feeds both sides of the self-join — persist, or
     // the centroid broadcast-score pass runs twice
-    val lists = bestCells(corpus, cents, "vec_id", "embedding", 1)
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
       .persistScoped()
     val drops = lists.as("x")
       .join(lists.as("y"),

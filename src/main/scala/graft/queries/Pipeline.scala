@@ -1485,6 +1485,37 @@ object Pipeline {
        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
   }
 
+  // ===== q151 top-2-cell semantic dedup ==================================
+  // q76's cross-cell recall knob ON the gate: every vector enters its
+  // top-2 cells during candidate generation
+  // (Similarity.semanticDedupMultiCell), so near-dup pairs straddling a
+  // cell boundary — each one's best cell is the other's runner-up — are
+  // witnessed in a shared cell. On this corpus the drop set more than
+  // doubles vs q76 (recall 0.271 → 0.596 of the true pairs,
+  // SimilaritySpec) at ≤4× the pair bound. The oracle is q76's with the
+  // assignment rank widened to 2 — same rounded scoring, same cent_id
+  // tiebreak, same distinct'ed drop set.
+
+  private def q151(t: Tables): DataFrame =
+    Similarity.semanticDedupMultiCell(
+      graft.Fanout(t.embeddings), IvfCells, CosT, nAssign = 2)
+
+  private val q151Sql = {
+    val best2 =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY round(${cosSql("s.v", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM e s CROSS JOIN cents c) WHERE crn <= 2""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |lists AS MATERIALIZED ($best2),
+       |drops AS (SELECT DISTINCT y.vec_id AS drop_id
+       |          FROM lists x JOIN lists y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |          WHERE round(${cosSql("x.v", "y.v")}, 4) >= $CosT)
+       |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
+  }
+
   // ===== q105 scale-capped semantic dedup ================================
   // The production-scale SemDeDup path (Similarity.semanticDedupCapped):
   // exact collapse → corpus-proportional cells → semantic split of over-cap
@@ -2305,7 +2336,8 @@ object Pipeline {
     "q145_ann_stored_index" -> wrap(q145),
     "q146_ann_index_append" -> wrap(q146),
     "q148_novelty_attribution" -> wrap(q148),
-    "q149_kcore_exact" -> wrap(q149)
+    "q149_kcore_exact" -> wrap(q149),
+    "q151_semantic_dedup_multicell" -> wrap(q151)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2375,6 +2407,7 @@ object Pipeline {
     // build+append must also equal the from-scratch derivation
     "q146_ann_index_append" -> q44Sql,
     "q148_novelty_attribution" -> q148Sql,
-    "q149_kcore_exact" -> q149Sql
+    "q149_kcore_exact" -> q149Sql,
+    "q151_semantic_dedup_multicell" -> q151Sql
   )
 }

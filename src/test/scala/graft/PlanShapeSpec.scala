@@ -466,6 +466,71 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("versioned (batch-partitioned) ANN index probe keeps the cell pruning") {
+    // the replay-safe layout adds `batch` as a second partition level;
+    // the probe's cost model (∝ batch, only probed cells read) must
+    // survive that — the lists scan's partition filters still need the
+    // dynamicpruning expression on `cell` across every batch directory
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivf-vers-plan").toString
+    try {
+      graft.operators.Similarity.writeIvfIndexVersioned(
+        emb.filter(col("vec_id") % 2 === 0), dir, 16)
+      graft.operators.Similarity.ingestIntoIvfIndex(
+        emb.filter(col("vec_id") % 2 === 1), dir, 1L)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val p = plan(graft.operators.Similarity
+        .ivfTopKAgainstIndex(queries, dir, 2, 10))
+      assert(p.toLowerCase.contains("dynamicpruningexpression(cell"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally CacheScope.drain()
+  }
+
+  test("IVF index build and ingest shuffle only centroid-sized data, never the corpus") {
+    // the build's scale contract: scan → narrow argmax fold over the
+    // broadcast centroid array → partitioned write. The ONLY exchange is
+    // the nCells-sized centroid-array aggregation (collect_list partials,
+    // ~9 KB here); the corpus itself never shuffles. Bound the total at
+    // 32 KB — corpus embeddings at this SF are ~128 KB, so the old
+    // bestCells-based assignment (one partially-aggregated row per
+    // corpus vector through its groupBy, embeddings included) trips this
+    // by 4× per build.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val d1 = Files.createTempDirectory("ivf-noshuffle").toString
+    val d2 = Files.createTempDirectory("ivf-noshuffle-v").toString
+    try {
+      val (_, snap) = Counters.track(spark) {
+        graft.operators.Similarity.writeIvfIndex(emb, d1, 16)
+        graft.operators.Similarity.writeIvfIndexVersioned(
+          emb.filter(col("vec_id") % 2 === 0), d2, 16)
+        graft.operators.Similarity.ingestIntoIvfIndex(
+          emb.filter(col("vec_id") % 2 === 1), d2, 1L)
+      }
+      assert(snap.tasks > 0)
+      assert(snap.shuffleWriteBytes < 32 * 1024,
+        s"index build shuffled ${snap.shuffleWriteBytes} bytes — corpus-sized, not centroid-sized")
+    } finally CacheScope.drain()
+  }
+
+  test("q44 IVF top-k: no exchange ever carries the corpus embeddings") {
+    // corpus-side narrowness in the probe path: the inverted-list side is
+    // assigned narrowly and joined via broadcast of the probe batch, and
+    // the final top-k aggregate exchanges only (q_id, k-bounded structs).
+    // Only the (small) query batch's own derivation may shuffle — no
+    // exchange output may contain the corpus `embedding` column.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.queries.Pipeline.defs("q44_ann_ivf_topk")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val plans = df.queryExecution.executedPlan.collect { case p => p }
+      val shuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.forall(
+        !_.child.output.exists(_.name == "embedding")), plans.toString)
+    } finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
