@@ -78,7 +78,10 @@ object PlanDump {
     "q145_ann_stored_index" -> "Stored IVF probe: query batch scored against the TINY stored centroids (broadcast, bounded top-k), then the cell-partitioned inverted lists join the broadcast probes — the lists scan's PartitionFilters carry a dynamicpruning expression, so only probed cell DIRECTORIES are opened. Probe cost proportional to the batch; pinned in PlanShapeSpec.",
     "q146_ann_index_append" -> "Incremental ANN ingestion probe: identical probe plan to q145 over a build+append index — the batch was assigned against the FROZEN stored centroids and appended to the cell partitions, so ingestion cost is proportional to the batch and the probe plan (and result — q44's oracle) is unchanged.",
     "q147_approx_quantile_guarantee" -> "GK sketch on the gate: percentile_approx (ONE pass, O(A log n) state) produces the probe values; exact rank counts come from one conditional aggregate over a broadcast of the 4 probe rows; the rank-band check is exact long arithmetic. Deterministic iff the sketch honors its n/A guarantee — which is what the pure-SQL TRUE oracle's hash equality asserts.",
-    "q148_novelty_attribution" -> "First-owner election per shingle (hash aggregate, partial min) + ONE equi-join of the exploded shingles against the owner table + per-doc conditional count — all integer/string, AQE-splittable on hot shingles; no float determinism surface anywhere.")
+    "q148_novelty_attribution" -> "First-owner election per shingle (hash aggregate, partial min) + ONE equi-join of the exploded shingles against the owner table + per-doc conditional count — all integer/string, AQE-splittable on hot shingles; no float determinism surface anywhere.",
+    "q149_kcore_exact" -> "Exact k-core fixpoint: the plan below is the FINAL degree aggregate over the converged edge set's localCheckpoint — by design. Each peel round ran as its own round-sized job (degree agg + two semi-joins + one scalar convergence count) with lineage truncated per round; a single unrolled plan would replay rounds 1..N-1 inside round N.",
+    "q150_robust_profile" -> "Shared-scan robust profile: ONE persisted distinct-value prefix-sum scan feeds every rank selection (quantile array, winsorize cutoffs, MAD median); the raw values take only the clamp-moments pass, the |v-med| deviation scan, and the outlier count. 1-row frames broadcast between stages; no global sort, no value buffering.",
+    "q151_semantic_dedup_multicell" -> "Top-2-cell semantic dedup: assignment via broadcast centroids + bounded top-2 aggregate (persisted once), then the same in-cell equi self-join + cosine verify as q76 — candidate rows 2x, pair bound 4x, still no cross product and no window; the distinct'ed drop set absorbs pairs colliding in both shared cells.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
