@@ -944,4 +944,102 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Multi-pass sorted-neighborhood near-dup detection (Hernández &
+    * Stolfo's merge/purge blocking): sort the corpus by a blocking key,
+    * pair every document with its `window − 1` successors in that order,
+    * verify candidates exactly with n-gram Jaccard. Two passes with
+    * complementary keys — raw normalized text, and the word-order-
+    * insensitive sorted-word form — union their candidates, the published
+    * remedy for a single sort's blind spot (near-dups differing in their
+    * leading characters sort apart; they rarely do so under BOTH keys).
+    * Complements LSH ([[minhashLshPairs]]): SNM's candidate count is
+    * exactly N·(window−1) per pass by construction — no hot-band blowup on
+    * adversarially self-similar corpora — at the price of order-locality
+    * recall, the stated trade.
+    *
+    * Scale design: a pass is one range partition + per-partition rank scan
+    * (the distributed-scan discipline of Curation.packBinsScalable — no
+    * global-order window funneling the corpus through one task), then ONE
+    * equi-join on overlapping rank blocks; with block size = `window`, rows
+    * within `window − 1` ranks land in the same or adjacent blocks, so
+    * duplicating each probe row into 2 blocks makes every qualifying pair
+    * meet exactly once. Verification reuses the one-pass sorted-merge
+    * kernel on bucket-collision pairs only.
+    *
+    * Input: (id, text); output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, n: Int, window: Int,
+      threshold: Double, scanParts: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val sh = shingleArrays(docs, n).persistScoped()
+    val keyText = docs.select(col("id"), lower(col("text")).as("bkey"))
+    val keySorted = docs.select(col("id"),
+      concat_ws(" ", sort_array(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")))
+        .as("bkey"))
+    val cand = snmPassPairs(keyText, window, scanParts)
+      .unionByName(snmPassPairs(keySorted, window, scanParts))
+      .distinct()
+    cand
+      .join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"), col("id_b") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One SNM pass: unordered id pairs whose global ranks in (bkey, id)
+    * order differ by 1..window−1, via the overlapping-block equi-join
+    * (see [[sortedNeighborhoodPairs]]).
+    */
+  private def snmPassPairs(keyed: DataFrame, window: Int,
+      scanParts: Int): DataFrame = {
+    val ranked = globalRanks(keyed, scanParts).persistScoped()
+    val probe = ranked.select(col("id"), col("rnk"),
+      explode(array(expr(s"rnk div $window"), expr(s"rnk div $window") + 1))
+        .as("blk"))
+    val home = ranked.select(col("id").as("id_r"), col("rnk").as("rnk_r"),
+      expr(s"rnk div $window").as("blk"))
+    probe.join(home, Seq("blk"))
+      .filter(col("rnk_r") - col("rnk") >= 1 &&
+        col("rnk_r") - col("rnk") <= window - 1)
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"))
+  }
+
+  /** Global 0-based rank of each row in (bkey, id) order, without a
+    * global-order window: range-partition (global order holds across
+    * partitions), count positions locally per partition in one sequential
+    * pass, cumulate one subtotal per partition into starting offsets
+    * (a window over the |partitions|-row table only) and broadcast them
+    * back. Rank depends only on the total order, not partition boundaries.
+    */
+  private def globalRanks(keyed: DataFrame, scanParts: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val local = keyed
+      .select(col("bkey").cast("string").as("bkey"), col("id").cast("long").as("id"))
+      .repartitionByRange(scanParts, col("bkey"), col("id"))
+      .sortWithinPartitions(col("bkey"), col("id"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (_, id) => val r = i; i += 1; (id, pid, r) }
+      }
+      .toDF("id", "__pid", "__local")
+      .persistScoped() // feeds the offsets aggregate AND the final join
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(w), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .select(col("id"), (col("__local") + col("__off")).as("rnk"))
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheScope.ScopedPersist
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps}
 
 /** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
   * search, text analysis, multimodal plumbing, sessionization.
@@ -1516,6 +1516,141 @@ object Pipeline {
        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
   }
 
+  // ===== q152 BM25 more-like-this retrieval ==============================
+  // Ranked retrieval over the corpus (Retrieval.bm25TopK): each seed
+  // document's top-3 tf-idf bigrams form a query bag, and every other
+  // document is BM25-scored against it — the "find documents like these
+  // seeds" primitive behind targeted corpus expansion. Terms are word
+  // bigrams for the q142 reason (unigram idf degenerates on this corpus's
+  // ~31-word vocabulary). dl rides on every tf row from tokenize time, so
+  // scoring needs NO corpus-wide length join; the query side (seeds ×
+  // 3 terms) broadcasts; per-(seed, doc) scores fold contributions in
+  // sorted term order and round to 4 decimals before the bounded top-k
+  // aggregate ranks them. The oracle replays the identical arithmetic —
+  // float literals are interpolated from the same Scala constants, so
+  // both engines parse bit-identical doubles.
+
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmSeeds = 4 // seed docs: doc_id < BmSeeds (exist at every SF)
+  private val BmQTerms = 3
+  private val BmTopK = 10
+
+  /** Corpus bigram tf with per-doc length attached: (id, dl, term, tf). */
+  private def bigramTf(t: Tables): DataFrame =
+    graft.Fanout(t.documents)
+      .select(col("doc_id").as("id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), (size(col("ws")) - 1).cast("long").as("dl"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1, 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+          .as("term"))
+      .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+
+  private def q152(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped() // feeds seed weights AND retrieval
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct(col("id")).as("n_docs")) // 1 row
+    // seed query bags: top BmQTerms bigrams by (tf·idf desc, term) — the
+    // q142 deterministic total order both engines replay
+    val seedW = tf.filter(col("id") < BmSeeds)
+      .join(dfs, "term").crossJoin(broadcast(nd))
+      .select(col("id").as("q_id"), col("term"),
+        (col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val queries = seedW.groupBy(col("q_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("w")).as("nw"), col("term").as("t")))), 1, BmQTerms).as("v"))
+      .select(col("q_id"), explode(col("v.t")).as("term"))
+    Retrieval.bm25TopK(tf, queries, BmTopK, BmK1, BmB, excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  private val q152Sql =
+    s"""WITH tf AS (SELECT id, dl, term, count(*) AS tf FROM (
+       |    SELECT id, CAST(len(ws) - 1 AS BIGINT) AS dl,
+       |      unnest(list_transform(range(2, len(ws) + 1),
+       |        i -> ws[i - 1] || ' ' || ws[i])) AS term
+       |    FROM (SELECT doc_id AS id, list_filter(
+       |            regexp_split_to_array(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws
+       |          FROM documents)
+       |    WHERE len(ws) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl
+       |       FROM (SELECT DISTINCT id, dl FROM tf)),
+       |sw AS (SELECT id AS q_id, term,
+       |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN st WHERE id < $BmSeeds),
+       |qt AS (SELECT q_id, e.t AS term FROM (
+       |    SELECT q_id, list_sort(list({'nw': -w, 't': term}))[1:$BmQTerms] AS v
+       |    FROM sw GROUP BY q_id), unnest(v) AS u(e)),
+       |sc AS (SELECT q.q_id, f.id, f.term,
+       |    ln(${1.0} + (CAST(n_docs AS DOUBLE) - df + ${0.5})
+       |         / (CAST(df AS DOUBLE) + ${0.5}))
+       |      * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0})
+       |      / (CAST(tf AS DOUBLE) + ${BmK1} * (${1.0 - BmB}
+       |           + ${BmB} * CAST(dl AS DOUBLE)
+       |             / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS c
+       |  FROM tf f JOIN qt q USING (term) JOIN dfs USING (term) CROSS JOIN st
+       |  WHERE f.id <> q.q_id),
+       |agg AS (SELECT q_id, id AS doc_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'t': term, 'c': c})), e -> e.c)),
+       |      (a, b) -> a + b), 4) AS score
+       |  FROM sc GROUP BY q_id, id)
+       |SELECT seed_id, doc_id, score, rnk FROM (
+       |  SELECT q_id AS seed_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS rnk
+       |  FROM agg)
+       |WHERE rnk <= $BmTopK""".stripMargin
+
+  // ===== q153 sorted-neighborhood blocking dedup =========================
+  // The merge/purge blocking family beside the LSH one
+  // (Dedup.sortedNeighborhoodPairs): two sorts with complementary keys
+  // (normalized text; word-order-insensitive sorted words), each pairing a
+  // doc with its window−1 successors, union, exact Jaccard verify. The
+  // candidate count is exactly N·(window−1) per pass BY CONSTRUCTION —
+  // the blocking to reach for on adversarially self-similar corpora where
+  // LSH band keys go hot. The Spark side ranks via the distributed scan
+  // (no global window); the oracle ranks with row_number() — identical
+  // ranks, engine-neutral binary string order, (key, id) tie-break.
+
+  private val SnmWindow = 8
+  private val SnmT = 0.7
+
+  private def q153(t: Tables): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      3, SnmWindow, SnmT, scanParts = 8)
+
+  private val q153Sql =
+    s"""WITH $wordsCte,
+       |d AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh FROM (
+       |    SELECT id, ${shinglesSql(3)} AS ss FROM w) WHERE len(ss) > 0),
+       |r1 AS (SELECT doc_id AS id,
+       |    row_number() OVER (ORDER BY lower(text), doc_id) - 1 AS rnk
+       |  FROM documents),
+       |p1 AS (SELECT x.id AS ia, y.id AS ib FROM r1 x JOIN r1 y
+       |       ON y.rnk - x.rnk BETWEEN 1 AND ${SnmWindow - 1}),
+       |k2 AS (SELECT doc_id AS id, array_to_string(list_sort(list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)), ' ')
+       |    AS bkey FROM documents),
+       |r2 AS (SELECT id, row_number() OVER (ORDER BY bkey, id) - 1 AS rnk
+       |       FROM k2),
+       |p2 AS (SELECT x.id AS ia, y.id AS ib FROM r2 x JOIN r2 y
+       |       ON y.rnk - x.rnk BETWEEN 1 AND ${SnmWindow - 1}),
+       |cand AS (SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b
+       |         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+       |v AS (SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |        a.n_sh AS na, b.n_sh AS nb
+       |      FROM cand c JOIN d a ON c.id_a = a.id JOIN d b ON c.id_b = b.id)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(na+nb-c), 4) AS jaccard
+       |FROM v WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $SnmT""".stripMargin
+
   // ===== q105 scale-capped semantic dedup ================================
   // The production-scale SemDeDup path (Similarity.semanticDedupCapped):
   // exact collapse → corpus-proportional cells → semantic split of over-cap
@@ -2337,7 +2472,9 @@ object Pipeline {
     "q146_ann_index_append" -> wrap(q146),
     "q148_novelty_attribution" -> wrap(q148),
     "q149_kcore_exact" -> wrap(q149),
-    "q151_semantic_dedup_multicell" -> wrap(q151)
+    "q151_semantic_dedup_multicell" -> wrap(q151),
+    "q152_bm25_retrieval" -> wrap(q152),
+    "q153_sorted_neighborhood_dedup" -> wrap(q153)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2408,6 +2545,8 @@ object Pipeline {
     "q146_ann_index_append" -> q44Sql,
     "q148_novelty_attribution" -> q148Sql,
     "q149_kcore_exact" -> q149Sql,
-    "q151_semantic_dedup_multicell" -> q151Sql
+    "q151_semantic_dedup_multicell" -> q151Sql,
+    "q152_bm25_retrieval" -> q152Sql,
+    "q153_sorted_neighborhood_dedup" -> q153Sql
   )
 }

@@ -466,6 +466,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q146 build+append index probe: lists scan keeps the dynamic cell pruning") {
+    // the q145 pin covers the pure-build index; the incremental path must
+    // not lose the probe economics — after appendToIvfIndex extends the
+    // cell partitions, the probe's lists scan still has to carry the
+    // dynamicpruning expression on `cell` (probe cost ∝ batch, only
+    // probed cells read, across both build- and append-written files)
+    val df = graft.queries.Pipeline.defs("q146_ann_index_append")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val p = plan(df)
+      assert(p.toLowerCase.contains("dynamicpruningexpression(cell"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally CacheScope.drain()
+  }
+
   test("versioned (batch-partitioned) ANN index probe keeps the cell pruning") {
     // the replay-safe layout adds `batch` as a second partition level;
     // the probe's cost model (∝ batch, only probed cells read) must

@@ -347,4 +347,65 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("sortedNeighborhoodPairs: exact and adjacent near-dups, with exact jaccard") {
+    try {
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        corpus.select(col("doc_id").as("id"), col("text")), 3, 8, 0.5, 4)
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+      assert(pairs((1L, 4L)) == 1.0)    // exact dup, identical sort keys
+      assert(pairs((1L, 2L)) == 0.8333) // near dup, shared prefix
+      assert(pairs((2L, 4L)) == 0.8333)
+      assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(3L, 5L)).nonEmpty })
+    } finally graft.CacheScope.drain()
+  }
+
+  test("SNM candidates are exactly the rank-window pairs, any partition count") {
+    // threshold 0 keeps every verified candidate, exposing the window:
+    // expected = union over both passes of pairs whose global ranks in
+    // (key, id) order differ by < window, computed by a local model
+    val w = 4
+    val texts = (0L until 40L).map { i =>
+      val lead = s"w${(i * 7919) % 23}"
+      (i, s"$lead alpha${i % 5} beta${i % 7} gamma${i % 3} delta epsilon")
+    }
+    val docs = texts.toDF("id", "text")
+    def pairsOf(key: String => String): Set[(Long, Long)] = {
+      val ranked = texts.map { case (i, t) => (key(t), i) }.sorted.map(_._2)
+      (for {
+        a <- ranked.indices; b <- a + 1 until math.min(a + w, ranked.length)
+      } yield (math.min(ranked(a), ranked(b)), math.max(ranked(a), ranked(b)))).toSet
+    }
+    val expected = pairsOf(_.toLowerCase) ++
+      pairsOf(t => t.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" "))
+    try {
+      val results = Seq(1, 3, 8).map { parts =>
+        Dedup.sortedNeighborhoodPairs(docs, 3, w, 0.0, parts)
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      assert(results(0).map(p => (p._1, p._2)) == expected)
+      // rank (hence the candidate set) is partition-boundary invariant
+      assert(results(1) == results(0) && results(2) == results(0))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("SNM second pass catches a near-dup the text-order pass sorts apart") {
+    // P and Q share 5 of P's 6 shingles (J = 5/6) but P leads with 'zzz'
+    // and Q with 'alpha' — in raw text order 10 filler docs sit between
+    // them, far beyond window 4. Their sorted-word keys are adjacent
+    // (Q's key is a prefix of P's; fillers sort after both), so the
+    // word-order-insensitive pass recovers the pair.
+    val fillers = (100L until 110L).map(i =>
+      (i, s"mmm${i} nnn${i} ooo${i} ppp${i} qqq${i}"))
+    val docs = (Seq(
+      (1L, "zzz alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta")) ++ fillers)
+      .toDF("id", "text")
+    try {
+      val pairs = Dedup.sortedNeighborhoodPairs(docs, 3, 4, 0.5, 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairs.contains((1L, 2L, 0.8333)), pairs.toString)
+      assert(!pairs.exists { case (a, b, _) => a >= 100L || b >= 100L })
+    } finally graft.CacheScope.drain()
+  }
+
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (id, term, tf, dl): d1 = {a:2, b:1}, d2 = {a:1}, d3 = {b:2, c:1}
+  private def terms = Seq(
+    (1L, "a", 2L, 3L), (1L, "b", 1L, 3L),
+    (2L, "a", 1L, 1L),
+    (3L, "b", 2L, 3L), (3L, "c", 1L, 3L)
+  ).toDF("id", "term", "tf", "dl")
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** Independent reference BM25: explicit arithmetic, no shared code. */
+  private def bm25(tf: Long, df: Long, dl: Long, n: Long, totDl: Long): Double = {
+    val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df.toDouble + 0.5))
+    val avg = totDl.toDouble / n.toDouble
+    idf * (tf.toDouble * (k1 + 1.0)) /
+      (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avg))
+  }
+
+  test("bm25TopK matches an explicit hand computation") {
+    val queries = Seq((10L, "a"), (10L, "c"), (11L, "b")).toDF("q_id", "term")
+    try {
+      val got = Retrieval.bm25TopK(terms, queries, 10)
+        .as[(Long, Long, Double, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // corpus stats: N=3, tot_dl=7; df: a=2, b=2, c=1
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val q10 = Map( // query {a, c}
+        1L -> r4(bm25(2, 2, 3, 3, 7)),              // d1 matches a only
+        2L -> r4(bm25(1, 2, 1, 3, 7)),              // d2 matches a only
+        3L -> r4(bm25(1, 1, 3, 3, 7)))              // d3 matches c only
+      assert(got((10L, 1L))._1 == q10(1L))
+      assert(got((10L, 2L))._1 == q10(2L))
+      assert(got((10L, 3L))._1 == q10(3L))
+      // ranks follow (score desc, id asc)
+      val order10 = Seq(1L, 2L, 3L).sortBy(d => (-q10(d), d))
+      assert(order10.zipWithIndex.forall { case (d, i) =>
+        got((10L, d))._2 == i + 1L })
+      // query {b}: only d1 and d3 score
+      assert(got.keySet.filter(_._1 == 11L).map(_._2) == Set(1L, 3L))
+      assert(got((11L, 3L))._1 == r4(bm25(2, 2, 3, 3, 7)))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("k bounds results and excludeSelf drops the query's own document") {
+    val queries = Seq((1L, "a"), (1L, "b")).toDF("q_id", "term")
+    try {
+      val mlt = Retrieval.bm25TopK(terms, queries, 10, excludeSelf = true)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(!mlt.exists(_._2 == 1L)) // the seed never retrieves itself
+      assert(mlt.map(_._2).toSet == Set(2L, 3L))
+      val k1only = Retrieval.bm25TopK(terms, queries, 1)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(k1only.length == 1 && k1only.head._4 == 1L)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("scores are partition-count invariant (sorted contribution fold)") {
+    val queries = Seq((10L, "a"), (10L, "b"), (10L, "c")).toDF("q_id", "term")
+    try {
+      val one = Retrieval.bm25TopK(terms.repartition(1), queries, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val many = Retrieval.bm25TopK(terms.repartition(7), queries, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(one == many && one.nonEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("plan: the query side broadcasts — no corpus-wide shuffle join") {
+    val queries = Seq((10L, "a")).toDF("q_id", "term")
+    try {
+      val df = Retrieval.bm25TopK(terms, queries, 10)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally graft.CacheScope.drain()
+  }
+}
