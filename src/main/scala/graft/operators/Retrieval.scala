@@ -52,8 +52,19 @@ object Retrieval {
     val stats = tf.groupBy(col("id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
     val qd = queries.join(dfs, "term") // query terms with corpus df — tiny
-    val base = tf.join(broadcast(qd), "term").crossJoin(broadcast(stats))
-    val cand = if (excludeSelf) base.filter(col("id") =!= col("q_id")) else base
+    val cand = tf.join(broadcast(qd), "term").crossJoin(broadcast(stats))
+    scoreAndRank(cand, k, k1, b, excludeSelf)
+  }
+
+  /** The shared BM25 scoring + ranking core: `cand` carries one row per
+    * (q_id, id, term) candidate with tf, dl, df, n_docs, tot_dl attached.
+    * Both the direct path ([[bm25TopK]]) and the stored-index probe
+    * ([[bm25AgainstIndex]]) end here, so their arithmetic is identical by
+    * construction — stored-and-probed must equal freshly-derived.
+    */
+  private def scoreAndRank(cand0: DataFrame, k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val cand = if (excludeSelf) cand0.filter(col("id") =!= col("q_id")) else cand0
     val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
     // idf: ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative Robertson
     // form; all operands derive from exact integer counts
@@ -75,5 +86,141 @@ object Retrieval {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("q_id"), col("s.id").as("doc_id"),
         col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  // ===== stored inverted index ============================================
+  // The lexical sibling of Similarity.writeIvfIndex: a production pipeline
+  // tokenizes the corpus ONCE into a stored posting layout and probes it
+  // forever, so per-probe cost must be ∝ the query's term set — never a
+  // corpus re-tokenize. Postings are partitioned by a term-hash BUCKET;
+  // the probe joins on (bucket, term) with the tiny query frame broadcast,
+  // so dynamic partition pruning opens only the buckets the query's terms
+  // hash into. df is derived from the pruned scan itself (a term's
+  // postings are wholly inside its bucket, so the pruned count IS the
+  // corpus df) and corpus stats (n_docs, tot_dl) live as one summary row
+  // per write — summed at probe time, which makes append trivially
+  // stats-correct. The bucket hash is engine-internal layout (it never
+  // reaches the output), so it can be Spark's native xxhash64.
+
+  /** Term → partition bucket. Layout-internal, not part of any result. */
+  private def termBucket(buckets: Int) =
+    pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+
+  /** Build a stored BM25 index at `dir`: `lists/` = postings partitioned
+    * by term bucket, `stats/` = one (n_docs, tot_dl) summary row,
+    * `meta/` = the bucket count (probes must hash with the same modulus).
+    * Input `terms` as in [[bm25TopK]]: (id, term, tf, dl).
+    */
+  def writeBm25Index(terms: DataFrame, dir: String, buckets: Int): Unit = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    terms.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    terms.withColumn("bucket", termBucket(buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/lists")
+  }
+
+  /** Incrementally extend a stored [[writeBm25Index]] with a new document
+    * batch: postings append to their bucket partitions and the batch's
+    * own (n_docs, tot_dl) summary row appends beside the build's — probes
+    * sum all stats rows, so df/stats equal a from-scratch build over the
+    * union exactly (df is counted from the postings themselves; unlike
+    * the IVF quantizer there is nothing frozen to drift). Cost per ingest
+    * is ∝ batch. NOT replay-safe (append-mode duplicates on redo);
+    * replaying producers use [[writeBm25IndexVersioned]] +
+    * [[ingestIntoBm25Index]].
+    *
+    * Batches must be DOCUMENT-ATOMIC: all postings of a document arrive
+    * in one batch, and a document id appears in exactly one batch ever —
+    * a doc split across batches would be double-counted in the summed
+    * (n_docs, tot_dl) stats and its straddling terms' df. That is the
+    * natural producer semantics (documents arrive as units), the same
+    * whole-unit contract [[appendToIvfIndex]] has per vector.
+    */
+  def appendToBm25Index(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    batch.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("append").parquet(s"$dir/stats")
+    batch.withColumn("bucket", termBucket(buckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/lists")
+  }
+
+  /** Build a stored BM25 index in the BATCH-VERSIONED layout — the
+    * replay-safe sibling of [[writeBm25Index]] (the
+    * Similarity.writeIvfIndexVersioned scheme): postings live under
+    * `lists/batch=<id>/bucket=<b>/` and the summary row under
+    * `stats/batch=<id>/`, so an ingest batch OVERWRITES its own batch
+    * partitions instead of appending — a crash-replayed producer batch
+    * converges to identical index contents. Probes work unchanged:
+    * `batch` reads back as just another partition column, the probe joins
+    * on (bucket, term), bucket pruning applies across every batch
+    * directory, and stats rows sum across batches.
+    */
+  def writeBm25IndexVersioned(terms: DataFrame, dir: String,
+      buckets: Int): Unit = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    terms.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats/batch=0")
+    terms.withColumn("bucket", termBucket(buckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/lists/batch=0")
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeBm25IndexVersioned]]
+    * index: the batch's postings and stats row OVERWRITE this batch's own
+    * partition directories. Re-running the same (batch, batchId) — a
+    * streaming replay after a crash — rewrites the same files and leaves
+    * the index contents identical; per-ingest cost stays ∝ batch.
+    */
+  def ingestIntoBm25Index(batch: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = batch.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    batch.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+    batch.withColumn("bucket", termBucket(buckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/lists/batch=$batchId")
+  }
+
+  /** BM25 top-k per query against a stored index ([[writeBm25Index]] or
+    * the versioned layout): the query frame broadcasts into a
+    * (bucket, term) join whose dynamic partition pruning opens only the
+    * probed buckets; df comes from the pruned postings themselves and
+    * corpus stats from the summed summary rows. Identical output to
+    * [[bm25TopK]] over the same corpus — both paths end in
+    * [[Retrieval#scoreAndRank]].
+    */
+  def bm25AgainstIndex(queries: DataFrame, dir: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val lists = spark.read.parquet(s"$dir/lists")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+    val qb = queries.withColumn("bucket", termBucket(buckets))
+    val matched = lists.join(broadcast(qb), Seq("bucket", "term"))
+      .persistScoped() // feeds the df derivation AND the scoring pass
+    // a term's postings live wholly inside its bucket, so the pruned scan
+    // sees every posting of every query term: its per-term distinct doc
+    // count IS the corpus df (distinct because two queries sharing a term
+    // duplicate its postings in `matched`)
+    val dfq = matched.groupBy(col("term"))
+      .agg(count_distinct(col("id")).as("df"))
+    val cand = matched.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+    scoreAndRank(cand, k, k1, b, excludeSelf)
   }
 }

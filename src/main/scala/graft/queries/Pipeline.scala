@@ -1548,22 +1548,30 @@ object Pipeline {
           .as("term"))
       .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
 
-  private def q152(t: Tables): DataFrame = {
-    val tf = bigramTf(t).persistScoped() // feeds seed weights AND retrieval
+  /** Seed query bags over a bigram tf frame: each seed doc's top BmQTerms
+    * bigrams by (tf·idf desc, term) — the q142 deterministic total order
+    * both engines replay. Shared by q152 (direct), q154 (stored index)
+    * and q155 (build+append index), so all three probe with identical
+    * query terms and q152's oracle applies verbatim.
+    */
+  private def bm25SeedQueries(tf: DataFrame): DataFrame = {
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = tf.agg(count_distinct(col("id")).as("n_docs")) // 1 row
-    // seed query bags: top BmQTerms bigrams by (tf·idf desc, term) — the
-    // q142 deterministic total order both engines replay
     val seedW = tf.filter(col("id") < BmSeeds)
       .join(dfs, "term").crossJoin(broadcast(nd))
       .select(col("id").as("q_id"), col("term"),
         (col("tf").cast("double")
           * log(col("n_docs").cast("double") / col("df"))).as("w"))
-    val queries = seedW.groupBy(col("q_id"))
+    seedW.groupBy(col("q_id"))
       .agg(slice(sort_array(collect_list(struct(
         (-col("w")).as("nw"), col("term").as("t")))), 1, BmQTerms).as("v"))
       .select(col("q_id"), explode(col("v.t")).as("term"))
-    Retrieval.bm25TopK(tf, queries, BmTopK, BmK1, BmB, excludeSelf = true)
+  }
+
+  private def q152(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped() // feeds seed weights AND retrieval
+    Retrieval.bm25TopK(tf, bm25SeedQueries(tf), BmTopK, BmK1, BmB,
+      excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
@@ -1607,6 +1615,57 @@ object Pipeline {
        |      ORDER BY score DESC, doc_id) AS rnk
        |  FROM agg)
        |WHERE rnk <= $BmTopK""".stripMargin
+
+  // ===== q154 stored-BM25-index probe ====================================
+  // q152's production form and q145's lexical sibling: the corpus is
+  // tokenized ONCE into a stored posting layout (term-bucket-partitioned
+  // lists + one stats summary row) and the seed queries probe it — probe
+  // cost is ∝ the query's term set via dynamic partition pruning of the
+  // bucket directories, never a corpus re-tokenize. df derives from the
+  // pruned postings themselves and stats from the summed summary rows,
+  // so stored-and-probed must equal freshly-derived — q152's oracle
+  // applies verbatim, which is exactly the index-integrity contract.
+
+  private val BmBuckets = 64
+
+  private def q154(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped() // feeds seed derivation only
+    // dir key = source + params + format version (bump on layout change)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v1_" +
+      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$BmBuckets"
+    val built = Seq("meta", "stats", "lists")
+      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
+    if (!built) Retrieval.writeBm25Index(tf, dir, BmBuckets)
+    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
+      excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  // ===== q155 incremental BM25-index ingestion ===========================
+  // The ingestion companion of q154 (and q146's lexical sibling): the
+  // index is built on the INITIAL corpus slice and the remaining docs
+  // are appended — postings to their bucket partitions, the batch's
+  // stats row beside the build's. Unlike the IVF case there is no frozen
+  // quantizer: df is counted from the postings and stats rows sum, so
+  // build+append equals a from-scratch build over the union EXACTLY and
+  // q152's oracle applies verbatim. Cost per ingest ∝ batch.
+
+  private def q155(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_inc_v1_" +
+      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$BmBuckets"
+    val marker = new java.io.File(s"$dir/appended_ok")
+    if (!marker.exists()) {
+      val initial = tf.filter(col("id") % 10 =!= 7)
+      val batch = tf.filter(col("id") % 10 === 7)
+      Retrieval.writeBm25Index(initial, dir, BmBuckets)
+      Retrieval.appendToBm25Index(batch, dir)
+      marker.createNewFile() // marks build+append complete (append is not idempotent)
+    }
+    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
+      excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
+  }
 
   // ===== q153 sorted-neighborhood blocking dedup =========================
   // The merge/purge blocking family beside the LSH one
@@ -2474,7 +2533,9 @@ object Pipeline {
     "q149_kcore_exact" -> wrap(q149),
     "q151_semantic_dedup_multicell" -> wrap(q151),
     "q152_bm25_retrieval" -> wrap(q152),
-    "q153_sorted_neighborhood_dedup" -> wrap(q153)
+    "q153_sorted_neighborhood_dedup" -> wrap(q153),
+    "q154_bm25_stored_index" -> wrap(q154),
+    "q155_bm25_index_append" -> wrap(q155)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2547,6 +2608,9 @@ object Pipeline {
     "q149_kcore_exact" -> q149Sql,
     "q151_semantic_dedup_multicell" -> q151Sql,
     "q152_bm25_retrieval" -> q152Sql,
-    "q153_sorted_neighborhood_dedup" -> q153Sql
+    "q153_sorted_neighborhood_dedup" -> q153Sql,
+    // stored-and-probed / build+append must equal the from-scratch derivation
+    "q154_bm25_stored_index" -> q152Sql,
+    "q155_bm25_index_append" -> q152Sql
   )
 }

@@ -356,6 +356,41 @@ object EventStreams {
         .ingestIntoIvfIndex(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** Streaming BM25 retrieval — [[annProbeIngest]]'s lexical twin: each
+    * micro-batch of (q_id, term) query bags probes a stored
+    * [[graft.operators.Retrieval.writeBm25Index]] posting index
+    * (broadcast batch, bucket-directory-pruned lists scan) and writes
+    * per-query top-k to `outDir/batch=<id>` (idempotent overwrite — a
+    * replayed batch probes a read-only index and re-derives identical
+    * results). Per-batch cost ∝ Σ df(batch's terms); offline build /
+    * online probe is ONE codebase.
+    */
+  def bm25ProbeIngest(indexDir: String, outDir: String, k: Int)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Retrieval
+        .bm25AgainstIndex(batch.toDF(), indexDir, k)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Streaming BM25 index ingestion — [[annIngest]]'s lexical twin over a
+    * [[graft.operators.Retrieval.writeBm25IndexVersioned]] index: each
+    * micro-batch of (id, term, tf, dl) postings OVERWRITES its own
+    * `lists/batch=<id>` and `stats/batch=<id>` partitions
+    * ([[graft.operators.Retrieval.ingestIntoBm25Index]]), so a
+    * crash-replayed batch converges to identical index contents. Same
+    * batch-numbering shift as [[annIngest]]: streaming batch N lands in
+    * layout batch N+1 (batch 0 is the offline build). df and corpus stats
+    * need no freezing — probes derive both from the postings, so later
+    * probes see every ingested batch exactly.
+    */
+  def bm25Ingest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Retrieval
+        .ingestIntoBm25Index(batch.toDF(), indexDir, batchId + 1)
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

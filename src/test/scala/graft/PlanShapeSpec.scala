@@ -481,6 +481,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q154 stored-BM25 probe: lists scan is dynamically pruned to the probed buckets") {
+    // the lexical index-integrity economics mirror q145's: the posting
+    // lists are partitioned by term bucket and a probe may only open the
+    // buckets its query terms hash into — the scan's PartitionFilters
+    // must carry a dynamicpruning expression on `bucket` fed from the
+    // broadcast query side. Without it every probe reads the whole
+    // posting corpus and the stored index is pointless.
+    val df = graft.queries.Pipeline.defs("q154_bm25_stored_index")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val p = plan(df)
+      assert(p.toLowerCase.contains("dynamicpruningexpression(bucket"), p)
+      assert(p.contains("BroadcastHashJoin"), p) // queries broadcast, lists streamed
+    } finally CacheScope.drain()
+  }
+
   test("versioned (batch-partitioned) ANN index probe keeps the cell pruning") {
     // the replay-safe layout adds `batch` as a second partition level;
     // the probe's cost model (∝ batch, only probed cells read) must

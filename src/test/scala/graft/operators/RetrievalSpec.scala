@@ -76,6 +76,69 @@ class RetrievalSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("stored-index probe equals the direct bm25TopK, and rebuild is idempotent") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    val tf = docs
+      .select(col("doc_id").as("id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), (size(col("ws")) - 1).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val queries = Seq((0L, "the"), (0L, "data"), (1L, "table")).toDF("q_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    try {
+      val direct = Retrieval.bm25TopK(tf, queries, 5, excludeSelf = true)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      Retrieval.writeBm25Index(tf, dir, 16)
+      val probed = Retrieval.bm25AgainstIndex(queries, dir, 5, excludeSelf = true)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(probed == direct && direct.nonEmpty)
+      Retrieval.writeBm25Index(tf, dir, 16) // overwrite-mode rebuild
+      val again = Retrieval.bm25AgainstIndex(queries, dir, 5, excludeSelf = true)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(again == direct)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("append extends the index EXACTLY to the from-scratch union build") {
+    // no frozen quantizer on the lexical side: df counts postings and
+    // stats rows sum, so build+append must be indistinguishable from one
+    // build over the union — including df and avgdl shifts the batch causes
+    val batch = Seq((4L, "a", 1L, 2L), (4L, "c", 1L, 2L)).toDF("id", "term", "tf", "dl")
+    val union = terms.unionByName(batch)
+    val queries = Seq((10L, "a"), (10L, "c"), (11L, "b")).toDF("q_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-inc").toString
+    try {
+      Retrieval.writeBm25Index(terms, dir, 8)
+      Retrieval.appendToBm25Index(batch, dir)
+      val probed = Retrieval.bm25AgainstIndex(queries, dir, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val fromScratch = Retrieval.bm25TopK(union, queries, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(probed == fromScratch && probed.exists(_._2 == 4L))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("versioned ingest: a replayed batch leaves the index contents identical") {
+    val batch = Seq((4L, "a", 1L, 2L), (4L, "c", 1L, 2L)).toDF("id", "term", "tf", "dl")
+    val queries = Seq((10L, "a"), (10L, "c")).toDF("q_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-vers").toString
+    try {
+      Retrieval.writeBm25IndexVersioned(terms, dir, 8)
+      Retrieval.ingestIntoBm25Index(batch, dir, 1L)
+      val once = Retrieval.bm25AgainstIndex(queries, dir, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      Retrieval.ingestIntoBm25Index(batch, dir, 1L) // crash-replay of batch 1
+      val replayed = Retrieval.bm25AgainstIndex(queries, dir, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(replayed == once && once.exists(_._2 == 4L))
+      // and the raw stored frames carry no duplicates
+      val n = spark.read.parquet(s"$dir/lists").count()
+      assert(n == terms.count() + batch.count())
+    } finally graft.CacheScope.drain()
+  }
+
   test("plan: the query side broadcasts — no corpus-wide shuffle join") {
     val queries = Seq((10L, "a")).toDF("q_id", "term")
     try {

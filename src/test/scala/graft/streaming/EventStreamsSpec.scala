@@ -441,4 +441,98 @@ class EventStreamsSpec extends AnyFunSuite {
     val second = spark.read.parquet(out).select("id").as[Long].collect().toSet
     assert(second == first)
   }
+
+  /** Unigram tf with dl attached over the sf0.001 documents — the
+    * [[graft.operators.Retrieval]] input shape for the streaming twins.
+    */
+  private def docTf = {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.select(col("doc_id").as("id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  test("bm25ProbeIngest: streamed query bags probe the stored index; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bm25probe").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    val tf = docTf
+    graft.operators.Retrieval.writeBm25Index(tf, idx, 16)
+    val probeRows = Seq((0L, "the"), (0L, "data"), (1L, "table"), (1L, "query"))
+    val (b0, b1) = probeRows.splitAt(2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("q_id", "term")
+      .writeStream.foreachBatch(EventStreams.bm25ProbeIngest(idx, out, 5))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // union of streamed batches == one offline probe of the same queries
+      val streamed = spark.read.parquet(out)
+        .select("q_id", "doc_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val offline = graft.operators.Retrieval.bm25AgainstIndex(
+          probeRows.toDF("q_id", "term"), idx, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch (same batchId dir) re-derives identical results
+      val sink = EventStreams.bm25ProbeIngest(idx, out, 5)
+      sink(b1.toDF("q_id", "term"), 1)
+      val replayed = spark.read.parquet(out)
+        .select("q_id", "doc_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(replayed == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
+  test("bm25Ingest: streamed postings extend a versioned index; replay leaves it identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bm25ingest").toString
+    val idx = s"$base/index"
+    val tf = docTf
+    // build on a doc slice, stream the rest's postings in two
+    // DOCUMENT-ATOMIC batches (the ingest contract: a doc's postings
+    // arrive together — splitting rows mid-doc would double-count the
+    // doc in the summed stats)
+    graft.operators.Retrieval.writeBm25IndexVersioned(
+      tf.filter($"id" % 3 =!= 1), idx, 16)
+    def lateRows(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      tf.filter($"id" % 3 === 1).filter(f($"id"))
+        .select($"id", $"term", $"tf", $"dl")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    val b0 = lateRows(_ % 6 === 1)
+    val b1 = lateRows(_ % 6 === 4)
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = input.toDF().toDF("id", "term", "tf", "dl")
+      .writeStream.foreachBatch(EventStreams.bm25Ingest(idx))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // probing build+stream equals the DIRECT bm25TopK over the full
+      // corpus: df counts postings and stats rows sum, so nothing drifts
+      val queries = Seq((0L, "the"), (0L, "data"), (1L, "table"))
+        .toDF("q_id", "term")
+      val probed = graft.operators.Retrieval.bm25AgainstIndex(queries, idx, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val direct = graft.operators.Retrieval.bm25TopK(tf, queries, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(probed == direct && probed.nonEmpty)
+      // crash-replay: re-delivering streaming batch 1 overwrites its own
+      // partitions — index contents must be IDENTICAL, not doubled
+      def contents(): Set[(Long, String, Long)] =
+        spark.read.parquet(s"$idx/lists")
+          .select($"id", $"term", $"batch".cast("long"))
+          .as[(Long, String, Long)].collect().toSet
+      val before = contents()
+      val sink = EventStreams.bm25Ingest(idx)
+      sink(b1.toDF("id", "term", "tf", "dl"), 1)
+      assert(contents() == before, "replayed batch changed the index")
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
 }
