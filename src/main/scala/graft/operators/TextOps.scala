@@ -113,4 +113,74 @@ object TextOps {
   def withShingles(df: DataFrame, text: Column, n: Int, out: String): DataFrame =
     df.withColumn(out,
       graft.functions.shingles_of(split(lower(text), """\s+"""), n))
+
+  /** BPE vocabulary induction (Sennrich et al.'s byte-pair encoding
+    * trainer): learn `rounds` merge rules from the corpus. Returns the
+    * merge table — (merge_round, sym_a, sym_b, pair_count), the artifact a
+    * tokenizer ships — picking each round the most frequent adjacent
+    * symbol pair (ties: lexicographic (sym_a, sym_b)) and applying it
+    * greedily left-to-right to every word.
+    *
+    * Scale design — the classic trainer decomposition: ONE distributed
+    * pass aggregates the corpus to its word-frequency table (hash agg with
+    * partial combine; a 10^9-occurrence word costs O(1) combiner state),
+    * and every merge round then runs on that VOCAB-sized table — pair
+    * counting is an explode + hash aggregate over distinct words weighted
+    * by n, never a corpus rescan. Per round: one vocab-sized aggregate,
+    * ONE driver-side row (the argmax pair — a scalar decision, the
+    * kCoreExact convergence-count discipline), and a narrow fold applying
+    * the merge; localCheckpoint truncates the per-round lineage. Merge
+    * application is an exact greedy left-to-right fold (a running stack:
+    * merge when the top symbol is a and the incoming is b), expressed as
+    * a codegen'd `aggregate` lambda — no UDF.
+    *
+    * Determinism: pair counts are exact integer sums of word frequencies;
+    * the argmax order (cnt desc, sym_a, sym_b) and the fold are replayed
+    * verbatim by the DuckDB oracle (unrolled rounds, same stack fold via
+    * list_reduce over singleton lists).
+    */
+  def bpeMerges(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var wc = docs
+      .select(text.as("__t"))
+      .select(explode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("n"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = wc.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] as a, syms[i] as b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .head(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        val sq = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+        wc = wc.select(expr(
+          s"""aggregate(transform(syms, s -> array(s)),
+             |  cast(array() as array<string>),
+             |  (acc, x) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '${sq(a)}' AND x[0] = '${sq(b)}'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${sq(a + b)}'))
+             |    ELSE concat(acc, x) END)""".stripMargin).as("syms"), col("n"))
+          .localCheckpoint() // vocab-sized; truncate the per-round lineage
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_round", "sym_a", "sym_b", "pair_count")
+  }
 }

@@ -1667,6 +1667,53 @@ object Pipeline {
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
+  // ===== q156 BPE vocabulary induction ===================================
+  // Learn a tokenizer from the corpus (TextOps.bpeMerges): one
+  // distributed word-frequency pass, then `BpeRounds` merge rounds on the
+  // vocab-sized table — each round picks the most frequent adjacent
+  // symbol pair (exact integer counts, lexicographic tie-break) and
+  // applies it with the exact greedy left-to-right stack fold. The output
+  // is the merge table a tokenizer ships. The oracle unrolls the rounds
+  // as MATERIALIZED CTEs (the q149 discipline — DuckDB's default CTE
+  // inlining re-evaluates the prefix per back-reference) and replays the
+  // identical fold via list_reduce over singleton lists.
+
+  private val BpeRounds = 8
+
+  private def q156(t: Tables): DataFrame =
+    TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds)
+
+  private val q156Sql = {
+    def pickCte(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM (
+         |    SELECT u.p.a AS a, u.p.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |    FROM wc${i - 1}, unnest(list_transform(range(1, len(syms)),
+         |      j -> {'a': syms[j], 'b': syms[j + 1]})) AS u(p)
+         |    WHERE len(syms) >= 2 GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+    def applyCte(i: Int): String =
+      s"""wc$i AS MATERIALIZED (
+         |  SELECT list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = p$i.a
+         |          AND x[1] = p$i.b
+         |        THEN list_append(acc[1:len(acc) - 1], p$i.a || p$i.b)
+         |        ELSE list_append(acc, x[1]) END) AS syms, n
+         |  FROM wc${i - 1} CROSS JOIN p$i)""".stripMargin
+    val rounds = (1 to BpeRounds).map(i =>
+      pickCte(i) + (if (i < BpeRounds) ",\n" + applyCte(i) else "")).mkString(",\n")
+    val sel = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, n FROM (
+       |    SELECT w, count(*) AS n FROM (
+       |      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) AS w FROM documents) GROUP BY w)),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   // ===== q153 sorted-neighborhood blocking dedup =========================
   // The merge/purge blocking family beside the LSH one
   // (Dedup.sortedNeighborhoodPairs): two sorts with complementary keys
@@ -2535,7 +2582,8 @@ object Pipeline {
     "q152_bm25_retrieval" -> wrap(q152),
     "q153_sorted_neighborhood_dedup" -> wrap(q153),
     "q154_bm25_stored_index" -> wrap(q154),
-    "q155_bm25_index_append" -> wrap(q155)
+    "q155_bm25_index_append" -> wrap(q155),
+    "q156_bpe_vocab_induction" -> wrap(q156)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2611,6 +2659,7 @@ object Pipeline {
     "q153_sorted_neighborhood_dedup" -> q153Sql,
     // stored-and-probed / build+append must equal the from-scratch derivation
     "q154_bm25_stored_index" -> q152Sql,
-    "q155_bm25_index_append" -> q152Sql
+    "q155_bm25_index_append" -> q152Sql,
+    "q156_bpe_vocab_induction" -> q156Sql
   )
 }

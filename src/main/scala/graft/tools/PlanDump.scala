@@ -84,7 +84,8 @@ object PlanDump {
     "q151_semantic_dedup_multicell" -> "Top-2-cell semantic dedup: assignment via broadcast centroids + bounded top-2 aggregate (persisted once), then the same in-cell equi self-join + cosine verify as q76 — candidate rows 2x, pair bound 4x, still no cross product and no window; the distinct'ed drop set absorbs pairs colliding in both shared cells.",
     "q152_bm25_retrieval" -> "BM25 more-like-this: the tiny query-term frame (seeds x 3 bigrams, with df attached) BROADCASTS into one pass over the persisted tf table — only rows matching a query term are ever scored (cost Σ df(query term), not corpus size); dl rides on each tf row so no corpus-wide length join exists; per-(seed, doc) sorted-fold aggregate then the bounded TopKByScore top-k (|Q|·k shuffle rows, no rank window).",
     "q153_sorted_neighborhood_dedup" -> "Multi-pass sorted-neighborhood blocking: per pass, range partition + per-partition rank scan (distributed scan — no global-order window; the one WindowExec runs over the |partitions|-row offsets table), then ONE equi-join on overlapping rank blocks bounding candidates at N·(window−1) by construction; union of both passes' pairs, distinct, sorted-merge Jaccard verify against the cached shingled corpus.",
-    "q154_bm25_stored_index" -> "Stored-BM25-index probe: the broadcast query frame joins the bucket-partitioned posting lists on (bucket, term) — the lists scan carries dynamicpruningexpression(bucket...), so only the probed buckets are read (pinned); df derives from the pruned postings, stats from the summed summary rows, then the shared scoring core (sorted fold + bounded TopKByScore).")
+    "q154_bm25_stored_index" -> "Stored-BM25-index probe: the broadcast query frame joins the bucket-partitioned posting lists on (bucket, term) — the lists scan carries dynamicpruningexpression(bucket...), so only the probed buckets are read (pinned); df derives from the pruned postings, stats from the summed summary rows, then the shared scoring core (sorted fold + bounded TopKByScore).",
+    "q156_bpe_vocab_induction" -> "BPE trainer: the plan below is the final LocalTableScan of the learned merge table — by design. The corpus was touched ONCE (word-frequency hash aggregate with partial combine, its own job), and each merge round ran as a vocab-sized job (pair explode + hash agg + one-row argmax + codegen'd greedy fold, lineage truncated per round via localCheckpoint) — a single unrolled plan would replay rounds 1..N-1 inside round N.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

@@ -57,4 +57,33 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Int, Double, Double, Double)].head()
     assert(r == ((2, 0.75, 0.125, 0.5)))
   }
+
+  test("bpeMerges: hand-computed merges, lexicographic tie-break, early exhaustion") {
+    // wc: ab×3, cd×3. Round 1: (a,b)=3 ties (c,d)=3 → (a,b) wins
+    // lexicographically; round 2: (c,d)=3; round 3: no pairs left → the
+    // trainer stops early even though 5 rounds were requested
+    val docs = Seq("ab ab cd", "ab cd cd").toDF("text")
+    val m = TextOps.bpeMerges(docs, $"text", 5)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m == Seq((1L, "a", "b", 3L), (2L, "c", "d", 3L)))
+  }
+
+  test("bpeMerges applies merges greedily left-to-right (the run case)") {
+    // 'aaa' ×2: round 1 merges (a,a) with count 4 (two adjacent pairs per
+    // word, weight 2). Greedy L2R leaves [aa, a] — so round 2 must see
+    // (aa, a), NOT (a, aa) (what a right-to-left or lazy application
+    // would produce)
+    val docs = Seq("aaa", "aaa").toDF("text")
+    val m = TextOps.bpeMerges(docs, $"text", 3)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
+  }
+
+  test("bpeMerges counts pairs weighted by word frequency, not per document") {
+    // 'xy' appears 5 times across 2 docs → (x,y) count is 5
+    val docs = Seq("xy xy xy", "xy xy z").toDF("text")
+    val m = TextOps.bpeMerges(docs, $"text", 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m == Seq((1L, "x", "y", 5L)))
+  }
 }
