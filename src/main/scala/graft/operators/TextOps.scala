@@ -183,4 +183,55 @@ object TextOps {
     merges.result()
       .toDF("merge_round", "sym_a", "sym_b", "pair_count")
   }
+
+  /** Tokenize a word set with a learned merge list ([[bpeMerges]] output):
+    * per word, start from characters and apply each merge rule IN ORDER
+    * with the same exact greedy left-to-right stack fold the trainer used.
+    * Input: a frame with column `w`; output: (w, toks).
+    *
+    * The merge chain compiles to |merges| chained narrow projections —
+    * one codegen'd `aggregate` fold per rule, zero shuffles.
+    */
+  def bpeVocabTokens(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val sq = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    var v = words.select(col("w"), expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"))
+    for ((a, b) <- merges)
+      v = v.select(col("w"), expr(
+        s"""aggregate(transform(toks, s -> array(s)),
+           |  cast(array() as array<string>),
+           |  (acc, x) -> CASE WHEN size(acc) > 0
+           |      AND element_at(acc, -1) = '${sq(a)}' AND x[0] = '${sq(b)}'
+           |    THEN concat(slice(acc, 1, size(acc) - 1), array('${sq(a + b)}'))
+           |    ELSE concat(acc, x) END)""".stripMargin).as("toks"))
+    v
+  }
+
+  /** Per-document token counts under a learned BPE vocabulary — the
+    * data-prep-time application of [[bpeMerges]] (what decides sequence
+    * packing, token budgets and mixture weights). Returns (id, n_tokens).
+    *
+    * Scale design — tokenize the VOCAB, not the corpus: the distinct-word
+    * set is derived with one hash aggregate, the merge chain runs once
+    * per distinct word (a 10^9-occurrence word is tokenized once), and
+    * the per-word token counts join back onto the exploded corpus words —
+    * an equi-join on the word (AQE broadcasts the vocab side when it
+    * fits) followed by one per-doc sum. Exactly how production tokenizer
+    * pipelines amortize: cache per word, never re-merge per occurrence.
+    */
+  def bpeTokenCounts(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = bpeVocabTokens(
+      docs.select(text.as("__t"))
+        .select(explode(expr(
+          "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .distinct(),
+      merges)
+      .select(col("w"), size(col("toks")).cast("long").as("nt"))
+    docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"), explode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .join(vocab, "w")
+      .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
+  }
 }

@@ -1683,7 +1683,13 @@ object Pipeline {
   private def q156(t: Tables): DataFrame =
     TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds)
 
-  private val q156Sql = {
+  /** The BPE trainer's oracle CTE chain (wc0..wcN, p1..pN), MATERIALIZED
+    * per the q149 discipline. Carries the word `w` through every round so
+    * the applier oracle (q157) can read the final per-word tokenization;
+    * `applyLast` controls whether round N's merge is applied (the trainer
+    * output doesn't need it, the tokenizer does).
+    */
+  private def bpeCteChain(rounds: Int, applyLast: Boolean): String = {
     def pickCte(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT a, b, cnt FROM (
@@ -1694,25 +1700,57 @@ object Pipeline {
          |  ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
     def applyCte(i: Int): String =
       s"""wc$i AS MATERIALIZED (
-         |  SELECT list_reduce(list_transform(syms, s -> [s]),
+         |  SELECT w, list_reduce(list_transform(syms, s -> [s]),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = p$i.a
          |          AND x[1] = p$i.b
          |        THEN list_append(acc[1:len(acc) - 1], p$i.a || p$i.b)
          |        ELSE list_append(acc, x[1]) END) AS syms, n
          |  FROM wc${i - 1} CROSS JOIN p$i)""".stripMargin
-    val rounds = (1 to BpeRounds).map(i =>
-      pickCte(i) + (if (i < BpeRounds) ",\n" + applyCte(i) else "")).mkString(",\n")
-    val sel = (1 to BpeRounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM p$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH wc0 AS MATERIALIZED (
-       |  SELECT list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, n FROM (
+    val roundsSql = (1 to rounds).map(i =>
+      pickCte(i) + (if (i < rounds || applyLast) ",\n" + applyCte(i) else ""))
+      .mkString(",\n")
+    s"""wc0 AS MATERIALIZED (
+       |  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, n FROM (
        |    SELECT w, count(*) AS n FROM (
        |      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |        x -> len(x) > 0)) AS w FROM documents) GROUP BY w)),
-       |$rounds
+       |$roundsSql""".stripMargin
+  }
+
+  private val q156Sql = {
+    val sel = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = false)}
        |$sel""".stripMargin
   }
+
+  // ===== q157 BPE tokenization (apply the learned vocab) =================
+  // The data-prep-time companion of q156: per-document token counts under
+  // the learned merge table — what sequence packing, token budgets and
+  // mixture weights actually consume. The Spark side tokenizes the VOCAB
+  // (one merge-chain pass per distinct word, a hash-aggregated set) and
+  // joins the per-word counts back onto the exploded corpus; the oracle
+  // extends q156's CTE chain through the final merge application and
+  // reads each word's tokenization from the last wc table.
+
+  private def q157(t: Tables): DataFrame = {
+    val merges = TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeTokenCounts(graft.Fanout(t.documents), col("doc_id"), col("text"),
+      merges)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+  }
+
+  private val q157Sql =
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = true)},
+       |tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wc$BpeRounds),
+       |words AS (SELECT doc_id AS id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents)
+       |SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM words JOIN tok USING (w) GROUP BY id""".stripMargin
 
   // ===== q153 sorted-neighborhood blocking dedup =========================
   // The merge/purge blocking family beside the LSH one
@@ -2583,7 +2621,8 @@ object Pipeline {
     "q153_sorted_neighborhood_dedup" -> wrap(q153),
     "q154_bm25_stored_index" -> wrap(q154),
     "q155_bm25_index_append" -> wrap(q155),
-    "q156_bpe_vocab_induction" -> wrap(q156)
+    "q156_bpe_vocab_induction" -> wrap(q156),
+    "q157_bpe_tokenize" -> wrap(q157)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2660,6 +2699,7 @@ object Pipeline {
     // stored-and-probed / build+append must equal the from-scratch derivation
     "q154_bm25_stored_index" -> q152Sql,
     "q155_bm25_index_append" -> q152Sql,
-    "q156_bpe_vocab_induction" -> q156Sql
+    "q156_bpe_vocab_induction" -> q156Sql,
+    "q157_bpe_tokenize" -> q157Sql
   )
 }

@@ -85,7 +85,8 @@ object PlanDump {
     "q152_bm25_retrieval" -> "BM25 more-like-this: the tiny query-term frame (seeds x 3 bigrams, with df attached) BROADCASTS into one pass over the persisted tf table — only rows matching a query term are ever scored (cost Σ df(query term), not corpus size); dl rides on each tf row so no corpus-wide length join exists; per-(seed, doc) sorted-fold aggregate then the bounded TopKByScore top-k (|Q|·k shuffle rows, no rank window).",
     "q153_sorted_neighborhood_dedup" -> "Multi-pass sorted-neighborhood blocking: per pass, range partition + per-partition rank scan (distributed scan — no global-order window; the one WindowExec runs over the |partitions|-row offsets table), then ONE equi-join on overlapping rank blocks bounding candidates at N·(window−1) by construction; union of both passes' pairs, distinct, sorted-merge Jaccard verify against the cached shingled corpus.",
     "q154_bm25_stored_index" -> "Stored-BM25-index probe: the broadcast query frame joins the bucket-partitioned posting lists on (bucket, term) — the lists scan carries dynamicpruningexpression(bucket...), so only the probed buckets are read (pinned); df derives from the pruned postings, stats from the summed summary rows, then the shared scoring core (sorted fold + bounded TopKByScore).",
-    "q156_bpe_vocab_induction" -> "BPE trainer: the plan below is the final LocalTableScan of the learned merge table — by design. The corpus was touched ONCE (word-frequency hash aggregate with partial combine, its own job), and each merge round ran as a vocab-sized job (pair explode + hash agg + one-row argmax + codegen'd greedy fold, lineage truncated per round via localCheckpoint) — a single unrolled plan would replay rounds 1..N-1 inside round N.")
+    "q156_bpe_vocab_induction" -> "BPE trainer: the plan below is the final LocalTableScan of the learned merge table — by design. The corpus was touched ONCE (word-frequency hash aggregate with partial combine, its own job), and each merge round ran as a vocab-sized job (pair explode + hash agg + one-row argmax + codegen'd greedy fold, lineage truncated per round via localCheckpoint) — a single unrolled plan would replay rounds 1..N-1 inside round N.",
+    "q157_bpe_tokenize" -> "BPE apply: the vocab side (distinct words -> 8 chained codegen'd merge folds -> token counts) joins the exploded corpus words, then one per-doc hash aggregate. The merge chain is narrow projections over the distinct-word aggregate — every word tokenized once, zero shuffles in the chain.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")

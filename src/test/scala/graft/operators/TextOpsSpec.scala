@@ -79,6 +79,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L)))
   }
 
+  test("bpeVocabTokens applies learned merges in order with trainer semantics") {
+    val words = Seq("aaab", "ba").toDF("w")
+    // merges learned elsewhere: (a,a) then (aa,a) then (a,b)
+    val toks = TextOps.bpeVocabTokens(words,
+      Seq(("a", "a"), ("aa", "a"), ("a", "b")))
+      .as[(String, Seq[String])].collect().toMap
+    // aaab: chars [a,a,a,b] → (a,a): [aa,a,b] → (aa,a): [aaa,b] →
+    // (a,b): no 'a' before 'b' anymore → [aaa, b]
+    assert(toks("aaab") == Seq("aaa", "b"))
+    // ba: no merge applies in either direction ((a,b) ≠ (b,a))
+    assert(toks("ba") == Seq("b", "a"))
+  }
+
+  test("bpeTokenCounts: per-doc sums over the tokenized vocab; trainer round-trip") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab cd cd"), (3L, "ab")).toDF("id", "text")
+    // the trainer learns (a,b) then (c,d) (see the hand-computed test):
+    // every word becomes ONE token → n_tokens = word count per doc
+    val merges = TextOps.bpeMerges(docs, $"text", 5)
+      .orderBy($"merge_round")
+      .as[(Long, String, String, Long)].collect().map(m => (m._2, m._3)).toSeq
+    val counts = TextOps.bpeTokenCounts(docs, $"id", $"text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 1L))
+    // with NO merges, every char is a token
+    val raw = TextOps.bpeTokenCounts(docs, $"id", $"text", Seq.empty)
+      .as[(Long, Long)].collect().toMap
+    assert(raw == Map(1L -> 6L, 2L -> 6L, 3L -> 2L))
+  }
+
   test("bpeMerges counts pairs weighted by word frequency, not per document") {
     // 'xy' appears 5 times across 2 docs → (x,y) count is 5
     val docs = Seq("xy xy xy", "xy xy z").toDF("text")
