@@ -1725,6 +1725,69 @@ object Pipeline {
        |$sel""".stripMargin
   }
 
+  // ===== q158 hybrid retrieval (BM25 + ANN, reciprocal rank fusion) ======
+  // Production retrieval is rarely one modality: the lexical list (exact
+  // wording, q152's BM25) and the vector list (meaning, q35's exact
+  // cosine) each miss what the other catches, and reciprocal rank fusion
+  // — score = Σ 1/(60 + rank) over the lists a doc appears in — is the
+  // standard parameter-free way to combine them. Both inputs are the
+  // gate-proven components run verbatim (same seeds: doc_id < 4 ≡ vec_id
+  // < 4, the tables share the id space); the fusion is a full-outer join
+  // of two k-row-per-seed lists (tiny) + one bounded top-k. RRF scores
+  // are rationals of exact integer ranks — no float-determinism surface
+  // beyond the final round.
+
+  private val RrfK = 60
+
+  private def q158(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped()
+    val lex = Retrieval.bm25TopK(tf, bm25SeedQueries(tf), BmTopK, BmK1, BmB,
+      excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("rnk").as("lrnk"))
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") < BmSeeds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vec = Similarity.bruteForceTopK(queries, e, BmTopK)
+      .select(col("q_id").as("seed_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("vrnk"))
+    lex.join(vec, Seq("seed_id", "doc_id"), "full_outer")
+      .select(col("seed_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("lrnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vrnk")), lit(0.0)), 4)
+          .as("score"))
+      .groupBy(col("seed_id"))
+      .agg(graft.functions.topk_by_score(col("score"), col("doc_id"), BmTopK)
+        .as("top"))
+      .select(col("seed_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("seed_id"), col("s.id").as("doc_id"),
+        col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  private val q158Sql =
+    s"""WITH lex AS (SELECT seed_id, doc_id, rnk FROM ($q152Sql)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $BmSeeds),
+       |vs AS (SELECT q_id, vec_id, round(${cosSql("qv", "v")}, 4) AS score
+       |       FROM vq CROSS JOIN e WHERE vec_id <> q_id),
+       |vr AS (SELECT q_id, vec_id, rnk FROM (
+       |    SELECT q_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |    FROM vs) WHERE rnk <= $BmTopK),
+       |fused AS (
+       |  SELECT COALESCE(l.seed_id, v.q_id) AS seed_id,
+       |    COALESCE(l.doc_id, v.vec_id) AS doc_id,
+       |    round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.rnk), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.rnk), 0), 4) AS score
+       |  FROM lex l FULL OUTER JOIN vr v
+       |    ON l.seed_id = v.q_id AND l.doc_id = v.vec_id)
+       |SELECT seed_id, doc_id, score, rnk FROM (
+       |  SELECT seed_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY seed_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $BmTopK""".stripMargin
+
   // ===== q157 BPE tokenization (apply the learned vocab) =================
   // The data-prep-time companion of q156: per-document token counts under
   // the learned merge table — what sequence packing, token budgets and
@@ -2622,7 +2685,8 @@ object Pipeline {
     "q154_bm25_stored_index" -> wrap(q154),
     "q155_bm25_index_append" -> wrap(q155),
     "q156_bpe_vocab_induction" -> wrap(q156),
-    "q157_bpe_tokenize" -> wrap(q157)
+    "q157_bpe_tokenize" -> wrap(q157),
+    "q158_hybrid_retrieval" -> wrap(q158)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2700,6 +2764,7 @@ object Pipeline {
     "q154_bm25_stored_index" -> q152Sql,
     "q155_bm25_index_append" -> q152Sql,
     "q156_bpe_vocab_induction" -> q156Sql,
-    "q157_bpe_tokenize" -> q157Sql
+    "q157_bpe_tokenize" -> q157Sql,
+    "q158_hybrid_retrieval" -> q158Sql
   )
 }

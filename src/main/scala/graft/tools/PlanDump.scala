@@ -86,7 +86,8 @@ object PlanDump {
     "q153_sorted_neighborhood_dedup" -> "Multi-pass sorted-neighborhood blocking: per pass, range partition + per-partition rank scan (distributed scan — no global-order window; the one WindowExec runs over the |partitions|-row offsets table), then ONE equi-join on overlapping rank blocks bounding candidates at N·(window−1) by construction; union of both passes' pairs, distinct, sorted-merge Jaccard verify against the cached shingled corpus.",
     "q154_bm25_stored_index" -> "Stored-BM25-index probe: the broadcast query frame joins the bucket-partitioned posting lists on (bucket, term) — the lists scan carries dynamicpruningexpression(bucket...), so only the probed buckets are read (pinned); df derives from the pruned postings, stats from the summed summary rows, then the shared scoring core (sorted fold + bounded TopKByScore).",
     "q156_bpe_vocab_induction" -> "BPE trainer: the plan below is the final LocalTableScan of the learned merge table — by design. The corpus was touched ONCE (word-frequency hash aggregate with partial combine, its own job), and each merge round ran as a vocab-sized job (pair explode + hash agg + one-row argmax + codegen'd greedy fold, lineage truncated per round via localCheckpoint) — a single unrolled plan would replay rounds 1..N-1 inside round N.",
-    "q157_bpe_tokenize" -> "BPE apply: the vocab side (distinct words -> 8 chained codegen'd merge folds -> token counts) joins the exploded corpus words, then one per-doc hash aggregate. The merge chain is narrow projections over the distinct-word aggregate — every word tokenized once, zero shuffles in the chain.")
+    "q157_bpe_tokenize" -> "BPE apply: the vocab side (distinct words -> 8 chained codegen'd merge folds -> token counts) joins the exploded corpus words, then one per-doc hash aggregate. The merge chain is narrow projections over the distinct-word aggregate — every word tokenized once, zero shuffles in the chain.",
+    "q158_hybrid_retrieval" -> "RRF fusion: the BM25 and cosine branches end in their bounded TopKByScore aggregates (k rows per seed each), the fusion is a full-outer SortMergeJoin/BroadcastHashJoin of those two tiny lists + one more bounded top-k — the fusion stage costs nothing at any scale; the branches carry their own pinned plans.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
