@@ -88,6 +88,31 @@ object Retrieval {
         col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Reciprocal rank fusion of two ranked lists (the standard
+    * parameter-free hybrid-retrieval combiner): score =
+    * 1/(rrfK + rank_a) + 1/(rrfK + rank_b) over the lists a doc appears
+    * in, then bounded top-k per query. Inputs carry (q_id, doc_id, rnk);
+    * the fusion is a full-outer join of two k-row-per-query lists plus
+    * one [[graft.functions.TopKByScore]] aggregate — free at any scale;
+    * the cost is the component retrievals. Scores are rationals of exact
+    * integer ranks summed in a FIXED two-term order (a then b) — no
+    * float-determinism surface beyond the final round.
+    */
+  def rrfFuse2(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val lex = a.select(col("q_id"), col("doc_id"), col("rnk").as("__ar"))
+    val vec = b.select(col("q_id"), col("doc_id"), col("rnk").as("__br"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("__ar")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("__br")), lit(0.0)), 4)
+          .as("score"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("score"), col("doc_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("doc_id"),
+        col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   // ===== stored inverted index ============================================
   // The lexical sibling of Similarity.writeIvfIndex: a production pipeline
   // tokenizes the corpus ONCE into a stored posting layout and probes it

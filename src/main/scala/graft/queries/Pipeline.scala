@@ -1743,24 +1743,14 @@ object Pipeline {
     val tf = bigramTf(t).persistScoped()
     val lex = Retrieval.bm25TopK(tf, bm25SeedQueries(tf), BmTopK, BmK1, BmB,
       excludeSelf = true)
-      .select(col("q_id").as("seed_id"), col("doc_id"), col("rnk").as("lrnk"))
+      .select(col("q_id"), col("doc_id"), col("rnk"))
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") < BmSeeds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val vec = Similarity.bruteForceTopK(queries, e, BmTopK)
-      .select(col("q_id").as("seed_id"), col("vec_id").as("doc_id"),
-        col("rnk").as("vrnk"))
-    lex.join(vec, Seq("seed_id", "doc_id"), "full_outer")
-      .select(col("seed_id"), col("doc_id"),
-        round(coalesce(lit(1.0) / (lit(RrfK) + col("lrnk")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(RrfK) + col("vrnk")), lit(0.0)), 4)
-          .as("score"))
-      .groupBy(col("seed_id"))
-      .agg(graft.functions.topk_by_score(col("score"), col("doc_id"), BmTopK)
-        .as("top"))
-      .select(col("seed_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("seed_id"), col("s.id").as("doc_id"),
-        col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+    Retrieval.rrfFuse2(lex, vec, BmTopK, RrfK)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
   private val q158Sql =

@@ -391,6 +391,32 @@ object EventStreams {
         .ingestIntoBm25Index(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** Streaming HYBRID retrieval — both stored indexes behind one sink:
+    * each micro-batch of (q_id, terms, q_vec) queries probes the BM25
+    * posting index (bucket-pruned) AND the IVF vector index (cell-pruned),
+    * fuses the two top-k lists with reciprocal rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse2]]) and writes per-query fused
+    * top-k to `outDir/batch=<id>` (idempotent overwrite; both indexes are
+    * read-only to the serving path, so replays re-derive identical
+    * results). The q158 composition as an online service — per-batch cost
+    * is the two pruned probes; the fusion is free.
+    */
+  def hybridProbeIngest(bm25Dir: String, ivfDir: String, outDir: String,
+      nProbe: Int, k: Int, rrfK: Int = 60)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.{col, explode}
+      val b = batch.toDF()
+      val lex = graft.operators.Retrieval.bm25AgainstIndex(
+          b.select(col("q_id"), explode(col("terms")).as("term")), bm25Dir, k)
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      val vec = graft.operators.Similarity.ivfTopKAgainstIndex(
+          b.select(col("q_id"), col("q_vec")), ivfDir, nProbe, k)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+      graft.operators.Retrieval.rrfFuse2(lex, vec, k, rrfK)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

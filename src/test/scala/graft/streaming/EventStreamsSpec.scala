@@ -489,6 +489,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("hybridProbeIngest: streamed queries probe BOTH indexes; fusion equals offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("hybridprobe").toString
+    val bm = s"$base/bm25"; val ivf = s"$base/ivf"; val out = s"$base/out"
+    graft.operators.Retrieval.writeBm25Index(docTf, bm, 16)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.writeIvfIndex(emb, ivf, 16)
+    // queries: hand term bags + each seed's own embedding as the vector
+    val seedVecs = emb.filter($"vec_id" < 2)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val probeRows = Seq(
+      (0L, Seq("the", "data"), seedVecs(0L)),
+      (1L, Seq("table", "query"), seedVecs(1L)))
+    val input = MemoryStream[(Long, Seq[String], Array[Float])]
+    val q = input.toDF().toDF("q_id", "terms", "q_vec")
+      .writeStream.foreachBatch(EventStreams.hybridProbeIngest(bm, ivf, out, 2, 5))
+      .outputMode("update").start()
+    try {
+      input.addData(probeRows.take(1)); q.processAllAvailable()
+      input.addData(probeRows.drop(1)); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("q_id", "doc_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val offline = graft.operators.Retrieval.rrfFuse2(
+          graft.operators.Retrieval.bm25AgainstIndex(
+            probeRows.toDF("q_id", "terms", "q_vec")
+              .select($"q_id", explode($"terms").as("term")), bm, 5)
+            .select($"q_id", $"doc_id", $"rnk"),
+          graft.operators.Similarity.ivfTopKAgainstIndex(
+            probeRows.toDF("q_id", "terms", "q_vec")
+              .select($"q_id", $"q_vec"), ivf, 2, 5)
+            .select($"q_id", $"vec_id".as("doc_id"), $"rnk"),
+          5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch re-derives identical results (read-only indexes)
+      val sink = EventStreams.hybridProbeIngest(bm, ivf, out, 2, 5)
+      sink(probeRows.drop(1).toDF("q_id", "terms", "q_vec"), 1)
+      val replayed = spark.read.parquet(out)
+        .select("q_id", "doc_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(replayed == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("bm25Ingest: streamed postings extend a versioned index; replay leaves it identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
