@@ -388,6 +388,30 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("SNM on real documents: exact precision, pinned full recall vs the lossless join") {
+    // characterize the order-locality trade on the harness corpus, the
+    // semanticDedup discipline: ground truth = the LOSSLESS prefix-filter
+    // exact-Jaccard join; SNM precision is exact by construction (every
+    // candidate is exact-verified), and on this corpus the two sort keys
+    // cover every true pair — recall 1.0 at window 8 (28/28 pairs,
+    // measured; dups here share prefixes or word multisets). A corpus
+    // whose near-dups diverge early under BOTH keys would lower recall —
+    // that published trade is the reason the LSH family stays the
+    // recall-first option.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id").as("id"), col("text"))
+    val sh = TextOps.withShingles(docs, col("text"), 3, "shingles")
+      .select("id", "shingles")
+    try {
+      val truth = Dedup.ngramJaccardPairsPrefix(sh, 0.7)
+        .as[(Long, Long, Double)].collect().toSet
+      val snm = Dedup.sortedNeighborhoodPairs(docs, 3, 8, 0.7, 8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(truth.nonEmpty)
+      assert(snm == truth) // identical pairs AND identical jaccards
+    } finally graft.CacheScope.drain()
+  }
+
   test("SNM second pass catches a near-dup the text-order pass sorts apart") {
     // P and Q share 5 of P's 6 shingles (J = 5/6) but P leads with 'zzz'
     // and Q with 'alpha' — in raw text order 10 filler docs sit between
