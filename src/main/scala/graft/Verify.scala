@@ -9,6 +9,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // sample the 1-min load BEFORE Spark starts — the same self-labeling
+    // Bench records: load_start ≳ 1 marks a run whose timings (and any
+    // timing-based anomaly triage) are contaminated by external load
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = Engine.defaultCores
     val spark = Engine
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
@@ -48,6 +53,10 @@ object Verify {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    Files.writeString(Paths.get(s"$outDir/run_info.json"),
+      f"""{"load_start":$loadStart%.3f,"load_end":$loadEnd%.3f,"n_queries":${selected.size}}""")
     spark.stop()
   }
 }
