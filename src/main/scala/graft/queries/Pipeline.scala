@@ -1725,6 +1725,62 @@ object Pipeline {
        |$sel""".stripMargin
   }
 
+  // ===== q159 recursive-CTE reachability =================================
+  // Bounded-hop reachability from an audit seed set over the MinHash
+  // near-dup graph, expressed as ANSI `WITH RECURSIVE` (new SQL surface
+  // in Spark 4) — "which docs are within 3 near-dup hops of these flagged
+  // seeds, and how close" is the triage query a contamination audit runs.
+  // The recursion is hop-bounded with UNION ALL + a depth counter (finite
+  // by construction; min(hops) collapses revisits), all-integer — both
+  // engines run the IDENTICAL recursive text over the same q31-derived
+  // edge set. Scale note: bounded-hop triage is exactly what recursion is
+  // for; UNBOUNDED closure on the full graph stays with q62's
+  // alternating-star CC operator (log-diameter rounds, no path
+  // enumeration).
+
+  private val ReachHops = 3
+  private val ReachSeeds = 5
+
+  /** The shared recursive body — identical text in Spark and DuckDB;
+    * only the edge/seed relation names differ.
+    */
+  private def reachSql(seeds: String, edges: String): String =
+    s"""reach(id, hops) AS (
+       |  SELECT doc_id AS id, 0 AS hops FROM $seeds
+       |  UNION ALL
+       |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END AS id,
+       |    r.hops + 1 AS hops
+       |  FROM reach r JOIN $edges e ON r.id = e.id_a OR r.id = e.id_b
+       |  WHERE r.hops < $ReachHops)
+       |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
+       |FROM reach GROUP BY id""".stripMargin
+
+  private def q159(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    // per-call view names: a concurrently-running twin of this query must
+    // not swap the views out from under this call's lazy plan
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val edges = Dedup.minhashLshPairs(
+        graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+        3, MinHashes, Bands, JaccardT)
+      .select(col("id_a"), col("id_b"))
+      .persistScoped() // feeds seed derivation AND every recursion step
+    edges.createOrReplaceTempView(s"edges_$tag")
+    // seeds = the lowest doc ids that actually participate in the
+    // near-dup graph, so the recursion exercises real multi-hop expansion
+    edges.select(col("id_a").as("doc_id")).distinct()
+      .orderBy(col("doc_id")).limit(ReachSeeds)
+      .createOrReplaceTempView(s"seeds_$tag")
+    spark.sql(
+      s"WITH RECURSIVE ${reachSql(s"seeds_$tag", s"edges_$tag")}")
+  }
+
+  private val q159Sql =
+    s"""WITH RECURSIVE edges AS (SELECT id_a, id_b FROM ($q31Sql)),
+       |seeds AS (SELECT DISTINCT id_a AS doc_id FROM edges
+       |          ORDER BY doc_id LIMIT $ReachSeeds),
+       |${reachSql("seeds", "edges")}""".stripMargin
+
   // ===== q158 hybrid retrieval (BM25 + ANN, reciprocal rank fusion) ======
   // Production retrieval is rarely one modality: the lexical list (exact
   // wording, q152's BM25) and the vector list (meaning, q35's exact
@@ -2676,7 +2732,8 @@ object Pipeline {
     "q155_bm25_index_append" -> wrap(q155),
     "q156_bpe_vocab_induction" -> wrap(q156),
     "q157_bpe_tokenize" -> wrap(q157),
-    "q158_hybrid_retrieval" -> wrap(q158)
+    "q158_hybrid_retrieval" -> wrap(q158),
+    "q159_recursive_reachability" -> wrap(q159)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2755,6 +2812,7 @@ object Pipeline {
     "q155_bm25_index_append" -> q152Sql,
     "q156_bpe_vocab_induction" -> q156Sql,
     "q157_bpe_tokenize" -> q157Sql,
-    "q158_hybrid_retrieval" -> q158Sql
+    "q158_hybrid_retrieval" -> q158Sql,
+    "q159_recursive_reachability" -> q159Sql
   )
 }

@@ -229,6 +229,35 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000""".stripMargin
 
+  // ===== q160 bag (multiset) set operations ==============================
+  // The ALL variants of q14/q15's set ops (SURVEY §2.7): EXCEPT ALL
+  // subtracts MULTIPLICITY — lineitem's orderkey bag minus orders'
+  // leaves each key (lineitem-count − 1) times, i.e. the per-order extra
+  // line multiplicity — and INTERSECT ALL keeps min(multiplicity) per
+  // side. Both are Dataset.exceptAll/intersectAll, which Catalyst plans
+  // as a single hash aggregate over tagged counts (no join); grouped
+  // counts keep the gate row small and the duplicates observable.
+  private def q160(t: Tables): DataFrame = {
+    val li = t.lineitem.filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey").as("k"))
+    val o = t.orders.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("k"))
+    li.exceptAll(o).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .select(lit("except_all").as("op"), col("k"), col("cnt"))
+      .unionByName(
+        li.intersectAll(o).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .select(lit("intersect_all").as("op"), col("k"), col("cnt")))
+  }
+
+  private val q160Sql =
+    """WITH li AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey % 100 = 0),
+      |o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 100 = 0),
+      |ea AS (SELECT k FROM li EXCEPT ALL SELECT k FROM o),
+      |ia AS (SELECT k FROM li INTERSECT ALL SELECT k FROM o)
+      |SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt FROM ea GROUP BY k
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt FROM ia GROUP BY k""".stripMargin
+
   // q16 — rollup, q22 — cube (SURVEY §2.5 "free via Catalyst" extensions).
   private def q16(t: Tables): DataFrame =
     t.lineitem
@@ -2087,7 +2116,8 @@ object Relational {
     "q139_percentile_rank" -> wrap(q139),
     "q140_skew_report" -> wrap(q140),
     "q147_approx_quantile_guarantee" -> wrap(q147),
-    "q150_robust_profile" -> wrap(q150)
+    "q150_robust_profile" -> wrap(q150),
+    "q160_bag_set_ops" -> wrap(q160)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2175,6 +2205,7 @@ object Relational {
     "q139_percentile_rank" -> q139Sql,
     "q140_skew_report" -> q140Sql,
     "q147_approx_quantile_guarantee" -> q147Sql,
-    "q150_robust_profile" -> q150Sql
+    "q150_robust_profile" -> q150Sql,
+    "q160_bag_set_ops" -> q160Sql
   )
 }
