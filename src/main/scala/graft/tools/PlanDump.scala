@@ -87,7 +87,9 @@ object PlanDump {
     "q154_bm25_stored_index" -> "Stored-BM25-index probe: the broadcast query frame joins the bucket-partitioned posting lists on (bucket, term) — the lists scan carries dynamicpruningexpression(bucket...), so only the probed buckets are read (pinned); df derives from the pruned postings, stats from the summed summary rows, then the shared scoring core (sorted fold + bounded TopKByScore).",
     "q156_bpe_vocab_induction" -> "BPE trainer: the plan below is the final LocalTableScan of the learned merge table — by design. The corpus was touched ONCE (word-frequency hash aggregate with partial combine, its own job), and each merge round ran as a vocab-sized job (pair explode + hash agg + one-row argmax + codegen'd greedy fold, lineage truncated per round via localCheckpoint) — a single unrolled plan would replay rounds 1..N-1 inside round N.",
     "q157_bpe_tokenize" -> "BPE apply: the vocab side (distinct words -> 8 chained codegen'd merge folds -> token counts) joins the exploded corpus words, then one per-doc hash aggregate. The merge chain is narrow projections over the distinct-word aggregate — every word tokenized once, zero shuffles in the chain.",
-    "q158_hybrid_retrieval" -> "RRF fusion: the BM25 and cosine branches end in their bounded TopKByScore aggregates (k rows per seed each), the fusion is a full-outer SortMergeJoin/BroadcastHashJoin of those two tiny lists + one more bounded top-k — the fusion stage costs nothing at any scale; the branches carry their own pinned plans.")
+    "q158_hybrid_retrieval" -> "RRF fusion: the BM25 and cosine branches end in their bounded TopKByScore aggregates (k rows per seed each), the fusion is a full-outer SortMergeJoin/BroadcastHashJoin of those two tiny lists + one more bounded top-k — the fusion stage costs nothing at any scale; the branches carry their own pinned plans.",
+    "q159_recursive_reachability" -> "WITH RECURSIVE (Spark 4 surface): UnionLoop iterates the hop-bounded frontier join against the cached edge view — each level is one join of the (tiny) frontier, the depth predicate caps the level count, and the final hash aggregate collapses revisits via min(hops). Unbounded closure stays with q62's operator.",
+    "q160_bag_set_ops" -> "exceptAll/intersectAll: Catalyst rewrites both to ONE hash aggregate over per-side tagged counts + a generate replicating each key max(0, diff)/min(l, r) times — no join, one exchange, multiplicity exact.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
