@@ -108,6 +108,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(raw == Map(1L -> 6L, 2L -> 6L, 3L -> 2L))
   }
 
+  test("bpeVocabTokens round-trip: token concatenation reconstructs every word") {
+    // merge application may regroup symbols but can never lose or invent
+    // characters — checked over 200 seeded-random words under three merge
+    // lists (incl. self-merges and merges of merged symbols)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    val wordsSeq = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    }.distinct
+    val words = wordsSeq.toDF("w")
+    val mergeLists = Seq(
+      Seq(("a", "b")),
+      Seq(("a", "a"), ("aa", "a"), ("aaa", "b")),
+      Seq(("b", "c"), ("a", "bc"), ("abc", "abc")))
+    for (ms <- mergeLists) {
+      val bad = TextOps.bpeVocabTokens(words, ms)
+        .as[(String, Seq[String])].collect()
+        .filter { case (w, toks) => toks.mkString != w }
+      assert(bad.isEmpty, s"merges $ms broke round-trip: ${bad.take(3).toSeq}")
+    }
+  }
+
+  test("bpeMerges trainer is prefix-stable: fewer rounds = a prefix of more rounds") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"text")
+    val m3 = TextOps.bpeMerges(docs, $"text", 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val m6 = TextOps.bpeMerges(docs, $"text", 6)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m3.size == 3 && m6.size == 6)
+    assert(m6.take(3) == m3)
+  }
+
   test("bpeMerges counts pairs weighted by word frequency, not per document") {
     // 'xy' appears 5 times across 2 docs → (x,y) count is 5
     val docs = Seq("xy xy xy", "xy xy z").toDF("text")
