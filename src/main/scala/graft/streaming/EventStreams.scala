@@ -417,6 +417,23 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming data-quality gate — [[graft.operators.Expectations]] as a
+    * foreachBatch sink: every micro-batch is checked against the contract
+    * rules in ONE aggregation pass and its per-rule report written to
+    * `outDir/batch=<id>` (idempotent overwrite — a replayed batch
+    * re-derives the identical report). The per-batch reports are the
+    * monitoring series a pipeline alerts on; the batch path (q161) is the
+    * same rule compiler, so offline contract and online monitor are ONE
+    * rule set.
+    */
+  def expectationsIngest(rules: Seq[graft.operators.Expectations.Rule],
+      outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Expectations.check(batch.toDF(), rules)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

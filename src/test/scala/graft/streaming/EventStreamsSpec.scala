@@ -489,6 +489,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("expectationsIngest: per-batch quality reports; replay re-derives identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations._
+    val out = java.nio.file.Files.createTempDirectory("expingest").toString
+    val rules = Seq(NotNull("id"), InRange("v", 0.0, 1.0), Unique(Seq("id")))
+    val input = MemoryStream[(Option[Long], Double)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.foreachBatch(EventStreams.expectationsIngest(rules, out))
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((Some(1L), 0.5), (Some(2L), 0.7)))  // clean batch
+      q.processAllAvailable()
+      input.addData(Seq((None, 0.5), (Some(3L), 1.5), (Some(3L), 0.2))) // dirty
+      q.processAllAvailable()
+      def report(b: Int) = spark.read.parquet(s"$out/batch=$b")
+        .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val clean = report(0)
+      assert(clean.values.forall(_ == ((0L, true))))
+      val dirty = report(1)
+      assert(dirty("not_null(id)") == ((1L, false)))
+      assert(dirty("in_range(v)") == ((1L, false)))
+      assert(dirty("unique(id)") == ((1L, false)))
+      // replayed batch overwrites its own report identically
+      val sink = EventStreams.expectationsIngest(rules, out)
+      sink(Seq((Option.empty[Long], 0.5), (Some(3L), 1.5), (Some(3L), 0.2))
+        .toDF("id", "v"), 1)
+      assert(report(1) == dirty)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("hybridProbeIngest: streamed queries probe BOTH indexes; fusion equals offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
