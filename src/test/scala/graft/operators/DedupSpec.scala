@@ -388,6 +388,28 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("SNM mass-duplicate boundary: window-local pairs only — the documented trade") {
+    // 100 identical docs: every pair is a true dup (4950), but SNM by
+    // design pairs each doc only with its window−1 rank successors —
+    // Σ min(W−1, n−1−i) = 93·7 + 21 = 672 pairs at W=8 (both passes sort
+    // identically here, so the union adds nothing). This is the stated
+    // SNM candidate bound doing exactly what it promises on the input
+    // that blows LSH band keys up; MASS duplicates belong to exactGroups
+    // (O(1) combiner state per text hash), which this corpus' pipeline
+    // (dedupCorpus) runs FIRST — SNM is the near-dup stage after it.
+    val docs = (0L until 100L)
+      .map(i => (i, "the very same document body repeated many times over"))
+      .toDF("id", "text")
+    try {
+      val pairs = Dedup.sortedNeighborhoodPairs(docs, 3, 8, 0.9, 4)
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.length == 672, s"got ${pairs.length}")
+      assert(pairs.forall(_._3 == 1.0))
+      val exact = Dedup.exactGroups(docs, col("text"), col("id")).collect()
+      assert(exact.length == 1 && exact.head.getLong(1) == 100L) // one group of 100
+    } finally graft.CacheScope.drain()
+  }
+
   test("SNM on real documents: exact precision, pinned full recall vs the lossless join") {
     // characterize the order-locality trade on the harness corpus, the
     // semanticDedup discipline: ground truth = the LOSSLESS prefix-filter
