@@ -297,6 +297,67 @@ object Pipeline {
       |FROM mm GROUP BY comp""".stripMargin)
   }
 
+  // ===== q162 golden-record survivorship =================================
+  // Entity-resolution survivorship over the near-dup clusters: q135 picks
+  // ONE representative document; real ER constructs a COMPOSITE golden
+  // record with a rule per field — here longest-text doc id (tie: lowest
+  // id), modal language (tie: lexicographically smallest), and
+  // lexicographically-first source. Every rule is a single-pass struct
+  // min/max aggregate (no window over the cluster — a 10^6-member
+  // mass-dup cluster costs O(1) combiner state per rule); the modal
+  // language needs one extra (cluster, lang) count aggregate first. The
+  // oracle reuses q62's cluster derivation via the q135 anchor-replace
+  // discipline (fails loudly at init if q62Sql is reworded).
+  private def q162(t: Tables): DataFrame = {
+    val cl = q62(t)
+      .join(t.documents.select(col("doc_id").as("id"), col("n_chars"),
+        col("lang"), col("source")), "id")
+      .persistScoped() // feeds the field rules AND the modal-lang counts
+    val fields = cl.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("id")).as("nid"), col("id").as("id")))
+          .as("mt"),
+        min(col("source")).as("first_source"))
+      .select(col("comp"), col("n_members"),
+        col("mt.id").as("longest_text_id"), col("first_source"))
+    val modal = cl.groupBy(col("comp"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("comp"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lang"))).as("m"))
+      .select(col("comp"), col("m.lang").as("modal_lang"))
+    fields.join(modal, "comp")
+  }
+
+  private val q162Sql = {
+    val anchor =
+      """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
+    require(q62Sql.contains(anchor), "q162 oracle anchor missing from q62Sql")
+    q62Sql.replace(anchor,
+    """,cl AS (SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+      |       FROM documents LEFT JOIN comp c ON doc_id = c.id),
+      |j AS (SELECT cl.comp, cl.id, d.n_chars, d.lang, d.source
+      |      FROM cl JOIN documents d ON cl.id = d.doc_id),
+      |mm AS (SELECT comp, id,
+      |         row_number() OVER (PARTITION BY comp
+      |                            ORDER BY n_chars DESC, id) AS rn
+      |       FROM j),
+      |f AS (SELECT j.comp, count(*) AS n_members,
+      |        min(j.source) AS first_source
+      |      FROM j GROUP BY j.comp),
+      |lt AS (SELECT comp, max(CASE WHEN rn = 1 THEN id END) AS longest_text_id
+      |       FROM mm GROUP BY comp),
+      |lc AS (SELECT comp, lang, count(*) AS cnt FROM j GROUP BY comp, lang),
+      |ml AS (SELECT comp, lang AS modal_lang FROM (
+      |         SELECT comp, lang,
+      |           row_number() OVER (PARTITION BY comp
+      |                              ORDER BY cnt DESC, lang) AS rn
+      |         FROM lc) WHERE rn = 1)
+      |SELECT f.comp, f.n_members, lt.longest_text_id, f.first_source,
+      |       ml.modal_lang
+      |FROM f JOIN lt ON f.comp = lt.comp JOIN ml ON f.comp = ml.comp""".stripMargin)
+  }
+
   // ===== q138 token-weighted length quantiles ============================
   // "The p50 document BY TOKEN MASS": length percentiles weighted by each
   // doc's token count — the number that matters for packing/batching
@@ -2733,7 +2794,8 @@ object Pipeline {
     "q156_bpe_vocab_induction" -> wrap(q156),
     "q157_bpe_tokenize" -> wrap(q157),
     "q158_hybrid_retrieval" -> wrap(q158),
-    "q159_recursive_reachability" -> wrap(q159)
+    "q159_recursive_reachability" -> wrap(q159),
+    "q162_golden_record" -> wrap(q162)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2813,6 +2875,7 @@ object Pipeline {
     "q156_bpe_vocab_induction" -> q156Sql,
     "q157_bpe_tokenize" -> q157Sql,
     "q158_hybrid_retrieval" -> q158Sql,
-    "q159_recursive_reachability" -> q159Sql
+    "q159_recursive_reachability" -> q159Sql,
+    "q162_golden_record" -> q162Sql
   )
 }

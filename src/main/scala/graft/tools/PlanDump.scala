@@ -90,7 +90,8 @@ object PlanDump {
     "q158_hybrid_retrieval" -> "RRF fusion: the BM25 and cosine branches end in their bounded TopKByScore aggregates (k rows per seed each), the fusion is a full-outer SortMergeJoin/BroadcastHashJoin of those two tiny lists + one more bounded top-k — the fusion stage costs nothing at any scale; the branches carry their own pinned plans.",
     "q159_recursive_reachability" -> "WITH RECURSIVE (Spark 4 surface): UnionLoop iterates the hop-bounded frontier join against the cached edge view — each level is one join of the (tiny) frontier, the depth predicate caps the level count, and the final hash aggregate collapses revisits via min(hops). Unbounded closure stays with q62's operator.",
     "q160_bag_set_ops" -> "exceptAll/intersectAll: Catalyst rewrites both to ONE hash aggregate over per-side tagged counts + a generate replicating each key max(0, diff)/min(l, r) times — no join, one exchange, multiplicity exact.",
-    "q161_expectations" -> "Data-quality gate: per table, every rule is an aggregate expression over ONE scan (the uniqueness rule's count-distinct rides the same aggregate via Expand); the rule rows derive from the single aggregated row by an inline explode — no second job, no per-rule pass.")
+    "q161_expectations" -> "Data-quality gate: per table, every rule is an aggregate expression over ONE scan (the uniqueness rule's count-distinct rides the same aggregate via Expand); the rule rows derive from the single aggregated row by an inline explode — no second job, no per-rule pass.",
+    "q162_golden_record" -> "Survivorship: the cluster frame persists once, then every field rule is a partial+final struct-min/max HashAggregate (longest-text argmax, lexicographic-first source) — no window over clusters; the modal language adds one (comp, lang) count aggregate before its struct-min. A mass-dup mega-cluster costs O(1) combiner state per rule.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
