@@ -380,6 +380,38 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q153 SNM: the only Windows are the |partitions|-row offset cumulations") {
+    // the distributed-scan contract: global ranks come from range
+    // partition + per-partition counting, and the ONLY window in the plan
+    // is the cross-partition offset cumulation over the per-partition
+    // subtotals (|partitions| rows) — a Window whose child carries corpus
+    // columns would mean the corpus is funneling through a global-order
+    // sort, the exact scale regression this pins against
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the rank frames persistScope, so the Windows live inside cached
+    // plans — descend through InMemoryTableScan / AQE wrappers
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec => w } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a.inputPlan }.flatMap(windows) ++
+        p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+          .flatMap(windows)
+    val df = graft.queries.Pipeline.defs("q153_sorted_neighborhood_dedup")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count() // materialize so cached plans exist
+      val wins = windows(df.queryExecution.executedPlan).distinct
+      assert(wins.nonEmpty, "expected the offsets windows in the plan")
+      wins.foreach { w =>
+        val childCols = w.child.output.map(_.name).toSet
+        assert(childCols.subsetOf(Set("__pid", "__ptot")),
+          s"window runs over non-offset columns: $childCols")
+      }
+    } finally CacheScope.drain()
+  }
+
   test("q113/q118 candidate join: prefix-exploded probe side only; size filter ON the join") {
     // The 100 TB contract of the two heaviest dedup operators: the
     // candidate join must be (probe-prefix rows) ⋈ (inverted index) —
