@@ -68,6 +68,33 @@ object TemporalJoins {
         rightVals.map(v => col("__rv").getField(v).as(v)): _*)
   }
 
+  /** Backward as-of with a staleness tolerance (pandas merge_asof's
+    * `tolerance`, which neither Spark nor DuckDB's ASOF has natively): the
+    * latest right row at-or-before each left row COUNTS ONLY IF it is at
+    * most `tolSeconds` old — a staler match yields NULLs, never "the next
+    * one" (a quote too stale is no quote at all; silently matching a
+    * week-old price is the bug this exists to prevent). Implemented as a
+    * carried-timestamp post-filter over [[asOfBackward]], so it inherits
+    * that operator's plan (one exchange, carry-forward window) and its
+    * pinned semantics unchanged.
+    */
+  def asOfBackwardTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      tolSeconds: Long): DataFrame = {
+    require(tolSeconds >= 0, s"tolerance must be >= 0, got $tolSeconds")
+    val tsCarry = "__asof_rts"
+    require(!left.columns.contains(tsCarry) && !right.columns.contains(tsCarry),
+      s"$tsCarry collides with an input column")
+    val joined = asOfBackward(left, right.withColumn(tsCarry, col(rightTs)),
+      key, leftTs, rightTs, rightVals :+ tsCarry)
+    val fresh = col(tsCarry).isNotNull &&
+      unix_micros(col(leftTs)) - unix_micros(col(tsCarry)) <=
+        tolSeconds * 1000000L
+    rightVals.foldLeft(joined) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v))) }
+      .drop(tsCarry)
+  }
+
   /** Point-in-interval range join on a shared key: every (point, interval)
     * pair with `start ≤ pt ≤ end`. Intervals are exploded onto the
     * fixed-width time-bin grid they overlap; points land in exactly one

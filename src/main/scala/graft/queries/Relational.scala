@@ -832,6 +832,40 @@ object Relational {
       |       p.pvalue AS last_purchase_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.pts <= c.ts""".stripMargin
 
+  // q163 — q68's as-of with a STALENESS TOLERANCE (merge_asof semantics
+  // neither Spark nor DuckDB has natively): a purchase older than 2 hours
+  // does not annotate the click — too-stale context is no context, never
+  // "the next one". Thin carried-timestamp post-filter over the pinned
+  // asOfBackward (TemporalJoins.asOfBackwardTolerance); the oracle is
+  // DuckDB's native ASOF with the identical freshness CASE on top.
+  private val AsOfTolSeconds = 7200L
+
+  private def q163(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pvalue"))
+      .select(col("user_id"), col("pts"), col("pts").as("pts_val"), col("pvalue"))
+    graft.operators.TemporalJoins
+      .asOfBackwardTolerance(clicks, purchases, "user_id", "ts", "pts",
+        Seq("pts_val", "pvalue"), AsOfTolSeconds)
+      .select(col("event_id"), col("user_id"),
+        col("pts_val").as("last_purchase_ts"), col("pvalue").as("last_purchase_value"))
+  }
+
+  private val q163Sql =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, ts AS pts, max(value) AS pvalue
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       |SELECT c.event_id, c.user_id,
+       |  CASE WHEN p.pts IS NOT NULL AND c.ts - p.pts <= INTERVAL $AsOfTolSeconds SECONDS
+       |       THEN p.pts END AS last_purchase_ts,
+       |  CASE WHEN p.pts IS NOT NULL AND c.ts - p.pts <= INTERVAL $AsOfTolSeconds SECONDS
+       |       THEN p.pvalue END AS last_purchase_value
+       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.pts <= c.ts""".stripMargin
+
   // q82 — the SAME as-of query through the native Catalyst operator
   // (plans/AsOfJoin.scala: logical node → planner strategy → merge exec) —
   // the full custom-operator ladder sitting behind the DuckDB ASOF oracle,
@@ -2172,7 +2206,8 @@ object Relational {
     "q147_approx_quantile_guarantee" -> wrap(q147),
     "q150_robust_profile" -> wrap(q150),
     "q160_bag_set_ops" -> wrap(q160),
-    "q161_expectations" -> wrap(q161)
+    "q161_expectations" -> wrap(q161),
+    "q163_asof_tolerance" -> wrap(q163)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2262,6 +2297,7 @@ object Relational {
     "q147_approx_quantile_guarantee" -> q147Sql,
     "q150_robust_profile" -> q150Sql,
     "q160_bag_set_ops" -> q160Sql,
-    "q161_expectations" -> q161Sql
+    "q161_expectations" -> q161Sql,
+    "q163_asof_tolerance" -> q163Sql
   )
 }

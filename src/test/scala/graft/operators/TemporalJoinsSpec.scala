@@ -72,4 +72,40 @@ class TemporalJoinsSpec extends AnyFunSuite {
       assert(got == expect, s"binSeconds=$bin")
     }
   }
+
+  test("asOfBackwardTolerance: stale matches become NULL, never the next row") {
+    val left = Seq(
+      (1L, 1, ts(100)), // match at 90 (10s old) — fresh at tol 30
+      (2L, 1, ts(300)), // latest at-or-before is 205 (95s old) — STALE
+      (3L, 2, ts(150))  // no right row at all
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (1, ts(90), 9.0), (1, ts(205), 20.5),
+      (2, ts(200), 99.0)
+    ).toDF("k", "rts", "v")
+      .select($"k", $"rts", $"rts".as("rts_val"), $"v")
+    val got = TemporalJoins.asOfBackwardTolerance(
+        left, right, "k", "ts", "rts", Seq("rts_val", "v"), tolSeconds = 30L)
+      .select("event_id", "rts_val", "v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map { case (id, t, v) => id -> ((t, v)) }.toMap
+    assert(got(1L) == ((Some(ts(90)), Some(9.0))))
+    assert(got(2L) == ((None, None))) // stale — NOT the (later) 205 row
+    assert(got(3L) == ((None, None)))
+    // tolerance 0 keeps only exact-timestamp matches
+    val exact = TemporalJoins.asOfBackwardTolerance(
+        left, right, "k", "ts", "rts", Seq("rts_val", "v"), tolSeconds = 0L)
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(exact.values.forall(_.isEmpty))
+    // and a huge tolerance degenerates to plain asOfBackward
+    val loose = TemporalJoins.asOfBackwardTolerance(
+        left, right, "k", "ts", "rts", Seq("rts_val", "v"), tolSeconds = 10000L)
+      .select("event_id", "rts_val", "v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    val plain = TemporalJoins.asOfBackward(
+        left, right, "k", "ts", "rts", Seq("rts_val", "v"))
+      .select("event_id", "rts_val", "v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    assert(loose == plain)
+  }
 }
