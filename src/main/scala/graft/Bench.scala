@@ -81,8 +81,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
     val loadEnd = osBean.getSystemLoadAverage
+    // contamination self-label as a FIELD, not just prose: load_start > 1
+    // means external load polluted the timings, and a record that says so
+    // in-band can't be mistaken for (or committed as) an idle run
+    val contaminated = loadStart > 1.0
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"unit":"sec","metric":"total","value":${ms(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"contaminated":$contaminated,"unit":"sec","metric":"total","value":${ms(total)}}"""
     println(line)
     // also persist to a file: the harness stores only the final ~2KB of
     // stdout, which has tail-truncated the per-query map two rounds in a

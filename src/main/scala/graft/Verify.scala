@@ -55,8 +55,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // String.format(Locale.ROOT, ...) like Bench: the f-interpolator uses
+    // the JVM default locale, and a comma-decimal locale would emit
+    // {"load_start":4,267} — invalid JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     Files.writeString(Paths.get(s"$outDir/run_info.json"),
-      f"""{"load_start":$loadStart%.3f,"load_end":$loadEnd%.3f,"n_queries":${selected.size}}""")
+      s"""{"load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"n_queries":${selected.size}}""")
     spark.stop()
   }
 }

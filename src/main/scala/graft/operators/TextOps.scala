@@ -139,7 +139,8 @@ object TextOps {
     * verbatim by the DuckDB oracle (unrolled rounds, same stack fold via
     * list_reduce over singleton lists).
     */
-  def bpeMerges(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, text: Column, rounds: Int,
+      requireFull: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -180,8 +181,15 @@ object TextOps {
         r += 1
       }
     }
-    merges.result()
-      .toDF("merge_round", "sym_a", "sym_b", "pair_count")
+    val learned = merges.result()
+    // requireFull: callers whose oracle unrolls EXACTLY `rounds` CTE rounds
+    // (q156/q157) must fail loudly on a fixture with fewer learnable merges
+    // — an empty p_i CROSS JOIN would silently empty every later wc_i and
+    // the gate would diverge without an error
+    if (requireFull) require(learned.size == rounds,
+      s"corpus exhausted after ${learned.size} of $rounds BPE merges; " +
+        "the unrolled oracle CTE chain assumes exactly `rounds` rounds")
+    learned.toDF("merge_round", "sym_a", "sym_b", "pair_count")
   }
 
   /** Tokenize a word set with a learned merge list ([[bpeMerges]] output):

@@ -23,6 +23,60 @@ object Pipeline {
 
   private def wrap(f: Tables => DataFrame): Q = (s, dir) => f(Tables(s, dir))
 
+  // ===== stored-index fixture cache ========================================
+  // The stored-index gate rows (q83/q145/q146/q154/q155) build an index
+  // once per fixture and probe it on every later call. The cache dir is
+  // CONTENT-addressed — keyed on a fingerprint of the fixture's parquet
+  // files (name, size, mtime), not just its path — so regenerating a
+  // fixture at the same path can never silently reuse a stale index; and
+  // the build is ATOMIC — it writes into a fresh temp dir and renames into
+  // place — so two concurrent twins can't interleave a non-idempotent
+  // build+append sequence (one wins the rename, the loser discards its
+  // temp and probes the winner's complete dir). Dir presence at the final
+  // path IS the completeness marker; no post-hoc marker files.
+
+  /** (name, size, mtime) of every *.parquet under srcDir, md5-folded. */
+  private def fixtureFingerprint(srcDir: String): String = {
+    val files = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def deleteRec(p: java.io.File): Unit = {
+    Option(p.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    p.delete()
+  }
+
+  /** Return the cached index dir for (fixture srcDir, tag), running `build`
+    * into a temp dir + atomic rename if absent. `tag` carries the layout
+    * version + parameters — bump it on any format change.
+    */
+  private[queries] def cachedIndexDir(srcDir: String, tag: String)(
+      build: String => Unit): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      fixtureFingerprint(srcDir)
+    val dest = new java.io.File(base)
+    if (dest.isDirectory) return base
+    val tmp = new java.io.File(
+      base + ".tmp-" + java.util.UUID.randomUUID.toString.take(8))
+    build(tmp.getPath)
+    try java.nio.file.Files.move(tmp.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // a concurrent twin won the rename; its dir is complete by
+      // construction (the rename IS the commit point) — discard ours
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException => deleteRec(tmp)
+    }
+    require(dest.isDirectory, s"index build produced no dir at $base")
+    base
+  }
+
   // ===== shared SQL fragments (must mirror the Scala operators exactly) ====
 
   /** DuckDB mirror of TextOps.shingles over a `words` list column. */
@@ -1447,12 +1501,8 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // dir key = source + params + format version (bump on layout change)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_" +
-      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$IvfCells"
-    val built = Seq("centroids", "lists")
-      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
-    if (!built) Similarity.writeIvfIndex(e, dir, IvfCells)
+    val dir = cachedIndexDir(t.dir, s"ivf_index_v2_$IvfCells")(
+      Similarity.writeIvfIndex(e, _, IvfCells))
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
 
@@ -1471,17 +1521,15 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_v1_" +
-      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$IvfCells"
-    val marker = new java.io.File(s"$dir/appended_ok")
-    if (!marker.exists()) {
+    // the build+append sequence is non-idempotent — cachedIndexDir's
+    // temp-dir + atomic-rename makes the pair all-or-nothing
+    val dir = cachedIndexDir(t.dir, s"ivf_inc_v2_$IvfCells") { d =>
       // initial slice keeps vec_id < IvfCells so the frozen centroids
       // equal the full-corpus centroids; the batch is everything else
       val initial = e.filter(col("vec_id") < IvfCells || col("vec_id") % 10 =!= 7)
       val batch = e.filter(col("vec_id") >= IvfCells && col("vec_id") % 10 === 7)
-      Similarity.writeIvfIndex(initial, dir, IvfCells)
-      Similarity.appendToIvfIndex(batch, dir)
-      marker.createNewFile() // marks build+append complete (append is not idempotent)
+      Similarity.writeIvfIndex(initial, d, IvfCells)
+      Similarity.appendToIvfIndex(batch, d)
     }
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
@@ -1691,12 +1739,8 @@ object Pipeline {
 
   private def q154(t: Tables): DataFrame = {
     val tf = bigramTf(t).persistScoped() // feeds seed derivation only
-    // dir key = source + params + format version (bump on layout change)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_v1_" +
-      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$BmBuckets"
-    val built = Seq("meta", "stats", "lists")
-      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
-    if (!built) Retrieval.writeBm25Index(tf, dir, BmBuckets)
+    val dir = cachedIndexDir(t.dir, s"bm25_index_v2_$BmBuckets")(
+      Retrieval.writeBm25Index(tf, _, BmBuckets))
     Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
       excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
@@ -1713,15 +1757,12 @@ object Pipeline {
 
   private def q155(t: Tables): DataFrame = {
     val tf = bigramTf(t).persistScoped()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_inc_v1_" +
-      java.lang.Integer.toHexString(t.dir.hashCode) + s"_$BmBuckets"
-    val marker = new java.io.File(s"$dir/appended_ok")
-    if (!marker.exists()) {
+    // non-idempotent build+append, made all-or-nothing by the atomic rename
+    val dir = cachedIndexDir(t.dir, s"bm25_inc_v2_$BmBuckets") { d =>
       val initial = tf.filter(col("id") % 10 =!= 7)
       val batch = tf.filter(col("id") % 10 === 7)
-      Retrieval.writeBm25Index(initial, dir, BmBuckets)
-      Retrieval.appendToBm25Index(batch, dir)
-      marker.createNewFile() // marks build+append complete (append is not idempotent)
+      Retrieval.writeBm25Index(initial, d, BmBuckets)
+      Retrieval.appendToBm25Index(batch, d)
     }
     Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
       excludeSelf = true)
@@ -1742,7 +1783,8 @@ object Pipeline {
   private val BpeRounds = 8
 
   private def q156(t: Tables): DataFrame =
-    TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds)
+    TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds,
+      requireFull = true) // the oracle unrolls exactly BpeRounds CTE rounds
 
   /** The BPE trainer's oracle CTE chain (wc0..wcN, p1..pN), MATERIALIZED
     * per the q149 discipline. Carries the word `w` through every round so
@@ -1905,7 +1947,8 @@ object Pipeline {
   // reads each word's tokenization from the last wc table.
 
   private def q157(t: Tables): DataFrame = {
-    val merges = TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds)
+    val merges = TextOps.bpeMerges(graft.Fanout(t.documents), col("text"),
+      BpeRounds, requireFull = true) // oracle unrolls exactly BpeRounds
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     TextOps.bpeTokenCounts(graft.Fanout(t.documents), col("doc_id"), col("text"),
@@ -2574,14 +2617,9 @@ object Pipeline {
 
   private def q83(t: Tables): DataFrame = {
     val d = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
-    // dir key = source + params + format version (bump on layout change,
-    // never reuse an index written by a different scheme)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_index_v1_" +
-      java.lang.Integer.toHexString(t.dir.hashCode) + s"_3_${MinHashes}_$Bands"
-    val built = Seq("hashes", "bands", "shingles")
-      .forall(p => new java.io.File(s"$dir/$p/_SUCCESS").exists())
-    if (!built)
-      Dedup.writeCorpusIndex(d.filter(col("id") % 10 =!= 7), dir, 3, MinHashes, Bands)
+    val dir = cachedIndexDir(t.dir, s"corpus_index_v2_3_${MinHashes}_$Bands")(
+      dd => Dedup.writeCorpusIndex(d.filter(col("id") % 10 =!= 7), dd,
+        3, MinHashes, Bands))
     Dedup.dedupAgainstIndex(d.filter(col("id") % 10 === 7), dir,
       3, MinHashes, Bands, CorpusT)
       .select(col("id"))
