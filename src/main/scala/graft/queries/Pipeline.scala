@@ -1846,15 +1846,33 @@ object Pipeline {
 
   /** The shared recursive body — identical text in Spark and DuckDB;
     * only the edge/seed relation names differ.
+    *
+    * Scale shape (the round-8 fix): the recursive member expands the
+    * frontier through a UNION ALL of the edge set's two directed
+    * projections joined on ONE equality — hash-joinable and
+    * pushdown-friendly, where the previous `ON r.id = e.id_a OR r.id =
+    * e.id_b` was a non-equi condition Catalyst could only plan as a
+    * nested-loop of the frontier against the FULL edge set per level.
+    * And the member SELECTs DISTINCT: within an iteration every row
+    * carries the same hops value, so the DISTINCT dedups the frontier
+    * per level — per-level rows are bounded by |V| BY CONSTRUCTION,
+    * where the old form enumerated PATHS (~m^hops duplicate rows inside
+    * an m-clique, the mass-dup corpus exactly this triage runs on)
+    * and only collapsed them in the final min(hops). Result-identical:
+    * BFS level sets are unchanged, min(hops) sees the same minima.
     */
-  private def reachSql(seeds: String, edges: String): String =
+  private[graft] def reachSql(seeds: String, edges: String,
+      hops: Int = ReachHops): String =
     s"""reach(id, hops) AS (
        |  SELECT doc_id AS id, 0 AS hops FROM $seeds
        |  UNION ALL
-       |  SELECT CASE WHEN e.id_a = r.id THEN e.id_b ELSE e.id_a END AS id,
-       |    r.hops + 1 AS hops
-       |  FROM reach r JOIN $edges e ON r.id = e.id_a OR r.id = e.id_b
-       |  WHERE r.hops < $ReachHops)
+       |  SELECT DISTINCT n.id, r.hops + 1 AS hops
+       |  FROM reach r JOIN (
+       |    SELECT id_a AS src, id_b AS id FROM $edges
+       |    UNION ALL
+       |    SELECT id_b AS src, id_a AS id FROM $edges) n
+       |  ON r.id = n.src
+       |  WHERE r.hops < $hops)
        |SELECT id AS doc_id, CAST(min(hops) AS BIGINT) AS hops
        |FROM reach GROUP BY id""".stripMargin
 

@@ -594,6 +594,47 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q159 recursion: frontier expands through an equi-join — never an OR-predicate nested loop") {
+    val df = graft.queries.Pipeline.defs("q159_recursive_reachability")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val opt = df.queryExecution.optimizedPlan
+      // the recursive member (inside UnionLoop) must join the frontier to
+      // the directed edge union on a SINGLE equality — hash-joinable. The
+      // old `ON r.id = e.id_a OR r.id = e.id_b` was a non-equi condition
+      // Catalyst planned as BroadcastNestedLoopJoin of the frontier
+      // against the FULL edge set every level.
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.nonEmpty, opt.toString.take(2000))
+      joins.foreach { j =>
+        val c = j.condition.map(_.toString).getOrElse("")
+        assert(!c.contains(" OR "), s"OR-predicate join in q159 recursion: $c")
+      }
+      assert(opt.toString.contains("= src#"), opt.toString.take(2000))
+    } finally CacheScope.drain()
+  }
+
+  test("q159 recursion survives a mass-dup clique: per-level DISTINCT bounds the frontier at |V|") {
+    // An m-clique is the adversarial near-dup component (one mass-dup
+    // cluster). The old path-enumerating recursion produced ~m^3 rows at
+    // 3 hops (m=800 → 5·10^8 — unrunnable here); the per-level DISTINCT
+    // frontier is bounded at |V| rows per level by construction, so this
+    // completes in seconds AND returns the exact BFS answer.
+    val m = 800
+    val nodes = spark.range(m).toDF("id")
+    val edges = nodes.as("a").join(nodes.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    edges.createOrReplaceTempView("clique_edges_spec")
+    Seq(0L).toDF("doc_id").createOrReplaceTempView("clique_seeds_spec")
+    val out = spark.sql("WITH RECURSIVE " +
+      graft.queries.Pipeline.reachSql("clique_seeds_spec", "clique_edges_spec"))
+      .collect()
+    assert(out.length == m)
+    assert(out.count(_.getLong(1) == 0L) == 1) // the seed
+    assert(out.count(_.getLong(1) == 1L) == m - 1) // everyone else: 1 hop
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()
