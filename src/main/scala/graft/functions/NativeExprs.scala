@@ -339,6 +339,54 @@ object NativeKernels {
     c
   }
 
+  /** BPE-encode one word with a learned merge list: start from one symbol
+    * per Unicode code point (the `substring(w, i, 1)` unit of the chained
+    * form), then apply each merge rule IN ORDER with the exact greedy
+    * left-to-right stack fold the trainer uses — merge when the stack top
+    * equals rule.a and the incoming symbol equals rule.b (the merged
+    * symbol becomes the new top; a follow-up b does NOT re-merge).
+    * Bit-identical to the |merges|-deep chained `aggregate(...)` plan in
+    * the composable form, but the merge table is DATA (three parallel
+    * arrays) looped at runtime — plan depth is constant in |merges|, so a
+    * production 32k-merge vocabulary plans instantly where 32k chained
+    * projections would kill the analyzer and codegen.
+    */
+  def bpeEncode(word: org.apache.spark.unsafe.types.UTF8String,
+      mA: Array[org.apache.spark.unsafe.types.UTF8String],
+      mB: Array[org.apache.spark.unsafe.types.UTF8String],
+      mAB: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = word.toString
+    var syms = new Array[UTF8String](math.max(s.length, 1))
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val w = Character.charCount(cp)
+      syms(n) = UTF8String.fromString(s.substring(ci, ci + w))
+      n += 1
+      ci += w
+    }
+    var m = 0
+    while (m < mA.length) {
+      val a = mA(m); val b = mB(m); val ab = mAB(m)
+      // in-place stack fold with a write pointer
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val x = syms(i)
+        if (w > 0 && syms(w - 1).equals(a) && x.equals(b)) syms(w - 1) = ab
+        else { syms(w) = x; w += 1 }
+        i += 1
+      }
+      n = w
+      m += 1
+    }
+    val out = new Array[AnyRef](n)
+    System.arraycopy(syms, 0, out, 0, n)
+    new GenericArrayData(out)
+  }
+
   /** Cosine over float arrays, accumulated in double, sequential order —
     * identical to fold(0.0)(+) over per-element products.
     */
@@ -514,6 +562,38 @@ case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.NativeKernels.md5Windows($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** bpe_encode(word) → array<string> of BPE tokens under the learned merge
+  * table, which rides as expression DATA (not as plan): one tree node, the
+  * merges looped at runtime by [[NativeKernels.bpeEncode]] — replacing the
+  * |merges|-deep chained `aggregate` form whose plan depth made production
+  * vocabularies (32k merges) unplannable. Bit-identical output (spec-pinned).
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val mA: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val mB: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val mAB: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1 + m._2)).toArray
+  /** Public for codegen: the generated code calls back through a reference
+    * to this expression, so the merge arrays live once per task, not per
+    * generated class.
+    */
+  def encode(w: UTF8String): ArrayData = NativeKernels.bpeEncode(w, mA, mB, mAB)
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpeEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

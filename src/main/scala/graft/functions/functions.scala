@@ -59,6 +59,14 @@ package object functions {
     ExpressionUtils.column(graft.functions.ZValue16Expr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** BPE tokenization with the merge table as expression DATA — one tree
+    * node looping the merges at runtime ([[graft.functions.BpeEncodeExpr]]);
+    * plan depth constant in |merges|.
+    */
+  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(graft.functions.BpeEncodeExpr(
+      ExpressionUtils.expression(word), merges))
+
   /** Bounded per-group top-k aggregate (score desc, id asc) — O(k) state,
     * partial+final; see [[graft.functions.TopKByScore]].
     */

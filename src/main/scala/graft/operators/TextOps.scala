@@ -197,10 +197,24 @@ object TextOps {
     * with the same exact greedy left-to-right stack fold the trainer used.
     * Input: a frame with column `w`; output: (w, toks).
     *
-    * The merge chain compiles to |merges| chained narrow projections —
-    * one codegen'd `aggregate` fold per rule, zero shuffles.
+    * The merge table rides as expression DATA through the native
+    * [[graft.functions.BpeEncodeExpr]] — ONE narrow tree node looping the
+    * merges at runtime, zero shuffles, plan depth constant in |merges|.
+    * (The previous form chained one `aggregate(...)` projection per rule —
+    * correct, but its |merges|-deep plan made a production 32k-merge
+    * vocabulary unplannable; [[bpeVocabTokensChained]] keeps that form as
+    * the spec's bit-identity witness.)
     */
-  def bpeVocabTokens(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeVocabTokens(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.select(col("w"), graft.functions.bpe_encode(col("w"), merges).as("toks"))
+
+  /** The composable chained-`aggregate` tokenizer — one codegen'd fold per
+    * merge rule. Retained as the independent witness the BpeEncodeSpec
+    * pins [[bpeVocabTokens]] against (bit-identical outputs); plan depth
+    * is linear in |merges|, so production use goes through the native form.
+    */
+  private[graft] def bpeVocabTokensChained(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val sq = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
     var v = words.select(col("w"), expr(
       "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"))
