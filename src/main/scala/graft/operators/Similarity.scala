@@ -449,12 +449,21 @@ object Similarity {
     * In-cell dedup then runs exactly as [[semanticDedup]]: drop any
     * vector with cosine ≥ threshold to a lower-id vector in its final
     * cell. Output: surviving vec_ids.
+    *
+    * `nAssign` is the [[semanticDedupMultiCell]] cross-cell recall knob
+    * composed onto the capped form: each representative enters its top-n
+    * cells during step-2 candidate generation, so boundary-straddling
+    * near-dup pairs are witnessed in a shared cell. Candidate rows grow
+    * ≤ nAssign× and the per-cell cap still bounds every cell (the split
+    * and salt stages operate on final per-cell populations, assignments
+    * included), so the Σ|cell|² pair bound scales by the same constant —
+    * a recall/cost dial, not a new asymptotic.
     */
   def semanticDedupCapped(corpus: DataFrame, targetCellSize: Int,
-      threshold: Double, fanout: Int = 16): DataFrame = {
+      threshold: Double, fanout: Int = 16, nAssign: Int = 1): DataFrame = {
     // the assignment feeds both sides of the self-join — persist, or the
     // whole quantize/split pipeline runs twice
-    val cells = cappedCells(corpus, targetCellSize, fanout)
+    val cells = cappedCells(corpus, targetCellSize, fanout, nAssign)
       .persistScoped()
     val drops = cells.as("x")
       .join(cells.as("y"),
@@ -484,8 +493,9 @@ object Similarity {
     * the SimilaritySpec invariant that no cell exceeds the cap.
     */
   private[operators] def cappedCells(corpus: DataFrame, targetCellSize: Int,
-      fanout: Int = 16): DataFrame = {
+      fanout: Int = 16, nAssign: Int = 1): DataFrame = {
     require(targetCellSize > 0)
+    require(nAssign >= 1)
     val cap = 4L * targetCellSize
     val reps = repsOf(corpus).persistScoped()
     // ONE driver-side count to size the quantizer — the same setup-time
@@ -494,7 +504,10 @@ object Similarity {
     val nCells = ((n + targetCellSize - 1) / targetCellSize).max(1L).toInt
     val cents = reps.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val assigned = bestCells(reps, cents, "vec_id", "embedding", 1)
+    // top-nAssign of fewer-than-nAssign cells is simply all of them — the
+    // bounded aggregate and the oracle's crn <= n agree without a special
+    // case
+    val assigned = bestCells(reps, cents, "vec_id", "embedding", nAssign)
       .withColumn("cell", col("cell").cast("string"))
       .persistScoped()
     // -- step 3: semantic sub-split of over-cap cells ----------------------

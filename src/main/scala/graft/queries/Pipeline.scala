@@ -2040,18 +2040,24 @@ object Pipeline {
 
   private val CapTarget = 30
 
-  private def q105(t: Tables): DataFrame = {
+  /** The embeddings table doubled with offset ids — the q105/q164 fixture
+    * whose exact-collapse stage does real work on the gate (every vector
+    * has two copies; only the min-id copy survives into a cell).
+    */
+  private def doubledEmbeddings(t: Tables): DataFrame = {
     val e = graft.Fanout(t.embeddings).select(col("vec_id"), col("embedding"))
     // offset derived from the data (one scalar action), not hard-coded:
     // a fixed +10000 would silently collide with real ids at larger SFs,
     // and the mirrored oracle would mask the degradation
     val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val doubled = e.unionByName(
+    e.unionByName(
       e.select((col("vec_id") + off).as("vec_id"), col("embedding")))
-    Similarity.semanticDedupCapped(doubled, CapTarget, CosT)
   }
 
-  private val q105Sql = {
+  private def q105(t: Tables): DataFrame =
+    Similarity.semanticDedupCapped(doubledEmbeddings(t), CapTarget, CosT)
+
+  private def cappedSqlFor(nAssign: Int) = {
     val cap = 4 * CapTarget
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |off AS (SELECT max(vec_id) + 1 AS o FROM e0),
@@ -2064,7 +2070,7 @@ object Pipeline {
        |assigned AS (SELECT vec_id, v, CAST(cell AS VARCHAR) AS cell FROM (
        |  SELECT s.vec_id, s.v, c.cent_id AS cell,
        |    row_number() OVER (PARTITION BY s.vec_id ORDER BY round(${cosSql("s.v", "c.cvec")}, 4) DESC, c.cent_id) AS crn
-       |  FROM reps s CROSS JOIN cents c) WHERE crn <= 1),
+       |  FROM reps s CROSS JOIN cents c) WHERE crn <= $nAssign),
        |sizes AS (SELECT cell, count(*) AS sz FROM assigned GROUP BY cell),
        |over_cells AS (SELECT cell FROM sizes WHERE sz > $cap),
        |ok AS (SELECT a.* FROM assigned a WHERE cell NOT IN (SELECT cell FROM over_cells)),
@@ -2090,6 +2096,25 @@ object Pipeline {
        |WHERE vec_id IN (SELECT vec_id FROM cells)
        |  AND vec_id NOT IN (SELECT drop_id FROM drops)""".stripMargin
   }
+
+  private val q105Sql = cappedSqlFor(1)
+
+  // ===== q164 capped × multi-cell semantic dedup =========================
+  // The two production SemDeDup knobs COMPOSED: q105's bounded-cell
+  // machinery (exact collapse → proportional cells → split → salt — the
+  // Σ|cell|² pair bound that survives any corpus size or skew) with
+  // q151's top-2 cross-cell recall knob threaded through the step-2
+  // assignment — boundary-straddling near-dup pairs are witnessed in a
+  // shared cell while every cell stays under the cap (candidate rows grow
+  // ≤ 2×, the pair bound by the same constant). The oracle is q105's with
+  // the assignment rank widened to 2 — same rounded scoring, same cent_id
+  // tiebreak, same split/salt stages over the multi-assigned population.
+
+  private def q164(t: Tables): DataFrame =
+    Similarity.semanticDedupCapped(doubledEmbeddings(t), CapTarget, CosT,
+      nAssign = 2)
+
+  private val q164Sql = cappedSqlFor(2)
 
   // ===== q106 vocabulary heavy hitters ===================================
   // Exact global top-K tokens by frequency — the corpus-vocabulary report
@@ -2851,7 +2876,8 @@ object Pipeline {
     "q157_bpe_tokenize" -> wrap(q157),
     "q158_hybrid_retrieval" -> wrap(q158),
     "q159_recursive_reachability" -> wrap(q159),
-    "q162_golden_record" -> wrap(q162)
+    "q162_golden_record" -> wrap(q162),
+    "q164_semantic_dedup_capped_multicell" -> wrap(q164)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2932,6 +2958,7 @@ object Pipeline {
     "q157_bpe_tokenize" -> q157Sql,
     "q158_hybrid_retrieval" -> q158Sql,
     "q159_recursive_reachability" -> q159Sql,
-    "q162_golden_record" -> q162Sql
+    "q162_golden_record" -> q162Sql,
+    "q164_semantic_dedup_capped_multicell" -> q164Sql
   )
 }

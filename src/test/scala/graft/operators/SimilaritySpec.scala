@@ -190,6 +190,38 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("semanticDedupCapped nAssign=2: recall gain over top-1, caps still hold, precision exact") {
+    // the q151 knob composed onto the CAPPED (production-scale) form:
+    // top-2 assignment must recover boundary-straddling drops that capped
+    // top-1 misses, while the per-cell cap — the whole point of the capped
+    // form — still bounds every cell, and every drop stays a true near-dup.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val t = 0.35
+    try {
+      val trueDrops = emb.as("x").join(emb.as("y"),
+          col("x.vec_id") < col("y.vec_id"))
+        .filter(round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 4) >= t)
+        .select(col("y.vec_id")).distinct().as[Long].collect().toSet
+      val allIds = emb.select("vec_id").as[Long].collect().toSet
+      val d1 = allIds --
+        Similarity.semanticDedupCapped(emb, 30, t).as[Long].collect().toSet
+      val d2 = allIds --
+        Similarity.semanticDedupCapped(emb, 30, t, nAssign = 2)
+          .as[Long].collect().toSet
+      assert(d2.subsetOf(trueDrops),
+        s"capped top-2 dropped non-near-dups: ${(d2 -- trueDrops).take(5)}")
+      assert(d2.size > d1.size,
+        s"top-2 must witness strictly more boundary pairs: ${d2.size} vs ${d1.size}")
+      val r2 = d2.size.toDouble / trueDrops.size
+      assert(r2 >= 0.40, s"capped top-2 drop recall $r2 (top-1 measured 0.266)")
+      // the cap invariant survives multi-assignment
+      val maxSz = Similarity.cappedCells(emb, 30, nAssign = 2)
+        .groupBy("cell").count().agg(max("count")).as[Long].head()
+      assert(maxSz <= 4L * 30, s"a cell holds $maxSz rows with nAssign=2")
+    } finally graft.CacheScope.drain()
+  }
+
   test("stored IVF index probe equals the from-scratch ivfTopK, and rebuild is idempotent") {
     // the index-integrity contract: persisting centroids + cell lists and
     // probing them must reproduce ivfTopK exactly (same deterministic
