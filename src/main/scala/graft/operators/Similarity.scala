@@ -159,15 +159,32 @@ object Similarity {
     * per-cell avg folds in partition order, so trained centroids are not
     * bit-reproducible across engines — fine for an approximate index
     * (recall is pinned in SimilaritySpec), wrong for a hash-matched
-    * oracle. At 100 TB, train on a deterministic sample (e.g. a vec_id
-    * hash-mod filter) and assign the full corpus — assignment, not
-    * training, is the full-data pass.
+    * oracle.
+    *
+    * `trainSampleMod` is the 100 TB knob: training runs on the
+    * deterministic hash-mod sample `xxhash64(vec_id) % mod == 0` (a 1/mod
+    * slice, stable across runs and engines), so the per-iteration cost is
+    * sample-sized while the INDEX assignment — the caller's
+    * [[narrowBestCell]] pass over the returned centroids — stays
+    * full-corpus. Quantizer quality degrades only with sample
+    * representativeness, not corpus coverage (k-means cells are density
+    * summaries; a uniform hash sample preserves density), which is why
+    * every production IVF trainer samples. Default 1 = train on
+    * everything.
     */
-  def centroidsKMeans(corpus: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  def centroidsKMeans(corpus: DataFrame, nCells: Int, iters: Int,
+      trainSampleMod: Int = 1): DataFrame = {
     require(iters >= 1)
+    require(trainSampleMod >= 1)
+    // init stays full-corpus (the nCells smallest ids — deterministic and
+    // sample-independent); only the Lloyd iterations see the sample
+    val train =
+      if (trainSampleMod == 1) corpus
+      else corpus.filter(
+        pmod(xxhash64(col("vec_id")), lit(trainSampleMod.toLong)) === 0L)
     var cents = centroidsOf(corpus, nCells).localCheckpoint()
     for (_ <- 1 to iters) {
-      val means = narrowBestCell(corpus, cents, "vec_id", "embedding")
+      val means = narrowBestCell(train, cents, "vec_id", "embedding")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("x")).as("m"))
@@ -259,13 +276,14 @@ object Similarity {
     * rebuilds are overwrite-idempotent.
     */
   def writeIvfIndex(corpus: DataFrame, dir: String, nCells: Int,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0, trainSampleMod: Int = 1): Unit = {
     // trainIters = 0 → deterministic training-free quantizer (the gate's
     // oracle-reproducible default); > 0 → k-means-trained centroids
-    // ([[centroidsKMeans]]) for recall. Probes don't care which built the
-    // index: the stored layout is identical.
+    // ([[centroidsKMeans]], optionally sample-trained via trainSampleMod)
+    // for recall. Probes don't care which built the index: the stored
+    // layout is identical.
     val cents =
-      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters)
+      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters, trainSampleMod)
       else centroidsOf(corpus, nCells)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     // cell as int: parquet partition-column inference reads the directory
@@ -311,9 +329,9 @@ object Similarity {
     * and cell-directory pruning applies across every batch directory.
     */
   def writeIvfIndexVersioned(corpus: DataFrame, dir: String, nCells: Int,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0, trainSampleMod: Int = 1): Unit = {
     val cents =
-      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters)
+      if (trainIters > 0) centroidsKMeans(corpus, nCells, trainIters, trainSampleMod)
       else centroidsOf(corpus, nCells)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     narrowBestCell(corpus, cents, "vec_id", "embedding")
