@@ -57,6 +57,24 @@ object Expectations {
     def name = s"unique(${cols.mkString(",")})"
   }
 
+  /** Cross-table referential integrity: every non-NULL value of `col`
+    * must exist in the reference table's `refCol` (NULLs do not violate —
+    * compose with [[NotNull]] to forbid them). The reference table is
+    * looked up by `refName` in the `refs` map passed to [[check]].
+    * Violations = the exact count of rows whose key has no match.
+    *
+    * Unlike the single-table rules this cannot lower into the shared
+    * aggregate — it IS a join: the reference key distinct-projects
+    * (partial aggregation collapses it before any exchange; a dimension
+    * side broadcasts under AQE) and the checked table anti-joins on one
+    * equality, then reduces to a single count row. One join + one scalar
+    * per rule is the honest minimum for the check at any scale.
+    */
+  final case class ForeignKey(col: String, refName: String, refCol: String)
+      extends Rule {
+    def name = s"foreign_key($col -> $refName.$refCol)"
+  }
+
   private def violationCount(r: Rule): Column = {
     // coalesce: sum over an EMPTY table is NULL — an empty dataset has
     // zero violations, not an unknown count
@@ -73,24 +91,53 @@ object Expectations {
         zsum(when(col(c).isNotNull && !col(c).rlike(re), 1L).otherwise(0L))
       case Unique(cs) =>
         count(lit(1)) - count_distinct(struct(cs.map(col): _*))
+      case fk: ForeignKey =>
+        throw new IllegalStateException(s"${fk.name} is cross-table — handled in check()")
     }
   }
 
-  /** Evaluate all rules in one aggregation pass. Output: one row per rule
-    * — (rule, violations, pass), ordered by rule name via the caller's
-    * sort if needed (the driver gate sorts rows anyway).
+  /** One anti-join violation count for a [[ForeignKey]] rule: a 1-row
+    * frame shaped like the single-pass rows.
     */
-  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+  private def fkCount(df: DataFrame, fk: ForeignKey, ref: DataFrame): DataFrame =
+    df.filter(col(fk.col).isNotNull).select(col(fk.col).as("__k"))
+      .join(ref.filter(col(fk.refCol).isNotNull)
+        .select(col(fk.refCol).as("__k")).distinct(), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .select(lit(fk.name).as("rule"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+
+  /** Evaluate all rules: the single-table rules compile into ONE
+    * aggregation pass; each [[ForeignKey]] rule adds one anti-join count
+    * (its inherent cost) unioned beneath. Output: one row per rule —
+    * (rule, violations, pass) — single-table rules first in declaration
+    * order, then the FK rules (the driver gate sorts rows anyway).
+    * `refs` maps each FK rule's `refName` to its reference table.
+    */
+  def check(df: DataFrame, rules: Seq[Rule],
+      refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     require(rules.nonEmpty, "no rules")
-    val aggd = df.agg(
-      violationCount(rules.head).as("v0"),
-      rules.tail.zipWithIndex.map { case (r, i) =>
-        violationCount(r).as(s"v${i + 1}") }: _*)
-    val rows = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"), col(s"v$i").cast("long").as("violations"))
+    val (fks, aggRules) =
+      rules.partition(_.isInstanceOf[ForeignKey]) match {
+        case (f, a) => (f.map(_.asInstanceOf[ForeignKey]), a)
+      }
+    val aggFrame = if (aggRules.isEmpty) None else Some {
+      val aggd = df.agg(
+        violationCount(aggRules.head).as("v0"),
+        aggRules.tail.zipWithIndex.map { case (r, i) =>
+          violationCount(r).as(s"v${i + 1}") }: _*)
+      val rows = aggRules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"v$i").cast("long").as("violations"))
+      }
+      aggd.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
+          (col("r.violations") === 0L).as("pass"))
     }
-    aggd.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
-        (col("r.violations") === 0L).as("pass"))
+    val fkFrames = fks.map { fk =>
+      val ref = refs.getOrElse(fk.refName, throw new IllegalArgumentException(
+        s"${fk.name}: no reference table '${fk.refName}' in refs"))
+      fkCount(df, fk, ref)
+    }
+    (aggFrame.toSeq ++ fkFrames).reduce(_ unionByName _)
   }
 }

@@ -312,6 +312,53 @@ object Relational {
       |  CAST(sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT),
       |  sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) = 0 FROM documents""".stripMargin
 
+  // ===== q165 cross-table expectations (referential integrity) ===========
+  // The Great-Expectations staple q161 lacked: FK containment across
+  // tables — one anti-join count per rule (the rule's inherent cost; the
+  // reference key distinct-projects and broadcasts when dimension-sized),
+  // composable into the same (tbl, rule, violations, pass) report. Two
+  // healthy FKs (lineitem→orders on orderkey, orders→customer on custkey
+  // — the fixture's TPC-H lineage guarantees containment, so PASSING is
+  // the informative assertion) and one deliberately broken reference
+  // (suppliers restricted to s_suppkey % 3 == 0) that surfaces real
+  // violation counts — exactly what the gate exists to catch.
+  private def q165(t: Tables): DataFrame = {
+    import graft.operators.Expectations._
+    val orders = check(t.orders, Seq(
+        NotNull("o_custkey"),
+        ForeignKey("o_custkey", "customer", "c_custkey")),
+      Map("customer" -> t.customer))
+      .select(lit("orders").as("tbl"), col("rule"), col("violations"), col("pass"))
+    val li = check(t.lineitem, Seq(
+        ForeignKey("l_orderkey", "orders", "o_orderkey"),
+        ForeignKey("l_suppkey", "supplier_third", "s_suppkey")),
+      Map("orders" -> t.orders,
+        "supplier_third" -> t.supplier.filter(col("s_suppkey") % 3 === 0)))
+      .select(lit("lineitem").as("tbl"), col("rule"), col("violations"), col("pass"))
+    orders.unionByName(li)
+  }
+
+  private val q165Sql =
+    """SELECT 'orders' AS tbl, 'not_null(o_custkey)' AS rule,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass FROM orders
+      |UNION ALL
+      |SELECT 'orders', 'foreign_key(o_custkey -> customer.c_custkey)',
+      |  CAST(count(*) AS BIGINT), count(*) = 0 FROM orders o
+      |  WHERE o.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem', 'foreign_key(l_orderkey -> orders.o_orderkey)',
+      |  CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+      |  WHERE l.l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem', 'foreign_key(l_suppkey -> supplier_third.s_suppkey)',
+      |  CAST(count(*) AS BIGINT), count(*) = 0 FROM lineitem l
+      |  WHERE l.l_suppkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM supplier s
+      |                    WHERE s.s_suppkey % 3 = 0 AND s.s_suppkey = l.l_suppkey)""".stripMargin
+
   // q16 — rollup, q22 — cube (SURVEY §2.5 "free via Catalyst" extensions).
   private def q16(t: Tables): DataFrame =
     t.lineitem
@@ -2207,7 +2254,8 @@ object Relational {
     "q150_robust_profile" -> wrap(q150),
     "q160_bag_set_ops" -> wrap(q160),
     "q161_expectations" -> wrap(q161),
-    "q163_asof_tolerance" -> wrap(q163)
+    "q163_asof_tolerance" -> wrap(q163),
+    "q165_expectations_fk" -> wrap(q165)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2298,6 +2346,7 @@ object Relational {
     "q150_robust_profile" -> q150Sql,
     "q160_bag_set_ops" -> q160Sql,
     "q161_expectations" -> q161Sql,
-    "q163_asof_tolerance" -> q163Sql
+    "q163_asof_tolerance" -> q163Sql,
+    "q165_expectations_fk" -> q165Sql
   )
 }

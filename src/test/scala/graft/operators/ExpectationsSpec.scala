@@ -51,4 +51,28 @@ class ExpectationsSpec extends AnyFunSuite {
       .as[(String, Long, Boolean)].collect()
     assert(out.length == 2 && out.forall(r => r._2 == 0L && r._3))
   }
+
+  test("ForeignKey: anti-join violation count, NULLs exempt, composes with agg rules") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(20L)), (3L, Option(99L)), // 99 dangles
+      (4L, None), (5L, Option(99L))                            // NULL exempt
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val out = check(child,
+      Seq(NotNull("fk"), ForeignKey("fk", "parent", "pk")),
+      Map("parent" -> parent))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("not_null(fk)") == ((1L, false)))
+    assert(out("foreign_key(fk -> parent.pk)") == ((2L, false))) // the two 99s
+    // a contained FK passes (and an empty child trivially passes)
+    val ok = check(child.filter($"fk".isin(10L, 20L)),
+      Seq(ForeignKey("fk", "parent", "pk")), Map("parent" -> parent))
+      .as[(String, Long, Boolean)].head()
+    assert(ok == (("foreign_key(fk -> parent.pk)", 0L, true)))
+    // a missing ref table fails loudly, never silently passes
+    intercept[IllegalArgumentException] {
+      check(child, Seq(ForeignKey("fk", "nope", "pk")))
+    }
+  }
 }
