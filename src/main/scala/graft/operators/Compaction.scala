@@ -17,6 +17,84 @@ import org.apache.spark.sql.{Column, SparkSession}
   */
 object Compaction {
 
+  // ===== epoch pointer for batch-versioned index layouts ==================
+  // The replay-safe index layouts (Similarity.writeIvfIndexVersioned,
+  // Retrieval.writeBm25IndexVersioned) grow one `batch=<id>` directory per
+  // ingest forever; at production cadence thousands of batch dirs make
+  // every probe's file listing the bottleneck (measured ~2× probe file-open
+  // overhead with just TWO batches at sf0.1 — BENCH_LOCAL.md round 8).
+  // Compaction rewrites all batches into ONE consolidated batch under the
+  // NEXT epoch directory and then atomically swaps the `EPOCH` pointer
+  // file — the Iceberg-style snapshot-pointer commit: readers resolve the
+  // pointer first, so they see either the old complete epoch or the new
+  // complete epoch, never a half-written mix. Epoch 0 is the unmarked
+  // legacy layout (`<dir>/<name>`), so pre-compaction indexes read
+  // unchanged.
+
+  /** Current epoch of a versioned index: the `EPOCH` pointer's value, 0
+    * when absent.
+    */
+  def currentEpoch(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir, "EPOCH")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Epoch-scoped path of a layout component (`lists`, `stats`):
+    * epoch 0 = the unmarked original layout.
+    */
+  def epochPath(dir: String, name: String, epoch: Int): String =
+    if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
+
+  /** Atomically advance the epoch pointer: write `EPOCH.tmp`, rename over
+    * `EPOCH` (atomic on posix and HDFS; an object-store deployment swaps a
+    * metastore pointer instead). Readers in flight keep their resolved
+    * epoch; the caller deletes the old epoch's directories AFTER the swap
+    * (immediately here — a production deployment defers by a read-TTL).
+    */
+  def advanceEpoch(spark: SparkSession, dir: String, epoch: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(dir, "EPOCH.tmp")
+    val dst = new Path(dir, "EPOCH")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext rename supports an atomic overwrite, unlike FileSystem
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete a directory tree (post-swap cleanup of a superseded epoch). */
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** Number of data files under `dir` (the probe-listing cost compaction
+    * exists to cut; ignores _SUCCESS/_metadata and the EPOCH pointer).
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith("EPOCH")) n += 1
+    }
+    n
+  }
+
   /** Total bytes of data files under `dir` (ignores _SUCCESS/_metadata). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)

@@ -474,6 +474,7 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
     shingleArrays(docs, n)
       .write.mode("overwrite").parquet(s"$dir/shingles")
+    docs.sparkSession.catalog.refreshByPath(dir)
   }
 
   /** Incrementally extend a stored [[writeCorpusIndex]] with (already
@@ -495,6 +496,9 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
     shingleArrays(docs, n)
       .write.mode("append").parquet(s"$dir/shingles")
+    // external append to a possibly-listed path — invalidate the shared
+    // file-status cache so same-session probes see the new files
+    docs.sparkSession.catalog.refreshByPath(dir)
   }
 
   /** The (band, key, id) view of a doc batch — the banded half of the

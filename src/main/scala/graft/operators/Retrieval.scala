@@ -146,6 +146,10 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dir/stats")
     terms.withColumn("bucket", termBucket(buckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/lists")
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Incrementally extend a stored [[writeBm25Index]] with a new document
@@ -173,6 +177,10 @@ object Retrieval {
       .write.mode("append").parquet(s"$dir/stats")
     batch.withColumn("bucket", termBucket(buckets))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/lists")
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Build a stored BM25 index in the BATCH-VERSIONED layout — the
@@ -198,6 +206,10 @@ object Retrieval {
     terms.withColumn("bucket", termBucket(buckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/lists/batch=0")
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Replay-safe incremental ingestion into a [[writeBm25IndexVersioned]]
@@ -211,12 +223,55 @@ object Retrieval {
     require(batchId >= 1, s"batch 0 is the build (got $batchId)")
     val spark = batch.sparkSession
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val e = Compaction.currentEpoch(spark, dir)
     batch.groupBy(col("id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats/batch=$batchId")
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "stats", e)}/batch=$batchId")
     batch.withColumn("bucket", termBucket(buckets))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/lists/batch=$batchId")
+      .parquet(s"${Compaction.epochPath(dir, "lists", e)}/batch=$batchId")
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Compact a batch-versioned BM25 index — the lexical sibling of
+    * [[Similarity.compactIvfIndex]], same epoch-pointer commit: rewrite
+    * every batch's postings into ONE consolidated batch under the next
+    * epoch (one file per bucket via a bucket repartition), reduce the
+    * per-batch stats rows to one summed row (stats sum by design, so the
+    * summed row IS what probes would compute), atomically swap `EPOCH`,
+    * drop the superseded epoch. Probe results are identical pre/post
+    * (spec-pinned). Must run beyond the producer's replay horizon — see
+    * [[Similarity.compactIvfIndex]].
+    *
+    * @return the new epoch number
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val curLists = Compaction.epochPath(dir, "lists", e)
+    val curStats = Compaction.epochPath(dir, "stats", e)
+    spark.read.parquet(curStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "stats", e + 1)}/batch=0")
+    val lists = spark.read.parquet(curLists)
+    lists
+      .select(lists.columns.filter(_ != "batch").map(col): _*) // fold `batch` away
+      .repartition(col("bucket")) // one task → one file per bucket directory
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, curLists)
+    Compaction.deleteDir(spark, curStats)
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
+    e + 1
   }
 
   /** BM25 top-k per query against a stored index ([[writeBm25Index]] or
@@ -232,8 +287,11 @@ object Retrieval {
       excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
-    val lists = spark.read.parquet(s"$dir/lists")
-    val stats = spark.read.parquet(s"$dir/stats")
+    // resolve the epoch pointer first (the snapshot-read side of
+    // [[compactBm25Index]]'s atomic swap); epoch 0 = the unmarked layout
+    val e = Compaction.currentEpoch(spark, dir)
+    val lists = spark.read.parquet(Compaction.epochPath(dir, "lists", e))
+    val stats = spark.read.parquet(Compaction.epochPath(dir, "stats", e))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
     val qb = queries.withColumn("bucket", termBucket(buckets))
     val matched = lists.join(broadcast(qb), Seq("bucket", "term"))

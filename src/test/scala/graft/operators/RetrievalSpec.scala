@@ -139,6 +139,44 @@ class RetrievalSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("compactBm25Index: probe-identical, fewer files, ingest continues in the new epoch") {
+    val b1 = Seq((4L, "a", 1L, 2L), (4L, "c", 1L, 2L)).toDF("id", "term", "tf", "dl")
+    val b2 = Seq((5L, "b", 2L, 2L)).toDF("id", "term", "tf", "dl")
+    val b3 = Seq((6L, "c", 1L, 1L)).toDF("id", "term", "tf", "dl")
+    val queries = Seq((10L, "a"), (10L, "c"), (11L, "b")).toDF("q_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-compact").toString
+    def probe = Retrieval.bm25AgainstIndex(queries, dir, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    try {
+      Retrieval.writeBm25IndexVersioned(terms, dir, 8)
+      Retrieval.ingestIntoBm25Index(b1, dir, 1L)
+      Retrieval.ingestIntoBm25Index(b2, dir, 2L)
+      val before = probe
+      val filesBefore = Compaction.dataFileCount(spark, s"$dir/lists") +
+        Compaction.dataFileCount(spark, s"$dir/stats")
+      assert(Retrieval.compactBm25Index(spark, dir) == 1)
+      assert(probe == before, "probe must be identical across compaction")
+      val filesAfter = Compaction.dataFileCount(spark, s"${dir}/lists_e1") +
+        Compaction.dataFileCount(spark, s"${dir}/stats_e1")
+      assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+      // batch dirs folded into one consolidated batch, old epoch dropped
+      assert(!new java.io.File(s"$dir/lists").exists())
+      assert(spark.read.parquet(s"$dir/lists_e1")
+        .select("batch").distinct().count() == 1)
+      // post-compaction ingest lands in the NEW epoch; probes see it, and
+      // the whole index equals a from-scratch build over everything
+      Retrieval.ingestIntoBm25Index(b3, dir, 3L)
+      val union = terms.unionByName(b1).unionByName(b2).unionByName(b3)
+      val fromScratch = Retrieval.bm25TopK(union, queries, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val p3 = probe
+      assert(p3 == fromScratch && p3.exists(_._2 == 6L))
+      // a second compaction (of an already-marked epoch) is stable too
+      assert(Retrieval.compactBm25Index(spark, dir) == 2)
+      assert(probe == p3)
+    } finally graft.CacheScope.drain()
+  }
+
   test("plan: the query side broadcasts — no corpus-wide shuffle join") {
     val queries = Seq((10L, "a")).toDF("q_id", "term")
     try {

@@ -256,6 +256,46 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("compactIvfIndex: probe-identical, fewer files, ingest continues in the new epoch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    def probe = Similarity.ivfTopKAgainstIndex(queries, dir, 2, 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    try {
+      // build (batch 0, centroid id range included) + two ingests
+      Similarity.writeIvfIndexVersioned(
+        emb.filter($"vec_id" < 16 || $"vec_id" % 3 === 0), dir, 16)
+      Similarity.ingestIntoIvfIndex(
+        emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1), dir, 1L)
+      Similarity.ingestIntoIvfIndex(
+        emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 2), dir, 2L)
+      val before = probe
+      val filesBefore = Compaction.dataFileCount(spark, s"$dir/lists")
+      assert(Similarity.compactIvfIndex(spark, dir) == 1)
+      assert(probe == before, "probe must be identical across compaction")
+      val filesAfter = Compaction.dataFileCount(spark, s"$dir/lists_e1")
+      assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+      assert(!new java.io.File(s"$dir/lists").exists()) // old epoch dropped
+      // no row lost or duplicated by the rewrite
+      assert(spark.read.parquet(s"$dir/lists_e1").count() == emb.count())
+      assert(spark.read.parquet(s"$dir/lists_e1")
+        .select("batch").distinct().count() == 1)
+      // post-compaction ingest lands in the new epoch and probes see it;
+      // a second compaction (of a marked epoch) is stable too
+      val extraId = emb.agg(max($"vec_id")).as[Long].head() + 1
+      Similarity.ingestIntoIvfIndex(
+        emb.filter($"vec_id" === 0).select(lit(extraId).as("vec_id"), $"embedding"),
+        dir, 3L)
+      val p3 = probe
+      assert(p3.exists(_._2 == extraId), "post-compaction ingest must be probed")
+      assert(Similarity.compactIvfIndex(spark, dir) == 2)
+      assert(probe == p3)
+    } finally graft.CacheScope.drain()
+  }
+
   test("k-means-trained IVF quantizer beats training-free recall, pinned floor") {
     // measured on the REAL sf0.01 embeddings (deterministic data +
     // deterministic k-means init/iterations): recall@10 at nCells=16,
