@@ -387,6 +387,55 @@ object NativeKernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encode: per subspace m, the code of the nearest
+    * (L2, strict-< argmin — first/smallest code wins ties) codebook entry
+    * to the vector's m-th subvector. The codebook rides as expression DATA
+    * (`cb(m)(code)(dim)`), like the BPE merge table: one tree node, tight
+    * loops, constant plan shape in M·nCodes.
+    */
+  def pqEncode(emb: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val mSub = cb.length
+    val subDim = cb(0)(0).length
+    val out = new Array[Int](mSub)
+    var m = 0
+    while (m < mSub) {
+      val base = m * subDim
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb(m).length) {
+        val cv = cb(m)(j)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = emb.getFloat(base + i).toDouble - cv(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance fold: Σ_m lut[m·nCodes + codes[m]] — the ADC
+    * lookup-table sum PQ probes score with (the lut column is per-query:
+    * either the q·codebook dot products or the codebook entry norms).
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, nCodes: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += lut.getDouble(i * nCodes + codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+
   /** Cosine over float arrays, accumulated in double, sequential order —
     * identical to fold(0.0)(+) over per-element products.
     */
@@ -596,6 +645,39 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** pq_encode(array<float>) → array<int> PQ codes; the per-subspace L2
+  * codebook is expression data (see [[NativeKernels.pqEncode]]).
+  */
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.pqEncode(input.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.pqEncode($c, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_adc(array<int>, array<double>) → double: the ADC lookup-table fold
+  * Σ_m lut[m·nCodes + codes[m]] (see [[NativeKernels.pqAdc]]).
+  */
+case class PqAdcExpr(left: Expression, right: Expression, nCodes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    NativeKernels.pqAdc(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], nCodes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeKernels.pqAdc($a, $b, $nCodes);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** z_value16(bigint, bigint) → bigint: Morton (Z-order) interleave of the

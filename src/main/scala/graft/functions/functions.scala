@@ -67,6 +67,20 @@ package object functions {
     ExpressionUtils.column(graft.functions.BpeEncodeExpr(
       ExpressionUtils.expression(word), merges))
 
+  /** PQ-encode an embedding against per-subspace L2 codebooks carried as
+    * expression data ([[graft.functions.PqEncodeExpr]]).
+    */
+  def pq_encode(emb: Column, cb: Array[Array[Array[Float]]]): Column =
+    ExpressionUtils.column(graft.functions.PqEncodeExpr(
+      ExpressionUtils.expression(emb), cb))
+
+  /** ADC lookup-table fold Σ_m lut[m·nCodes + codes[m]]
+    * ([[graft.functions.PqAdcExpr]]).
+    */
+  def pq_adc(codes: Column, lut: Column, nCodes: Int): Column =
+    ExpressionUtils.column(graft.functions.PqAdcExpr(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), nCodes))
+
   /** Bounded per-group top-k aggregate (score desc, id asc) — O(k) state,
     * partial+final; see [[graft.functions.TopKByScore]].
     */

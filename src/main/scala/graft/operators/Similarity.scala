@@ -431,6 +431,209 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ===== product quantization (IVFADC + exact refine) =====================
+  // The stored-IVF storage/probe-I/O fix: raw inverted lists ARE the
+  // corpus (dim·4 bytes per vector scanned per probed cell), so at 100 TB
+  // every probe's list scan is corpus-sized per cell. The standard answer
+  // (Jégou et al., IVFADC) compresses each vector to M one-byte-ish codes
+  // — the probe scans CODES (M bytes/vector, 32× smaller at dim=64, M=8),
+  // scores them against a per-query lookup table (asymmetric distance),
+  // and exactly re-ranks only a bounded shortlist from the full vectors.
+
+  /** Train the M per-subspace L2 codebooks — distributed Lloyd's with the
+    * [[centroidsKMeans]] cost discipline, all M subspaces in ONE pass per
+    * iteration: the corpus narrowly explodes to (vec_id, m, subvector)
+    * rows (a map, no exchange), assignment folds each row over its own
+    * subspace's broadcast codebook (argmin L2, ties to the smallest code),
+    * and the mean update's exchange carries only M·nCodes·subDim partial
+    * sums — codebook-sized, never the corpus. Deterministic: init = the
+    * subvectors of the nCodes smallest-id corpus vectors, FIXED iters,
+    * strict-< argmin. L2, not cosine: PQ codes must reconstruct the
+    * vector (ADC needs magnitudes), unlike the coarse quantizer where
+    * only direction matters. Returns (m, code, cvec).
+    */
+  def pqCodebooks(corpus: DataFrame, mSub: Int, nCodes: Int, iters: Int,
+      dim: Int): DataFrame = {
+    require(dim % mSub == 0, s"dim $dim not divisible by mSub $mSub")
+    require(iters >= 0)
+    val subDim = dim / mSub
+    val sub = corpus
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${mSub - 1})")).as("m"),
+        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("sv"))
+    var cb = corpus.orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("code", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+      // the window runs over nCodes rows (the init set) — never the corpus
+      .select(explode(expr(s"sequence(0, ${mSub - 1})")).as("m"), col("code"),
+        expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("cvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = pqAssign(sub, cb)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("v"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pm"))
+        .select(col("m"), col("code"),
+          transform(col("pm"), p => p("v").cast("float")).as("mvec"))
+      // a code that loses all members keeps its previous entry
+      cb = cb.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Assign each (m, subvector) row to its nearest code in subspace m —
+    * a narrow fold over the broadcast per-subspace codebook arrays.
+    */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val byM = cb.groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("code"), col("cvec")))).as("__cb"))
+    val init = struct(lit(-1).as("code"), lit(Double.MaxValue).as("d"))
+    sub.join(broadcast(byM), Seq("m"))
+      .withColumn("__best", aggregate(col("__cb"), init, (acc, c) => {
+        val d = aggregate(
+          zip_with(col("sv"), c.getField("cvec"),
+            (x, y) => (x.cast("double") - y.cast("double"))
+              * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, v) => a + v)
+        when(d < acc.getField("d"),
+          struct(c.getField("code").as("code"), d.as("d"))).otherwise(acc)
+      }))
+      .select(col("vec_id"), col("m"), col("sv"), col("__best.code").as("code"))
+  }
+
+  /** Build a PQ-compressed stored IVF index (IVFADC + refine layout):
+    *
+    *  - `centroids/`: the coarse quantizer (as [[writeIvfIndex]]);
+    *  - `codebooks/`: (m, code, cvec) — M per-subspace L2 codebooks,
+    *    trained distributed ([[pqCodebooks]]), a tiny model artifact;
+    *  - `codes/` PARTITIONED BY `cell`: (vec_id, codes) — the scanned
+    *    index. M ints per vector instead of dim floats: probe list I/O
+    *    shrinks ~dim·4/M per vector (32× at dim=64, M=8);
+    *  - `vectors/`: the raw vectors, range-partitioned and SORTED by
+    *    vec_id so the refine stage's id-list fetch prunes row groups via
+    *    parquet min/max stats — shortlist-local I/O, not a corpus scan;
+    *  - `meta/`: (m_sub, n_codes, sub_dim).
+    *
+    * Cell assignment and encoding run in ONE narrow pass (the codebooks
+    * collect driver-side once — a bounded model artifact, M·nCodes rows —
+    * and ride into [[graft.functions.PqEncodeExpr]] as expression data);
+    * the corpus never shuffles.
+    */
+  def writeIvfIndexPQ(corpus: DataFrame, dir: String, nCells: Int,
+      mSub: Int, nCodes: Int, trainIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val cents = centroidsOf(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cbDf = pqCodebooks(corpus, mSub, nCodes, trainIters, dim)
+    cbDf.write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((mSub, nCodes, dim / mSub)).toDF("m_sub", "n_codes", "sub_dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val cb = collectCodebooks(cbDf, mSub, nCodes)
+    narrowBestCell(corpus, cents, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .withColumn("codes", graft.functions.pq_encode(col("embedding"), cb))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    corpus.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Driver-side codebook materialization: cb(m)(code) = cvec. A bounded
+    * model artifact (M·nCodes rows), the q157-merge-table pattern.
+    */
+  private def collectCodebooks(cbDf: DataFrame, mSub: Int,
+      nCodes: Int): Array[Array[Array[Float]]] = {
+    val out = Array.ofDim[Array[Float]](mSub, nCodes)
+    cbDf.collect().foreach { r =>
+      out(r.getAs[Int]("m"))(r.getAs[Int]("code")) =
+        r.getAs[scala.collection.Seq[Float]]("cvec").toArray
+    }
+    out
+  }
+
+  /** Probe a [[writeIvfIndexPQ]] index: ADC scoring over the pruned codes
+    * scan, exact cosine re-rank of a bounded shortlist.
+    *
+    *  1. The query batch's probed cells come from the stored coarse
+    *     centroids (as [[ivfTopKAgainstIndex]]); the codes scan is
+    *     dynamically partition-pruned to those cells (plan-pinned).
+    *  2. Each query precomputes its ADC lookup tables against the
+    *     broadcast codebooks — per (m, code): dot(q_m, c_{m,code}) and
+    *     ‖c_{m,code}‖²; M·nCodes rows per query, tiny. A candidate's
+    *     approximate cosine is then two [[graft.functions.PqAdcExpr]]
+    *     folds over its codes: Σdot / (‖q‖·√Σn²).
+    *  3. The top `shortlist` candidates per query (bounded TopKByScore)
+    *     fetch their FULL vectors from the sorted `vectors/` store — the
+    *     id list collects driver-side (bounded: |Q|·shortlist) and pushes
+    *     down as an In filter, so parquet row-group stats keep the fetch
+    *     shortlist-local — and are re-ranked with the exact rounded
+    *     cosine, same arithmetic as [[ivfTopK]].
+    *
+    * Recall vs the raw-list probe is bounded by the same nProbe cell
+    * choice; the shortlist only loses candidates ADC misranks past
+    * position `shortlist` (spec-pinned floor).
+    */
+  def ivfTopKAgainstIndexPQ(queries: DataFrame, dir: String, nProbe: Int,
+      k: Int, shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (mSub, nCodes, subDim) =
+      (meta.getAs[Int]("m_sub"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("sub_dim"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+    // per-query ADC lookup tables, indexed lut[m·nCodes + code]
+    val luts = queries.crossJoin(broadcast(cbRows))
+      .select(col("q_id"), col("q_vec"), col("m"), col("code"),
+        expr(s"""aggregate(zip_with(slice(q_vec, m * $subDim + 1, $subDim), cvec,
+                 (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               0D, (a, v) -> a + v)""").as("d"),
+        expr("""aggregate(cvec, 0D,
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""").as("n2"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d"), col("n2")))).as("e"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        transform(col("e"), x => x.getField("d")).as("lut"),
+        transform(col("e"), x => x.getField("n2")).as("n2lut"),
+        sqrt(expr(
+          "aggregate(q_vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+          .as("qn"))
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+      .withColumn("cell", col("cell").cast("int"))
+      .select(col("q_id"), col("cell"))
+      .join(luts, Seq("q_id"))
+    val adc = graft.functions.pq_adc(col("codes"), col("lut"), nCodes) /
+      (col("qn") * sqrt(graft.functions.pq_adc(col("codes"), col("n2lut"), nCodes)))
+    val short = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    // bounded driver action (≤ |Q|·shortlist ids): the id list becomes a
+    // pushed-down In filter, so the sorted vectors store serves the fetch
+    // from only the row groups containing shortlist ids
+    val ids = short.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id").isin(ids: _*))
+    val rescored = short.join(raw, Seq("vec_id"))
+      .join(broadcast(luts.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(rescored, k)
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023-style): partition the
     * corpus into IVF cells, drop every vector with cosine ≥ threshold to a
     * lower-id vector WITHIN its cell, return the survivors. Cluster-scoped

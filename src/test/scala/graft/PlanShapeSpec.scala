@@ -550,6 +550,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("PQ index probe: the codes scan keeps the dynamic cell pruning") {
+    // the q145/q146 probe economics carried onto the compressed layout:
+    // ADC scoring may only scan the probed cells' code partitions — the
+    // codes scan's partition filters must carry the dynamicpruning
+    // expression on `cell` fed from the broadcast query side
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("ivf-pq-plan").toString
+    try {
+      graft.operators.Similarity.writeIvfIndexPQ(emb, dir, 16, 8, 16)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val p = plan(graft.operators.Similarity
+        .ivfTopKAgainstIndexPQ(queries, dir, 2, 10))
+      assert(p.toLowerCase.contains("dynamicpruningexpression(cell"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally CacheScope.drain()
+  }
+
   test("IVF index build and ingest shuffle only centroid-sized data, never the corpus") {
     // the build's scale contract: scan → narrow argmax fold over the
     // broadcast centroid array → partitioned write. The ONLY exchange is

@@ -256,6 +256,60 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("PQ-compressed IVF: pinned recall@10 floor vs exact; codes far smaller than raw lists") {
+    // IVFADC + refine on the REAL sf0.01 embeddings (deterministic
+    // codebooks, fixed Lloyd iterations): measured recall@10 at nCells=16
+    // nProbe=2, M=8, nCodes=16, shortlist=50 — the PQ probe matches the
+    // raw-list probe (the shortlist + exact re-rank recovers everything
+    // ADC misranks within the probed cells), both ~0.305. Pin the PQ
+    // floor slightly below, pin PQ ≥ raw − ε (re-rank must not lose
+    // candidates), and pin the storage ratio the layout exists for.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-pq").toString
+    val dirRaw = java.nio.file.Files.createTempDirectory("ivf-raw").toString
+    try {
+      def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      val exact = topSet(Similarity.bruteForceTopK(queries, emb, 10))
+      def recall(approx: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, e) =>
+          approx.getOrElse(q, Set.empty).count(e).toDouble / e.size
+        }.sum / exact.size
+      Similarity.writeIvfIndexPQ(emb, dir, 16, mSub = 8, nCodes = 16)
+      Similarity.writeIvfIndex(emb, dirRaw, 16)
+      val pq = recall(topSet(Similarity.ivfTopKAgainstIndexPQ(queries, dir, 2, 10)))
+      val raw = recall(topSet(Similarity.ivfTopKAgainstIndex(queries, dirRaw, 2, 10)))
+      assert(pq >= 0.28, s"PQ recall $pq (raw-list probe measured ~0.305)")
+      assert(pq >= raw - 0.02,
+        s"shortlist+re-rank must not lose the raw probe's candidates: pq $pq vs raw $raw")
+      // the scanned index is the point: codes bytes ≪ raw list bytes
+      val codesBytes = Compaction.dataBytes(spark, s"$dir/codes")
+      val rawBytes = Compaction.dataBytes(spark, s"$dirRaw/lists")
+      assert(codesBytes * 4 < rawBytes,
+        s"codes $codesBytes !≪ raw $rawBytes")
+      // re-ranked scores are the EXACT rounded cosine (not ADC estimates)
+      val out = Similarity.ivfTopKAgainstIndexPQ(queries, dir, 2, 10)
+        .select("q_id", "vec_id", "score").as[(Long, Long, Double)].collect()
+      val byId = emb.as[(Long, Array[Float])].collect().toMap
+      def cosD(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      out.foreach { case (q, v, s) =>
+        val e = BigDecimal(cosD(byId(q), byId(v)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(s - e) < 2e-4, s"($q,$v): stored $s vs exact $e")
+      }
+    } finally graft.CacheScope.drain()
+  }
+
   test("compactIvfIndex: probe-identical, fewer files, ingest continues in the new epoch") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
