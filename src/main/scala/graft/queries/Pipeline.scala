@@ -1534,6 +1534,32 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
 
+  // ===== q167 compacted ANN-index probe ==================================
+  // The maintenance companion of q146 ON the gate: build the
+  // batch-versioned index on the initial slice, replay-safely ingest the
+  // rest, then COMPACT — every batch directory rewritten into one
+  // consolidated batch under the next epoch, committed by the atomic
+  // EPOCH-pointer swap (Similarity.compactIvfIndex) — and probe the
+  // compacted index. Probes must be blind to layout maintenance, so
+  // q44's from-scratch oracle applies verbatim (the same initial slice
+  // contains the centroid id range, as q146). This is the gate row that
+  // makes "compaction changes file layout, never results" a checked
+  // contract rather than a spec-only claim.
+
+  private def q167(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = cachedIndexDir(t.dir, s"ivf_compact_v1_$IvfCells") { d =>
+      val initial = e.filter(col("vec_id") < IvfCells || col("vec_id") % 10 =!= 7)
+      val batch = e.filter(col("vec_id") >= IvfCells && col("vec_id") % 10 === 7)
+      Similarity.writeIvfIndexVersioned(initial, d, IvfCells)
+      Similarity.ingestIntoIvfIndex(batch, d, 1L)
+      Similarity.compactIvfIndex(e.sparkSession, d)
+    }
+    Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -1763,6 +1789,28 @@ object Pipeline {
       val batch = tf.filter(col("id") % 10 === 7)
       Retrieval.writeBm25Index(initial, d, BmBuckets)
       Retrieval.appendToBm25Index(batch, d)
+    }
+    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
+      excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  // ===== q166 compacted BM25-index probe =================================
+  // q155's maintenance companion ON the gate (and q167's lexical
+  // sibling): versioned build on the initial slice, replay-safe ingest of
+  // the rest, then Retrieval.compactBm25Index — postings consolidated to
+  // one batch, the per-batch stats rows reduced to one summed row, the
+  // atomic EPOCH swap — and the probe runs against the compacted index.
+  // df is re-derived from the (consolidated) postings and stats sum to
+  // the same totals, so q152's from-scratch oracle applies verbatim.
+
+  private def q166(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped()
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, s"bm25_compact_v1_$BmBuckets") { d =>
+      Retrieval.writeBm25IndexVersioned(tf.filter(col("id") % 10 =!= 7), d, BmBuckets)
+      Retrieval.ingestIntoBm25Index(tf.filter(col("id") % 10 === 7), d, 1L)
+      Retrieval.compactBm25Index(spark, d)
     }
     Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
       excludeSelf = true)
@@ -2877,7 +2925,9 @@ object Pipeline {
     "q158_hybrid_retrieval" -> wrap(q158),
     "q159_recursive_reachability" -> wrap(q159),
     "q162_golden_record" -> wrap(q162),
-    "q164_semantic_dedup_capped_multicell" -> wrap(q164)
+    "q164_semantic_dedup_capped_multicell" -> wrap(q164),
+    "q166_bm25_index_compacted" -> wrap(q166),
+    "q167_ann_index_compacted" -> wrap(q167)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2959,6 +3009,8 @@ object Pipeline {
     "q158_hybrid_retrieval" -> q158Sql,
     "q159_recursive_reachability" -> q159Sql,
     "q162_golden_record" -> q162Sql,
-    "q164_semantic_dedup_capped_multicell" -> q164Sql
+    "q164_semantic_dedup_capped_multicell" -> q164Sql,
+    "q166_bm25_index_compacted" -> q152Sql,
+    "q167_ann_index_compacted" -> q44Sql
   )
 }
