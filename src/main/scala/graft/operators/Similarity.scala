@@ -613,8 +613,13 @@ object Similarity {
       .withColumn("cell", col("cell").cast("int"))
       .select(col("q_id"), col("cell"))
       .join(luts, Seq("q_id"))
-    val adc = graft.functions.pq_adc(col("codes"), col("lut"), nCodes) /
-      (col("qn") * sqrt(graft.functions.pq_adc(col("codes"), col("n2lut"), nCodes)))
+    // rounded to 4 dp before ranking (the house determinism discipline):
+    // every input is a fixed-order double fold, so any engine replaying
+    // the same arithmetic ranks the same shortlist — q168 hash-gates this
+    val adc = round(
+      graft.functions.pq_adc(col("codes"), col("lut"), nCodes) /
+        (col("qn") * sqrt(graft.functions.pq_adc(col("codes"), col("n2lut"), nCodes))),
+      4)
     val short = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("adc", adc)

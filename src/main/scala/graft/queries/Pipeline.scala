@@ -1560,6 +1560,91 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
 
+  // ===== q168 PQ-compressed ANN-index probe ==============================
+  // The IVFADC + exact-refine pipeline fully HASH-GATED: training-free
+  // per-subspace codebooks (the subvectors of the PqCodes smallest-id
+  // vectors — the same oracle-reproducible determinism the gate's coarse
+  // quantizer uses; production training plugs in via trainIters, recall
+  // spec-pinned), strict-< L2 argmin encoding, per-query ADC lookup
+  // tables, round-4 ADC shortlist ranking (vec_id tie-break), exact
+  // rounded-cosine re-rank of the top PqShort. Every float is a
+  // FIXED-ORDER double fold, so DuckDB replays the identical arithmetic:
+  // the oracle recomputes codes, LUTs, ADC scores, the shortlist and the
+  // re-rank from scratch — compressed-and-probed must equal
+  // freshly-derived, the q145 contract extended to the compressed layout.
+
+  private val PqM = 8
+  private val PqCodes = 16
+  private val PqShort = 50
+
+  private def q168(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = cachedIndexDir(t.dir, s"ivf_pq_v1_${IvfCells}_${PqM}_$PqCodes")(
+      d => Similarity.writeIvfIndexPQ(e, d, IvfCells, PqM, PqCodes,
+        trainIters = 0))
+    Similarity.ivfTopKAgainstIndexPQ(queries, dir, IvfProbe, TopK, PqShort)
+  }
+
+  private val q168Sql = {
+    val subDim = Dim / PqM
+    // fixed-subDim slice folds (1-based inclusive DuckDB slices)
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i]*$b[i]), (p,q) -> p+q)"
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $subDim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (p,q) -> p+q)"
+    // m-ordered double sum (the q152 sorted-fold discipline)
+    def msum(x: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list({'m': m, 'x': $x})), e -> e.x)), (a,b) -> a+b)"
+    def best(src: String, id: String, vec: String, n: String) =
+      s"""SELECT $id, $vec, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.$id
+         |      ORDER BY round(${cosSql(s"s.$vec", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM $src s CROSS JOIN cents c) WHERE crn <= $n""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |lists AS MATERIALIZED (${best("e", "vec_id", "v", "1")}),
+       |probes AS (${best("q0", "q_id", "qv", IvfProbe.toString)}),
+       |cbb AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |        FROM (SELECT * FROM e ORDER BY vec_id LIMIT $PqCodes)),
+       |cb AS MATERIALIZED (SELECT t.m, code, v[m*$subDim+1 : m*$subDim+$subDim] AS cvec
+       |      FROM cbb CROSS JOIN range(0, $PqM) t(m)),
+       |sub AS (SELECT vec_id, t.m, v[m*$subDim+1 : m*$subDim+$subDim] AS sv
+       |        FROM e CROSS JOIN range(0, $PqM) t(m)),
+       |assign AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2("s.sv", "c.cvec")}, c.code) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |lut AS MATERIALIZED (SELECT q.q_id, c.m, c.code,
+       |        ${dot(s"q.qv[c.m*$subDim+1 : c.m*$subDim+$subDim]", "c.cvec")} AS ld,
+       |        ${dot("c.cvec", "c.cvec")} AS n2
+       |      FROM q0 q CROSS JOIN cb c),
+       |qn AS (SELECT q_id, sqrt(list_reduce(list_transform(qv, x -> x*x), (p,q) -> p+q)) AS qn FROM q0),
+       |cand AS (SELECT p.q_id, l.vec_id FROM probes p
+       |         JOIN lists l ON p.cell = l.cell AND l.vec_id <> p.q_id),
+       |contrib AS (SELECT c.q_id, c.vec_id, a.m, t.ld, t.n2
+       |            FROM cand c JOIN assign a ON c.vec_id = a.vec_id
+       |            JOIN lut t ON t.q_id = c.q_id AND t.m = a.m AND t.code = a.code),
+       |adc AS (SELECT q_id, vec_id, ${msum("ld")} AS num, ${msum("n2")} AS nn
+       |        FROM contrib GROUP BY q_id, vec_id),
+       |sc AS (SELECT a.q_id, a.vec_id, round(a.num / (q.qn * sqrt(a.nn)), 4) AS s
+       |       FROM adc a JOIN qn q USING (q_id)),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= $PqShort),
+       |rs AS (SELECT sh.q_id, sh.vec_id, round(${cosSql("q.qv", "x.v")}, 4) AS score
+       |       FROM short sh JOIN q0 q USING (q_id) JOIN e x ON sh.vec_id = x.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM rs)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -2927,7 +3012,8 @@ object Pipeline {
     "q162_golden_record" -> wrap(q162),
     "q164_semantic_dedup_capped_multicell" -> wrap(q164),
     "q166_bm25_index_compacted" -> wrap(q166),
-    "q167_ann_index_compacted" -> wrap(q167)
+    "q167_ann_index_compacted" -> wrap(q167),
+    "q168_ann_index_pq" -> wrap(q168)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3011,6 +3097,7 @@ object Pipeline {
     "q162_golden_record" -> q162Sql,
     "q164_semantic_dedup_capped_multicell" -> q164Sql,
     "q166_bm25_index_compacted" -> q152Sql,
-    "q167_ann_index_compacted" -> q44Sql
+    "q167_ann_index_compacted" -> q44Sql,
+    "q168_ann_index_pq" -> q168Sql
   )
 }
