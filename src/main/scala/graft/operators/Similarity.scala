@@ -536,16 +536,83 @@ object Similarity {
     Seq((mSub, nCodes, dim / mSub)).toDF("m_sub", "n_codes", "sub_dim")
       .write.mode("overwrite").parquet(s"$dir/meta")
     val cb = collectCodebooks(cbDf, mSub, nCodes)
+    // batch-versioned from the start (the writeIvfIndexVersioned layout):
+    // the build is batch 0, so replaying producers can ingest with
+    // [[ingestIntoIvfIndexPQ]] and [[compactIvfIndexPQ]] can epoch-swap
     narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
       .withColumn("codes", graft.functions.pq_encode(col("embedding"), cb))
       .select(col("vec_id"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
     corpus.select(col("vec_id"), col("embedding"))
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$dir/vectors")
+      .write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeIvfIndexPQ]] index:
+    * the batch assigns against the FROZEN stored centroids and encodes
+    * against the FROZEN stored codebooks (both broadcast; the quantizer
+    * contract of [[appendToIvfIndex]] extended to the code level), then
+    * OVERWRITES its own batch partitions — codes under
+    * `codes/batch=<id>/cell=<c>/`, raw vectors (sorted within the batch,
+    * so the refine fetch's row-group pruning still bites) under
+    * `vectors/batch=<id>/`. A crash-replayed batch rewrites the same
+    * partitions and leaves the index contents identical.
+    */
+  def ingestIntoIvfIndexPQ(newVectors: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val cb = collectCodebooks(spark.read.parquet(s"$dir/codebooks"),
+      meta.getAs[Int]("m_sub"), meta.getAs[Int]("n_codes"))
+    val e = Compaction.currentEpoch(spark, dir)
+    narrowBestCell(newVectors, cents, "vec_id", "embedding")
+      .withColumn("cell", col("cell").cast("int"))
+      .withColumn("codes", graft.functions.pq_encode(col("embedding"), cb))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
+    newVectors.select(col("vec_id"), col("embedding"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "vectors", e)}/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Compact a PQ index's batch directories — [[compactIvfIndex]]'s
+    * epoch-pointer commit applied to BOTH stores: codes consolidate to one
+    * batch (one file per cell), the raw vectors re-sort globally by
+    * vec_id (restoring the tightest row-group pruning for the refine
+    * fetch, which per-batch sorting can only approximate). Probe results
+    * identical pre/post (spec-pinned); same replay-horizon contract.
+    *
+    * @return the new epoch number
+    */
+  def compactIvfIndexPQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val curCodes = Compaction.epochPath(dir, "codes", e)
+    val curVecs = Compaction.epochPath(dir, "vectors", e)
+    spark.read.parquet(curCodes)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
+    spark.read.parquet(curVecs)
+      .select(col("vec_id"), col("embedding"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "vectors", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, curCodes)
+    Compaction.deleteDir(spark, curVecs)
+    spark.catalog.refreshByPath(dir)
+    e + 1
   }
 
   /** Driver-side codebook materialization: cb(m)(code) = cvec. A bounded
@@ -590,7 +657,10 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (mSub, nCodes, subDim) =
       (meta.getAs[Int]("m_sub"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("sub_dim"))
-    val codes = spark.read.parquet(s"$dir/codes")
+    // resolve the epoch pointer first (the [[compactIvfIndexPQ]] snapshot
+    // commit); epoch 0 = the build layout
+    val epoch = Compaction.currentEpoch(spark, dir)
+    val codes = spark.read.parquet(Compaction.epochPath(dir, "codes", epoch))
     val cbRows = spark.read.parquet(s"$dir/codebooks")
     // per-query ADC lookup tables, indexed lut[m·nCodes + code]
     val luts = queries.crossJoin(broadcast(cbRows))
@@ -631,8 +701,9 @@ object Similarity {
     // from only the row groups containing shortlist ids
     val ids = short.select(col("vec_id")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val raw = spark.read.parquet(s"$dir/vectors")
+    val raw = spark.read.parquet(Compaction.epochPath(dir, "vectors", epoch))
       .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
     val rescored = short.join(raw, Seq("vec_id"))
       .join(broadcast(luts.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))

@@ -1581,7 +1581,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_pq_v1_${IvfCells}_${PqM}_$PqCodes")(
+    val dir = cachedIndexDir(t.dir, s"ivf_pq_v2_${IvfCells}_${PqM}_$PqCodes")(
       d => Similarity.writeIvfIndexPQ(e, d, IvfCells, PqM, PqCodes,
         trainIters = 0))
     Similarity.ivfTopKAgainstIndexPQ(queries, dir, IvfProbe, TopK, PqShort)

@@ -310,6 +310,47 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("PQ index: replay-safe versioned ingest with frozen codebooks; compaction probe-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-pq-inc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf-pq-full").toString
+    def probe(d: String) = Similarity.ivfTopKAgainstIndexPQ(queries, d, 2, 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    try {
+      // build on the initial slice (centroid + codebook id ranges included,
+      // so the frozen quantizer/codebooks equal the full-corpus ones),
+      // ingest the rest; training-free codebooks so build+ingest must
+      // EQUAL a from-scratch build over the union
+      val initial = emb.filter($"vec_id" < 16 || $"vec_id" % 3 =!= 1)
+      val batch = emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1)
+      Similarity.writeIvfIndexPQ(initial, dir, 16, 8, 16, trainIters = 0)
+      Similarity.ingestIntoIvfIndexPQ(batch, dir, 1L)
+      Similarity.writeIvfIndexPQ(emb, dirFull, 16, 8, 16, trainIters = 0)
+      val p1 = probe(dir)
+      assert(p1 == probe(dirFull), "build+ingest must equal the from-scratch union build")
+      // crash-replay of batch 1: identical contents, identical probe
+      Similarity.ingestIntoIvfIndexPQ(batch, dir, 1L)
+      assert(probe(dir) == p1)
+      assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+      // compaction: epoch swap, probe-identical, consolidated batches
+      assert(Similarity.compactIvfIndexPQ(spark, dir) == 1)
+      assert(probe(dir) == p1, "probe must be identical across PQ compaction")
+      assert(!new java.io.File(s"$dir/codes").exists())
+      assert(spark.read.parquet(s"$dir/codes_e1")
+        .select("batch").distinct().count() == 1)
+      assert(spark.read.parquet(s"$dir/vectors_e1").count() == emb.count())
+      // post-compaction ingest lands in the new epoch and is probed
+      val extraId = emb.agg(max($"vec_id")).as[Long].head() + 1
+      Similarity.ingestIntoIvfIndexPQ(
+        emb.filter($"vec_id" === 0).select(lit(extraId).as("vec_id"), $"embedding"),
+        dir, 2L)
+      assert(probe(dir).exists(_._2 == extraId))
+    } finally graft.CacheScope.drain()
+  }
+
   test("compactIvfIndex: probe-identical, fewer files, ingest continues in the new epoch") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
