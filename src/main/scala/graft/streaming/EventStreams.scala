@@ -356,6 +356,38 @@ object EventStreams {
         .ingestIntoIvfIndex(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** Streaming PQ-ANN serving — [[annProbeIngest]] over the COMPRESSED
+    * index: each micro-batch of (q_id, q_vec) queries probes a stored
+    * [[graft.operators.Similarity.writeIvfIndexPQ]] index (cell-pruned
+    * codes scan + ADC + bounded exact re-rank) and writes per-query top-k
+    * to `outDir/batch=<id>` (idempotent overwrite over a read-only
+    * index). The serving path this layout exists for: the scanned codes
+    * are ~dim·4/M smaller than raw lists, so the per-batch probe stays
+    * memory-resident at corpus sizes where raw lists spill.
+    */
+  def pqProbeIngest(indexDir: String, outDir: String, nProbe: Int, k: Int,
+      shortlist: Int = 50)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ivfTopKAgainstIndexPQ(batch.toDF(), indexDir, nProbe, k, shortlist)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Streaming PQ-ANN index ingestion — [[annIngest]] over the compressed
+    * layout: each micro-batch encodes against the FROZEN stored
+    * centroids + codebooks and OVERWRITES its own codes/vectors batch
+    * partitions ([[graft.operators.Similarity.ingestIntoIvfIndexPQ]]) —
+    * replay-safe for the same reason, with the same batch-numbering
+    * shift (streaming batch N → layout batch N+1; batch 0 is the build).
+    */
+  def pqIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ingestIntoIvfIndexPQ(batch.toDF(), indexDir, batchId + 1)
+    }
+
   /** Streaming BM25 retrieval — [[annProbeIngest]]'s lexical twin: each
     * micro-batch of (q_id, term) query bags probes a stored
     * [[graft.operators.Retrieval.writeBm25Index]] posting index
