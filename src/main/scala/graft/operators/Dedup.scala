@@ -858,6 +858,53 @@ object Dedup {
         min(col("id")).as("first_id"))
       .filter(col("n_docs") >= 2)
 
+  /** MAXIMAL cross-document duplicated spans per doc — the output shape of
+    * exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", public paper): for every document, the
+    * maximal token ranges covered by `passLen`-gram windows that also occur
+    * in at least one OTHER document. [[duplicatePassages]] reports the
+    * duplicated GRAMS; this merges their positions into the spans a
+    * pipeline actually cuts out (consecutive duplicated windows whose
+    * ranges overlap or touch — gap ≤ passLen — coalesce into one island).
+    *
+    * 100 TB design: (1) the same md5_windows kernel explodes ~n_tokens
+    * 32-char hashes per doc (never the windows themselves); (2) ONE
+    * hash-partitioned aggregate finds cross-doc hashes (countDistinct id
+    * ≥ 2 — partial+final, boilerplate passages cost O(1) combiner state);
+    * (3) a semi-join keeps each doc's duplicated positions; (4) the island
+    * merge is a lag + running-sum window PARTITIONED BY DOC — per-partition
+    * work is bounded by one document's gram count, so the window never
+    * sees cross-document volume (the only safe window shape at corpus
+    * scale). Output: (id, span_start, span_end, n_grams), token positions
+    * 0-based inclusive.
+    */
+  def duplicateSpans(docs: DataFrame, passLen: Int): DataFrame = {
+    val grams = docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .filter(size(col("__w")) >= passLen)
+      .select(col("id"),
+        posexplode(graft.functions.md5_windows(col("__w"), passLen))
+          .as(Seq("pos", "h")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
+    val crossDoc = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val dupPos = grams.join(crossDoc, Seq("h"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__new",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(byDoc),
+          lit(Long.MaxValue)) > passLen, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (passLen - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__isl")
+  }
+
   /** Edit-distance similarity self-join (PassJoin-style segment
     * filtering): all pairs (id_a, id_b, dist) with
     * levenshtein(s_a, s_b) ≤ `maxDist`, id_a < id_b — the FUZZY exact-dup

@@ -274,6 +274,54 @@ object Retrieval {
     e + 1
   }
 
+  /** Physically DELETE documents from a stored BM25 index — the lexical
+    * [[Similarity.deleteFromIvfIndex]]: rewrite the current epoch's
+    * postings WITHOUT the given doc ids (anti-join rewrite, bytes gone —
+    * a tombstone mask would not meet the erasure obligation) and
+    * RECOMPUTE the (n_docs, tot_dl) summary from the surviving postings
+    * (deleting documents shifts df, idf, and avgdl for every later
+    * query — the part a postings-only delete would silently corrupt),
+    * committed by the atomic epoch-pointer swap. df needs no stored
+    * fix-up: probes derive it from the pruned postings themselves, which
+    * post-delete ARE the surviving corpus. A post-delete probe is
+    * bit-identical to probing an index built from the surviving corpus
+    * (spec-pinned). Deletion implies compaction; same replay-horizon
+    * contract and index-sized cost envelope.
+    *
+    * @param ids one column `id`; absent ids are ignored (idempotent)
+    * @return the new epoch number
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val curLists = Compaction.epochPath(dir, "lists", e)
+    val curStats = Compaction.epochPath(dir, "stats", e)
+    val lists = spark.read.parquet(curLists)
+    lists
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+      .select(lists.columns.filter(_ != "batch").map(col): _*) // fold `batch` away
+      .repartition(col("bucket")) // one task → one file per bucket directory
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+    // exact integer recount over the survivors — NOT a subtraction from
+    // the old summary, so a delete of an id the index never held (or a
+    // re-run of the same delete) cannot drift the stats
+    spark.read
+      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "stats", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, curLists)
+    Compaction.deleteDir(spark, curStats)
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
   /** BM25 top-k per query against a stored index ([[writeBm25Index]] or
     * the versioned layout): the query frame broadcasts into a
     * (bucket, term) join whose dynamic partition pruning opens only the

@@ -145,4 +145,31 @@ object Sampling {
       .map { case (t, i) => s"WHEN $h < $t THEN $i" }.mkString(" ")
     s"(CASE $cases ELSE 7 END)"
   }
+
+  /** Leakage-free train/val/test split: the [[hashSplit]] assignment keyed
+    * on the NEAR-DUP CLUSTER label instead of the row id, so every member
+    * of a duplicate cluster lands on the same side — the split any
+    * train/eval protocol actually needs (a per-row split leaks train
+    * near-duplicates into the eval set, inflating every metric; see the
+    * decontamination literature, e.g. Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better", public paper).
+    *
+    * `labels` is (id, comp) — e.g. [[Dedup.connectedComponents]] over
+    * MinHash-LSH pairs, comp = min member id. Unlabeled rows are their own
+    * singleton cluster (coalesce to id). Same engineering properties as
+    * [[hashSplit]]: content-stable md5-of-comp bucket → deterministic
+    * across engines/re-runs/repartitioning, and the assignment is a pure
+    * function of comp, so "no cluster straddles splits" holds BY
+    * CONSTRUCTION — no verification join needed. Cost on top of the
+    * clustering itself: one equi-join (labels ⋈ rows) + a narrow map.
+    */
+  def leakageFreeSplit(df: DataFrame, id: Column, labels: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val lab = labels.select(col("id").as("__lid"), col("comp").as("__comp"))
+    val joined = df.withColumn("__id", id)
+      .join(lab, col("__id") === col("__lid"), "left")
+      .withColumn("cluster", coalesce(col("__comp"), col("__id")))
+      .drop("__lid", "__comp", "__id")
+    hashSplit(joined, col("cluster"), weights)
+  }
 }

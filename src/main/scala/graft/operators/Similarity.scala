@@ -408,6 +408,48 @@ object Similarity {
     e + 1
   }
 
+  /** Physically DELETE vectors from a stored IVF index — the
+    * right-to-be-forgotten maintenance op: rewrite the current epoch's
+    * lists WITHOUT the given ids (an anti-join rewrite, not a tombstone
+    * mask — the erasure obligation is on the STORED bytes, which a mask
+    * would not meet), committed by [[compactIvfIndex]]'s atomic
+    * epoch-pointer swap, so probes see the pre-delete or post-delete
+    * index in full, never a mix. Centroids stay FROZEN (deletion is not
+    * retraining — the quantizer contract of [[appendToIvfIndex]]), so a
+    * post-delete probe is bit-identical to probing an index built from
+    * the surviving corpus under the same quantizer (spec-pinned).
+    *
+    * Deletion implies compaction (batch ids fold away into one
+    * consolidated batch), so it shares the replay-horizon contract: run
+    * beyond the producer's replay horizon, or a replayed batch would
+    * resurrect its deleted rows. Cost: one index-sized filter-rewrite —
+    * the compaction envelope; `ids` broadcasts when request-sized (the
+    * usual GDPR case) and hash-joins when not.
+    *
+    * @param ids one column `vec_id`; ids absent from the index are
+    *            ignored (idempotent: re-running a delete is a no-op
+    *            rewrite)
+    * @return the new epoch number
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val cur = Compaction.epochPath(dir, "lists", e)
+    spark.read.parquet(cur)
+      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .repartition(col("cell")) // one task → one file per cell directory
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, cur)
+    // external write to a path this session may already have listed:
+    // invalidate Spark's shared file-status cache, or a later read of the
+    // same path can silently serve the pre-write listing
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
   /** Probe a stored [[writeIvfIndex]]: per-query top-k over the `nProbe`
     * best cells' inverted lists, identical semantics (and identical
     * result) to running [[ivfTopK]] against the full corpus with the same
@@ -603,6 +645,44 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
     spark.read.parquet(curVecs)
+      .select(col("vec_id"), col("embedding"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "vectors", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, curCodes)
+    Compaction.deleteDir(spark, curVecs)
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
+  /** [[deleteFromIvfIndex]] for the PQ layout: the anti-join rewrite
+    * applied to BOTH stores — the deleted vectors' CODES and their RAW
+    * vectors must go (the refine store holds the actual embeddings; a
+    * codes-only delete would leave the data recoverable) — under one
+    * atomic epoch swap. Centroids and codebooks stay frozen; the vectors
+    * store re-sorts globally by vec_id like [[compactIvfIndexPQ]], so the
+    * refine fetch keeps tight row-group pruning. Same replay-horizon
+    * contract and cost envelope as compaction.
+    *
+    * @param ids one column `vec_id`
+    * @return the new epoch number
+    */
+  def deleteFromIvfIndexPQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val del = ids.select(col("vec_id"))
+    val e = Compaction.currentEpoch(spark, dir)
+    val curCodes = Compaction.epochPath(dir, "codes", e)
+    val curVecs = Compaction.epochPath(dir, "vectors", e)
+    spark.read.parquet(curCodes)
+      .join(del, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
+    spark.read.parquet(curVecs)
+      .join(del, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions(col("vec_id"))

@@ -256,4 +256,97 @@ object TextOps {
       .join(vocab, "w")
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
+
+  /** fastText-style hashed linear quality classifier — the SERVING shape
+    * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification"; the CCNet / GPT-3-style quality filters are this
+    * exact model — all public papers): features are the HASHING TRICK
+    * over unigrams + word bigrams (h(feature) mod dim indexes the weight
+    * vector — no vocabulary, no lookup join), score = bias + Σ w[h(f)],
+    * prob = σ(score), keep = prob ≥ threshold.
+    *
+    * `weights` IS the model artifact and rides as expression DATA (one
+    * array literal — the q157 merge-table / PQ-codebook pattern), so a
+    * trained model drops in unchanged.
+    *
+    * 100 TB design: scoring is a pure narrow map — two sequential
+    * `aggregate` folds over the token array (unigrams, then bigrams
+    * built by index, no explode), so there is NO per-(doc, feature)
+    * shuffle and NO vocabulary join — hashing-trick serving exists
+    * precisely to kill the vocab join at corpus scale. Fold order is
+    * document order in both engines (sequential left fold), the hash is
+    * the engine-neutral md5-derived [[Dedup.SharedHash.hash28]], and
+    * score/prob round to 4 (σ applied to the ROUNDED score, so the
+    * exp() input is identical across engines). Zero-token docs are
+    * dropped (no features to score).
+    *
+    * Output: id, n_tokens, score, prob, keep.
+    */
+  def hashedLinearScore(docs: DataFrame, id: Column, text: Column,
+      weights: Array[Double], bias: Double, threshold: Double): DataFrame = {
+    val dim = weights.length
+    val warr = typedLit(weights)
+    def w(f: Column): Column = element_at(warr,
+      (pmod(Dedup.SharedHash.hash28(f), lit(dim)) + 1).cast("int"))
+    def foldW(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + w(x))
+    val base = docs.select(id.as("id"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("bg", when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val score = round(lit(bias) + foldW(col("ws")) + foldW(col("bg")), 4)
+    base.select(col("id"), size(col("ws")).cast("long").as("n_tokens"),
+        score.as("score"))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 4))
+      .withColumn("keep", col("prob") >= threshold)
+  }
+
+  /** Gopher-style per-document repetition FILTER (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A1.1 repetition
+    * rules — public paper): most-frequent-token fraction, most-frequent-
+    * word-2-gram fraction, and the distinct-token (type/token) ratio,
+    * composed into a keep/drop decision against the supplied thresholds.
+    * Boilerplate-heavy documents (navigation soup, templated spam) light
+    * up these signals long before any cross-document dedup sees them —
+    * this is the per-doc quality stage that runs BEFORE dedup in every
+    * published pipeline (Gopher, RefinedWeb, Dolma).
+    *
+    * 100 TB design: both signal families come from the codegen'd
+    * `repetition_signals` kernel ([[graft.functions.NativeExprs]], the
+    * q56 engine) at n=1 (token mode + distinct count) and n=2 (bigram
+    * mode) — the entire op is ONE zero-shuffle narrow map over the scan;
+    * no explode, no per-(doc,token) aggregation, no window. The oracle
+    * recomputes the same exact integer counts via unnest + GROUP BY
+    * (ratios are round-4 of exact-int division).
+    *
+    * Docs with zero tokens are dropped (no signal to score), matching the
+    * kernel's null contract. Output: id, n_tokens, n_distinct, ttr,
+    * top_tok_count, top_tok_frac, top_bigram_count, top_bigram_frac, keep.
+    */
+  def repetitionFilter(docs: DataFrame, id: Column, text: Column,
+      maxTopTokFrac: Double, maxTopBigramFrac: Double,
+      minTtr: Double): DataFrame = {
+    val sig = docs.select(id.as("id"),
+        split(lower(text), """\s+""").as("__w"))
+      .select(col("id"), size(col("__w")).cast("long").as("n_tokens"),
+        graft.functions.repetition_signals(col("__w"), 1).as("s1"),
+        graft.functions.repetition_signals(col("__w"), 2).as("s2"))
+      .filter(col("s1").isNotNull)
+    val ttr = round(element_at(col("s1"), 2).cast("double") / col("n_tokens"), 4)
+    val tokFrac = round(element_at(col("s1"), 1).cast("double") / col("n_tokens"), 4)
+    val bgFrac = when(col("s2").isNotNull,
+      round(element_at(col("s2"), 1).cast("double") / (col("n_tokens") - 1), 4))
+      .otherwise(lit(0.0))
+    sig.select(col("id"), col("n_tokens"),
+      element_at(col("s1"), 2).as("n_distinct"), ttr.as("ttr"),
+      element_at(col("s1"), 1).as("top_tok_count"), tokFrac.as("top_tok_frac"),
+      coalesce(element_at(col("s2"), 1), lit(0L)).as("top_bigram_count"),
+      bgFrac.as("top_bigram_frac"),
+      (tokFrac <= maxTopTokFrac && bgFrac <= maxTopBigramFrac &&
+        ttr >= minTtr).as("keep"))
+  }
 }

@@ -87,6 +87,11 @@ object Pipeline {
   private val wordsCte =
     """w AS (SELECT doc_id AS id, regexp_split_to_array(lower(text), '\s+') AS words FROM documents)"""
 
+  // Declared BEFORE every oracle string that interpolates it: object vals
+  // initialize in declaration order, so a later-declared Int would read as
+  // 0 inside an earlier s-string (the q171 bug this comment commemorates).
+  private val PassLen = 8
+
   /** DuckDB mirror of Similarity.cosine over DOUBLE[] exprs (sequential
     * left-to-right sums = Spark's `aggregate` fold).
     */
@@ -1645,6 +1650,243 @@ object Pipeline {
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ===== q169 Gopher-style repetition filter =============================
+  // The per-doc quality stage that runs BEFORE any dedup in published
+  // pipelines (Gopher A1.1, RefinedWeb, Dolma): top-token fraction,
+  // top-2-gram fraction and type/token ratio, composed into a keep/drop
+  // decision. Spark side is ONE zero-shuffle narrow map — both signal
+  // families come from the codegen'd repetition_signals kernel (q56's
+  // engine) at n=1 and n=2; the oracle recomputes the same exact integer
+  // counts via unnest + GROUP BY. Thresholds chosen to split the fixture
+  // non-trivially (284/500 kept at sf0.01).
+
+  private val RepMaxTok = 0.12
+  private val RepMaxBigram = 0.06
+  private val RepMinTtr = 0.35
+
+  private def q169(t: Tables): DataFrame =
+    TextOps.repetitionFilter(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), RepMaxTok, RepMaxBigram, RepMinTtr)
+
+  private val q169Sql =
+    s"""WITH $wordsCte,
+       |t AS (SELECT id, len(words) AS n, unnest(words) AS tk FROM w WHERE len(words) > 0),
+       |tc AS (SELECT id, n, tk, count(*) AS c FROM t GROUP BY 1, 2, 3),
+       |ts AS (SELECT id, n, max(c) AS topc, CAST(count(*) AS BIGINT) AS nd FROM tc GROUP BY 1, 2),
+       |bg0 AS (SELECT id, words, unnest(generate_series(1, len(words)-1)) AS i
+       |        FROM w WHERE len(words) >= 2),
+       |bg AS (SELECT id, words[i] || ' ' || words[i+1] AS b FROM bg0),
+       |bc AS (SELECT id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT id, max(c) AS topb FROM bc GROUP BY 1),
+       |f AS (SELECT ts.id, CAST(ts.n AS BIGINT) AS n_tokens, ts.nd AS n_distinct,
+       |        round(CAST(ts.nd AS DOUBLE)/ts.n, 4) AS ttr,
+       |        CAST(ts.topc AS BIGINT) AS top_tok_count,
+       |        round(CAST(ts.topc AS DOUBLE)/ts.n, 4) AS top_tok_frac,
+       |        CAST(coalesce(bs.topb, 0) AS BIGINT) AS top_bigram_count,
+       |        CASE WHEN bs.topb IS NOT NULL
+       |          THEN round(CAST(bs.topb AS DOUBLE)/(ts.n-1), 4) ELSE 0.0
+       |        END AS top_bigram_frac
+       |      FROM ts LEFT JOIN bs USING (id))
+       |SELECT f.*, (top_tok_frac <= $RepMaxTok AND top_bigram_frac <= $RepMaxBigram
+       |  AND ttr >= $RepMinTtr) AS keep FROM f""".stripMargin
+
+  // ===== q170 leakage-free train/val/test split ==========================
+  // The hashSplit assignment keyed on the NEAR-DUP CLUSTER (q62's
+  // connected components) instead of the row id, so no duplicate cluster
+  // ever straddles train and eval — per-row splits leak train
+  // near-duplicates into the eval set (Lee et al. 2021). The leakage-free
+  // property holds BY CONSTRUCTION (split is a pure function of comp);
+  // the gate row reports per-split doc and cluster counts. Cost on top of
+  // the clustering: one equi-join + a narrow md5-bucket map.
+
+  private def q170(t: Tables): DataFrame =
+    graft.operators.Sampling.leakageFreeSplit(
+      t.documents.select(col("doc_id").as("id")), col("id"),
+      q62(t), SplitWeights)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+
+  private val q170Sql = {
+    // q62's final SELECT replaced wholesale (the q135 anchor mechanics);
+    // fail loudly if q62Sql is ever reworded
+    val anchor =
+      """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
+    require(q62Sql.contains(anchor), "q170 oracle anchor missing from q62Sql")
+    q62Sql.replace(anchor,
+      s""",cl AS (SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+         |       FROM documents LEFT JOIN comp c ON doc_id = c.id),
+         |sp AS (SELECT id, comp,
+         |         ${graft.operators.Sampling.hashSplitSql("comp", SplitWeights)} AS split
+         |       FROM cl)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters
+         |FROM sp GROUP BY split""".stripMargin)
+  }
+
+  // ===== q171 maximal duplicated spans ===================================
+  // Exact substring dedup's OUTPUT shape (Lee et al. 2021): per doc, the
+  // maximal token ranges covered by cross-document duplicated 8-gram
+  // windows — q84 reports the duplicated grams, this merges their
+  // positions into the spans a pipeline cuts out. The island merge is a
+  // lag + running-sum window PARTITIONED BY DOC (per-partition work
+  // bounded by one doc's gram count — the only safe window shape at
+  // corpus scale); candidate discovery is q84's one hash-partitioned
+  // aggregate + a semi-join.
+
+  private def q171(t: Tables): DataFrame =
+    Dedup.duplicateSpans(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      PassLen)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+
+  private val q171Sql =
+    s"""WITH $wordsCte,
+       |s AS (SELECT id, words, unnest(generate_series(0, len(words)-$PassLen)) AS st
+       |      FROM w WHERE len(words) >= $PassLen),
+       |g AS (SELECT id, CAST(st AS BIGINT) AS pos,
+       |        md5(array_to_string(words[st+1:st+$PassLen], ' ')) AS h FROM s),
+       |d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT id) >= 2),
+       |p AS (SELECT g.id, g.pos FROM g JOIN d USING (h)),
+       |l AS (SELECT id, pos, CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+       |        OR pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > $PassLen
+       |        THEN 1 ELSE 0 END AS ni FROM p),
+       |i AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS isl FROM l)
+       |SELECT id AS doc_id, min(pos) AS span_start,
+       |  max(pos) + $PassLen - 1 AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_grams
+       |FROM i GROUP BY id, isl""".stripMargin
+
+  // ===== q172 BM25-index row deletion ("right to be forgotten") ==========
+  // The last index-lifecycle op ON the gate: build the versioned BM25
+  // index over the full corpus, physically DELETE a doc set
+  // (Retrieval.deleteFromBm25Index: anti-join rewrite of the postings —
+  // bytes gone, not masked — plus an exact recount of the (n_docs,
+  // tot_dl) summary, committed by the atomic epoch swap), then probe.
+  // Deletion shifts df/idf/avgdl for EVERY later query, so the oracle is
+  // q152's from-scratch SQL over the SURVIVING corpus — stored-deleted-
+  // and-probed must equal freshly-derived-from-survivors, the erasure
+  // contract as a hash check. Seed queries re-derive from the surviving
+  // corpus too (their tf·idf weights shift with df), on both sides.
+
+  private def delDocPred = col("id") >= BmSeeds && col("id") % 10 === 6
+
+  private def q172(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped() // full corpus: the index build input
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, s"bm25_del_v1_$BmBuckets") { d =>
+      Retrieval.writeBm25IndexVersioned(tf, d, BmBuckets)
+      // build+delete is non-idempotent — cachedIndexDir's temp-dir +
+      // atomic-rename makes the pair all-or-nothing
+      Retrieval.deleteFromBm25Index(spark, d,
+        tf.filter(delDocPred).select(col("id")).distinct())
+    }
+    val tfKept = tf.filter(!delDocPred) // survivors: the seed-query basis
+    Retrieval.bm25AgainstIndex(bm25SeedQueries(tfKept), dir, BmTopK, BmK1,
+      BmB, excludeSelf = true)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  // lazy: q152Sql is declared LATER in this file, and object vals
+  // initialize in declaration order — an eager val here would read null
+  // (the q171 PassLen lesson); by the time the oracles map (file end)
+  // forces this, q152Sql is initialized
+  private lazy val q172Sql = {
+    // q152's corpus source filtered to the survivors; fail loudly if the
+    // anchor is ever reworded (the q135/q170 anchor-replace discipline)
+    val anchor = "FROM documents)"
+    require(q152Sql.contains(anchor), "q172 oracle anchor missing from q152Sql")
+    q152Sql.replace(anchor,
+      s"FROM documents WHERE NOT (doc_id >= $BmSeeds AND doc_id % 10 = 6))")
+  }
+
+  // ===== q173 ANN-index row deletion =====================================
+  // q172's vector sibling: versioned IVF build over the full corpus,
+  // physical delete (Similarity.deleteFromIvfIndex — anti-join rewrite of
+  // the inverted lists under the atomic epoch swap; centroids stay
+  // frozen, deletion is not retraining), then probe. The deleted set
+  // avoids the centroid id range (vec_id < IvfCells), so the frozen
+  // quantizer equals the surviving corpus's training-free quantizer and
+  // q44's from-scratch oracle over the survivors applies verbatim —
+  // deleted vectors can never appear in any result BY the hash match.
+
+  private def q173(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    // QueryMod multiples are never ≡6 (mod 10), so no query is deleted
+    val delPred = col("vec_id") >= IvfCells && col("vec_id") % 10 === 6
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = cachedIndexDir(t.dir, s"ivf_del_v1_$IvfCells") { d =>
+      Similarity.writeIvfIndexVersioned(e, d, IvfCells)
+      Similarity.deleteFromIvfIndex(e.sparkSession, d,
+        e.filter(delPred).select(col("vec_id")))
+    }
+    Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
+  }
+
+  private lazy val q173Sql = { // lazy for the q172Sql reason (order safety)
+    val anchor = "FROM embeddings)"
+    require(q44Sql.contains(anchor), "q173 oracle anchor missing from q44Sql")
+    q44Sql.replace(anchor,
+      s"FROM embeddings WHERE NOT (vec_id >= $IvfCells AND vec_id % 10 = 6))")
+  }
+
+  // ===== q174 hashed linear quality classifier ===========================
+  // fastText/CCNet-style quality filtering at SERVING time (the GPT-3
+  // quality filter's model family): hashing-trick unigram+bigram
+  // features into a 512-dim weight vector, score = bias + Σ w[h(f)],
+  // keep = σ(score) ≥ 0.5. The weight vector is the model artifact and
+  // rides as expression data; here it is GENERATED deterministically
+  // from the engine-neutral md5 hash so the oracle reproduces every
+  // weight inline — a trained model plugs into the same operator
+  // unchanged. Scoring is a pure narrow map (two sequential folds over
+  // the token array): no explode, no vocab join, no shuffle.
+
+  private val ClsDim = 512
+  private val ClsThresh = 0.5
+
+  /** First 7 md5 hex chars as a long — the Scala twin of
+    * Dedup.SharedHash.hash28 for driver-side weight generation.
+    */
+  private def md5hex7(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+  }
+
+  private lazy val clsWeights: Array[Double] = Array.tabulate(ClsDim)(i =>
+    ((md5hex7(i.toString) % 2001) - 1000).toDouble / 1000.0)
+
+  private def q174(t: Tables): DataFrame =
+    TextOps.hashedLinearScore(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), clsWeights, 0.0, ClsThresh)
+
+  private lazy val q174Sql = {
+    def wSql(f: String) = {
+      val idx = s"(${Dedup.SharedHash.hash28Sql(f)} % $ClsDim)"
+      s"((${Dedup.SharedHash.hash28Sql(s"CAST($idx AS VARCHAR)")} % 2001) - 1000)/1000.0"
+    }
+    def fold(items: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform($items, x -> ${wSql("x")})), (a, b) -> a + b)""".stripMargin
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, ws, len(ws) AS n FROM w0 WHERE len(ws) > 0),
+       |u AS (SELECT id, n, ${fold("ws")} AS us,
+       |  ${fold(s"list_transform(generate_series(1, n - 1), i -> ws[i] || ' ' || ws[i+1])")} AS bs
+       |  FROM d),
+       |s AS (SELECT id, CAST(n AS BIGINT) AS n_tokens,
+       |        round(0.0 + us + bs, 4) AS score FROM u)
+       |SELECT id, n_tokens, score,
+       |  round(1.0/(1.0 + exp(-score)), 4) AS prob,
+       |  (round(1.0/(1.0 + exp(-score)), 4) >= $ClsThresh) AS keep
+       |FROM s""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -2809,8 +3051,6 @@ object Pipeline {
   // exhaustive exact pass. One narrow window-hash map + one partial-agg
   // hash aggregate — no window function, no self-join (Dedup.duplicatePassages).
 
-  private val PassLen = 8
-
   private def q84(t: Tables): DataFrame =
     Dedup.duplicatePassages(
       t.documents.select(col("doc_id").as("id"), col("text")), PassLen)
@@ -3013,7 +3253,13 @@ object Pipeline {
     "q164_semantic_dedup_capped_multicell" -> wrap(q164),
     "q166_bm25_index_compacted" -> wrap(q166),
     "q167_ann_index_compacted" -> wrap(q167),
-    "q168_ann_index_pq" -> wrap(q168)
+    "q168_ann_index_pq" -> wrap(q168),
+    "q169_repetition_filter" -> wrap(q169),
+    "q170_leakage_free_split" -> wrap(q170),
+    "q171_duplicate_spans" -> wrap(q171),
+    "q172_bm25_index_delete" -> wrap(q172),
+    "q173_ann_index_delete" -> wrap(q173),
+    "q174_quality_classifier" -> wrap(q174)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3098,6 +3344,12 @@ object Pipeline {
     "q164_semantic_dedup_capped_multicell" -> q164Sql,
     "q166_bm25_index_compacted" -> q152Sql,
     "q167_ann_index_compacted" -> q44Sql,
-    "q168_ann_index_pq" -> q168Sql
+    "q168_ann_index_pq" -> q168Sql,
+    "q169_repetition_filter" -> q169Sql,
+    "q170_leakage_free_split" -> q170Sql,
+    "q171_duplicate_spans" -> q171Sql,
+    "q172_bm25_index_delete" -> q172Sql,
+    "q173_ann_index_delete" -> q173Sql,
+    "q174_quality_classifier" -> q174Sql
   )
 }

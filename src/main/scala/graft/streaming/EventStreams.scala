@@ -423,6 +423,38 @@ object EventStreams {
         .ingestIntoBm25Index(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** Streaming right-to-be-forgotten — DELETION REQUESTS as a stream:
+    * each micro-batch of doc ids (one column `id`) is physically deleted
+    * from the stored BM25 index
+    * ([[graft.operators.Retrieval.deleteFromBm25Index]]: anti-join
+    * rewrite + exact stats recount under the atomic epoch swap). No
+    * batch versioning is needed for replay safety here: deletion is
+    * IDEMPOTENT — a crash-replayed batch anti-joins ids that are
+    * already gone and rewrites the index to the same contents (the
+    * spec-pinned no-op rewrite). Each delete is an index-sized rewrite
+    * (the compaction cost envelope), so production pipelines batch
+    * requests with a coarse trigger (GDPR allows erasure within days,
+    * not milliseconds) — one rewrite per window, not per request.
+    */
+  def bm25DeleteIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => graft.CacheScope.scoped {
+      graft.operators.Retrieval
+        .deleteFromBm25Index(batch.sparkSession, indexDir, batch.toDF())
+    }
+
+  /** [[bm25DeleteIngest]] for the vector side: micro-batches of vec ids
+    * (one column `vec_id`) delete from a stored IVF index
+    * ([[graft.operators.Similarity.deleteFromIvfIndex]]). Same
+    * idempotent-replay and batch-the-requests contract.
+    */
+  def annDeleteIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .deleteFromIvfIndex(batch.sparkSession, indexDir, batch.toDF())
+    }
+
   /** Streaming HYBRID retrieval — both stored indexes behind one sink:
     * each micro-batch of (q_id, terms, q_vec) queries probes the BM25
     * posting index (bucket-pruned) AND the IVF vector index (cell-pruned),

@@ -654,6 +654,93 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out.count(_.getLong(1) == 1L) == m - 1) // everyone else: 1 hop
   }
 
+  test("q169 repetition filter: a pure narrow map — no agg, no window, no join") {
+    // both Gopher signal families come from the codegen'd
+    // repetition_signals kernel, so the WHOLE operator must stay a
+    // project over the scan: any aggregate/window/join in the plan means
+    // someone re-introduced the explode + per-(doc,ngram) shape this
+    // kernel exists to avoid (≈ corpus-token shuffle rows at 100 TB).
+    // The only permitted exchange is Fanout's explicit round-robin
+    // spread (test-scale only — skipped entirely at real split counts).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.Pipeline.defs("q169_repetition_filter")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val ps = unwrap(df.queryExecution.executedPlan)
+      assert(ps.flatMap(_.collect { case x: BaseAggregateExec => x }).isEmpty)
+      assert(ps.flatMap(_.collect { case x: WindowExec => x }).isEmpty)
+      assert(ps.flatMap(_.collect { case x: BaseJoinExec => x }).isEmpty)
+      val shuffles = ps.flatMap(_.collect { case s: ShuffleExchangeLike => s })
+      shuffles.foreach { s =>
+        assert(s.outputPartitioning.toString.contains("RoundRobinPartitioning"),
+          s"non-Fanout exchange in q169: ${s.outputPartitioning}")
+      }
+    } finally CacheScope.drain()
+  }
+
+  test("q174 hashed classifier: a pure narrow map — hashing-trick serving never joins") {
+    // the hashing trick's whole point at corpus scale: no vocabulary
+    // join, no per-(doc, feature) shuffle — scoring must stay a project
+    // over the scan (weights ride as one array literal)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.Pipeline.defs("q174_quality_classifier")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val ps = unwrap(df.queryExecution.executedPlan)
+      assert(ps.flatMap(_.collect { case x: BaseAggregateExec => x }).isEmpty)
+      assert(ps.flatMap(_.collect { case x: WindowExec => x }).isEmpty)
+      assert(ps.flatMap(_.collect { case x: BaseJoinExec => x }).isEmpty)
+      ps.flatMap(_.collect { case s: ShuffleExchangeLike => s }).foreach { s =>
+        assert(s.outputPartitioning.toString.contains("RoundRobinPartitioning"),
+          s"non-Fanout exchange in q174: ${s.outputPartitioning}")
+      }
+    } finally CacheScope.drain()
+  }
+
+  test("q171 duplicate spans: every window is partitioned by the document") {
+    // the island merge is the only window family in the plan, and each
+    // must carry PARTITION BY the doc id — an empty partition spec would
+    // be a single-task global sort over every duplicated gram position
+    // in the corpus, the exact funnel this operator's design forbids
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.queries.Pipeline.defs("q171_duplicate_spans")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val wins = unwrap(df.queryExecution.executedPlan)
+        .flatMap(_.collect { case w: WindowExec => w }).distinct
+      assert(wins.nonEmpty, "expected the island-merge windows")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty &&
+          w.partitionSpec.exists(_.toString.contains("id")),
+          s"window not partitioned by doc: ${w.partitionSpec}")
+      }
+    } finally CacheScope.drain()
+  }
+
   test("AQE coalesces an over-partitioned shuffle at runtime") {
     val q = spark.read.parquet(s"$dir/fact").repartition(col("grp"))
       .groupBy("grp").count()

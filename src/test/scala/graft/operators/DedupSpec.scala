@@ -282,6 +282,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((3L, 3L, 1L)))
   }
 
+  test("duplicateSpans merges overlapping duplicated windows into maximal islands") {
+    // docs 1/2 share the 6-token run "a b c d e f" (duplicated 3-gram
+    // windows at pos 0..3 in both) and the tail "k l m" (doc1 pos 10,
+    // doc2 pos 11). The run windows overlap → ONE island per doc spanning
+    // tokens 0..5; the tail is > passLen away → its own island.
+    val docs = Seq(
+      (1L, "a b c d e f x y z u k l m"),
+      (2L, "a b c d e f p q r s t k l m"),
+      (3L, "totally unrelated words only here")
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 5L, 4L), (1L, 10L, 12L, 1L),
+      (2L, 0L, 5L, 4L), (2L, 11L, 13L, 1L)))
+  }
+
+  test("duplicateSpans: touching windows (gap == passLen) coalesce; gap+1 splits") {
+    // "g h i g h i" duplicates "g h i" at pos 0 and 3 — covered token
+    // ranges [0,2] and [3,5] touch, so one island [0,5]. Doc 20 has the
+    // same gram at pos 0 and 4 — token 3 is uncovered → two islands.
+    val docs = Seq(
+      (10L, "g h i g h i"),
+      (20L, "g h i Q g h i"),
+      (30L, "g h i")
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (10L, 0L, 5L, 2L),
+      (20L, 0L, 2L, 1L), (20L, 4L, 6L, 1L),
+      (30L, 0L, 2L, 1L)))
+  }
+
   test("editDistancePairs matches brute force on 60 seeded-random strings") {
     // randomized-but-deterministic sweep over a 3-letter alphabet (high
     // collision density — far more ed<=2 pairs than natural text) to

@@ -177,6 +177,39 @@ class RetrievalSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("deleteFromBm25Index: bytes erased, stats recounted, probe == survivors-only index") {
+    val b1 = Seq((4L, "a", 1L, 2L), (4L, "c", 1L, 2L)).toDF("id", "term", "tf", "dl")
+    val queries = Seq((10L, "a"), (10L, "c"), (11L, "b")).toDF("q_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-del").toString
+    def probe = Retrieval.bm25AgainstIndex(queries, dir, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    try {
+      Retrieval.writeBm25IndexVersioned(terms, dir, 8)
+      Retrieval.ingestIntoBm25Index(b1, dir, 1L)
+      val before = probe
+      assert(before.exists(_._2 == 1L)) // the victim scores pre-delete
+      // delete d1 (+ an id the index never held — must be ignored)
+      val del = Seq(1L, 99L).toDF("id")
+      assert(Retrieval.deleteFromBm25Index(spark, dir, del) == 1)
+      val after = probe
+      assert(after != before && after.forall(_._2 != 1L))
+      // deletion shifts df/idf/avgdl for everyone: the probe must equal
+      // the direct path over the SURVIVING corpus exactly
+      val survivors = terms.unionByName(b1).filter($"id" =!= 1L)
+      assert(after == Retrieval.bm25TopK(survivors, queries, 10)
+        .as[(Long, Long, Double, Long)].collect().toSet)
+      // the postings bytes are GONE, and the stats row is an exact recount
+      val lists = spark.read.parquet(s"$dir/lists_e1")
+      assert(lists.filter($"id" === 1L).count() == 0)
+      assert(lists.count() == survivors.count())
+      val st = spark.read.parquet(s"$dir/stats_e1").head()
+      assert(st.getAs[Long]("n_docs") == 3L && st.getAs[Long]("tot_dl") == 6L)
+      // idempotent: re-running the same delete is a no-op rewrite
+      assert(Retrieval.deleteFromBm25Index(spark, dir, del) == 2)
+      assert(probe == after)
+    } finally graft.CacheScope.drain()
+  }
+
   test("plan: the query side broadcasts — no corpus-wide shuffle join") {
     val queries = Seq((10L, "a")).toDF("q_id", "term")
     try {

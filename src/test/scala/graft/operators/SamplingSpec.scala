@@ -63,6 +63,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(_._3).distinct.length > 1)
   }
 
+  test("leakageFreeSplit: no cluster straddles splits; singletons = hashSplit") {
+    val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val df = spark.range(1000).toDF("id")
+    // ids < 500 form clusters of 5 (comp = lowest member id); the rest are
+    // unlabeled and must fall back to their own id
+    val labels = spark.range(500)
+      .select($"id", ($"id" - ($"id" % 5)).as("comp"))
+    val out = Sampling.leakageFreeSplit(df, col("id"), labels, w)
+      .select($"id", $"cluster", $"split")
+      .as[(Long, Long, String)].collect()
+    // every cluster maps to exactly one split — BY CONSTRUCTION, but pin it
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(perCluster.values.forall(_ == 1))
+    // clustered rows: assignment is hashSplit of the cluster label
+    val byClusterId = Sampling.hashSplit(
+        labels.select($"comp".as("id")).distinct(), col("id"), w)
+      .as[(Long, String)].collect().toMap
+    out.filter(_._1 < 500).foreach { case (id, c, s) =>
+      assert(c == id - (id % 5) && s == byClusterId(c), (id, c, s))
+    }
+    // unlabeled rows: singleton cluster = own id, so split == plain hashSplit
+    val plain = Sampling.hashSplit(df.filter($"id" >= 500), col("id"), w)
+      .as[(Long, String)].collect().toMap
+    out.filter(_._1 >= 500).foreach { case (id, c, s) =>
+      assert(c == id && s == plain(id), (id, c, s))
+    }
+  }
+
   test("bootstrapMeans is partition-count independent (integer-cent sums)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(concat($"l_orderkey".cast("string"), lit(":"),

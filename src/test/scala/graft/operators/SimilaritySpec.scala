@@ -391,6 +391,80 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("deleteFromIvfIndex: bytes erased, probe == survivors-built index, idempotent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // victims avoid the centroid id range, so the index's FROZEN quantizer
+    // equals the survivors' own training-free quantizer — probe equality
+    // against a survivors-only build is then exact, not approximate
+    val del = emb.filter($"vec_id" >= 16 && $"vec_id" % 7 === 3)
+      .select($"vec_id")
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-del2").toString
+    def probe(d: String) = Similarity.ivfTopKAgainstIndex(queries, d, 2, 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    try {
+      Similarity.writeIvfIndexVersioned(
+        emb.filter($"vec_id" < 16 || $"vec_id" % 3 =!= 1), dir, 16)
+      Similarity.ingestIntoIvfIndex(
+        emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1), dir, 1L)
+      val delSet = del.as[Long].collect().toSet
+      val pre = probe(dir)
+      assert(pre.exists(r => delSet(r._2))) // victims score pre-delete
+      assert(Similarity.deleteFromIvfIndex(spark, dir, del) == 1)
+      val post = probe(dir)
+      assert(post.forall(r => !delSet(r._2)) && post != pre)
+      Similarity.writeIvfIndexVersioned(survivors, dir2, 16)
+      assert(post == probe(dir2), "delete must equal a survivors-only build")
+      // the deleted vectors' bytes are GONE from the stored lists
+      val stored = spark.read.parquet(s"$dir/lists_e1")
+      assert(stored.filter($"vec_id".isin(delSet.toSeq: _*)).count() == 0)
+      assert(stored.count() == survivors.count())
+      // idempotent: re-running the same delete is a no-op rewrite
+      assert(Similarity.deleteFromIvfIndex(spark, dir, del) == 2)
+      assert(probe(dir) == post)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("deleteFromIvfIndexPQ: codes AND raw vectors erased, probe == survivors-built index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // victims avoid the centroid AND codebook seed range (both derive from
+    // the 16 smallest ids at trainIters=0), so survivors-built quantizer
+    // and codebooks are identical — exact probe equality applies
+    val del = emb.filter($"vec_id" >= 16 && $"vec_id" % 7 === 3)
+      .select($"vec_id")
+    val survivors = emb.join(del, Seq("vec_id"), "left_anti")
+    val dir = java.nio.file.Files.createTempDirectory("pq-del").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pq-del2").toString
+    def probe(d: String) =
+      Similarity.ivfTopKAgainstIndexPQ(queries, d, 2, 10, 50)
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    try {
+      Similarity.writeIvfIndexPQ(emb, dir, 16, 8, 16, trainIters = 0)
+      val delSet = del.as[Long].collect().toSet
+      val pre = probe(dir)
+      assert(pre.exists(r => delSet(r._2)))
+      assert(Similarity.deleteFromIvfIndexPQ(spark, dir, del) == 1)
+      val post = probe(dir)
+      assert(post.forall(r => !delSet(r._2)) && post != pre)
+      Similarity.writeIvfIndexPQ(survivors, dir2, 16, 8, 16, trainIters = 0)
+      assert(post == probe(dir2), "delete must equal a survivors-only build")
+      // BOTH stores erased — the refine store holds the actual embeddings,
+      // so a codes-only delete would leave the data recoverable
+      val codes = spark.read.parquet(s"$dir/codes_e1")
+      val vecs = spark.read.parquet(s"$dir/vectors_e1")
+      assert(codes.filter($"vec_id".isin(delSet.toSeq: _*)).count() == 0)
+      assert(vecs.filter($"vec_id".isin(delSet.toSeq: _*)).count() == 0)
+      assert(codes.count() == survivors.count() && vecs.count() == survivors.count())
+    } finally graft.CacheScope.drain()
+  }
+
   test("k-means-trained IVF quantizer beats training-free recall, pinned floor") {
     // measured on the REAL sf0.01 embeddings (deterministic data +
     // deterministic k-means init/iterations): recall@10 at nCells=16,

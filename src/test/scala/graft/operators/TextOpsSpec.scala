@@ -148,4 +148,69 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(m == Seq((1L, "x", "y", 5L)))
   }
+
+  test("hashedLinearScore: exact fold against an independent reimplementation") {
+    // independent scorer: same hash contract (first 7 md5 hex chars),
+    // written from scratch — pins feature construction (unigrams + space-
+    // joined bigrams), fold order, rounding, and the keep decision
+    def h28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val dim = 32
+    val weights = Array.tabulate(dim)(i => (i - 16).toDouble / 10.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expected(text: String, bias: Double): Option[(Long, Double, Double)] = {
+      val ws = text.toLowerCase.split("""\s+""").filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+        var s = bias
+        ws.foreach(x => s += weights((h28(x) % dim).toInt))
+        bg.foreach(x => s += weights((h28(x) % dim).toInt))
+        val score = r4(s)
+        Some((ws.length.toLong, score, r4(1.0 / (1.0 + math.exp(-score)))))
+      }
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "solitary"),               // no bigram features
+      (3L, "   "),                    // zero tokens → dropped
+      (4L, "data data data data")
+    ).toDF("doc_id", "text")
+    val out = TextOps.hashedLinearScore(docs, col("doc_id"), col("text"),
+        weights, bias = 0.1, threshold = 0.5)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(3L) && out.size == 3)
+    for (id <- Seq(1L, 2L, 4L)) {
+      val (n, score, prob) = expected(docs.filter($"doc_id" === id)
+        .select("text").as[String].head(), 0.1).get
+      assert(out(id) == ((id, n, score, prob, prob >= 0.5)), (id, out(id)))
+    }
+  }
+
+  test("repetitionFilter: exact Gopher signals and the composed keep decision") {
+    val docs = Seq(
+      // 10× "the": ttr 0.1, top-token frac 1.0, top-bigram frac 9/9 → drop
+      (1L, "the the the the the the the the the the"),
+      // 8 distinct tokens: ttr 1.0, top frac 1/8, bigram 1/7 → keep
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // repeated bigram with diverse unigrams: "a b a b c d e f" —
+      // top token 'a' 2/8 = 0.25 ok; bigram "a b" 2/7 ≈ 0.2857 > 0.25 → drop
+      (3L, "a b a b c d e f"),
+      // single word: bigram signal is null → treated as 0.0, kept
+      (4L, "solitary")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFilter(docs, col("doc_id"), col("text"),
+        maxTopTokFrac = 0.25, maxTopBigramFrac = 0.25, minTtr = 0.5)
+      .select($"id", $"n_tokens", $"n_distinct", $"ttr", $"top_tok_frac",
+        $"top_bigram_count", $"top_bigram_frac", $"keep")
+      .as[(Long, Long, Long, Double, Double, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10L, 1L, 0.1, 1.0, 9L, 1.0, false)))
+    assert(out(2L) == ((2L, 8L, 8L, 1.0, 0.125, 1L, 0.1429, true)))
+    assert(out(3L)._7 == 0.2857 && !out(3L)._8) // bigram rule alone drops it
+    assert(out(4L) == ((4L, 1L, 1L, 1.0, 1.0, 0L, 0.0, false))) // tok frac 1.0
+  }
 }

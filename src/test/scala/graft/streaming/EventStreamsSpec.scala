@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.operators.Compaction
 import EventStreams.{Event, Session}
 
 class EventStreamsSpec extends AnyFunSuite {
@@ -655,6 +656,47 @@ class EventStreamsSpec extends AnyFunSuite {
       val sink = EventStreams.bm25Ingest(idx)
       sink(b1.toDF("id", "term", "tf", "dl"), 1)
       assert(contents() == before, "replayed batch changed the index")
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
+  test("bm25DeleteIngest: streamed deletion requests erase docs; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bm25del").toString
+    val idx = s"$base/index"
+    val tf = docTf
+    graft.operators.Retrieval.writeBm25IndexVersioned(tf, idx, 16)
+    // two erasure windows: doc ids ≡1 (mod 7), then ≡2 (mod 7)
+    def victims(m: Long) =
+      tf.select($"id").distinct().filter($"id" % 7 === m)
+        .as[Long].collect().toSeq
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id")
+      .writeStream.foreachBatch(EventStreams.bm25DeleteIngest(idx))
+      .outputMode("update").start()
+    try {
+      input.addData(victims(1)); q.processAllAvailable()
+      input.addData(victims(2)); q.processAllAvailable()
+      // probing the index equals the direct path over the survivors —
+      // df/stats recounted, the deleted docs gone from every score
+      val queries = Seq((0L, "the"), (0L, "data"), (1L, "table"))
+        .toDF("q_id", "term")
+      val probed = graft.operators.Retrieval.bm25AgainstIndex(queries, idx, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val direct = graft.operators.Retrieval.bm25TopK(
+          tf.filter($"id" % 7 =!= 1 && $"id" % 7 =!= 2), queries, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(probed == direct && probed.nonEmpty)
+      // the bytes are gone from the stored postings
+      val e = Compaction.currentEpoch(spark, idx)
+      val stored = spark.read.parquet(Compaction.epochPath(idx, "lists", e))
+      assert(stored.filter($"id" % 7 === 1 || $"id" % 7 === 2).count() == 0)
+      // crash-replay of the second window: deletion is idempotent, the
+      // index rewrites to identical contents (one epoch further)
+      val sink = EventStreams.bm25DeleteIngest(idx)
+      sink(victims(2).toDF("id"), 1)
+      assert(graft.operators.Retrieval.bm25AgainstIndex(queries, idx, 5)
+        .as[(Long, Long, Double, Long)].collect().toSet == probed)
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 }
