@@ -257,6 +257,82 @@ object TextOps {
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
+  /** CCNet-style perplexity filter (Wenzek et al. 2019, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * public paper): a word-bigram language model is trained on a
+    * REFERENCE slice of the corpus (CCNet trains KenLM on Wikipedia; the
+    * held-out-model discipline is the point — unlike corpus-self-scoring
+    * (the q130 shape), the model never adapts to the junk it filters),
+    * PRUNED to a bounded vocabulary and bigram table, and every document
+    * is scored by its interpolated cross-entropy
+    * H = −(1/m)·Σ ln(λ·p_bi(w₂|w₁) + (1−λ)·p_uni(w₂)), ppl = e^H.
+    * High perplexity = far from the reference distribution (gibberish,
+    * boilerplate, wrong register) — the filter keeps ppl ≤ threshold.
+    *
+    * Smoothing: p_bi = B(w₁w₂)/U(w₁) over the pruned tables (0 when the
+    * bigram is unseen/pruned), p_uni = (U(w₂)+1)/(T+V+1) add-one over
+    * the pruned vocabulary (OOV → 1/(T+V+1) > 0), so every position has
+    * positive probability. Exact integer counts; deterministic pruning
+    * by (count desc, term) — a total order, no ties to break.
+    *
+    * 100 TB design: the MODEL is bounded by construction (maxV + maxB
+    * rows — the top-k prunes are bounded-state TakeOrdered, never a
+    * global sort) and BROADCASTS to the scoring join, so the corpus side
+    * is one explode + per-(doc, bigram) partial aggregation; the per-doc
+    * fold is over its distinct bigrams (q119 sorted-fold determinism).
+    * Docs with < 2 tokens have no bigram positions and are dropped.
+    *
+    * Output: id, n_bigrams, h, ppl, keep.
+    */
+  def lmPerplexityFilter(docs: DataFrame, id: Column, text: Column,
+      refFilter: Column, maxV: Int, maxB: Int, lambda: Double,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = base.select(col("id"), col("is_ref"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("id"), col("is_ref"), col("p.w1"), col("p.w2"))
+      .persistScoped() // feeds the reference counts AND the doc scoring
+    val vocab = base.filter(col("is_ref"))
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      .orderBy(col("uc").desc, col("w")).limit(maxV)
+      .persistScoped() // bounded model artifact: ≤ maxV rows
+    val vst = vocab.agg(sum(col("uc")).as("tt"), count(lit(1)).as("nv"))
+    val bigrams = pairs.filter(col("is_ref"))
+      .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+      .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+      .orderBy(col("bc").desc, col("w1"), col("w2")).limit(maxB)
+    val dn = pairs.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val scored = dn
+      .join(broadcast(bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab.select(col("w").as("w1"), col("uc").as("u1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("w").as("w2"), col("uc").as("u2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(vst))
+      .withColumn("lp", log(
+        lit(lambda) * coalesce(col("bc").cast("double") / col("u1"), lit(0.0))
+          + lit(1.0 - lambda)
+            * (coalesce(col("u2"), lit(0L)) + 1).cast("double")
+            / (col("tt") + col("nv") + 1).cast("double")))
+    scored.groupBy(col("id"))
+      .agg(sum(col("n")).as("m"),
+        sort_array(collect_list(struct(col("w1"), col("w2"),
+          (col("n").cast("double") * col("lp")).as("v")))).as("ts"))
+      .select(col("id"), col("m").as("n_bigrams"),
+        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
+          .as("h"))
+      .withColumn("ppl", round(exp(col("h")), 4))
+      .withColumn("keep", col("ppl") <= pplThreshold)
+  }
+
   /** fastText-style hashed linear quality classifier — the SERVING shape
     * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
     * Classification"; the CCNet / GPT-3-style quality filters are this

@@ -1887,6 +1887,63 @@ object Pipeline {
        |FROM s""".stripMargin
   }
 
+  // ===== q175 CCNet-style perplexity filter ==============================
+  // The held-out-LM filtering stage (CCNet trains KenLM on Wikipedia and
+  // buckets the crawl by perplexity): a word-bigram LM trained on the
+  // doc_id ≡ 0 (mod 10) reference slice, pruned to a bounded vocabulary
+  // + bigram table (top-k by (count desc, term) — a total order), scores
+  // every ≥2-token document's interpolated cross-entropy; keep =
+  // ppl ≤ threshold. Unlike q130 (char-bigram model fit on the corpus
+  // itself), the model here is HELD OUT and bounded — the model-as-data
+  // serving shape. Oracle replays training, pruning, smoothing and the
+  // sorted per-doc fold with the identical arithmetic (λ and 1−λ are
+  // interpolated from the same Scala doubles).
+
+  private val LmMaxV = 2000
+  private val LmMaxB = 4000
+  private val LmLambda = 0.7
+  private val LmPplThresh = 33.0 // splits the fixture ~half/half at sf0.01
+
+  private def q175(t: Tables): DataFrame =
+    TextOps.lmPerplexityFilter(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, LmMaxV, LmMaxB, LmLambda,
+      LmPplThresh)
+
+  private val q175Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, ws FROM w0 WHERE len(ws) >= 2),
+       |ru AS (SELECT w, count(*) AS uc FROM (
+       |    SELECT unnest(ws) AS w FROM d WHERE id % 10 = 0) GROUP BY 1),
+       |voc AS (SELECT w, uc FROM ru ORDER BY uc DESC, w LIMIT $LmMaxV),
+       |vst AS (SELECT CAST(sum(uc) AS BIGINT) AS tt,
+       |               CAST(count(*) AS BIGINT) AS nv FROM voc),
+       |ap AS (SELECT id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+       |    SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
+       |rb AS (SELECT w1, w2, count(*) AS bc FROM ap
+       |       JOIN voc v1 ON ap.w1 = v1.w JOIN voc v2 ON ap.w2 = v2.w
+       |       WHERE id % 10 = 0 GROUP BY 1, 2),
+       |big AS (SELECT w1, w2, bc FROM rb ORDER BY bc DESC, w1, w2 LIMIT $LmMaxB),
+       |dn AS (SELECT id, w1, w2, count(*) AS n FROM ap GROUP BY 1, 2, 3),
+       |sc AS (SELECT dn.id, dn.w1, dn.w2, dn.n,
+       |    ln($LmLambda * COALESCE(CAST(b.bc AS DOUBLE) / u1.uc, 0)
+       |       + ${1.0 - LmLambda} * CAST(COALESCE(u2.uc, 0) + 1 AS DOUBLE)
+       |         / CAST(tt + nv + 1 AS DOUBLE)) AS lp
+       |  FROM dn
+       |  LEFT JOIN big b ON dn.w1 = b.w1 AND dn.w2 = b.w2
+       |  LEFT JOIN voc u1 ON dn.w1 = u1.w
+       |  LEFT JOIN voc u2 ON dn.w2 = u2.w
+       |  CROSS JOIN vst),
+       |f AS (SELECT id, CAST(sum(n) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'w1': w1, 'w2': w2, 'v': n * lp})),
+       |        x -> x.v)), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY id),
+       |g AS (SELECT id, m AS n_bigrams, round(-s / m, 4) AS h FROM f)
+       |SELECT id, n_bigrams, h, round(exp(h), 4) AS ppl,
+       |  (round(exp(h), 4) <= $LmPplThresh) AS keep FROM g""".stripMargin
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3259,7 +3316,8 @@ object Pipeline {
     "q171_duplicate_spans" -> wrap(q171),
     "q172_bm25_index_delete" -> wrap(q172),
     "q173_ann_index_delete" -> wrap(q173),
-    "q174_quality_classifier" -> wrap(q174)
+    "q174_quality_classifier" -> wrap(q174),
+    "q175_perplexity_filter" -> wrap(q175)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3350,6 +3408,7 @@ object Pipeline {
     "q171_duplicate_spans" -> q171Sql,
     "q172_bm25_index_delete" -> q172Sql,
     "q173_ann_index_delete" -> q173Sql,
-    "q174_quality_classifier" -> q174Sql
+    "q174_quality_classifier" -> q174Sql,
+    "q175_perplexity_filter" -> q175Sql
   )
 }

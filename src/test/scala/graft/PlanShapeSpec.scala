@@ -715,6 +715,32 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q175 perplexity filter: the LM broadcasts — scoring never shuffle-joins the corpus") {
+    // the model tables are bounded (maxV/maxB rows) by construction, so
+    // every scoring join must be a broadcast join; a sort-merge/shuffled
+    // join here would exchange the corpus's per-(doc, bigram) rows
+    // against a model that fits in one broadcast
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = graft.queries.Pipeline.defs("q175_perplexity_filter")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val joins = unwrap(df.queryExecution.executedPlan)
+        .flatMap(_.collect { case j: BaseJoinExec => j })
+      assert(joins.nonEmpty)
+      joins.foreach {
+        case _: BroadcastHashJoinExec => ()
+        case _: BroadcastNestedLoopJoinExec => () // the 1-row stats crossJoin
+        case other => fail(s"non-broadcast join in q175 scoring: ${other.nodeName}")
+      }
+    } finally CacheScope.drain()
+  }
+
   test("q171 duplicate spans: every window is partitioned by the document") {
     // the island merge is the only window family in the plan, and each
     // must carry PARTITION BY the doc id — an empty partition spec would

@@ -149,6 +149,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m == Seq((1L, "x", "y", 5L)))
   }
 
+  test("lmPerplexityFilter: exact smoothing/pruning against an independent reimplementation") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def toks(s: String) = s.toLowerCase.split("""\s+""").filter(_.nonEmpty).toSeq
+    // from-scratch scorer: same published formula, no shared code
+    def expected(refs: Seq[String], target: String, maxV: Int, maxB: Int,
+        lam: Double): Option[(Long, Double, Double)] = {
+      val refDocs = refs.map(toks).filter(_.length >= 2)
+      val uni = refDocs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val voc = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(maxV).toMap
+      val tt = voc.values.sum; val nv = voc.size
+      val big = refDocs
+        .flatMap(_.sliding(2).filter(_.length == 2).map(p => (p.head, p(1))))
+        .filter { case (a, b) => voc.contains(a) && voc.contains(b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(maxB).toMap
+      val ws = toks(target)
+      if (ws.length < 2) None else {
+        val pairs = ws.sliding(2).map(p => (p.head, p(1))).toSeq
+        val grouped = pairs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+        var s = 0.0
+        grouped.foreach { case ((w1, w2), n) =>
+          val pb = big.get((w1, w2)).map(_.toDouble / voc(w1)).getOrElse(0.0)
+          val pu = (voc.getOrElse(w2, 0L) + 1).toDouble / (tt + nv + 1).toDouble
+          s += n * math.log(lam * pb + (1.0 - lam) * pu)
+        }
+        val h = r4(-s / pairs.length)
+        Some((pairs.length.toLong, h, r4(math.exp(h))))
+      }
+    }
+    val refs = Seq("a b a b c", "a b")
+    val targets = Seq(10L -> "a b c", 11L -> "a z", 12L -> "x")
+    val docs = (refs.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      targets.map { case (i, t) => (i, t) }).toDF("doc_id", "text")
+    for (maxV <- Seq(10, 2)) { // un-pruned, and c pruned out of the vocab
+      val out = TextOps.lmPerplexityFilter(docs, col("doc_id"), col("text"),
+          col("doc_id") < 10, maxV, 10, lambda = 0.5, pplThreshold = 5.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      // single-token doc has no bigram positions → dropped
+      assert(!out.contains(12L) && out.size == 4, (maxV, out.keySet))
+      for ((id, text) <- targets.take(2) ++ refs.zipWithIndex.map(z => (z._2.toLong, z._1))) {
+        val (m, h, ppl) = expected(refs, text, maxV, 10, 0.5).get
+        assert(out(id) == ((id, m, h, ppl, ppl <= 5.0)), (maxV, id, out(id), (m, h, ppl)))
+      }
+      // the OOV-heavy doc scores far worse than the in-distribution one
+      assert(out(11L)._4 > out(10L)._4)
+    }
+  }
+
   test("hashedLinearScore: exact fold against an independent reimplementation") {
     // independent scorer: same hash contract (first 7 md5 hex chars),
     // written from scratch — pins feature construction (unigrams + space-
