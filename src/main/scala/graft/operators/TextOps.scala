@@ -288,26 +288,61 @@ object TextOps {
       refFilter: Column, maxV: Int, maxB: Int, lambda: Double,
       pplThreshold: Double): DataFrame = {
     import graft.CacheScope.ScopedPersist
+    // is_ref evaluates BEFORE projection (it references the caller's doc
+    // columns, which the tokenized frame no longer carries)
     val base = docs.select(id.as("id"), refFilter.as("is_ref"),
         filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
       .filter(size(col("ws")) >= 2)
-    val pairs = base.select(col("id"), col("is_ref"),
+    val pairs = lmPairs(base)
+      .persistScoped() // feeds the reference counts AND the doc scoring
+    val (vocab, bigrams) = lmTrain(base.filter(col("is_ref")),
+      pairs.filter(col("is_ref")), maxV, maxB)
+    lmScore(pairs, vocab, bigrams, lambda, pplThreshold)
+  }
+
+  /** Tokenized ≥2-token docs: (id, ws) plus whatever extra columns ride. */
+  private def lmTokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+
+  /** Adjacent-pair explode: (id [, is_ref], w1, w2) — one row per bigram
+    * POSITION (multiplicity preserved for the counts).
+    */
+  private def lmPairs(base: DataFrame): DataFrame = {
+    val extra = base.columns.filter(c => c != "id" && c != "ws").map(col)
+    base.select((col("id") +: extra :+
         explode(transform(sequence(lit(1), size(col("ws")) - 1),
           i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2")))).as("p"))
-      .select(col("id"), col("is_ref"), col("p.w1"), col("p.w2"))
-      .persistScoped() // feeds the reference counts AND the doc scoring
-    val vocab = base.filter(col("is_ref"))
-      .select(explode(col("ws")).as("w"))
+            element_at(col("ws"), i + 1).as("w2")))).as("p")): _*)
+      .select((col("id") +: extra :+ col("p.w1") :+ col("p.w2")): _*)
+  }
+
+  /** Train the pruned model from reference tokens/pairs: (vocab(w, uc),
+    * bigrams(w1, w2, bc)) — both bounded by the deterministic
+    * (count desc, term) top-k.
+    */
+  private def lmTrain(refBase: DataFrame, refPairs: DataFrame,
+      maxV: Int, maxB: Int): (DataFrame, DataFrame) = {
+    import graft.CacheScope.ScopedPersist
+    val vocab = refBase.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("uc"))
       .orderBy(col("uc").desc, col("w")).limit(maxV)
-      .persistScoped() // bounded model artifact: ≤ maxV rows
-    val vst = vocab.agg(sum(col("uc")).as("tt"), count(lit(1)).as("nv"))
-    val bigrams = pairs.filter(col("is_ref"))
+      .persistScoped() // bounded model artifact: ≤ maxV rows, reused 4×
+    val bigrams = refPairs
       .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"), "left_semi")
       .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"), "left_semi")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
       .orderBy(col("bc").desc, col("w1"), col("w2")).limit(maxB)
+    (vocab, bigrams)
+  }
+
+  /** Score per-doc pairs against a (vocab, bigrams) model — the shared
+    * serving core of the direct and stored-model paths.
+    */
+  private def lmScore(pairs: DataFrame, vocab: DataFrame, bigrams: DataFrame,
+      lambda: Double, pplThreshold: Double): DataFrame = {
+    val vst = vocab.agg(sum(col("uc")).as("tt"), count(lit(1)).as("nv"))
     val dn = pairs.groupBy(col("id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
     val scored = dn
@@ -331,6 +366,37 @@ object TextOps {
           .as("h"))
       .withColumn("ppl", round(exp(col("h")), 4))
       .withColumn("keep", col("ppl") <= pplThreshold)
+  }
+
+  /** Persist a trained+pruned LM to `dir` (`vocab/`, `bigrams/` parquet) —
+    * the model-artifact sibling of the stored retrieval indexes: train
+    * ONCE on the reference corpus, serve forever. [[lmScoreAgainstModel]]
+    * over the stored model is pinned identical to [[lmPerplexityFilter]]
+    * over the live reference (stored-and-scored ≡ freshly-trained, the
+    * index-integrity contract applied to a model). Exact integer counts
+    * round-trip parquet losslessly, so nothing drifts.
+    */
+  def writeLmModel(docs: DataFrame, id: Column, text: Column,
+      maxV: Int, maxB: Int, dir: String): Unit = {
+    import graft.CacheScope.ScopedPersist
+    val base = lmTokens(docs, id, text)
+    val pairs = lmPairs(base).persistScoped()
+    val (vocab, bigrams) = lmTrain(base, pairs, maxV, maxB)
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    bigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/bigrams")
+    docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Score documents against a [[writeLmModel]] artifact: load the two
+    * bounded tables (they broadcast — per-batch serving cost is the
+    * batch's explode + partial agg, the model never retrains or shifts).
+    */
+  def lmScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
+      dir: String, lambda: Double, pplThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    lmScore(lmPairs(lmTokens(docs, id, text)),
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/bigrams"), lambda, pplThreshold)
   }
 
   /** fastText-style hashed linear quality classifier — the SERVING shape

@@ -1944,6 +1944,24 @@ object Pipeline {
        |SELECT id, n_bigrams, h, round(exp(h), 4) AS ppl,
        |  (round(exp(h), 4) <= $LmPplThresh) AS keep FROM g""".stripMargin
 
+  // ===== q176 stored-LM-model scoring ====================================
+  // q175's production form: the pruned model TRAINS ONCE into a parquet
+  // artifact (vocab + bigrams — the writeBm25Index/writeIvfIndex
+  // discipline applied to a model) and serving loads-and-broadcasts it.
+  // Exact integer counts round-trip parquet losslessly, so
+  // stored-and-scored must equal freshly-trained — q175's oracle applies
+  // verbatim, which is exactly the model-integrity contract.
+
+  private def q176(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"lm_model_v1_${LmMaxV}_$LmMaxB") { d =>
+      TextOps.writeLmModel(
+        graft.Fanout(t.documents.filter(col("doc_id") % 10 === 0)),
+        col("doc_id"), col("text"), LmMaxV, LmMaxB, d)
+    }
+    TextOps.lmScoreAgainstModel(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), dir, LmLambda, LmPplThresh)
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3317,7 +3335,8 @@ object Pipeline {
     "q172_bm25_index_delete" -> wrap(q172),
     "q173_ann_index_delete" -> wrap(q173),
     "q174_quality_classifier" -> wrap(q174),
-    "q175_perplexity_filter" -> wrap(q175)
+    "q175_perplexity_filter" -> wrap(q175),
+    "q176_lm_model_stored" -> wrap(q176)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3409,6 +3428,7 @@ object Pipeline {
     "q172_bm25_index_delete" -> q172Sql,
     "q173_ann_index_delete" -> q173Sql,
     "q174_quality_classifier" -> q174Sql,
-    "q175_perplexity_filter" -> q175Sql
+    "q175_perplexity_filter" -> q175Sql,
+    "q176_lm_model_stored" -> q175Sql
   )
 }

@@ -405,6 +405,26 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming quality filtering against a STORED LM
+    * ([[graft.operators.TextOps.writeLmModel]]): each micro-batch of
+    * (doc_id, text) documents is perplexity-scored against the frozen
+    * model artifact and its per-doc report (id, n_bigrams, h, ppl, keep)
+    * written to `outDir/batch=<id>` (idempotent overwrite — the model is
+    * read-only to the serving path, so a replayed batch re-derives
+    * identical scores). The online form of the q175/q176 filter: the
+    * model never adapts to the stream it is filtering, per-batch cost is
+    * the batch's own explode + broadcast joins.
+    */
+  def lmScoreIngest(modelDir: String, outDir: String, lambda: Double,
+      pplThreshold: Double)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.lmScoreAgainstModel(batch.toDF(),
+          col("doc_id"), col("text"), modelDir, lambda, pplThreshold)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming BM25 index ingestion — [[annIngest]]'s lexical twin over a
     * [[graft.operators.Retrieval.writeBm25IndexVersioned]] index: each
     * micro-batch of (id, term, tf, dl) postings OVERWRITES its own

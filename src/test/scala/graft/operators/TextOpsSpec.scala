@@ -198,6 +198,34 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeLmModel / lmScoreAgainstModel: stored-and-scored ≡ freshly-trained") {
+    val docs = Seq(
+      (0L, "a b a b c"), (1L, "a b"),              // reference slice
+      (10L, "a b c"), (11L, "a z"), (12L, "x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm-model").toString
+    try {
+      TextOps.writeLmModel(docs.filter($"doc_id" < 10), col("doc_id"),
+        col("text"), 10, 10, dir)
+      val stored = TextOps.lmScoreAgainstModel(docs, col("doc_id"),
+          col("text"), dir, lambda = 0.5, pplThreshold = 5.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val direct = TextOps.lmPerplexityFilter(docs, col("doc_id"),
+          col("text"), col("doc_id") < 10, 10, 10, 0.5, 5.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(stored == direct && stored.nonEmpty)
+      // the artifact really is the bounded pruned model
+      assert(spark.read.parquet(s"$dir/vocab").count() == 3)   // a, b, c
+      assert(spark.read.parquet(s"$dir/bigrams").count() == 3) // ab, ba, bc
+      // rebuild is overwrite-idempotent
+      TextOps.writeLmModel(docs.filter($"doc_id" < 10), col("doc_id"),
+        col("text"), 10, 10, dir)
+      assert(TextOps.lmScoreAgainstModel(docs, col("doc_id"), col("text"),
+          dir, 0.5, 5.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet == direct)
+    } finally graft.CacheScope.drain()
+  }
+
   test("hashedLinearScore: exact fold against an independent reimplementation") {
     // independent scorer: same hash contract (first 7 md5 hex chars),
     // written from scratch — pins feature construction (unigrams + space-

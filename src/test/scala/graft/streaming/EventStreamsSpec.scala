@@ -659,6 +659,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("lmScoreIngest: streamed docs score against the stored LM; serving ≡ offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("lmscore").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    // train on the reference slice, stream everything else through
+    graft.operators.TextOps.writeLmModel(docs.filter($"doc_id" % 10 === 0),
+      col("doc_id"), col("text"), 500, 1000, model)
+    val rows = docs.filter($"doc_id" % 10 =!= 0)
+      .as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(EventStreams.lmScoreIngest(model, out, 0.7, 40.0))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("id", "n_bigrams", "h", "ppl", "keep")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val offline = graft.operators.TextOps.lmScoreAgainstModel(
+          rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          model, 0.7, 40.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch (same batchId dir) re-derives identical scores
+      val sink = EventStreams.lmScoreIngest(model, out, 0.7, 40.0)
+      sink(b1.toDF("doc_id", "text"), 1)
+      assert(spark.read.parquet(out)
+        .select("id", "n_bigrams", "h", "ppl", "keep")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("bm25DeleteIngest: streamed deletion requests erase docs; replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
