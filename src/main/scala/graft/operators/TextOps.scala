@@ -491,4 +491,59 @@ object TextOps {
       (tokFrac <= maxTopTokFrac && bgFrac <= maxTopBigramFrac &&
         ttr >= minTtr).as("keep"))
   }
+
+  /** Per-domain boilerplate removal — the CCNet/RefinedWeb "strip the
+    * navigation soup" stage: a text segment that appears in ≥
+    * max(minDf, rate·|domain docs|) DISTINCT documents of the SAME source
+    * is template chrome (headers, footers, cookie banners), not content,
+    * and is removed from every document of that source; documents are
+    * reassembled from their surviving segments in order. Unlike segment
+    * DEDUP ([[graft.operators.Dedup.segmentDedup]], which keeps the first
+    * copy), boilerplate removal drops EVERY copy — the first occurrence of
+    * a cookie banner is as worthless as the millionth.
+    *
+    * 100 TB design: one explode into non-overlapping segLen-token segments
+    * (positions kept for reassembly), one distinct + count aggregate per
+    * (source, segment) for document frequency, and ONE broadcast join
+    * back. The boilerplate set is small BY CONSTRUCTION: per source, at
+    * most (segments per doc)/rate segments can reach df ≥ rate·|docs|
+    * (Σ_seg df ≤ total segment instances), so the broadcast is bounded by
+    * corpus-average document length — independent of corpus size. The
+    * reassembly is the segments' own per-doc aggregate; no window, no
+    * self-join.
+    *
+    * Output: (doc_id, n_segments, n_removed, kept_md5) — kept_md5 is the
+    * md5 of the reassembled surviving text ("" when everything was
+    * boilerplate), keeping the gate row compact.
+    */
+  def boilerplateRemove(docs: DataFrame, id: Column, text: Column,
+      source: Column, segLen: Int, minDf: Int, rate: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = docs.select(id.as("id"), source.as("source"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val segs = base
+      .select(col("id"), col("source"), col("ws"),
+        explode(expr(s"sequence(0, size(ws) - 1, $segLen)")).as("st"))
+      .select(col("id"), col("source"), col("st").cast("long").as("pos"),
+        concat_ws(" ", slice(col("ws"), col("st") + 1, lit(segLen))).as("seg"))
+      .persistScoped() // feeds the df counts AND the reassembly
+    val nd = segs.groupBy(col("source"))
+      .agg(count_distinct(col("id")).as("nd"))
+    val bp = segs.select(col("source"), col("seg"), col("id")).distinct()
+      .groupBy(col("source"), col("seg")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .filter(col("df") >= minDf && col("df") >= lit(rate) * col("nd"))
+      .select(col("source"), col("seg"), lit(true).as("bp"))
+    segs.join(broadcast(bp), Seq("source", "seg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segments"),
+        coalesce(sum(when(col("bp"), 1L)), lit(0L)).as("n_removed"),
+        // collect_list skips nulls, so only surviving segments are kept
+        sort_array(collect_list(when(col("bp").isNull,
+          struct(col("pos"), col("seg"))))).as("kept"))
+      .select(col("id").as("doc_id"), col("n_segments"), col("n_removed"),
+        md5(concat_ws(" ",
+          expr("transform(kept, x -> x.seg)"))).as("kept_md5"))
+  }
 }
