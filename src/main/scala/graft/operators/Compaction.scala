@@ -71,6 +71,24 @@ object Compaction {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Partitioned overwrite that stays READABLE when `df` is empty: a
+    * `partitionBy` write of zero rows emits no part files and no partition
+    * directories at all, so a later `spark.read.parquet` of the path fails
+    * with "unable to infer schema" — the delete-everything corner of the
+    * index-deletion ops. The empty frame is written unpartitioned instead
+    * (one schema-carrying empty file, SPARK-23271), where the partition
+    * column rides as a plain data column — downstream equi-joins on it
+    * read identically, they just have zero rows to match.
+    *
+    * The emptiness probe is a limit-1 action — it short-circuits at the
+    * first surviving row, so the non-empty (i.e. every real) case pays a
+    * near-zero peek, not a full pass.
+    */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, partCol: String,
+      path: String): Unit =
+    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+    else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Delete a directory tree (post-swap cleanup of a superseded epoch). */
   def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)

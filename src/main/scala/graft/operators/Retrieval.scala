@@ -171,6 +171,13 @@ object Retrieval {
     */
   def appendToBm25Index(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
+    // guard against the silent-loss corner: after a compaction the live
+    // postings move to lists_e<N> (batch-versioned), so an append into the
+    // superseded epoch-0 path would vanish from every probe (which
+    // resolves the pointer first). Ingest into compacted indexes instead.
+    require(Compaction.currentEpoch(spark, dir) == 0,
+      s"$dir has been compacted (epoch > 0); use ingestIntoBm25Index " +
+        "with a fresh batch id instead of the flat append")
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
     batch.groupBy(col("id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
@@ -297,19 +304,24 @@ object Retrieval {
     val curLists = Compaction.epochPath(dir, "lists", e)
     val curStats = Compaction.epochPath(dir, "stats", e)
     val lists = spark.read.parquet(curLists)
-    lists
+    val survivors = lists
       .join(ids.select(col("id")), Seq("id"), "left_anti")
       .select(lists.columns.filter(_ != "batch").map(col): _*) // fold `batch` away
       .repartition(col("bucket")) // one task → one file per bucket directory
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
-    // exact integer recount over the survivors — NOT a subtraction from
-    // the old summary, so a delete of an id the index never held (or a
-    // re-run of the same delete) cannot drift the stats
-    spark.read
-      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+      .persistScoped() // feeds the postings rewrite AND the stats recount
+    // writePartitioned: a delete that removes EVERY document would leave a
+    // fileless lists dir no later read could infer a schema from — the
+    // empty frame writes unpartitioned (schema-carrying) instead
+    Compaction.writePartitioned(survivors, "bucket",
+      s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+    // exact integer recount over the surviving FRAME — NOT a subtraction
+    // from the old summary (so a delete of an absent id, or a re-run of
+    // the same delete, cannot drift the stats), and NOT a read-back of the
+    // just-written directory (which is empty/fileless on delete-everything)
+    survivors
       .groupBy(col("id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "stats", e + 1)}/batch=0")
     Compaction.advanceEpoch(spark, dir, e + 1)

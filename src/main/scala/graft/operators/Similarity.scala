@@ -61,6 +61,12 @@ object Similarity {
   /** Number of random hyperplanes (signature bits) for LSH bucketing. */
   val LshPlanes = 12
 
+  /** Ceiling on the PQ probe's driver-collected shortlist-id list (the
+    * In-pushdown fast path); larger shortlists rerank via a distributed
+    * semi-join instead. 100k longs ≈ 1 MB driver-side and a plannable In.
+    */
+  val DefaultInListMax = 100000
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
     * w(j)(d) = (((j·dim+d)·2654435761) mod 2001 − 1000) / 1000 — an
     * engine-neutral formula the DuckDB oracle reproduces exactly.
@@ -311,6 +317,14 @@ object Similarity {
     */
   def appendToIvfIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
+    // guard against the silent-loss corner: after a compaction the live
+    // lists move to lists_e<N> (with a batch= level this flat layout lacks),
+    // so an append into the superseded epoch-0 path would vanish from every
+    // probe (which resolves the pointer first). Compacted indexes are
+    // batch-versioned by construction — ingest into them instead.
+    require(Compaction.currentEpoch(spark, dir) == 0,
+      s"$dir has been compacted (epoch > 0); use ingestIntoIvfIndex " +
+        "with a fresh batch id instead of the flat append")
     val cents = spark.read.parquet(s"$dir/centroids")
     narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
@@ -435,12 +449,14 @@ object Similarity {
       dir: String, ids: DataFrame): Int = {
     val e = Compaction.currentEpoch(spark, dir)
     val cur = Compaction.epochPath(dir, "lists", e)
-    spark.read.parquet(cur)
-      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .repartition(col("cell")) // one task → one file per cell directory
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
+    // writePartitioned: a delete that removes EVERY vector would leave a
+    // fileless lists dir no later read could infer a schema from
+    Compaction.writePartitioned(
+      spark.read.parquet(cur)
+        .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .repartition(col("cell")), // one task → one file per cell directory
+      "cell", s"${Compaction.epochPath(dir, "lists", e + 1)}/batch=0")
     Compaction.advanceEpoch(spark, dir, e + 1)
     Compaction.deleteDir(spark, cur)
     // external write to a path this session may already have listed:
@@ -510,6 +526,16 @@ object Similarity {
       .select(explode(expr(s"sequence(0, ${mSub - 1})")).as("m"), col("code"),
         expr(s"slice(embedding, m * $subDim + 1, $subDim)").as("cvec"))
       .localCheckpoint()
+    // a corpus smaller than nCodes would silently yield fewer codebook
+    // rows while meta records n_codes = nCodes — and the probe's ADC LUT
+    // is indexed with stride nCodes (lut[m·nCodes + code]), so a short
+    // codebook reads past the LUT array's end into arbitrary bytes
+    // (silently wrong scores). Fail loudly at train time instead; the
+    // count is on the localCheckpointed frame — one cheap cached action.
+    val initRows = cb.count()
+    require(initRows == mSub.toLong * nCodes,
+      s"PQ codebook init needs >= $nCodes corpus vectors; got " +
+        s"${initRows / mSub} (corpus smaller than nCodes)")
     for (_ <- 1 to iters) {
       val means = pqAssign(sub, cb)
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -675,12 +701,13 @@ object Similarity {
     val e = Compaction.currentEpoch(spark, dir)
     val curCodes = Compaction.epochPath(dir, "codes", e)
     val curVecs = Compaction.epochPath(dir, "vectors", e)
-    spark.read.parquet(curCodes)
-      .join(del, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("codes"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
+    // writePartitioned: delete-everything must leave a readable codes dir
+    Compaction.writePartitioned(
+      spark.read.parquet(curCodes)
+        .join(del, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .repartition(col("cell")),
+      "cell", s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
     spark.read.parquet(curVecs)
       .join(del, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
@@ -701,10 +728,19 @@ object Similarity {
   private def collectCodebooks(cbDf: DataFrame, mSub: Int,
       nCodes: Int): Array[Array[Array[Float]]] = {
     val out = Array.ofDim[Array[Float]](mSub, nCodes)
-    cbDf.collect().foreach { r =>
+    val rows = cbDf.collect()
+    // the load-time twin of the pqCodebooks init guard: a stored codebook
+    // that disagrees with meta's (m_sub, n_codes) would mis-stride every
+    // ADC LUT — validate the full (m, code) grid is present
+    require(rows.length == mSub * nCodes,
+      s"codebook has ${rows.length} rows, meta says ${mSub * nCodes} " +
+        s"(m_sub=$mSub × n_codes=$nCodes) — corrupt or mismatched index")
+    rows.foreach { r =>
       out(r.getAs[Int]("m"))(r.getAs[Int]("code")) =
         r.getAs[scala.collection.Seq[Float]]("cvec").toArray
     }
+    require(out.forall(_.forall(_ != null)),
+      "codebook rows do not cover the full (m, code) grid")
     out
   }
 
@@ -720,18 +756,23 @@ object Similarity {
     *     approximate cosine is then two [[graft.functions.PqAdcExpr]]
     *     folds over its codes: Σdot / (‖q‖·√Σn²).
     *  3. The top `shortlist` candidates per query (bounded TopKByScore)
-    *     fetch their FULL vectors from the sorted `vectors/` store — the
-    *     id list collects driver-side (bounded: |Q|·shortlist) and pushes
-    *     down as an In filter, so parquet row-group stats keep the fetch
-    *     shortlist-local — and are re-ranked with the exact rounded
-    *     cosine, same arithmetic as [[ivfTopK]].
+    *     fetch their FULL vectors from the sorted `vectors/` store and are
+    *     re-ranked with the exact rounded cosine, same arithmetic as
+    *     [[ivfTopK]]. The fetch is two-path: up to `inListMax` distinct
+    *     ids collect driver-side and push down as an In filter (row-group
+    *     stats keep serving fetches shortlist-local); past the cap — an
+    *     offline rerank over a large query set, where |Q|·shortlist would
+    *     OOM the driver — the id set semi-joins the store distributed,
+    *     trading row-group pruning for unbounded |Q| (spec-pinned
+    *     identical output on both paths).
     *
     * Recall vs the raw-list probe is bounded by the same nProbe cell
     * choice; the shortlist only loses candidates ADC misranks past
     * position `shortlist` (spec-pinned floor).
     */
   def ivfTopKAgainstIndexPQ(queries: DataFrame, dir: String, nProbe: Int,
-      k: Int, shortlist: Int = 50): DataFrame = {
+      k: Int, shortlist: Int = 50,
+      inListMax: Int = DefaultInListMax): DataFrame = {
     val spark = queries.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -742,6 +783,12 @@ object Similarity {
     val epoch = Compaction.currentEpoch(spark, dir)
     val codes = spark.read.parquet(Compaction.epochPath(dir, "codes", epoch))
     val cbRows = spark.read.parquet(s"$dir/codebooks")
+    // stride guard (the collectCodebooks check, probe-side): PqAdcExpr
+    // indexes lut[m·nCodes + code], so a codebook short of meta's grid
+    // would read past the LUT's end — silently wrong scores, not an error
+    require(cbRows.count() == mSub.toLong * nCodes,
+      s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
+        "corrupt or mismatched index")
     // per-query ADC lookup tables, indexed lut[m·nCodes + code]
     val luts = queries.crossJoin(broadcast(cbRows))
       .select(col("q_id"), col("q_vec"), col("m"), col("code"),
@@ -759,6 +806,7 @@ object Similarity {
         sqrt(expr(
           "aggregate(q_vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
           .as("qn"))
+      .persistScoped() // feeds the ADC scan AND the exact-rerank join
     val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
       .withColumn("cell", col("cell").cast("int"))
       .select(col("q_id"), col("cell"))
@@ -776,14 +824,26 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(graft.functions.topk_by_score(col("adc"), col("vec_id"), shortlist).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("vec_id"))
-    // bounded driver action (≤ |Q|·shortlist ids): the id list becomes a
-    // pushed-down In filter, so the sorted vectors store serves the fetch
-    // from only the row groups containing shortlist ids
-    val ids = short.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val raw = spark.read.parquet(Compaction.epochPath(dir, "vectors", epoch))
-      .filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("embedding"))
+      .persistScoped() // feeds the id fetch AND the exact-rerank join —
+      // the pruned ADC scan is the probe's dominant stage; never run it twice
+    val idsDf = short.select(col("vec_id")).distinct()
+    // SERVING path: the id list is bounded (≤ |Q|·shortlist), so it
+    // collects driver-side and pushes down as an In filter — parquet
+    // row-group stats keep the fetch shortlist-local. The collect is
+    // size-GUARDED (limit inListMax+1 on the persisted shortlist): an
+    // OFFLINE rerank over a huge query set would OOM the driver and
+    // produce an unplannable In list, so past the cap the fetch falls back
+    // to a semi-join of the id set against the sorted vectors store —
+    // fully distributed, losing only row-group pruning on that path.
+    val capped = idsDf.limit(inListMax + 1).collect()
+    val vecStore = spark.read.parquet(Compaction.epochPath(dir, "vectors", epoch))
+    val raw =
+      if (capped.length <= inListMax)
+        vecStore.filter(col("vec_id").isin(capped.map(_.getLong(0)).toSeq: _*))
+          .select(col("vec_id"), col("embedding"))
+      else
+        vecStore.join(idsDf, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding"))
     val rescored = short.join(raw, Seq("vec_id"))
       .join(broadcast(luts.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))

@@ -472,8 +472,12 @@ object TextOps {
   def repetitionFilter(docs: DataFrame, id: Column, text: Column,
       maxTopTokFrac: Double, maxTopBigramFrac: Double,
       minTtr: Double): DataFrame = {
+    // zero-length tokens filtered like the sibling quality filters
+    // (lmPerplexityFilter, hashedLinearScore): a leading-whitespace split
+    // artifact must not count as a token, and an all-whitespace doc must
+    // hit the kernel's empty-array null contract and be dropped
     val sig = docs.select(id.as("id"),
-        split(lower(text), """\s+""").as("__w"))
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("__w"))
       .select(col("id"), size(col("__w")).cast("long").as("n_tokens"),
         graft.functions.repetition_signals(col("__w"), 1).as("s1"),
         graft.functions.repetition_signals(col("__w"), 2).as("s2"))

@@ -1668,8 +1668,13 @@ object Pipeline {
     TextOps.repetitionFilter(graft.Fanout(t.documents),
       col("doc_id"), col("text"), RepMaxTok, RepMaxBigram, RepMinTtr)
 
+  // words filtered of zero-length split artifacts — the operator's (and
+  // the sibling quality filters') token contract; NOT the shared wordsCte,
+  // whose other consumers replay the unfiltered split
   private val q169Sql =
-    s"""WITH $wordsCte,
+    s"""WITH w AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS words
+       |  FROM documents),
        |t AS (SELECT id, len(words) AS n, unnest(words) AS tk FROM w WHERE len(words) > 0),
        |tc AS (SELECT id, n, tk, count(*) AS c FROM t GROUP BY 1, 2, 3),
        |ts AS (SELECT id, n, max(c) AS topc, CAST(count(*) AS BIGINT) AS nd FROM tc GROUP BY 1, 2),

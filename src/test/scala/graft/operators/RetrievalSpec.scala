@@ -210,6 +210,40 @@ class RetrievalSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("appendToBm25Index refuses a compacted (epoch > 0) index") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-app-guard").toString
+    val b1 = Seq((4L, "a", 1L, 2L), (4L, "c", 1L, 2L)).toDF("id", "term", "tf", "dl")
+    try {
+      Retrieval.writeBm25Index(terms, dir, 8)
+      Retrieval.appendToBm25Index(b1, dir) // epoch 0: fine
+      assert(Retrieval.compactBm25Index(spark, dir) == 1)
+      // post-compaction the live postings are batch-versioned under
+      // lists_e1; a flat append would land in the superseded path and
+      // vanish from every probe (which resolves the EPOCH pointer first)
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.appendToBm25Index(b1, dir)
+      }
+      assert(e.getMessage.contains("ingestIntoBm25Index"))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("deleteFromBm25Index: deleting EVERY document leaves a readable, empty-probing index") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-del-all").toString
+    val queries = Seq((10L, "a"), (11L, "b")).toDF("q_id", "term")
+    try {
+      Retrieval.writeBm25IndexVersioned(terms, dir, 8)
+      assert(Retrieval.deleteFromBm25Index(spark, dir,
+        terms.select($"id").distinct()) == 1)
+      // the rewritten epoch must still READ (zero rows, schema intact —
+      // the stats recount runs on the surviving FRAME, never a read-back
+      // of the possibly-fileless just-written directory)
+      assert(spark.read.parquet(s"$dir/lists_e1").count() == 0)
+      val st = spark.read.parquet(s"$dir/stats_e1").head()
+      assert(st.getAs[Long]("n_docs") == 0L && st.getAs[Long]("tot_dl") == 0L)
+      assert(Retrieval.bm25AgainstIndex(queries, dir, 10).count() == 0)
+    } finally graft.CacheScope.drain()
+  }
+
   test("plan: the query side broadcasts — no corpus-wide shuffle join") {
     val queries = Seq((10L, "a")).toDF("q_id", "term")
     try {

@@ -465,6 +465,69 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("PQ probe: semi-join fallback equals the In-pushdown path") {
+    // inListMax = 0 forces the distributed-fallback fetch (offline-rerank
+    // path); it must return exactly the serving path's rows — only the
+    // fetch PLAN differs (semi-join instead of a pushed-down In filter)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("pq-fallback").toString
+    try {
+      Similarity.writeIvfIndexPQ(emb, dir, 16, 8, 16, trainIters = 0)
+      def probe(cap: Int) =
+        Similarity.ivfTopKAgainstIndexPQ(queries, dir, 2, 10, 50, inListMax = cap)
+          .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val inPath = probe(Similarity.DefaultInListMax)
+      val joinPath = probe(0)
+      assert(inPath.nonEmpty && inPath == joinPath,
+        "fallback fetch must be result-identical to the In-pushdown fetch")
+    } finally graft.CacheScope.drain()
+  }
+
+  test("pqCodebooks refuses a corpus smaller than nCodes (LUT stride guard)") {
+    val tiny = (0L until 5L).map(i =>
+      (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(tiny, mSub = 2, nCodes = 16, iters = 0, dim = 8)
+    }
+    assert(e.getMessage.contains("nCodes"))
+  }
+
+  test("appendToIvfIndex refuses a compacted (epoch > 0) index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-app-guard").toString
+    try {
+      Similarity.writeIvfIndex(emb, dir, 8)
+      Similarity.appendToIvfIndex(emb.limit(1), dir) // epoch 0: fine
+      assert(Similarity.compactIvfIndex(spark, dir) == 1)
+      // post-compaction the live lists are batch-versioned under lists_e1;
+      // a flat append would land in the superseded epoch-0 path and vanish
+      val e = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(emb.limit(1), dir)
+      }
+      assert(e.getMessage.contains("ingestIntoIvfIndex"))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("deleteFromIvfIndex: deleting EVERY vector leaves a readable, empty-probing index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.limit(3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-all").toString
+    try {
+      Similarity.writeIvfIndexVersioned(emb, dir, 8)
+      assert(Similarity.deleteFromIvfIndex(spark, dir, emb.select($"vec_id")) == 1)
+      // the rewritten epoch must still READ (zero rows, schema intact) —
+      // a fileless partitioned dir would throw "unable to infer schema"
+      assert(spark.read.parquet(s"$dir/lists_e1").count() == 0)
+      assert(Similarity.ivfTopKAgainstIndex(queries, dir, 2, 5).count() == 0)
+    } finally graft.CacheScope.drain()
+  }
+
   test("k-means-trained IVF quantizer beats training-free recall, pinned floor") {
     // measured on the REAL sf0.01 embeddings (deterministic data +
     // deterministic k-means init/iterations): recall@10 at nCells=16,

@@ -290,4 +290,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._7 == 0.2857 && !out(3L)._8) // bigram rule alone drops it
     assert(out(4L) == ((4L, 1L, 1L, 1.0, 1.0, 0L, 0.0, false))) // tok frac 1.0
   }
+
+  test("repetitionFilter: zero-token docs dropped; whitespace never counts as a token") {
+    val docs = Seq(
+      (1L, "   "),                // all-whitespace: zero tokens → dropped
+      (2L, ""),                   // empty: dropped
+      (3L, "  alpha beta gamma"), // leading whitespace: 3 tokens, not 4
+      (4L, "alpha  beta\tgamma ") // interior runs + trailing: still 3
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFilter(docs, col("doc_id"), col("text"),
+        maxTopTokFrac = 0.5, maxTopBigramFrac = 0.5, minTtr = 0.5)
+      .select($"id", $"n_tokens", $"n_distinct")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(1L) && !out.contains(2L),
+      "docs with zero tokens must be dropped, not kept as n_tokens=1 ['']")
+    assert(out(3L) == ((3L, 3L, 3L)))
+    assert(out(4L) == ((4L, 3L, 3L)))
+  }
 }
