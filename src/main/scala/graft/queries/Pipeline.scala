@@ -1967,6 +1967,55 @@ object Pipeline {
       col("text"), dir, LmLambda, LmPplThresh)
   }
 
+  // ===== q177 per-domain boilerplate removal =============================
+  // The CCNet/RefinedWeb "strip the navigation soup" stage
+  // (TextOps.boilerplateRemove): a segLen-token segment appearing in ≥
+  // max(minDf, rate·|source docs|) DISTINCT documents of the SAME source
+  // is template chrome and is removed from EVERY document of that source
+  // (unlike q81's segment dedup, which keeps the first copy); docs
+  // reassemble from surviving segments in order, reported as kept_md5.
+  // One explode + one (source, seg) df aggregate + a BROADCAST join of
+  // the bounded bp set (≤ segments-per-doc/rate per source by the df sum
+  // bound) — plan-pinned. The oracle replays segmentation, the df rule
+  // and the pos-ordered reassembly verbatim. At sf0.01: 21 bp segments,
+  // 42 instances removed across 26 documents — non-trivial on the
+  // fixture's cross-doc duplicated passages.
+
+  private val BpSegLen = 4
+  private val BpMinDf = 2
+  private val BpRate = 0.05
+
+  private def q177(t: Tables): DataFrame =
+    TextOps.boilerplateRemove(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("source"), BpSegLen, BpMinDf, BpRate)
+
+  private val q177Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, source, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |b AS (SELECT id, source, ws FROM w0 WHERE len(ws) > 0),
+       |segs AS (SELECT id, source, CAST(st AS BIGINT) AS pos,
+       |    array_to_string(ws[st+1:st+$BpSegLen], ' ') AS seg
+       |  FROM (SELECT id, source, ws,
+       |          unnest(generate_series(0, len(ws)-1, $BpSegLen)) AS st
+       |        FROM b)),
+       |nd AS (SELECT source, count(DISTINCT id) AS nd FROM segs GROUP BY 1),
+       |bp AS (SELECT source, seg FROM (
+       |    SELECT source, seg, count(DISTINCT id) AS df
+       |    FROM segs GROUP BY 1, 2) d
+       |  JOIN nd USING (source)
+       |  WHERE df >= $BpMinDf AND df >= $BpRate * nd),
+       |m AS (SELECT s.id, s.pos, s.seg, (bp.seg IS NOT NULL) AS is_bp
+       |      FROM segs s LEFT JOIN bp
+       |        ON s.source = bp.source AND s.seg = bp.seg)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(coalesce(sum(CASE WHEN is_bp THEN 1 END), 0) AS BIGINT)
+       |    AS n_removed,
+       |  md5(array_to_string(list_transform(list_sort(
+       |    coalesce(list({'pos': pos, 'seg': seg}) FILTER (WHERE NOT is_bp),
+       |      [])), x -> x.seg), ' ')) AS kept_md5
+       |FROM m GROUP BY id""".stripMargin
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3341,7 +3390,8 @@ object Pipeline {
     "q173_ann_index_delete" -> wrap(q173),
     "q174_quality_classifier" -> wrap(q174),
     "q175_perplexity_filter" -> wrap(q175),
-    "q176_lm_model_stored" -> wrap(q176)
+    "q176_lm_model_stored" -> wrap(q176),
+    "q177_boilerplate_removal" -> wrap(q177)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3434,6 +3484,7 @@ object Pipeline {
     "q173_ann_index_delete" -> q173Sql,
     "q174_quality_classifier" -> q174Sql,
     "q175_perplexity_filter" -> q175Sql,
-    "q176_lm_model_stored" -> q175Sql
+    "q176_lm_model_stored" -> q175Sql,
+    "q177_boilerplate_removal" -> q177Sql
   )
 }

@@ -741,6 +741,31 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("q177 boilerplate removal: bp set and per-source counts join via broadcast only") {
+    // the boilerplate set is bounded by construction (≤ segments-per-doc
+    // / rate per source), so both the nd join and the bp join must
+    // BROADCAST — a shuffle join here would exchange the corpus's whole
+    // segment explosion a second time
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    val df = graft.queries.Pipeline.defs("q177_boilerplate_removal")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val joins = unwrap(df.queryExecution.executedPlan)
+        .flatMap(_.collect { case j: BaseJoinExec => j })
+      assert(joins.nonEmpty, "expected the nd + bp joins")
+      joins.foreach {
+        case _: BroadcastHashJoinExec => ()
+        case other => fail(s"non-broadcast join in q177: ${other.nodeName}")
+      }
+    } finally CacheScope.drain()
+  }
+
   test("q171 duplicate spans: every window is partitioned by the document") {
     // the island merge is the only window family in the plan, and each
     // must carry PARTITION BY the doc id — an empty partition spec would

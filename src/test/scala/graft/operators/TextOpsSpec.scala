@@ -291,6 +291,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, 1L, 1.0, 1.0, 0L, 0.0, false))) // tok frac 1.0
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("boilerplateRemove: drops EVERY copy per source; df rule = max(minDf, rate·nd); all-bp doc → md5 of empty") {
+    // segLen = 4; a 4-token banner leads every src-a doc, so it IS the
+    // first segment everywhere in that source
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta", "a"),
+      (2L, s"$banner epsilon zeta eta theta", "a"),
+      (3L, s"$banner iota kappa lambda mu", "a"),
+      (4L, banner, "a"), // all-boilerplate document
+      // same banner, different source, df 1 < minDf → NOT boilerplate here
+      (5L, s"$banner nu xi omicron pi", "b"),
+      // source c: banner df 2, but nd 5 ⇒ threshold max(2, 0.5·5)=2.5 —
+      // the RATE side binds and the banner survives (df 2 < 2.5)
+      (6L, s"$banner rho sigma tau upsilon", "c"),
+      (7L, s"$banner phi chi psi omega", "c"),
+      (8L, "one two three four", "c"),
+      (9L, "five six seven eight", "c"),
+      (10L, "nine ten eleven twelve", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateRemove(docs, col("doc_id"), col("text"),
+        col("source"), segLen = 4, minDf = 2, rate = 0.5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // src a (nd=4, threshold max(2, 2)=2; banner df=4 ≥ 2): EVERY copy
+    // removed — boilerplate removal, not segment dedup (which would keep
+    // doc 1's copy as the first occurrence)
+    assert(out(1L) == ((1L, 2L, 1L, md5hex("alpha beta gamma delta"))))
+    assert(out(2L) == ((2L, 2L, 1L, md5hex("epsilon zeta eta theta"))))
+    assert(out(3L) == ((3L, 2L, 1L, md5hex("iota kappa lambda mu"))))
+    // the all-boilerplate doc keeps NOTHING: md5 of the empty reassembly
+    assert(out(4L) == ((4L, 1L, 1L, md5hex(""))))
+    // src b: df 1 < minDf → banner kept
+    assert(out(5L) == ((5L, 2L, 0L,
+      md5hex("accept cookies to continue nu xi omicron pi"))))
+    // src c: df 2 < rate·nd = 2.5 → banner kept (rate side of the max)
+    assert(out(6L)._3 == 0L && out(7L)._3 == 0L)
+    // sanity vs segmentDedup semantics: removal count across src a is 4
+    // (all four copies), never nd−1
+    assert(Seq(1L, 2L, 3L, 4L).map(out(_)._3).sum == 4L)
+  }
+
   test("repetitionFilter: zero-token docs dropped; whitespace never counts as a token") {
     val docs = Seq(
       (1L, "   "),                // all-whitespace: zero tokens → dropped
