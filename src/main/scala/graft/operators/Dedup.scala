@@ -490,6 +490,13 @@ object Dedup {
     */
   def appendToCorpusIndex(docs: DataFrame, dir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    // guard against the silent-loss corner shared by every flat append:
+    // after a compaction the live views move to <name>_e<N> (with a batch=
+    // level this flat layout lacks), so an append into the superseded
+    // epoch-0 paths would vanish from every probe
+    require(Compaction.currentEpoch(docs.sparkSession, dir) == 0,
+      s"$dir has been compacted (epoch > 0); use ingestIntoCorpusIndex " +
+        "with a fresh batch id instead of the flat append")
     docs.select(md5(col("text")).as("h"))
       .write.mode("append").parquet(s"$dir/hashes")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
@@ -499,6 +506,133 @@ object Dedup {
     // external append to a possibly-listed path — invalidate the shared
     // file-status cache so same-session probes see the new files
     docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Build the stored dedup index in the BATCH-VERSIONED layout — the
+    * replay-safe sibling of [[writeCorpusIndex]], completing for the dedup
+    * index the lifecycle the BM25/IVF/PQ families have: each view lives
+    * under `<view>/batch=<id>` (the build is batch 0), so an ingest batch
+    * OVERWRITES its own batch partitions and a crash-replayed producer
+    * converges to identical index contents instead of duplicating its
+    * entries. The versioned `hashes/` view carries the DOC ID beside the
+    * text hash — [[deleteFromCorpusIndex]] needs it to erase a document's
+    * hash row (the flat layout's id-less hashes cannot be deleted by id).
+    * Probes ([[dedupAgainstIndex]]) work unchanged: `batch` reads back as
+    * a partition column the probe simply doesn't select.
+    */
+  def writeCorpusIndexVersioned(docs: DataFrame, dir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    docs.select(col("id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
+    bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/bands/batch=0")
+    shingleArrays(docs, n)
+      .write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
+    docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeCorpusIndexVersioned]]
+    * index: the batch's three views OVERWRITE this batch's own partition
+    * directories (epoch-resolved, so ingestion keeps working after a
+    * compaction). Re-running the same (batch, batchId) — a streaming
+    * replay after a crash — rewrites the same files and leaves the index
+    * contents identical; per-ingest cost stays ∝ batch.
+    */
+  def ingestIntoCorpusIndex(docs: DataFrame, dir: String, batchId: Long,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = docs.sparkSession
+    val e = Compaction.currentEpoch(spark, dir)
+    docs.select(col("id"), md5(col("text")).as("h"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e)}/batch=$batchId")
+    bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"${Compaction.epochPath(dir, "bands", e)}/batch=$batchId")
+    shingleArrays(docs, n)
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "shingles", e)}/batch=$batchId")
+    // external write to a path this session may already have listed:
+    // invalidate the shared file-status cache
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Compact a batch-versioned dedup index — [[Compaction]]'s atomic
+    * epoch-pointer commit applied to all three views: every batch folds
+    * into ONE consolidated batch under the next epoch (bands re-packed to
+    * one file per band directory — the probe's DPP unit), `EPOCH` swaps,
+    * the superseded epoch drops. Probe results identical pre/post
+    * (spec-pinned). Must run beyond the producer's replay horizon — see
+    * [[Similarity.compactIvfIndex]].
+    *
+    * @return the new epoch number
+    */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val cur = Seq("hashes", "bands", "shingles")
+      .map(v => v -> Compaction.epochPath(dir, v, e)).toMap
+    def fold(df: DataFrame): DataFrame =
+      df.select(df.columns.filter(_ != "batch").map(col): _*)
+    fold(spark.read.parquet(cur("hashes")))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e + 1)}/batch=0")
+    fold(spark.read.parquet(cur("bands")))
+      .repartition(col("band")) // one task → one file per band directory
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"${Compaction.epochPath(dir, "bands", e + 1)}/batch=0")
+    fold(spark.read.parquet(cur("shingles")))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "shingles", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    cur.values.foreach(Compaction.deleteDir(spark, _))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
+  /** Physically DELETE documents from a stored dedup index — the erasure
+    * op the BM25/IVF/PQ families already have, owed here just as much:
+    * the index stores text hashes and shingle arrays, i.e. DERIVED
+    * PERSONAL DATA under the same right-to-be-forgotten obligation as the
+    * documents themselves. Anti-join rewrite of all three views (bytes
+    * gone, not masked) committed by the atomic epoch swap; a post-delete
+    * probe is identical to probing an index built from the survivors
+    * (spec-pinned — band keys and shingles are per-document, nothing
+    * cross-document to recount). Requires the versioned layout: the flat
+    * [[writeCorpusIndex]] `hashes/` view carries no doc id to delete by.
+    * Deletion implies compaction; same replay-horizon contract.
+    *
+    * @param ids one column `id`; absent ids are ignored (idempotent)
+    * @return the new epoch number
+    */
+  def deleteFromCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val del = ids.select(col("id"))
+    val e = Compaction.currentEpoch(spark, dir)
+    val cur = Seq("hashes", "bands", "shingles")
+      .map(v => v -> Compaction.epochPath(dir, v, e)).toMap
+    val hashes = spark.read.parquet(cur("hashes"))
+    require(hashes.columns.contains("id"),
+      s"$dir/hashes carries no doc ids (flat writeCorpusIndex layout) — " +
+        "rebuild with writeCorpusIndexVersioned to support deletion")
+    def survivors(df: DataFrame): DataFrame =
+      df.join(del, Seq("id"), "left_anti")
+        .select(df.columns.filter(_ != "batch").map(col): _*)
+    survivors(hashes)
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e + 1)}/batch=0")
+    // writePartitioned: delete-everything must leave a readable bands dir
+    Compaction.writePartitioned(
+      survivors(spark.read.parquet(cur("bands"))).repartition(col("band")),
+      "band", s"${Compaction.epochPath(dir, "bands", e + 1)}/batch=0")
+    survivors(spark.read.parquet(cur("shingles")))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "shingles", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    cur.values.foreach(Compaction.deleteDir(spark, _))
+    spark.catalog.refreshByPath(dir)
+    e + 1
   }
 
   /** The (band, key, id) view of a doc batch — the banded half of the
@@ -520,10 +654,19 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
+    // resolve the epoch pointer first (the snapshot-read side of
+    // [[compactCorpusIndex]]'s atomic swap); epoch 0 = the unmarked
+    // layouts (flat or versioned). Columns are selected explicitly: the
+    // versioned views carry `batch` (and hashes an `id`) the probe's
+    // joins must not capture.
+    val e = Compaction.currentEpoch(spark, dir)
     dedupAgainstParts(newDocs,
-      spark.read.parquet(s"$dir/hashes"),
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(Compaction.epochPath(dir, "hashes", e))
+        .select(col("h")),
+      spark.read.parquet(Compaction.epochPath(dir, "bands", e))
+        .select(col("id"), col("band"), col("key")),
+      spark.read.parquet(Compaction.epochPath(dir, "shingles", e))
+        .select(col("id"), col("sh"), col("n_sh")),
       n, numHashes, bands, threshold)
   }
 

@@ -2016,6 +2016,52 @@ object Pipeline {
        |      [])), x -> x.seg), ' ')) AS kept_md5
        |FROM m GROUP BY id""".stripMargin
 
+  // ===== q178 dedup-index lifecycle (ingest + compact + delete) ==========
+  // The stored DEDUP index gets the full lifecycle the BM25/IVF/PQ
+  // families have (q166/q172/q167/q173): versioned build over part of the
+  // existing corpus, replay-safe ingest of the rest, epoch compaction,
+  // then PHYSICAL deletion of a victim set — the index stores text hashes
+  // and shingle arrays, derived personal data under the same
+  // right-to-be-forgotten obligation. The probe then runs q74's
+  // incremental dedup of the new batch against the stored index; its
+  // oracle is q74's SQL with the victims removed from the existing side
+  // (band keys and shingles are per-document, so post-delete ≡
+  // survivors-built EXACTLY — nothing cross-document to recount).
+
+  private def q178(t: Tables): DataFrame = {
+    val d = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
+    val existing = d.filter(col("id") % 10 =!= 7)
+    val spark = t.documents.sparkSession
+    // build+ingest+compact+delete is non-idempotent as a sequence —
+    // cachedIndexDir's temp-dir + atomic-rename makes it all-or-nothing
+    val dir = cachedIndexDir(t.dir,
+      s"corpus_lifecycle_v1_3_${MinHashes}_$Bands") { dd =>
+      Dedup.writeCorpusIndexVersioned(
+        existing.filter(col("id") % 10 =!= 5), dd, 3, MinHashes, Bands)
+      Dedup.ingestIntoCorpusIndex(
+        existing.filter(col("id") % 10 === 5), dd, 1L, 3, MinHashes, Bands)
+      Dedup.compactCorpusIndex(spark, dd)
+      Dedup.deleteFromCorpusIndex(spark, dd,
+        existing.filter(col("id") % 10 === 3).select(col("id")))
+    }
+    Dedup.dedupAgainstIndex(d.filter(col("id") % 10 === 7), dir,
+      3, MinHashes, Bands, CorpusT)
+      .select(col("id"))
+  }
+
+  // q74's oracle over the surviving existing corpus (id % 10 ∉ {7, 3});
+  // lazy: q74Sql is declared later in the file (the q172Sql order-safety
+  // lesson). Anchor-replace discipline: fail loudly on any rewording.
+  private lazy val q178Sql = {
+    val candAnchor = "WHERE x.id % 10 = 7 AND y.id % 10 <> 7"
+    val exdAnchor = "ON md5(n.text) = md5(e.text) AND n.doc_id % 10 = 7 AND e.doc_id % 10 <> 7"
+    require(q74Sql.contains(candAnchor) && q74Sql.contains(exdAnchor),
+      "q178 oracle anchors missing from q74Sql")
+    q74Sql
+      .replace(candAnchor, candAnchor + " AND y.id % 10 <> 3")
+      .replace(exdAnchor, exdAnchor + " AND e.doc_id % 10 <> 3")
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3391,7 +3437,8 @@ object Pipeline {
     "q174_quality_classifier" -> wrap(q174),
     "q175_perplexity_filter" -> wrap(q175),
     "q176_lm_model_stored" -> wrap(q176),
-    "q177_boilerplate_removal" -> wrap(q177)
+    "q177_boilerplate_removal" -> wrap(q177),
+    "q178_dedup_index_lifecycle" -> wrap(q178)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3485,6 +3532,7 @@ object Pipeline {
     "q174_quality_classifier" -> q174Sql,
     "q175_perplexity_filter" -> q175Sql,
     "q176_lm_model_stored" -> q175Sql,
-    "q177_boilerplate_removal" -> q177Sql
+    "q177_boilerplate_removal" -> q177Sql,
+    "q178_dedup_index_lifecycle" -> q178Sql
   )
 }

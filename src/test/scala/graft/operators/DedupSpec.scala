@@ -468,6 +468,84 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("corpus-index lifecycle: replay-safe ingest, probe-identical compaction, delete == survivors-built") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("id"), $"text")
+    val existing = d.filter($"id" % 10 =!= 7)
+    val batch = d.filter($"id" % 10 === 7)
+    val lateSlice = existing.filter($"id" % 10 === 5)
+    val dir = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    def probe = Dedup.dedupAgainstIndex(batch, dir, 3, 16, 8, 0.8)
+      .select("id").as[Long].collect().sorted.toSeq
+    def direct(corpus: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupAgainst(batch, corpus, 3, 16, 8, 0.8)
+        .select("id").as[Long].collect().sorted.toSeq
+    try {
+      // build on the initial slice, ingest the rest: probe must equal the
+      // direct cross-corpus dedup over the union
+      Dedup.writeCorpusIndexVersioned(
+        existing.filter($"id" % 10 =!= 5), dir, 3, 16, 8)
+      Dedup.ingestIntoCorpusIndex(lateSlice, dir, 1L, 3, 16, 8)
+      val p1 = probe
+      assert(p1 == direct(existing), "build+ingest must equal direct dedupAgainst")
+      // crash-replay of batch 1: identical contents, identical probe
+      Dedup.ingestIntoCorpusIndex(lateSlice, dir, 1L, 3, 16, 8)
+      assert(probe == p1)
+      // compaction: epoch swap, probe-identical, superseded epoch gone
+      assert(Dedup.compactCorpusIndex(spark, dir) == 1)
+      assert(probe == p1, "probe must be identical across compaction")
+      assert(!new java.io.File(s"$dir/hashes").exists())
+      assert(spark.read.parquet(s"$dir/bands_e1")
+        .select("batch").distinct().count() == 1)
+      // physical deletion: post-delete probe == probing an index of the
+      // SURVIVORS (band keys and shingles are per-doc — exact equality)
+      val victims = existing.filter($"id" % 10 === 3).select($"id")
+      assert(Dedup.deleteFromCorpusIndex(spark, dir, victims) == 2)
+      val post = probe
+      assert(post == direct(existing.filter($"id" % 10 =!= 3)),
+        "delete must equal a survivors-only corpus")
+      // the victims' bytes are GONE from all three views
+      val vset = victims.as[Long].collect().toSet
+      assert(spark.read.parquet(s"$dir/hashes_e2")
+        .filter($"id".isin(vset.toSeq: _*)).count() == 0)
+      assert(spark.read.parquet(s"$dir/bands_e2")
+        .filter($"id".isin(vset.toSeq: _*)).count() == 0)
+      assert(spark.read.parquet(s"$dir/shingles_e2")
+        .filter($"id".isin(vset.toSeq: _*)).count() == 0)
+      // idempotent: re-running the same delete is a no-op rewrite
+      assert(Dedup.deleteFromCorpusIndex(spark, dir, victims) == 3)
+      assert(probe == post)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("deleteFromCorpusIndex refuses the flat (id-less hashes) layout") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-flat").toString
+    try {
+      Dedup.writeCorpusIndex(docs, dir, 3, 16, 8)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.deleteFromCorpusIndex(spark, dir, Seq(1L).toDF("id"))
+      }
+      assert(e.getMessage.contains("writeCorpusIndexVersioned"))
+    } finally graft.CacheScope.drain()
+  }
+
+  test("appendToCorpusIndex refuses a compacted (epoch > 0) index") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-app").toString
+    try {
+      Dedup.writeCorpusIndexVersioned(docs, dir, 3, 16, 8)
+      assert(Dedup.compactCorpusIndex(spark, dir) == 1)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToCorpusIndex(Seq((3L, "five six seven eight"))
+          .toDF("id", "text"), dir, 3, 16, 8)
+      }
+      assert(e.getMessage.contains("ingestIntoCorpusIndex"))
+    } finally graft.CacheScope.drain()
+  }
+
   test("SNM second pass catches a near-dup the text-order pass sorts apart") {
     // P and Q share 5 of P's 6 shingles (J = 5/6) but P leads with 'zzz'
     // and Q with 'alpha' — in raw text order 10 filler docs sit between
