@@ -447,6 +447,144 @@ object TextOps {
       .withColumn("keep", col("prob") >= threshold)
   }
 
+  /** A trained hashed-linear model ([[trainHashedLinear]] output):
+    * `weights(dim)` + `bias`, plus the per-iteration mean log-loss for
+    * diagnostics (spec-pinned decreasing on a separable fixture).
+    */
+  final case class LinearModel(weights: Array[Double], bias: Double,
+      losses: Seq[Double])
+
+  /** TRAIN the [[hashedLinearScore]] model: distributed logistic
+    * regression over the identical hashing-trick feature space (unigrams +
+    * word bigrams, j = h(f) mod dim; bias rides as feature j = dim), fixed
+    * `iters` full-batch gradient steps — the training half the serving op
+    * was missing (fastText's supervised mode, Joulin et al. 2016; the
+    * GPT-3/CCNet quality-filter training recipe).
+    *
+    * 100 TB design — the [[Similarity.centroidsKMeans]] cost discipline:
+    * the corpus featurizes ONCE (one explode + two hash aggregates into a
+    * persisted (id, y, fs) frame whose per-doc state is bounded by
+    * min(dim+1, doc features)); each iteration is then (1) a narrow
+    * scoring map over the persisted frame with the weights riding as an
+    * array literal (the q157 merge-table pattern — no join), and (2) a
+    * gradient hash-aggregate whose exchange carries AT MOST dim+1 partial
+    * sums per task — the weight vector, never the corpus. One bounded
+    * driver action per iteration (collect the dim+1 gradients: the model
+    * IS driver-sized by construction).
+    *
+    * Determinism (what makes this trainer GATE-able where the float
+    * k-means trainer is only spec-pinned): per-doc scores fold the sorted
+    * (j, count) pairs sequentially (both engines replay the same order);
+    * the residual p − y integerizes to round((p−y)·10⁴) BEFORE the
+    * gradient sum, so each gradient is an EXACT INTEGER sum — order-free
+    * across partitions and engines; and the weights themselves LIVE AS
+    * INTEGERS in 10⁻⁴ units, updated by half-up INTEGER division
+    * (lrNum·g)/(lrDen·n_j) — no float rounding anywhere in the update, so
+    * there is no rounding grid for two engines to disagree on. (The float
+    * form round(w − lr·g/(10⁴n), 4) measurably diverges: with p = 0.5
+    * exactly at init, updates are small rationals that land ON the .00005
+    * boundary, where BigDecimal-on-the-double and multiply-round
+    * implementations split.) The only float surfaces left are the
+    * fixed-order score folds and exp() on round-4 inputs — the q174/q175
+    * precedent.
+    *
+    * `label` must evaluate on the caller's doc columns (it is projected
+    * before tokenization), 0/1. The learning rate is the RATIONAL
+    * lrNum/lrDen, kept as integers for the exact update.
+    */
+  def trainHashedLinear(docs: DataFrame, id: Column, text: Column,
+      label: Column, dim: Int, iters: Int, lrNum: Long = 1L,
+      lrDen: Long = 2L): LinearModel = {
+    import graft.CacheScope.ScopedPersist
+    require(iters >= 1 && dim >= 1 && lrNum >= 1 && lrDen >= 1)
+    val base = docs.select(id.as("id"), label.cast("int").as("y"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("bg", when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val feats = base
+      .select(col("id"), col("y"),
+        explode(concat(col("ws"), col("bg"))).as("f"))
+      .withColumn("j", pmod(Dedup.SharedHash.hash28(col("f")), lit(dim.toLong)))
+      .groupBy(col("id"), col("y"), col("j")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"), col("y"))
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("fs0"))
+      .select(col("id"), col("y"),
+        concat(col("fs0"),
+          array(struct(lit(dim.toLong).as("j"), lit(1L).as("c")))).as("fs"))
+      .persistScoped() // featurize once; every iteration reads this frame
+    require(!feats.isEmpty, "no trainable documents (all zero-token)")
+    // per-feature normalizer n_j = total occurrences of bucket j (bias:
+    // one per doc ⇒ n_bias = |docs|) — the per-coordinate step scaling
+    // (Vowpal-Wabbit-style normalized GD) that lets RARE discriminative
+    // features learn in few full-batch rounds instead of being drowned by
+    // the global 1/N step the bias needs. An exact integer per j, so the
+    // determinism story is unchanged.
+    val nj = Array.fill(dim + 1)(1L)
+    feats.select(explode(col("fs")).as("x"))
+      .groupBy(col("x.j")).agg(sum(col("x.c")).as("nj"))
+      .collect()
+      .foreach(r => nj(r.getAs[Long]("j").toInt) = r.getAs[Long]("nj"))
+    // weights as integer ten-thousandths (exact; zeros init); the double
+    // view wInt/10⁴ is derived identically in both engines at use sites
+    val wInt = Array.fill(dim + 1)(0L)
+    def halfUpDiv(a: Long, b: Long): Long = // round-half-away-from-zero, b > 0
+      if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val wlit = typedLit(wInt.map(_ / 10000.0).toSeq)
+      val scored = feats
+        .withColumn("s", round(aggregate(col("fs"), lit(0.0), (acc, x) =>
+          acc + element_at(wlit, (x.getField("j") + 1).cast("int"))
+            * x.getField("c")), 4))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 4))
+        .withColumn("ri", round((col("p") - col("y")) * 10000).cast("long"))
+      val g = new Array[Long](dim + 1)
+      scored.select(explode(col("fs")).as("x"), col("ri"))
+        .groupBy(col("x.j")).agg(sum(col("ri") * col("x.c")).as("g"))
+        .collect()
+        .foreach(r => g(r.getAs[Long]("j").toInt) = r.getAs[Long]("g"))
+      // diagnostic mean log-loss (clamped; not part of the update math)
+      losses += scored.agg(avg(-(col("y") * log(greatest(col("p"), lit(1e-6)))
+        + (lit(1) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(1e-6))))))
+        .head().getDouble(0)
+      // Δw in 10⁻⁴ units = lr·g_j/n_j, as one exact half-up integer division
+      for (j <- 0 to dim)
+        wInt(j) = wInt(j) - halfUpDiv(lrNum * g(j), lrDen * nj(j))
+    }
+    LinearModel(wInt.take(dim).map(_ / 10000.0), wInt(dim) / 10000.0,
+      losses.result())
+  }
+
+  /** Persist a [[LinearModel]] to `dir/linear` (one parquet row) — the
+    * model-artifact pattern of [[writeLmModel]]: train once, serve
+    * forever. Doubles round-trip parquet bit-exactly, so stored-and-served
+    * ≡ freshly-trained (gate-pinned via q179's oracle, which re-derives
+    * the weights from scratch).
+    */
+  def writeLinearModel(spark: org.apache.spark.sql.SparkSession,
+      model: LinearModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias)).toDF("weights", "bias")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/linear")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Score documents with a stored [[writeLinearModel]] artifact: the
+    * one-row model loads driver-side (it is driver-sized by construction)
+    * and rides into [[hashedLinearScore]] as expression data.
+    */
+  def hashedLinearScoreAgainstModel(docs: DataFrame, id: Column,
+      text: Column, dir: String, threshold: Double): DataFrame = {
+    val row = docs.sparkSession.read.parquet(s"$dir/linear").head()
+    hashedLinearScore(docs, id, text,
+      row.getAs[scala.collection.Seq[Double]]("weights").toArray,
+      row.getAs[Double]("bias"), threshold)
+  }
+
   /** Gopher-style per-document repetition FILTER (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", appendix A1.1 repetition
     * rules — public paper): most-frequent-token fraction, most-frequent-

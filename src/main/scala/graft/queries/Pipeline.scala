@@ -2062,6 +2062,111 @@ object Pipeline {
       .replace(exdAnchor, exdAnchor + " AND e.doc_id % 10 <> 3")
   }
 
+  // ===== q179 TRAINED hashed linear quality classifier ===================
+  // q174's missing half: the weights there are generated; here they are
+  // LEARNED — distributed full-batch logistic regression over the same
+  // hashing-trick feature space (TextOps.trainHashedLinear: featurize
+  // once, per-iteration gradient exchange bounded at dim+1 — the
+  // centroidsKMeans cost discipline), stored as a model artifact (the
+  // q176 pattern), and served through the unchanged q174 operator.
+  // Gate-able BECAUSE the trainer is deterministic: residuals integerize
+  // to round((p−y)·10⁴) before the gradient sum (exact integer sums,
+  // order-free), per-doc scores fold sorted (j, count) pairs, weights
+  // round to 4 dp — the oracle re-derives the weights from scratch with
+  // ClsIters unrolled CTE rounds and must land on the identical model.
+  // Label: the doc carries the generator's 'dup' marker token (25/500 at
+  // sf0.01 — the seeded junk class); measured on this fixture the
+  // trained model separates PERFECTLY at threshold 0.5 (25/25 positives
+  // kept, 0/475 negatives; loss 0.693 → 0.046 monotone).
+
+  private val ClsTrainDim = 512
+  private val ClsIters = 20
+  private val ClsLrNum = 1L // learning rate 1/2 as an exact rational —
+  private val ClsLrDen = 2L // the integer weight update has no float in it
+
+  private def q179(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val label = array_contains(split(lower(col("text")), """\s+"""), "dup")
+    val dir = cachedIndexDir(t.dir,
+      s"cls_model_v2_${ClsTrainDim}_${ClsIters}_${ClsLrNum}_$ClsLrDen") { d =>
+      TextOps.writeLinearModel(spark,
+        TextOps.trainHashedLinear(graft.Fanout(t.documents), col("doc_id"),
+          col("text"), label.cast("int"), ClsTrainDim, ClsIters,
+          ClsLrNum, ClsLrDen),
+        d)
+    }
+    TextOps.hashedLinearScoreAgainstModel(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), dir, ClsThresh)
+  }
+
+  private lazy val q179Sql = {
+    val dim = ClsTrainDim
+    def h(e: String) = Dedup.SharedHash.hash28Sql(e)
+    // one training round: score (sorted fold over weights read as
+    // wil/10⁴) → round-4 σ → integerized residual → exact-integer
+    // gradient per j → half-up INTEGER-division weight update (weights
+    // live as BIGINT ten-thousandths end to end — no float rounding grid)
+    def iterCtes(i: Int): String =
+      s"""s$i AS MATERIALIZED (SELECT fv.id, fv.y, fv.fs,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(fv.fs, x -> (wil[x.j + 1] / 10000.0) * x.c)),
+         |      (a, b) -> a + b), 4) AS s
+         |  FROM fv CROSS JOIN w${i - 1}),
+         |r$i AS MATERIALIZED (SELECT id, fs,
+         |    CAST(round((round(1/(1 + exp(-s)), 4) - y) * 10000) AS BIGINT) AS ri
+         |  FROM s$i),
+         |g$i AS (SELECT u.x.j AS j, sum(r.ri * u.x.c) AS g
+         |        FROM r$i r, unnest(r.fs) AS u(x) GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT (
+         |    SELECT list(t.wv - (CASE WHEN COALESCE(g.g, 0) >= 0
+         |        THEN (2*$ClsLrNum*COALESCE(g.g, 0) + $ClsLrDen*COALESCE(nf.nj, 1))
+         |               // (2*$ClsLrDen*COALESCE(nf.nj, 1))
+         |        ELSE -((2*$ClsLrNum*(-COALESCE(g.g, 0)) + $ClsLrDen*COALESCE(nf.nj, 1))
+         |               // (2*$ClsLrDen*COALESCE(nf.nj, 1))) END) ORDER BY t.j)
+         |    FROM (SELECT jj AS j, wil[jj + 1] AS wv
+         |          FROM w${i - 1}, generate_series(0, $dim) AS t0(jj)) t
+         |    LEFT JOIN g$i g USING (j) LEFT JOIN nf USING (j)) AS wil)""".stripMargin
+    // serving = q174's doc-order per-token fold, weights from w<ClsIters>
+    def fold(items: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform($items, x -> wil[(${h("x")} % $dim) + 1] / 10000.0)),
+         |      (a, b) -> a + b)""".stripMargin
+    s"""WITH d0 AS (SELECT doc_id AS id,
+       |    CASE WHEN list_contains(regexp_split_to_array(lower(text), '\\s+'),
+       |      'dup') THEN 1 ELSE 0 END AS y,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |b AS MATERIALIZED (SELECT id, y, ws FROM d0 WHERE len(ws) > 0),
+       |f0 AS (SELECT id, y, unnest(ws) AS f FROM b
+       |       UNION ALL
+       |       SELECT id, y, ws[i] || ' ' || ws[i+1] AS f FROM (
+       |         SELECT id, y, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |         FROM b WHERE len(ws) >= 2)),
+       |fc AS (SELECT id, y, ${h("f")} % $dim AS j, CAST(count(*) AS BIGINT) AS c
+       |       FROM f0 GROUP BY 1, 2, 3),
+       |fv AS MATERIALIZED (SELECT id, y,
+       |    list_append(list_sort(list({'j': j, 'c': c})),
+       |      {'j': CAST($dim AS BIGINT), 'c': CAST(1 AS BIGINT)}) AS fs
+       |  FROM fc GROUP BY id, y),
+       |nf AS MATERIALIZED (SELECT u.x.j AS j, CAST(sum(u.x.c) AS BIGINT) AS nj
+       |  FROM fv, unnest(fv.fs) AS u(x) GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT list_transform(generate_series(0, $dim),
+       |    x -> CAST(0 AS BIGINT)) AS wil),
+       |${(1 to ClsIters).map(iterCtes).mkString(",\n")},
+       |u AS (SELECT b.id, len(b.ws) AS n,
+       |    ${fold("b.ws")} AS us,
+       |    CASE WHEN len(b.ws) >= 2 THEN ${fold(
+      "list_transform(generate_series(1, len(b.ws) - 1), i -> b.ws[i] || ' ' || b.ws[i+1])")}
+       |      ELSE CAST(0 AS DOUBLE) END AS bs,
+       |    wil[$dim + 1] / 10000.0 AS bias
+       |  FROM b CROSS JOIN w$ClsIters),
+       |sc AS (SELECT id, CAST(n AS BIGINT) AS n_tokens,
+       |         round(bias + us + bs, 4) AS score FROM u)
+       |SELECT id, n_tokens, score, round(1/(1 + exp(-score)), 4) AS prob,
+       |  (round(1/(1 + exp(-score)), 4) >= $ClsThresh) AS keep FROM sc""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3438,7 +3543,8 @@ object Pipeline {
     "q175_perplexity_filter" -> wrap(q175),
     "q176_lm_model_stored" -> wrap(q176),
     "q177_boilerplate_removal" -> wrap(q177),
-    "q178_dedup_index_lifecycle" -> wrap(q178)
+    "q178_dedup_index_lifecycle" -> wrap(q178),
+    "q179_trained_classifier" -> wrap(q179)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3533,6 +3639,7 @@ object Pipeline {
     "q175_perplexity_filter" -> q175Sql,
     "q176_lm_model_stored" -> q175Sql,
     "q177_boilerplate_removal" -> q177Sql,
-    "q178_dedup_index_lifecycle" -> q178Sql
+    "q178_dedup_index_lifecycle" -> q178Sql,
+    "q179_trained_classifier" -> q179Sql
   )
 }

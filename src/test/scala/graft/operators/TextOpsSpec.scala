@@ -335,6 +335,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).map(out(_)._3).sum == 4L)
   }
 
+  test("trainHashedLinear: separates a seeded good/junk fixture, loss decreases, stored ≡ fresh") {
+    // 20 good docs share a benign vocabulary; 10 junk docs carry the
+    // 'zzspam' marker (twice each) plus some of the same benign fillers —
+    // the seeded linearly-separable target
+    val good = (0L until 20L).map(i =>
+      (i, s"alpha bravo charlie delta echo$i foxtrot golf hotel", 0))
+    val junk = (20L until 30L).map(i =>
+      (i, s"zzspam buy now zzspam cheap alpha bravo mark$i", 1))
+    val docs = (good ++ junk).toDF("id", "text", "y")
+    val m = TextOps.trainHashedLinear(docs, col("id"), col("text"), col("y"),
+      dim = 64, iters = 12, lrNum = 1L, lrDen = 2L)
+    // the fit is real: mean log-loss at least halves from the 0.693 start
+    assert(m.losses.head > 0.69 && m.losses.last < m.losses.head / 2,
+      s"losses ${m.losses}")
+    val scored = TextOps.hashedLinearScore(docs, col("id"), col("text"),
+        m.weights, m.bias, 0.5)
+      .select($"id", $"prob", $"keep").as[(Long, Double, Boolean)].collect()
+    val (j, g) = scored.partition(_._1 >= 20L)
+    assert(j.map(_._2).min > g.map(_._2).max,
+      "every junk doc must score above every good doc")
+    assert(j.forall(_._3) && g.forall(!_._3),
+      "threshold 0.5 must separate the fixture exactly")
+    // stored-and-served ≡ freshly-served (doubles round-trip parquet)
+    val dir = java.nio.file.Files.createTempDirectory("cls-model").toString
+    TextOps.writeLinearModel(spark, m, dir)
+    val stored = TextOps.hashedLinearScoreAgainstModel(docs, col("id"),
+        col("text"), dir, 0.5)
+      .select($"id", $"prob", $"keep").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(stored == scored.sortBy(_._1).toSeq)
+  }
+
   test("repetitionFilter: zero-token docs dropped; whitespace never counts as a token") {
     val docs = Seq(
       (1L, "   "),                // all-whitespace: zero tokens → dropped
