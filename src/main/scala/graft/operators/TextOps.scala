@@ -30,6 +30,13 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** The byte-level trainer's pre-tokenizer: the same letter-run /
+    * digit-run / single-punctuation split, UNICODE-aware (`\p{L}`/`\p{N}`
+    * — identical classes in Java regex and RE2), so a non-ASCII letter
+    * stays inside its word run and only its BYTES split below it.
+    */
+  val byteLevelTokenPattern = """[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"""
+
   /** Per-language stopword alternations for the n-gram/stopword language-ID
     * heuristic. `zh` is detected by CJK codepoint presence instead.
     */
@@ -140,19 +147,60 @@ object TextOps {
     * list_reduce over singleton lists).
     */
   def bpeMerges(docs: DataFrame, text: Column, rounds: Int,
-      requireFull: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
+      requireFull: Boolean = false): DataFrame =
+    bpeMergeLoop(
+      docs
+        .select(text.as("__t"))
+        .select(explode(expr(
+          "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+          col("n")),
+      rounds, requireFull)
+
+  /** BYTE-LEVEL BPE vocabulary induction — the production tokenizer
+    * boundary (GPT-2, Llama): pre-tokenize with the regex splitter
+    * ([[byteLevelTokenPattern]] — unicode letter runs, digit runs, single
+    * punctuation)
+    * instead of bare whitespace, and start every token from its UTF-8
+    * BYTES instead of its characters, so any string in any script
+    * tokenizes with a closed 256-symbol base alphabet and no OOV symbol
+    * can ever exist. Symbols are hex byte pairs ("68", "c3", …); a merged
+    * symbol is the concatenation of its parts' hex, so the merge table is
+    * engine-neutral text (the oracle replays `hex()` of the same bytes).
+    * The merge machinery — exact integer pair counts, (cnt desc, sym_a,
+    * sym_b) argmax, greedy left-to-right fold — is [[bpeMerges]]'s own
+    * loop, shared verbatim.
+    */
+  def bpeMergesByteLevel(docs: DataFrame, text: Column, rounds: Int,
+      requireFull: Boolean = false): DataFrame =
+    bpeMergeLoop(
+      docs
+        .select(text.as("__t"))
+        .select(explode(regexp_extract_all(lower(col("__t")),
+          lit(byteLevelTokenPattern), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        // hex(w) = hex of the word's UTF-8 bytes (Spark hex-of-string
+        // semantics, uppercase — DuckDB's hex(varchar) matches both);
+        // symbols = its 2-char slices
+        .select(expr(
+          """transform(sequence(1, length(hex(w)) div 2),
+            |  i -> substring(hex(w), 2 * i - 1, 2))""".stripMargin).as("syms"),
+          col("n")),
+      rounds, requireFull)
+
+  /** The shared BPE merge-round loop over a (syms, n) word-frequency
+    * table — see [[bpeMerges]] for the scale/determinism contract. Both
+    * the char-level and byte-level trainers end here, so their merge
+    * semantics are identical by construction.
+    */
+  private def bpeMergeLoop(wc0: DataFrame, rounds: Int,
+      requireFull: Boolean): DataFrame = {
+    val spark = wc0.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var wc = docs
-      .select(text.as("__t"))
-      .select(explode(expr(
-        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
-        col("n"))
-      .localCheckpoint()
+    var wc = wc0.localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false

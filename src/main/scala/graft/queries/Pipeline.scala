@@ -2167,6 +2167,30 @@ object Pipeline {
        |  (round(1/(1 + exp(-score)), 4) >= $ClsThresh) AS keep FROM sc""".stripMargin
   }
 
+  // ===== q180 byte-level BPE vocabulary induction =========================
+  // q156's production-boundary twin (TextOps.bpeMergesByteLevel): GPT-2/
+  // Llama-style byte-level training — regex pre-tokenization (letter
+  // runs, digit runs, single punctuation) and a closed 256-symbol UTF-8
+  // byte alphabet (hex pairs), so no string in any script can ever be
+  // OOV. The merge loop is bpeMerges's own (shared code); the oracle is
+  // q156's unrolled CTE chain with only wc0 swapped to the byte-level
+  // symbolization — DuckDB's hex(varchar) IS Spark's hex-of-string
+  // (uppercase hex of the UTF-8 bytes).
+
+  private def q180(t: Tables): DataFrame =
+    TextOps.bpeMergesByteLevel(graft.Fanout(t.documents), col("text"),
+      BpeRounds, requireFull = true)
+
+  // lazy: bpeWc0ByteLevel/bpeCteChain are declared later in the file and
+  // object vals initialize in declaration order (the q172Sql lesson)
+  private lazy val q180Sql = {
+    val sel = (1 to BpeRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = false, bpeWc0ByteLevel)}
+       |$sel""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -2447,7 +2471,8 @@ object Pipeline {
     * `applyLast` controls whether round N's merge is applied (the trainer
     * output doesn't need it, the tokenizer does).
     */
-  private def bpeCteChain(rounds: Int, applyLast: Boolean): String = {
+  private def bpeCteChain(rounds: Int, applyLast: Boolean,
+      wc0Body: String = bpeWc0WordLevel): String = {
     def pickCte(i: Int): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT a, b, cnt FROM (
@@ -2468,12 +2493,27 @@ object Pipeline {
       pickCte(i) + (if (i < rounds || applyLast) ",\n" + applyCte(i) else ""))
       .mkString(",\n")
     s"""wc0 AS MATERIALIZED (
-       |  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, n FROM (
-       |    SELECT w, count(*) AS n FROM (
-       |      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-       |        x -> len(x) > 0)) AS w FROM documents) GROUP BY w)),
+       |$wc0Body),
        |$roundsSql""".stripMargin
   }
+
+  /** q156/q157's word-level wc0: whitespace words → character symbols. */
+  private val bpeWc0WordLevel =
+    """  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, n FROM (
+      |    SELECT w, count(*) AS n FROM (
+      |      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> len(x) > 0)) AS w FROM documents) GROUP BY w)""".stripMargin
+
+  /** q180's byte-level wc0: regex pre-tokens → hex-pair UTF-8 byte
+    * symbols (DuckDB hex(varchar) = hex of the UTF-8 bytes, uppercase —
+    * Spark's hex-of-string semantics exactly).
+    */
+  private val bpeWc0ByteLevel =
+    s"""  SELECT w, list_transform(generate_series(1, len(hex(w)) // 2),
+       |      i -> hex(w)[2*i - 1:2*i]) AS syms, n FROM (
+       |    SELECT w, count(*) AS n FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '${TextOps.byteLevelTokenPattern}'))
+       |        AS w FROM documents) GROUP BY w)""".stripMargin
 
   private val q156Sql = {
     val sel = (1 to BpeRounds).map(i =>
@@ -3544,7 +3584,8 @@ object Pipeline {
     "q176_lm_model_stored" -> wrap(q176),
     "q177_boilerplate_removal" -> wrap(q177),
     "q178_dedup_index_lifecycle" -> wrap(q178),
-    "q179_trained_classifier" -> wrap(q179)
+    "q179_trained_classifier" -> wrap(q179),
+    "q180_bpe_byte_level" -> wrap(q180)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3640,6 +3681,7 @@ object Pipeline {
     "q176_lm_model_stored" -> q175Sql,
     "q177_boilerplate_removal" -> q177Sql,
     "q178_dedup_index_lifecycle" -> q178Sql,
-    "q179_trained_classifier" -> q179Sql
+    "q179_trained_classifier" -> q179Sql,
+    "q180_bpe_byte_level" -> q180Sql
   )
 }

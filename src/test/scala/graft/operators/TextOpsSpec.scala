@@ -335,6 +335,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L).map(out(_)._3).sum == 4L)
   }
 
+  test("bpeMergesByteLevel: UTF-8 byte base alphabet; non-ASCII chars span two symbols") {
+    // héllo = bytes 68 C3 A9 6C 6C 6F — the é is TWO base symbols, which
+    // is the whole point of byte-level: no codepoint can be OOV
+    val docs = Seq((1L, "héllo héllo héllo world"), (2L, "héllo world"))
+      .toDF("id", "text")
+    val m = TextOps.bpeMergesByteLevel(docs, col("text"), 3,
+        requireFull = true)
+      .orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect()
+    // round 1: héllo's five adjacent pairs all tie at cnt 4 (world's at
+    // 2); lexicographic tiebreak on (sym_a, sym_b) picks ("68", "C3")
+    assert(m(0) == ((1L, "68", "C3", 4L)))
+    // round 2: the merged "68C3" sorts before "6C"/"A9"/"C3" → its pair
+    // with the é's continuation byte wins next
+    assert(m(1) == ((2L, "68C3", "A9", 4L)))
+    assert(m.length == 3)
+  }
+
   test("trainHashedLinear: separates a seeded good/junk fixture, loss decreases, stored ≡ fresh") {
     // 20 good docs share a benign vocabulary; 10 junk docs carry the
     // 'zzspam' marker (twice each) plus some of the same benign fillers —
