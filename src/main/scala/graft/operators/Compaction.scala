@@ -71,6 +71,29 @@ object Compaction {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Number of sealed `batch=<id>` directories in the CURRENT epoch of a
+    * versioned index component — the signal the compact-when-needed
+    * helpers (compactIvfIndexIfNeeded and siblings) threshold on. Batch
+    * directories accrete one per ingest until file listing dominates
+    * probe cost; nothing previously decided WHEN to compact. The flat
+    * (unversioned) layout has no batch level and reports 0.
+    *
+    * Consult pattern for streaming ingest drivers: call the family's
+    * `compact*IfNeeded(spark, dir, maxBatches)` AFTER the producer's
+    * checkpoint has committed the batch (foreachBatch returns → commit),
+    * e.g. from a separate maintenance tick — never inside the uncommitted
+    * batch itself, or a crash-replay would re-land a batch compaction
+    * already folded away (the replay-horizon contract of
+    * [[Similarity.compactIvfIndex]]).
+    */
+  def batchCount(spark: SparkSession, dir: String, name: String): Int = {
+    val p = new Path(epochPath(dir, name, currentEpoch(spark, dir)))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
   /** Partitioned overwrite that stays READABLE when `df` is empty: a
     * `partitionBy` write of zero rows emits no part files and no partition
     * directories at all, so a later `spark.read.parquet` of the path fails

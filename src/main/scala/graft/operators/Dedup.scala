@@ -591,6 +591,20 @@ object Dedup {
     e + 1
   }
 
+  /** Auto-compaction trigger for the dedup index — compact only when the
+    * current epoch holds more than `maxBatches` sealed batch directories
+    * (thresholds on the bands store — the probe's DPP-pruned view, where
+    * listing cost bites first). Same consult pattern and replay-horizon
+    * contract as [[Compaction.batchCount]].
+    *
+    * @return the new epoch, or None when under threshold (no-op)
+    */
+  def compactCorpusIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "bands") > maxBatches)
+      Some(compactCorpusIndex(spark, dir))
+    else None
+
   /** Physically DELETE documents from a stored dedup index — the erasure
     * op the BM25/IVF/PQ families already have, owed here just as much:
     * the index stores text hashes and shingle arrays, i.e. DERIVED

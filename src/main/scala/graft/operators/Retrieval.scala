@@ -281,6 +281,19 @@ object Retrieval {
     e + 1
   }
 
+  /** Auto-compaction trigger — [[Similarity.compactIvfIndexIfNeeded]]'s
+    * lexical sibling: compact only when the current epoch holds more than
+    * `maxBatches` sealed batch directories. Same consult pattern and
+    * replay-horizon contract ([[Compaction.batchCount]]).
+    *
+    * @return the new epoch, or None when under threshold (no-op)
+    */
+  def compactBm25IndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "lists") > maxBatches)
+      Some(compactBm25Index(spark, dir))
+    else None
+
   /** Physically DELETE documents from a stored BM25 index — the lexical
     * [[Similarity.deleteFromIvfIndex]]: rewrite the current epoch's
     * postings WITHOUT the given doc ids (anti-join rewrite, bytes gone —

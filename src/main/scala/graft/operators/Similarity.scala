@@ -422,6 +422,20 @@ object Similarity {
     e + 1
   }
 
+  /** Auto-compaction trigger: run [[compactIvfIndex]] only when the
+    * current epoch holds more than `maxBatches` sealed batch directories
+    * ([[Compaction.batchCount]]) — the threshold helper ingest drivers
+    * consult after their checkpoint commits (see the consult pattern on
+    * batchCount; compaction must stay beyond the replay horizon).
+    *
+    * @return the new epoch, or None when under threshold (no-op)
+    */
+  def compactIvfIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "lists") > maxBatches)
+      Some(compactIvfIndex(spark, dir))
+    else None
+
   /** Physically DELETE vectors from a stored IVF index — the
     * right-to-be-forgotten maintenance op: rewrite the current epoch's
     * lists WITHOUT the given ids (an anti-join rewrite, not a tombstone
@@ -682,6 +696,16 @@ object Similarity {
     spark.catalog.refreshByPath(dir)
     e + 1
   }
+
+  /** [[compactIvfIndexIfNeeded]] for the PQ layout (thresholds on the
+    * codes store's batch count; codes and vectors always compact
+    * together).
+    */
+  def compactIvfIndexPQIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "codes") > maxBatches)
+      Some(compactIvfIndexPQ(spark, dir))
+    else None
 
   /** [[deleteFromIvfIndex]] for the PQ layout: the anti-join rewrite
     * applied to BOTH stores — the deleted vectors' CODES and their RAW

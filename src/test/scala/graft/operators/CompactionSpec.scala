@@ -52,6 +52,56 @@ class CompactionSpec extends AnyFunSuite {
     assert(ranges.size >= 4)
   }
 
+  test("auto-compaction trigger: no-op under threshold, compacts past it, probe unchanged") {
+    import spark.implicits._
+    val terms = Seq(
+      (1L, "a", 2L, 3L), (1L, "b", 1L, 3L), (2L, "a", 1L, 1L),
+      (3L, "b", 2L, 3L), (3L, "c", 1L, 3L)
+    ).toDF("id", "term", "tf", "dl")
+    val queries = Seq((10L, "a"), (11L, "b")).toDF("q_id", "term")
+    val dir = Files.createTempDirectory("bm25-auto").toString
+    def probe = Retrieval.bm25AgainstIndex(queries, dir, 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    try {
+      Retrieval.writeBm25IndexVersioned(terms, dir, 4) // batch 0
+      Retrieval.ingestIntoBm25Index(
+        Seq((4L, "a", 1L, 1L)).toDF("id", "term", "tf", "dl"), dir, 1L)
+      Retrieval.ingestIntoBm25Index(
+        Seq((5L, "c", 2L, 2L)).toDF("id", "term", "tf", "dl"), dir, 2L)
+      val before = probe
+      assert(Compaction.batchCount(spark, dir, "lists") == 3)
+      // 3 sealed batches, threshold 3: NOT exceeded — must be a no-op
+      assert(Retrieval.compactBm25IndexIfNeeded(spark, dir, 3).isEmpty)
+      assert(Compaction.currentEpoch(spark, dir) == 0)
+      // threshold 2: exceeded — compacts, epoch advances, probe unchanged
+      assert(Retrieval.compactBm25IndexIfNeeded(spark, dir, 2).contains(1))
+      assert(Compaction.batchCount(spark, dir, "lists") == 1)
+      assert(probe == before, "probe must be identical across auto-compaction")
+      // immediately after: back under any threshold — idempotent no-op
+      assert(Retrieval.compactBm25IndexIfNeeded(spark, dir, 2).isEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("auto-compaction trigger: IVF sibling consults the lists batch count") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = Files.createTempDirectory("ivf-auto").toString
+    def probe = Similarity.ivfTopKAgainstIndex(queries, dir, 2, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    try {
+      Similarity.writeIvfIndexVersioned(emb.filter($"vec_id" % 3 =!= 1), dir, 8)
+      Similarity.ingestIntoIvfIndex(emb.filter($"vec_id" % 3 === 1), dir, 1L)
+      val before = probe
+      assert(Similarity.compactIvfIndexIfNeeded(spark, dir, 2).isEmpty)
+      assert(Similarity.compactIvfIndexIfNeeded(spark, dir, 1).contains(1))
+      assert(Compaction.batchCount(spark, dir, "lists") == 1)
+      assert(probe == before)
+    } finally graft.CacheScope.drain()
+  }
+
   test("z_value16 interleaves bits exactly (a even, b odd)") {
     import graft.functions.NativeKernels.zValue16
     assert(zValue16(0L, 0L) == 0L)
