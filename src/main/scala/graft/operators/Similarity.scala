@@ -588,6 +588,28 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("sv"), col("__best.code").as("code"))
   }
 
+  /** Deterministic coordinate permutation for PQ subspace slicing — the
+    * OPQ-grade recall knob without rotation training (OPQ, Ge et al.
+    * 2013, learns a rotation so each subspace carries balanced variance;
+    * a fixed pseudo-random permutation captures most of that gain when
+    * the hurt comes from CORRELATED ADJACENT dims landing in one
+    * subspace): dims ordered by the engine-neutral multiplicative hash
+    * (d·2654435761) mod 1000003 (ties by d — a total order). Stored in
+    * the index meta, so probes replay it; identity for old indexes.
+    */
+  def pqDimPermutation(dim: Int): Array[Int] =
+    (0 until dim).sortBy(d => ((d.toLong * 2654435761L) % 1000003L, d)).toArray
+
+  /** Apply a stored dim permutation to a vector column (null perm =
+    * identity): out(i) = vec(perm(i)+1).
+    */
+  private def permuteVec(vec: Column, perm: Option[Array[Int]]): Column =
+    perm match {
+      case None => vec
+      case Some(p) =>
+        transform(typedLit(p.toSeq), i => element_at(vec, i + 1))
+    }
+
   /** Build a PQ-compressed stored IVF index (IVFADC + refine layout):
     *
     *  - `centroids/`: the coarse quantizer (as [[writeIvfIndex]]);
@@ -607,15 +629,25 @@ object Similarity {
     * the corpus never shuffles.
     */
   def writeIvfIndexPQ(corpus: DataFrame, dir: String, nCells: Int,
-      mSub: Int, nCodes: Int, trainIters: Int = 3): Unit = {
+      mSub: Int, nCodes: Int, trainIters: Int = 3,
+      permuteDims: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // OPQ-grade knob: codebooks train on (and codes encode) the PERMUTED
+    // coordinates so correlated adjacent dims spread across subspaces;
+    // the perm is stored in meta and replayed by probes/ingest. Coarse
+    // cells and the exact re-rank stay on the RAW vectors (cosine is
+    // permutation-invariant; the raw store is the refine source).
+    val perm = if (permuteDims) Some(pqDimPermutation(dim)) else None
     val cents = centroidsOf(corpus, nCells)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val cbDf = pqCodebooks(corpus, mSub, nCodes, trainIters, dim)
+    val pqTrain = corpus.select(col("vec_id"),
+      permuteVec(col("embedding"), perm).as("embedding"))
+    val cbDf = pqCodebooks(pqTrain, mSub, nCodes, trainIters, dim)
     cbDf.write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((mSub, nCodes, dim / mSub)).toDF("m_sub", "n_codes", "sub_dim")
+    Seq((mSub, nCodes, dim / mSub, perm.map(_.toSeq).getOrElse(Seq.empty[Int])))
+      .toDF("m_sub", "n_codes", "sub_dim", "perm")
       .write.mode("overwrite").parquet(s"$dir/meta")
     val cb = collectCodebooks(cbDf, mSub, nCodes)
     // batch-versioned from the start (the writeIvfIndexVersioned layout):
@@ -623,7 +655,8 @@ object Similarity {
     // [[ingestIntoIvfIndexPQ]] and [[compactIvfIndexPQ]] can epoch-swap
     narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
-      .withColumn("codes", graft.functions.pq_encode(col("embedding"), cb))
+      .withColumn("codes",
+        graft.functions.pq_encode(permuteVec(col("embedding"), perm), cb))
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
     corpus.select(col("vec_id"), col("embedding"))
@@ -654,7 +687,8 @@ object Similarity {
     val e = Compaction.currentEpoch(spark, dir)
     narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
-      .withColumn("codes", graft.functions.pq_encode(col("embedding"), cb))
+      .withColumn("codes", graft.functions.pq_encode(
+        permuteVec(col("embedding"), metaPerm(meta)), cb))
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
@@ -746,6 +780,14 @@ object Similarity {
     e + 1
   }
 
+  /** The stored dim permutation from a meta row — None (identity) for
+    * indexes written before the perm column existed, or with an empty one.
+    */
+  private def metaPerm(meta: org.apache.spark.sql.Row): Option[Array[Int]] =
+    if (!meta.schema.fieldNames.contains("perm")) None
+    else Option(meta.getAs[scala.collection.Seq[Int]]("perm"))
+      .filter(_.nonEmpty).map(_.toArray)
+
   /** Driver-side codebook materialization: cb(m)(code) = cvec. A bounded
     * model artifact (M·nCodes rows), the q157-merge-table pattern.
     */
@@ -813,10 +855,15 @@ object Similarity {
     require(cbRows.count() == mSub.toLong * nCodes,
       s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
         "corrupt or mismatched index")
-    // per-query ADC lookup tables, indexed lut[m·nCodes + code]
-    val luts = queries.crossJoin(broadcast(cbRows))
+    // per-query ADC lookup tables, indexed lut[m·nCodes + code]; the LUT
+    // dot-products run in the PERMUTED coordinate space the codes were
+    // encoded in (identity for indexes built without permuteDims) — the
+    // query norm is permutation-invariant and stays on q_vec
+    val luts = queries
+      .withColumn("__qp", permuteVec(col("q_vec"), metaPerm(meta)))
+      .crossJoin(broadcast(cbRows))
       .select(col("q_id"), col("q_vec"), col("m"), col("code"),
-        expr(s"""aggregate(zip_with(slice(q_vec, m * $subDim + 1, $subDim), cvec,
+        expr(s"""aggregate(zip_with(slice(__qp, m * $subDim + 1, $subDim), cvec,
                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                0D, (a, v) -> a + v)""").as("d"),
         expr("""aggregate(cvec, 0D,

@@ -465,6 +465,57 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("PQ dim permutation (OPQ-grade knob): stored in meta, recall floor holds, ingest replays it") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries01 = emb01.filter(col("vec_id") % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("pq-perm").toString
+    try {
+      // the permutation itself: a total reorder of 0..dim-1
+      val p = Similarity.pqDimPermutation(64)
+      assert(p.sorted.toSeq == (0 until 64) && p.toSeq != (0 until 64),
+        "must be a non-identity permutation")
+      Similarity.writeIvfIndexPQ(emb01, dir, 16, 8, 16, permuteDims = true)
+      assert(spark.read.parquet(s"$dir/meta").head()
+        .getAs[scala.collection.Seq[Int]]("perm").nonEmpty)
+      // recall@10 must hold the existing PQ pin (measured ~0.305 both
+      // with and without the permutation on these embeddings — synthetic
+      // dims are uncorrelated, so the knob must at least not hurt)
+      def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      val exact = topSet(Similarity.bruteForceTopK(queries01, emb01, 10))
+      val approx = topSet(Similarity.ivfTopKAgainstIndexPQ(queries01, dir, 2, 10))
+      val recall = exact.map { case (q, e) =>
+        approx.getOrElse(q, Set.empty).count(e).toDouble / e.size
+      }.sum / exact.size
+      assert(recall >= 0.28, s"permuted-layout recall $recall below the PQ pin")
+    } finally graft.CacheScope.drain()
+  }
+
+  test("PQ dim permutation round-trips through ingest: build+ingest == from-scratch permuted build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("pq-perm-inc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("pq-perm-full").toString
+    def probe(d: String) = Similarity.ivfTopKAgainstIndexPQ(queries, d, 2, 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    try {
+      val initial = emb.filter($"vec_id" < 16 || $"vec_id" % 3 =!= 1)
+      val batch = emb.filter($"vec_id" >= 16 && $"vec_id" % 3 === 1)
+      Similarity.writeIvfIndexPQ(initial, dir, 16, 8, 16, trainIters = 0,
+        permuteDims = true)
+      Similarity.ingestIntoIvfIndexPQ(batch, dir, 1L) // must read the perm
+      Similarity.writeIvfIndexPQ(emb, dirFull, 16, 8, 16, trainIters = 0,
+        permuteDims = true)
+      assert(probe(dir) == probe(dirFull),
+        "ingest must encode with the STORED permutation")
+    } finally graft.CacheScope.drain()
+  }
+
   test("PQ probe: semi-join fallback equals the In-pushdown path") {
     // inListMax = 0 forces the distributed-fallback fetch (offline-rerank
     // path); it must return exactly the serving path's rows — only the
