@@ -425,6 +425,45 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming quality-classifier serving — [[lmScoreIngest]]'s sibling
+    * over a stored [[graft.operators.TextOps.writeLinearModel]] artifact
+    * (the q179 trained model): each micro-batch of (doc_id, text) scores
+    * against the FROZEN one-row model (loaded driver-side, riding as
+    * expression data — scoring stays a zero-shuffle narrow map) and
+    * writes its keep/drop report under `batch=<id>` — overwrite mode, so
+    * a crash-replayed batch re-derives the identical report
+    * (idempotent). The model never retrains online: quality drift is a
+    * retrain-and-swap, not an in-stream update.
+    */
+  def clsScoreIngest(modelDir: String, outDir: String, threshold: Double)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.hashedLinearScoreAgainstModel(batch.toDF(),
+          col("doc_id"), col("text"), modelDir, threshold)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Streaming dedup-index ingestion — [[bm25Ingest]]'s dedup sibling
+    * over a [[graft.operators.Dedup.writeCorpusIndexVersioned]] index:
+    * each micro-batch of (id, text) documents OVERWRITES its own batch
+    * partitions of the three views (hashes/bands/shingles), so a
+    * crash-replayed batch converges to identical index contents. Same
+    * batch-numbering shift as [[annIngest]]: streaming batch N lands in
+    * layout batch N+1 (batch 0 is the offline build). The producer's
+    * maintenance tick consults
+    * [[graft.operators.Dedup.compactCorpusIndexIfNeeded]] AFTER its
+    * checkpoint commits (the replay-horizon contract on
+    * [[graft.operators.Compaction.batchCount]]).
+    */
+  def corpusIndexIngest(indexDir: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Dedup.ingestIntoCorpusIndex(batch.toDF(), indexDir,
+        batchId + 1, n, numHashes, bands)
+    }
+
   /** Streaming BM25 index ingestion — [[annIngest]]'s lexical twin over a
     * [[graft.operators.Retrieval.writeBm25IndexVersioned]] index: each
     * micro-batch of (id, term, tf, dl) postings OVERWRITES its own

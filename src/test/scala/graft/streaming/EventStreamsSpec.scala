@@ -696,6 +696,81 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("clsScoreIngest: streamed docs score against the stored classifier; serving ≡ offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("clsscore").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    val label = array_contains(split(lower(col("text")), """\s+"""), "dup")
+    graft.operators.TextOps.writeLinearModel(spark,
+      graft.operators.TextOps.trainHashedLinear(docs, col("doc_id"),
+        col("text"), label.cast("int"), 64, 8, 1L, 2L),
+      model)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(EventStreams.clsScoreIngest(model, out, 0.5))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("id", "n_tokens", "score", "prob", "keep")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val offline = graft.operators.TextOps.hashedLinearScoreAgainstModel(
+          rows.toDF("doc_id", "text"), col("doc_id"), col("text"), model, 0.5)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch (same batchId dir) re-derives identical scores
+      val sink = EventStreams.clsScoreIngest(model, out, 0.5)
+      sink(b1.toDF("doc_id", "text"), 1)
+      assert(spark.read.parquet(out)
+        .select("id", "n_tokens", "score", "prob", "keep")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
+  test("corpusIndexIngest: streamed docs extend the dedup index; replay leaves it identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("corpus-ing").toString
+    val d = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    val existing = d.filter($"id" % 10 =!= 7)
+    val probeDocs = d.filter($"id" % 10 === 7)
+    def probe = graft.operators.Dedup
+      .dedupAgainstIndex(probeDocs, idx, 3, 16, 8, 0.8)
+      .select("id").as[Long].collect().sorted.toSeq
+    // offline build on the initial slice; stream the late slice in
+    graft.operators.Dedup.writeCorpusIndexVersioned(
+      existing.filter($"id" % 10 =!= 5), idx, 3, 16, 8)
+    val late = existing.filter($"id" % 10 === 5)
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream.foreachBatch(EventStreams.corpusIndexIngest(idx, 3, 16, 8))
+      .outputMode("update").start()
+    try {
+      input.addData(late); q.processAllAvailable()
+      val p1 = probe
+      // streamed build+ingest ≡ the direct cross-corpus dedup
+      assert(p1 == graft.operators.Dedup
+        .dedupAgainst(probeDocs, existing, 3, 16, 8, 0.8)
+        .select("id").as[Long].collect().sorted.toSeq)
+      // crash-replay of the streamed batch: identical index contents
+      val sink = EventStreams.corpusIndexIngest(idx, 3, 16, 8)
+      sink(late.toDF("id", "text"), 0)
+      assert(probe == p1)
+      // maintenance tick: threshold consulted after commit, probe unchanged
+      assert(graft.operators.Dedup
+        .compactCorpusIndexIfNeeded(spark, idx, 1).contains(1))
+      assert(probe == p1)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("bm25DeleteIngest: streamed deletion requests erase docs; replay is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
