@@ -277,6 +277,32 @@ object TextOps {
     v
   }
 
+  /** Persist a learned merge table ([[bpeMerges]]/[[bpeMergesByteLevel]]
+    * output) to `dir/merges` — the model-artifact pattern
+    * ([[writeLmModel]]/[[writeLinearModel]]) applied to the TOKENIZER:
+    * train once, ship the merge list, tokenize forever. The table is
+    * tiny (one row per merge rule) and loads driver-side into the
+    * [[graft.functions.BpeEncodeExpr]] expression data, exactly like a
+    * freshly-trained list — strings round-trip parquet losslessly, so
+    * stored-and-applied ≡ freshly-trained (gate-pinned via q181's
+    * verbatim q157 oracle).
+    */
+  def writeBpeModel(merges: DataFrame, dir: String): Unit = {
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    merges.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Load a [[writeBpeModel]] artifact as the ordered merge list the
+    * appliers ([[bpeVocabTokens]]/[[bpeTokenCounts]]) consume. Bounded
+    * driver action: the merge table IS driver-sized by construction.
+    */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges")
+      .orderBy(col("merge_round"))
+      .collect().map(r =>
+        (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+
   /** Per-document token counts under a learned BPE vocabulary — the
     * data-prep-time application of [[bpeMerges]] (what decides sequence
     * packing, token budgets and mixture weights). Returns (id, n_tokens).

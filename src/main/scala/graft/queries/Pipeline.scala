@@ -2099,7 +2099,15 @@ object Pipeline {
       col("doc_id"), col("text"), dir, ClsThresh)
   }
 
-  private lazy val q179Sql = {
+  /** The trained-classifier oracle generator: unrolled ClsIters training
+    * rounds over the docs matching `trainPred`, serving over the docs
+    * matching `servePred`, finished by `finalSelect` (which sees CTE
+    * `sc(id, n_tokens, score)` and `d0(id, y, ws)`). q179 trains and
+    * serves on everything; q182 trains on the train split and reports the
+    * held-out confusion matrix.
+    */
+  private def clsSql(trainPred: String, servePred: String,
+      finalSelect: String): String = {
     val dim = ClsTrainDim
     def h(e: String) = Dedup.SharedHash.hash28Sql(e)
     // one training round: score (sorted fold over weights read as
@@ -2137,7 +2145,8 @@ object Pipeline {
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |      x -> len(x) > 0) AS ws
        |  FROM documents),
-       |b AS MATERIALIZED (SELECT id, y, ws FROM d0 WHERE len(ws) > 0),
+       |b AS MATERIALIZED (SELECT id, y, ws FROM d0
+       |  WHERE len(ws) > 0 AND ($trainPred)),
        |f0 AS (SELECT id, y, unnest(ws) AS f FROM b
        |       UNION ALL
        |       SELECT id, y, ws[i] || ' ' || ws[i+1] AS f FROM (
@@ -2154,18 +2163,84 @@ object Pipeline {
        |w0 AS MATERIALIZED (SELECT list_transform(generate_series(0, $dim),
        |    x -> CAST(0 AS BIGINT)) AS wil),
        |${(1 to ClsIters).map(iterCtes).mkString(",\n")},
-       |u AS (SELECT b.id, len(b.ws) AS n,
-       |    ${fold("b.ws")} AS us,
-       |    CASE WHEN len(b.ws) >= 2 THEN ${fold(
-      "list_transform(generate_series(1, len(b.ws) - 1), i -> b.ws[i] || ' ' || b.ws[i+1])")}
+       |sv AS (SELECT id, y, ws FROM d0 WHERE len(ws) > 0 AND ($servePred)),
+       |u AS (SELECT sv.id, len(sv.ws) AS n,
+       |    ${fold("sv.ws")} AS us,
+       |    CASE WHEN len(sv.ws) >= 2 THEN ${fold(
+      "list_transform(generate_series(1, len(sv.ws) - 1), i -> sv.ws[i] || ' ' || sv.ws[i+1])")}
        |      ELSE CAST(0 AS DOUBLE) END AS bs,
        |    wil[$dim + 1] / 10000.0 AS bias
-       |  FROM b CROSS JOIN w$ClsIters),
+       |  FROM sv CROSS JOIN w$ClsIters),
        |sc AS (SELECT id, CAST(n AS BIGINT) AS n_tokens,
        |         round(bias + us + bs, 4) AS score FROM u)
-       |SELECT id, n_tokens, score, round(1/(1 + exp(-score)), 4) AS prob,
-       |  (round(1/(1 + exp(-score)), 4) >= $ClsThresh) AS keep FROM sc""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private lazy val q179Sql = clsSql("TRUE", "TRUE",
+    s"""SELECT id, n_tokens, score, round(1/(1 + exp(-score)), 4) AS prob,
+       |  (round(1/(1 + exp(-score)), 4) >= $ClsThresh) AS keep FROM sc""".stripMargin)
+
+  // ===== q181 stored BPE tokenizer artifact ===============================
+  // The model-artifact pattern (q176 stored LM, q179 stored classifier)
+  // applied to the TOKENIZER: q157 re-trains the merge table on every
+  // call; production ships the merge list once and tokenizes forever.
+  // Train → writeBpeModel (one tiny parquet) → loadBpeMerges →
+  // bpeTokenCounts. Strings round-trip parquet losslessly, so
+  // stored-and-applied must equal freshly-trained: q157's oracle applies
+  // VERBATIM — the tokenizer-integrity contract as a hash check.
+
+  private def q181(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, s"bpe_model_v1_$BpeRounds") { d =>
+      TextOps.writeBpeModel(
+        TextOps.bpeMerges(graft.Fanout(t.documents), col("text"), BpeRounds,
+          requireFull = true), d)
+    }
+    TextOps.bpeTokenCounts(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), TextOps.loadBpeMerges(spark, dir))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+  }
+
+  // ===== q182 held-out classifier evaluation ==============================
+  // The train/eval closing of the q179 story — what a real filter
+  // pipeline reports BEFORE deployment: train the hashed-linear model on
+  // the doc_id % 3 ≠ 0 split ONLY, serve the held-out % 3 = 0 third, and
+  // report the confusion matrix (label × keep counts). On this fixture
+  // the row does exactly what an eval row exists to do: it CATCHES the
+  // overfit — q179's in-sample fit is perfect, but the fixture's 31-token
+  // shared vocabulary gives the sum-pooled linear model little
+  // generalizable signal beyond the marker token, and the held-out
+  // matrix says so (the spec shows the same protocol reporting full
+  // generalization on a fixture where class signal actually transfers).
+  // Oracle = the q179 chain with trainPred/servePred split and a
+  // confusion-count tail — training leakage would hash-mismatch.
+
+  private def q182(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val label = array_contains(split(lower(col("text")), """\s+"""), "dup")
+    val dir = cachedIndexDir(t.dir,
+      s"cls_eval_model_v1_${ClsTrainDim}_${ClsIters}_${ClsLrNum}_$ClsLrDen") { d =>
+      TextOps.writeLinearModel(spark,
+        TextOps.trainHashedLinear(
+          graft.Fanout(t.documents.filter(col("doc_id") % 3 =!= 0)),
+          col("doc_id"), col("text"), label.cast("int"),
+          ClsTrainDim, ClsIters, ClsLrNum, ClsLrDen),
+        d)
+    }
+    TextOps.hashedLinearScoreAgainstModel(
+        graft.Fanout(t.documents.filter(col("doc_id") % 3 === 0)),
+        col("doc_id"), col("text"), dir, ClsThresh)
+      .join(t.documents.select(col("doc_id").as("id"),
+        label.cast("long").as("label")), "id")
+      .groupBy(col("label"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private lazy val q182Sql = clsSql("id % 3 <> 0", "id % 3 = 0",
+    s"""SELECT CAST(d0.y AS BIGINT) AS label,
+       |  (round(1/(1 + exp(-score)), 4) >= $ClsThresh) AS keep,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM sc JOIN d0 USING (id) GROUP BY 1, 2""".stripMargin)
 
   // ===== q180 byte-level BPE vocabulary induction =========================
   // q156's production-boundary twin (TextOps.bpeMergesByteLevel): GPT-2/
@@ -3585,7 +3660,9 @@ object Pipeline {
     "q177_boilerplate_removal" -> wrap(q177),
     "q178_dedup_index_lifecycle" -> wrap(q178),
     "q179_trained_classifier" -> wrap(q179),
-    "q180_bpe_byte_level" -> wrap(q180)
+    "q180_bpe_byte_level" -> wrap(q180),
+    "q181_bpe_model_stored" -> wrap(q181),
+    "q182_classifier_eval" -> wrap(q182)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3682,6 +3759,9 @@ object Pipeline {
     "q177_boilerplate_removal" -> q177Sql,
     "q178_dedup_index_lifecycle" -> q178Sql,
     "q179_trained_classifier" -> q179Sql,
-    "q180_bpe_byte_level" -> q180Sql
+    "q180_bpe_byte_level" -> q180Sql,
+    // stored-and-applied must equal freshly-trained: q157's oracle verbatim
+    "q181_bpe_model_stored" -> q157Sql,
+    "q182_classifier_eval" -> q182Sql
   )
 }

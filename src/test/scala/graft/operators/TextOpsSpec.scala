@@ -385,6 +385,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stored == scored.sortBy(_._1).toSeq)
   }
 
+  test("trainHashedLinear held-out protocol: generalizes when class signal transfers") {
+    // the q182 protocol on a fixture where the junk signal is shared
+    // across splits (same marker + filler distribution): train on
+    // id % 3 != 0, evaluate the held-out third — separation must carry
+    val docs = (
+      (0L until 30L).map(i =>
+        (i, s"alpha bravo charlie delta echo$i foxtrot golf hotel", 0)) ++
+      (30L until 45L).map(i =>
+        (i, s"zzspam buy now zzspam cheap alpha bravo mark$i", 1))
+    ).toDF("id", "text", "y")
+    val m = TextOps.trainHashedLinear(docs.filter($"id" % 3 =!= 0),
+      col("id"), col("text"), col("y"), dim = 64, iters = 12,
+      lrNum = 1L, lrDen = 2L)
+    val heldOut = TextOps.hashedLinearScore(docs.filter($"id" % 3 === 0),
+        col("id"), col("text"), m.weights, m.bias, 0.5)
+      .select($"id", $"prob", $"keep").as[(Long, Double, Boolean)].collect()
+    val (j, g) = heldOut.partition(_._1 >= 30L)
+    assert(j.nonEmpty && g.nonEmpty)
+    assert(j.map(_._2).min > g.map(_._2).max,
+      "held-out junk must score above held-out good")
+    assert(j.forall(_._3) && g.forall(!_._3),
+      "threshold 0.5 must separate the UNSEEN third exactly")
+  }
+
   test("repetitionFilter: zero-token docs dropped; whitespace never counts as a token") {
     val docs = Seq(
       (1L, "   "),                // all-whitespace: zero tokens → dropped
