@@ -357,7 +357,7 @@ object NativeKernels {
       mAB: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
     val s = word.toString
-    var syms = new Array[UTF8String](math.max(s.length, 1))
+    val syms = new Array[UTF8String](math.max(s.length, 1))
     var n = 0
     var ci = 0
     while (ci < s.length) {
@@ -367,10 +367,44 @@ object NativeKernels {
       n += 1
       ci += w
     }
+    bpeMergeFold(syms, n, mA, mB, mAB)
+  }
+
+  /** Byte-level [[bpeEncode]]: initial symbols are the word's UTF-8 BYTES
+    * as uppercase hex pairs (the [[graft.operators.TextOps.bpeMergesByteLevel]]
+    * symbolization — a closed 256-symbol base alphabet), then the same
+    * exact greedy merge fold.
+    */
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+  def bpeEncodeBytes(word: org.apache.spark.unsafe.types.UTF8String,
+      mA: Array[org.apache.spark.unsafe.types.UTF8String],
+      mB: Array[org.apache.spark.unsafe.types.UTF8String],
+      mAB: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = word.getBytes
+    val syms = new Array[UTF8String](math.max(bytes.length, 1))
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      syms(i) = UTF8String.fromString(
+        new String(Array(HexDigits(v >> 4), HexDigits(v & 0xf))))
+      i += 1
+    }
+    bpeMergeFold(syms, bytes.length, mA, mB, mAB)
+  }
+
+  /** The shared exact greedy left-to-right merge fold (in-place stack with
+    * a write pointer) — char-level and byte-level encoders both end here.
+    */
+  private def bpeMergeFold(
+      syms: Array[org.apache.spark.unsafe.types.UTF8String], n0: Int,
+      mA: Array[org.apache.spark.unsafe.types.UTF8String],
+      mB: Array[org.apache.spark.unsafe.types.UTF8String],
+      mAB: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    var n = n0
     var m = 0
     while (m < mA.length) {
       val a = mA(m); val b = mB(m); val ab = mAB(m)
-      // in-place stack fold with a write pointer
       var w = 0
       var i = 0
       while (i < n) {
@@ -621,7 +655,8 @@ case class Md5WindowsExpr(child: Expression, n: Int) extends UnaryExpression
   * |merges|-deep chained `aggregate` form whose plan depth made production
   * vocabularies (32k merges) unplannable. Bit-identical output (spec-pinned).
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.unsafe.types.UTF8String
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -636,7 +671,9 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     * to this expression, so the merge arrays live once per task, not per
     * generated class.
     */
-  def encode(w: UTF8String): ArrayData = NativeKernels.bpeEncode(w, mA, mB, mAB)
+  def encode(w: UTF8String): ArrayData =
+    if (byteLevel) NativeKernels.bpeEncodeBytes(w, mA, mB, mAB)
+    else NativeKernels.bpeEncode(w, mA, mB, mAB)
   override def nullSafeEval(input: Any): Any =
     encode(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

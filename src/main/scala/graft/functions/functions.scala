@@ -63,9 +63,10 @@ package object functions {
     * node looping the merges at runtime ([[graft.functions.BpeEncodeExpr]]);
     * plan depth constant in |merges|.
     */
-  def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
+  def bpe_encode(word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     ExpressionUtils.column(graft.functions.BpeEncodeExpr(
-      ExpressionUtils.expression(word), merges))
+      ExpressionUtils.expression(word), merges, byteLevel))
 
   /** PQ-encode an embedding against per-subspace L2 codebooks carried as
     * expression data ([[graft.functions.PqEncodeExpr]]).

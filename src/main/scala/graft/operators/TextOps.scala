@@ -331,6 +331,29 @@ object TextOps {
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
+  /** Per-document token counts under a BYTE-LEVEL vocabulary
+    * ([[bpeMergesByteLevel]] output) — the q157 shape at the production
+    * tokenizer boundary: distinct regex pre-tokens tokenize ONCE (the
+    * native `bpe_encode` in byte mode: UTF-8 bytes → hex-pair symbols →
+    * the same greedy fold), per-token counts join back onto the exploded
+    * corpus, one per-doc sum. Returns (id, n_tokens).
+    */
+  def bpeTokenCountsByteLevel(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs.select(text.as("__t"))
+      .select(explode(regexp_extract_all(lower(col("__t")),
+        lit(byteLevelTokenPattern), lit(0))).as("w"))
+      .distinct()
+      .select(col("w"),
+        size(graft.functions.bpe_encode(col("w"), merges, byteLevel = true))
+          .cast("long").as("nt"))
+    docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"), explode(regexp_extract_all(lower(col("__t")),
+        lit(byteLevelTokenPattern), lit(0))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
+  }
+
   /** CCNet-style perplexity filter (Wenzek et al. 2019, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * public paper): a word-bigram language model is trained on a

@@ -2266,6 +2266,34 @@ object Pipeline {
        |$sel""".stripMargin
   }
 
+  // ===== q183 byte-level BPE tokenization =================================
+  // q157's byte-level twin (q180's applier): per-doc token counts under
+  // the byte-level vocabulary — distinct regex pre-tokens tokenize ONCE
+  // through the native bpe_encode in byte mode (UTF-8 bytes → hex-pair
+  // symbols → the same greedy fold), counts join back onto the exploded
+  // corpus. The oracle extends q180's CTE chain through the final merge
+  // application and sums per doc, exactly the q157 oracle shape.
+
+  private def q183(t: Tables): DataFrame = {
+    val merges = TextOps.bpeMergesByteLevel(graft.Fanout(t.documents),
+      col("text"), BpeRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeTokenCountsByteLevel(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), merges)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+  }
+
+  // lazy: bpeCteChain/bpeWc0ByteLevel are declared later (the q172Sql
+  // order-safety lesson)
+  private lazy val q183Sql =
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevel)},
+       |tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wc$BpeRounds),
+       |words AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text),
+       |    '${TextOps.byteLevelTokenPattern}')) AS w FROM documents)
+       |SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |FROM words JOIN tok USING (w) GROUP BY id""".stripMargin
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3662,7 +3690,8 @@ object Pipeline {
     "q179_trained_classifier" -> wrap(q179),
     "q180_bpe_byte_level" -> wrap(q180),
     "q181_bpe_model_stored" -> wrap(q181),
-    "q182_classifier_eval" -> wrap(q182)
+    "q182_classifier_eval" -> wrap(q182),
+    "q183_bpe_byte_tokenize" -> wrap(q183)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3762,6 +3791,7 @@ object Pipeline {
     "q180_bpe_byte_level" -> q180Sql,
     // stored-and-applied must equal freshly-trained: q157's oracle verbatim
     "q181_bpe_model_stored" -> q157Sql,
-    "q182_classifier_eval" -> q182Sql
+    "q182_classifier_eval" -> q182Sql,
+    "q183_bpe_byte_tokenize" -> q183Sql
   )
 }

@@ -385,6 +385,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stored == scored.sortBy(_._1).toSeq)
   }
 
+  test("byte-level bpe_encode: symbol concat reconstructs hex(word); merges apply greedily") {
+    val docs = Seq((1L, "héllo héllo héllo world"), (2L, "héllo world"))
+      .toDF("id", "text")
+    val merges = TextOps.bpeMergesByteLevel(docs, col("text"), 3,
+        requireFull = true)
+      .orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val out = Seq("héllo", "world").toDF("w")
+      .select($"w",
+        graft.functions.bpe_encode($"w", merges, byteLevel = true).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    // lossless: the token hex concatenation IS the word's UTF-8 bytes
+    assert(out("héllo").mkString == hexOf("héllo"))
+    assert(out("world").mkString == hexOf("world"))
+    // merges (68,C3), (68C3,A9), (68C3A9,6C) applied greedily in order:
+    // héllo = [68C3A96C, 6C, 6F]
+    assert(out("héllo") == Seq("68C3A96C", "6C", "6F"))
+  }
+
   test("trainHashedLinear held-out protocol: generalizes when class signal transfers") {
     // the q182 protocol on a fixture where the junk signal is shared
     // across splits (same marker + filler distribution): train on
