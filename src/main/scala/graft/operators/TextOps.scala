@@ -785,4 +785,74 @@ object TextOps {
         md5(concat_ws(" ",
           expr("transform(kept, x -> x.seg)"))).as("kept_md5"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS; the "make the crawl look like the target" selection stage):
+    * estimate bag-of-hashed-ngram (unigram + word-bigram) feature
+    * distributions for a TARGET slice and for the RAW corpus, weigh every
+    * document by its per-feature MEAN log importance ratio
+    * `(1/n_d) · Σ_f n_d(f) · ln(p̂_target(b(f)) / p̂_raw(b(f)))` (add-one
+    * smoothing over the `dim` hash buckets), and keep the top-`quota`
+    * documents by weight — the deterministic top-k variant of the paper's
+    * Gumbel resample, so the gate replays it exactly. The mean (not the
+    * paper's raw sum) is the selection weight: under bounded smoothing
+    * the raw sum scales with document length, trivially ranking short
+    * junk above long target-like text — the length confound Xie et al.
+    * note; normalizing by the feature count removes it.
+    *
+    * 100 TB design: ONE explode of the token/bigram stream, a feature
+    * aggregate whose output is bounded at `dim` rows (partial map-side
+    * combine; the "model" is a dim-sized table, the hashing trick's whole
+    * point), a BROADCAST join of that table back onto per-(doc, bucket)
+    * counts, and a per-doc aggregate. Selection is top-quota — a
+    * distributed TakeOrdered, never a global sort — and the resulting
+    * 1-row threshold broadcasts so `keep` is decided per-row. The hash is
+    * the engine-neutral [[Dedup.SharedHash.hash28]]; the per-doc float
+    * fold runs in sorted bucket order and rounds to 4 before the
+    * threshold comparison, the house determinism contract.
+    *
+    * Output: (id, n_feats, w, keep) — `keep` = doc is in the top-`quota`
+    * by (w desc, id asc); if the corpus has ≤ quota docs everything keeps.
+    */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+      targetFilter: Column, dim: Int, quota: Int): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    // targetFilter evaluates BEFORE projection (caller-column reference)
+    val base = docs.select(id.as("id"), targetFilter.as("is_t"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val fb = base.select(col("id"), col("is_t"),
+        explode(concat(col("ws"), when(size(col("ws")) >= 2, expr(
+          "transform(sequence(1, size(ws) - 1, 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+          .otherwise(array()))).as("f"))
+      .select(col("id"), col("is_t"),
+        (graft.operators.Dedup.SharedHash.hash28(col("f")) % dim).as("b"))
+      .persistScoped() // feeds the bucket model AND the per-doc counts
+    val bk = fb.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = bk.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = bk.crossJoin(broadcast(tot))
+      .select(col("b"), log(
+        ((col("ct") + lit(1.0)) / (col("tt") + lit(dim)))
+          / ((col("cr") + lit(1.0)) / (col("tr") + lit(dim)))).as("lr"))
+    val ds = fb.groupBy(col("id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sort_array(collect_list(struct(col("b"),
+          (col("n") * col("lr")).as("v")))).as("ts"))
+      .select(col("id"), col("n_feats"),
+        round(expr("aggregate(ts, 0D, (a, x) -> a + x.v)")
+          / col("n_feats"), 4).as("w"))
+    // the quota-th (weakest selected) row under (w desc, id asc) — two
+    // bounded TakeOrdereds, then a 1-row broadcast threshold
+    val thr = ds.orderBy(col("w").desc, col("id")).limit(quota)
+      .orderBy(col("w"), col("id").desc).limit(1)
+      .select(col("w").as("thw"), col("id").as("thid"))
+    ds.crossJoin(broadcast(thr))
+      .select(col("id"), col("n_feats"), col("w"),
+        (col("w") > col("thw") ||
+          (col("w") === col("thw") && col("id") <= col("thid"))).as("keep"))
+  }
 }

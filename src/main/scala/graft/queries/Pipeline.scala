@@ -2294,6 +2294,60 @@ object Pipeline {
        |SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
        |FROM words JOIN tok USING (w) GROUP BY id""".stripMargin
 
+  // ===== q184 DSIR importance-resampling selection =======================
+  // Data Selection via Importance Resampling (Xie et al. 2023 — the
+  // "make the crawl look like the target" stage DoReMi/DSIR pipelines
+  // run before training): hashed unigram+bigram bag features (the q174
+  // hashing trick, dim buckets of the engine-neutral md5 hash28), the
+  // TARGET distribution estimated from the doc_id ≡ 0 (mod 10) slice
+  // (q175's reference-slice convention), the RAW distribution from the
+  // whole corpus, add-one smoothing over the buckets, per-doc weight =
+  // the per-feature MEAN (1/n)·Σ n(f)·ln(p̂_t/p̂_r) (length-normalized —
+  // the raw sum scales with doc length under bounded smoothing), keep =
+  // top-quota by (w desc, id) — the deterministic top-k variant of the
+  // paper's Gumbel resample, so the oracle replays the selection
+  // bit-for-bit (sorted-bucket fold, round 4, threshold broadcast).
+
+  private val DsirDim = 1024
+  private val DsirQuota = 150
+
+  private def q184(t: Tables): DataFrame =
+    TextOps.dsirSelect(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, DsirDim, DsirQuota)
+
+  private val q184Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, (doc_id % 10 = 0) AS is_t,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, is_t, ws FROM w0 WHERE len(ws) > 0),
+       |f AS (SELECT id, is_t, unnest(ws || list_transform(
+       |    range(2, len(ws) + 1), i -> ws[i - 1] || ' ' || ws[i])) AS ft
+       |  FROM d),
+       |fb AS (SELECT id, is_t,
+       |    (${Dedup.SharedHash.hash28Sql("ft")} % $DsirDim) AS b FROM f),
+       |bk AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |               CAST(sum(cr) AS BIGINT) AS tr FROM bk),
+       |lr AS (SELECT b, ln(((ct + 1.0) / (tt + $DsirDim))
+       |                    / ((cr + 1.0) / (tr + $DsirDim))) AS lr
+       |  FROM bk CROSS JOIN tot),
+       |dn AS (SELECT id, b, count(*) AS n FROM fb GROUP BY 1, 2),
+       |ds AS (SELECT id, CAST(sum(n) AS BIGINT) AS n_feats,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'b': b, 'v': n * lr})),
+       |        x -> x.v)), (a, c) -> a + c)
+       |      / CAST(sum(n) AS BIGINT), 4) AS w
+       |  FROM dn JOIN lr USING (b) GROUP BY id),
+       |th AS (SELECT w AS thw, id AS thid FROM (
+       |    SELECT id, w FROM ds ORDER BY w DESC, id LIMIT $DsirQuota)
+       |  ORDER BY w ASC, id DESC LIMIT 1)
+       |SELECT id, n_feats, w,
+       |  (w > thw OR (w = thw AND id <= thid)) AS keep
+       |FROM ds CROSS JOIN th""".stripMargin
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3691,7 +3745,8 @@ object Pipeline {
     "q180_bpe_byte_level" -> wrap(q180),
     "q181_bpe_model_stored" -> wrap(q181),
     "q182_classifier_eval" -> wrap(q182),
-    "q183_bpe_byte_tokenize" -> wrap(q183)
+    "q183_bpe_byte_tokenize" -> wrap(q183),
+    "q184_dsir_selection" -> wrap(q184)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3792,6 +3847,7 @@ object Pipeline {
     // stored-and-applied must equal freshly-trained: q157's oracle verbatim
     "q181_bpe_model_stored" -> q157Sql,
     "q182_classifier_eval" -> q182Sql,
-    "q183_bpe_byte_tokenize" -> q183Sql
+    "q183_bpe_byte_tokenize" -> q183Sql,
+    "q184_dsir_selection" -> q184Sql
   )
 }

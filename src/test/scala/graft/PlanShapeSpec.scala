@@ -799,4 +799,36 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("AQEShuffleRead") || p.contains("coalesced"), p)
   }
+
+  test("q184 DSIR: the bucket model joins via broadcast; selection is top-k, never a global sort") {
+    // the dim-bounded log-ratio table and the 1-row threshold must
+    // broadcast (the hashing trick's bounded-model contract), and the
+    // top-quota selection must compile to TakeOrdered — a global Sort
+    // of per-doc weights would funnel the corpus through one task
+    import org.apache.spark.sql.execution.{SparkPlan, SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = graft.queries.Pipeline.defs("q184_dsir_selection")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val ps = unwrap(df.queryExecution.executedPlan)
+      val joins = ps.flatMap(_.collect { case j: BaseJoinExec => j })
+      assert(joins.nonEmpty)
+      joins.foreach {
+        case _: BroadcastHashJoinExec => ()
+        case _: BroadcastNestedLoopJoinExec => () // 1-row totals/threshold
+        case other => fail(s"non-broadcast join in q184: ${other.nodeName}")
+      }
+      assert(ps.flatMap(_.collect {
+        case t: TakeOrderedAndProjectExec => t }).nonEmpty,
+        "quota selection must be a distributed TakeOrdered")
+      assert(ps.flatMap(_.collect { case s: SortExec => s })
+        .forall(_.global == false),
+        "no global sort may survive in the DSIR plan")
+    } finally CacheScope.drain()
+  }
 }

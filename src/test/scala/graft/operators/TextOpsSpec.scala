@@ -447,4 +447,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 3L, 3L)))
     assert(out(4L) == ((4L, 3L, 3L)))
   }
+
+  test("dsirSelect: target-like docs outrank junk; top-quota kept exactly; small corpus keeps all") {
+    // target slice (ids 0, 5) speaks dense "alpha beta"; ids 1-4 echo that
+    // distribution, ids 6-9 are junk vocabulary the target never emits.
+    // Counts must dominate the add-one smoothing for the ratio's sign to
+    // mean anything, so the fixture text is dense (the sf corpus is).
+    val ab = Seq.fill(10)("alpha beta").mkString(" ")
+    val zq = Seq.fill(10)("zzz qqq").mkString(" ")
+    val docs = Seq(
+      (0L, ab), (5L, s"$ab alpha"),
+      (1L, ab), (2L, s"beta $ab"), (3L, ab), (4L, "alpha"),
+      (6L, zq), (7L, s"qqq $zq"), (8L, zq), (9L, "zzz")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dsirSelect(docs, col("doc_id"), col("text"),
+        col("doc_id") % 5 === 0, dim = 256, quota = 4)
+      .select($"id", $"n_feats", $"w", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 10)
+    // w IS the per-feature mean log-ratio — length-free, so it separates
+    // the vocabularies regardless of document length
+    val tgt = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(out(_)._3).min
+    val jnk = Seq(6L, 7L, 8L, 9L).map(out(_)._3).max
+    assert(tgt > jnk, s"target-like min mean $tgt must exceed junk max $jnk")
+    assert(out.values.count(_._4) == 4, "exactly quota docs kept")
+    // the kept set is target-vocabulary only
+    assert(out.values.filter(_._4).map(_._1).forall(_ <= 5L),
+      "no junk doc may enter the top-quota")
+    // single-token doc: one unigram feature, no bigram
+    assert(out(4L)._2 == 1L && out(9L)._2 == 1L)
+    // quota ≥ corpus: everything keeps
+    val all = TextOps.dsirSelect(docs, col("doc_id"), col("text"),
+        col("doc_id") % 5 === 0, dim = 256, quota = 100)
+      .select($"keep").as[Boolean].collect()
+    assert(all.length == 10 && all.forall(identity))
+  }
 }
