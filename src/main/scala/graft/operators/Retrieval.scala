@@ -113,6 +113,60 @@ object Retrieval {
         col("s.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Hard-negative mining for retrieval/contrastive training (the
+    * DPR/Karpukhin-style "BM25 hard negatives" recipe, with the standard
+    * near-duplicate guard): a hard negative for a query is a document that
+    * scores HIGH lexically but is NOT the positive — and not a near-copy
+    * of it either, or the "negative" teaches the model to reject
+    * paraphrases of the answer (false negatives, the known failure mode of
+    * naive BM25 mining). Candidates = BM25 top-(k+slack) (self excluded);
+    * any candidate whose 3-shingle Jaccard with the seed document reaches
+    * `jaccardT` is dropped as a near-dup; survivors re-rank to top-k.
+    *
+    * 100 TB design: candidate generation is [[bm25TopK]]'s broadcast-semi
+    * pass (cost ∝ Σ df(query term)); the Jaccard guard runs on the
+    * BOUNDED candidate set only — one broadcast left-semi pass shrinks the
+    * corpus shingle table to the ≤ |Q|·(k+slack+1) ids in play, and the
+    * shrunken table broadcasts into the verification joins. The re-rank
+    * window partitions by query over ≤ k+slack rows — bounded by
+    * construction, never a corpus sort.
+    *
+    * @param shingled (id, ss: array<string>) distinct shingle arrays for
+    *                 every document (short docs carry an empty array)
+    * @return (q_id, doc_id, score, jaccard, rnk) — rnk 1-based by
+    *         (score desc, doc_id) over the surviving negatives, ≤ k rows
+    *         per query
+    */
+  def hardNegatives(terms: DataFrame, queries: DataFrame,
+      shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val cand = bm25TopK(terms, queries, k + slack, k1, b,
+      excludeSelf = true).persistScoped()
+    val ids = cand.select(col("doc_id").as("id"))
+      .union(cand.select(col("q_id").as("id"))).distinct()
+    val sh = shingled.join(broadcast(ids), Seq("id"), "left_semi")
+      .persistScoped() // bounded: one array row per candidate/seed id
+    val j = cand
+      .join(broadcast(sh.select(col("id").as("q_id"), col("ss").as("qs"))),
+        Seq("q_id"))
+      .join(broadcast(sh.select(col("id").as("doc_id"), col("ss").as("ds"))),
+        Seq("doc_id"))
+      .withColumn("c", size(array_intersect(col("qs"), col("ds"))).cast("long"))
+      .withColumn("na", size(col("qs")).cast("long"))
+      .withColumn("nb", size(col("ds")).cast("long"))
+      .withColumn("jaccard",
+        when(col("na") + col("nb") - col("c") > 0,
+          round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+          .otherwise(lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    j.filter(col("jaccard") < jaccardT)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("score"), col("jaccard"),
+        col("rnk"))
+  }
+
   // ===== stored inverted index ============================================
   // The lexical sibling of Similarity.writeIvfIndex: a production pipeline
   // tokenizes the corpus ONCE into a stored posting layout and probes it

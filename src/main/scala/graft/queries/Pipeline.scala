@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedPersist
@@ -2348,6 +2348,94 @@ object Pipeline {
        |  (w > thw OR (w = thw AND id <= thid)) AS keep
        |FROM ds CROSS JOIN th""".stripMargin
 
+  // ===== q185 hard-negative mining =======================================
+  // The DPR-style "BM25 hard negatives" stage of retrieval/contrastive
+  // training-data prep, with the standard false-negative guard: per seed
+  // query (q152's seed bags), candidates = BM25 top-(k+slack) excluding
+  // self; any candidate whose 3-shingle Jaccard with the seed reaches
+  // the near-dup threshold is dropped (a paraphrase of the answer is a
+  // FALSE negative, the known failure mode of naive mining); survivors
+  // re-rank to the top-k hard negatives. Oracle = the q152 BM25 chain
+  // extended by the q31 shingle-Jaccard verification and the re-rank.
+  // The seed set deliberately mixes two clean docs (0, 1) with two docs
+  // whose near-copies live in the harness corpus (8 ↔ 245 and 70 ↔ 447
+  // at J ≈ 0.99 at sf0.01), so BOTH paths of the false-negative guard —
+  // pass-through and exclusion — execute ON the gate, not only in specs.
+
+  private val HnSlack = 10
+  private val HnJaccT = 0.3
+  private val HnSeeds = Seq(0L, 1L, 8L, 70L)
+
+  // lazy: BmSeeds/BmQTerms/BmTopK are declared later in this file (the
+  // q172Sql order-safety lesson — an eager s-string would read them as 0)
+  private def q185(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped() // feeds seed weights AND retrieval
+    Retrieval.hardNegatives(tf,
+      bm25SeedQueries(tf, col("id").isin(HnSeeds: _*)), shingledDocs(t)
+        .select(col("id"), col("shingles").as("ss")),
+      BmTopK, HnSlack, HnJaccT, BmK1, BmB)
+      .select(col("q_id").as("seed_id"), col("doc_id"), col("score"),
+        col("jaccard"), col("rnk"))
+  }
+
+  private lazy val q185Sql =
+    s"""WITH tf AS (SELECT id, dl, term, count(*) AS tf FROM (
+       |    SELECT id, CAST(len(ws) - 1 AS BIGINT) AS dl,
+       |      unnest(list_transform(range(2, len(ws) + 1),
+       |        i -> ws[i - 1] || ' ' || ws[i])) AS term
+       |    FROM (SELECT doc_id AS id, list_filter(
+       |            regexp_split_to_array(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws
+       |          FROM documents)
+       |    WHERE len(ws) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl
+       |       FROM (SELECT DISTINCT id, dl FROM tf)),
+       |sw AS (SELECT id AS q_id, term,
+       |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM tf JOIN dfs USING (term) CROSS JOIN st
+       |  WHERE id IN (${HnSeeds.mkString(", ")})),
+       |qt AS (SELECT q_id, e.t AS term FROM (
+       |    SELECT q_id, list_sort(list({'nw': -w, 't': term}))[1:$BmQTerms] AS v
+       |    FROM sw GROUP BY q_id), unnest(v) AS u(e)),
+       |sc AS (SELECT q.q_id, f.id, f.term,
+       |    ln(${1.0} + (CAST(n_docs AS DOUBLE) - df + ${0.5})
+       |         / (CAST(df AS DOUBLE) + ${0.5}))
+       |      * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0})
+       |      / (CAST(tf AS DOUBLE) + ${BmK1} * (${1.0 - BmB}
+       |           + ${BmB} * CAST(dl AS DOUBLE)
+       |             / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS c
+       |  FROM tf f JOIN qt q USING (term) JOIN dfs USING (term) CROSS JOIN st
+       |  WHERE f.id <> q.q_id),
+       |agg AS (SELECT q_id, id AS doc_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'t': term, 'c': c})), e -> e.c)),
+       |      (a, b) -> a + b), 4) AS score
+       |  FROM sc GROUP BY q_id, id),
+       |cand AS (SELECT q_id, doc_id, score FROM (
+       |    SELECT q_id, doc_id, score, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS r0 FROM agg)
+       |  WHERE r0 <= ${BmTopK + HnSlack}),
+       |$wordsCte,
+       |sh AS (SELECT id, ${shinglesSql(3)} AS ss FROM w),
+       |jv AS (SELECT cand.q_id, cand.doc_id, cand.score,
+       |    len(list_intersect(a.ss, b.ss)) AS c,
+       |    len(a.ss) AS na, len(b.ss) AS nb
+       |  FROM cand JOIN sh a ON cand.q_id = a.id
+       |            JOIN sh b ON cand.doc_id = b.id),
+       |jj AS (SELECT q_id, doc_id, score,
+       |    CASE WHEN na + nb - c > 0
+       |      THEN round(CAST(c AS DOUBLE) / (na + nb - c), 4)
+       |      ELSE 0.0 END AS jaccard
+       |  FROM jv)
+       |SELECT q_id AS seed_id, doc_id, score, jaccard, rnk FROM (
+       |  SELECT q_id, doc_id, score, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM jj WHERE jaccard < $HnJaccT)
+       |WHERE rnk <= $BmTopK""".stripMargin
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -2477,10 +2565,11 @@ object Pipeline {
     * and q155 (build+append index), so all three probe with identical
     * query terms and q152's oracle applies verbatim.
     */
-  private def bm25SeedQueries(tf: DataFrame): DataFrame = {
+  private def bm25SeedQueries(tf: DataFrame,
+      seedPred: Column = col("id") < BmSeeds): DataFrame = {
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = tf.agg(count_distinct(col("id")).as("n_docs")) // 1 row
-    val seedW = tf.filter(col("id") < BmSeeds)
+    val seedW = tf.filter(seedPred)
       .join(dfs, "term").crossJoin(broadcast(nd))
       .select(col("id").as("q_id"), col("term"),
         (col("tf").cast("double")
@@ -3746,7 +3835,8 @@ object Pipeline {
     "q181_bpe_model_stored" -> wrap(q181),
     "q182_classifier_eval" -> wrap(q182),
     "q183_bpe_byte_tokenize" -> wrap(q183),
-    "q184_dsir_selection" -> wrap(q184)
+    "q184_dsir_selection" -> wrap(q184),
+    "q185_hard_negatives" -> wrap(q185)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3848,6 +3938,7 @@ object Pipeline {
     "q181_bpe_model_stored" -> q157Sql,
     "q182_classifier_eval" -> q182Sql,
     "q183_bpe_byte_tokenize" -> q183Sql,
-    "q184_dsir_selection" -> q184Sql
+    "q184_dsir_selection" -> q184Sql,
+    "q185_hard_negatives" -> q185Sql
   )
 }

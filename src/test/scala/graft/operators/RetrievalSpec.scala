@@ -254,4 +254,49 @@ class RetrievalSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), p)
     } finally graft.CacheScope.drain()
   }
+
+  test("hardNegatives: near-copy excluded, lexical non-dup kept, empty-shingle doc scores jaccard 0") {
+    // seed 1; doc 2 is a near-copy (shingle J = 2/3 ≥ 0.3) that plain
+    // BM25 retrieves — hardNegatives must drop it as a false negative;
+    // doc 3 shares the query TERMS but no shingles (a true hard
+    // negative); doc 5 is a one-word doc (empty shingle array)
+    val tf = Seq(
+      (1L, "alpha", 1L, 4L), (1L, "beta", 1L, 4L), (1L, "gamma", 1L, 4L),
+      (1L, "delta", 1L, 4L),
+      (2L, "alpha", 1L, 5L), (2L, "beta", 1L, 5L), (2L, "gamma", 1L, 5L),
+      (2L, "delta", 1L, 5L), (2L, "epsilon", 1L, 5L),
+      (3L, "beta", 1L, 4L), (3L, "alpha", 1L, 4L), (3L, "zeta", 1L, 4L),
+      (3L, "eta", 1L, 4L),
+      (4L, "qqq", 1L, 3L), (4L, "www", 1L, 3L), (4L, "zzz", 1L, 3L),
+      (5L, "alpha", 1L, 1L)
+    ).toDF("id", "term", "tf", "dl")
+    val queries = Seq((1L, "alpha"), (1L, "beta")).toDF("q_id", "term")
+    val shingled = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta")),
+      (2L, Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")),
+      (3L, Seq("beta alpha zeta", "alpha zeta eta")),
+      (4L, Seq("qqq www zzz")),
+      (5L, Seq.empty[String])
+    ).toDF("id", "ss")
+    try {
+      // plain BM25 WOULD hand the near-copy back as the top "negative"
+      val plain = Retrieval.bm25TopK(tf, queries, 10, excludeSelf = true)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(plain.exists(_._2 == 2L), "fixture: doc 2 must be retrieved")
+      graft.CacheScope.drain()
+      val hn = Retrieval.hardNegatives(tf, queries, shingled,
+          k = 10, slack = 5, jaccardT = 0.3)
+        .select($"q_id", $"doc_id", $"jaccard", $"rnk")
+        .as[(Long, Long, Double, Long)].collect()
+      val ids = hn.map(_._2).toSet
+      assert(!ids.contains(2L), "near-copy must be excluded")
+      assert(!ids.contains(1L), "self never appears")
+      assert(!ids.contains(4L), "no shared query term, never a candidate")
+      assert(ids == Set(3L, 5L))
+      val byId = hn.map(h => h._2 -> h).toMap
+      assert(byId(3L)._3 == 0.0 && byId(5L)._3 == 0.0)
+      // re-rank is dense over the survivors: ranks are 1..n
+      assert(hn.map(_._4).sorted.toSeq == (1L to hn.length).toSeq)
+    } finally graft.CacheScope.drain()
+  }
 }
