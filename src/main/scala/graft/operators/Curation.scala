@@ -95,15 +95,19 @@ object Curation {
 
   /** Rows with the per-domain exclusive prefix sum in `__cum`:
     * single-window form (scanParts = None) or distributed-scan form.
+    * `ord` optionally prepends an ordering key before the id (default:
+    * id order, the packing contract).
     */
   private def binsOf(df: DataFrame, domain: Column, id: Column,
-      tokens: Column, scanParts: Option[Int]): DataFrame = {
+      tokens: Column, scanParts: Option[Int],
+      ord: Option[Column] = None): DataFrame = {
     val base = df.select(domain.cast("string").as("__dom"),
-      id.cast("long").as("__id"), tokens.cast("long").as("__tok"))
+      id.cast("long").as("__id"), tokens.cast("long").as("__tok"),
+      ord.getOrElse(lit(0L)).cast("long").as("__ord"))
     scanParts match {
       case None =>
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__dom")).orderBy(col("__id"))
+          .partitionBy(col("__dom")).orderBy(col("__ord"), col("__id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         base.withColumn("__cum", coalesce(sum(col("__tok")).over(w), lit(0L)))
       case Some(parts) =>
@@ -112,21 +116,21 @@ object Curation {
         // local exclusive prefix per (partition, domain): one sequential
         // pass over each range partition's sorted iterator
         val local = base
-          .repartitionByRange(parts, col("__dom"), col("__id"))
-          .sortWithinPartitions(col("__dom"), col("__id"))
-          .as[(String, Long, Long)]
+          .repartitionByRange(parts, col("__dom"), col("__ord"), col("__id"))
+          .sortWithinPartitions(col("__dom"), col("__ord"), col("__id"))
+          .as[(String, Long, Long, Long)]
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             var cur: String = null
             var run = 0L
-            it.map { case (d, i, t) =>
+            it.map { case (d, i, t, o) =>
               if (d != cur) { cur = d; run = 0L }
               val excl = run
               run += t
-              (d, i, t, pid, excl)
+              (d, i, t, o, pid, excl)
             }
           }
-          .toDF("__dom", "__id", "__tok", "__pid", "__local")
+          .toDF("__dom", "__id", "__tok", "__ord", "__pid", "__local")
         // per-(domain, partition) subtotals are |partitions|-scale rows —
         // the only data the cross-partition window ever touches
         val w = org.apache.spark.sql.expressions.Window
@@ -139,5 +143,63 @@ object Curation {
         local.join(broadcast(offsets), Seq("__dom", "__pid"))
           .withColumn("__cum", col("__local") + col("__off"))
     }
+  }
+
+  /** Temperature-scaled mixture allocation — the multilingual/multi-source
+    * "α-sampling" stage (Conneau & Lample 2019; mT5/XLM-R use the same
+    * rule): per-source sampling weights `w_i = T_i^α` over token counts
+    * `T_i`, a global token `budget` apportioned to sources by the
+    * largest-remainder (Hamilton) method on shares `budget·w_i/Σw`, then
+    * documents selected per source in content-hash order until the
+    * source's allocation is exhausted (a doc is taken iff the tokens
+    * BEFORE it are under the allocation — standard greedy; the last doc
+    * may straddle). α is FIXED at 0.5: sqrt is the one power IEEE 754
+    * defines correctly rounded, so both engines agree bit-for-bit, while
+    * a libm `pow` surface would not — and 0.5 is the published default
+    * neighborhood for up-weighting low-resource sources.
+    *
+    * 100 TB design: the per-source stats table is |sources| rows; Σw folds
+    * it in sorted source order (float determinism); the apportionment is a
+    * window over that TINY table; per-doc selection is the distributed
+    * prefix-sum scan of [[packBinsScalable]] (pass `scanParts`) — a hot
+    * source never funnels through one task — with the allocation table
+    * broadcast back. Selection order is the content-stable md5 hash
+    * (q75's convention), so the sample is reproducible, not
+    * first-ids-win.
+    *
+    * Output: (id, source, n_tokens, alloc_tokens, cum_before, keep).
+    */
+  def temperatureMixtureAlloc(docs: DataFrame, id: Column, source: Column,
+      tokens: Column, budget: Long,
+      scanParts: Option[Int] = None): DataFrame = {
+    val base = docs.select(id.cast("long").as("id"),
+      source.cast("string").as("source"), tokens.cast("long").as("n_tokens"))
+    val st = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tok_total"))
+      .withColumn("w", sqrt(col("tok_total").cast("double")))
+    // Σw in sorted source order — the house float-fold contract
+    val wt = st.agg(sort_array(collect_list(struct(col("source"), col("w"))))
+        .as("ws"))
+      .select(expr("aggregate(ws, 0D, (a, x) -> a + x.w)").as("wsum"))
+    val sh = st.crossJoin(broadcast(wt))
+      .withColumn("share", lit(budget.toDouble) * col("w") / col("wsum"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("rem", col("share") - floor(col("share")))
+    val rr = sh.agg((lit(budget) - sum(col("base"))).as("r"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source")) // |sources| rows only
+    val alloc = sh.crossJoin(broadcast(rr))
+      .withColumn("rk", row_number().over(rw))
+      .select(col("source"),
+        (col("base") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+    val ordered = binsOf(base, col("source"), col("id"), col("n_tokens"),
+      scanParts,
+      ord = Some(Dedup.SharedHash.hash28(col("id").cast("string"))))
+    ordered.join(broadcast(alloc), col("__dom") === col("source"))
+      .select(col("__id").as("id"), col("source"),
+        col("__tok").as("n_tokens"), col("alloc_tokens"),
+        col("__cum").as("cum_before"),
+        (col("__cum") < col("alloc_tokens")).as("keep"))
   }
 }

@@ -167,4 +167,54 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       .select(col("v").as("id"), col("deg"))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 as used in
+    * curation pipelines: spread a small labeled seed set over a kNN
+    * similarity graph to annotate the whole corpus). `iters` SYNCHRONOUS
+    * rounds over an UNDIRECTED edge list (id_a, id_b); `nodes` carries
+    * every vertex with a nullable integer `seed_label`.
+    *
+    * Update rule (deterministic by construction):
+    *   - a seed node is CLAMPED to its seed label forever;
+    *   - a non-seed node takes the PLURALITY label among its currently
+    *     labeled neighbors — ties broken by the SMALLEST label (exact
+    *     integer counts, no float voting);
+    *   - a node with no labeled neighbor stays null this round.
+    * The labeled set is monotone non-decreasing (a labeled node always
+    * retains a labeled neighbor by induction), so no keep-previous rule
+    * is needed — each round is a pure function of the previous labeling,
+    * which is what makes the oracle an unrolled-CTE replay.
+    *
+    * 100 TB posture: per round ONE hash join (edges ⋈ labels on the
+    * source id) and two integer aggregates — the per-(node, label) count
+    * partial-aggregates map-side, and the plurality pick is the
+    * single-pass struct-max (max count, then smallest label), NOT a
+    * window — so shuffle volume is O(|E|) rows of three longs and AQE
+    * splits hub skew. Fixed iteration count keeps the plan static; only
+    * the edge frame persists (read every round).
+    */
+  def labelPropagation(edges: DataFrame, // columns: id_a, id_b
+      nodes: DataFrame, // columns: id, seed_label (nullable long)
+      iters: Int): DataFrame = {
+    require(iters >= 1)
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persistScoped()
+    val base = nodes.select(col("id").cast("long").as("id"),
+      col("seed_label").cast("long").as("seed_label"))
+    var lab = base.select(col("id"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val pick = dir
+        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("plab"))
+      lab = base.join(pick, base("id") === col("dst"), "left")
+        .select(base("id"), coalesce(col("seed_label"), col("plab")).as("label"))
+    }
+    lab.join(base, Seq("id"))
+      .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
+  }
 }

@@ -2436,6 +2436,119 @@ object Pipeline {
        |  FROM jj WHERE jaccard < $HnJaccT)
        |WHERE rnk <= $BmTopK""".stripMargin
 
+  // ===== q186 temperature-mixture token allocation =======================
+  // The multilingual/multi-source "α-sampling" stage (Conneau & Lample;
+  // mT5/XLM-R): per-source weights T^0.5 over token counts, a global
+  // token budget apportioned by the largest-remainder method, documents
+  // selected per source in content-hash order until the allocation runs
+  // out. α is pinned at 0.5 because sqrt is the one power IEEE defines
+  // correctly rounded — no libm pow surface between engines. The oracle
+  // replays the sorted-source Σw fold, the floor/remainder apportionment
+  // and the exclusive per-source prefix sum verbatim.
+
+  private val MixBudget = 16000L // ≈ 60% of the sf0.01 corpus tokens
+
+  private def q186(t: Tables): DataFrame =
+    graft.operators.Curation.temperatureMixtureAlloc(
+      graft.Fanout(t.documents).select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), """\s+"""),
+          x => length(x) > 0)).cast("long").as("n_tokens")),
+      col("doc_id"), col("source"), col("n_tokens"), MixBudget)
+
+  private val q186Sql =
+    s"""WITH b AS (SELECT doc_id AS id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_total
+       |       FROM b GROUP BY 1),
+       |sw AS (SELECT source, tok_total,
+       |       sqrt(CAST(tok_total AS DOUBLE)) AS w FROM st),
+       |wt AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_sort(list({'s': source, 'w': w})),
+       |      x -> x.w)), (a, c) -> a + c) AS wsum FROM sw),
+       |sh AS (SELECT source, CAST($MixBudget AS DOUBLE) * w / wsum AS share
+       |       FROM sw CROSS JOIN wt),
+       |ba AS (SELECT source, CAST(floor(share) AS BIGINT) AS base,
+       |       share - floor(share) AS rem FROM sh),
+       |rr AS (SELECT $MixBudget - CAST(sum(base) AS BIGINT) AS r FROM ba),
+       |al AS (SELECT source, base + CASE WHEN
+       |    row_number() OVER (ORDER BY rem DESC, source) <= r
+       |    THEN 1 ELSE 0 END AS alloc_tokens FROM ba CROSS JOIN rr),
+       |o AS (SELECT id, source, n_tokens, coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(id AS VARCHAR)")}, id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_before
+       |  FROM b)
+       |SELECT o.id, o.source, o.n_tokens,
+       |  CAST(al.alloc_tokens AS BIGINT) AS alloc_tokens,
+       |  CAST(o.cum_before AS BIGINT) AS cum_before,
+       |  (o.cum_before < al.alloc_tokens) AS keep
+       |FROM o JOIN al USING (source)""".stripMargin
+
+  // ===== q187 kNN-graph label propagation ================================
+  // The semi-supervised annotation stage (Zhu & Ghahramani 2002): a small
+  // labeled seed slice (vec_id ≡ 0 mod SeedMod keeps its true label)
+  // spreads over a symmetrized LSH-kNN similarity graph for a fixed
+  // number of synchronous rounds — plurality vote among labeled
+  // neighbors, exact integer counts, ties to the smallest label, seeds
+  // clamped. The edge builder is q36's proven lshTopK chain (fewer
+  // planes so buckets actually collide at harness scale; at 100 TB any
+  // kNN family — IVF, multi-probe — feeds the same edge shape). The
+  // oracle replays bucketing, top-k, symmetrization and all three
+  // voting rounds as unrolled CTEs.
+
+  private val KnnK = 5
+  private val LpPlanes = 5
+  private val LpSeedMod = 4
+  private val LpIters = 3
+
+  private def q187(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val knn = Similarity.lshTopK(
+      e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      e, Dim, KnnK, LpPlanes)
+    val edges = knn.select(least(col("q_id"), col("vec_id")).as("id_a"),
+      greatest(col("q_id"), col("vec_id")).as("id_b")).distinct()
+    val nodes = e.select(col("vec_id").as("id"),
+      when(col("vec_id") % LpSeedMod === 0, col("label"))
+        .cast("long").as("seed_label"))
+    Graph.labelPropagation(edges, nodes, LpIters)
+  }
+
+  private val q187Sql = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""c$i AS (SELECT dir.dst AS id, l${i - 1}.label, count(*) AS c
+         |      FROM dir JOIN l${i - 1} ON dir.src = l${i - 1}.id
+         |      WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
+         |p$i AS (SELECT id, label FROM (SELECT id, label,
+         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |      FROM c$i) WHERE rn = 1),
+         |l$i AS (SELECT n.id, coalesce(n.seed_label, p$i.label) AS label
+         |      FROM n LEFT JOIN p$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${bucketCtesSql(LpPlanes)},
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b),
+       |s AS (SELECT q_id, b.vec_id, round(${cosSql("qv", "b.v")}, 4) AS score
+       |      FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+       |      FROM s),
+       |ed AS (SELECT DISTINCT least(q_id, vec_id) AS id_a,
+       |         greatest(q_id, vec_id) AS id_b FROM r WHERE rnk <= $KnnK),
+       |dir AS (SELECT id_a AS src, id_b AS dst FROM ed
+       |        UNION ALL SELECT id_b, id_a FROM ed),
+       |n AS (SELECT vec_id AS id, CASE WHEN vec_id % $LpSeedMod = 0
+       |        THEN CAST(label AS BIGINT) END AS seed_label FROM embeddings),
+       |l0 AS (SELECT id, seed_label AS label FROM n),
+       |$rounds
+       |SELECT n.id, l$LpIters.label,
+       |  (n.seed_label IS NOT NULL) AS is_seed
+       |FROM n JOIN l$LpIters USING (id)""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -3836,7 +3949,8 @@ object Pipeline {
     "q182_classifier_eval" -> wrap(q182),
     "q183_bpe_byte_tokenize" -> wrap(q183),
     "q184_dsir_selection" -> wrap(q184),
-    "q185_hard_negatives" -> wrap(q185)
+    "q185_hard_negatives" -> wrap(q185),
+    "q186_mixture_alloc" -> wrap(q186)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3939,6 +4053,7 @@ object Pipeline {
     "q182_classifier_eval" -> q182Sql,
     "q183_bpe_byte_tokenize" -> q183Sql,
     "q184_dsir_selection" -> q184Sql,
-    "q185_hard_negatives" -> q185Sql
+    "q185_hard_negatives" -> q185Sql,
+    "q186_mixture_alloc" -> q186Sql
   )
 }

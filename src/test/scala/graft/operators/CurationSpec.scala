@@ -142,4 +142,64 @@ class CurationSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(13L, 14L))
   }
+
+  test("temperatureMixtureAlloc: Hamilton apportionment by hand; greedy fill in hash order; straddle allowed") {
+    // two sources, T_a = 100, T_b = 400: w = (10, 20), shares of B=90 are
+    // (30, 60) exactly — no remainder to distribute (R = 0)
+    val d = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 20L),
+      (11L, "b", 30L), (12L, "b", 30L), (13L, "b", 340L)
+    ).toDF("id", "src", "tok")
+    val out = Curation.temperatureMixtureAlloc(
+        d, col("id"), col("src"), col("tok"), budget = 90L)
+      .select($"id", $"source", $"n_tokens", $"alloc_tokens",
+        $"cum_before", $"keep")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.filter(_._2 == "a").map(_._4).toSet == Set(30L))
+    assert(out.values.filter(_._2 == "b").map(_._4).toSet == Set(60L))
+    // selection follows the md5-hash order, taking docs while the tokens
+    // BEFORE them are under the allocation (the last may straddle)
+    def h(i: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    for (src <- Seq("a", "b")) {
+      val rows = out.values.filter(_._2 == src).toSeq
+        .sortBy(r => (h(r._1), r._1))
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r._5 == cum, s"cum_before of ${r._1}")
+        assert(r._6 == (cum < r._4), s"keep of ${r._1}")
+        cum += r._3
+      }
+    }
+    // kept tokens can straddle past the allocation only via the last doc
+    val keptA = out.values.filter(r => r._2 == "a" && r._6).map(_._3).sum
+    assert(keptA >= 30L || out.values.filter(_._2 == "a").map(_._3).sum < 30L)
+    // a budget with remainders: B=91 leaves R=1 → exactly one source gets
+    // the extra token, total allocation is exactly the budget
+    val out91 = Curation.temperatureMixtureAlloc(
+        d, col("id"), col("src"), col("tok"), budget = 91L)
+      .select($"source", $"alloc_tokens").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(out91.values.sum == 91L)
+    assert(Set(out91("a"), out91("b")).subsetOf(Set(30L, 31L, 60L, 61L)))
+  }
+
+  test("temperatureMixtureAlloc: distributed scan form identical to the window form") {
+    val d = docs.select(col("doc_id"), col("source"),
+      (col("n_chars") % 97 + 1).cast("long").as("tok"))
+    val win = Curation.temperatureMixtureAlloc(
+        d, col("doc_id"), col("source"), col("tok"), 9000L)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    for (parts <- Seq(1, 3, 16)) {
+      val dist = Curation.temperatureMixtureAlloc(
+          d, col("doc_id"), col("source"), col("tok"), 9000L,
+          scanParts = Some(parts))
+        .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+      assert(dist == win, s"parts=$parts")
+    }
+    assert(win.nonEmpty && win.exists(_._6) && win.exists(!_._6))
+  }
 }
