@@ -217,4 +217,60 @@ object Graph {
     lab.join(base, Seq("id"))
       .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
   }
+
+  /** EXACT label propagation: [[labelPropagation]]'s synchronous round
+    * looped to the fixpoint (the [[kCoreExact]] treatment). A fixed
+    * round count silently under-propagates long chains — a path graph
+    * with one seeded end needs |V|−1 rounds — so this loops until a
+    * round changes NOTHING, tested by ONE scalar count per round: the
+    * null-safe (`<=>`) label diff between consecutive labelings, an
+    * (id, label) self-join of two long columns. Each round's labeling is
+    * localCheckpoint'ed, truncating lineage so the plan stays
+    * round-sized. At the fixpoint applying the round reproduces the
+    * labeling verbatim — which is exactly what makes the over-unrolled
+    * oracle CTE idempotent (the q149 gate discipline). Synchronous
+    * plurality voting CAN oscillate on adversarial bipartite structures;
+    * `maxRounds` is the runaway bound and the final labeling is returned
+    * as-is (real kNN graphs converge in a handful of rounds).
+    *
+    * 100 TB posture: per round the same ONE edge-join + two integer
+    * aggregates as the bounded form, plus one (id,label)⋈(id,label)
+    * equi-join reduced to a single count — all longs, partial-agg'd
+    * map-side; the edge frame persists once and is read every round.
+    */
+  def labelPropagationExact(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1)
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persistScoped()
+    val base = nodes.select(col("id").cast("long").as("id"),
+      col("seed_label").cast("long").as("seed_label"))
+      .persistScoped()
+    var lab = base.select(col("id"), col("seed_label").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val pick = dir
+        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("plab"))
+      val next = base.join(pick, base("id") === col("dst"), "left")
+        .select(base("id"), coalesce(col("seed_label"), col("plab")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("nx")
+        .join(lab.as("ol"), col("nx.id") === col("ol.id"))
+        .filter(!(col("nx.label") <=> col("ol.label")))
+        .count()
+      converged = changed == 0L
+      lab = next
+    }
+    lab.join(base, Seq("id"))
+      .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
+  }
 }

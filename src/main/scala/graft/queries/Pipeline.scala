@@ -3950,7 +3950,8 @@ object Pipeline {
     "q183_bpe_byte_tokenize" -> wrap(q183),
     "q184_dsir_selection" -> wrap(q184),
     "q185_hard_negatives" -> wrap(q185),
-    "q186_mixture_alloc" -> wrap(q186)
+    "q186_mixture_alloc" -> wrap(q186),
+    "q187_label_propagation" -> wrap(q187)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4054,6 +4055,7 @@ object Pipeline {
     "q183_bpe_byte_tokenize" -> q183Sql,
     "q184_dsir_selection" -> q184Sql,
     "q185_hard_negatives" -> q185Sql,
-    "q186_mixture_alloc" -> q186Sql
+    "q186_mixture_alloc" -> q186Sql,
+    "q187_label_propagation" -> q187Sql
   )
 }

@@ -105,4 +105,78 @@ class GraphSpec extends AnyFunSuite {
       assert(Graph.kCoreExact(es.filter($"id_a" < 0), k = 2).count() == 0)
     } finally graft.CacheScope.drain()
   }
+
+  /** Local replay of the synchronous LP recurrence: plurality over
+    * labeled neighbors, ties to the SMALLEST label, seeds clamped.
+    */
+  private def localLp(es: Seq[(Long, Long)], seeds: Map[Long, Long],
+      allIds: Seq[Long], iters: Int): Map[Long, Option[Long]] = {
+    val nbr = (es ++ es.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (v, g) => v -> g.map(_._2) }
+    var lab: Map[Long, Option[Long]] =
+      allIds.map(v => v -> seeds.get(v)).toMap
+    for (_ <- 1 to iters) {
+      lab = allIds.map { v =>
+        v -> seeds.get(v).orElse {
+          val votes = nbr.getOrElse(v, Nil).flatMap(lab(_))
+          if (votes.isEmpty) None
+          else Some(votes.groupBy(identity).toSeq
+            .map { case (l, g) => (g.size, l) }
+            .sortBy { case (c, l) => (-c, l) }.head._2)
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation matches the local recurrence; ties to smallest label; seeds clamp") {
+    // two seed islands + a tie node: 10 and 20 seeded (labels 2, 1);
+    // node 5 is adjacent to BOTH seeds from round 1 → 1-1 tie → label 1.
+    // Node 10's neighbors all end up label 1, but 10 keeps its seed 2.
+    val es = Seq((10L, 5L), (20L, 5L), (5L, 6L), (10L, 11L), (20L, 21L))
+    val seeds = Map(10L -> 2L, 20L -> 1L)
+    val ids = Seq(5L, 6L, 10L, 11L, 20L, 21L)
+    val edf = es.toDF("id_a", "id_b")
+    val ndf = ids.map(i => (i, seeds.get(i))).toDF("id", "seed_label")
+    try {
+      val got = Graph.labelPropagation(edf, ndf, iters = 3)
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))))
+        .toMap
+      val want = localLp(es, seeds, ids, 3)
+      assert(got.view.mapValues(_._1).toMap == want)
+      assert(got(5L)._1.contains(1L)) // plurality tie broken to SMALLEST
+      assert(got(10L)._1.contains(2L) && got(10L)._2) // seed clamped
+      assert(got(11L)._1.contains(2L) && !got(11L)._2)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("labelPropagation iters bounds depth; labelPropagationExact reaches the fixpoint") {
+    // a 12-node chain seeded only at node 1: after k rounds exactly the
+    // first k+1 nodes are labeled — the silent under-propagation a fixed
+    // round count gets wrong and the exact form must not
+    val n = 12L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to n).map(i => (i, if (i == 1L) Some(7L) else None))
+      .toDF("id", "seed_label")
+    try {
+      val bounded = Graph.labelPropagation(chain, nodes, iters = 3)
+        .collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+      assert((1L to n).count(bounded) == 4) // nodes 1..4 only
+      val exact = Graph.labelPropagationExact(chain, nodes)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert((1L to n).forall(exact(_).contains(7L))) // whole chain
+      // maxRounds runaway bound still returns a labeling
+      val capped = Graph.labelPropagationExact(chain, nodes, maxRounds = 2)
+        .collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+      assert((1L to n).count(capped) == 3)
+      // no edges: everyone keeps exactly the seed labeling
+      val iso = Graph.labelPropagationExact(chain.limit(0), nodes)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(iso == (1L to n).map(i =>
+        i -> (if (i == 1L) Some(7L) else None)).toMap)
+    } finally graft.CacheScope.drain()
+  }
 }
