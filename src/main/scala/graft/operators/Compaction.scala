@@ -98,10 +98,20 @@ object Compaction {
     * `partitionBy` write of zero rows emits no part files and no partition
     * directories at all, so a later `spark.read.parquet` of the path fails
     * with "unable to infer schema" — the delete-everything corner of the
-    * index-deletion ops. The empty frame is written unpartitioned instead
-    * (one schema-carrying empty file, SPARK-23271), where the partition
-    * column rides as a plain data column — downstream equi-joins on it
-    * read identically, they just have zero rows to match.
+    * index-deletion ops. The empty frame writes one schema-carrying empty
+    * file (SPARK-23271) under a PARTITION-SHAPED leaf, `<partCol>=0/`,
+    * with the partition column dropped from the data — so partition
+    * discovery sees the SAME directory depth and the same (int-valued)
+    * partition column as a real partitioned write. A bare unpartitioned
+    * file here would poison the epoch directory: a later `ingestInto*`
+    * lands `batch=N/<partCol>=.../` beside it and every subsequent read
+    * fails partition discovery with "Conflicting directory structures".
+    * Downstream reads see zero rows either way; equi-joins on the
+    * partition column simply match nothing.
+    *
+    * The partition value must parse as the column's real type — every
+    * caller partitions on an int column (cell/bucket/band), for which
+    * `0` is a legitimate value of the right type.
     *
     * The emptiness probe is a limit-1 action — it short-circuits at the
     * first surviving row, so the non-empty (i.e. every real) case pays a
@@ -109,7 +119,8 @@ object Compaction {
     */
   def writePartitioned(df: org.apache.spark.sql.DataFrame, partCol: String,
       path: String): Unit =
-    if (df.isEmpty) df.write.mode("overwrite").parquet(path)
+    if (df.isEmpty)
+      df.drop(partCol).write.mode("overwrite").parquet(s"$path/$partCol=0")
     else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** Delete a directory tree (post-swap cleanup of a superseded epoch). */

@@ -125,32 +125,53 @@ object Retrieval {
     *
     * 100 TB design: candidate generation is [[bm25TopK]]'s broadcast-semi
     * pass (cost ∝ Σ df(query term)); the Jaccard guard runs on the
-    * BOUNDED candidate set only — one broadcast left-semi pass shrinks the
-    * corpus shingle table to the ≤ |Q|·(k+slack+1) ids in play, and the
-    * shrunken table broadcasts into the verification joins. The re-rank
-    * window partitions by query over ≤ k+slack rows — bounded by
-    * construction, never a corpus sort.
+    * BOUNDED candidate set only — one pass shrinks the corpus shingle
+    * table to the ≤ |Q|·(k+slack+1) ids in play. For SERVING-sized seed
+    * sets the shrunken table broadcasts into the verification joins; the
+    * broadcast is SIZE-GUARDED (the stored-PQ shortlist-fetch
+    * discipline): an OFFLINE mining run over millions of queries would
+    * broadcast millions of shingle arrays, so past `broadcastMax`
+    * distinct candidate ids (one cheap count on the persisted candidate
+    * frame) the verification joins fall back to plain shuffle hash joins
+    * — fully distributed, same result. The re-rank window partitions by
+    * query over ≤ k+slack rows — bounded by construction, never a corpus
+    * sort.
+    *
+    * A seed or candidate MISSING from `shingled` fails SAFE as
+    * jaccard 0 (left joins + empty-array coalesce): a data-completeness
+    * gap keeps the candidate as a negative instead of silently dropping
+    * all of its rows.
     *
     * @param shingled (id, ss: array<string>) distinct shingle arrays for
     *                 every document (short docs carry an empty array)
+    * @param broadcastMax max distinct candidate/seed ids the shingle
+    *                 table may hold and still broadcast; above it the
+    *                 verification joins shuffle instead
     * @return (q_id, doc_id, score, jaccard, rnk) — rnk 1-based by
     *         (score desc, doc_id) over the surviving negatives, ≤ k rows
     *         per query
     */
   def hardNegatives(terms: DataFrame, queries: DataFrame,
       shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastMax: Int = 100000): DataFrame = {
     val cand = bm25TopK(terms, queries, k + slack, k1, b,
       excludeSelf = true).persistScoped()
     val ids = cand.select(col("doc_id").as("id"))
       .union(cand.select(col("q_id").as("id"))).distinct()
     val sh = shingled.join(broadcast(ids), Seq("id"), "left_semi")
       .persistScoped() // bounded: one array row per candidate/seed id
+    val hint: DataFrame => DataFrame =
+      if (ids.limit(broadcastMax + 1).count() <= broadcastMax) broadcast
+      else identity
+    val empty = typedLit(Seq.empty[String])
     val j = cand
-      .join(broadcast(sh.select(col("id").as("q_id"), col("ss").as("qs"))),
-        Seq("q_id"))
-      .join(broadcast(sh.select(col("id").as("doc_id"), col("ss").as("ds"))),
-        Seq("doc_id"))
+      .join(hint(sh.select(col("id").as("q_id"), col("ss").as("qs"))),
+        Seq("q_id"), "left")
+      .join(hint(sh.select(col("id").as("doc_id"), col("ss").as("ds"))),
+        Seq("doc_id"), "left")
+      .withColumn("qs", coalesce(col("qs"), empty))
+      .withColumn("ds", coalesce(col("ds"), empty))
       .withColumn("c", size(array_intersect(col("qs"), col("ds"))).cast("long"))
       .withColumn("na", size(col("qs")).cast("long"))
       .withColumn("nb", size(col("ds")).cast("long"))

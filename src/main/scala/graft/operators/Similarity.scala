@@ -19,6 +19,14 @@ import graft.CacheScope.ScopedPersist
   */
 object Similarity {
 
+  /** Stored-PQ codebook grids already validated this session, keyed by
+    * (dir, m_sub, n_codes) — spares every probe after the first its
+    * stride-guard count job. Codebooks are frozen at build; a rebuild
+    * over the same dir is invalidated by [[writeIvfIndexPQ]].
+    */
+  private val cbGridOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+
   /** Cosine similarity of two float-array columns, computed in double via
     * the native kernel (graft.functions.CosineFExpr) — bit-identical to the
     * composable `aggregate(zip_with(...))` fold (same sequential order,
@@ -646,6 +654,8 @@ object Similarity {
       permuteVec(col("embedding"), perm).as("embedding"))
     val cbDf = pqCodebooks(pqTrain, mSub, nCodes, trainIters, dim)
     cbDf.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // a rebuild over a previously-probed dir must re-validate its grid
+    cbGridOk.removeIf(_._1 == dir)
     Seq((mSub, nCodes, dim / mSub, perm.map(_.toSeq).getOrElse(Seq.empty[Int])))
       .toDF("m_sub", "n_codes", "sub_dim", "perm")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -851,10 +861,18 @@ object Similarity {
     val cbRows = spark.read.parquet(s"$dir/codebooks")
     // stride guard (the collectCodebooks check, probe-side): PqAdcExpr
     // indexes lut[m·nCodes + code], so a codebook short of meta's grid
-    // would read past the LUT's end — silently wrong scores, not an error
-    require(cbRows.count() == mSub.toLong * nCodes,
-      s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
-        "corrupt or mismatched index")
+    // would read past the LUT's end — silently wrong scores, not an error.
+    // The count is ONE parquet-metadata job per (dir, grid) per session,
+    // not per probe: codebooks are frozen at build (ingest/compact/delete
+    // never touch them), so the first probe validates and later probes
+    // hit the cache; a same-session rebuild re-keys via (mSub, nCodes)
+    // or is invalidated by [[writeIvfIndexPQ]].
+    if (!cbGridOk.contains((dir, mSub, nCodes))) {
+      require(cbRows.count() == mSub.toLong * nCodes,
+        s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
+          "corrupt or mismatched index")
+      cbGridOk.add((dir, mSub, nCodes))
+    }
     // per-query ADC lookup tables, indexed lut[m·nCodes + code]; the LUT
     // dot-products run in the PERMUTED coordinate space the codes were
     // encoded in (identity for indexes built without permuteDims) — the

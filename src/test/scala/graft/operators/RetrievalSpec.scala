@@ -241,6 +241,15 @@ class RetrievalSpec extends AnyFunSuite {
       val st = spark.read.parquet(s"$dir/stats_e1").head()
       assert(st.getAs[Long]("n_docs") == 0L && st.getAs[Long]("tot_dl") == 0L)
       assert(Retrieval.bm25AgainstIndex(queries, dir, 10).count() == 0)
+      // the epoch must also still INGEST: the empty marker is written
+      // partition-shaped (bucket=0), so a later batch=1/bucket=N write
+      // beside it keeps partition-discovery depth consistent — a bare
+      // flat file here would fail every subsequent probe with
+      // "Conflicting directory structures"
+      Retrieval.ingestIntoBm25Index(terms.filter($"id" === 1L), dir, 1L)
+      val after = Retrieval.bm25AgainstIndex(queries, dir, 10)
+      assert(after.select($"doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(1L))
     } finally graft.CacheScope.drain()
   }
 
@@ -297,6 +306,25 @@ class RetrievalSpec extends AnyFunSuite {
       assert(byId(3L)._3 == 0.0 && byId(5L)._3 == 0.0)
       // re-rank is dense over the survivors: ranks are 1..n
       assert(hn.map(_._4).sorted.toSeq == (1L to hn.length).toSeq)
+
+      // the shuffle-join fallback (offline-scale |Q| past the broadcast
+      // cap) is result-identical to the broadcast path
+      graft.CacheScope.drain()
+      val shuffled = Retrieval.hardNegatives(tf, queries, shingled,
+          k = 10, slack = 5, jaccardT = 0.3, broadcastMax = 1)
+        .select($"q_id", $"doc_id", $"jaccard", $"rnk")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(shuffled.sorted.toSeq == hn.sorted.toSeq)
+
+      // a doc MISSING from the shingle table fails safe as jaccard 0
+      // (kept as a negative), never silently dropped
+      graft.CacheScope.drain()
+      val partial = Retrieval.hardNegatives(tf, queries,
+          shingled.filter($"id" =!= 3L), k = 10, slack = 5, jaccardT = 0.3)
+        .select($"q_id", $"doc_id", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(partial.exists(r => r._2 == 3L && r._3 == 0.0),
+        "doc absent from shingled must survive with jaccard 0")
     } finally graft.CacheScope.drain()
   }
 }

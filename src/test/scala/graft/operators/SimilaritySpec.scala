@@ -576,6 +576,12 @@ class SimilaritySpec extends AnyFunSuite {
       // a fileless partitioned dir would throw "unable to infer schema"
       assert(spark.read.parquet(s"$dir/lists_e1").count() == 0)
       assert(Similarity.ivfTopKAgainstIndex(queries, dir, 2, 5).count() == 0)
+      // and still INGEST: the empty marker is partition-shaped (cell=0),
+      // so batch=1/cell=N lands beside it at a consistent discovery
+      // depth — a bare flat file would break every later probe with
+      // "Conflicting directory structures"
+      Similarity.ingestIntoIvfIndex(emb.limit(5), dir, 1L)
+      assert(Similarity.ivfTopKAgainstIndex(queries, dir, 8, 5).count() > 0)
     } finally graft.CacheScope.drain()
   }
 
