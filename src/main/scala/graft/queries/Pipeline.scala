@@ -2549,6 +2549,232 @@ object Pipeline {
        |FROM n JOIN l$LpIters USING (id)""".stripMargin
   }
 
+  // ===== q188 end-to-end training-data pipeline ==========================
+  // The round-7–10 surface chained the way q95 chained round-1's: Gopher
+  // repetition filter (q169) → CCNet perplexity gate (q175) → exact +
+  // MinHash-LSH dedup (q61) → DSIR importance selection (q184) →
+  // temperature-mixture token allocation (q186) → byte-level BPE
+  // tokenizer TRAINED ON THE SURVIVORS (q180/q183) → token-budget
+  // packing (q72) — one DataFrame, oracled as ONE SQL statement whose
+  // every stage runs on the previous stage's survivors. This catches the
+  // cross-operator contract drift no per-operator row can: each stage's
+  // implicit row-dropping rules (repetition needs ≥1 token, perplexity
+  // ≥2 tokens, DSIR ≥1 feature, BPE tokenize ≥1 pre-token) become the
+  // next stage's input contract, and the tokenizer/model stages train on
+  // PIPELINE-FILTERED slices (the perplexity reference slice and BPE
+  // vocabulary shift with the upstream filters). Scale posture is the
+  // union of the stages' (each individually plan-audited); the only
+  // collect is the BPE merge table — a bounded model artifact.
+
+  private val P2Quota = 100 // DSIR quota over the deduped survivors
+  private val P2MixBudget = 3000L // α-sampling token budget
+  private val P2PackBudget = 500L // tokens per packed bin
+
+  private def q188(t: Tables): DataFrame = {
+    val docs0 = graft.Fanout(t.documents)
+      .select(col("doc_id"), col("source"), col("text"))
+    def keptIds(scored: DataFrame): DataFrame =
+      scored.filter(col("keep")).select(col("id").as("doc_id"))
+    // every stage boundary localCheckpoints: each operator references its
+    // input frame several times internally, so five composed stages would
+    // otherwise multiply the logical plan exponentially (the lineage-
+    // truncation discipline of the iterative graph operators, applied to
+    // a DEEP composition instead of a loop). The checkpointed frames are
+    // the shrinking survivor sets - tiny relative to the corpus scan.
+    val d1 = docs0.join(keptIds(TextOps.repetitionFilter(docs0,
+      col("doc_id"), col("text"), RepMaxTok, RepMaxBigram, RepMinTtr)),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val d2 = d1.join(keptIds(TextOps.lmPerplexityFilter(d1, col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, LmMaxV, LmMaxB, LmLambda,
+      LmPplThresh)), Seq("doc_id"), "left_semi").localCheckpoint()
+    val d3 = d2.join(Dedup.dedupCorpus(
+      d2.select(col("doc_id").as("id"), col("text")),
+      3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val d4 = d3.join(keptIds(TextOps.dsirSelect(d3, col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, DsirDim, P2Quota)),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val d5 = d4.join(keptIds(graft.operators.Curation.temperatureMixtureAlloc(
+      d4.select(col("doc_id"), col("source"),
+        size(filter(split(lower(col("text")), """\s+"""),
+          x => length(x) > 0)).cast("long").as("n_tokens")),
+      col("doc_id"), col("source"), col("n_tokens"), P2MixBudget)),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds BPE training AND tokenization AND packing
+    val merges = TextOps.bpeMergesByteLevel(d5, col("text"), BpeRounds,
+      requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val toks = TextOps.bpeTokenCountsByteLevel(d5, col("doc_id"),
+      col("text"), merges).select(col("id").as("doc_id"), col("n_tokens"))
+    graft.operators.Curation.packBinsScalable(
+      d5.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
+      col("source"), col("doc_id"), col("n_tokens"), P2PackBudget,
+      partitions = 32)
+      .select(col("domain").as("source"), col("bin"), col("n_docs"),
+        col("bin_tokens"))
+  }
+
+  // lazy: bpeCteChain/bpeWc0ByteLevelFrom/byteLevelTokenPattern and the
+  // Bpe/Bm constants are declared later in this file (the q172Sql
+  // order-safety lesson)
+  private lazy val q188Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH
+       |r_w AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS words
+       |  FROM documents),
+       |r_tc AS (SELECT id, n, tk, count(*) AS c FROM (
+       |    SELECT id, len(words) AS n, unnest(words) AS tk FROM r_w
+       |    WHERE len(words) > 0) GROUP BY 1, 2, 3),
+       |r_ts AS (SELECT id, n, max(c) AS topc, count(*) AS nd FROM r_tc GROUP BY 1, 2),
+       |r_bc AS (SELECT id, b, count(*) AS c FROM (
+       |    SELECT id, words[i] || ' ' || words[i+1] AS b FROM (
+       |      SELECT id, words, unnest(generate_series(1, len(words)-1)) AS i
+       |      FROM r_w WHERE len(words) >= 2)) GROUP BY 1, 2),
+       |r_bs AS (SELECT id, max(c) AS topb FROM r_bc GROUP BY 1),
+       |d1 AS MATERIALIZED (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN (
+       |    SELECT r_ts.id FROM r_ts LEFT JOIN r_bs USING (id)
+       |    WHERE round(CAST(r_ts.topc AS DOUBLE)/r_ts.n, 4) <= $RepMaxTok
+       |      AND (CASE WHEN r_bs.topb IS NOT NULL
+       |        THEN round(CAST(r_bs.topb AS DOUBLE)/(r_ts.n-1), 4)
+       |        ELSE 0.0 END) <= $RepMaxBigram
+       |      AND round(CAST(r_ts.nd AS DOUBLE)/r_ts.n, 4) >= $RepMinTtr
+       |  ) k1 ON d.doc_id = k1.id),
+       |p_d AS MATERIALIZED (SELECT doc_id AS id, ws FROM (
+       |    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws FROM d1)
+       |  WHERE len(ws) >= 2),
+       |p_ru AS (SELECT w, count(*) AS uc FROM (
+       |    SELECT unnest(ws) AS w FROM p_d WHERE id % 10 = 0) GROUP BY 1),
+       |p_voc AS MATERIALIZED (SELECT w, uc FROM p_ru ORDER BY uc DESC, w LIMIT $LmMaxV),
+       |p_vst AS (SELECT CAST(sum(uc) AS BIGINT) AS tt,
+       |               CAST(count(*) AS BIGINT) AS nv FROM p_voc),
+       |p_ap AS MATERIALIZED (SELECT id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+       |    SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM p_d)),
+       |p_big AS (SELECT w1, w2, bc FROM (
+       |    SELECT w1, w2, count(*) AS bc FROM p_ap
+       |      JOIN p_voc v1 ON p_ap.w1 = v1.w JOIN p_voc v2 ON p_ap.w2 = v2.w
+       |      WHERE id % 10 = 0 GROUP BY 1, 2)
+       |  ORDER BY bc DESC, w1, w2 LIMIT $LmMaxB),
+       |p_sc AS (SELECT dn.id, dn.w1, dn.w2, dn.n,
+       |    ln($LmLambda * COALESCE(CAST(b.bc AS DOUBLE) / u1.uc, 0)
+       |       + ${1.0 - LmLambda} * CAST(COALESCE(u2.uc, 0) + 1 AS DOUBLE)
+       |         / CAST(tt + nv + 1 AS DOUBLE)) AS lp
+       |  FROM (SELECT id, w1, w2, count(*) AS n FROM p_ap GROUP BY 1, 2, 3) dn
+       |  LEFT JOIN p_big b ON dn.w1 = b.w1 AND dn.w2 = b.w2
+       |  LEFT JOIN p_voc u1 ON dn.w1 = u1.w
+       |  LEFT JOIN p_voc u2 ON dn.w2 = u2.w
+       |  CROSS JOIN p_vst),
+       |p_f AS (SELECT id, CAST(sum(n) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'w1': w1, 'w2': w2, 'v': n * lp})),
+       |        x -> x.v)), (a, b) -> a + b) AS s
+       |  FROM p_sc GROUP BY id),
+       |d2 AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM d1 d JOIN (
+       |    SELECT id FROM p_f WHERE round(exp(-s / m), 4) <= $LmPplThresh
+       |  ) k2 ON d.doc_id = k2.id),
+       |x_ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM d2 GROUP BY text),
+       |x_h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |    list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM (
+       |    SELECT id, ${shinglesSql(3)} AS ss FROM (
+       |      SELECT id, regexp_split_to_array(lower(text), '\\s+') AS words
+       |      FROM x_ex))
+       |  WHERE len(ss) > 0),
+       |x_sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM x_h),
+       |x_bands AS (SELECT id, t.b AS band,
+       |    array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows),
+       |      z -> CAST(z AS VARCHAR)), '_') AS key
+       |  FROM x_sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |x_drops AS (SELECT DISTINCT id_b FROM (
+       |    SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |      a.n_sh AS na, b.n_sh AS nb
+       |    FROM (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |          FROM x_bands x JOIN x_bands y
+       |          ON x.band = y.band AND x.key = y.key AND x.id < y.id) c
+       |    JOIN x_sig a ON c.id_a = a.id JOIN x_sig b ON c.id_b = b.id)
+       |  WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT),
+       |d3 AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM d2 d JOIN (
+       |    SELECT id FROM x_ex WHERE id NOT IN (SELECT id_b FROM x_drops)
+       |  ) k3 ON d.doc_id = k3.id),
+       |i_d AS MATERIALIZED (SELECT doc_id AS id, (doc_id % 10 = 0) AS is_t, ws FROM (
+       |    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws FROM d3)
+       |  WHERE len(ws) > 0),
+       |i_fb AS MATERIALIZED (SELECT id, is_t,
+       |    (${Dedup.SharedHash.hash28Sql("ft")} % $DsirDim) AS b FROM (
+       |    SELECT id, is_t, unnest(ws || list_transform(
+       |      range(2, len(ws) + 1), i -> ws[i - 1] || ' ' || ws[i])) AS ft
+       |    FROM i_d)),
+       |i_bk AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(count(*) AS BIGINT) AS cr FROM i_fb GROUP BY 1),
+       |i_lr AS (SELECT b, ln(((ct + 1.0) / (tt + $DsirDim))
+       |                    / ((cr + 1.0) / (tr + $DsirDim))) AS lr
+       |  FROM i_bk CROSS JOIN (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |    CAST(sum(cr) AS BIGINT) AS tr FROM i_bk)),
+       |i_ds AS MATERIALIZED (SELECT id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'b': b, 'v': n * lr})),
+       |        x -> x.v)), (a, c) -> a + c)
+       |      / CAST(sum(n) AS BIGINT), 4) AS w
+       |  FROM (SELECT id, b, count(*) AS n FROM i_fb GROUP BY 1, 2)
+       |  JOIN i_lr USING (b) GROUP BY id),
+       |i_th AS (SELECT w AS thw, id AS thid FROM (
+       |    SELECT id, w FROM i_ds ORDER BY w DESC, id LIMIT $P2Quota)
+       |  ORDER BY w ASC, id DESC LIMIT 1),
+       |d4 AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM d3 d JOIN (
+       |    SELECT id FROM i_ds CROSS JOIN i_th
+       |    WHERE w > thw OR (w = thw AND id <= thid)
+       |  ) k4 ON d.doc_id = k4.id),
+       |m_b AS MATERIALIZED (SELECT doc_id AS id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM d4),
+       |m_sw AS (SELECT source, sqrt(CAST(tok_total AS DOUBLE)) AS w FROM (
+       |    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_total
+       |    FROM m_b GROUP BY 1)),
+       |m_ba AS (SELECT source, CAST(floor(share) AS BIGINT) AS base,
+       |    share - floor(share) AS rem FROM (
+       |    SELECT source, CAST($P2MixBudget AS DOUBLE) * w / wsum AS share
+       |    FROM m_sw CROSS JOIN (
+       |      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(list_sort(list({'s': source, 'w': w})),
+       |          x -> x.w)), (a, c) -> a + c) AS wsum FROM m_sw))),
+       |m_al AS (SELECT source, base + CASE WHEN
+       |    row_number() OVER (ORDER BY rem DESC, source) <= r
+       |    THEN 1 ELSE 0 END AS alloc_tokens FROM m_ba CROSS JOIN (
+       |    SELECT $P2MixBudget - CAST(sum(base) AS BIGINT) AS r FROM m_ba)),
+       |d5 AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM d4 d JOIN (
+       |    SELECT o.id FROM (
+       |      SELECT id, source, coalesce(sum(n_tokens) OVER (
+       |        PARTITION BY source
+       |        ORDER BY ${Dedup.SharedHash.hash28Sql("CAST(id AS VARCHAR)")}, id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS cum_before
+       |      FROM m_b) o
+       |    JOIN m_al al USING (source)
+       |    WHERE o.cum_before < al.alloc_tokens
+       |  ) k5 ON d.doc_id = k5.id),
+       |${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevelFrom("d5"))},
+       |b_tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wc$BpeRounds),
+       |b_nt AS (SELECT id, CAST(sum(nt) AS BIGINT) AS n_tokens FROM (
+       |    SELECT doc_id AS id, unnest(regexp_extract_all(lower(text),
+       |      '${TextOps.byteLevelTokenPattern}')) AS w FROM d5) bw
+       |  JOIN b_tok USING (w) GROUP BY id),
+       |pk AS (SELECT d.source, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY d.source ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM d5 d JOIN b_nt ON d.doc_id = b_nt.id)
+       |SELECT source, CAST(floor(cum / $P2PackBudget.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM pk GROUP BY 1, 2""".stripMargin
+  }
+
   // ===== q148 per-document novelty attribution ===========================
   // "How much does each document ADD to the corpus?" — for every doc,
   // the fraction of its distinct 3-shingles owned by no lower-id doc
@@ -2865,14 +3091,18 @@ object Pipeline {
 
   /** q180's byte-level wc0: regex pre-tokens → hex-pair UTF-8 byte
     * symbols (DuckDB hex(varchar) = hex of the UTF-8 bytes, uppercase —
-    * Spark's hex-of-string semantics exactly).
+    * Spark's hex-of-string semantics exactly). Parameterized by the
+    * source relation so q188's composed pipeline can train the tokenizer
+    * on its surviving-docs CTE instead of the raw table.
     */
-  private val bpeWc0ByteLevel =
+  private def bpeWc0ByteLevelFrom(rel: String): String =
     s"""  SELECT w, list_transform(generate_series(1, len(hex(w)) // 2),
        |      i -> hex(w)[2*i - 1:2*i]) AS syms, n FROM (
        |    SELECT w, count(*) AS n FROM (
        |      SELECT unnest(regexp_extract_all(lower(text), '${TextOps.byteLevelTokenPattern}'))
-       |        AS w FROM documents) GROUP BY w)""".stripMargin
+       |        AS w FROM $rel) GROUP BY w)""".stripMargin
+
+  private def bpeWc0ByteLevel = bpeWc0ByteLevelFrom("documents")
 
   private val q156Sql = {
     val sel = (1 to BpeRounds).map(i =>
@@ -3951,7 +4181,8 @@ object Pipeline {
     "q184_dsir_selection" -> wrap(q184),
     "q185_hard_negatives" -> wrap(q185),
     "q186_mixture_alloc" -> wrap(q186),
-    "q187_label_propagation" -> wrap(q187)
+    "q187_label_propagation" -> wrap(q187),
+    "q188_pipeline_e2e" -> wrap(q188)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4056,6 +4287,7 @@ object Pipeline {
     "q184_dsir_selection" -> q184Sql,
     "q185_hard_negatives" -> q185Sql,
     "q186_mixture_alloc" -> q186Sql,
-    "q187_label_propagation" -> q187Sql
+    "q187_label_propagation" -> q187Sql,
+    "q188_pipeline_e2e" -> q188Sql
   )
 }
