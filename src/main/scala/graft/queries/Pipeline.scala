@@ -2517,16 +2517,30 @@ object Pipeline {
     Graph.labelPropagation(edges, nodes, LpIters)
   }
 
-  private val q187Sql = {
-    val rounds = (1 to LpIters).map { i =>
-      s"""c$i AS (SELECT dir.dst AS id, l${i - 1}.label, count(*) AS c
+  /** The LP oracle with `rounds` unrolled voting CTEs — shared by q187
+    * (fixed LpIters rounds, RE-voting recurrence) and q189 (FROZEN
+    * recurrence unrolled past the measured fixpoint: a converged frozen
+    * round reproduces the labeling verbatim, the q149 over-unroll
+    * idempotence trick — re-voting never converges on this graph, so
+    * only the frozen form can sit on an over-unrolled oracle).
+    * MATERIALIZED per the q149 discipline: every round references the
+    * previous labeling twice. The recurrences differ only in the
+    * coalesce: re-voting re-derives every non-seed label each round
+    * (seed wins, else this round's plurality); frozen keeps the previous
+    * label (previous wins, else this round's plurality).
+    */
+  private def lpUnrolledSql(rounds: Int, frozen: Boolean = false): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val keep = if (frozen) s"l${i - 1}.label" else "n.seed_label"
+      val from = if (frozen) s"l${i - 1}" else "n"
+      s"""c$i AS MATERIALIZED (SELECT dir.dst AS id, l${i - 1}.label, count(*) AS c
          |      FROM dir JOIN l${i - 1} ON dir.src = l${i - 1}.id
          |      WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
          |p$i AS (SELECT id, label FROM (SELECT id, label,
          |        row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
          |      FROM c$i) WHERE rn = 1),
-         |l$i AS (SELECT n.id, coalesce(n.seed_label, p$i.label) AS label
-         |      FROM n LEFT JOIN p$i USING (id))""".stripMargin
+         |l$i AS MATERIALIZED (SELECT $from.id, coalesce($keep, p$i.label) AS label
+         |      FROM $from LEFT JOIN p$i USING (id))""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |${bucketCtesSql(LpPlanes)},
@@ -2538,16 +2552,47 @@ object Pipeline {
        |      FROM s),
        |ed AS (SELECT DISTINCT least(q_id, vec_id) AS id_a,
        |         greatest(q_id, vec_id) AS id_b FROM r WHERE rnk <= $KnnK),
-       |dir AS (SELECT id_a AS src, id_b AS dst FROM ed
+       |dir AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ed
        |        UNION ALL SELECT id_b, id_a FROM ed),
-       |n AS (SELECT vec_id AS id, CASE WHEN vec_id % $LpSeedMod = 0
+       |n AS MATERIALIZED (SELECT vec_id AS id, CASE WHEN vec_id % $LpSeedMod = 0
        |        THEN CAST(label AS BIGINT) END AS seed_label FROM embeddings),
        |l0 AS (SELECT id, seed_label AS label FROM n),
-       |$rounds
-       |SELECT n.id, l$LpIters.label,
+       |$roundCtes
+       |SELECT n.id, l$rounds.label,
        |  (n.seed_label IS NOT NULL) AS is_seed
-       |FROM n JOIN l$LpIters USING (id)""".stripMargin
+       |FROM n JOIN l$rounds USING (id)""".stripMargin
   }
+
+  private val q187Sql = lpUnrolledSql(LpIters)
+
+  // ===== q189 FROZEN label propagation to the fixpoint ===================
+  // The data-dependent-iteration LP form on the hash gate
+  // (Graph.labelPropagationFrozen): monotone layered seed expansion —
+  // once labeled, frozen — looped to CONVERGENCE with a one-scalar
+  // non-null count per round + localCheckpoint. The oracle unrolls 8
+  // frozen rounds, past the measured fixpoint (2 rounds at sf0.01, 3 at
+  // sf0.001 on the LSH-kNN graph) — a converged frozen round is
+  // idempotent, so the extra rounds reproduce the fixpoint verbatim (the
+  // q149 discipline). The RE-voting recurrence (q187's) measurably NEVER
+  // converges on this graph (28/500 labels still flipping at round 14),
+  // which is exactly why the fixpoint gate runs the frozen form and the
+  // re-voting exact loop stays a spec-pinned maxRounds-bounded API.
+  private val LpUnroll = 8
+
+  private def q189(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val knn = Similarity.lshTopK(
+      e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      e, Dim, KnnK, LpPlanes)
+    val edges = knn.select(least(col("q_id"), col("vec_id")).as("id_a"),
+      greatest(col("q_id"), col("vec_id")).as("id_b")).distinct()
+    val nodes = e.select(col("vec_id").as("id"),
+      when(col("vec_id") % LpSeedMod === 0, col("label"))
+        .cast("long").as("seed_label"))
+    Graph.labelPropagationFrozen(edges, nodes)
+  }
+
+  private val q189Sql = lpUnrolledSql(LpUnroll, frozen = true)
 
   // ===== q188 end-to-end training-data pipeline ==========================
   // The round-7–10 surface chained the way q95 chained round-1's: Gopher
@@ -4182,7 +4227,8 @@ object Pipeline {
     "q185_hard_negatives" -> wrap(q185),
     "q186_mixture_alloc" -> wrap(q186),
     "q187_label_propagation" -> wrap(q187),
-    "q188_pipeline_e2e" -> wrap(q188)
+    "q188_pipeline_e2e" -> wrap(q188),
+    "q189_label_prop_frozen" -> wrap(q189)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4288,6 +4334,7 @@ object Pipeline {
     "q185_hard_negatives" -> q185Sql,
     "q186_mixture_alloc" -> q186Sql,
     "q187_label_propagation" -> q187Sql,
-    "q188_pipeline_e2e" -> q188Sql
+    "q188_pipeline_e2e" -> q188Sql,
+    "q189_label_prop_frozen" -> q189Sql
   )
 }

@@ -444,6 +444,28 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming kNN-label serving —
+    * [[graft.operators.Graph.labelPropagation]]'s online twin
+    * ([[clsScoreIngest]]'s shape over a vector stream): each micro-batch
+    * of (q_id, q_vec) vectors classifies against a FROZEN labeling
+    * artifact + stored ANN index
+    * ([[graft.operators.Graph.knnClassifyAgainstIndex]] — cell-pruned
+    * probe, one bounded hash join, struct-max plurality) and writes its
+    * (q_id, label, votes) report under `batch=<id>` — overwrite mode, so
+    * a crash-replayed batch re-derives the identical report over the
+    * read-only index + labeling (idempotent). Labels never update
+    * online: label drift is a relabel-and-swap, the stored-model
+    * discipline of [[lmScoreIngest]]/[[clsScoreIngest]].
+    */
+  def knnLabelIngest(indexDir: String, labelsDir: String, outDir: String,
+      nProbe: Int, k: Int)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Graph
+        .knnClassifyAgainstIndex(batch.toDF(), indexDir, labelsDir, nProbe, k)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming dedup-index ingestion — [[bm25Ingest]]'s dedup sibling
     * over a [[graft.operators.Dedup.writeCorpusIndexVersioned]] index:
     * each micro-batch of (id, text) documents OVERWRITES its own batch

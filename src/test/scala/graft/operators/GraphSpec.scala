@@ -179,4 +179,86 @@ class GraphSpec extends AnyFunSuite {
         i -> (if (i == 1L) Some(7L) else None)).toMap)
     } finally graft.CacheScope.drain()
   }
+
+  test("labelPropagationFrozen: once labeled never re-votes; converges where re-voting flips") {
+    // A(seed 5)–X; B(seed 1)–y1,y2; y1–X, y2–X.
+    // Round 1: X's only labeled neighbor is A → X=5; y1,y2 take 1.
+    // Round 2 re-voting: X's labeled neighbors {A:5, y1:1, y2:1} → flips
+    // to 1. Frozen: X keeps its first label 5 — the semantic fork.
+    val es = Seq((1L, 10L), (2L, 20L), (2L, 21L), (20L, 10L), (21L, 10L))
+    val seeds = Map(1L -> 5L, 2L -> 1L)
+    val ids = Seq(1L, 2L, 10L, 20L, 21L)
+    val edf = es.toDF("id_a", "id_b")
+    val ndf = ids.map(i => (i, seeds.get(i))).toDF("id", "seed_label")
+    try {
+      val frozen = Graph.labelPropagationFrozen(edf, ndf)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(frozen(10L).contains(5L), "frozen keeps the first label")
+      assert(frozen(20L).contains(1L) && frozen(21L).contains(1L))
+      // the re-voting form on the same graph flips X by round 2
+      val revote = Graph.labelPropagation(edf, ndf, iters = 2)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(revote(10L).contains(1L), "re-voting flips under new votes")
+      // frozen reaches the whole chain (the under-propagation case) and
+      // its fixpoint is the BFS layering from the seed
+      val n = 12L
+      val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val nodes = (1L to n).map(i => (i, if (i == 1L) Some(7L) else None))
+        .toDF("id", "seed_label")
+      val fc = Graph.labelPropagationFrozen(chain, nodes)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert((1L to n).forall(fc(_).contains(7L)))
+      // maxRounds bound still returns the partial layering
+      val capped = Graph.labelPropagationFrozen(chain, nodes, maxRounds = 2)
+        .collect().map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+      assert((1L to n).count(capped) == 3)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("knnClassifyAgainstIndex: plurality of labeled top-k neighbors, smallest-label ties, abstain without labeled neighbors") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = java.nio.file.Files.createTempDirectory("knncls").toString
+    val idx = s"$base/idx"; val lbl = s"$base/labels"
+    try {
+      graft.operators.Similarity.writeIvfIndexVersioned(emb, idx, 8)
+      // label 60% of the corpus from the table's own label column
+      emb.select($"vec_id".as("id"))
+        .join(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select($"vec_id".as("id"), $"label"), Seq("id"))
+        .select($"id", org.apache.spark.sql.functions.when($"id" % 5 < 3,
+          $"label").cast("long").as("label"))
+        .write.parquet(lbl)
+      val queries = emb.limit(20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+        .localCheckpoint()
+      val got = Graph.knnClassifyAgainstIndex(queries, idx, lbl, 4, 10)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // independent replay: raw top-k from the same index, local plurality
+      val top = graft.operators.Similarity
+        .ivfTopKAgainstIndex(queries, idx, 4, 10)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      val labels = spark.read.parquet(lbl)
+        .filter($"label".isNotNull)
+        .as[(Long, Long)].collect().toMap
+      val want = top.toSeq.groupBy(_._1).flatMap { case (q, ns) =>
+        val votes = ns.flatMap(n => labels.get(n._2))
+        if (votes.isEmpty) None
+        else {
+          val byLabel = votes.groupBy(identity).view
+            .mapValues(_.size.toLong).toSeq
+          Some(q -> byLabel.sortBy { case (l, c) => (-c, l) }.head.swap)
+        }
+      }
+      assert(got.nonEmpty && got.view.mapValues(_.swap).toMap == want)
+      // every returned vote count is >= 1 and <= k
+      assert(got.values.forall { case (_, v) => v >= 1 && v <= 10 })
+    } finally graft.CacheScope.drain()
+  }
 }

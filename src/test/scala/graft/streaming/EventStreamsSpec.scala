@@ -659,6 +659,52 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("knnLabelIngest: streamed vectors classify against the frozen labeling; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = java.nio.file.Files.createTempDirectory("knnlabel").toString
+    val idx = s"$base/index"; val lbl = s"$base/labels"; val out = s"$base/out"
+    graft.operators.Similarity.writeIvfIndexVersioned(emb, idx, 8)
+    // the frozen labeling artifact: the offline LP output written once
+    graft.operators.Graph.labelPropagation(
+        graft.operators.Similarity.lshTopK(
+          emb.select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+          emb, 64, 5, 5)
+          .select(least($"q_id", $"vec_id").as("id_a"),
+            greatest($"q_id", $"vec_id").as("id_b")).distinct(),
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select($"vec_id".as("id"),
+            when($"vec_id" % 4 === 0, $"label").cast("long").as("seed_label")),
+        iters = 3)
+      .select($"id", $"label").write.parquet(lbl)
+    val probeRows = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = probeRows.splitAt(probeRows.size / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("q_id", "q_vec")
+      .writeStream.foreachBatch(EventStreams.knnLabelIngest(idx, lbl, out, 4, 10))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("q_id", "label", "votes")
+        .as[(Long, Long, Long)].collect().toSet
+      val offline = graft.operators.Graph.knnClassifyAgainstIndex(
+          probeRows.toDF("q_id", "q_vec"), idx, lbl, 4, 10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      // replayed batch re-derives the identical report (read-only index)
+      val sink = EventStreams.knnLabelIngest(idx, lbl, out, 4, 10)
+      sink(b1.toDF("q_id", "q_vec"), 1)
+      assert(spark.read.parquet(out).select("q_id", "label", "votes")
+        .as[(Long, Long, Long)].collect().toSet == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("lmScoreIngest: streamed docs score against the stored LM; serving ≡ offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
