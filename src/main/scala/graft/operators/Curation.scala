@@ -93,6 +93,45 @@ object Curation {
       .groupBy(col("__dom").as("domain"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("bin_tokens"))
 
+  /** The packed-sequence MANIFEST — the artifact a pretraining data
+    * loader actually consumes, where [[packBinsScalable]] only reports
+    * per-bin totals: one row per (document, bin) SPAN. Concat-and-chunk
+    * packing splits the per-domain id-ordered token stream into
+    * consecutive `budget`-token bins, so a document whose tokens
+    * straddle a bin boundary contributes a span to EVERY bin it crosses:
+    * with exclusive prefix `cum`, doc tokens [cum, cum+n) land in bins
+    * ⌊cum/B⌋ .. ⌊(cum+n−1)/B⌋, and its span in bin k is
+    * [max(kB, cum), min((k+1)B, cum+n)) — reported as (off_in_doc,
+    * span_tokens). Every bin except each domain's last is exactly full
+    * BY CONSTRUCTION (Σ span_tokens = B), and per-doc Σ span_tokens =
+    * n — both spec-pinned, as is partition-count invariance (bin ids and
+    * spans are pure functions of the prefix sum).
+    *
+    * 100 TB posture: [[binsOf]]'s distributed prefix scan (parallelism =
+    * the partition count, not |domains|) + one narrow explode of
+    * ≤ ⌈n/B⌉+1 spans per doc — no window over unbounded groups, no
+    * second shuffle. Zero-token docs contribute no span (a span of 0
+    * tokens is not an artifact a loader can read).
+    *
+    * @return (domain, id, bin, off_in_doc, span_tokens)
+    */
+  def packManifest(df: DataFrame, domain: Column, id: Column,
+      tokens: Column, budget: Long, partitions: Int): DataFrame = {
+    require(budget >= 1)
+    binsOf(df, domain, id, tokens, Some(partitions))
+      .filter(col("__tok") > 0)
+      .select(col("__dom").as("domain"), col("__id").as("id"),
+        col("__tok"), col("__cum"),
+        explode(expr(
+          s"sequence(__cum div ${budget}L, (__cum + __tok - 1) div ${budget}L)"))
+          .as("bin"))
+      .select(col("domain"), col("id"), col("bin"),
+        (greatest(col("bin") * budget, col("__cum")) - col("__cum"))
+          .as("off_in_doc"),
+        (least((col("bin") + 1) * budget, col("__cum") + col("__tok"))
+          - greatest(col("bin") * budget, col("__cum"))).as("span_tokens"))
+  }
+
   /** Rows with the per-domain exclusive prefix sum in `__cum`:
     * single-window form (scanParts = None) or distributed-scan form.
     * `ord` optionally prepends an ordering key before the id (default:
@@ -115,6 +154,15 @@ object Curation {
         import spark.implicits._
         // local exclusive prefix per (partition, domain): one sequential
         // pass over each range partition's sorted iterator
+        // localCheckpoint (EAGER) pins partition identity: __pid comes
+        // from TaskContext, and a downstream NARROW sink (e.g. a
+        // coalesce(1) write) would otherwise collapse this stage — one
+        // task drains all range partitions, stamping __pid = 0 on every
+        // row while the offsets side-job (its own stage) sees the real
+        // ids, and the inner join silently drops everything outside
+        // partition 0. Materializing here evaluates the scan in its own
+        // 32-task stage exactly once (also sparing the double
+        // computation: `local` feeds the offsets aggregate AND the join).
         val local = base
           .repartitionByRange(parts, col("__dom"), col("__ord"), col("__id"))
           .sortWithinPartitions(col("__dom"), col("__ord"), col("__id"))
@@ -131,6 +179,7 @@ object Curation {
             }
           }
           .toDF("__dom", "__id", "__tok", "__ord", "__pid", "__local")
+          .localCheckpoint()
         // per-(domain, partition) subtotals are |partitions|-scale rows —
         // the only data the cross-partition window ever touches
         val w = org.apache.spark.sql.expressions.Window

@@ -354,6 +354,61 @@ object TextOps {
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
+  /** Detokenize a BYTE-LEVEL token array back to its source pre-token:
+    * byte-level tokens are hex-pair concatenations of UTF-8 bytes
+    * ([[graft.functions.BpeEncodeExpr]] byte mode), so the inverse is
+    * concat → unhex → UTF-8 decode. The concat happens BEFORE unhex — a
+    * multi-byte character's bytes may be SPLIT ACROSS TOKENS by the
+    * merge history, so per-token decoding would produce replacement
+    * chars; the word-level byte string is always whole. One codegen'd
+    * expression chain, no UDF.
+    */
+  def bpeDetokenizeByteLevel(toks: Column): Column =
+    decode(unhex(concat_ws("", toks)), "UTF-8")
+
+  /** Tokenizer INTEGRITY check — encode∘decode ≡ identity over the real
+    * corpus (the deploy gate a tokenizer artifact ships behind; a lossy
+    * tokenizer silently corrupts every downstream token count and packed
+    * sequence): every distinct pre-token encodes through the native
+    * byte-level BPE and decodes back ([[bpeDetokenizeByteLevel]]);
+    * per document, reports the pre-token count, the number of words
+    * whose round trip mismatched, and the md5 of the POSITION-ORDERED
+    * concatenation of the decoded words — equal to the md5 of the
+    * original pre-token stream iff the round trip is exact, which is
+    * what puts this on a hash-compare oracle gate (the oracle computes
+    * the md5 from the ORIGINAL pre-tokens and asserts 0 mismatches —
+    * the q45 guarantee-gate shape: oracle = ground truth, engine = the
+    * actual round trip).
+    *
+    * 100 TB posture: the merge chain runs once per DISTINCT pre-token
+    * (the [[bpeTokenCountsByteLevel]] vocab-side amortization); the
+    * corpus side is one posexplode + equi-join + per-doc sorted-struct
+    * fold (bounded by the doc's own token count).
+    *
+    * @return (id, n_pretokens, n_mismatch, rt_md5), docs with ≥1
+    *         pre-token only
+    */
+  def bpeRoundTripByteLevel(docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs.select(text.as("__t"))
+      .select(explode(regexp_extract_all(lower(col("__t")),
+        lit(byteLevelTokenPattern), lit(0))).as("w"))
+      .distinct()
+      .select(col("w"), bpeDetokenizeByteLevel(
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true))
+        .as("dec"))
+    docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"), posexplode(regexp_extract_all(lower(col("__t")),
+        lit(byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+      .join(vocab, "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(when(col("dec") =!= col("w"), 1L).otherwise(0L)).as("n_mismatch"),
+        md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(pos, dec))), x -> x.dec), '')"))
+          .as("rt_md5"))
+  }
+
   /** CCNet-style perplexity filter (Wenzek et al. 2019, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * public paper): a word-bigram language model is trained on a

@@ -2594,6 +2594,79 @@ object Pipeline {
 
   private val q189Sql = lpUnrolledSql(LpUnroll, frozen = true)
 
+  // ===== q190 tokenizer round-trip integrity =============================
+  // encode∘decode ≡ identity over the real corpus — the deploy gate a
+  // tokenizer artifact ships behind (a lossy tokenizer silently corrupts
+  // every downstream count and packed sequence). Every distinct
+  // pre-token encodes through the trained byte-level BPE and decodes
+  // back (concat hex → unhex → UTF-8 — BEFORE unhex, because merges can
+  // split a multi-byte character's bytes across tokens); per doc the
+  // gate reports pre-token count, mismatch count and the md5 of the
+  // position-ordered decoded stream. The oracle is the q45
+  // guarantee-gate shape: it computes the md5 from the ORIGINAL
+  // pre-tokens and asserts zero mismatches — ground truth vs the
+  // engine's actual round trip.
+
+  private def q190(t: Tables): DataFrame = {
+    val merges = TextOps.bpeMergesByteLevel(graft.Fanout(t.documents),
+      col("text"), BpeRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeRoundTripByteLevel(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), merges)
+      .select(col("id").as("doc_id"), col("n_pretokens"),
+        col("n_mismatch"), col("rt_md5"))
+  }
+
+  // lazy: byteLevelTokenPattern interpolates fine eagerly, but keep the
+  // q172Sql order-safety convention for anything reading TextOps state
+  private lazy val q190Sql =
+    s"""SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_pretokens,
+       |  CAST(0 AS BIGINT) AS n_mismatch,
+       |  md5(array_to_string(ws, '')) AS rt_md5
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text),
+       |    '${TextOps.byteLevelTokenPattern}') AS ws FROM documents)
+       |WHERE len(ws) > 0""".stripMargin
+
+  // ===== q191 packed-sequence manifest ===================================
+  // q72's missing half: the per-(doc, bin) SPAN manifest a pretraining
+  // data loader actually reads — a doc whose tokens straddle a bin
+  // boundary contributes a span to every bin it crosses (off_in_doc,
+  // span_tokens), so every bin except each source's last is exactly
+  // budget-full by construction. Spark side is the distributed prefix
+  // scan + one narrow explode of ≤ ⌈n/B⌉+1 spans per doc; the oracle
+  // replays the window prefix sum and the span arithmetic via
+  // generate_series.
+
+  private def q191(t: Tables): DataFrame =
+    graft.operators.Curation.packManifest(
+      t.documents.select(col("source"), col("doc_id"),
+        graft.operators.TextOps.wsTokenCount(col("text")).cast("long")
+          .as("n_tok")),
+      col("source"), col("doc_id"), col("n_tok"), PackBudget,
+      partitions = 32)
+      .select(col("domain").as("source"), col("id").as("doc_id"),
+        col("bin"), col("off_in_doc"), col("span_tokens"))
+
+  // lazy: PackBudget is declared later in this file (the q172Sql
+  // order-safety lesson — an eager s-string reads it as 0)
+  private lazy val q191Sql =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, n_tok,
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum
+       |  FROM d)
+       |SELECT source, doc_id, t.b AS bin,
+       |  CAST(greatest(t.b * $PackBudget, cum) - cum AS BIGINT) AS off_in_doc,
+       |  CAST(least((t.b + 1) * $PackBudget, cum + n_tok)
+       |    - greatest(t.b * $PackBudget, cum) AS BIGINT) AS span_tokens
+       |FROM c, unnest(generate_series(cum // $PackBudget,
+       |  (cum + n_tok - 1) // $PackBudget)) AS t(b)
+       |WHERE n_tok > 0""".stripMargin
+
   // ===== q188 end-to-end training-data pipeline ==========================
   // The round-7–10 surface chained the way q95 chained round-1's: Gopher
   // repetition filter (q169) → CCNet perplexity gate (q175) → exact +
@@ -4228,7 +4301,9 @@ object Pipeline {
     "q186_mixture_alloc" -> wrap(q186),
     "q187_label_propagation" -> wrap(q187),
     "q188_pipeline_e2e" -> wrap(q188),
-    "q189_label_prop_frozen" -> wrap(q189)
+    "q189_label_prop_frozen" -> wrap(q189),
+    "q190_bpe_round_trip" -> wrap(q190),
+    "q191_pack_manifest" -> wrap(q191)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4335,6 +4410,8 @@ object Pipeline {
     "q186_mixture_alloc" -> q186Sql,
     "q187_label_propagation" -> q187Sql,
     "q188_pipeline_e2e" -> q188Sql,
-    "q189_label_prop_frozen" -> q189Sql
+    "q189_label_prop_frozen" -> q189Sql,
+    "q190_bpe_round_trip" -> q190Sql,
+    "q191_pack_manifest" -> q191Sql
   )
 }

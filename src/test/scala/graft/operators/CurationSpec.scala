@@ -78,6 +78,57 @@ class CurationSpec extends AnyFunSuite {
     assert(win.nonEmpty)
   }
 
+  test("packManifest: straddle spans exact by hand; full bins exactly budget; doc spans reassemble") {
+    val d = Seq(
+      ("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L), // 3 straddles bin 0→1
+      ("a", 4L, 400L), // cum 1200, fits in bin 1
+      ("b", 5L, 2500L), // spans bins 0,1,2
+      ("b", 6L, 100L), // cum 2500 → bin 2
+      ("c", 7L, 0L) // zero tokens → no span
+    ).toDF("src", "id", "tok")
+    val m = Curation.packManifest(d, col("src"), col("id"), col("tok"),
+        1000L, partitions = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    assert(m == Map(
+      ("a", 1L, 0L) -> (0L, 400L), ("a", 2L, 0L) -> (0L, 400L),
+      ("a", 3L, 0L) -> (0L, 200L), ("a", 3L, 1L) -> (200L, 200L),
+      ("a", 4L, 1L) -> (0L, 400L),
+      ("b", 5L, 0L) -> (0L, 1000L), ("b", 5L, 1L) -> (1000L, 1000L),
+      ("b", 5L, 2L) -> (2000L, 500L),
+      ("b", 6L, 2L) -> (0L, 100L)))
+    // invariants: per-doc spans sum to its tokens; every non-final bin
+    // of a domain is exactly budget-full
+    val byDoc = m.groupBy { case ((s, i, _), _) => (s, i) }
+      .view.mapValues(_.values.map(_._2).sum).toMap
+    assert(byDoc == Map(("a", 1L) -> 400L, ("a", 2L) -> 400L,
+      ("a", 3L) -> 400L, ("a", 4L) -> 400L, ("b", 5L) -> 2500L,
+      ("b", 6L) -> 100L))
+    val byBin = m.groupBy { case ((s, _, b), _) => (s, b) }
+      .view.mapValues(_.values.map(_._2).sum).toMap
+    assert(byBin(("a", 0L)) == 1000L && byBin(("b", 0L)) == 1000L
+      && byBin(("b", 1L)) == 1000L)
+  }
+
+  test("packManifest survives a narrow single-partition sink (the coalesce(1) stage-collapse regression)") {
+    // the exact failure the gate caught: binsOf's __pid comes from
+    // TaskContext, and a downstream NARROW coalesce(1) used to collapse
+    // the scan stage — one task stamped pid 0 on every row while the
+    // offsets side-job saw real pids, and the inner join silently kept
+    // only partition-0 docs. The eager localCheckpoint pins the stage;
+    // this replays the sink shape Verify actually uses (coalesce(1)).
+    val d = docs.select(col("source"), col("doc_id"),
+      (col("n_chars") % 700).as("tok"))
+    val full = Curation.packManifest(d, col("source"), col("doc_id"),
+      col("tok"), 1000L, partitions = 16)
+    val narrow = full.coalesce(1)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val wide = Curation.packManifest(d, col("source"), col("doc_id"),
+        col("tok"), 1000L, partitions = 16)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(narrow == wide && narrow.size >= d.filter(col("tok") > 0).count())
+  }
+
   test("packBinsScalable handles a hot domain spanning many partitions") {
     // 9k rows in one domain vs 50 each in two others: the window form puts
     // the hot domain on one task; the distributed form must still match it

@@ -482,4 +482,47 @@ class TextOpsSpec extends AnyFunSuite {
       .select($"keep").as[Boolean].collect()
     assert(all.length == 10 && all.forall(identity))
   }
+
+  test("bpeDetokenizeByteLevel inverts encode even when a char's bytes split across tokens") {
+    // "é" is UTF-8 C3 A9: with NO merges the two bytes are two TOKENS —
+    // per-token decoding would yield replacement chars; concat-before-
+    // unhex restores the whole byte sequence
+    val words = Seq("é", "naïve", "héllo", "abc").toDF("w")
+    val rt = words.select($"w", TextOps.bpeDetokenizeByteLevel(
+      graft.functions.bpe_encode($"w", Seq.empty, byteLevel = true)).as("d"))
+      .as[(String, String)].collect()
+    assert(rt.forall { case (w, d) => w == d }, rt.mkString(","))
+    // and with a merge that joins the accented char's bytes
+    val rt2 = words.select($"w", TextOps.bpeDetokenizeByteLevel(
+      graft.functions.bpe_encode($"w", Seq(("C3", "A9")), byteLevel = true)).as("d"))
+      .as[(String, String)].collect()
+    assert(rt2.forall { case (w, d) => w == d })
+  }
+
+  test("bpeRoundTripByteLevel: zero mismatches, md5 of the position-ordered stream equals the source") {
+    val docs = Seq(
+      (1L, "Hello, world! Héllo again"),
+      (2L, "a1b2 c3... naïve café"),
+      (3L, "   ") // no pre-tokens -> no row
+    ).toDF("doc_id", "text")
+    val merges = TextOps.bpeMergesByteLevel(docs, $"text", 4, requireFull = true)
+      .orderBy($"merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    try {
+      val got = TextOps.bpeRoundTripByteLevel(docs, $"doc_id", $"text", merges)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got.keySet == Set(1L, 2L))
+      assert(got.values.forall(_._2 == 0L), "round trip must be lossless")
+      // rt_md5 equals md5 of the original pre-token concatenation
+      // column API, not an expr() SQL string: the pattern's backslashes
+      // must reach the regex engine verbatim
+      val want = docs.filter($"doc_id" =!= 3L)
+        .select($"doc_id", md5(array_join(regexp_extract_all(
+          lower($"text"), lit(TextOps.byteLevelTokenPattern), lit(0)), ""))
+          .as("m"))
+        .as[(Long, String)].collect().toMap
+      assert(got.view.mapValues(_._3).toMap == want)
+    } finally graft.CacheScope.drain()
+  }
 }
