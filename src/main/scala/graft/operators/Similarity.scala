@@ -939,6 +939,58 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** Pairwise cosine similarity of per-GROUP embedding centroids — the
+    * domain-similarity map mixture design reads (which sources are
+    * near-duplicates in embedding space, which are distinct — the DoReMi
+    * / data-mixing diagnostic): mean vector per group, cosine over all
+    * unordered group pairs (diagonal included, ≡ 1).
+    *
+    * Determinism: a distributed float mean is partial-sum-order
+    * nondeterministic, so each component INTEGERIZES first —
+    * floor(x·2^scaleBits) is EXACT in double for float32 inputs and
+    * floor/cast agree across engines where round-half rules do not; the
+    * per-dimension sums are then order-free BIGINT sums, and the
+    * centroid components divide back to doubles deterministically. The
+    * pair cosine folds the dimension arrays in index order (one
+    * zip_with/aggregate chain) — bit-replayable by any engine.
+    *
+    * 100 TB posture: ONE explode + partial-aggregated (group × dim)
+    * integer shuffle (map-side combine shrinks each partition to
+    * |groups|·dim rows); the centroid table is |groups| rows and
+    * broadcasts into its own |groups|² cross — driver never holds
+    * vectors, the corpus never shuffles raw embeddings.
+    *
+    * @return (g_a, g_b, n_a, n_b, cos_sim) for every pair g_a ≤ g_b
+    */
+  def groupCentroidCosine(df: DataFrame, group: Column, vec: Column,
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30)
+    val scale = (1L << scaleBits).toDouble
+    val sums = df.select(group.cast("string").as("g"), vec.as("__v"))
+      .select(col("g"), posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * scale).cast("long")).as("sx"))
+    val cents = sums
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("d"),
+          (col("sx").cast("double") / (col("n") * scale)).as("c")))).as("cs"))
+      .select(col("g"), col("n"), expr("transform(cs, z -> z.c)").as("cv"))
+    val a = cents.select(col("g").as("g_a"), col("n").as("n_a"),
+      col("cv").as("va"))
+    val b = cents.select(col("g").as("g_b"), col("n").as("n_b"),
+      col("cv").as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("g_a") <= col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(expr(
+          """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+            | / (sqrt(aggregate(va, 0D, (acc, v) -> acc + v * v))
+            |    * sqrt(aggregate(vb, 0D, (acc, v) -> acc + v * v)))""".stripMargin),
+          4).as("cos_sim"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023-style): partition the
     * corpus into IVF cells, drop every vector with cosine ≥ threshold to a
     * lower-id vector WITHIN its cell, return the survivors. Cluster-scoped

@@ -354,6 +354,45 @@ object TextOps {
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
+  /** CCNet's head/middle/tail partition (Wenzek et al. 2019 §4.3 — the
+    * published pipeline doesn't FILTER on perplexity, it BUCKETS: the
+    * corpus splits per group into the best/middle/worst thirds and
+    * downstream sampling draws mostly from the head): documents score
+    * against the reference-slice bigram LM ([[lmPerplexityFilter]]'s
+    * model, threshold-free), per-group tercile boundaries come from ONE
+    * exact-percentile aggregate, and each doc compares against its
+    * group's rounded boundaries. Bucket semantics: ppl ≤ b1 → head,
+    * ≤ b2 → middle, else tail (boundary docs fall into the better
+    * bucket). Both ppl and the boundaries are rounded to 4 dp BEFORE
+    * comparison — engines replaying the same arithmetic compare the
+    * same rounded values, the house float-determinism discipline.
+    *
+    * 100 TB posture: the model is bounded and broadcasts (q175); the
+    * boundary table is TWO doubles per group (one percentile aggregate,
+    * broadcast back); the bucket assignment is a narrow map — no
+    * per-group sort, no window over unbounded groups.
+    *
+    * @return (id, group, ppl, bucket) for every ≥2-token doc
+    */
+  def perplexityPartition(docs: DataFrame, id: Column, text: Column,
+      group: Column, refFilter: Column, maxV: Int, maxB: Int,
+      lambda: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val scored = lmPerplexityFilter(docs, id, text, refFilter, maxV, maxB,
+      lambda, Double.MaxValue).select(col("id"), col("ppl"))
+    val j = scored
+      .join(docs.select(id.as("id"), group.cast("string").as("group")), "id")
+      .persistScoped() // feeds the boundary aggregate AND the assignment
+    val bounds = j.groupBy(col("group")).agg(
+      round(expr(s"percentile(ppl, ${1.0 / 3}D)"), 4).as("__b1"),
+      round(expr(s"percentile(ppl, ${2.0 / 3}D)"), 4).as("__b2"))
+    j.join(broadcast(bounds), "group")
+      .select(col("id"), col("group"), col("ppl"),
+        when(col("ppl") <= col("__b1"), "head")
+          .when(col("ppl") <= col("__b2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Detokenize a BYTE-LEVEL token array back to its source pre-token:
     * byte-level tokens are hex-pair concatenations of UTF-8 bytes
     * ([[graft.functions.BpeEncodeExpr]] byte mode), so the inverse is

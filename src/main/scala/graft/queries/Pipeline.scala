@@ -2667,6 +2667,74 @@ object Pipeline {
        |  (cum + n_tok - 1) // $PackBudget)) AS t(b)
        |WHERE n_tok > 0""".stripMargin
 
+  // ===== q192 CCNet head/middle/tail perplexity partition ================
+  // The published CCNet pipeline doesn't FILTER on perplexity — it
+  // BUCKETS (Wenzek et al. 2019 §4.3): per source, the best/middle/worst
+  // thirds by reference-LM perplexity, with downstream sampling drawing
+  // mostly from the head. Boundaries are ONE exact-percentile aggregate
+  // per source (two doubles, broadcast), rounded to 4 dp before the
+  // comparison — the same rounded-percentile cross-engine contract q100
+  // pinned. Oracle = q175's scoring chain (anchor-replace discipline)
+  // extended by the source join, quantile_cont boundaries and the CASE.
+
+  private def q192(t: Tables): DataFrame =
+    TextOps.perplexityPartition(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("source"), col("doc_id") % 10 === 0, LmMaxV, LmMaxB,
+      LmLambda)
+      .select(col("id"), col("group").as("source"), col("ppl"), col("bucket"))
+
+  private lazy val q192Sql = {
+    // q175Sql's final SELECT replaced wholesale (the q135/q170 anchor
+    // mechanics); fail loudly if q175Sql is ever reworded
+    val anchor = "SELECT id, n_bigrams, h, round(exp(h), 4) AS ppl,"
+    require(q175Sql.contains(anchor), "q175Sql anchor reworded — fix q192Sql")
+    val withPart = q175Sql.substring(0, q175Sql.indexOf(anchor)).trim
+    s"""$withPart,
+       |pp AS (SELECT g.id, d2.source, round(exp(h), 4) AS ppl
+       |       FROM g JOIN documents d2 ON g.id = d2.doc_id),
+       |bd AS (SELECT source,
+       |    round(quantile_cont(ppl, ${1.0 / 3}), 4) AS b1,
+       |    round(quantile_cont(ppl, ${2.0 / 3}), 4) AS b2
+       |  FROM pp GROUP BY 1)
+       |SELECT id, source, ppl,
+       |  CASE WHEN ppl <= b1 THEN 'head'
+       |       WHEN ppl <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM pp JOIN bd USING (source)""".stripMargin
+  }
+
+  // ===== q193 group-centroid similarity map ===============================
+  // The domain-similarity diagnostic mixture design reads (which groups
+  // are near-duplicates in embedding space, which are distinct): mean
+  // embedding per label class, cosine over all unordered class pairs.
+  // Distributed float means are partial-sum-order nondeterministic, so
+  // components integerize (floor(x·2^20) — exact in double for float32,
+  // and floor agrees across engines where round-half and double→int cast
+  // rules do not) and the per-dim sums are order-free BIGINT sums; the
+  // pair cosine is the house index-ordered fold (cosSql mirror).
+
+  private def q193(t: Tables): DataFrame =
+    Similarity.groupCentroidCosine(graft.Fanout(t.embeddings),
+      col("label"), col("embedding"))
+      .select(col("g_a").as("label_a"), col("g_b").as("label_b"),
+        col("n_a"), col("n_b"), col("cos_sim"))
+
+  private val q193Sql =
+    s"""WITH e AS (SELECT CAST(label AS VARCHAR) AS g,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (SELECT g, t.i AS d,
+       |    CAST(floor(v[t.i] * 1048576) AS BIGINT) AS fx
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |s AS (SELECT g, d, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(fx) AS BIGINT) AS sx FROM x GROUP BY 1, 2),
+       |c AS (SELECT g, max(n) AS n,
+       |    list_transform(list_sort(list(
+       |      {'d': d, 'c': CAST(sx AS DOUBLE) / (n * 1048576.0)})),
+       |      z -> z.c) AS cv
+       |  FROM s GROUP BY g)
+       |SELECT a.g AS label_a, b.g AS label_b, a.n AS n_a, b.n AS n_b,
+       |  round(${cosSql("a.cv", "b.cv")}, 4) AS cos_sim
+       |FROM c a JOIN c b ON a.g <= b.g""".stripMargin
+
   // ===== q188 end-to-end training-data pipeline ==========================
   // The round-7–10 surface chained the way q95 chained round-1's: Gopher
   // repetition filter (q169) → CCNet perplexity gate (q175) → exact +
@@ -4303,7 +4371,9 @@ object Pipeline {
     "q188_pipeline_e2e" -> wrap(q188),
     "q189_label_prop_frozen" -> wrap(q189),
     "q190_bpe_round_trip" -> wrap(q190),
-    "q191_pack_manifest" -> wrap(q191)
+    "q191_pack_manifest" -> wrap(q191),
+    "q192_ppl_partition" -> wrap(q192),
+    "q193_centroid_map" -> wrap(q193)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4412,6 +4482,8 @@ object Pipeline {
     "q188_pipeline_e2e" -> q188Sql,
     "q189_label_prop_frozen" -> q189Sql,
     "q190_bpe_round_trip" -> q190Sql,
-    "q191_pack_manifest" -> q191Sql
+    "q191_pack_manifest" -> q191Sql,
+    "q192_ppl_partition" -> q192Sql,
+    "q193_centroid_map" -> q193Sql
   )
 }

@@ -654,4 +654,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi >= 0.45, s"multi-probe recall $multi")
     assert(multi >= 2 * single, s"multi $multi vs single $single")
   }
+
+  test("groupCentroidCosine: hand-checked centroids, diagonal 1, partition-count independent") {
+    import org.apache.spark.sql.functions.col
+    // two groups with known means: g0 = {(1,0),(0,1)} -> (0.5, 0.5);
+    // g1 = {(1,1)} -> (1,1): cos(g0,g0)=1, cos(g0,g1)=1, plus g2=(1,0)
+    // orthogonal-ish: cos((0.5,0.5),(1,0)) = 0.7071
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(0f, 1f)),
+      (1L, Array(1f, 1f)),
+      (2L, Array(1f, 0f)))
+    try {
+      for (parts <- Seq(1, 4)) {
+        val df = spark.createDataFrame(rows.map(r => (r._1, r._2)))
+          .toDF("g", "v").repartition(parts)
+        val got = Similarity.groupCentroidCosine(df, col("g"), col("v"))
+          .as[(String, String, Long, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+        assert(got(("0", "0")) == ((2L, 2L, 1.0)))
+        assert(got(("1", "1")) == ((1L, 1L, 1.0)))
+        assert(got(("0", "1")) == ((2L, 1L, 1.0)))
+        assert(got(("0", "2"))._3 == 0.7071)
+        assert(got(("1", "2"))._3 == 0.7071)
+        assert(got.keySet.forall { case (a, b) => a <= b })
+        assert(got.size == 6)
+      }
+    } finally graft.CacheScope.drain()
+  }
 }

@@ -525,4 +525,32 @@ class TextOpsSpec extends AnyFunSuite {
       assert(got.view.mapValues(_._3).toMap == want)
     } finally graft.CacheScope.drain()
   }
+
+  test("perplexityPartition: exact per-group terciles, boundary docs fall into the better bucket") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try {
+      val got = TextOps.perplexityPartition(docs, col("doc_id"), col("text"),
+          col("source"), col("doc_id") % 10 === 0, 500, 1000, 0.7)
+        .as[(Long, String, Double, String)].collect()
+      assert(got.nonEmpty)
+      // independent replay: exact linear-interpolation terciles per group
+      def pct(v: Seq[Double], p: Double): Double = {
+        val s = v.sorted; val idx = p * (s.length - 1)
+        val lo = idx.toInt; val w = idx - lo
+        val r = if (lo + 1 < s.length) s(lo) * (1 - w) + s(lo + 1) * w else s(lo)
+        BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        val ppls = rows.map(_._3).toSeq
+        val (b1, b2) = (pct(ppls, 1.0 / 3), pct(ppls, 2.0 / 3))
+        rows.foreach { case (id, _, p, b) =>
+          val want = if (p <= b1) "head" else if (p <= b2) "middle" else "tail"
+          assert(b == want, s"doc $id ppl $p b1 $b1 b2 $b2: $b != $want")
+        }
+        // all three buckets non-empty for a real group of >= 3 docs
+        if (rows.length >= 3)
+          assert(rows.map(_._4).distinct.sorted.toSeq == Seq("head", "middle", "tail"))
+      }
+    } finally graft.CacheScope.drain()
+  }
 }
