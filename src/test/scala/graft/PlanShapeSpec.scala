@@ -831,4 +831,88 @@ class PlanShapeSpec extends AnyFunSuite {
         "no global sort may survive in the DSIR plan")
     } finally CacheScope.drain()
   }
+
+  test("q192 perplexity partition: model and boundary table broadcast — no corpus shuffle-join") {
+    // the LM is bounded (maxV+maxB rows) and the boundary table is two
+    // doubles per source: every join in the plan must broadcast; a
+    // shuffle join would exchange the corpus's bigram explosion twice
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = graft.queries.Pipeline.defs("q192_ppl_partition")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val joins = unwrap(df.queryExecution.executedPlan)
+        .flatMap(_.collect { case j: BaseJoinExec => j })
+      assert(joins.nonEmpty, "expected model + boundary joins")
+      joins.foreach {
+        case _: BroadcastHashJoinExec => ()
+        case _: BroadcastNestedLoopJoinExec => () // 1-row model totals
+        case other => fail(s"non-broadcast join in q192: ${other.nodeName}")
+      }
+    } finally CacheScope.drain()
+  }
+
+  test("q193 centroid map: one integer aggregate over the corpus, centroids broadcast into the pair cross") {
+    // the corpus-side work is the (group × dim) partial-aggregated sum;
+    // the |groups|-row centroid table must BROADCAST into the |groups|²
+    // cross — and no exchange may ever carry the raw embedding arrays
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // the raw operator, not the gate row: the gate's Fanout repartitions
+    // the INPUT (an array-carrying exchange by design); the pin is that
+    // the OPERATOR adds none of its own
+    val df = graft.operators.Similarity.groupCentroidCosine(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      org.apache.spark.sql.functions.col("label"),
+      org.apache.spark.sql.functions.col("embedding"))
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val ps = unwrap(df.queryExecution.executedPlan)
+      ps.flatMap(_.collect { case j: BaseJoinExec => j }).foreach {
+        case _: BroadcastHashJoinExec => ()
+        case _: BroadcastNestedLoopJoinExec => () // the g_a <= g_b cross
+        case other => fail(s"non-broadcast join in q193: ${other.nodeName}")
+      }
+      // no shuffle carries the embedding array: only (g, d, n, sx) longs
+      ps.flatMap(_.collect { case e: ShuffleExchangeExec => e }).foreach { e =>
+        val cols = e.output.map(_.name).mkString(",")
+        assert(!e.output.exists(_.dataType.typeName.startsWith("array")),
+          s"an exchange carries an array column: $cols")
+      }
+    } finally CacheScope.drain()
+  }
+
+  test("q191 pack manifest: the offsets side joins via broadcast; span explode is narrow") {
+    // the per-(domain, partition) offsets table is |partitions|-scale and
+    // must broadcast back into the scan; the span explode adds no
+    // exchange of its own
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    val df = graft.queries.Pipeline.defs("q191_pack_manifest")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count()
+      def unwrap(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .flatMap(unwrap)
+      val joins = unwrap(df.queryExecution.executedPlan)
+        .flatMap(_.collect { case j: BaseJoinExec => j })
+      assert(joins.nonEmpty, "expected the offsets join")
+      joins.foreach {
+        case _: BroadcastHashJoinExec => ()
+        case other => fail(s"non-broadcast join in q191: ${other.nodeName}")
+      }
+    } finally CacheScope.drain()
+  }
 }
