@@ -172,4 +172,45 @@ object Sampling {
       .drop("__lid", "__comp", "__id")
     hashSplit(joined, col("cluster"), weights)
   }
+
+  /** Leakage-safe CONTRASTIVE batch composition — in-batch-negative
+    * training (DPR/CLIP-style) treats every other example in a batch as
+    * a negative, so two near-duplicates sharing a batch become FALSE
+    * negatives (the within-batch twin of [[leakageFreeSplit]]'s
+    * train/eval leak). Each row gets a deterministic batch id such that
+    * no two members of the same near-dup cluster share one, as long as
+    * the cluster fits: rank r within the cluster (by id), batch =
+    * (hash(cluster) + r) mod nBatches — the hash offset spreads each
+    * cluster's members over a DIFFERENT batch window so small clusters
+    * don't all collide on batches 0..m. A cluster larger than nBatches
+    * cannot be fully separated by ANY assignment (pigeonhole); its
+    * overflow rows (r ≥ nBatches) report `safe = false` so the caller
+    * can drop or re-shard them — fail-visible, never silent.
+    *
+    * 100 TB posture: one left join onto the cluster labels + a
+    * rank window PARTITIONED BY CLUSTER — bounded by the largest
+    * cluster, which post-dedup pipelines keep small by construction
+    * (the mass-dup cluster was collapsed by exact dedup upstream); the
+    * batch arithmetic is a narrow map.
+    *
+    * @param labels (id, comp) cluster assignment, e.g.
+    *               [[Dedup.connectedComponents]]; unlabeled rows are
+    *               singleton clusters of themselves
+    * @return (id, cluster, batch, safe)
+    */
+  def contrastiveBatches(df: DataFrame, id: Column, labels: DataFrame,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1)
+    val lab = labels.select(col("id").as("__lid"), col("comp").as("__comp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("id"))
+    df.select(id.cast("long").as("id"))
+      .join(lab, col("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("cluster"))
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+      .select(col("id"), col("cluster"),
+        pmod(Dedup.SharedHash.hash28(col("cluster").cast("string"))
+          + col("__r"), lit(nBatches.toLong)).as("batch"),
+        (col("__r") < nBatches).as("safe"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear frequency sketches. CountMin (Cormode & Muthukrishnan 2005) —
+  * the mergeable counter summary streaming/telemetry pipelines keep when
+  * the exact per-key aggregate is too wide: d hash rows × w buckets of
+  * BIGINT counts; a key's estimate is the MIN of its d bucket counters,
+  * always ≥ the true count and ≤ true + 2n/w per row with probability
+  * 1/2 (so the d-row min overcounts by > 2n/w with probability ≤ 2^−d).
+  *
+  * Unlike Misra-Gries (`graft.functions.approx_top_items`), whose
+  * estimates depend on merge order and can only be gate-checked through
+  * its GUARANTEE, CountMin is a pure LINEAR aggregation over the
+  * engine-neutral [[Dedup.SharedHash]] family — every counter is an
+  * order-free integer sum, so an oracle replays the ENTIRE sketch
+  * bit-for-bit and the estimates sit directly on a hash-compare gate.
+  *
+  * Reference analogue: none — Tez ships no sketch operators; additive
+  * analytics surface (the q106/q121 heavy-hitter family's third member).
+  */
+object Sketches {
+
+  /** Max sketch depth — [[Dedup.hashA]]/[[Dedup.hashB]] provide this many
+    * independent rows (the MinHash family's coefficient pool).
+    */
+  val MaxDepth = 16
+
+  private def bucketOf(h: Column, row: Column, width: Int): Column = {
+    val a = array((0 until MaxDepth).map(r => lit(Dedup.hashA(r))): _*)
+    val b = array((0 until MaxDepth).map(r => lit(Dedup.hashB(r))): _*)
+    val i = (row + 1).cast("int")
+    pmod(
+      pmod(element_at(a, i) * h + element_at(b, i), lit(Dedup.P)),
+      lit(width.toLong))
+  }
+
+  /** Build a d×w CountMin sketch over a key stream: one row per
+    * populated (row, bucket) cell with its BIGINT count.
+    *
+    * 100 TB posture: ONE explode (d rows per input row) into a
+    * partial-aggregated integer shuffle — map-side combine caps each
+    * partition's output at d·w cells, so the exchange volume is
+    * O(d·w · partitions) regardless of input size; the final sketch is
+    * ≤ d·w rows and broadcasts wherever it is probed.
+    */
+  def countMin(df: DataFrame, key: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= MaxDepth && width >= 2)
+    df.select(Dedup.SharedHash.hash28(key.cast("string")).as("__h"))
+      .select(col("__h"),
+        explode(expr(s"sequence(0L, ${depth - 1}L)")).as("row"))
+      .select(col("row"), bucketOf(col("__h"), col("row"), width).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query a [[countMin]] sketch for a set of keys: estimate =
+    * min over the d rows of the key's bucket counters (absent cells are
+    * zero — a key never inserted estimates 0, not an error). The sketch
+    * side is ≤ d·w rows and BROADCASTS; the probe is one join + one
+    * bounded min-aggregate.
+    *
+    * @return (key, est) one row per distinct input key
+    */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= MaxDepth && width >= 2)
+    keys.select(key.cast("string").as("key")).distinct()
+      .withColumn("__h", Dedup.SharedHash.hash28(col("key")))
+      .select(col("key"),
+        explode(expr(s"sequence(0L, ${depth - 1}L)")).as("row"),
+        col("__h"))
+      .withColumn("bucket", bucketOf(col("__h"), col("row"), width))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+}

@@ -2718,6 +2718,151 @@ object Pipeline {
       .select(col("g_a").as("label_a"), col("g_b").as("label_b"),
         col("n_a"), col("n_b"), col("cos_sim"))
 
+  // ===== q194 leakage-safe contrastive batches ===========================
+  // In-batch-negative training (DPR/CLIP) treats every other batch member
+  // as a negative — two near-dups sharing a batch are FALSE negatives,
+  // the within-batch twin of q170's train/eval leak. Batch = (hash28 of
+  // the near-dup cluster + rank within cluster) mod nBatches: no two
+  // cluster members share a batch while the cluster fits; overflow rows
+  // (rank ≥ nBatches — unseparable by pigeonhole) report safe = false.
+  // Oracle = q62's recursive-CTE clustering (anchor-replace discipline)
+  // + the identical rank/hash arithmetic.
+
+  private val CbBatches = 8
+
+  private def q194(t: Tables): DataFrame =
+    graft.operators.Sampling.contrastiveBatches(
+      t.documents.select(col("doc_id")), col("doc_id"), q62(t), CbBatches)
+
+  private val q194Sql = {
+    // q62's final SELECT replaced wholesale (the q135/q170 anchor
+    // mechanics); fail loudly if q62Sql is ever reworded
+    val anchor =
+      """SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+        |FROM documents LEFT JOIN comp c ON doc_id = c.id""".stripMargin
+    require(q62Sql.contains(anchor), "q194 oracle anchor missing from q62Sql")
+    q62Sql.replace(anchor,
+      s""",cl AS (SELECT doc_id AS id, COALESCE(c.comp, doc_id) AS comp
+         |       FROM documents LEFT JOIN comp c ON doc_id = c.id),
+         |rk AS (SELECT id, comp,
+         |         row_number() OVER (PARTITION BY comp ORDER BY id) - 1 AS r
+         |       FROM cl)
+         |SELECT id, comp AS cluster,
+         |  CAST((${Dedup.SharedHash.hash28Sql("CAST(comp AS VARCHAR)")} + r)
+         |    % $CbBatches AS BIGINT) AS batch,
+         |  (r < $CbBatches) AS safe
+         |FROM rk""".stripMargin)
+  }
+
+  // ===== q195 CountMin sketch on the gate =================================
+  // The third heavy-hitter family member (exact q106, Misra-Gries bound
+  // gate q121): CountMin is a pure LINEAR aggregation over the shared
+  // hash family — order-free integer sums — so unlike MG the oracle
+  // replays the ENTIRE sketch and the per-token estimates hash-compare
+  // directly. The gate emits every token's exact count, sketch estimate,
+  // the overcount, and the one-sided guarantee est ≥ exact (constant
+  // TRUE iff the sketch is sound).
+
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  private def q195(t: Tables): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val toks = graft.Fanout(t.documents)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .persistScoped() // feeds the sketch AND the exact counts
+    val sk = graft.operators.Sketches.countMin(toks, col("token"),
+      CmDepth, CmWidth)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    graft.operators.Sketches
+      .countMinEstimate(sk, exact.select(col("token")), col("token"),
+        CmDepth, CmWidth)
+      .join(exact, col("key") === col("token"))
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"),
+        (col("est") >= col("exact")).as("sound"))
+  }
+
+  private val q195Sql = {
+    def bucket(h: String, r: Int) =
+      s"((${Dedup.hashA(r)} * $h + ${Dedup.hashB(r)}) % ${Dedup.P}) % $CmWidth"
+    val rows = (0 until CmDepth).map { r =>
+      s"SELECT $r AS row, ${bucket("h", r)} AS bucket, h FROM tk"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+       |  FROM documents),
+       |t1 AS (SELECT token FROM t0 WHERE len(token) > 0),
+       |tk AS (SELECT token, ${Dedup.SharedHash.hash28Sql("token")} AS h FROM t1),
+       |cells AS ($rows),
+       |sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+       |       FROM cells GROUP BY 1, 2),
+       |ex AS (SELECT token, ${Dedup.SharedHash.hash28Sql("token")} AS h,
+       |         CAST(count(*) AS BIGINT) AS exact
+       |       FROM t1 GROUP BY 1, 2),
+       |est AS (SELECT e.token, min(coalesce(sk.c, 0)) AS est
+       |  FROM (${(0 until CmDepth).map(r =>
+      s"SELECT token, $r AS row, ${bucket("h", r)} AS bucket FROM ex")
+      .mkString("\nUNION ALL ")}) e
+       |  LEFT JOIN sk USING (row, bucket) GROUP BY e.token)
+       |SELECT ex.token, ex.exact, CAST(est AS BIGINT) AS est,
+       |  CAST(est - exact AS BIGINT) AS overcount,
+       |  (est >= exact) AS sound
+       |FROM ex JOIN est USING (token)""".stripMargin
+  }
+
+  // ===== q196 tokenizer fertility report ==================================
+  // The tokenizer-QA number every multilingual pipeline tracks: BPE
+  // tokens per whitespace word, per language — a language whose
+  // fertility blows up is under-served by the learned vocabulary. The
+  // byte-level tokenizer TRAINS ONCE into a stored artifact
+  // (cachedIndexDir + writeBpeModel — the byte-level twin of q181's
+  // stored word-level model) and the report applies the loaded merges,
+  // proving the byte-level artifact round-trips storage too. Exact
+  // integer sums; ONE division per language at the end.
+
+  private def q196(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, s"bpe_byte_model_v1_$BpeRounds") { d =>
+      TextOps.writeBpeModel(
+        TextOps.bpeMergesByteLevel(graft.Fanout(t.documents), col("text"),
+          BpeRounds, requireFull = true), d)
+    }
+    val merges = TextOps.loadBpeMerges(spark, dir)
+    val bpe = TextOps.bpeTokenCountsByteLevel(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), merges)
+      .select(col("id").as("doc_id"), col("n_tokens").as("bpe_tok"))
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tok"))
+      .join(bpe, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("bpe_tok")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("fertility"))
+  }
+
+  // lazy: bpeCteChain and friends are declared later in the file
+  private lazy val q196Sql =
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevel)},
+       |tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wc$BpeRounds),
+       |words AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text),
+       |    '${TextOps.byteLevelTokenPattern}')) AS w FROM documents),
+       |bpe AS (SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tok
+       |        FROM words JOIN tok USING (w) GROUP BY id),
+       |d AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tok
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(bpe_tok) AS DOUBLE) / sum(ws_tok), 4) AS fertility
+       |FROM d JOIN bpe USING (doc_id)
+       |GROUP BY lang""".stripMargin
+
   private val q193Sql =
     s"""WITH e AS (SELECT CAST(label AS VARCHAR) AS g,
        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4373,7 +4518,10 @@ object Pipeline {
     "q190_bpe_round_trip" -> wrap(q190),
     "q191_pack_manifest" -> wrap(q191),
     "q192_ppl_partition" -> wrap(q192),
-    "q193_centroid_map" -> wrap(q193)
+    "q193_centroid_map" -> wrap(q193),
+    "q194_contrastive_batches" -> wrap(q194),
+    "q195_countmin" -> wrap(q195),
+    "q196_tokenizer_fertility" -> wrap(q196)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4484,6 +4632,9 @@ object Pipeline {
     "q190_bpe_round_trip" -> q190Sql,
     "q191_pack_manifest" -> q191Sql,
     "q192_ppl_partition" -> q192Sql,
-    "q193_centroid_map" -> q193Sql
+    "q193_centroid_map" -> q193Sql,
+    "q194_contrastive_batches" -> q194Sql,
+    "q195_countmin" -> q195Sql,
+    "q196_tokenizer_fertility" -> q196Sql
   )
 }

@@ -100,4 +100,36 @@ class SamplingSpec extends AnyFunSuite {
         .as[(Int, Long, Double)].collect().toSet
     assert(m(df.repartition(1)) == m(df.repartition(19)))
   }
+
+  test("contrastiveBatches: same-cluster docs never share a batch while the cluster fits; overflow fails visible") {
+    import org.apache.spark.sql.functions.col
+    // clusters: {1,2,3} (comp 1), {10..15} (comp 10, size 6 > nBatches 4),
+    // singletons 20, 21
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L), (15L, 10L))
+      .toDF("id", "comp")
+    val ids = (Seq(1L, 2L, 3L, 20L, 21L) ++ (10L to 15L)).toDF("doc_id")
+    try {
+      val got = Sampling.contrastiveBatches(ids, col("doc_id"), labels, 4)
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got.size == 11)
+      assert(got.values.forall { case (_, b, _) => b >= 0 && b < 4 })
+      // the fitting cluster: all three batches distinct, all safe
+      val c1 = Seq(1L, 2L, 3L).map(got)
+      assert(c1.map(_._2).distinct.size == 3 && c1.forall(_._3))
+      // the oversized cluster: first 4 ranks distinct + safe, ranks 4-5
+      // flagged unsafe (pigeonhole — no assignment can separate 6 into 4)
+      val c10 = (10L to 15L).map(got)
+      assert(c10.take(4).map(_._2).distinct.size == 4)
+      assert(c10.take(4).forall(_._3) && c10.drop(4).forall(!_._3))
+      // singletons: cluster = own id, always safe
+      assert(got(20L)._1 == 20L && got(20L)._3 && got(21L)._3)
+      // deterministic: a second run is identical
+      val again = Sampling.contrastiveBatches(ids, col("doc_id"), labels, 4)
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(again == got)
+    } finally graft.CacheScope.drain()
+  }
 }
