@@ -56,6 +56,61 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  // ===== stored sketch lifecycle ==========================================
+  // CountMin is LINEAR: the sketch of a union is the cell-wise SUM of the
+  // parts' sketches. That makes the stored form trivially incremental —
+  // each producer batch writes ITS OWN sketch under `cells/batch=<id>`
+  // (overwrite-own-partition, so a crash-replayed batch converges to
+  // identical contents — the index families' replay contract), and a
+  // probe sums cells across batches before taking the per-key min. A
+  // store with any batch layout estimates EXACTLY what a one-shot sketch
+  // of the union would — the property the gate row pins.
+
+  /** Build a stored CountMin sketch at `dir`: `cells/batch=0` + one meta
+    * row (depth, width) probes must replay with.
+    */
+  def writeCountMin(df: DataFrame, key: Column, depth: Int, width: Int,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((depth, width)).toDF("depth", "width")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    countMin(df, key, depth, width)
+      .write.mode("overwrite").parquet(s"$dir/cells/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Replay-safe incremental ingestion: the batch's own sketch OVERWRITES
+    * `cells/batch=<id>` — linearity makes the summed store identical to a
+    * from-scratch sketch of the union, and a replayed batch rewrites the
+    * same cells. Batches must be whole-unit (a row lands in exactly one
+    * batch ever), the usual producer contract.
+    */
+  def ingestIntoCountMin(batch: DataFrame, key: Column, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    countMin(batch, key, m.getAs[Int]("depth"), m.getAs[Int]("width"))
+      .write.mode("overwrite").parquet(s"$dir/cells/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Point-query a stored sketch: cells SUM across batch partitions
+    * (linearity), then the per-key min — identical estimates to a
+    * one-shot [[countMin]] over everything ever ingested.
+    */
+  def countMinEstimateAgainstStore(dir: String, keys: DataFrame,
+      key: Column): DataFrame = {
+    val spark = keys.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val cells = spark.read.parquet(s"$dir/cells")
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    countMinEstimate(cells, keys, key,
+      m.getAs[Int]("depth"), m.getAs[Int]("width"))
+  }
+
   /** Point-query a [[countMin]] sketch for a set of keys: estimate =
     * min over the d rows of the key's bucket counters (absent cells are
     * zero — a key never inserted estimates 0, not an error). The sketch

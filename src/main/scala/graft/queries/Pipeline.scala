@@ -2811,6 +2811,43 @@ object Pipeline {
        |FROM ex JOIN est USING (token)""".stripMargin
   }
 
+  // ===== q197 stored CountMin lifecycle ====================================
+  // q195's production form: the sketch builds from HALF the corpus
+  // (doc_id ≡ 0 mod 2), the other half ingests as a versioned batch
+  // (overwrite-own-partition, the index families' replay contract), and
+  // the probe sums cells across batches before the per-key min. CountMin
+  // LINEARITY makes store+ingest ≡ a one-shot sketch of the union BY
+  // CONSTRUCTION — so q195's full-corpus oracle applies VERBATIM, which
+  // is exactly the integrity contract (the q176/q181 stored-model
+  // discipline applied to a sketch).
+
+  private def q197(t: Tables): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    def toksOf(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.Fanout(t.documents)
+        .filter(f(col("doc_id")))
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+    val dir = cachedIndexDir(t.dir, s"cm_sketch_v1_${CmDepth}_$CmWidth") { d =>
+      graft.operators.Sketches.writeCountMin(
+        toksOf(_ % 2 === 0), col("token"), CmDepth, CmWidth, d)
+      graft.operators.Sketches.ingestIntoCountMin(
+        toksOf(_ % 2 =!= 0), col("token"), d, batchId = 1L)
+    }
+    val toks = graft.Fanout(t.documents)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .persistScoped()
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    graft.operators.Sketches
+      .countMinEstimateAgainstStore(dir, exact.select(col("token")),
+        col("token"))
+      .join(exact, col("key") === col("token"))
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"),
+        (col("est") >= col("exact")).as("sound"))
+  }
+
   // ===== q196 tokenizer fertility report ==================================
   // The tokenizer-QA number every multilingual pipeline tracks: BPE
   // tokens per whitespace word, per language — a language whose
@@ -4521,7 +4558,8 @@ object Pipeline {
     "q193_centroid_map" -> wrap(q193),
     "q194_contrastive_batches" -> wrap(q194),
     "q195_countmin" -> wrap(q195),
-    "q196_tokenizer_fertility" -> wrap(q196)
+    "q196_tokenizer_fertility" -> wrap(q196),
+    "q197_countmin_stored" -> wrap(q197)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4635,6 +4673,9 @@ object Pipeline {
     "q193_centroid_map" -> q193Sql,
     "q194_contrastive_batches" -> q194Sql,
     "q195_countmin" -> q195Sql,
-    "q196_tokenizer_fertility" -> q196Sql
+    "q196_tokenizer_fertility" -> q196Sql,
+    // stored+ingested must equal one-shot: q195's oracle verbatim
+    // (CountMin linearity — the sketch of a union is the cell-wise sum)
+    "q197_countmin_stored" -> q195Sql
   )
 }

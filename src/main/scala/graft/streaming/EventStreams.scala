@@ -466,6 +466,65 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming CountMin maintenance — the sketch the telemetry loop keeps
+    * when exact per-key aggregation is too wide: each micro-batch's OWN
+    * d×w sketch overwrites `cells/batch=<id>`
+    * ([[graft.operators.Sketches.ingestIntoCountMin]]); CountMin's
+    * LINEARITY means the store's cell-wise sum always equals a one-shot
+    * sketch of everything ever ingested, so probes
+    * ([[graft.operators.Sketches.countMinEstimateAgainstStore]]) need no
+    * coordination with producers and a crash-replayed batch converges to
+    * identical cells (the index families' replay contract). Same batch
+    * numbering shift as [[annIngest]]: streaming batch N lands in layout
+    * batch N+1 (batch 0 is the offline build).
+    */
+  def countMinIngest(dir: String, keyCol: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Sketches.ingestIntoCountMin(batch.toDF(),
+        org.apache.spark.sql.functions.col(keyCol), dir, batchId + 1)
+    }
+
+  /** The full ONLINE curation gate — the round-7–10 quality surface as
+    * ONE foreachBatch sink, the streaming twin of q188's offline
+    * composition with every model FROZEN (the stored-artifact
+    * discipline): each micro-batch of (id, text) documents passes the
+    * Gopher repetition filter (stateless), the stored reference-LM
+    * perplexity gate, and the stored trained-classifier gate, then the
+    * survivors run the replay-safe dedup-index stage ([[dedupIngest]]'s
+    * body verbatim: within-batch dedup, dedup against all PRIOR batches
+    * of the stored index, extend the index, write the kept docs under
+    * `outDir/batch=<id>`). Filters are narrow maps over the batch;
+    * models never retrain online (drift is a retrain-and-swap); the
+    * whole sink is replay-idempotent because every stage either is a
+    * pure function of the batch or overwrites its own batch partition.
+    */
+  def curationIngest(lmDir: String, clsDir: String, indexDir: String,
+      outDir: String,
+      maxTopTokFrac: Double, maxTopBigramFrac: Double, minTtr: Double,
+      lambda: Double, pplThreshold: Double, clsThreshold: Double,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      val docs = batch.toDF().select(col("id"), col("text"))
+      def keep(scored: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame =
+        scored.filter(col("keep")).select(col("id"))
+      val f1 = docs.join(keep(graft.operators.TextOps.repetitionFilter(
+        docs, col("id"), col("text"),
+        maxTopTokFrac, maxTopBigramFrac, minTtr)), Seq("id"), "left_semi")
+      val f2 = f1.join(keep(graft.operators.TextOps.lmScoreAgainstModel(
+        f1, col("id"), col("text"), lmDir, lambda, pplThreshold)),
+        Seq("id"), "left_semi")
+      val f3 = f2.join(keep(graft.operators.TextOps
+        .hashedLinearScoreAgainstModel(f2, col("id"), col("text"), clsDir,
+          clsThreshold)), Seq("id"), "left_semi")
+      dedupIngest(indexDir, outDir, n, numHashes, bands, threshold)(
+        f3, batchId)
+    }
+
   /** Streaming dedup-index ingestion — [[bm25Ingest]]'s dedup sibling
     * over a [[graft.operators.Dedup.writeCorpusIndexVersioned]] index:
     * each micro-batch of (id, text) documents OVERWRITES its own batch

@@ -779,6 +779,97 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("countMinIngest: streamed batches maintain the stored sketch; store == one-shot sketch (linearity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cmingest").toString
+    val all = (Seq.fill(40)("a") ++ Seq.fill(15)("b") ++ Seq.fill(3)("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val (build, rest) = all.splitAt(10)
+    val (s0, s1) = rest.splitAt(rest.length / 2)
+    graft.operators.Sketches.writeCountMin(build.toDF("i", "k"), col("k"),
+      depth = 3, width = 64, dir)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("i", "k")
+      .writeStream.foreachBatch(EventStreams.countMinIngest(dir, "k"))
+      .outputMode("update").start()
+    try {
+      input.addData(s0); q.processAllAvailable()
+      input.addData(s1); q.processAllAvailable()
+      val est = graft.operators.Sketches.countMinEstimateAgainstStore(dir,
+          Seq("a", "b", "c", "zz").toDF("k"), col("k"))
+        .as[(String, Long)].collect().toMap
+      // linearity: build + 2 streamed batches == one-shot over everything
+      val oneShot = graft.operators.Sketches.countMinEstimate(
+          graft.operators.Sketches.countMin(all.toDF("i", "k"), col("k"), 3, 64),
+          Seq("a", "b", "c", "zz").toDF("k"), col("k"), 3, 64)
+        .as[(String, Long)].collect().toMap
+      assert(est == oneShot)
+      assert(est("a") >= 40L && est("b") >= 15L && est("c") >= 3L)
+      // replayed batch overwrites its own cells: store unchanged
+      val sink = EventStreams.countMinIngest(dir, "k")
+      sink(s1.toDF("i", "k"), 1)
+      val replayed = graft.operators.Sketches.countMinEstimateAgainstStore(
+          dir, Seq("a", "b", "c", "zz").toDF("k"), col("k"))
+        .as[(String, Long)].collect().toMap
+      assert(replayed == oneShot)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
+  test("curationIngest: the composed online gate — every survivor passes all three filters; cross-batch dup dropped; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("curing").toString
+    val lm = s"$base/lm"; val cls = s"$base/cls"
+    val idx = s"$base/idx"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    // frozen artifacts, trained offline on the reference slice
+    graft.operators.TextOps.writeLmModel(docs.filter($"id" % 10 === 0),
+      col("id"), col("text"), 500, 1000, lm)
+    val label = array_contains(split(lower(col("text")), """\s+"""), "dup")
+    graft.operators.TextOps.writeLinearModel(spark,
+      graft.operators.TextOps.trainHashedLinear(docs, col("id"),
+        col("text"), (!label).cast("int"), 64, 8, 1L, 2L), cls)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val (b0, b1raw) = rows.splitAt(rows.length / 2)
+    // plant a cross-batch near-duplicate: batch 1 re-sends b0's first doc
+    // under a fresh id — the stored-index stage must drop it
+    val dupOfB0 = (900001L, b0.head._2)
+    val b1 = dupOfB0 +: b1raw
+    val sink = EventStreams.curationIngest(lm, cls, idx, out,
+      maxTopTokFrac = 0.2, maxTopBigramFrac = 0.1, minTtr = 0.3,
+      lambda = 0.7, pplThreshold = 40.0, clsThreshold = 0.5)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream.foreachBatch(sink).outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("id")
+        .as[Long].collect().toSet
+      assert(kept.nonEmpty)
+      // every survivor passes all three quality gates, recomputed offline
+      val keptDocs = rows.filter(r => kept(r._1)).toDF("id", "text")
+      def keepSet(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("keep")).select(col("id")).as[Long].collect().toSet
+      assert(keepSet(graft.operators.TextOps.repetitionFilter(keptDocs,
+        col("id"), col("text"), 0.2, 0.1, 0.3)) == kept)
+      assert(keepSet(graft.operators.TextOps.lmScoreAgainstModel(keptDocs,
+        col("id"), col("text"), lm, 0.7, 40.0)) == kept)
+      assert(keepSet(graft.operators.TextOps.hashedLinearScoreAgainstModel(
+        keptDocs, col("id"), col("text"), cls, 0.5)) == kept)
+      // the planted cross-batch duplicate never survives (exact dup of a
+      // batch-0 doc — dropped by the stored-index stage if its source
+      // passed the gates, by the quality gates otherwise)
+      assert(!kept(900001L) || !kept(b0.head._1))
+      // replay of batch 1 re-derives the identical kept set
+      sink(b1.toDF("id", "text"), 1)
+      assert(spark.read.parquet(out).select("id")
+        .as[Long].collect().toSet == kept)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("corpusIndexIngest: streamed docs extend the dedup index; replay leaves it identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
