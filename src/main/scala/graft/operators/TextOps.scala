@@ -393,6 +393,50 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Persist a [[perplexityPartition]] boundary table (group, b1, b2) as
+    * a parquet artifact — the stored-model discipline applied to the
+    * bucketing thresholds: boundaries are derived ONCE from a reference
+    * corpus snapshot and serving buckets against the FROZEN values
+    * (recomputing terciles per serving batch would make a document's
+    * bucket depend on what it arrived with). Rounded doubles round-trip
+    * parquet losslessly, so stored-and-bucketed ≡ freshly-derived.
+    */
+  def writePplBoundaries(docs: DataFrame, id: Column, text: Column,
+      group: Column, refFilter: Column, maxV: Int, maxB: Int,
+      lambda: Double, dir: String): Unit = {
+    val part = perplexityPartition(docs, id, text, group, refFilter,
+      maxV, maxB, lambda)
+    part.groupBy(col("group")).agg(
+      round(expr(s"percentile(ppl, ${1.0 / 3}D)"), 4).as("b1"),
+      round(expr(s"percentile(ppl, ${2.0 / 3}D)"), 4).as("b2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+    docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Bucket documents against a stored [[writePplBoundaries]] artifact:
+    * score with the (also stored) reference LM, compare against the
+    * frozen group boundaries — [[perplexityPartition]]'s serving form.
+    * A doc whose group has no stored boundary row gets a null bucket
+    * (fail-visible: an unknown group is a contract violation to surface,
+    * not a silent 'tail').
+    */
+  def pplBucketAgainstBoundaries(docs: DataFrame, id: Column, text: Column,
+      group: Column, lmDir: String, boundsDir: String,
+      lambda: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = lmScoreAgainstModel(docs, id, text, lmDir, lambda,
+      Double.MaxValue).select(col("id"), col("ppl"))
+    val bounds = spark.read.parquet(s"$boundsDir/bounds")
+    scored
+      .join(docs.select(id.as("id"), group.cast("string").as("group")), "id")
+      .join(broadcast(bounds), Seq("group"), "left")
+      .select(col("id"), col("group"), col("ppl"),
+        when(col("b1").isNull, lit(null).cast("string"))
+          .when(col("ppl") <= col("b1"), "head")
+          .when(col("ppl") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Detokenize a BYTE-LEVEL token array back to its source pre-token:
     * byte-level tokens are hex-pair concatenations of UTF-8 bytes
     * ([[graft.functions.BpeEncodeExpr]] byte mode), so the inverse is

@@ -2811,6 +2811,31 @@ object Pipeline {
        |FROM ex JOIN est USING (token)""".stripMargin
   }
 
+  // ===== q198 stored perplexity-partition serving ==========================
+  // q192's production form: the reference LM AND the tercile boundaries
+  // train/derive ONCE into parquet artifacts and serving buckets against
+  // the FROZEN values (recomputing terciles per serving batch would make
+  // a document's bucket depend on its batch-mates). Rounded counts and
+  // boundaries round-trip parquet losslessly, so stored-and-bucketed ≡
+  // freshly-partitioned — q192's oracle applies VERBATIM (the q176/q181
+  // stored-artifact integrity contract, third instance).
+
+  private def q198(t: Tables): DataFrame = {
+    val lmDir = cachedIndexDir(t.dir, s"lm_model_v1_${LmMaxV}_$LmMaxB") { d =>
+      TextOps.writeLmModel(
+        graft.Fanout(t.documents.filter(col("doc_id") % 10 === 0)),
+        col("doc_id"), col("text"), LmMaxV, LmMaxB, d)
+    }
+    val bDir = cachedIndexDir(t.dir, s"ppl_bounds_v1_${LmMaxV}_$LmMaxB") { d =>
+      TextOps.writePplBoundaries(graft.Fanout(t.documents), col("doc_id"),
+        col("text"), col("source"), col("doc_id") % 10 === 0, LmMaxV,
+        LmMaxB, LmLambda, d)
+    }
+    TextOps.pplBucketAgainstBoundaries(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), col("source"), lmDir, bDir, LmLambda)
+      .select(col("id"), col("group").as("source"), col("ppl"), col("bucket"))
+  }
+
   // ===== q197 stored CountMin lifecycle ====================================
   // q195's production form: the sketch builds from HALF the corpus
   // (doc_id ≡ 0 mod 2), the other half ingests as a versioned batch
@@ -4559,7 +4584,8 @@ object Pipeline {
     "q194_contrastive_batches" -> wrap(q194),
     "q195_countmin" -> wrap(q195),
     "q196_tokenizer_fertility" -> wrap(q196),
-    "q197_countmin_stored" -> wrap(q197)
+    "q197_countmin_stored" -> wrap(q197),
+    "q198_ppl_bucket_stored" -> wrap(q198)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4676,6 +4702,9 @@ object Pipeline {
     "q196_tokenizer_fertility" -> q196Sql,
     // stored+ingested must equal one-shot: q195's oracle verbatim
     // (CountMin linearity — the sketch of a union is the cell-wise sum)
-    "q197_countmin_stored" -> q195Sql
+    "q197_countmin_stored" -> q195Sql,
+    // stored LM + stored boundaries must bucket exactly like the fresh
+    // partition: q192's oracle verbatim (the stored-artifact contract)
+    "q198_ppl_bucket_stored" -> q192Sql
   )
 }

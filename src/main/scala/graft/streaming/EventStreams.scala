@@ -466,6 +466,26 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming head/middle/tail bucketing —
+    * [[graft.operators.TextOps.perplexityPartition]]'s serving form
+    * ([[lmScoreIngest]]'s sibling with a second frozen artifact): each
+    * micro-batch of (id, text, group) documents scores against the
+    * stored reference LM and buckets against the stored tercile
+    * boundaries ([[graft.operators.TextOps.pplBucketAgainstBoundaries]])
+    * — both artifacts frozen (recomputing terciles per batch would make
+    * a doc's bucket depend on its batch-mates), reports under
+    * `batch=<id>`, overwrite mode, replay-idempotent.
+    */
+  def pplBucketIngest(lmDir: String, boundsDir: String, outDir: String,
+      lambda: Double)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.pplBucketAgainstBoundaries(batch.toDF(),
+          col("id"), col("text"), col("group"), lmDir, boundsDir, lambda)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming CountMin maintenance — the sketch the telemetry loop keeps
     * when exact per-key aggregation is too wide: each micro-batch's OWN
     * d×w sketch overwrites `cells/batch=<id>`

@@ -779,6 +779,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("pplBucketIngest: streamed docs bucket against frozen boundaries; unknown group fails visible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("pplbkt").toString
+    val lm = s"$base/lm"; val bounds = s"$base/bounds"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text", $"source".as("group"))
+    graft.operators.TextOps.writeLmModel(docs.filter($"id" % 10 === 0),
+      col("id"), col("text"), 500, 1000, lm)
+    graft.operators.TextOps.writePplBoundaries(docs, col("id"), col("text"),
+      col("group"), col("id") % 10 === 0, 500, 1000, 0.7, bounds)
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("id", "text", "group")
+      .writeStream.foreachBatch(EventStreams.pplBucketIngest(lm, bounds, out, 0.7))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("id", "group", "ppl", "bucket")
+        .as[(Long, String, Double, String)].collect().toSet
+      // serving over frozen artifacts ≡ the fresh offline partition
+      val offline = graft.operators.TextOps.perplexityPartition(
+          rows.toDF("id", "text", "group"), col("id"), col("text"),
+          col("group"), col("id") % 10 === 0, 500, 1000, 0.7)
+        .as[(Long, String, Double, String)].collect().toSet
+      assert(streamed.nonEmpty && streamed == offline)
+      assert(streamed.map(_._4).subsetOf(Set("head", "middle", "tail")))
+      // a group absent from the stored boundaries buckets to NULL
+      val sink = EventStreams.pplBucketIngest(lm, bounds, out, 0.7)
+      sink(Seq((900001L, b0.head._2, "no-such-source"))
+        .toDF("id", "text", "group"), 99)
+      val unknown = spark.read.parquet(s"$out/batch=99")
+        .select("bucket").collect()
+      assert(unknown.length == 1 && unknown.head.isNullAt(0))
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("countMinIngest: streamed batches maintain the stored sketch; store == one-shot sketch (linearity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
