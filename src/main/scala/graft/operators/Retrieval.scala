@@ -188,6 +188,32 @@ object Retrieval {
         col("rnk"))
   }
 
+  /** Contrastive training-pair EXPORT — the file a retrieval trainer
+    * actually reads ([[hardNegatives]] is the mining stage; this is the
+    * artifact): per seed query, exactly ONE positive row (the seed
+    * document itself — the standard self-supervised setup where the
+    * query derives from its gold passage) at label 1 / rank 0, plus the
+    * mined top-k hard negatives at label 0 with their re-rank position.
+    * The positive can never collide with a negative: candidate
+    * generation excludes self BY CONSTRUCTION (`excludeSelf` in the BM25
+    * stage). Cost = the mining itself + a |seeds|-row union.
+    *
+    * @return (seed_id, doc_id, label, rnk)
+    */
+  def trainingPairs(terms: DataFrame, queries: DataFrame,
+      shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastMax: Int = 100000): DataFrame = {
+    val neg = hardNegatives(terms, queries, shingled, k, slack, jaccardT,
+      k1, b, broadcastMax)
+      .select(col("q_id").as("seed_id"), col("doc_id"),
+        lit(0L).as("label"), col("rnk"))
+    val pos = queries.select(col("q_id")).distinct()
+      .select(col("q_id").as("seed_id"), col("q_id").as("doc_id"),
+        lit(1L).as("label"), lit(0L).as("rnk"))
+    pos.unionAll(neg)
+  }
+
   // ===== stored inverted index ============================================
   // The lexical sibling of Similarity.writeIvfIndex: a production pipeline
   // tokenizes the corpus ONCE into a stored posting layout and probes it

@@ -393,6 +393,72 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-GROUP unigram
+    * distributions — the LEXICAL domain-drift map (the embedding-space
+    * sibling is [[Similarity.groupCentroidCosine]]): which sources speak
+    * the same language of tokens, which have drifted — the diagnostic
+    * mixture design and dataset-shift monitoring read. Distributions
+    * live on a BOUNDED support: the global top-`vocabSize` terms plus
+    * ONE OOV bucket (term "" — real tokens are non-empty by the zero-
+    * length filter, and the empty string gives the bucket a fixed sort
+    * position), with add-one smoothing over the |V|+1 cells so every
+    * cell is positive and JSD is finite. JSD(P,Q) =
+    * ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)) in nats, folded over cells
+    * in sorted term order (the house float-determinism discipline: all
+    * probabilities derive from exact integer counts, the sum order is
+    * total).
+    *
+    * 100 TB posture: ONE token explode feeding three partial-aggregated
+    * integer counts (global vocab via bounded TakeOrdered, per-group
+    * totals, per-(group, vocab-term) counts); the distribution grid is
+    * |groups|·(|V|+1) rows, the pair table |groups|²·(|V|+1)/2 — both
+    * broadcast-scale; no window over unbounded groups, no global sort.
+    *
+    * @return (g_a, g_b, jsd) for every pair g_a < g_b, round-4 nats
+    */
+  def unigramJsDivergence(docs: DataFrame, text: Column, group: Column,
+      vocabSize: Int): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    require(vocabSize >= 1)
+    val toks = docs.select(group.cast("string").as("g"),
+        explode(filter(split(lower(text), """\s+"""),
+          x => length(x) > 0)).as("w"))
+      .persistScoped() // feeds the vocab, totals and counts
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("w")).limit(vocabSize)
+      .select(col("w"))
+      .persistScoped() // joined twice (counts, grid)
+    // |V| is the ACTUAL vocab size (a corpus with fewer distinct terms
+    // than requested smooths over fewer cells) — bounded driver action
+    val vSize = vocab.count()
+    val tot = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val cnt = toks.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+    val grid = tot.select(col("g")).crossJoin(broadcast(vocab))
+      .join(cnt, Seq("g", "w"), "left")
+      .select(col("g"), col("w"), coalesce(col("c"), lit(0L)).as("c"))
+    val oov = grid.groupBy(col("g")).agg(sum(col("c")).as("__cv"))
+      .join(tot, Seq("g"))
+      .select(col("g"), lit("").as("w"), (col("n") - col("__cv")).as("c"))
+    val cells = grid.unionAll(oov)
+      .join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("w"),
+        ((col("c") + 1).cast("double") /
+          (col("n") + vSize + 1).cast("double")).as("p"))
+    val a = cells.select(col("g").as("g_a"), col("w"), col("p").as("pa"))
+    val b = cells.select(col("g").as("g_b"), col("w"), col("p").as("pb"))
+    a.join(b, Seq("w"))
+      .filter(col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("w"),
+        (lit(0.5) * col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + lit(0.5) * col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("t"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(round(expr(
+        "aggregate(transform(sort_array(collect_list(struct(w, t))), x -> x.t), 0D, (acc, v) -> acc + v)"),
+        4).as("jsd"))
+  }
+
   /** Persist a [[perplexityPartition]] boundary table (group, b1, b2) as
     * a parquet artifact — the stored-model discipline applied to the
     * bucketing thresholds: boundaries are derived ONCE from a reference

@@ -2436,6 +2436,78 @@ object Pipeline {
        |  FROM jj WHERE jaccard < $HnJaccT)
        |WHERE rnk <= $BmTopK""".stripMargin
 
+  // ===== q199 contrastive training-pair export ============================
+  // q185's mining turned into the artifact a retrieval trainer reads:
+  // one positive per seed (the seed document itself, label 1 / rank 0 —
+  // the self-supervised setup) + its top-k hard negatives (label 0, at
+  // their re-rank position). The positive can never collide with a
+  // negative (candidate generation excludes self by construction).
+  // Oracle = q185's full chain as a subquery + the positives union.
+
+  private def q199(t: Tables): DataFrame = {
+    val tf = bigramTf(t).persistScoped()
+    Retrieval.trainingPairs(tf,
+      bm25SeedQueries(tf, col("id").isin(HnSeeds: _*)),
+      shingledDocs(t).select(col("id"), col("shingles").as("ss")),
+      BmTopK, HnSlack, HnJaccT, BmK1, BmB)
+  }
+
+  private lazy val q199Sql =
+    s"""SELECT seed_id, doc_id, CAST(0 AS BIGINT) AS label, rnk
+       |FROM ($q185Sql)
+       |UNION ALL
+       |SELECT doc_id AS seed_id, doc_id, CAST(1 AS BIGINT) AS label,
+       |  CAST(0 AS BIGINT) AS rnk
+       |FROM documents WHERE doc_id IN (${HnSeeds.mkString(", ")})""".stripMargin
+
+  // ===== q200 lexical JS-divergence map ===================================
+  // q193's lexical sibling — the domain-drift diagnostic over TOKEN
+  // space: pairwise Jensen-Shannon divergence between per-source unigram
+  // distributions on a bounded support (global top-V terms + one OOV
+  // bucket, add-one smoothed). All probabilities derive from exact
+  // integer counts; the per-pair sum folds in sorted term order; the
+  // OOV bucket is the empty-string term (fixed sort position, collision-
+  // free — real tokens are non-empty). The oracle replays vocab pruning,
+  // zero-filling, smoothing and the fold verbatim.
+
+  private val JsVocab = 64
+
+  private def q200(t: Tables): DataFrame =
+    TextOps.unigramJsDivergence(graft.Fanout(t.documents), col("text"),
+      col("source"), JsVocab)
+      .select(col("g_a").as("source_a"), col("g_b").as("source_b"),
+        col("jsd"))
+
+  private val q200Sql =
+    s"""WITH tk AS (SELECT source AS g, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS w FROM documents),
+       |vc AS (SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY 1)
+       |       ORDER BY c DESC, w LIMIT $JsVocab),
+       |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vc),
+       |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+       |cnt AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+       |        FROM tk JOIN vc USING (w) GROUP BY 1, 2),
+       |grid AS (SELECT t.g, v.w, coalesce(cnt.c, 0) AS c
+       |         FROM tot t CROSS JOIN vc v
+       |         LEFT JOIN cnt ON cnt.g = t.g AND cnt.w = v.w),
+       |oov AS (SELECT grid.g, '' AS w,
+       |          any_value(tot.n) - CAST(sum(grid.c) AS BIGINT) AS c
+       |        FROM grid JOIN tot USING (g) GROUP BY grid.g),
+       |cells AS (SELECT g, w,
+       |    CAST(c + 1 AS DOUBLE) / CAST(n + v + 1 AS DOUBLE) AS p
+       |  FROM (SELECT * FROM grid UNION ALL SELECT * FROM oov)
+       |  JOIN tot USING (g) CROSS JOIN vn),
+       |pr AS (SELECT a.g AS g_a, b.g AS g_b, a.w,
+       |    0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+       |      + 0.5 * b.p * ln(2 * b.p / (a.p + b.p)) AS t
+       |  FROM cells a JOIN cells b ON a.w = b.w AND a.g < b.g)
+       |SELECT g_a AS source_a, g_b AS source_b,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(list_sort(list({'w': w, 't': t})), x -> x.t)),
+       |    (acc, v) -> acc + v), 4) AS jsd
+       |FROM pr GROUP BY 1, 2""".stripMargin
+
   // ===== q186 temperature-mixture token allocation =======================
   // The multilingual/multi-source "α-sampling" stage (Conneau & Lample;
   // mT5/XLM-R): per-source weights T^0.5 over token counts, a global
@@ -4585,7 +4657,9 @@ object Pipeline {
     "q195_countmin" -> wrap(q195),
     "q196_tokenizer_fertility" -> wrap(q196),
     "q197_countmin_stored" -> wrap(q197),
-    "q198_ppl_bucket_stored" -> wrap(q198)
+    "q198_ppl_bucket_stored" -> wrap(q198),
+    "q199_training_pairs" -> wrap(q199),
+    "q200_js_divergence" -> wrap(q200)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4705,6 +4779,8 @@ object Pipeline {
     "q197_countmin_stored" -> q195Sql,
     // stored LM + stored boundaries must bucket exactly like the fresh
     // partition: q192's oracle verbatim (the stored-artifact contract)
-    "q198_ppl_bucket_stored" -> q192Sql
+    "q198_ppl_bucket_stored" -> q192Sql,
+    "q199_training_pairs" -> q199Sql,
+    "q200_js_divergence" -> q200Sql
   )
 }

@@ -327,4 +327,36 @@ class RetrievalSpec extends AnyFunSuite {
         "doc absent from shingled must survive with jaccard 0")
     } finally graft.CacheScope.drain()
   }
+
+  test("trainingPairs: one positive per seed at rank 0; negatives are the mined set; no collision") {
+    val tf = Seq(
+      (1L, "alpha", 1L, 4L), (1L, "beta", 1L, 4L), (1L, "gamma", 1L, 4L),
+      (1L, "delta", 1L, 4L),
+      (3L, "beta", 1L, 4L), (3L, "alpha", 1L, 4L), (3L, "zeta", 1L, 4L),
+      (3L, "eta", 1L, 4L),
+      (4L, "qqq", 1L, 3L), (4L, "www", 1L, 3L), (4L, "zzz", 1L, 3L),
+      (5L, "alpha", 1L, 1L)
+    ).toDF("id", "term", "tf", "dl")
+    val queries = Seq((1L, "alpha"), (1L, "beta")).toDF("q_id", "term")
+    val shingled = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta")),
+      (3L, Seq("beta alpha zeta", "alpha zeta eta")),
+      (4L, Seq("qqq www zzz")),
+      (5L, Seq.empty[String])
+    ).toDF("id", "ss")
+    try {
+      val got = Retrieval.trainingPairs(tf, queries, shingled,
+          k = 10, slack = 5, jaccardT = 0.3)
+        .as[(Long, Long, Long, Long)].collect()
+      val pos = got.filter(_._3 == 1L)
+      assert(pos.toSeq == Seq((1L, 1L, 1L, 0L)), "exactly one positive, self, rank 0")
+      val neg = got.filter(_._3 == 0L)
+      val mined = Retrieval.hardNegatives(tf, queries, shingled,
+          k = 10, slack = 5, jaccardT = 0.3)
+        .select($"q_id", $"doc_id", $"rnk")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(neg.map(r => (r._1, r._2, r._4)).toSet == mined)
+      assert(!neg.exists(r => r._1 == r._2), "a positive can never be a negative")
+    } finally graft.CacheScope.drain()
+  }
 }

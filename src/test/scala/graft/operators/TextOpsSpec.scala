@@ -553,4 +553,35 @@ class TextOpsSpec extends AnyFunSuite {
       }
     } finally graft.CacheScope.drain()
   }
+
+  test("unigramJsDivergence: zero for identical groups, bounded by ln 2, drift orders correctly") {
+    val docs = Seq(
+      ("twin1", "alpha beta gamma delta alpha beta"),
+      ("twin2", "alpha beta gamma delta alpha beta"), // identical distribution
+      ("near", "alpha beta gamma delta alpha zeta"),  // one token differs
+      ("far", "qqq www zzz qqq www zzz")              // disjoint vocabulary
+    ).toDF("src", "text")
+    try {
+      val jsd = TextOps.unigramJsDivergence(docs, $"text", $"src", 32)
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(jsd.size == 6)
+      // identical distributions diverge by exactly 0
+      assert(jsd(("twin1", "twin2")) == 0.0)
+      // JSD in nats is bounded by ln 2
+      assert(jsd.values.forall(v => v >= 0.0 && v <= 0.6932))
+      // drift orders: near-twin < disjoint-vocab
+      assert(jsd(("near", "twin1")) > 0.0)
+      assert(jsd(("near", "twin1")) < jsd(("far", "twin1")))
+      // symmetric by construction (only g_a < g_b emitted, but the value
+      // is symmetric in (pa, pb)): recompute with groups renamed to flip
+      // the pair order and the number must agree
+      val flipped = TextOps.unigramJsDivergence(
+          docs.withColumn("src", when($"src" === "twin1", "zz-twin1")
+            .otherwise($"src")), $"text", $"src", 32)
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(flipped(("far", "zz-twin1")) == jsd(("far", "twin1")))
+    } finally graft.CacheScope.drain()
+  }
 }
