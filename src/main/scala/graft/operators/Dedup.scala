@@ -958,6 +958,61 @@ object Dedup {
     * two hash shuffles of segment-sized rows, no O(n²) stage, no window
     * over an unbounded group.
     */
+  /** Content-defined chunking (the FastCDC/LBFS idea at the token level):
+    * chunk boundaries fall where the hash of the local w-word window
+    * satisfies a modulus condition — so boundaries are anchored to
+    * CONTENT, not to offsets. This is the property fixed-length
+    * segmentation ([[segmentDedup]]) lacks: inserting one word near a
+    * doc's start shifts EVERY fixed segment after it (zero segment-level
+    * dup detection against the original), while CDC boundaries
+    * re-synchronize right after the edit and every later chunk matches
+    * again — the reason dedup storage systems chunk this way.
+    *
+    * Boundary rule: a chunk starts at word 0 and at every word i ≥ 1
+    * with hash28(words[i..i+w−1] joined) ≡ 0 (mod m) — expected chunk
+    * length m words, window w. Returns one row per (doc, chunk):
+    * (id, chunk_idx, chunk_words, chunk_md5).
+    *
+    * 100 TB posture: boundaries and chunks are built INSIDE one narrow
+    * map per document (boundary positions via one transform+filter over
+    * the word array, chunks via slices between consecutive boundaries —
+    * O(words) work, no per-word join, no window); the only exchange is
+    * whatever the caller aggregates afterwards. A production byte-level
+    * variant would swap the per-window md5 for a native gear-hash
+    * expression; the md5 form is the engine-neutral oracle-replayable
+    * one (the house SharedHash discipline).
+    */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column, window: Int,
+      modulus: Int): DataFrame = {
+    require(window >= 1 && modulus >= 1)
+    // boundary BEFORE word i (0-based, 1 ≤ i ≤ n−w): the w-word window
+    // starting at i hashes to ≡ 0 (mod m); guard the empty range —
+    // Spark's sequence(1, 0) would step DOWNWARD, not return empty
+    val boundaries = expr(
+      s"""CASE WHEN size(ws) - $window >= 1 THEN
+            filter(transform(sequence(1, size(ws) - $window),
+              i -> CASE WHEN
+                CAST(conv(substring(md5(
+                  array_join(slice(ws, i + 1, $window), ' ')), 1, 7), 16, 10)
+                  AS BIGINT) % $modulus = 0 THEN i END),
+              p -> p IS NOT NULL)
+          ELSE CAST(array() AS ARRAY<INT>) END""")
+    docs
+      .select(id.as("id"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("bp",
+        concat(array(lit(0)), boundaries, array(size(col("ws")))))
+      .select(col("id"), col("ws"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(bp) - 2),
+              k -> array_join(slice(ws, bp[k] + 1, bp[k + 1] - bp[k]), ' '))"""))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("chunk"), " ")).cast("long").as("chunk_words"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   def segmentDedup(docs: DataFrame, segLen: Int): DataFrame = {
     val segs = docs
       .withColumn("__w", split(lower(col("text")), """\s+"""))

@@ -2508,6 +2508,60 @@ object Pipeline {
        |    (acc, v) -> acc + v), 4) AS jsd
        |FROM pr GROUP BY 1, 2""".stripMargin
 
+  // ===== q201 content-defined chunking dedup ==============================
+  // The insertion-robust dedup modality (FastCDC/LBFS at the token
+  // level): chunk boundaries anchor to CONTENT (w-word window hash ≡ 0
+  // mod m), so an edit near a doc's start re-synchronizes boundaries
+  // right after it and every later chunk still matches — exactly what
+  // q81's fixed-length segments cannot do (one inserted word shifts
+  // every following segment). Per doc: chunk count, chunks owned by a
+  // lower-id doc (the q81 first-owner election at chunk level), and the
+  // duplicated fraction. Oracle replays boundary election, slicing and
+  // ownership verbatim.
+
+  private val CdcW = 3
+  private val CdcM = 8
+
+  private def q201(t: Tables): DataFrame = {
+    val ch = Dedup.cdcChunks(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), CdcW, CdcM).persistScoped() // feeds owners AND the report
+    val own = ch.groupBy(col("chunk_md5")).agg(min(col("id")).as("owner"))
+    ch.join(own, "chunk_md5")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("owner") =!= col("id"), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 4)
+          .as("dup_frac"))
+  }
+
+  private val q201Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |w1 AS (SELECT id, ws FROM w0 WHERE len(ws) > 0),
+       |bp AS (SELECT id, ws, [0] || CASE WHEN len(ws) - $CdcW >= 1 THEN
+       |    list_filter(list_transform(generate_series(1, len(ws) - $CdcW),
+       |      i -> CASE WHEN ${Dedup.SharedHash.hash28Sql(
+      s"array_to_string(ws[i + 1 : i + $CdcW], ' ')")} % $CdcM = 0
+       |        THEN i END),
+       |      p -> p IS NOT NULL)
+       |    ELSE [] END || [len(ws)] AS b
+       |  FROM w1),
+       |ch AS (SELECT id, t.k AS chunk_idx,
+       |    array_to_string(ws[b[t.k + 1] + 1 : b[t.k + 2]], ' ') AS chunk
+       |  FROM bp, unnest(generate_series(0, len(b) - 2)) AS t(k)),
+       |own AS (SELECT md5(chunk) AS h, min(id) AS owner FROM ch GROUP BY 1)
+       |SELECT ch.id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN own.owner <> ch.id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  round(CAST(sum(CASE WHEN own.owner <> ch.id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS dup_frac
+       |FROM ch JOIN own ON md5(ch.chunk) = own.h
+       |GROUP BY 1""".stripMargin
+
   // ===== q186 temperature-mixture token allocation =======================
   // The multilingual/multi-source "α-sampling" stage (Conneau & Lample;
   // mT5/XLM-R): per-source weights T^0.5 over token counts, a global
@@ -4659,7 +4713,8 @@ object Pipeline {
     "q197_countmin_stored" -> wrap(q197),
     "q198_ppl_bucket_stored" -> wrap(q198),
     "q199_training_pairs" -> wrap(q199),
-    "q200_js_divergence" -> wrap(q200)
+    "q200_js_divergence" -> wrap(q200),
+    "q201_cdc_dedup" -> wrap(q201)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4781,6 +4836,7 @@ object Pipeline {
     // partition: q192's oracle verbatim (the stored-artifact contract)
     "q198_ppl_bucket_stored" -> q192Sql,
     "q199_training_pairs" -> q199Sql,
-    "q200_js_divergence" -> q200Sql
+    "q200_js_divergence" -> q200Sql,
+    "q201_cdc_dedup" -> q201Sql
   )
 }

@@ -566,4 +566,41 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("cdcChunks: boundaries re-synchronize after an insertion — the property fixed segments lack") {
+    import org.apache.spark.sql.functions.col
+    // one deterministic 60-word body; doc 2 = doc 1 with ONE word
+    // prepended. Fixed-length segments all shift; CDC boundaries are
+    // content-anchored, so chunks after the first boundary match again.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val body = (1 to 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq((1L, body), (2L, "inserted " + body)).toDF("id", "text")
+    try {
+      val ch = Dedup.cdcChunks(docs, col("id"), col("text"), 3, 8)
+        .as[(Long, Long, Long, String)].collect()
+      val byDoc = ch.groupBy(_._1).view.mapValues(_.map(_._4).toSet).toMap
+      val shared = byDoc(1L) intersect byDoc(2L)
+      assert(shared.nonEmpty,
+        "CDC must re-synchronize after the insertion and share chunks")
+      // everything after the first boundary of doc 2 matches doc 1
+      assert(shared.size >= byDoc(2L).size - 2,
+        s"only ${shared.size} of ${byDoc(2L).size} chunks re-synced")
+      // fixed segments at the same granularity share (nearly) nothing:
+      // the insertion shifts every fixed-grid window (local replay of
+      // the q81 segmentation — independent of any operator code)
+      def fixedSegs(t: String) =
+        t.split(" ").toSeq.grouped(8).map(_.mkString(" ")).toSet
+      val fixedShared = fixedSegs(body) intersect fixedSegs("inserted " + body)
+      assert(fixedShared.size < shared.size,
+        s"fixed segments shared ${fixedShared.size} — CDC must beat them here")
+      // per-doc invariants: chunk words sum back to the doc's word count
+      val words = ch.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      assert(words(1L) == 60L && words(2L) == 61L)
+      // chunk indexes are dense from 0
+      ch.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+      }
+    } finally graft.CacheScope.drain()
+  }
 }
