@@ -91,7 +91,16 @@ object PlanDump {
     "q159_recursive_reachability" -> "WITH RECURSIVE (Spark 4 surface): UnionLoop iterates the hop-bounded frontier join against the cached edge view — each level is one join of the (tiny) frontier, the depth predicate caps the level count, and the final hash aggregate collapses revisits via min(hops). Unbounded closure stays with q62's operator.",
     "q160_bag_set_ops" -> "exceptAll/intersectAll: Catalyst rewrites both to ONE hash aggregate over per-side tagged counts + a generate replicating each key max(0, diff)/min(l, r) times — no join, one exchange, multiplicity exact.",
     "q161_expectations" -> "Data-quality gate: per table, every rule is an aggregate expression over ONE scan (the uniqueness rule's count-distinct rides the same aggregate via Expand); the rule rows derive from the single aggregated row by an inline explode — no second job, no per-rule pass.",
-    "q162_golden_record" -> "Survivorship: the cluster frame persists once, then every field rule is a partial+final struct-min/max HashAggregate (longest-text argmax, lexicographic-first source) — no window over clusters; the modal language adds one (comp, lang) count aggregate before its struct-min. A mass-dup mega-cluster costs O(1) combiner state per rule.")
+    "q162_golden_record" -> "Survivorship: the cluster frame persists once, then every field rule is a partial+final struct-min/max HashAggregate (longest-text argmax, lexicographic-first source) — no window over clusters; the modal language adds one (comp, lang) count aggregate before its struct-min. A mass-dup mega-cluster costs O(1) combiner state per rule.",
+    "q187_label_propagation" -> "Label propagation, fixed rounds: per round ONE hash join (directed edges x labeled nodes) + a (dst, label) count aggregate + the single-pass struct-max plurality — O(|E|) shuffle rows of three longs per round, no window; the edge frame persists once and is read every round.",
+    "q188_pipeline_e2e" -> "End-to-end pipeline: the plan below is the final packing stage over the LAST stage boundary's localCheckpoint — by design. Each of the five upstream stages (repetition, perplexity, dedup, DSIR, mixture) ran as its own audited job with lineage truncated at the boundary; one unrolled plan would multiply the operators' internal input references exponentially (measured: a 2 GB plan string).",
+    "q191_pack_manifest" -> "Packed-sequence manifest: the distributed prefix scan (range partition + per-partition sequential fold, eagerly localCheckpointed to pin partition identity) + the broadcast offsets join + ONE narrow span explode — ≤ ⌈n/B⌉+1 rows per doc, no second shuffle, no window over unbounded groups.",
+    "q192_ppl_partition" -> "CCNet head/middle/tail: the bounded LM broadcasts into per-(doc,bigram) scoring (one explode + partial agg), per-source tercile boundaries come from ONE exact-percentile aggregate (2 doubles per source) and broadcast back into a narrow CASE — no per-group sort, every join a broadcast.",
+    "q193_centroid_map" -> "Group-centroid similarity: ONE posexplode + partial-aggregated (group x dim) integer-sum shuffle (map-side combine caps each partition at the cell count), the |groups|-row centroid table broadcasts into its own pair cross — no exchange ever carries a raw embedding array (pinned).",
+    "q194_contrastive_batches" -> "Leakage-safe batches: the q62 clustering feeds one left join onto the id set, a rank window PARTITIONED BY CLUSTER (bounded by the largest near-dup cluster — small post-exact-dedup), and a narrow hash+mod batch assignment; unseparable overflow is flagged, never silent.",
+    "q195_countmin" -> "CountMin on the gate: the token stream persists once, the sketch is ONE explode (d rows each) + a partial+final integer aggregate bounded at d·w cells per partition, estimates join the broadcast sketch and min-aggregate per key — linear sums, no window, fully oracle-replayable.",
+    "q200_js_divergence" -> "Lexical JSD map: one token explode feeds the bounded-vocab TakeOrdered, per-group totals and per-(group, term) counts; the zero-filled grid is |groups|·(V+1) rows, the pair table joins per term then folds per pair over a sorted bounded array — corpus scanned once, everything downstream broadcast-scale.",
+    "q201_cdc_dedup" -> "Content-defined chunking: boundary election + chunk slicing happen INSIDE one narrow map per document (transform/filter/slice over the word array — no per-word join, no window); the only exchanges are the chunk-hash first-owner aggregate and its ownership join back.")
 
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(cores = 8, appName = "plandump")
