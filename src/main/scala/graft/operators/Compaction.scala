@@ -119,9 +119,15 @@ object Compaction {
     */
   def writePartitioned(df: org.apache.spark.sql.DataFrame, partCol: String,
       path: String): Unit =
-    if (df.isEmpty)
+    if (df.isEmpty) {
+      // keep the overwrite contract symmetric: a partitionBy overwrite of
+      // zero rows touches no existing <partCol>=X directories, so if a
+      // non-empty write previously landed here its other partitions would
+      // survive and a later read would return stale rows — clear the whole
+      // path first, then land the schema-carrying empty leaf
+      deleteDir(df.sparkSession, path)
       df.drop(partCol).write.mode("overwrite").parquet(s"$path/$partCol=0")
-    else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } else df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** Delete a directory tree (post-swap cleanup of a superseded epoch). */
   def deleteDir(spark: SparkSession, dir: String): Unit = {

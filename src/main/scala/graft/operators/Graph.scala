@@ -204,19 +204,44 @@ object Graph {
       col("seed_label").cast("long").as("seed_label"))
     var lab = base.select(col("id"), col("seed_label").as("label"))
     for (_ <- 1 to iters) {
-      val pick = dir
-        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("plab"))
+      val pick = voteRound(dir, lab)
       lab = base.join(pick, base("id") === col("dst"), "left")
         .select(base("id"), coalesce(col("seed_label"), col("plab")).as("label"))
     }
     lab.join(base, Seq("id"))
       .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
   }
+
+  /** ONE synchronous LP voting round, shared verbatim by all three
+    * propagation variants (bounded / exact / frozen — they differ only in
+    * how the vote is APPLIED): per currently-labeled source, hash-join the
+    * directed edges, count votes per (dst, label) with map-side partial
+    * aggregation, and pick the plurality via the single-pass struct-max
+    * (max count, ties to the SMALLEST label through the negation) — never
+    * a window. Returns (dst, plab).
+    */
+  private def voteRound(dir: DataFrame, lab: DataFrame): DataFrame = {
+    val labeled = lab.filter(col("label").isNotNull)
+    dir.join(labeled, dir("src") === labeled("id"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("dst"), (-col("m.nl")).as("plab"))
+  }
+
+  /** Handle to the RDD a `localCheckpoint` materialized, so iteration
+    * loops can unpersist the SUPERSEDED round's checkpoint instead of
+    * leaving eviction to GC/ContextCleaner — a 200-round run would
+    * otherwise accumulate every intermediate labeling in executor
+    * storage. The checkpointed Dataset's plan is a `LogicalRDD` leaf
+    * wrapping exactly that RDD.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 
   /** EXACT label propagation: [[labelPropagation]]'s synchronous round
     * looped to the fixpoint (the [[kCoreExact]] treatment). A fixed
@@ -252,17 +277,12 @@ object Graph {
       .persistScoped()
     var lab = base.select(col("id"), col("seed_label").as("label"))
       .localCheckpoint()
+    var labRdd = checkpointRdd(lab)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val pick = dir
-        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("plab"))
+      val pick = voteRound(dir, lab)
       val next = base.join(pick, base("id") === col("dst"), "left")
         .select(base("id"), coalesce(col("seed_label"), col("plab")).as("label"))
         .localCheckpoint()
@@ -271,6 +291,10 @@ object Graph {
         .filter(!(col("nx.label") <=> col("ol.label")))
         .count()
       converged = changed == 0L
+      // the diff count was the old labeling's last read — drop its
+      // checkpoint now rather than waiting on GC
+      labRdd.foreach(_.unpersist(false))
+      labRdd = checkpointRdd(next)
       lab = next
     }
     lab.join(base, Seq("id"))
@@ -299,7 +323,18 @@ object Graph {
     * labeling frame; edges persist once; labelings localCheckpoint.
     */
   def labelPropagationFrozen(edges: DataFrame, nodes: DataFrame,
-      maxRounds: Int = 200): DataFrame = {
+      maxRounds: Int = 200): DataFrame =
+    labelPropagationFrozenRounds(edges, nodes, maxRounds)._1
+
+  /** [[labelPropagationFrozen]] plus the MEASURED round count at which the
+    * loop converged (the round whose vote added no label). Callers that
+    * gate against a fixed-unroll replay (an oracle CTE unrolled N rounds)
+    * use the count to assert N covers the data's actual eccentricity —
+    * failing VISIBLY with a message instead of a hash mismatch when a
+    * scale/seed-density change pushes convergence past the unroll.
+    */
+  def labelPropagationFrozenRounds(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 200): (DataFrame, Int) = {
     require(maxRounds >= 1)
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -309,28 +344,28 @@ object Graph {
       .persistScoped()
     var lab = base.select(col("id"), col("seed_label").as("label"))
       .localCheckpoint()
+    var labRdd = checkpointRdd(lab)
     var nLabeled = lab.filter(col("label").isNotNull).count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val pick = dir
-        .join(lab.filter(col("label").isNotNull), dir("src") === lab("id"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("plab"))
+      val pick = voteRound(dir, lab)
       val next = lab.join(pick, lab("id") === col("dst"), "left")
         .select(lab("id"), coalesce(lab("label"), col("plab")).as("label"))
         .localCheckpoint()
       val n2 = next.filter(col("label").isNotNull).count()
       converged = n2 == nLabeled
       nLabeled = n2
+      // next is materialized and counted — the superseded labeling's
+      // checkpoint has no further reader; unpersist it eagerly
+      labRdd.foreach(_.unpersist(false))
+      labRdd = checkpointRdd(next)
       lab = next
     }
-    lab.join(base, Seq("id"))
-      .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed"))
+    (lab.join(base, Seq("id"))
+      .select(col("id"), col("label"), col("seed_label").isNotNull.as("is_seed")),
+      round)
   }
 
   /** kNN classification against a FROZEN labeling — [[labelPropagation]]'s

@@ -20,12 +20,37 @@ import graft.CacheScope.ScopedPersist
 object Similarity {
 
   /** Stored-PQ codebook grids already validated this session, keyed by
-    * (dir, m_sub, n_codes) — spares every probe after the first its
-    * stride-guard count job. Codebooks are frozen at build; a rebuild
-    * over the same dir is invalidated by [[writeIvfIndexPQ]].
+    * (dir, m_sub, n_codes, artifact fingerprint) — spares every probe
+    * after the first its stride-guard count job. The fingerprint (file
+    * names + mtimes + lengths of `codebooks/`, one driver-side listing)
+    * ties the cache entry to the on-disk artifact: an out-of-process
+    * rebuild or partial corruption at the same dir re-keys and
+    * re-validates, instead of riding a stale same-JVM pass. Same-JVM
+    * rebuilds additionally invalidate via [[writeIvfIndexPQ]].
     */
   private val cbGridOk =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int, Long)]()
+
+  /** Cheap content fingerprint of a small artifact directory: fold of
+    * (path, mtime, length) over its files. A driver-side listing — far
+    * cheaper than the parquet count job the cache exists to skip — that
+    * changes whenever any file is rewritten, added, or removed.
+    */
+  private def artifactFingerprint(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var h = 1125899906842597L
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.getName.hashCode
+      h = h * 31 + f.getModificationTime
+      h = h * 31 + f.getLen
+    }
+    h
+  }
 
   /** Cosine similarity of two float-array columns, computed in double via
     * the native kernel (graft.functions.CosineFExpr) — bit-identical to the
@@ -867,11 +892,12 @@ object Similarity {
     // never touch them), so the first probe validates and later probes
     // hit the cache; a same-session rebuild re-keys via (mSub, nCodes)
     // or is invalidated by [[writeIvfIndexPQ]].
-    if (!cbGridOk.contains((dir, mSub, nCodes))) {
+    val cbFp = artifactFingerprint(spark, s"$dir/codebooks")
+    if (!cbGridOk.contains((dir, mSub, nCodes, cbFp))) {
       require(cbRows.count() == mSub.toLong * nCodes,
         s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
           "corrupt or mismatched index")
-      cbGridOk.add((dir, mSub, nCodes))
+      cbGridOk.add((dir, mSub, nCodes, cbFp))
     }
     // per-query ADC lookup tables, indexed lut[m·nCodes + code]; the LUT
     // dot-products run in the PERMUTED coordinate space the codes were

@@ -2452,13 +2452,22 @@ object Pipeline {
       BmTopK, HnSlack, HnJaccT, BmK1, BmB)
   }
 
+  // Positives mirror the ENGINE's derivation (one per distinct q_id that
+  // bm25SeedQueries actually emitted), not the raw seed list: a seed doc
+  // with <2 whitespace tokens produces no bigram terms, hence no query
+  // rows and no positive — so the SQL filters seeds through the same
+  // len(ws) >= 2 tokenization gate as the tf CTE. On current fixtures the
+  // sets coincide; this keeps them coinciding if a degenerate seed ever
+  // enters HnSeeds.
   private lazy val q199Sql =
     s"""SELECT seed_id, doc_id, CAST(0 AS BIGINT) AS label, rnk
        |FROM ($q185Sql)
        |UNION ALL
        |SELECT doc_id AS seed_id, doc_id, CAST(1 AS BIGINT) AS label,
        |  CAST(0 AS BIGINT) AS rnk
-       |FROM documents WHERE doc_id IN (${HnSeeds.mkString(", ")})""".stripMargin
+       |FROM documents WHERE doc_id IN (${HnSeeds.mkString(", ")})
+       |  AND len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) >= 2""".stripMargin
 
   // ===== q200 lexical JS-divergence map ===================================
   // q193's lexical sibling — the domain-drift diagnostic over TOKEN
@@ -2715,7 +2724,14 @@ object Pipeline {
     val nodes = e.select(col("vec_id").as("id"),
       when(col("vec_id") % LpSeedMod === 0, col("label"))
         .cast("long").as("seed_label"))
-    Graph.labelPropagationFrozen(edges, nodes)
+    // gate safety: the oracle unrolls LpUnroll frozen rounds and relies on
+    // over-unroll idempotence, so the MEASURED convergence must stay under
+    // the unroll — assert it here (fail-visible with a named knob) rather
+    // than letting a scale/seed-density shift surface as a hash mismatch
+    val (lab, rounds) = Graph.labelPropagationFrozenRounds(edges, nodes)
+    require(rounds <= LpUnroll, s"frozen LP converged in $rounds rounds but " +
+      s"q189's oracle unrolls only $LpUnroll — raise LpUnroll")
+    lab
   }
 
   private val q189Sql = lpUnrolledSql(LpUnroll, frozen = true)
