@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
   *
   * Header-metadata extraction ([[HeaderCodec]]/[[decodeHeaders]]) is REAL —
   * PNG/GIF/BMP/WAV/JPEG headers are parsed byte-by-byte from the format
-  * specs, no codec library needed — because header metadata (resolution,
-  * sample rate, format mix) is what curation filters on before spending
-  * decode time. Only the pixel/sample DECODE step is stubbed (this
-  * container has no image/audio libraries): [[StubCodec.decode]] derives
-  * deterministic fake width/height from the payload's md5, so every
-  * downstream Spark concern — schema, partitioning, batch shape, null
-  * handling — is real and testable, and a production build swaps only the
-  * function body.
+  * specs, no codec library needed. Audio decode is REAL for 16-bit PCM WAV
+  * ([[HeaderCodec.wavPcm16]]). Image PIXEL decode is REAL too
+  * ([[ImageCodec]]/[[decodeImageFeatures]]): the JDK ships PNG/GIF/BMP/JPEG
+  * codecs in `javax.imageio`, no external library needed — decoded pixels
+  * reduce to exact-integer features (channel sums, peak luminance) a SQL
+  * oracle replays against synthesized ground-truth images. The only fake
+  * left is [[StubCodec]], kept as the md5-derived OPAQUE-blob fixture for
+  * the resize/frame-sample plumbing gate (its payloads are utf-8 text, not
+  * media — nothing there to decode).
   *
   * At 100 TB these stages are narrow `mapPartitions` passes: no shuffle, no
   * driver collection; partition sizing is inherited from the scan
@@ -35,9 +36,11 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  /** ===== STUB ===== deterministic fake codec: md5-derived dimensions.
-    * Production: replace body with a real decoder (e.g. javax.imageio /
-    * ffmpeg bindings); signature and batch shape stay identical.
+  /** Deterministic md5-derived pseudo-dimensions for OPAQUE (non-media)
+    * blobs — the oracle-replayable fixture behind the resize/frame-sample
+    * PLUMBING gate (q37), whose payloads are utf-8 text bytes with nothing
+    * to decode. Real image pixel decode is [[ImageCodec]] /
+    * [[decodeImageFeatures]].
     */
   object StubCodec {
     private val md5 = new ThreadLocal[MessageDigest] {
@@ -130,8 +133,8 @@ object Multimodal {
       * the data chunk IS the samples (little-endian int16, channels
       * interleaved). Returns (channels, sampleRate, samples) or None for
       * anything that is not int16 PCM (audioFormat ≠ 1, other bit depths,
-      * truncated/corrupt containers) — partial escape hatch from the
-      * "pixel decode is stubbed" caveat: audio decode here is genuine.
+      * truncated/corrupt containers). The audio sibling of [[ImageCodec]]'s
+      * pixel decode — both halves of the media pipeline decode for real.
       */
     def wavPcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
       if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
@@ -204,6 +207,88 @@ object Multimodal {
     }
   }
 
+  /** REAL image pixel codec on JDK `javax.imageio` — the PNG/GIF/BMP/JPEG
+    * readers and PNG/BMP writers ship with the JRE, so no external codec
+    * library is involved. Decode returns the full pixel raster; features
+    * reduce it to EXACT integers (per-channel sums, pixel count, peak
+    * ITU-601 luminance numerator) so a SQL oracle can replay them for
+    * synthesized images and any codec corruption breaks a hash gate.
+    */
+  object ImageCodec {
+    // ImageIO's default stream cache spills every decode through a temp
+    // FILE — at blob-scan scale that is a disk write per image; keep the
+    // whole decode in memory
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Deterministic synthetic RGB image for a non-negative id:
+      * w = 8 + id%24, h = 8 + (id/24)%24, pixel (x, y) =
+      * (r, g, b) = ((id·31 + x·7 + y·13)%256, (id + x·y)%256, (x + 3y)%256).
+      * Pure integer arithmetic — the ground truth an oracle reproduces
+      * without decoding anything.
+      */
+    def synthImage(id: Long): java.awt.image.BufferedImage = {
+      require(id >= 0, "synthImage is defined for non-negative ids")
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id / 24) % 24).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id + x.toLong * y) % 256).toInt
+          val b = (x + 3 * y) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode through a real JDK writer ("png"/"bmp" are lossless). */
+    def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format $format")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload; None for corrupt/unsupported
+      * bytes (corrupt blobs are data, not exceptions, at 100 TB).
+      */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Exact-integer pixel features: (w, h, n_px, sum_r, sum_g, sum_b,
+      * peak_lum) where peak_lum = max over pixels of 299r + 587g + 114b
+      * (the ITU-601 luma numerator — kept as an integer, no division).
+      * One bulk getRGB per image (ImageIO normalizes any source color
+      * model to ARGB), then a tight primitive loop.
+      */
+    def features(img: java.awt.image.BufferedImage): (Int, Int, Long, Long, Long, Long, Long) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val lum = 299L * r + 587L * g + 114L * b
+        if (lum > peak) peak = lum
+        i += 1
+      }
+      (w, h, w.toLong * h, sr, sg, sb, peak)
+    }
+  }
+
   /** Header-metadata schema appended by [[decodeHeaders]]. */
   val headerSchema: StructType = StructType(Seq(
     StructField("kind", StringType),
@@ -243,8 +328,7 @@ object Multimodal {
     * duration, RMS energy, peak amplitude) in one narrow pass. Energy
     * accumulates in exact Long arithmetic (int16² sums — no float-order
     * sensitivity); non-PCM/corrupt payloads yield null features, not
-    * failures. This is the genuine end of the multimodal pipeline the
-    * image path can only stub in this environment.
+    * failures. The audio counterpart of [[decodeImageFeatures]].
     */
   def decodeWavAudio(df: DataFrame, mediaCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ wavFeatureSchema.fields)
@@ -273,6 +357,57 @@ object Multimodal {
           case None => Seq[Any](null, null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Image-feature schema appended by [[decodeImageFeatures]]. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("img_w", IntegerType),
+    StructField("img_h", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("peak_lum", LongType)))
+
+  /** REAL image pixel decode + features over a binary column: every
+    * ImageIO-decodable payload (PNG/GIF/BMP/JPEG — the JDK's own codecs)
+    * is fully decoded and reduced to [[imageFeatureSchema]]'s exact-integer
+    * features in one narrow pass; undecodable/null payloads yield null
+    * features, not failures. The image sibling of [[decodeWavAudio]].
+    */
+  def decodeImageFeatures(df: DataFrame, mediaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageFeatureSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = Option(payload).flatMap(ImageCodec.decode) match {
+          case Some(img) =>
+            val (w, h, n, sr, sg, sb, pk) = ImageCodec.features(img)
+            Seq[Any](w, h, n, sr, sg, sb, pk)
+          case None => Seq[Any](null, null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach a REAL image payload per row: [[ImageCodec.synthImage]] encoded
+    * through a real JDK writer, format alternating PNG/BMP by id parity so
+    * BOTH lossless codecs run under any gate built on this column. One
+    * narrow pass; the id column must be a non-negative long.
+    */
+  def withImageColumn(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        Row.fromSeq(r.toSeq :+ ImageCodec.encode(ImageCodec.synthImage(id), fmt))
       }
     }(Encoders.row(outSchema))
   }

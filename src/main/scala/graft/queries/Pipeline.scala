@@ -2571,6 +2571,46 @@ object Pipeline {
        |FROM ch JOIN own ON md5(ch.chunk) = own.h
        |GROUP BY 1""".stripMargin
 
+  // ===== q202 real image pixel decode =====================================
+  // The q45/q190 guarantee shape for the JDK image codecs: per document a
+  // REAL image is synthesized from a pure-integer pixel formula, encoded
+  // through a real ImageIO writer (PNG for even ids, BMP for odd — both
+  // lossless JDK codecs exercise ON the gate), decoded back through
+  // ImageIO.read, and reduced to exact-integer pixel features (dims, pixel
+  // count, per-channel sums, peak ITU-601 luma numerator). The oracle never
+  // decodes anything — it replays the generator formula over
+  // generate_series — so ANY corruption in the encode→decode path breaks
+  // the hash. Formula (id ≥ 0): w = 8 + id%24, h = 8 + (id/24)%24, pixel
+  // (x, y) = ((id·31 + x·7 + y·13)%256, (id + x·y)%256, (x + 3y)%256).
+
+  private def q202(t: Tables): DataFrame = {
+    val withImg = Multimodal.withImageColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeImageFeatures(withImg, "media")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("peak_lum"))
+  }
+
+  private val q202Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+      |    CAST(8 + (doc_id // 24) % 24 AS INTEGER) AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h,
+      |    (doc_id * 31 + tx.x * 7 + ty.y * 13) % 256 AS r,
+      |    (doc_id + tx.x * ty.y) % 256 AS g,
+      |    (tx.x + 3 * ty.y) % 256 AS b
+      |  FROM d,
+      |    unnest(generate_series(0, w - 1)) AS tx(x),
+      |    unnest(generate_series(0, h - 1)) AS ty(y))
+      |SELECT doc_id, w AS img_w, h AS img_h,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
+
   // ===== q186 temperature-mixture token allocation =======================
   // The multilingual/multi-source "α-sampling" stage (Conneau & Lample;
   // mT5/XLM-R): per-source weights T^0.5 over token counts, a global
@@ -4730,7 +4770,8 @@ object Pipeline {
     "q198_ppl_bucket_stored" -> wrap(q198),
     "q199_training_pairs" -> wrap(q199),
     "q200_js_divergence" -> wrap(q200),
-    "q201_cdc_dedup" -> wrap(q201)
+    "q201_cdc_dedup" -> wrap(q201),
+    "q202_image_decode" -> wrap(q202)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4853,6 +4894,7 @@ object Pipeline {
     "q198_ppl_bucket_stored" -> q192Sql,
     "q199_training_pairs" -> q199Sql,
     "q200_js_divergence" -> q200Sql,
-    "q201_cdc_dedup" -> q201Sql
+    "q201_cdc_dedup" -> q201Sql,
+    "q202_image_decode" -> q202Sql
   )
 }

@@ -163,4 +163,77 @@ class MultimodalSpec extends AnyFunSuite {
       (5L, "unknown", 0, 0, 0, 0),
       (6L, "null", 0, 0, 0, 0)))
   }
+
+  // ===== REAL image pixel decode (ImageCodec / decodeImageFeatures) ======
+
+  /** Ground-truth features straight from the generator formula — computed
+    * WITHOUT any image object, so agreement proves the encode→decode path
+    * reproduced every pixel.
+    */
+  private def formulaFeatures(id: Long): (Int, Int, Long, Long, Long, Long, Long) = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id / 24) % 24).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (id * 31 + x * 7 + y * 13) % 256
+      val g = (id + x.toLong * y) % 256
+      val b = (x + 3 * y) % 256
+      sr += r; sg += g; sb += b
+      val lum = 299 * r + 587 * g + 114 * b
+      if (lum > peak) peak = lum
+    }
+    (w, h, w.toLong * h, sr, sg, sb, peak)
+  }
+
+  test("ImageCodec: PNG and BMP round-trip reproduces every pixel (exact features)") {
+    for (id <- Seq(0L, 1L, 7L, 23L, 24L, 500L, 12345L); fmt <- Seq("png", "bmp")) {
+      val bytes = Multimodal.ImageCodec.encode(
+        Multimodal.ImageCodec.synthImage(id), fmt)
+      val img = Multimodal.ImageCodec.decode(bytes)
+      assert(img.isDefined, s"ImageIO failed to decode its own $fmt output")
+      assert(Multimodal.ImageCodec.features(img.get) == formulaFeatures(id),
+        s"pixel features diverged for id=$id fmt=$fmt")
+    }
+  }
+
+  test("ImageCodec: header-parsed dims agree with decoded dims for real payloads") {
+    val bytes = Multimodal.ImageCodec.encode(
+      Multimodal.ImageCodec.synthImage(42L), "png")
+    val (w, h) = (Multimodal.ImageCodec.synthImage(42L).getWidth,
+      Multimodal.ImageCodec.synthImage(42L).getHeight)
+    assert(Multimodal.HeaderCodec.pngDims(bytes).contains((w, h)))
+  }
+
+  test("ImageCodec: JPEG decodes (lossy — dims only), corrupt bytes yield None") {
+    // the JDK jpeg WRITER needs no external lib either; pixels are lossy so
+    // only dimensions are asserted
+    val src = Multimodal.ImageCodec.synthImage(99L)
+    val jp = Multimodal.ImageCodec.encode(src, "jpg")
+    val back = Multimodal.ImageCodec.decode(jp)
+    assert(back.exists(i =>
+      i.getWidth == src.getWidth && i.getHeight == src.getHeight))
+    assert(Multimodal.ImageCodec.decode("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decode(jp.take(10)).isEmpty)
+  }
+
+  test("decodeImageFeatures: distributed real decode; nulls for undecodable") {
+    val withImg = Multimodal.withImageColumn(
+      Seq(2L, 3L, 60L).toDF("doc_id"), "doc_id")
+    val decoded = Multimodal.decodeImageFeatures(withImg, "media")
+      .select($"doc_id", $"img_w", $"img_h", $"n_px",
+        $"sum_r", $"sum_g", $"sum_b", $"peak_lum")
+      .as[(Long, Int, Int, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6, t._7, t._8)))
+      .toMap
+    for (id <- Seq(2L, 3L, 60L)) {
+      val (w, h, n, sr, sg, sb, pk) = formulaFeatures(id)
+      assert(decoded(id) == ((w, h, n, sr, sg, sb, pk)))
+    }
+    // a corrupt payload row travels through as nulls, not a task failure
+    val junk = Seq((1L, "garbage".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val nulls = Multimodal.decodeImageFeatures(junk, "media")
+      .filter($"img_w".isNull && $"peak_lum".isNull).count()
+    assert(nulls == 2L)
+  }
 }
