@@ -741,3 +741,113 @@ case class ZValue16Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** unigram_encode(word) → array<string>: Viterbi segmentation of a word
+  * under a unigram-LM piece table (SentencePiece's inference step, Kudo
+  * 2018), with the vocabulary riding as expression DATA — one tree node,
+  * plan depth constant in |vocab|, the [[BpeEncodeExpr]] pattern.
+  *
+  * Semantics (replayed verbatim by the DuckDB oracle's list_reduce DP):
+  * over Unicode CODE POINTS, best(0) = (score 0, 0 pieces, []); best(i) =
+  * the max over piece lengths L = 1..min(maxPieceLen, i) with
+  * piece = w[i-L+1..i] scorable — in-vocab at its integer micro-log-prob
+  * `score`, or (L = 1 only) the `unkScore` floor so unseen characters
+  * segment as themselves instead of failing — of
+  * (best(i-L).score + score, best(i-L).pieces + 1, best(i-L).toks :+ piece),
+  * ordered by (score DESC, pieces ASC, toks lexicographic ASC by UTF-8
+  * bytes). ALL comparisons are on exact integers and byte orders — no
+  * float enters the DP, so two engines replaying it cannot diverge.
+  */
+case class UnigramEncodeExpr(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int, unkScore: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+  require(maxPieceLen >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vmap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, s) => m.put(p, java.lang.Long.valueOf(s)) }
+    m
+  }
+
+  /** UTF-8 byte order over token lists — Spark's own string comparison
+    * (UTF8String.compareTo is binary) and DuckDB's default VARCHAR
+    * collation, NOT java.lang.String's UTF-16 order (they differ on
+    * supplementary-plane characters).
+    */
+  private def cmpToks(a: java.util.ArrayList[String],
+      b: java.util.ArrayList[String]): Int = {
+    val n = math.min(a.size, b.size)
+    var i = 0
+    while (i < n) {
+      val c = UTF8String.fromString(a.get(i)).binaryCompare(
+        UTF8String.fromString(b.get(i)))
+      if (c != 0) return c
+      i += 1
+    }
+    a.size - b.size
+  }
+
+  /** Public for codegen (the [[BpeEncodeExpr]] reference-object pattern). */
+  def encode(w: UTF8String): ArrayData = {
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val bestScore = new Array[Long](n + 1)
+    val bestNp = new Array[Long](n + 1)
+    val bestToks = new Array[java.util.ArrayList[String]](n + 1)
+    bestToks(0) = new java.util.ArrayList[String]()
+    var i = 1
+    while (i <= n) {
+      var curSet = false
+      var cs = 0L
+      var cn = 0L
+      var ct: java.util.ArrayList[String] = null
+      val maxL = math.min(maxPieceLen, i)
+      var L = 1
+      while (L <= maxL) {
+        val piece = new String(cps, i - L, L)
+        val hit = vmap.get(piece)
+        val sc: java.lang.Long =
+          if (hit != null) hit
+          else if (L == 1) java.lang.Long.valueOf(unkScore)
+          else null
+        if (sc != null) {
+          val ns = bestScore(i - L) + sc.longValue()
+          val nnp = bestNp(i - L) + 1
+          lazy val nt = {
+            val t = new java.util.ArrayList[String](bestToks(i - L))
+            t.add(piece)
+            t
+          }
+          val better = !curSet || ns > cs ||
+            (ns == cs && (nnp < cn || (nnp == cn && cmpToks(nt, ct) < 0)))
+          if (better) { cs = ns; cn = nnp; ct = nt; curSet = true }
+        }
+        L += 1
+      }
+      bestScore(i) = cs
+      bestNp(i) = cn
+      bestToks(i) = ct
+      i += 1
+    }
+    val out = new Array[Any](bestToks(n).size)
+    var j = 0
+    while (j < out.length) {
+      out(j) = UTF8String.fromString(bestToks(n).get(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uniExpr", this, classOf[UnigramEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -68,6 +68,15 @@ package object functions {
     ExpressionUtils.column(graft.functions.BpeEncodeExpr(
       ExpressionUtils.expression(word), merges, byteLevel))
 
+  /** Unigram-LM Viterbi tokenization with the piece table as expression
+    * DATA ([[graft.functions.UnigramEncodeExpr]]); all DP comparisons on
+    * exact integers, plan depth constant in |vocab|.
+    */
+  def unigram_encode(word: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int, unkScore: Long): Column =
+    ExpressionUtils.column(graft.functions.UnigramEncodeExpr(
+      ExpressionUtils.expression(word), vocab, maxPieceLen, unkScore))
+
   /** PQ-encode an embedding against per-subspace L2 codebooks carried as
     * expression data ([[graft.functions.PqEncodeExpr]]).
     */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope.ScopedPersist
+
+/** Unigram-LM subword tokenizer (SentencePiece's model family, Kudo 2018):
+  * seed a substring vocabulary from the corpus, then run hard-EM rounds —
+  * E-step: Viterbi-segment every distinct word under the current piece
+  * scores; M-step: piece count = exact corpus-weighted usage in those
+  * segmentations, with unused multi-character pieces PRUNED and unused
+  * single characters floored at count 1 (the coverage guarantee, so any
+  * text stays segmentable). The missing member of the tokenizer family
+  * next to the BPE trainer ([[TextOps.bpeMerges]]); the reference has no
+  * tokenizer — LLM-pipeline extension (SURVEY §2).
+  *
+  * Determinism (what makes the trainer GATE-able, the q179 discipline):
+  * every count is an exact integer sum; piece scores are INTEGERIZED
+  * micro-log-probs round(ln(c)·10⁶) − round(ln(T)·10⁶) — ln runs once per
+  * (piece, round) on an exact integer and is rounded half-up to the 10⁻⁶
+  * grid (the q174/q175 "float only at a rounded boundary" precedent) — so
+  * the Viterbi DP itself compares ONLY integers (score, then fewer pieces,
+  * then UTF-8-lexicographic token list) and two engines replaying the
+  * recurrence cannot diverge. The DuckDB oracle unrolls the EM rounds as
+  * CTEs (the q156 pattern) with the DP as a list_reduce fold.
+  *
+  * 100 TB posture — the classic trainer decomposition shared with
+  * [[TextOps.bpeMerges]]: ONE distributed pass reduces the corpus to its
+  * word-frequency table; every EM round then runs on that VOCAB-sized
+  * table — the E-step is one narrow native-expression map
+  * ([[graft.functions.UnigramEncodeExpr]], vocab as expression data) plus
+  * one map-side-combined integer aggregate; the model collects driver-side
+  * once per round (bounded by seedTopK + |alphabet| rows BY CONSTRUCTION).
+  * No corpus rescan after the first pass, no shuffle wider than the word
+  * table.
+  */
+object Unigram {
+
+  /** Max piece length in code points — bounds seed-vocab size (≤ 4·Σ|w|
+    * substrings) and the DP fan-in.
+    */
+  val MaxPieceLen = 4
+
+  /** Integer micro-log-prob floor for unknown single characters (serving
+    * never fails on unseen text; on the training corpus every character is
+    * in-vocab by construction so this never fires during EM).
+    */
+  val UnkScoreMicro: Long = -50000000L
+
+  /** One learned piece: exact count and integerized micro-log-prob. */
+  final case class Piece(piece: String, cnt: Long, scoreMicro: Long)
+
+  /** round(ln(c)·10⁶) − round(ln(T)·10⁶) — Math.round is half-up and both
+    * ln inputs are ≥ 1 so both terms are ≥ 0: exactly DuckDB's
+    * CAST(round(ln(c) * 1000000) AS BIGINT) arithmetic.
+    */
+  def scoreMicro(c: Long, t: Long): Long =
+    Math.round(Math.log(c.toDouble) * 1e6) - Math.round(Math.log(t.toDouble) * 1e6)
+
+  private def withScores(vocab: Map[String, Long]): Seq[(String, Long)] = {
+    val t = vocab.valuesIterator.sum
+    vocab.toSeq.sortBy(_._1).map { case (p, c) => p -> scoreMicro(c, t) }
+  }
+
+  private def isSingleCp(p: String): Boolean =
+    p.codePointCount(0, p.length) == 1
+
+  /** Corpus → (w, n) word-frequency table (lowercased whitespace words —
+    * [[TextOps.bpeMerges]]'s word boundary, so fertility rows compare
+    * like for like).
+    */
+  def wordTable(docs: DataFrame, text: Column): DataFrame =
+    docs.select(text.as("__t"))
+      .select(explode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Seed counts: every substring of length 1..maxPieceLen of every word,
+    * weighted by word frequency, counted once per occurrence POSITION —
+    * one explode + one map-side-combined integer aggregate.
+    */
+  def seedCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words.select(col("n"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(1, least($maxPieceLen, i)), l ->
+         |    substring(w, i - l + 1, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+
+  /** Train the unigram model: returns the final (piece, cnt, score_micro)
+    * table as a driver-sized Seq, deterministically ordered by piece.
+    * Seed vocab = top `seedTopK` substrings by (count DESC, piece ASC) —
+    * a distributed TakeOrdered, never a global sort — UNION all single
+    * characters (coverage).
+    */
+  def trainPieces(docs: DataFrame, text: Column, seedTopK: Int, rounds: Int,
+      maxPieceLen: Int = MaxPieceLen): Seq[Piece] = {
+    require(seedTopK >= 1 && rounds >= 1)
+    val words = wordTable(docs, text).persistScoped() // read every EM round
+    val counts0 = seedCounts(words, maxPieceLen).persistScoped()
+    val topK = counts0.orderBy(desc("c"), asc("piece")).limit(seedTopK)
+    val chars = counts0.filter(length(col("piece")) === 1)
+    var vocab: Map[String, Long] = topK.unionAll(chars).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var r = 1
+    while (r <= rounds) {
+      val scores = withScores(vocab)
+      val used = words
+        .select(col("n"), explode(graft.functions.unigram_encode(
+          col("w"), scores, maxPieceLen, UnkScoreMicro)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      // M-step: used pieces at their Viterbi counts; unused single chars
+      // floored at 1 (coverage); unused multi-char pieces pruned
+      vocab = used ++ vocab.keysIterator
+        .filter(p => isSingleCp(p) && !used.contains(p)).map(_ -> 1L)
+      r += 1
+    }
+    val t = vocab.valuesIterator.sum
+    vocab.toSeq.sortBy(_._1)
+      .map { case (p, c) => Piece(p, c, scoreMicro(c, t)) }
+  }
+
+  /** [[trainPieces]] as a DataFrame — the gateable trainer output. */
+  def train(docs: DataFrame, text: Column, seedTopK: Int, rounds: Int,
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainPieces(docs, text, seedTopK, rounds, maxPieceLen)
+      .map(p => (p.piece, p.cnt, p.scoreMicro))
+      .toDF("piece", "cnt", "score_micro")
+  }
+
+  /** Persist a trained model (the stored-artifact contract of
+    * [[TextOps.writeBpeModel]]): one bounded parquet of pieces.
+    */
+  def writeModel(spark: SparkSession, pieces: Seq[Piece], dir: String): Unit = {
+    import spark.implicits._
+    pieces.map(p => (p.piece, p.cnt, p.scoreMicro))
+      .toDF("piece", "cnt", "score_micro")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a stored model back to the (piece, score) table the encoder
+    * consumes — deterministically ordered by piece.
+    */
+  def loadModel(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    spark.read.parquet(dir)
+      .select(col("piece"), col("score_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1).toSeq
+
+  /** Viterbi-tokenize a word frame (column `w`) with a trained model:
+    * appends `toks` — one narrow native-expression map, the serving op.
+    */
+  def tokenize(words: DataFrame, model: Seq[(String, Long)],
+      maxPieceLen: Int = MaxPieceLen): DataFrame =
+    words.withColumn("toks", graft.functions.unigram_encode(
+      col("w"), model, maxPieceLen, UnkScoreMicro))
+}

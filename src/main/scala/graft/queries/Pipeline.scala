@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheScope.ScopedPersist
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps}
+import graft.operators.{Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps, Unigram}
 
 /** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
   * search, text analysis, multimodal plumbing, sessionization.
@@ -2611,6 +2611,215 @@ object Pipeline {
       |  CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  // ===== q203/q204/q205 unigram-LM tokenizer (SentencePiece family) ======
+  // The missing member of the tokenizer family next to BPE (q156/q180):
+  // hard-EM unigram-LM induction (Unigram.trainPieces) with INTEGERIZED
+  // micro-log-prob scores so the Viterbi DP compares only exact integers —
+  // the q179 discipline — and the oracle unrolls the EM rounds as CTEs
+  // (the q156 pattern) with the DP itself as a list_reduce fold whose
+  // per-position candidates, tie-breaks (score DESC, fewer pieces, UTF-8
+  // lexicographic token list) and unk floor replay the engine recurrence
+  // verbatim. q203 gates the trainer output, q204 the stored artifact's
+  // serving tokenization (q181's contract), q205 the BPE-vs-unigram
+  // fertility comparison (q196's shape).
+
+  private val UniSeedTopK = 300
+  private val UniRounds = 2
+
+  /** One unigram EM round as oracle CTEs: candidates (ucr) → per-word
+    * Viterbi via list_reduce (utk) → usage counts (uc) → pruned+floored
+    * vocab (uv) → integerized scores (us). `applyOnly` emits just the
+    * candidate+tokenize pair (the serving round, no M-step).
+    *
+    * DP encoding note: the fold's accumulator AND elements are ONE flat
+    * LIST(STRUCT(ns, np, toks, l, s, p)) — acc rows use the first three
+    * fields (positions 0..i-1 bests), element rows the last three (the
+    * candidates ending at position i). DuckDB 1.0's list_reduce
+    * mis-evaluates a STRUCT-typed accumulator whose fields grow lists
+    * (measured: the bests list collapsed to its final element), so the
+    * natural {cs, bests} struct shape is out; a plain list-of-structs
+    * accumulator folds correctly. Field order (ns, np, toks first) IS the
+    * Viterbi comparator: list_sort ascending = max score (ns = −score),
+    * fewer pieces, UTF-8-lexicographic token list.
+    */
+  private def uniRoundCtes(r: Int, applyOnly: Boolean): String = {
+    val dp =
+      s"""ucr$r AS (SELECT q.w, q.n, q.i, q.l, q.p,
+         |    CASE WHEN q.l = 1 THEN coalesce(sc.s, ${Unigram.UnkScoreMicro})
+         |         ELSE sc.s END AS s
+         |  FROM (SELECT uw.w, uw.n, ti.i, tl.l,
+         |      uw.w[ti.i - tl.l + 1 : ti.i] AS p
+         |    FROM uw, unnest(generate_series(1, len(uw.w))) AS ti(i),
+         |         unnest(generate_series(1, least(${Unigram.MaxPieceLen}, ti.i))) AS tl(l)) q
+         |  LEFT JOIN us${r - 1} sc ON sc.piece = q.p
+         |  WHERE q.l = 1 OR sc.s IS NOT NULL),
+         |utk$r AS MATERIALIZED (SELECT w, n,
+         |    (list_reduce(list_prepend(
+         |       [{'ns': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT),
+         |         'toks': CAST([] AS VARCHAR[]), 'l': CAST(0 AS BIGINT),
+         |         's': CAST(0 AS BIGINT), 'p': ''}],
+         |       list_transform(cands, cl -> list_transform(cl,
+         |         c -> {'ns': CAST(0 AS BIGINT), 'np': CAST(0 AS BIGINT),
+         |               'toks': CAST([] AS VARCHAR[]),
+         |               'l': c.l, 's': c.s, 'p': c.p}))),
+         |     (acc, x) -> list_append(acc, (list_sort(list_transform(x,
+         |         c -> {'ns': acc[len(acc) - c.l + 1].ns - c.s,
+         |               'np': acc[len(acc) - c.l + 1].np + 1,
+         |               'toks': list_append(acc[len(acc) - c.l + 1].toks, c.p),
+         |               'l': c.l, 's': c.s, 'p': c.p})))[1])
+         |    ))[-1].toks AS toks
+         |  FROM (SELECT w, n,
+         |      list_transform(list_sort(list({'i': i, 'cs': cs})), e -> e.cs) AS cands
+         |    FROM (SELECT w, n, i, list_sort(list({'l': l, 's': s, 'p': p})) AS cs
+         |          FROM ucr$r GROUP BY w, n, i)
+         |    GROUP BY w, n))""".stripMargin
+    if (applyOnly) dp
+    else
+      s"""$dp,
+         |uc$r AS (SELECT t.p AS piece, CAST(sum(n) AS BIGINT) AS c
+         |  FROM utk$r, unnest(toks) AS t(p) GROUP BY 1),
+         |uv$r AS MATERIALIZED (
+         |  SELECT piece, c FROM uc$r
+         |  UNION ALL
+         |  SELECT v.piece, CAST(1 AS BIGINT) AS c FROM uv${r - 1} v
+         |  WHERE len(v.piece) = 1 AND v.piece NOT IN (SELECT piece FROM uc$r)),
+         |us$r AS (SELECT piece, c,
+         |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - (SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+         |       FROM uv$r) AS s
+         |  FROM uv$r)""".stripMargin
+  }
+
+  /** The unigram trainer's oracle chain: word table → seed counts →
+    * top-K ∪ single-char seed vocab → `rounds` EM rounds; `applyFinal`
+    * appends a serving tokenization round (utk{rounds+1}) under the final
+    * scores — q157's applier convention.
+    */
+  private def uniCteChain(rounds: Int, applyFinal: Boolean): String = {
+    val head =
+      s"""uw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
+         |usub AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT uw.n, uw.w[ti.i - tl.l + 1 : ti.i] AS piece
+         |    FROM uw, unnest(generate_series(1, len(uw.w))) AS ti(i),
+         |         unnest(generate_series(1, least(${Unigram.MaxPieceLen}, ti.i))) AS tl(l))
+         |  GROUP BY piece),
+         |uv0 AS MATERIALIZED (SELECT piece, c FROM (
+         |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS r
+         |    FROM usub)
+         |  WHERE r <= $UniSeedTopK OR len(piece) = 1),
+         |us0 AS (SELECT piece, c,
+         |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - (SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+         |       FROM uv0) AS s
+         |  FROM uv0)""".stripMargin
+    val body = (1 to rounds).map(r => uniRoundCtes(r, applyOnly = false))
+    val tail = if (applyFinal) Seq(uniRoundCtes(rounds + 1, applyOnly = true))
+      else Seq.empty
+    (Seq(head) ++ body ++ tail).mkString(",\n")
+  }
+
+  private def q203(t: Tables): DataFrame =
+    Unigram.train(graft.Fanout(t.documents), col("text"), UniSeedTopK,
+      UniRounds)
+
+  private lazy val q203Sql =
+    s"""WITH ${uniCteChain(UniRounds, applyFinal = false)}
+       |SELECT piece, c AS cnt, s AS score_micro FROM us$UniRounds""".stripMargin
+
+  private def q204(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir,
+      s"uni_model_v1_${UniSeedTopK}_$UniRounds") { d =>
+      Unigram.writeModel(spark,
+        Unigram.trainPieces(graft.Fanout(t.documents), col("text"),
+          UniSeedTopK, UniRounds), d)
+    }
+    Unigram.tokenize(
+      Unigram.wordTable(graft.Fanout(t.documents), col("text")),
+      Unigram.loadModel(spark, dir))
+      .select(col("w"), size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), " ").as("toks_str"))
+  }
+
+  private lazy val q204Sql =
+    s"""WITH ${uniCteChain(UniRounds, applyFinal = true)}
+       |SELECT w, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  array_to_string(toks, ' ') AS toks_str
+       |FROM utk${UniRounds + 1}""".stripMargin
+
+  private def q205(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val bpeDir = cachedIndexDir(t.dir, s"bpe_byte_model_v1_$BpeRounds") { d =>
+      TextOps.writeBpeModel(
+        TextOps.bpeMergesByteLevel(graft.Fanout(t.documents), col("text"),
+          BpeRounds, requireFull = true), d)
+    }
+    val bpe = TextOps.bpeTokenCountsByteLevel(graft.Fanout(t.documents),
+      col("doc_id"), col("text"), TextOps.loadBpeMerges(spark, bpeDir))
+      .select(col("id").as("doc_id"), col("n_tokens").as("bpe_tok"))
+    val uniDir = cachedIndexDir(t.dir,
+      s"uni_model_v1_${UniSeedTopK}_$UniRounds") { d =>
+      Unigram.writeModel(spark,
+        Unigram.trainPieces(graft.Fanout(t.documents), col("text"),
+          UniSeedTopK, UniRounds), d)
+    }
+    // per-WORD token counts once (vocab-table-sized), then one join from
+    // the corpus's exploded words — never a per-doc re-tokenize
+    val wordToks = Unigram.tokenize(
+      Unigram.wordTable(graft.Fanout(t.documents), col("text")),
+      Unigram.loadModel(spark, uniDir))
+      .select(col("w"), size(col("toks")).cast("long").as("nt"))
+    val uni = graft.Fanout(t.documents)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .join(wordToks, Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("nt")).as("uni_tok"))
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("ws_tok"))
+      .join(bpe, Seq("doc_id")).join(uni, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("bpe_tok")).as("bpe_tokens"),
+        sum(col("uni_tok")).as("uni_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("uni_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("bpe_fertility"),
+        round(col("uni_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("uni_fertility"))
+  }
+
+  private lazy val q205Sql =
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevel)},
+       |btok AS (SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM wc$BpeRounds),
+       |bwords AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text),
+       |    '${TextOps.byteLevelTokenPattern}')) AS w FROM documents),
+       |bpe AS (SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS bpe_tok
+       |        FROM bwords JOIN btok USING (w) GROUP BY id),
+       |${uniCteChain(UniRounds, applyFinal = true)},
+       |utok AS (SELECT w, CAST(len(toks) AS BIGINT) AS nt
+       |         FROM utk${UniRounds + 1}),
+       |uwords AS (SELECT doc_id AS id, unnest(list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |uni AS (SELECT id AS doc_id, CAST(sum(nt) AS BIGINT) AS uni_tok
+       |        FROM uwords JOIN utok USING (w) GROUP BY id),
+       |dd AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tok
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(uni_tok) AS BIGINT) AS uni_tokens,
+       |  round(CAST(sum(bpe_tok) AS DOUBLE) / sum(ws_tok), 4) AS bpe_fertility,
+       |  round(CAST(sum(uni_tok) AS DOUBLE) / sum(ws_tok), 4) AS uni_fertility
+       |FROM dd JOIN bpe USING (doc_id) JOIN uni USING (doc_id)
+       |GROUP BY lang""".stripMargin
+
   // ===== q186 temperature-mixture token allocation =======================
   // The multilingual/multi-source "α-sampling" stage (Conneau & Lample;
   // mT5/XLM-R): per-source weights T^0.5 over token counts, a global
@@ -4771,7 +4980,10 @@ object Pipeline {
     "q199_training_pairs" -> wrap(q199),
     "q200_js_divergence" -> wrap(q200),
     "q201_cdc_dedup" -> wrap(q201),
-    "q202_image_decode" -> wrap(q202)
+    "q202_image_decode" -> wrap(q202),
+    "q203_unigram_induction" -> wrap(q203),
+    "q204_unigram_stored" -> wrap(q204),
+    "q205_fertility_compare" -> wrap(q205)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4895,6 +5107,9 @@ object Pipeline {
     "q199_training_pairs" -> q199Sql,
     "q200_js_divergence" -> q200Sql,
     "q201_cdc_dedup" -> q201Sql,
-    "q202_image_decode" -> q202Sql
+    "q202_image_decode" -> q202Sql,
+    "q203_unigram_induction" -> q203Sql,
+    "q204_unigram_stored" -> q204Sql,
+    "q205_fertility_compare" -> q205Sql
   )
 }

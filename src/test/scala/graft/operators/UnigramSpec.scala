@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def enc(w: String, vocab: Seq[(String, Long)],
+      maxLen: Int = Unigram.MaxPieceLen): Seq[String] =
+    Unigram.tokenize(Seq(w).toDF("w"), vocab, maxLen)
+      .select($"toks").as[Seq[String]].head()
+
+  test("Viterbi picks the max-score segmentation") {
+    val v = Seq("ab" -> -100L, "a" -> -300L, "b" -> -400L)
+    assert(enc("ab", v) == Seq("ab"))
+    assert(enc("aab", v) == Seq("a", "ab")) // -400 beats a,a,b = -1000
+  }
+
+  test("score tie breaks to fewer pieces, then lexicographic token list") {
+    // "aa" as one piece vs two: equal score -200, fewer pieces wins
+    assert(enc("aa", Seq("aa" -> -200L, "a" -> -100L)) == Seq("aa"))
+    // [ab,c] and [a,bc] both -300 / 2 pieces; toks ["a","bc"] < ["ab","c"]
+    val v = Seq("ab" -> -100L, "c" -> -200L, "a" -> -150L, "bc" -> -150L)
+    assert(enc("abc", v) == Seq("a", "bc"))
+  }
+
+  test("unknown characters segment as themselves at the unk floor") {
+    assert(enc("xyz", Seq("ab" -> -1L)) == Seq("x", "y", "z"))
+    // and an in-vocab piece still beats a path through unk chars
+    assert(enc("xab", Seq("ab" -> -1L)) == Seq("x", "ab"))
+  }
+
+  test("coverage invariant: concatenated tokens reproduce the word") {
+    val v = Seq("th" -> -10L, "e" -> -20L, "q" -> -30L)
+    for (w <- Seq("the", "queue", "zebra", "a", "théâtre"))
+      assert(enc(w, v).mkString == w, s"round-trip broke on $w")
+  }
+
+  private val corpus = Seq(
+    "the cat sat", "the cats sat", "the hat", "that cat"
+  ).toDF("text")
+
+  test("seedCounts: position-weighted substring counts, exact integers") {
+    val words = Unigram.wordTable(corpus, $"text")
+    val c = Unigram.seedCounts(words, 4)
+      .as[(String, Long)].collect().toMap
+    // "the" appears 3x as a word and inside nothing else; "th" occurs in
+    // the(3) + that(1) + hat? no — "hat" has "ha","at" only ⇒ 4
+    assert(c("the") == 3L)
+    assert(c("th") == 4L)
+    // "at" occurs in cat(2), cats(1), sat(2), hat(1), that(1: position 3) ⇒ 7
+    assert(c("at") == 7L)
+  }
+
+  test("train: EM counts are Viterbi usage; unused multi-char pieces pruned") {
+    val pieces = Unigram.trainPieces(corpus, $"text", seedTopK = 20, rounds = 2)
+    val m = pieces.map(p => p.piece -> p.cnt).toMap
+    // every word segments, so summed piece usage ≥ one piece per word
+    assert(m.values.sum >= 8L)
+    // coverage floor: every corpus character survives as a piece
+    "thecatsh".foreach(ch =>
+      assert(m.contains(ch.toString), s"char $ch missing from vocab"))
+    // determinism: training twice yields the identical model
+    val again = Unigram.trainPieces(corpus, $"text", seedTopK = 20, rounds = 2)
+    assert(pieces == again)
+  }
+
+  test("stored model round-trips and serves identically to the fresh model") {
+    val pieces = Unigram.trainPieces(corpus, $"text", seedTopK = 20, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("uni_model").toString
+    Unigram.writeModel(spark, pieces, dir)
+    val loaded = Unigram.loadModel(spark, dir)
+    assert(loaded == pieces.map(p => p.piece -> p.scoreMicro))
+    val words = Unigram.wordTable(corpus, $"text")
+    val fresh = Unigram.tokenize(words, pieces.map(p => p.piece -> p.scoreMicro))
+      .select($"w", $"toks").as[(String, Seq[String])].collect().toMap
+    val served = Unigram.tokenize(words, loaded)
+      .select($"w", $"toks").as[(String, Seq[String])].collect().toMap
+    assert(fresh == served)
+  }
+
+  test("scoreMicro: half-up micro-grid integerization of ln") {
+    assert(Unigram.scoreMicro(1L, 1L) == 0L)
+    // ln(2)·1e6 = 693147.18 → 693147; ln(4)·1e6 = 1386294.36 → 1386294
+    assert(Unigram.scoreMicro(2L, 4L) == 693147L - 1386294L)
+  }
+}
