@@ -521,7 +521,8 @@ object Dedup {
     * a partition column the probe simply doesn't select.
     */
   def writeCorpusIndexVersioned(docs: DataFrame, dir: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      cdcWindow: Int = 3, cdcModulus: Int = 8): Unit = {
     docs.select(col("id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
@@ -529,8 +530,22 @@ object Dedup {
       .parquet(s"$dir/bands/batch=0")
     shingleArrays(docs, n)
       .write.mode("overwrite").parquet(s"$dir/shingles/batch=0")
+    cdcChunkView(docs, cdcWindow, cdcModulus)
+      .write.mode("overwrite").parquet(s"$dir/chunks/batch=0")
     docs.sparkSession.catalog.refreshByPath(dir)
   }
+
+  /** The (id, chunk_idx, chunk_md5) CDC-chunk view of a doc batch — the
+    * fourth index view ([[cdcChunks]]'s content-anchored boundaries), so
+    * an incremental ingest can dedup INSERTION-EDITED documents against
+    * prior batches: fixed segments all shift after an edit, CDC chunks
+    * re-synchronize, so chunk-hash overlap against the stored view finds
+    * the near-copy the shingle views see only probabilistically.
+    */
+  private[graft] def cdcChunkView(docs: DataFrame, window: Int,
+      modulus: Int): DataFrame =
+    cdcChunks(docs, col("id"), col("text"), window, modulus)
+      .select(col("id"), col("chunk_idx"), col("chunk_md5"))
 
   /** Replay-safe incremental ingestion into a [[writeCorpusIndexVersioned]]
     * index: the batch's three views OVERWRITE this batch's own partition
@@ -540,7 +555,8 @@ object Dedup {
     * contents identical; per-ingest cost stays ∝ batch.
     */
   def ingestIntoCorpusIndex(docs: DataFrame, dir: String, batchId: Long,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      cdcWindow: Int = 3, cdcModulus: Int = 8): Unit = {
     require(batchId >= 1, s"batch 0 is the build (got $batchId)")
     val spark = docs.sparkSession
     val e = Compaction.currentEpoch(spark, dir)
@@ -553,9 +569,26 @@ object Dedup {
     shingleArrays(docs, n)
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "shingles", e)}/batch=$batchId")
+    // chunk-view parity: only when the build wrote one (pre-chunk layouts
+    // keep ingesting their three views — no silent half-indexed view)
+    if (hasChunkView(spark, dir))
+      cdcChunkView(docs, cdcWindow, cdcModulus)
+        .write.mode("overwrite")
+        .parquet(s"${Compaction.epochPath(dir, "chunks", e)}/batch=$batchId")
     // external write to a path this session may already have listed:
     // invalidate the shared file-status cache
     spark.catalog.refreshByPath(dir)
+  }
+
+  /** Whether `dir` carries the CDC chunk view (the fourth view is
+    * round-12+; compaction/deletion/ingest stay compatible with stored
+    * three-view indexes by consulting this).
+    */
+  private def hasChunkView(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(Compaction.epochPath(dir, "chunks", e))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Compact a batch-versioned dedup index — [[Compaction]]'s atomic
@@ -571,8 +604,9 @@ object Dedup {
   def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int = {
     val e = Compaction.currentEpoch(spark, dir)
-    val cur = Seq("hashes", "bands", "shingles")
-      .map(v => v -> Compaction.epochPath(dir, v, e)).toMap
+    val views = Seq("hashes", "bands", "shingles") ++
+      (if (hasChunkView(spark, dir)) Seq("chunks") else Seq.empty)
+    val cur = views.map(v => v -> Compaction.epochPath(dir, v, e)).toMap
     def fold(df: DataFrame): DataFrame =
       df.select(df.columns.filter(_ != "batch").map(col): _*)
     fold(spark.read.parquet(cur("hashes")))
@@ -585,6 +619,11 @@ object Dedup {
     fold(spark.read.parquet(cur("shingles")))
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "shingles", e + 1)}/batch=0")
+    cur.get("chunks").foreach { p =>
+      fold(spark.read.parquet(p))
+        .write.mode("overwrite")
+        .parquet(s"${Compaction.epochPath(dir, "chunks", e + 1)}/batch=0")
+    }
     Compaction.advanceEpoch(spark, dir, e + 1)
     cur.values.foreach(Compaction.deleteDir(spark, _))
     spark.catalog.refreshByPath(dir)
@@ -624,8 +663,9 @@ object Dedup {
       dir: String, ids: DataFrame): Int = {
     val del = ids.select(col("id"))
     val e = Compaction.currentEpoch(spark, dir)
-    val cur = Seq("hashes", "bands", "shingles")
-      .map(v => v -> Compaction.epochPath(dir, v, e)).toMap
+    val views = Seq("hashes", "bands", "shingles") ++
+      (if (hasChunkView(spark, dir)) Seq("chunks") else Seq.empty)
+    val cur = views.map(v => v -> Compaction.epochPath(dir, v, e)).toMap
     val hashes = spark.read.parquet(cur("hashes"))
     require(hashes.columns.contains("id"),
       s"$dir/hashes carries no doc ids (flat writeCorpusIndex layout) — " +
@@ -643,10 +683,45 @@ object Dedup {
     survivors(spark.read.parquet(cur("shingles")))
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "shingles", e + 1)}/batch=0")
+    cur.get("chunks").foreach { p =>
+      survivors(spark.read.parquet(p))
+        .write.mode("overwrite")
+        .parquet(s"${Compaction.epochPath(dir, "chunks", e + 1)}/batch=0")
+    }
     Compaction.advanceEpoch(spark, dir, e + 1)
     cur.values.foreach(Compaction.deleteDir(spark, _))
     spark.catalog.refreshByPath(dir)
     e + 1
+  }
+
+  /** CDC duplicate-chunk report straight off a stored index's `chunks/`
+    * view — [[cdcChunks]]'s q201-shaped output (id, n_chunks, dup_chunks,
+    * dup_frac) with first-owner election across EVERY batch in the live
+    * epoch, so ingested documents dedup against prior batches (and vice
+    * versa: an earlier doc re-ranks as owner over a later near-copy).
+    * Chunking is per-document, so a build+ingest index reports EXACTLY
+    * what a one-shot corpus run reports — the store+ingest ≡ one-shot
+    * contract (q197's CountMin linearity argument, here by per-doc
+    * decomposition).
+    *
+    * Cost: one scan of the chunk view + one (chunk_md5 → min id) hash
+    * aggregate (map-side combined) + one hash join back — never the
+    * documents themselves.
+    */
+  def cdcReportFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val ch = spark.read.parquet(Compaction.epochPath(dir, "chunks", e))
+      .select(col("id"), col("chunk_md5"))
+    val own = ch.groupBy(col("chunk_md5")).agg(min(col("id")).as("owner"))
+    ch.join(own, "chunk_md5")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("owner") =!= col("id"), 1L).otherwise(0L))
+          .as("dup_chunks"))
+      .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 4)
+          .as("dup_frac"))
   }
 
   /** The (band, key, id) view of a doc batch — the banded half of the
@@ -974,33 +1049,51 @@ object Dedup {
     * (id, chunk_idx, chunk_words, chunk_md5).
     *
     * 100 TB posture: boundaries and chunks are built INSIDE one narrow
-    * map per document (boundary positions via one transform+filter over
-    * the word array, chunks via slices between consecutive boundaries —
-    * O(words) work, no per-word join, no window); the only exchange is
-    * whatever the caller aggregates afterwards. A production byte-level
-    * variant would swap the per-window md5 for a native gear-hash
-    * expression; the md5 form is the engine-neutral oracle-replayable
-    * one (the house SharedHash discipline).
+    * map per document (boundary positions via one filter over the native
+    * `md5_windows` kernel's window-hash array — a tight codegen'd loop,
+    * where the composable md5(array_join(slice(…))) lambda paid
+    * interpreted per-window dispatch (measured −46% on q84's identical
+    * swap); chunks via slices between consecutive boundaries — O(words)
+    * work, no per-word join, no window); the only exchange is whatever
+    * the caller aggregates afterwards. A production byte-level variant
+    * would swap the per-window md5 for a native gear-hash expression;
+    * the md5 form is the engine-neutral oracle-replayable one (the house
+    * SharedHash discipline). `nativeKernel = false` keeps the interpreted
+    * lambda form as the spec's boundary-identity witness.
     */
   def cdcChunks(docs: DataFrame, id: Column, text: Column, window: Int,
-      modulus: Int): DataFrame = {
+      modulus: Int, nativeKernel: Boolean = true): DataFrame = {
     require(window >= 1 && modulus >= 1)
     // boundary BEFORE word i (0-based, 1 ≤ i ≤ n−w): the w-word window
     // starting at i hashes to ≡ 0 (mod m); guard the empty range —
-    // Spark's sequence(1, 0) would step DOWNWARD, not return empty
-    val boundaries = expr(
-      s"""CASE WHEN size(ws) - $window >= 1 THEN
-            filter(transform(sequence(1, size(ws) - $window),
-              i -> CASE WHEN
-                CAST(conv(substring(md5(
-                  array_join(slice(ws, i + 1, $window), ' ')), 1, 7), 16, 10)
-                  AS BIGINT) % $modulus = 0 THEN i END),
-              p -> p IS NOT NULL)
-          ELSE CAST(array() AS ARRAY<INT>) END""")
+    // Spark's sequence(1, 0) would step DOWNWARD, not return empty.
+    // hw[k] (1-based) = md5 of the window starting at 0-based k−1, so the
+    // window starting at word i is hw[i + 1].
+    val boundaries =
+      if (nativeKernel) expr(
+        s"""CASE WHEN size(ws) - $window >= 1 THEN
+              filter(transform(sequence(1, size(ws) - $window),
+                i -> CASE WHEN
+                  CAST(conv(substring(element_at(hw, i + 1), 1, 7), 16, 10)
+                    AS BIGINT) % $modulus = 0 THEN i END),
+                p -> p IS NOT NULL)
+            ELSE CAST(array() AS ARRAY<INT>) END""")
+      else expr(
+        s"""CASE WHEN size(ws) - $window >= 1 THEN
+              filter(transform(sequence(1, size(ws) - $window),
+                i -> CASE WHEN
+                  CAST(conv(substring(md5(
+                    array_join(slice(ws, i + 1, $window), ' ')), 1, 7), 16, 10)
+                    AS BIGINT) % $modulus = 0 THEN i END),
+                p -> p IS NOT NULL)
+            ELSE CAST(array() AS ARRAY<INT>) END""")
     docs
       .select(id.as("id"),
         filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
       .filter(size(col("ws")) > 0)
+      .withColumn("hw",
+        if (nativeKernel) graft.functions.md5_windows(col("ws"), window)
+        else lit(null).cast("array<string>"))
       .withColumn("bp",
         concat(array(lit(0)), boundaries, array(size(col("ws")))))
       .select(col("id"), col("ws"),

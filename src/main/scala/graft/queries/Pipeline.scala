@@ -2611,6 +2611,33 @@ object Pipeline {
       |  CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  // ===== q206 CDC chunks in the stored dedup-index lifecycle =============
+  // q201's modality made STORED: the versioned dedup index
+  // (q178's hashes/bands/shingles) grows a fourth `chunks/` view so
+  // incremental ingestion can dedup insertion-edited documents against
+  // PRIOR batches — content-anchored boundaries re-synchronize after an
+  // edit where fixed segments all shift. The gate builds the index on
+  // id%10≠5, ingests id%10=5 as batch 1, and reports duplicate chunks
+  // straight off the stored view with cross-batch first-owner election;
+  // chunking is per-document, so build+ingest ≡ the one-shot corpus run
+  // and q201's oracle applies VERBATIM (the q197 linearity discipline).
+  // Compact/delete parity for the fourth view is spec-pinned
+  // (DedupSpec's lifecycle suite).
+
+  private def q206(t: Tables): DataFrame = {
+    val d = graft.Fanout(t.documents.select(col("doc_id").as("id"),
+      col("text")))
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir,
+      s"cdc_lifecycle_v1_${CdcW}_$CdcM") { dd =>
+      Dedup.writeCorpusIndexVersioned(d.filter(col("id") % 10 =!= 5), dd,
+        3, MinHashes, Bands, CdcW, CdcM)
+      Dedup.ingestIntoCorpusIndex(d.filter(col("id") % 10 === 5), dd, 1L,
+        3, MinHashes, Bands, CdcW, CdcM)
+    }
+    Dedup.cdcReportFromIndex(spark, dir)
+  }
+
   // ===== q203/q204/q205 unigram-LM tokenizer (SentencePiece family) ======
   // The missing member of the tokenizer family next to BPE (q156/q180):
   // hard-EM unigram-LM induction (Unigram.trainPieces) with INTEGERIZED
@@ -4983,7 +5010,8 @@ object Pipeline {
     "q202_image_decode" -> wrap(q202),
     "q203_unigram_induction" -> wrap(q203),
     "q204_unigram_stored" -> wrap(q204),
-    "q205_fertility_compare" -> wrap(q205)
+    "q205_fertility_compare" -> wrap(q205),
+    "q206_cdc_index_lifecycle" -> wrap(q206)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5110,6 +5138,9 @@ object Pipeline {
     "q202_image_decode" -> q202Sql,
     "q203_unigram_induction" -> q203Sql,
     "q204_unigram_stored" -> q204Sql,
-    "q205_fertility_compare" -> q205Sql
+    "q205_fertility_compare" -> q205Sql,
+    // stored build+ingest must equal the one-shot corpus chunking: q201's
+    // oracle verbatim (per-document chunk decomposition)
+    "q206_cdc_index_lifecycle" -> q201Sql
   )
 }

@@ -603,4 +603,67 @@ class DedupSpec extends AnyFunSuite {
       }
     } finally graft.CacheScope.drain()
   }
+
+  test("cdc chunk view: stored lifecycle — ingest dedups against prior batches; compact and delete preserve the report") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val body = (1 to 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val other = (1 to 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // doc 11 (ingested later) = doc 1 with one word inserted — the
+    // cross-batch near-copy the chunk view exists to catch
+    val base = Seq((1L, body), (2L, other)).toDF("id", "text")
+    val batch = Seq((11L, "inserted " + body)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdc_idx").toString
+    def report() = Dedup.cdcReportFromIndex(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    try {
+      Dedup.writeCorpusIndexVersioned(base, dir, 3, 16, 4, 3, 8)
+      Dedup.ingestIntoCorpusIndex(batch, dir, 1L, 3, 16, 4, 3, 8)
+      val r1 = report()
+      val m = r1.map(t => t._1 -> t).toMap
+      // the ingested near-copy shares most chunks with batch-0's doc 1
+      assert(m(11L)._3 >= m(11L)._2 - 2,
+        s"ingested near-copy only ${m(11L)._3}/${m(11L)._2} dup chunks")
+      assert(m(1L)._3 == 0L, "the earlier doc must stay the owner")
+      // replayed ingest converges (overwrite-own-partition contract)
+      Dedup.ingestIntoCorpusIndex(batch, dir, 1L, 3, 16, 4, 3, 8)
+      assert(report() == r1)
+      // compaction preserves the report
+      Dedup.compactCorpusIndex(spark, dir)
+      assert(report() == r1)
+      // deletion: post-delete report equals an index built from survivors
+      Dedup.deleteFromCorpusIndex(spark, dir, Seq(1L).toDF("id"))
+      val afterDel = report()
+      val dir2 = java.nio.file.Files.createTempDirectory("cdc_idx2").toString
+      Dedup.writeCorpusIndexVersioned(
+        base.filter(col("id") =!= 1L).unionAll(batch), dir2, 3, 16, 4, 3, 8)
+      val fresh = Dedup.cdcReportFromIndex(spark, dir2)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(afterDel == fresh,
+        "post-delete chunk report must equal the survivors-only index")
+    } finally graft.CacheScope.drain()
+  }
+
+  test("cdcChunks: native md5_windows kernel reproduces the interpreted boundaries exactly") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = (1L to 20L).map { i =>
+      val n = 1 + rnd.nextInt(80) // includes words-shorter-than-window docs
+      (i, (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    try {
+      for ((w, m) <- Seq((3, 8), (1, 4), (4, 16))) {
+        val native = Dedup.cdcChunks(docs, col("id"), col("text"), w, m)
+          .as[(Long, Long, Long, String)].collect().toSet
+        val interp = Dedup.cdcChunks(docs, col("id"), col("text"), w, m,
+          nativeKernel = false)
+          .as[(Long, Long, Long, String)].collect().toSet
+        assert(native == interp, s"kernel/interpreted diverged at w=$w m=$m")
+      }
+    } finally graft.CacheScope.drain()
+  }
 }
