@@ -154,9 +154,34 @@ object Retrieval {
   def hardNegatives(terms: DataFrame, queries: DataFrame,
       shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
       k1: Double = 1.2, b: Double = 0.75,
-      broadcastMax: Int = 100000): DataFrame = {
-    val cand = bm25TopK(terms, queries, k + slack, k1, b,
-      excludeSelf = true).persistScoped()
+      broadcastMax: Int = 100000): DataFrame =
+    verifyAndRank(
+      bm25TopK(terms, queries, k + slack, k1, b, excludeSelf = true)
+        .persistScoped(),
+      shingled, k, jaccardT, broadcastMax)
+
+  /** [[hardNegatives]] probing a STORED BM25 index instead of a corpus tf
+    * frame — the serving form: candidates come from the index's
+    * bucket-DPP probe ([[bm25AgainstIndex]]), verification and re-rank
+    * are [[verifyAndRank]] verbatim, so given the same queries and
+    * shingles the output is IDENTICAL to the offline miner over the
+    * indexed corpus (spec-pinned).
+    */
+  def hardNegativesAgainstIndex(queries: DataFrame, dir: String,
+      shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastMax: Int = 100000): DataFrame =
+    verifyAndRank(
+      bm25AgainstIndex(queries, dir, k + slack, k1, b, excludeSelf = true)
+        .persistScoped(),
+      shingled, k, jaccardT, broadcastMax)
+
+  /** The near-dup verification + re-rank tail shared by the offline and
+    * index-serving miners: shingle-Jaccard guard against false negatives,
+    * then rank the survivors (score desc, doc_id) to the top k.
+    */
+  private def verifyAndRank(cand: DataFrame, shingled: DataFrame,
+      k: Int, jaccardT: Double, broadcastMax: Int): DataFrame = {
     val ids = cand.select(col("doc_id").as("id"))
       .union(cand.select(col("q_id").as("id"))).distinct()
     val sh = shingled.join(broadcast(ids), Seq("id"), "left_semi")
@@ -212,6 +237,72 @@ object Retrieval {
       .select(col("q_id").as("seed_id"), col("q_id").as("doc_id"),
         lit(1L).as("label"), lit(0L).as("rnk"))
     pos.unionAll(neg)
+  }
+
+  /** [[trainingPairs]] against a STORED BM25 index — the serving form the
+    * streaming export sink runs ([[hardNegativesAgainstIndex]] + the same
+    * one-positive-per-seed union).
+    */
+  def trainingPairsAgainstIndex(queries: DataFrame, dir: String,
+      shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastMax: Int = 100000): DataFrame = {
+    val neg = hardNegativesAgainstIndex(queries, dir, shingled, k, slack,
+      jaccardT, k1, b, broadcastMax)
+      .select(col("q_id").as("seed_id"), col("doc_id"),
+        lit(0L).as("label"), col("rnk"))
+    val pos = queries.select(col("q_id")).distinct()
+      .select(col("q_id").as("seed_id"), col("q_id").as("doc_id"),
+        lit(1L).as("label"), lit(0L).as("rnk"))
+    pos.unionAll(neg)
+  }
+
+  /** Seed-query derivation against a STORED index — the serving half of
+    * the q152 seed-weighting recipe: per seed document the top `qTerms`
+    * bigrams by (tf·idf DESC, term), with tf from the seed's OWN text
+    * (one narrow batch-local pass) and idf (df, n_docs) from the FROZEN
+    * stored index — df from the bucket-DPP-pruned postings of exactly the
+    * seed's terms, n_docs from the summed stats rows. A seed term absent
+    * from the indexed corpus has no idf and DROPS (fail-safe: it could
+    * never retrieve a candidate anyway); a seed with < 2 tokens yields no
+    * bigrams and hence no query rows — the same degenerate-seed semantics
+    * as the offline derivation.
+    *
+    * @param seeds (id, text)
+    * @return (q_id, term)
+    */
+  def seedQueriesAgainstIndex(seeds: DataFrame, dir: String,
+      qTerms: Int): DataFrame = {
+    val spark = seeds.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val e = Compaction.currentEpoch(spark, dir)
+    val lists = spark.read.parquet(Compaction.epochPath(dir, "lists", e))
+    val stats = spark.read.parquet(Compaction.epochPath(dir, "stats", e))
+      .agg(sum(col("n_docs")).as("n_docs"))
+    val tf = seeds
+      .select(col("id"), expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1, 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persistScoped() // feeds the df probe AND the weighting
+    val qt = tf.select(col("term")).distinct()
+      .withColumn("bucket", termBucket(buckets))
+    // postings of a term live wholly inside its bucket: the pruned scan's
+    // per-term distinct doc count IS the corpus df
+    val dfq = lists.join(broadcast(qt), Seq("bucket", "term"))
+      .groupBy(col("term")).agg(count_distinct(col("id")).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id").as("q_id"), col("term"),
+        (col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .groupBy(col("q_id"))
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("w")).as("nw"), col("term").as("t")))), 1, qTerms).as("v"))
+      .select(col("q_id"), explode(col("v.t")).as("term"))
   }
 
   // ===== stored inverted index ============================================

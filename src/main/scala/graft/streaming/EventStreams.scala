@@ -658,6 +658,46 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming contrastive training-pair export — the serving twin of the
+    * offline [[graft.operators.Retrieval.trainingPairs]] miner (q199):
+    * each micro-batch of (id, text) SEED documents derives its query
+    * terms against the FROZEN stored BM25 index (batch-local tf, stored
+    * idf — [[graft.operators.Retrieval.seedQueriesAgainstIndex]]), mines
+    * hard negatives through the index's bucket-DPP probe with the same
+    * near-dup false-negative guard (candidate shingles from the FROZEN
+    * stored shingle view; seed shingles computed from the batch's own
+    * text), and writes (seed_id, doc_id, label, rnk) under
+    * `batch=<id>` — overwrite mode, replay-idempotent. Every model is
+    * frozen (the stored-artifact discipline), so a seed's pairs never
+    * depend on its batch-mates; serving ≡ offline is spec-pinned.
+    *
+    * @param bm25Dir    stored BM25 index ([[graft.operators.Retrieval.writeBm25IndexVersioned]])
+    * @param shingleDir stored (id, sh, n_sh) shingle view — e.g. a dedup
+    *                   index's `shingles/` epoch path
+    */
+  def trainingPairIngest(bm25Dir: String, shingleDir: String, outDir: String,
+      qTerms: Int, k: Int, slack: Int, jaccardT: Double,
+      k1: Double = 1.2, b: Double = 0.75)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      val spark = batch.sparkSession
+      val seeds = batch.select(col("id"), col("text"))
+      val queries = graft.operators.Retrieval
+        .seedQueriesAgainstIndex(seeds, bm25Dir, qTerms)
+      // shingles: stored corpus view for candidates, batch text for the
+      // seeds themselves (anti-join keeps one row per id — a seed already
+      // in the store serves from its fresh batch text)
+      val seedSh = graft.operators.Dedup.batchShingleArrays(seeds, 3)
+        .select(col("id"), col("sh").as("ss"))
+      val stored = spark.read.parquet(shingleDir)
+        .select(col("id"), col("sh").as("ss"))
+        .join(seeds.select(col("id")), Seq("id"), "left_anti")
+      graft.operators.Retrieval.trainingPairsAgainstIndex(queries, bm25Dir,
+          stored.unionAll(seedSh), k, slack, jaccardT, k1, b)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming ingestion dedup — the production corpus-ingest loop as a
     * foreachBatch sink: each micro-batch of (id, text) documents is
     * (1) deduplicated WITHIN the batch (exact + MinHash-LSH near-dup,

@@ -910,6 +910,70 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("trainingPairIngest: streamed seeds export pairs against frozen artifacts; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("tpairs").toString
+    val idx = s"$base/bm25"; val shs = s"$base/shingles"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    val tf = docs
+      .select($"id", expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"id", (size($"ws") - 1).cast("long").as("dl"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1, 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+          .as("term"))
+      .groupBy($"id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    graft.operators.Retrieval.writeBm25IndexVersioned(tf, idx, 8)
+    val shingled = graft.operators.Dedup.batchShingleArrays(docs, 3)
+    shingled.write.parquet(shs) // the frozen corpus shingle view
+    val seeds = docs.filter($"id".isin(0L, 1L, 8L))
+    val seedRows = seeds.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // query-derivation parity: stored-idf derivation equals the
+    // corpus-side recipe (independent replay, the bm25SeedQueries shape)
+    val qIdx = graft.operators.Retrieval
+      .seedQueriesAgainstIndex(seeds, idx, 3)
+      .as[(Long, String)].collect().toSet
+    val dfs = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct($"id").as("n_docs"))
+    val qOff = tf.filter($"id".isin(0L, 1L, 8L))
+      .join(dfs, "term").crossJoin(broadcast(nd))
+      .select($"id".as("q_id"), $"term",
+        ($"tf".cast("double") * log($"n_docs".cast("double") / $"df")).as("w"))
+      .groupBy($"q_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-$"w").as("nw"), $"term".as("t")))), 1, 3).as("v"))
+      .select($"q_id", explode($"v.t").as("term"))
+      .as[(Long, String)].collect().toSet
+    assert(qIdx.nonEmpty && qIdx == qOff)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.trainingPairIngest(idx, shs, out, 3, 5, 10, 0.3))
+      .outputMode("update").start()
+    try {
+      input.addData(seedRows.take(2)); q.processAllAvailable()
+      input.addData(seedRows.drop(2)); q.processAllAvailable()
+      def streamed() = spark.read.parquet(out)
+        .select("seed_id", "doc_id", "label", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val offline = graft.operators.Retrieval.trainingPairs(tf,
+          graft.operators.Retrieval.seedQueriesAgainstIndex(seeds, idx, 3),
+          shingled.select($"id", $"sh".as("ss")), 5, 10, 0.3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      // positives present: one per seed at rank 0
+      assert(Seq(0L, 1L, 8L).forall(i => s1.contains((i, i, 1L, 0L))))
+      // replayed batch re-derives identically (read-only frozen artifacts)
+      val sink = EventStreams.trainingPairIngest(idx, shs, out, 3, 5, 10, 0.3)
+      sink(seedRows.drop(2).toDF("id", "text"), 1)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("corpusIndexIngest: streamed docs extend the dedup index; replay leaves it identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
