@@ -658,6 +658,35 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming unigram tokenization — the serving twin of the stored
+    * unigram-LM tokenizer artifact (q204): each micro-batch of (id, text)
+    * documents tokenizes its words through the FROZEN stored piece table
+    * ([[graft.operators.Unigram.loadModel]] once per batch — a bounded
+    * model read, the lmScoreIngest pattern) and writes per-doc
+    * (id, n_tokens) under `batch=<id>` — overwrite mode,
+    * replay-idempotent. Unknown characters segment at the unk floor, so
+    * serving never fails on unseen text.
+    */
+  def unigramTokenizeIngest(modelDir: String, outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.{col, explode, expr, size, sum}
+      val spark = batch.sparkSession
+      val model = graft.operators.Unigram.loadModel(spark, modelDir)
+      // per-WORD tokenization once (distinct words of the batch), then one
+      // join from the exploded docs — the q205 cost shape at batch scale
+      val words = batch.select(explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .distinct()
+      val wt = graft.operators.Unigram.tokenize(words, model)
+        .select(col("w"), size(col("toks")).cast("long").as("nt"))
+      batch.select(col("id"), explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .join(wt, Seq("w"))
+        .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming contrastive training-pair export — the serving twin of the
     * offline [[graft.operators.Retrieval.trainingPairs]] miner (q199):
     * each micro-batch of (id, text) SEED documents derives its query

@@ -910,6 +910,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("unigramTokenizeIngest: streamed docs tokenize against the stored model; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("unitok").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    graft.operators.Unigram.writeModel(spark,
+      graft.operators.Unigram.trainPieces(docs, $"text", 100, 2), model)
+    val rows = docs.filter($"id" < 40).as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.unigramTokenizeIngest(model, out))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      def streamed() = spark.read.parquet(out).select("id", "n_tokens")
+        .as[(Long, Long)].collect().toSet
+      // offline: per-word tokenization of the same docs with the model
+      val m = graft.operators.Unigram.loadModel(spark, model)
+      val words = docs.filter($"id" < 40)
+        .select($"id", explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      val wt = graft.operators.Unigram.tokenize(
+        words.select($"w").distinct(), m)
+        .select($"w", size($"toks").cast("long").as("nt"))
+      val offline = words.join(wt, Seq("w"))
+        .groupBy($"id").agg(sum($"nt").as("n_tokens"))
+        .as[(Long, Long)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      val sink = EventStreams.unigramTokenizeIngest(model, out)
+      sink(b1.toDF("id", "text"), 1)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("trainingPairIngest: streamed seeds export pairs against frozen artifacts; serving ≡ offline; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
