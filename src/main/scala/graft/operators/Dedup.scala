@@ -1210,6 +1210,73 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Exact substring dedup's CLEANING transform — the stage that actually
+    * edits the corpus (Lee et al. 2021: their ExactSubstr dedup cuts
+    * repeated spans out of the training text; [[duplicateSpans]] is the
+    * detection half, this is the transform): every token covered by a
+    * cross-document duplicated `passLen`-gram window is REMOVED unless the
+    * window is its gram's FIRST OWNER (min (id, pos), packed as
+    * id·2²⁰+pos — the [[segmentDedup]] election key), so exactly one copy
+    * of each duplicated passage survives in the corpus; per doc the
+    * remaining tokens reassemble in original order.
+    *
+    * Output: (id, n_tokens, n_cut, clean_text) — n_cut is the exact count
+    * of removed token positions.
+    *
+    * Scale design: grams from the native `md5_windows` kernel (ONE narrow
+    * map), owner election is ONE hash aggregate with partial min (a
+    * 10⁹-copy passage costs O(1) combiner state), and the cut windows
+    * merge to ISLANDS under the per-doc window ([[duplicateSpans]]'s only
+    * safe window shape) so the per-doc range array is bounded by the
+    * doc's island count — reassembly is then one narrow filter over the
+    * token array (O(|w|·|ranges|) per doc), never a corpus-wide
+    * token-position join.
+    */
+  def removeDuplicateSpans(docs: DataFrame, passLen: Int): DataFrame = {
+    val base = docs
+      .withColumn("__w", split(lower(col("text")), """\s+"""))
+      .persistScoped() // feeds gram generation AND the reassembly join
+    val grams = base
+      .filter(size(col("__w")) >= passLen)
+      .select(col("id"),
+        posexplode(graft.functions.md5_windows(col("__w"), passLen))
+          .as(Seq("pos", "h")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
+      .persistScoped() // feeds the dup/owner aggregate AND the cut join
+    val owners = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"),
+        min(col("id") * lit(1048576L) + col("pos")).as("ofk"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("ofk"))
+    val cuts = grams.join(owners, Seq("h"))
+      .filter(col("id") * lit(1048576L) + col("pos") =!= col("ofk"))
+      .select(col("id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val ranges = cuts
+      .withColumn("__new",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(byDoc),
+          lit(Long.MaxValue)) > passLen, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + (passLen - 1)).as("e"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("rs"))
+    base.join(ranges, Seq("id"), "left")
+      .withColumn("rs", coalesce(col("rs"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      .select(col("id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        expr("CAST(aggregate(rs, 0L, (a, r) -> a + r.e - r.s + 1) AS BIGINT)")
+          .as("n_cut"),
+        expr(
+          """array_join(filter(transform(sequence(0, size(__w) - 1), i ->
+            |  CASE WHEN exists(rs, r -> i >= r.s AND i <= r.e) THEN NULL
+            |       ELSE element_at(__w, i + 1) END),
+            |  x -> x IS NOT NULL), ' ')""".stripMargin).as("clean_text"))
+  }
+
   /** Edit-distance similarity self-join (PassJoin-style segment
     * filtering): all pairs (id_a, id_b, dist) with
     * levenshtein(s_a, s_b) ≤ `maxDist`, id_a < id_b — the FUZZY exact-dup

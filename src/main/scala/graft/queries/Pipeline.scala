@@ -1764,6 +1764,53 @@ object Pipeline {
        |  CAST(count(*) AS BIGINT) AS n_grams
        |FROM i GROUP BY id, isl""".stripMargin
 
+  // ===== q207 duplicate-span REMOVAL (exact substring dedup transform) ===
+  // q171's missing half — the stage that actually EDITS the corpus (Lee
+  // et al. 2021's ExactSubstr dedup): every token covered by a
+  // cross-document duplicated PassLen-gram is cut unless its window is
+  // the gram's first owner (min (id, pos), the segmentDedup election
+  // key), so exactly one copy of each duplicated passage survives; the
+  // doc reassembles from the surviving tokens. Oracle = q171's gram/
+  // island chain extended by the owner election and a per-doc list
+  // filter replay of the reassembly.
+
+  private def q207(t: Tables): DataFrame =
+    Dedup.removeDuplicateSpans(
+      graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text"))),
+      PassLen)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_cut"),
+        col("clean_text"))
+
+  private lazy val q207Sql =
+    s"""WITH $wordsCte,
+       |s AS (SELECT id, words, unnest(generate_series(0, len(words)-$PassLen)) AS st
+       |      FROM w WHERE len(words) >= $PassLen),
+       |g AS (SELECT id, CAST(st AS BIGINT) AS pos,
+       |        md5(array_to_string(words[st+1:st+$PassLen], ' ')) AS h FROM s),
+       |d AS (SELECT h, min(id * 1048576 + pos) AS ofk FROM g GROUP BY h
+       |      HAVING count(DISTINCT id) >= 2),
+       |p AS (SELECT g.id, g.pos FROM g JOIN d USING (h)
+       |      WHERE g.id * 1048576 + g.pos <> d.ofk),
+       |l AS (SELECT id, pos, CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+       |        OR pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > $PassLen
+       |        THEN 1 ELSE 0 END AS ni FROM p),
+       |i AS (SELECT id, pos, sum(ni) OVER (PARTITION BY id ORDER BY pos) AS isl FROM l),
+       |r AS (SELECT id, min(pos) AS rs, max(pos) + $PassLen - 1 AS re
+       |      FROM i GROUP BY id, isl),
+       |ra AS (SELECT id, list_sort(list({'s': rs, 'e': re})) AS rgs
+       |       FROM r GROUP BY id)
+       |SELECT w.id AS doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(rgs, r -> r.e - r.s + 1)), (a, b) -> a + b), 0)
+       |    AS BIGINT) AS n_cut,
+       |  coalesce(array_to_string(list_filter(list_transform(
+       |    generate_series(1, len(words)), i ->
+       |      CASE WHEN rgs IS NOT NULL AND len(list_filter(rgs,
+       |             r -> i - 1 >= r.s AND i - 1 <= r.e)) > 0 THEN NULL
+       |           ELSE words[i] END),
+       |    x -> x IS NOT NULL), ' '), '') AS clean_text
+       |FROM w LEFT JOIN ra USING (id)""".stripMargin
+
   // ===== q172 BM25-index row deletion ("right to be forgotten") ==========
   // The last index-lifecycle op ON the gate: build the versioned BM25
   // index over the full corpus, physically DELETE a doc set
@@ -5011,7 +5058,8 @@ object Pipeline {
     "q203_unigram_induction" -> wrap(q203),
     "q204_unigram_stored" -> wrap(q204),
     "q205_fertility_compare" -> wrap(q205),
-    "q206_cdc_index_lifecycle" -> wrap(q206)
+    "q206_cdc_index_lifecycle" -> wrap(q206),
+    "q207_span_removal" -> wrap(q207)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5141,6 +5189,7 @@ object Pipeline {
     "q205_fertility_compare" -> q205Sql,
     // stored build+ingest must equal the one-shot corpus chunking: q201's
     // oracle verbatim (per-document chunk decomposition)
-    "q206_cdc_index_lifecycle" -> q201Sql
+    "q206_cdc_index_lifecycle" -> q201Sql,
+    "q207_span_removal" -> q207Sql
   )
 }

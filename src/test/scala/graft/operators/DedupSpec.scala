@@ -604,6 +604,43 @@ class DedupSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("removeDuplicateSpans: owner copy survives, non-owner spans cut, reassembly exact") {
+    import org.apache.spark.sql.functions.col
+    // a shared 4-gram passage "p q r s" inside otherwise-distinct docs;
+    // doc 1 is the first owner (lowest (id, pos)), so ONLY doc 2's copy
+    // is cut; doc 3 shares nothing and passes through verbatim
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x y z p q r s w v u"),
+      (3L, "m n o k l t u v")
+    ).toDF("id", "text")
+    try {
+      val out = Dedup.removeDuplicateSpans(docs, 4)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(out(1L) == ((8L, 0L, "a b p q r s c d")))
+      assert(out(2L) == ((10L, 4L, "x y z w v u")))
+      assert(out(3L) == ((8L, 0L, "m n o k l t u v")))
+      // overlapping dup grams merge to one island: doc 5 repeats doc 4's
+      // 5-token run, producing two overlapping 4-gram windows -> one
+      // contiguous 5-token cut
+      val docs2 = Seq(
+        (4L, "p q r s t a b c"),
+        (5L, "z z p q r s t y y")
+      ).toDF("id", "text")
+      val out2 = Dedup.removeDuplicateSpans(docs2, 4)
+        .as[(Long, Long, Long, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(out2(4L) == ((8L, 0L, "p q r s t a b c")))
+      assert(out2(5L) == ((9L, 5L, "z z y y")))
+      // a doc shorter than the gram length is untouchable by construction
+      val out3 = Dedup.removeDuplicateSpans(
+        Seq((6L, "p q r"), (7L, "p q r")).toDF("id", "text"), 4)
+        .as[(Long, Long, Long, String)].collect().map(_._3).sum
+      assert(out3 == 0L)
+    } finally graft.CacheScope.drain()
+  }
+
   test("cdc chunk view: stored lifecycle — ingest dedups against prior batches; compact and delete preserve the report") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(13)
