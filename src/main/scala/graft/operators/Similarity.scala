@@ -583,6 +583,16 @@ object Similarity {
     require(initRows == mSub.toLong * nCodes,
       s"PQ codebook init needs >= $nCodes corpus vectors; got " +
         s"${initRows / mSub} (corpus smaller than nCodes)")
+    pqLloyd(sub, cb, iters)
+  }
+
+  /** The per-subspace Lloyd loop shared by raw and RESIDUAL codebook
+    * training: assign via [[pqAssign]], re-center to member means (a code
+    * that loses all members keeps its previous entry), localCheckpoint
+    * per round.
+    */
+  private def pqLloyd(sub: DataFrame, cb0: DataFrame, iters: Int): DataFrame = {
+    var cb = cb0
     for (_ <- 1 to iters) {
       val means = pqAssign(sub, cb)
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -592,7 +602,6 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pm"))
         .select(col("m"), col("code"),
           transform(col("pm"), p => p("v").cast("float")).as("mvec"))
-      // a code that loses all members keeps its previous entry
       cb = cb.join(means, Seq("m", "code"), "left")
         .select(col("m"), col("code"),
           coalesce(col("mvec"), col("cvec")).as("cvec"))
@@ -619,6 +628,120 @@ object Similarity {
           struct(c.getField("code").as("code"), d.as("d"))).otherwise(acc)
       }))
       .select(col("vec_id"), col("m"), col("sv"), col("__best.code").as("code"))
+  }
+
+  /** RESIDUAL IVF-PQ top-k (IVFADC proper, Jégou et al. 2011 §III): PQ
+    * codebooks train on and codes encode the RESIDUAL x − c(cell) instead
+    * of the raw vector — the production FAISS form, because residuals
+    * concentrate around the origin so the same code budget spends its
+    * precision on the part of x the coarse quantizer did NOT explain
+    * (recall gain spec-pinned against raw-vector PQ at equal bytes).
+    *
+    * Cosine ADC decomposes exactly: with x ≈ c + r̂,
+    * ⟨q, x⟩ = ⟨q, c⟩ + ⟨q, r̂⟩ — the residual LUT ⟨q_sub, cvec⟩ is
+    * CELL-INDEPENDENT (unlike L2-ADC, where the LUT would rebuild per
+    * probed cell), so the probe adds one ⟨q, c⟩ term per (query, probed
+    * cell) on top of the standard per-subspace fold; ‖x‖ comes from the
+    * EXACT per-vector norm computed at encode time (the FAISS stored-norm
+    * column), never from the approximation.
+    *
+    * Determinism (the q168 contract extended to residuals): residuals,
+    * folds and norms are index-ordered double arithmetic; codebooks are
+    * the training-free subvectors of the nCodes smallest-id RESIDUALS;
+    * encoding is strict-< L2 argmin (ties to the smallest code); ADC
+    * scores round to 4 dp before ranking; the exact re-rank runs on the
+    * raw vectors. A SQL oracle replays every step.
+    *
+    * 100 TB posture: assignment and residual computation are narrow maps
+    * over broadcast centroids; encoding is the shared [[pqAssign]]
+    * broadcast fold; candidates are cell-pruned; both rankings are the
+    * bounded [[rankTopK]] aggregate — no window over unbounded groups,
+    * no cross product, the corpus never shuffles raw vectors.
+    */
+  def pqResidualTopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      mSub: Int, nCodes: Int, nProbe: Int, k: Int,
+      shortlist: Int = 50, trainIters: Int = 0): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible by mSub $mSub")
+    val subDim = dim / mSub
+    val cents = centroidsOf(corpus, nCells)
+    val centsD = cents.select(col("cent_id"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cv"))
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
+      .persistScoped() // feeds residuals AND the candidate join + re-rank
+    val resid = lists
+      .join(broadcast(centsD), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rv"),
+        expr("""aggregate(embedding, 0D,
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+          .as("n2x"))
+      .persistScoped() // feeds codebooks, encoding, and the norm join
+    // codebook init: the first nCodes NON-CENTROID residuals — a vector in
+    // the training-free centroid set is its own cell, so its residual is
+    // the zero vector and an all-zero codebook would make every ADC term
+    // vanish (measured: recall collapsed to 0.06 before this guard)
+    val cb0 = resid.filter(col("vec_id") >= nCells)
+      .orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id"), col("rv"))
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+      // the window runs over nCodes rows (the init set), never the corpus
+      .select(explode(expr(s"sequence(0, ${mSub - 1})")).as("m"), col("code"),
+        expr(s"slice(rv, m * $subDim + 1, $subDim)").as("cvec"))
+      .localCheckpoint()
+    require(cb0.count() == mSub.toLong * nCodes,
+      s"residual-PQ codebook init needs >= $nCodes corpus vectors")
+    val sub = resid.select(col("vec_id"),
+      explode(expr(s"sequence(0, ${mSub - 1})")).as("m"),
+      expr(s"slice(rv, m * $subDim + 1, $subDim)").as("sv"))
+    // trainIters Lloyd rounds over the residual subvectors (the shared
+    // [[pqLloyd]] loop; 0 = the training-free oracle-replayable form the
+    // gate runs — trained means fold floats in partition order)
+    val cb = pqLloyd(sub, cb0, trainIters)
+    val assign = pqAssign(sub, cb).select(col("vec_id"), col("m"), col("code"))
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+    val q0 = queries.select(col("q_id"), col("q_vec"),
+      expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("qv"))
+      .persistScoped() // feeds LUT, norms, and the re-rank
+    val lut = q0.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("m"), col("code"),
+        expr(s"""aggregate(zip_with(slice(qv, m * $subDim + 1, $subDim), cvec,
+               (x, y) -> x * y), 0D, (a, v) -> a + v)""").as("ld"))
+    val qn = q0.select(col("q_id"),
+      sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)")).as("qn"))
+    val qc = probes.select(col("q_id"), col("cell"))
+      .join(broadcast(centsD), col("cell") === col("cent_id"))
+      .join(q0.select(col("q_id"), col("qv")), Seq("q_id"))
+      .select(col("q_id"), col("cell"),
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          .as("qc"))
+    val cand = lists
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("cell"), col("vec_id"))
+    val adc = cand
+      .join(assign, Seq("vec_id"))
+      .join(lut, Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("cell"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("ld")))).as("lds"))
+      .select(col("q_id"), col("cell"), col("vec_id"),
+        expr("aggregate(lds, 0D, (a, e) -> a + e.ld)").as("rsum"))
+    val scored = adc
+      .join(broadcast(qc), Seq("q_id", "cell"))
+      .join(resid.select(col("vec_id"), col("n2x")), Seq("vec_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round((col("qc") + col("rsum")) / (col("qn") * sqrt(col("n2x"))), 4)
+          .as("score"))
+    val sl = rankTopK(scored, shortlist).select(col("q_id"), col("vec_id"))
+    val rs = sl
+      .join(broadcast(q0.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .join(lists.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_vec"), col("embedding")), 4).as("score"))
+    rankTopK(rs, k)
   }
 
   /** Deterministic coordinate permutation for PQ subspace slicing — the

@@ -1650,6 +1650,91 @@ object Pipeline {
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ===== q208 residual IVF-PQ (IVFADC proper) ============================
+  // q168's missing refinement: codebooks train on and codes encode the
+  // RESIDUAL x − c(cell) (Jégou et al. 2011 — the production FAISS form;
+  // residuals concentrate around the origin, so equal code bytes explain
+  // more of x). Cosine ADC decomposes exactly — ⟨q,x⟩ = ⟨q,c⟩ + ⟨q,r̂⟩ —
+  // so the residual LUT stays cell-independent and the probe adds one
+  // ⟨q,c⟩ term per (query, probed cell); ‖x‖ is the EXACT stored norm.
+  // Oracle = q168's chain with the residual substitution replayed
+  // step-for-step; recall-vs-raw-PQ is spec-pinned in SimilaritySpec.
+
+  private def q208(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.pqResidualTopK(queries, e, IvfCells, PqM, PqCodes,
+      IvfProbe, TopK, PqShort)
+  }
+
+  private val q208Sql = {
+    val subDim = Dim / PqM
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i]*$b[i]), (p,q) -> p+q)"
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $subDim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (p,q) -> p+q)"
+    def msum(x: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_sort(list({'m': m, 'x': $x})), e -> e.x)), (a,b) -> a+b)"
+    def best(src: String, id: String, vec: String, n: String) =
+      s"""SELECT $id, $vec, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.$id
+         |      ORDER BY round(${cosSql(s"s.$vec", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM $src s CROSS JOIN cents c) WHERE crn <= $n""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |lists AS MATERIALIZED (${best("e", "vec_id", "v", "1")}),
+       |probes AS (${best("q0", "q_id", "qv", IvfProbe.toString)}),
+       |rs0 AS MATERIALIZED (SELECT l.vec_id, l.cell, l.v,
+       |        list_transform(generate_series(1, len(l.v)), i -> l.v[i] - c.cvec[i]) AS rv,
+       |        list_reduce(list_transform(l.v, x -> x*x), (p,q) -> p+q) AS n2x
+       |      FROM lists l JOIN cents c ON l.cell = c.cent_id),
+       |cbb AS (SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |        FROM (SELECT * FROM rs0 WHERE vec_id >= $IvfCells
+       |              ORDER BY vec_id LIMIT $PqCodes)),
+       |cb AS MATERIALIZED (SELECT t.m, code, rv[m*$subDim+1 : m*$subDim+$subDim] AS cvec
+       |      FROM cbb CROSS JOIN range(0, $PqM) t(m)),
+       |sub AS (SELECT vec_id, t.m, rv[m*$subDim+1 : m*$subDim+$subDim] AS sv
+       |        FROM rs0 CROSS JOIN range(0, $PqM) t(m)),
+       |assign AS MATERIALIZED (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2("s.sv", "c.cvec")}, c.code) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |lut AS MATERIALIZED (SELECT q.q_id, c.m, c.code,
+       |        ${dot(s"q.qv[c.m*$subDim+1 : c.m*$subDim+$subDim]", "c.cvec")} AS ld
+       |      FROM q0 q CROSS JOIN cb c),
+       |qn AS (SELECT q_id, sqrt(list_reduce(list_transform(qv, x -> x*x), (p,q) -> p+q)) AS qn FROM q0),
+       |qc AS (SELECT p.q_id, p.cell,
+       |        list_reduce(list_transform(generate_series(1, len(q.qv)),
+       |          i -> q.qv[i] * c.cvec[i]), (p2,q2) -> p2+q2) AS qc
+       |      FROM probes p JOIN q0 q USING (q_id) JOIN cents c ON p.cell = c.cent_id),
+       |cand AS (SELECT p.q_id, p.cell, l.vec_id FROM probes p
+       |         JOIN lists l ON p.cell = l.cell AND l.vec_id <> p.q_id),
+       |contrib AS (SELECT c.q_id, c.cell, c.vec_id, a.m, t.ld
+       |            FROM cand c JOIN assign a ON c.vec_id = a.vec_id
+       |            JOIN lut t ON t.q_id = c.q_id AND t.m = a.m AND t.code = a.code),
+       |adc AS (SELECT q_id, cell, vec_id, ${msum("ld")} AS rsum
+       |        FROM contrib GROUP BY q_id, cell, vec_id),
+       |sc AS (SELECT a.q_id, a.vec_id,
+       |        round((g.qc + a.rsum) / (q.qn * sqrt(r.n2x)), 4) AS s
+       |       FROM adc a JOIN qc g ON a.q_id = g.q_id AND a.cell = g.cell
+       |       JOIN rs0 r ON a.vec_id = r.vec_id
+       |       JOIN qn q ON a.q_id = q.q_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= $PqShort),
+       |rr AS (SELECT sh.q_id, sh.vec_id, round(${cosSql("q.qv", "x.v")}, 4) AS score
+       |       FROM short sh JOIN q0 q USING (q_id) JOIN e x ON sh.vec_id = x.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM rr)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ===== q169 Gopher-style repetition filter =============================
   // The per-doc quality stage that runs BEFORE any dedup in published
   // pipelines (Gopher A1.1, RefinedWeb, Dolma): top-token fraction,
@@ -5059,7 +5144,8 @@ object Pipeline {
     "q204_unigram_stored" -> wrap(q204),
     "q205_fertility_compare" -> wrap(q205),
     "q206_cdc_index_lifecycle" -> wrap(q206),
-    "q207_span_removal" -> wrap(q207)
+    "q207_span_removal" -> wrap(q207),
+    "q208_ann_pq_residual" -> wrap(q208)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5190,6 +5276,7 @@ object Pipeline {
     // stored build+ingest must equal the one-shot corpus chunking: q201's
     // oracle verbatim (per-document chunk decomposition)
     "q206_cdc_index_lifecycle" -> q201Sql,
-    "q207_span_removal" -> q207Sql
+    "q207_span_removal" -> q207Sql,
+    "q208_ann_pq_residual" -> q208Sql
   )
 }

@@ -310,6 +310,42 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("residual PQ (IVFADC proper): ADC shortlist recall beats raw-vector PQ at equal bytes") {
+    // the residual encoding's whole point: with the shortlist squeezed to
+    // k (so the exact re-rank CANNOT rescue ADC misranking), the residual
+    // codes rank candidates better than raw-vector codes at the same
+    // (M, nCodes) byte budget. Measured on the real sf0.01 embeddings at
+    // nCells=16 nProbe=2 M=8 nCodes=16 shortlist=10.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-pq-rawcmp").toString
+    try {
+      def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      val exact = topSet(Similarity.bruteForceTopK(queries, emb, 10))
+      def recall(approx: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, e) =>
+          approx.getOrElse(q, Set.empty).count(e).toDouble / e.size
+        }.sum / exact.size
+      Similarity.writeIvfIndexPQ(emb, dir, 16, mSub = 8, nCodes = 16,
+        trainIters = 3)
+      val raw = recall(topSet(
+        Similarity.ivfTopKAgainstIndexPQ(queries, dir, 2, 10, shortlist = 10)))
+      val res = recall(topSet(
+        Similarity.pqResidualTopK(queries, emb, 16, 8, 16, 2, 10,
+          shortlist = 10, trainIters = 3)))
+      // measured: raw 0.18, residual 0.195 (the probed-cells ceiling at
+      // nProbe=2 is ~0.305 — ADC ranking quality is the only difference)
+      info(s"ADC-limited recall@10 (3 Lloyd iters): raw-PQ $raw, residual-PQ $res")
+      assert(res >= raw,
+        s"residual codes must rank at least as well as raw codes: $res vs $raw")
+      assert(res >= 0.18, s"residual ADC recall floor: $res (measured 0.195)")
+    } finally graft.CacheScope.drain()
+  }
+
   test("PQ index: replay-safe versioned ingest with frozen codebooks; compaction probe-identical") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
