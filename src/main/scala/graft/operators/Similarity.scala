@@ -1088,6 +1088,151 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** Build a STORED residual IVF-PQ index ([[pqResidualTopK]]'s layout —
+    * build once, probe forever): `centroids/` (raw float), `codebooks/`
+    * (RESIDUAL-trained, stored as DOUBLE arrays so the reader type is
+    * fixed whether trained or training-free), `meta/`,
+    * `codes/batch=0/cell=…` carrying (vec_id, codes, n2x) — the EXACT
+    * per-vector norm rides beside the codes, the FAISS stored-norm
+    * column cosine ADC needs — and `vectors/batch=0` for the exact
+    * refine. Same batch-versioned, cell-partitioned layout as
+    * [[writeIvfIndexPQ]], so probes DPP-prune identically.
+    */
+  def writeIvfIndexPQR(corpus: DataFrame, dir: String, nCells: Int,
+      mSub: Int, nCodes: Int, trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible by mSub $mSub")
+    val subDim = dim / mSub
+    val cents = centroidsOf(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val centsD = cents.select(col("cent_id"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cv"))
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
+      .persistScoped()
+    val resid = lists
+      .join(broadcast(centsD), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rv"),
+        expr("""aggregate(embedding, 0D,
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+          .as("n2x"))
+      .persistScoped()
+    val cb0 = resid.filter(col("vec_id") >= nCells) // centroid residuals = 0⃗
+      .orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id"), col("rv"))
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+      .select(explode(expr(s"sequence(0, ${mSub - 1})")).as("m"), col("code"),
+        expr(s"slice(rv, m * $subDim + 1, $subDim)").as("cvec"))
+      .localCheckpoint()
+    require(cb0.count() == mSub.toLong * nCodes,
+      s"residual-PQ codebook init needs >= $nCodes non-centroid vectors")
+    val sub = resid.select(col("vec_id"),
+      explode(expr(s"sequence(0, ${mSub - 1})")).as("m"),
+      expr(s"slice(rv, m * $subDim + 1, $subDim)").as("sv"))
+    val cb = pqLloyd(sub, cb0, trainIters)
+    cb.select(col("m"), col("code"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    cbGridOk.removeIf(_._1 == dir)
+    Seq((mSub, nCodes, subDim)).toDF("m_sub", "n_codes", "sub_dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val codes = pqAssign(sub, cb)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("e"))
+      .select(col("vec_id"),
+        expr("transform(e, x -> CAST(x.code AS INT))").as("codes"))
+    codes.join(resid.select(col("vec_id"), col("cell"), col("n2x")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("n2x"),
+        col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
+    corpus.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Probe a [[writeIvfIndexPQR]] index — [[ivfTopKAgainstIndexPQ]]'s
+    * probe with the residual decomposition: ADC estimates
+    * ⟨q, x⟩ = ⟨q, c(cell)⟩ + Σ_m lut[m·nCodes + codes[m]] (the native
+    * [[graft.functions.PqAdcExpr]] fold), normalized by the query norm
+    * and the EXACT stored ‖x‖. Identical output to [[pqResidualTopK]]
+    * over the indexed corpus (the stored ≡ direct contract, hash-gated).
+    */
+  def ivfTopKAgainstIndexPQR(queries: DataFrame, dir: String, nProbe: Int,
+      k: Int, shortlist: Int = 50,
+      inListMax: Int = DefaultInListMax): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (mSub, nCodes, subDim) =
+      (meta.getAs[Int]("m_sub"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("sub_dim"))
+    val epoch = Compaction.currentEpoch(spark, dir)
+    val codes = spark.read.parquet(Compaction.epochPath(dir, "codes", epoch))
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+    val cbFp = artifactFingerprint(spark, s"$dir/codebooks")
+    if (!cbGridOk.contains((dir, mSub, nCodes, cbFp))) {
+      require(cbRows.count() == mSub.toLong * nCodes,
+        s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir — " +
+          "corrupt or mismatched index")
+      cbGridOk.add((dir, mSub, nCodes, cbFp))
+    }
+    val luts = queries
+      .crossJoin(broadcast(cbRows))
+      .select(col("q_id"), col("q_vec"), col("m"), col("code"),
+        expr(s"""aggregate(zip_with(slice(q_vec, m * $subDim + 1, $subDim), cvec,
+                 (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)""")
+          .as("d"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("d")))).as("e"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        transform(col("e"), x => x.getField("d")).as("lut"),
+        sqrt(expr(
+          "aggregate(q_vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+          .as("qn"))
+      .persistScoped() // feeds the ADC scan AND the exact-rerank join
+    val centsD = cents.select(col("cent_id"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cv"))
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+      .withColumn("cell", col("cell").cast("int"))
+      .join(broadcast(centsD), col("cell") === col("cent_id"))
+      .select(col("q_id"), col("cell"),
+        expr("aggregate(zip_with(q_vec, cv, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)")
+          .as("qc"))
+      .join(luts, Seq("q_id"))
+    val adc = round(
+      (col("qc") + graft.functions.pq_adc(col("codes"), col("lut"), nCodes)) /
+        (col("qn") * sqrt(col("n2x"))),
+      4)
+    val short = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("adc"), col("vec_id"), shortlist).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+      .persistScoped() // feeds the id fetch AND the exact-rerank join
+    val idsDf = short.select(col("vec_id")).distinct()
+    val capped = idsDf.limit(inListMax + 1).collect()
+    val vecStore = spark.read.parquet(Compaction.epochPath(dir, "vectors", epoch))
+    val raw =
+      if (capped.length <= inListMax)
+        vecStore.filter(col("vec_id").isin(capped.map(_.getLong(0)).toSeq: _*))
+          .select(col("vec_id"), col("embedding"))
+      else
+        vecStore.join(idsDf, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding"))
+    val rescored = short.join(raw, Seq("vec_id"))
+      .join(broadcast(luts.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(rescored, k)
+  }
+
   /** Pairwise cosine similarity of per-GROUP embedding centroids — the
     * domain-similarity map mixture design reads (which sources are
     * near-duplicates in embedding space, which are distinct — the DoReMi

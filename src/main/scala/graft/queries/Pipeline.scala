@@ -1735,6 +1735,25 @@ object Pipeline {
        |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ===== q209 STORED residual IVF-PQ index ================================
+  // q208's production form: the residual codes, the EXACT per-vector norm
+  // (the FAISS stored-norm column) and the raw refine vectors persist in
+  // the batch-versioned cell-partitioned layout; the probe DPP-prunes to
+  // the probed cells, folds the cell-independent residual LUT through the
+  // native pq_adc kernel, and adds the per-(query, cell) ⟨q,c⟩ term.
+  // Stored-and-probed must equal the direct operator — q208's oracle
+  // VERBATIM (the stored ≡ direct contract every index family carries).
+
+  private def q209(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = cachedIndexDir(t.dir, s"ivf_pqr_v1_${IvfCells}_${PqM}_$PqCodes")(
+      d => Similarity.writeIvfIndexPQR(e, d, IvfCells, PqM, PqCodes,
+        trainIters = 0))
+    Similarity.ivfTopKAgainstIndexPQR(queries, dir, IvfProbe, TopK, PqShort)
+  }
+
   // ===== q169 Gopher-style repetition filter =============================
   // The per-doc quality stage that runs BEFORE any dedup in published
   // pipelines (Gopher A1.1, RefinedWeb, Dolma): top-token fraction,
@@ -5145,7 +5164,8 @@ object Pipeline {
     "q205_fertility_compare" -> wrap(q205),
     "q206_cdc_index_lifecycle" -> wrap(q206),
     "q207_span_removal" -> wrap(q207),
-    "q208_ann_pq_residual" -> wrap(q208)
+    "q208_ann_pq_residual" -> wrap(q208),
+    "q209_ann_pqr_stored" -> wrap(q209)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5277,6 +5297,9 @@ object Pipeline {
     // oracle verbatim (per-document chunk decomposition)
     "q206_cdc_index_lifecycle" -> q201Sql,
     "q207_span_removal" -> q207Sql,
-    "q208_ann_pq_residual" -> q208Sql
+    "q208_ann_pq_residual" -> q208Sql,
+    // stored-and-probed must equal the direct residual operator: q208's
+    // oracle verbatim (the stored ≡ direct index contract)
+    "q209_ann_pqr_stored" -> q208Sql
   )
 }

@@ -569,6 +569,24 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("residual-PQ index probe: the codes scan keeps the dynamic cell pruning") {
+    // the compressed-probe economics carried onto the residual layout —
+    // the per-(query, cell) ⟨q,c⟩ term joins on the SAME broadcast probe
+    // frame, so the codes scan must still DPP-prune to probed cells
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("ivf-pqr-plan").toString
+    try {
+      graft.operators.Similarity.writeIvfIndexPQR(emb, dir, 16, 8, 16)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val p = plan(graft.operators.Similarity
+        .ivfTopKAgainstIndexPQR(queries, dir, 2, 10))
+      assert(p.toLowerCase.contains("dynamicpruningexpression(cell"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally CacheScope.drain()
+  }
+
   test("IVF index build and ingest shuffle only centroid-sized data, never the corpus") {
     // the build's scale contract: scan → narrow argmax fold over the
     // broadcast centroid array → partitioned write. The ONLY exchange is
