@@ -871,8 +871,12 @@ object Similarity {
     val e = Compaction.currentEpoch(spark, dir)
     val curCodes = Compaction.epochPath(dir, "codes", e)
     val curVecs = Compaction.epochPath(dir, "vectors", e)
-    spark.read.parquet(curCodes)
-      .select(col("vec_id"), col("codes"), col("cell"))
+    // schema-preserving fold (drop only the batch level): the residual
+    // layout ([[writeIvfIndexPQR]]) carries an extra n2x column the
+    // compaction must not lose — both PQ layouts compact through here
+    val curCodesDf = spark.read.parquet(curCodes)
+    curCodesDf
+      .select(curCodesDf.columns.filter(_ != "batch").map(col): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
@@ -917,11 +921,14 @@ object Similarity {
     val e = Compaction.currentEpoch(spark, dir)
     val curCodes = Compaction.epochPath(dir, "codes", e)
     val curVecs = Compaction.epochPath(dir, "vectors", e)
-    // writePartitioned: delete-everything must leave a readable codes dir
+    // writePartitioned: delete-everything must leave a readable codes dir.
+    // Schema-preserving anti-join (drop only batch) — the residual
+    // layout's n2x column survives deletion like every other column
+    val curCodesDf = spark.read.parquet(curCodes)
     Compaction.writePartitioned(
-      spark.read.parquet(curCodes)
+      curCodesDf
         .join(del, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("codes"), col("cell"))
+        .select(curCodesDf.columns.filter(_ != "batch").map(col): _*)
         .repartition(col("cell")),
       "cell", s"${Compaction.epochPath(dir, "codes", e + 1)}/batch=0")
     spark.read.parquet(curVecs)
@@ -1154,6 +1161,59 @@ object Similarity {
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeIvfIndexPQR]] index:
+    * the batch assigns against the FROZEN stored centroids, takes its
+    * residuals against them, and encodes against the FROZEN stored
+    * residual codebooks (both broadcast — the quantizer contract of
+    * [[ingestIntoIvfIndexPQ]] at the residual level), computing each
+    * vector's EXACT norm at encode time; then OVERWRITES its own batch
+    * partitions, so a crash-replayed batch converges to identical index
+    * contents. Compaction and deletion are the PQ layout's own
+    * ([[compactIvfIndexPQ]]/[[deleteFromIvfIndexPQ]] — schema-preserving,
+    * so the n2x column rides through both).
+    */
+  def ingestIntoIvfIndexPQR(newVectors: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (mSub, nCodes, subDim) =
+      (meta.getAs[Int]("m_sub"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("sub_dim"))
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+    require(cbRows.count() == mSub.toLong * nCodes,
+      s"codebook rows != m_sub×n_codes ($mSub×$nCodes) at $dir")
+    val e = Compaction.currentEpoch(spark, dir)
+    val centsD = cents.select(col("cent_id"),
+      expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cv"))
+    val resid = narrowBestCell(newVectors, cents, "vec_id", "embedding")
+      .join(broadcast(centsD), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(embedding, cv, (a, b) -> CAST(a AS DOUBLE) - b)")
+          .as("rv"),
+        expr("""aggregate(embedding, 0D,
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+          .as("n2x"))
+    val sub = resid.select(col("vec_id"),
+      explode(expr(s"sequence(0, ${mSub - 1})")).as("m"),
+      expr(s"slice(rv, m * $subDim + 1, $subDim)").as("sv"))
+    pqAssign(sub, cbRows)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("e"))
+      .select(col("vec_id"),
+        expr("transform(e, x -> CAST(x.code AS INT))").as("codes"))
+      .join(resid.select(col("vec_id"), col("cell"), col("n2x")), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("n2x"),
+        col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
+    newVectors.select(col("vec_id"), col("embedding"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "vectors", e)}/batch=$batchId")
     spark.catalog.refreshByPath(dir)
   }
 

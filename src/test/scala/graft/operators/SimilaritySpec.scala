@@ -346,6 +346,38 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("residual-PQ index lifecycle: frozen-quantizer ingest, replay convergence, compaction probe-identical, deletion erases") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-pqr-lc").toString
+    try {
+      def probe() = Similarity.ivfTopKAgainstIndexPQR(queries, dir, 2, 10)
+        .select("q_id", "vec_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      Similarity.writeIvfIndexPQR(emb.filter($"vec_id" % 2 === 0), dir, 16, 8, 16)
+      val buildOnly = probe()
+      Similarity.ingestIntoIvfIndexPQR(emb.filter($"vec_id" % 2 === 1), dir, 1L)
+      val afterIngest = probe()
+      // the ingested half is visible (odd ids can now be retrieved)
+      assert(afterIngest.exists(_._2 % 2 == 1), "ingested vectors invisible")
+      assert(afterIngest != buildOnly)
+      // replayed ingest converges to the identical index
+      Similarity.ingestIntoIvfIndexPQR(emb.filter($"vec_id" % 2 === 1), dir, 1L)
+      assert(probe() == afterIngest)
+      // compaction is probe-identical (n2x must survive the fold)
+      Similarity.compactIvfIndexPQ(spark, dir)
+      assert(probe() == afterIngest)
+      // deletion erases: deleted ids never appear again
+      val victims = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      Similarity.deleteFromIvfIndexPQ(spark, dir, victims)
+      val afterDelete = probe()
+      assert(!afterDelete.exists(_._2 % 10 == 3), "deleted ids still probed")
+      assert(afterDelete.nonEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
   test("PQ index: replay-safe versioned ingest with frozen codebooks; compaction probe-identical") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
