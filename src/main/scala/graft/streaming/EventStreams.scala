@@ -388,6 +388,31 @@ object EventStreams {
         .ingestIntoIvfIndexPQ(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** [[pqProbeIngest]] over the RESIDUAL layout
+    * ([[graft.operators.Similarity.writeIvfIndexPQR]]) — same serving
+    * contract, residual ADC + exact stored norms underneath.
+    */
+  def pqrProbeIngest(indexDir: String, outDir: String, nProbe: Int, k: Int,
+      shortlist: Int = 50)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ivfTopKAgainstIndexPQR(batch.toDF(), indexDir, nProbe, k, shortlist)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** [[pqIngest]] over the residual layout — frozen centroids + frozen
+    * residual codebooks, exact norms at encode time, replay-convergent
+    * own-partition overwrites
+    * ([[graft.operators.Similarity.ingestIntoIvfIndexPQR]]).
+    */
+  def pqrIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ingestIntoIvfIndexPQR(batch.toDF(), indexDir, batchId + 1)
+    }
+
   /** Streaming BM25 retrieval — [[annProbeIngest]]'s lexical twin: each
     * micro-batch of (q_id, term) query bags probes a stored
     * [[graft.operators.Retrieval.writeBm25Index]] posting index

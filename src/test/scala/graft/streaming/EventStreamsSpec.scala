@@ -468,6 +468,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("pqrIngest + pqrProbeIngest: streamed vectors extend the RESIDUAL index; serving ≡ offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = java.nio.file.Files.createTempDirectory("pqringest").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    // the build slice must contain the centroid ids (< 16) AND the
+    // residual-codebook init ids (the first 16 NON-centroid ids, 16..31)
+    // so both frozen artifacts equal their full-corpus versions; then
+    // build+stream must EQUAL a from-scratch build over the union
+    graft.operators.Similarity.writeIvfIndexPQR(
+      emb.filter($"vec_id" < 32 || $"vec_id" % 3 =!= 1), idx, 16, 8, 16)
+    val late = emb.filter($"vec_id" >= 32 && $"vec_id" % 3 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(EventStreams.pqrIngest(idx))
+      .outputMode("update").start()
+    try {
+      input.addData(late); q.processAllAvailable()
+      val queries = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "vec_id", "score", "rnk")
+          .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val full = java.nio.file.Files.createTempDirectory("pqringestfull").toString
+      graft.operators.Similarity.writeIvfIndexPQR(emb, full, 16, 8, 16)
+      val offline = sorted(
+        graft.operators.Similarity.ivfTopKAgainstIndexPQR(queries, full, 2, 10))
+      assert(sorted(
+        graft.operators.Similarity.ivfTopKAgainstIndexPQR(queries, idx, 2, 10))
+        == offline)
+      val qrows = queries.as[(Long, Array[Float])].collect().toSeq
+      val sink = EventStreams.pqrProbeIngest(idx, out, 2, 10)
+      sink(qrows.toDF("q_id", "q_vec"), 0)
+      sink(qrows.toDF("q_id", "q_vec"), 0) // replay
+      assert(sorted(spark.read.parquet(s"$out/batch=0")) == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("dedupIngest replay: a re-delivered batch re-derives the same kept set") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("dedupingest2").toString
