@@ -76,6 +76,41 @@ object Unigram {
         "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
 
+  /** BYTE-LEVEL word table — the production tokenizer boundary
+    * ([[TextOps.bpeMergesByteLevel]]'s pre-tokenizer): regex pre-tokens,
+    * each re-expressed as ONE CODE POINT PER UTF-8 BYTE (byte b →
+    * U+0000+b, the GPT-2 byte-to-unicode idea with the identity map), so
+    * the char-level Viterbi machinery runs UNCHANGED over a closed
+    * 256-symbol alphabet and no OOV symbol can exist: a multi-byte
+    * character SPLITS into its byte code points and any byte sequence
+    * stays segmentable. ASCII pre-tokens map to themselves;
+    * [[byteCharsToString]] inverts the map exactly.
+    */
+  def wordTableByteLevel(docs: DataFrame, text: Column): DataFrame =
+    docs.select(text.as("__t"))
+      .select(explode(regexp_extract_all(lower(col("__t")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as("w0"))
+      .select(expr(
+        """array_join(transform(sequence(1, length(hex(w0)) div 2),
+          |  i -> chr(CAST(conv(substring(hex(w0), 2 * i - 1, 2), 16, 10)
+          |           AS BIGINT))), '')""".stripMargin).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Invert the byte→code-point map: a byte-level word or piece back to
+    * its original UTF-8 string. Pure JVM (serving/diagnostic helper).
+    */
+  def byteCharsToString(s: String): String = {
+    val cps = s.codePoints().toArray
+    val bytes = new Array[Byte](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      require(cps(i) <= 0xff, s"not a byte-level string: U+${cps(i).toHexString}")
+      bytes(i) = cps(i).toByte
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Seed counts: every substring of length 1..maxPieceLen of every word,
     * weighted by word frequency, counted once per occurrence POSITION —
     * one explode + one map-side-combined integer aggregate.
@@ -94,9 +129,17 @@ object Unigram {
     * characters (coverage).
     */
   def trainPieces(docs: DataFrame, text: Column, seedTopK: Int, rounds: Int,
+      maxPieceLen: Int = MaxPieceLen): Seq[Piece] =
+    trainPiecesFrom(wordTable(docs, text), seedTopK, rounds, maxPieceLen)
+
+  /** [[trainPieces]] over an explicit (w, n) word table — the shared core
+    * both the whitespace ([[wordTable]]) and byte-level
+    * ([[wordTableByteLevel]]) boundaries train through.
+    */
+  def trainPiecesFrom(wordsIn: DataFrame, seedTopK: Int, rounds: Int,
       maxPieceLen: Int = MaxPieceLen): Seq[Piece] = {
     require(seedTopK >= 1 && rounds >= 1)
-    val words = wordTable(docs, text).persistScoped() // read every EM round
+    val words = wordsIn.persistScoped() // read every EM round
     val counts0 = seedCounts(words, maxPieceLen).persistScoped()
     val topK = counts0.orderBy(desc("c"), asc("piece")).limit(seedTopK)
     val chars = counts0.filter(length(col("piece")) === 1)

@@ -2868,16 +2868,33 @@ object Pipeline {
          |  FROM uv$r)""".stripMargin
   }
 
+  /** The whitespace word-table CTE body (q203/q204/q205's boundary). */
+  private val uniUwWs =
+    """SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS w FROM documents""".stripMargin
+
+  /** The BYTE-LEVEL word-table CTE body (q210's boundary): regex
+    * pre-tokens re-expressed one code point per UTF-8 byte — the exact
+    * SQL twin of [[graft.operators.Unigram.wordTableByteLevel]]'s map.
+    */
+  private lazy val uniUwByte =
+    s"""SELECT array_to_string(list_transform(
+       |        generate_series(1, len(hex(w0)) // 2),
+       |        i -> chr(CAST('0x' || hex(w0)[2*i-1 : 2*i] AS INT))), '') AS w
+       |      FROM (SELECT unnest(regexp_extract_all(lower(text),
+       |        '${TextOps.byteLevelTokenPattern}')) AS w0 FROM documents)""".stripMargin
+
   /** The unigram trainer's oracle chain: word table → seed counts →
     * top-K ∪ single-char seed vocab → `rounds` EM rounds; `applyFinal`
     * appends a serving tokenization round (utk{rounds+1}) under the final
-    * scores — q157's applier convention.
+    * scores — q157's applier convention. `uwBody` picks the word boundary
+    * (whitespace default; byte-level for q210).
     */
-  private def uniCteChain(rounds: Int, applyFinal: Boolean): String = {
+  private def uniCteChain(rounds: Int, applyFinal: Boolean,
+      uwBody: String = uniUwWs): String = {
     val head =
       s"""uw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |      x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
+         |    $uwBody) GROUP BY w),
          |usub AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
          |    SELECT uw.n, uw.w[ti.i - tl.l + 1 : ti.i] AS piece
          |    FROM uw, unnest(generate_series(1, len(uw.w))) AS ti(i),
@@ -2904,6 +2921,29 @@ object Pipeline {
 
   private lazy val q203Sql =
     s"""WITH ${uniCteChain(UniRounds, applyFinal = false)}
+       |SELECT piece, c AS cnt, s AS score_micro FROM us$UniRounds""".stripMargin
+
+  // ===== q210 BYTE-LEVEL unigram induction ================================
+  // The production tokenizer boundary for the unigram family (q203 is
+  // word-level, as q156 is for BPE): regex pre-tokens re-expressed one
+  // code point per UTF-8 byte (byte b → U+b — the GPT-2 byte-to-unicode
+  // idea with the identity map), so the SAME integer Viterbi DP runs over
+  // a closed 256-symbol alphabet, multi-byte characters split into their
+  // bytes, and no OOV symbol can exist. Oracle = q203's chain over the
+  // byte-level word CTE; byte-splitting and map inversion spec-pinned.
+
+  private def q210(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    Unigram.trainPiecesFrom(
+      Unigram.wordTableByteLevel(graft.Fanout(t.documents), col("text")),
+      UniSeedTopK, UniRounds)
+      .map(p => (p.piece, p.cnt, p.scoreMicro))
+      .toDF("piece", "cnt", "score_micro")
+  }
+
+  private lazy val q210Sql =
+    s"""WITH ${uniCteChain(UniRounds, applyFinal = false, uniUwByte)}
        |SELECT piece, c AS cnt, s AS score_micro FROM us$UniRounds""".stripMargin
 
   private def q204(t: Tables): DataFrame = {
@@ -5165,7 +5205,8 @@ object Pipeline {
     "q206_cdc_index_lifecycle" -> wrap(q206),
     "q207_span_removal" -> wrap(q207),
     "q208_ann_pq_residual" -> wrap(q208),
-    "q209_ann_pqr_stored" -> wrap(q209)
+    "q209_ann_pqr_stored" -> wrap(q209),
+    "q210_unigram_byte_level" -> wrap(q210)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5300,6 +5341,7 @@ object Pipeline {
     "q208_ann_pq_residual" -> q208Sql,
     // stored-and-probed must equal the direct residual operator: q208's
     // oracle verbatim (the stored ≡ direct index contract)
-    "q209_ann_pqr_stored" -> q208Sql
+    "q209_ann_pqr_stored" -> q208Sql,
+    "q210_unigram_byte_level" -> q210Sql
   )
 }

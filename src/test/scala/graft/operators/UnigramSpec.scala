@@ -83,6 +83,37 @@ class UnigramSpec extends AnyFunSuite {
     assert(fresh == served)
   }
 
+  test("byte-level word table: multi-byte chars split into byte code points; map inverts exactly") {
+    val docs = Seq("Théâtre a b", "café a").toDF("text")
+    val words = Unigram.wordTableByteLevel(docs, $"text")
+      .as[(String, Long)].collect().toMap
+    // ASCII pre-tokens map to themselves
+    assert(words("a") == 2L && words("b") == 1L)
+    // "café" → c a f é where é = 0xC3 0xA9 → TWO code points U+C3 U+A9
+    val cafe = words.keys.find(_.startsWith("caf")).get
+    assert(cafe.codePointCount(0, cafe.length) == 5, cafe)
+    assert(Unigram.byteCharsToString(cafe) == "café")
+    // théâtre (lowercased) round-trips through the map too
+    val th = words.keys.find(_.startsWith("th")).get
+    assert(Unigram.byteCharsToString(th) == "théâtre")
+  }
+
+  test("byte-level training: closed alphabet — every byte piece survives, any text segments") {
+    val docs = Seq("Théâtre cat", "cat café").toDF("text")
+    val pieces = Unigram.trainPiecesFrom(
+      Unigram.wordTableByteLevel(docs, $"text"), seedTopK = 50, rounds = 2)
+    val vocab = pieces.map(p => p.piece -> p.scoreMicro)
+    // tokenize an UNSEEN byte-level word: segments via single-byte pieces
+    val toks = Unigram.tokenize(Seq("dog").toDF("w"), vocab)
+      .select($"toks").as[Seq[String]].head()
+    assert(toks.mkString == "dog") // coverage even for unseen pre-tokens
+    // every piece decodes to SOME byte string (the map stays invertible
+    // at piece granularity — pieces may split a multi-byte char, decode
+    // then yields replacement chars, which is exactly byte-level behavior)
+    pieces.foreach(p =>
+      assert(p.piece.codePoints().toArray.forall(_ <= 0xff), p.piece))
+  }
+
   test("scoreMicro: half-up micro-grid integerization of ln") {
     assert(Unigram.scoreMicro(1L, 1L) == 0L)
     // ln(2)·1e6 = 693147.18 → 693147; ln(4)·1e6 = 1386294.36 → 1386294
