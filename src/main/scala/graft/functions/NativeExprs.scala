@@ -851,3 +851,87 @@ case class UnigramEncodeExpr(child: Expression, vocab: Seq[(String, Long)],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** wordpiece_encode(word) → array<string>: greedy LONGEST-MATCH-FIRST
+  * segmentation against a WordPiece vocabulary (Schuster & Nakajima 2012;
+  * BERT's inference rule): at the word start match the longest UNPREFIXED
+  * vocabulary piece, after it the longest '##'-continuation piece, and a
+  * position with no match makes the WHOLE word `unk` (BERT semantics —
+  * partial segmentations are discarded, not patched). The vocabulary rides
+  * as expression DATA — one tree node, plan depth constant in |vocab|, the
+  * [[BpeEncodeExpr]] pattern. Matching is over Unicode code points, and
+  * greedy matching is deterministic (at most one vocabulary entry per
+  * (position, length)), so the DuckDB oracle replays it with a
+  * precomputed longest-match table + a recursive walk.
+  */
+case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
+    unk: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.unsafe.types.UTF8String
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // (word-initial pieces, continuation pieces stripped of '##', max code-
+  // point length of each) — built once per task via the reference object
+  @transient private lazy val sets = {
+    val ini = new java.util.HashSet[String]()
+    val con = new java.util.HashSet[String]()
+    var mi = 1
+    var mc = 1
+    vocab.foreach { s =>
+      if (s.startsWith("##")) {
+        val p = s.substring(2)
+        con.add(p)
+        mc = math.max(mc, p.codePointCount(0, p.length))
+      } else {
+        ini.add(s)
+        mi = math.max(mi, s.codePointCount(0, s.length))
+      }
+    }
+    (ini, con, mi, mc)
+  }
+
+  /** Public for codegen (the [[BpeEncodeExpr]] reference-object pattern). */
+  def encode(w: UTF8String): ArrayData = {
+    val (ini, con, maxIni, maxCon) = sets
+    val cps = w.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new java.util.ArrayList[String]()
+    var pos = 0
+    var failed = false
+    while (pos < n && !failed) {
+      val first = pos == 0
+      val set = if (first) ini else con
+      var l = math.min(if (first) maxIni else maxCon, n - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val piece = new String(cps, pos, l)
+        if (set.contains(piece)) hit = piece else l -= 1
+      }
+      if (hit == null) failed = true
+      else {
+        toks.add(if (first) hit else "##" + hit)
+        pos += l
+      }
+    }
+    val out: Array[Any] =
+      if (failed) Array(UTF8String.fromString(unk))
+      else {
+        val a = new Array[Any](toks.size())
+        var j = 0
+        while (j < a.length) { a(j) = UTF8String.fromString(toks.get(j)); j += 1 }
+        a
+      }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpExpr", this, classOf[WordPieceEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -77,6 +77,15 @@ package object functions {
     ExpressionUtils.column(graft.functions.UnigramEncodeExpr(
       ExpressionUtils.expression(word), vocab, maxPieceLen, unkScore))
 
+  /** WordPiece greedy longest-match-first tokenization with the
+    * vocabulary as expression DATA ([[graft.functions.WordPieceEncodeExpr]]);
+    * plan depth constant in |vocab|.
+    */
+  def wordpiece_encode(word: Column, vocab: Seq[String],
+      unk: String = "[UNK]"): Column =
+    ExpressionUtils.column(graft.functions.WordPieceEncodeExpr(
+      ExpressionUtils.expression(word), vocab, unk))
+
   /** PQ-encode an embedding against per-subspace L2 codebooks carried as
     * expression data ([[graft.functions.PqEncodeExpr]]).
     */

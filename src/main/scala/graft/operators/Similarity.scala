@@ -744,6 +744,82 @@ object Similarity {
     rankTopK(rs, k)
   }
 
+  /** IVF-SQ8 top-k — SCALAR quantization, the third member of the
+    * compressed-index family next to raw lists (q44) and product
+    * quantization (q168/q208; FAISS's IndexIVFScalarQuantizer): every
+    * dimension is quantized INDEPENDENTLY to one byte with a per-dim
+    * affine map code_d = clamp(⌊(x_d − mn_d)/step_d + ½⌋, 0, 255),
+    * step_d = (mx_d − mn_d)/255 — 4× smaller than float32 at dim
+    * precision PQ can't reach (PQ at the same 1 byte/dim would need
+    * dim codebooks; SQ8 needs 2·dim doubles), the right trade when
+    * dimensions are weakly correlated. Candidates come from the
+    * training-free coarse quantizer's probed cells; scoring is cosine
+    * between the query and the RECONSTRUCTED vector
+    * r_d = mn_d + code_d·step_d; the top-`shortlist` then re-rank by
+    * exact cosine on the raw vectors (the q168 refine discipline).
+    *
+    * Determinism: mn/mx are float min/max (exact in double), step and
+    * every code/reconstruction/fold a fixed tree of correctly-rounded
+    * IEEE double ops in index order, scores rounded to 4 dp before
+    * ranking with vec_id tie-break — the DuckDB oracle replays the
+    * whole chain from the same parquet floats.
+    *
+    * 100 TB posture: the quantizer model is 2·dim doubles — collected
+    * once at the driver (the bounded-model-artifact contract, like the
+    * PQ codebooks) and shipped as expression data; encoding and
+    * reconstruction are narrow maps; candidates are cell-pruned;
+    * both rankings are the bounded [[rankTopK]] aggregate.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      nProbe: Int, k: Int, shortlist: Int = 50): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val cents = centroidsOf(corpus, nCells)
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
+      .persistScoped() // feeds the stats pass, the candidate join, re-rank
+    // per-dim affine params: ONE map-side-combined (dim)-cell aggregate,
+    // driver-collected as the bounded quantizer artifact (2·dim doubles)
+    val st = lists.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("d")).collect()
+    require(st.length == dim, s"stats covered ${st.length} of $dim dims")
+    val mn = st.map(_.getDouble(1)).toSeq
+    val step = st.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    val mnL = typedLit(mn)
+    val stepL = typedLit(step)
+    def mAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
+    def sAt(i: Column) = element_at(stepL, (i + 1).cast("int"))
+    val codes = lists.select(col("vec_id"), col("cell"),
+      transform(col("embedding"), (x, i) =>
+        when(sAt(i) > lit(0.0),
+          least(greatest(
+            floor((x.cast("double") - mAt(i)) / sAt(i) + lit(0.5)).cast("int"),
+            lit(0)), lit(255)))
+          .otherwise(lit(0))).as("codes"))
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+    val q0 = queries.select(col("q_id"), col("q_vec"),
+      expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("qv"))
+      .persistScoped() // feeds the approx scoring and the re-rank
+    def fsum(arr: Column) = aggregate(arr, lit(0.0), (a, v) => a + v)
+    val scored = codes
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(q0.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("rv", transform(col("codes"), (c, i) => mAt(i) + c * sAt(i)))
+      .select(col("q_id"), col("vec_id"),
+        round(fsum(zip_with(col("qv"), col("rv"), (x, y) => x * y)) /
+          (sqrt(fsum(transform(col("qv"), x => x * x))) *
+            sqrt(fsum(transform(col("rv"), x => x * x)))), 4).as("score"))
+    val sl = rankTopK(scored, shortlist).select(col("q_id"), col("vec_id"))
+    val rs = sl
+      .join(broadcast(q0.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .join(lists.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_vec"), col("embedding")), 4).as("score"))
+    rankTopK(rs, k)
+  }
+
   /** Deterministic coordinate permutation for PQ subspace slicing — the
     * OPQ-grade recall knob without rotation training (OPQ, Ge et al.
     * 2013, learns a rotation so each subspace carries balanced variance;

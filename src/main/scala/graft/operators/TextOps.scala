@@ -217,14 +217,7 @@ object TextOps {
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, a, b, cnt))
-        val sq = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
-        wc = wc.select(expr(
-          s"""aggregate(transform(syms, s -> array(s)),
-             |  cast(array() as array<string>),
-             |  (acc, x) -> CASE WHEN size(acc) > 0
-             |      AND element_at(acc, -1) = '${sq(a)}' AND x[0] = '${sq(b)}'
-             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${sq(a + b)}'))
-             |    ELSE concat(acc, x) END)""".stripMargin).as("syms"), col("n"))
+        wc = wc.select(expr(mergeFoldSql(a, b, a + b)).as("syms"), col("n"))
           .localCheckpoint() // vocab-sized; truncate the per-round lineage
         r += 1
       }
@@ -239,6 +232,148 @@ object TextOps {
         "the unrolled oracle CTE chain assumes exactly `rounds` rounds")
     learned.toDF("merge_round", "sym_a", "sym_b", "pair_count")
   }
+
+  /** The exact greedy left-to-right merge-application stack fold, shared
+    * by the BPE and WordPiece trainers (one rule per round: merge when
+    * the stack top is `a` and the incoming symbol is `b`, pushing
+    * `merged`) — a codegen'd `aggregate` lambda, no UDF. Factored so the
+    * two trainers cannot drift in application semantics.
+    */
+  private def mergeFoldSql(a: String, b: String, merged: String): String = {
+    val sq = (s: String) => s.replace("\\", "\\\\").replace("'", "\\'")
+    s"""aggregate(transform(syms, s -> array(s)),
+       |  cast(array() as array<string>),
+       |  (acc, x) -> CASE WHEN size(acc) > 0
+       |      AND element_at(acc, -1) = '${sq(a)}' AND x[0] = '${sq(b)}'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('${sq(merged)}'))
+       |    ELSE concat(acc, x) END)""".stripMargin
+  }
+
+  /** The WordPiece word table: (w, syms, n) with BERT's symbolization —
+    * the word-initial character bare, every later character
+    * '##'-prefixed. Whitespace pre-tokenization (the q156 word-level
+    * convention). Serving derives its vocabulary from these initial
+    * symbols, so the table is shared by trainer and tokenizer.
+    */
+  def wordPieceWordTable(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .select(text.as("__t"))
+      .select(explode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("w"), expr(
+        """transform(sequence(1, length(w)),
+          |  i -> CASE WHEN i = 1 THEN substring(w, 1, 1)
+          |       ELSE concat('##', substring(w, i, 1)) END)""".stripMargin)
+        .as("syms"),
+        col("n"))
+
+  /** A merged WordPiece symbol keeps the LEFT part's prefix: the right
+    * part is always a continuation, so its '##' marker is consumed
+    * ("a" + "##b" → "ab", "##a" + "##b" → "##ab").
+    */
+  private def wpMergedSym(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  /** WORDPIECE vocabulary induction (Schuster & Nakajima 2012 — BERT's
+    * tokenizer; selection rule per the public HuggingFace trainer): the
+    * third member of the tokenizer family next to BPE ([[bpeMerges]])
+    * and unigram-LM ([[graft.operators.Unigram]]). Same decomposition as
+    * BPE — ONE corpus pass to the word-frequency table, then vocab-sized
+    * merge rounds — but each round merges the adjacent pair maximizing
+    * the LIKELIHOOD score count(ab)/(count(a))·count(b)), the pair whose
+    * fusion most improves a unigram LM of the symbol stream, instead of
+    * BPE's raw count: a pair that is frequent only because its parts are
+    * ("th"+"e") loses to a pair whose parts rarely occur apart.
+    *
+    * Determinism: counts are exact integer sums; the score is ONE
+    * correctly-rounded double division of exact-in-double integers
+    * (counts < 2⁵³, products < 2⁵³ on any real vocabulary since both
+    * factors are symbol counts of a bounded table) — identical in both
+    * engines; ties break (sym_a, sym_b) lexicographic, the same rule
+    * replayed by the oracle. Application is [[mergeFoldSql]] — the BPE
+    * trainer's own fold, shared verbatim.
+    *
+    * 100 TB design: per round TWO vocab-sized aggregates (adjacent-pair
+    * counts and symbol counts) + two BROADCAST joins of the bounded
+    * symbol-count table + one TakeOrdered argmax row to the driver (a
+    * scalar decision, the kCoreExact discipline) + one narrow fold;
+    * localCheckpoint truncates per-round lineage. The corpus is never
+    * rescanned after the word-table pass.
+    *
+    * Output: (merge_round, sym_a, sym_b, pair_count, cnt_a, cnt_b) — the
+    * merge table plus the exact integers the score derives from, so the
+    * artifact is fully auditable (and the gate hash-checks every one).
+    */
+  def wordPieceMerges(docs: DataFrame, text: Column, rounds: Int,
+      requireFull: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var wc = wordPieceWordTable(docs, text).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val sym = wc.select(explode(col("syms")).as("s"), col("n"))
+        .groupBy(col("s")).agg(sum(col("n")).as("c"))
+      val best = wc.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] as a, syms[i] as b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .join(broadcast(sym.select(col("s").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(sym.select(col("s").as("b"), col("c").as("cb"))), Seq("b"))
+        .withColumn("score", col("cnt").cast("double") /
+          (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(desc("score"), asc("a"), asc("b"))
+        .select("a", "b", "cnt", "ca", "cb")
+        .head(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best(0)
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += ((r.toLong, a, b, row.getLong(2), row.getLong(3), row.getLong(4)))
+        wc = wc.select(col("w"),
+          expr(mergeFoldSql(a, b, wpMergedSym(a, b))).as("syms"), col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val learned = merges.result()
+    if (requireFull) require(learned.size == rounds,
+      s"corpus exhausted after ${learned.size} of $rounds WordPiece merges; " +
+        "the unrolled oracle CTE chain assumes exactly `rounds` rounds")
+    learned.toDF("merge_round", "sym_a", "sym_b", "pair_count", "cnt_a", "cnt_b")
+  }
+
+  /** The serving vocabulary a trained WordPiece tokenizer ships: the word
+    * table's initial symbols (every word-initial character bare + every
+    * non-initial character '##'-prefixed) plus each merge's product.
+    * Driver-sized BY CONSTRUCTION (≤ 2·|alphabet| + rounds entries — the
+    * merge-table / LM-model bounded-artifact contract).
+    */
+  def wordPieceVocab(wordTable: DataFrame, merges: Seq[(String, String)]): Seq[String] = {
+    val spark = wordTable.sparkSession
+    import spark.implicits._
+    val init = wordTable.select(explode(col("syms")).as("s"))
+      .distinct().as[String].collect().toSeq
+    (init ++ merges.map { case (a, b) => wpMergedSym(a, b) }).distinct
+  }
+
+  /** Tokenize a word set against a WordPiece vocabulary with BERT's
+    * greedy longest-match-first rule — NOT the trainer's merge order:
+    * serving from the flat vocabulary is WordPiece's defining difference
+    * from BPE, whose tokenizer must replay merges in sequence. The vocab
+    * rides as expression data through the native
+    * [[graft.functions.WordPieceEncodeExpr]] (one narrow tree node, zero
+    * shuffles); a word unsegmentable under the vocabulary becomes
+    * `[UNK]`. Input: a frame with column `w`; output: (w, toks).
+    */
+  def wordPieceTokens(words: DataFrame, vocab: Seq[String]): DataFrame =
+    words.select(col("w"),
+      graft.functions.wordpiece_encode(col("w"), vocab).as("toks"))
 
   /** Tokenize a word set with a learned merge list ([[bpeMerges]] output):
     * per word, start from characters and apply each merge rule IN ORDER
@@ -698,6 +833,116 @@ object TextOps {
     lmScore(lmPairs(lmTokens(docs, id, text)),
       spark.read.parquet(s"$dir/vocab"),
       spark.read.parquet(s"$dir/bigrams"), lambda, pplThreshold)
+  }
+
+  /** Interpolated KNESER-NEY bigram LM — the smoothing KenLM ships and
+    * therefore what the published CCNet pipeline actually scores with
+    * (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form).
+    * [[lmPerplexityFilter]] is the teaching smoothing (constant-λ add-one
+    * interpolation); this is the production one. Two ideas it adds:
+    *
+    *  - ABSOLUTE DISCOUNTING: every seen bigram's count is discounted by
+    *    a fixed D and exactly the freed mass is handed to the fallback —
+    *    the interpolation weight is per-context (D·N1+(w1·)/c(w1·)), not
+    *    a global λ.
+    *  - CONTINUATION PROBABILITY: the fallback asks "after how many
+    *    DISTINCT contexts does w2 appear?" (N1+(·w2)), not "how often?".
+    *    The classic "Francisco" effect: a frequent word welded to one
+    *    context ("francisco" after "san") gets low fallback mass, where
+    *    a unigram fallback would rank it high everywhere.
+    *
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) + D·N1+(w1·)/c(w1·)·pc(w2)
+    *   pc(w2)   = (N1+(·w2) + 1)/(N1+(··) + |V| + 1)  (add-one: OOV > 0)
+    *
+    * D is fixed at 3/4 (the standard fixed discount; exact in binary, so
+    * max(c−D,0)/c(w1·) is computed as greatest(4c−3,0)/(4·c(w1·)) over
+    * exact integers). A w1 with no retained context backs off to pc(w2)
+    * alone. ALL model ingredients — c(w1·), both N1+ counts, the type
+    * total — derive from the PRUNED bigram table, so a stored artifact
+    * (the same `vocab/` + `bigrams/` layout [[writeLmModel]] emits)
+    * reproduces serving exactly: stored ≡ fresh BY CONSTRUCTION.
+    *
+    * Determinism: the per-pair probability is a fixed tree of
+    * correctly-rounded IEEE ops over exact integers — two divisions, one
+    * multiply, one add, written identically in the oracle (the q175
+    * discipline) — and the per-doc sum is the q119 sorted fold.
+    *
+    * 100 TB design: identical to q175's — the model is bounded
+    * (maxV + maxB rows; the derived context/continuation tables are
+    * strictly smaller) and BROADCASTS into the scoring joins; the corpus
+    * side is one explode + per-(doc, bigram) partial aggregation.
+    * Output: id, n_bigrams, h, ppl, keep.
+    */
+  def knPerplexityFilter(docs: DataFrame, id: Column, text: Column,
+      refFilter: Column, maxV: Int, maxB: Int,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = lmPairs(base).persistScoped()
+    val (vocab, bigrams) = lmTrain(base.filter(col("is_ref")),
+      pairs.filter(col("is_ref")), maxV, maxB)
+    knScore(pairs, vocab, bigrams, pplThreshold)
+  }
+
+  /** Score per-doc pairs with Kneser-Ney against a (vocab, bigrams) model
+    * — the shared serving core of the direct and stored-model paths. The
+    * discount statistics (c(w1·), N1+(w1·), N1+(·w2), N1+(··)) are
+    * derived HERE from the pruned bigram table: they are exact integers,
+    * so deriving at serving time (instead of storing) keeps the artifact
+    * layout identical to [[writeLmModel]]'s while guaranteeing
+    * stored ≡ fresh.
+    */
+  private def knScore(pairs: DataFrame, vocab: DataFrame, bigrams: DataFrame,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val big = bigrams.persistScoped() // ≤ maxB rows; feeds three derivations
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("bc")).as("c1b"), count(lit(1)).as("n1f"))
+    val cw = big.groupBy(col("w2")).agg(count(lit(1)).as("ncw"))
+    val tot = big.agg(count(lit(1)).as("ntot"))
+      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
+    val dn = pairs.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    // pc computed once as a column so the discounted and backoff branches
+    // use the identical double (same expression tree as the oracle's)
+    val pcExpr = (coalesce(col("ncw"), lit(0L)) + 1).cast("double") /
+      (col("ntot") + col("nv") + 1).cast("double")
+    val pKn = greatest(lit(4) * coalesce(col("bc"), lit(0L)) - 3, lit(0L))
+        .cast("double") / (lit(4) * col("c1b")).cast("double") +
+      (lit(3) * col("n1f")).cast("double") /
+        (lit(4) * col("c1b")).cast("double") * col("pc")
+    val scored = dn
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(cw), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pc", pcExpr)
+      .withColumn("lp",
+        log(when(col("c1b").isNotNull, pKn).otherwise(col("pc"))))
+    scored.groupBy(col("id"))
+      .agg(sum(col("n")).as("m"),
+        sort_array(collect_list(struct(col("w1"), col("w2"),
+          (col("n").cast("double") * col("lp")).as("v")))).as("ts"))
+      .select(col("id"), col("m").as("n_bigrams"),
+        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
+          .as("h"))
+      .withColumn("ppl", round(exp(col("h")), 4))
+      .withColumn("keep", col("ppl") <= pplThreshold)
+  }
+
+  /** Kneser-Ney scoring against a [[writeLmModel]] artifact — the KN
+    * model IS the same (vocab, bigrams) parquet pair (the discount
+    * statistics derive from the pruned tables at load), so one stored
+    * artifact serves both smoothings.
+    */
+  def knScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
+      dir: String, pplThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    knScore(lmPairs(lmTokens(docs, id, text)),
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/bigrams"), pplThreshold)
   }
 
   /** fastText-style hashed linear quality classifier — the SERVING shape

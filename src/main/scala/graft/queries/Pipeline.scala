@@ -2946,6 +2946,268 @@ object Pipeline {
     s"""WITH ${uniCteChain(UniRounds, applyFinal = false, uniUwByte)}
        |SELECT piece, c AS cnt, s AS score_micro FROM us$UniRounds""".stripMargin
 
+  // ===== q211 Kneser-Ney perplexity filter ================================
+  // The PRODUCTION smoothing for the CCNet stage (KenLM's interpolated
+  // Kneser-Ney — q175's add-one interpolation is the teaching form):
+  // absolute discounting (D = 3/4, exact in binary) with per-context
+  // interpolation weight D·N1+(w1·)/c(w1·), and the fallback is the
+  // CONTINUATION probability N1+(·w2) (distinct predecessors), not the
+  // unigram count — the "Francisco" effect. Every model ingredient is an
+  // exact integer derived from the PRUNED bigram table; the per-pair
+  // probability is a fixed IEEE expression tree written identically here
+  // and in the engine; per-doc sum via the q119 sorted fold. Same
+  // training slice / pruning / corpus plumbing as q175, so the two rows
+  // differ ONLY in smoothing — an auditable substitution.
+
+  private val KnPplThresh = 35.5 // splits the fixture ~half/half at sf0.01
+
+  private def q211(t: Tables): DataFrame =
+    TextOps.knPerplexityFilter(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, LmMaxV, LmMaxB, KnPplThresh)
+
+  private val q211Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, ws FROM w0 WHERE len(ws) >= 2),
+       |ru AS (SELECT w, count(*) AS uc FROM (
+       |    SELECT unnest(ws) AS w FROM d WHERE id % 10 = 0) GROUP BY 1),
+       |voc AS (SELECT w, uc FROM ru ORDER BY uc DESC, w LIMIT $LmMaxV),
+       |ap AS (SELECT id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+       |    SELECT id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
+       |rb AS (SELECT w1, w2, count(*) AS bc FROM ap
+       |       JOIN voc v1 ON ap.w1 = v1.w JOIN voc v2 ON ap.w2 = v2.w
+       |       WHERE id % 10 = 0 GROUP BY 1, 2),
+       |big AS (SELECT w1, w2, bc FROM rb ORDER BY bc DESC, w1, w2 LIMIT $LmMaxB),
+       |ctx AS (SELECT w1, CAST(sum(bc) AS BIGINT) AS c1b,
+       |               CAST(count(*) AS BIGINT) AS n1f FROM big GROUP BY 1),
+       |cw AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncw FROM big GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT count(*) FROM big) AS BIGINT) AS ntot,
+       |               CAST((SELECT count(*) FROM voc) AS BIGINT) AS nv),
+       |dn AS (SELECT id, w1, w2, count(*) AS n FROM ap GROUP BY 1, 2, 3),
+       |sc AS (SELECT dn.id, dn.w1, dn.w2, dn.n,
+       |    ln(CASE WHEN c.c1b IS NOT NULL THEN
+       |        CAST(greatest(4 * COALESCE(b.bc, 0) - 3, 0) AS DOUBLE)
+       |          / CAST(4 * c.c1b AS DOUBLE)
+       |        + CAST(3 * c.n1f AS DOUBLE) / CAST(4 * c.c1b AS DOUBLE)
+       |          * (CAST(COALESCE(p.ncw, 0) + 1 AS DOUBLE)
+       |             / CAST(ntot + nv + 1 AS DOUBLE))
+       |      ELSE CAST(COALESCE(p.ncw, 0) + 1 AS DOUBLE)
+       |           / CAST(ntot + nv + 1 AS DOUBLE) END) AS lp
+       |  FROM dn
+       |  LEFT JOIN big b ON dn.w1 = b.w1 AND dn.w2 = b.w2
+       |  LEFT JOIN ctx c ON dn.w1 = c.w1
+       |  LEFT JOIN cw p ON dn.w2 = p.w2
+       |  CROSS JOIN tot),
+       |f AS (SELECT id, CAST(sum(n) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list({'w1': w1, 'w2': w2, 'v': n * lp})),
+       |        x -> x.v)), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY id),
+       |g AS (SELECT id, m AS n_bigrams, round(-s / m, 4) AS h FROM f)
+       |SELECT id, n_bigrams, h, round(exp(h), 4) AS ppl,
+       |  (round(exp(h), 4) <= $KnPplThresh) AS keep FROM g""".stripMargin
+
+  // ===== q212 stored-model Kneser-Ney scoring =============================
+  // The KN model IS q176's stored artifact — the same vocab/ + bigrams/
+  // parquet pair (discount statistics derive from the pruned tables at
+  // load, exact integers, so stored ≡ fresh BY CONSTRUCTION) — proving
+  // one artifact serves both smoothings; this row deliberately reuses
+  // q176's cached build. Oracle = q211's verbatim: the model-integrity
+  // contract on the KN serving path.
+
+  private def q212(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"lm_model_v1_${LmMaxV}_$LmMaxB") { d =>
+      TextOps.writeLmModel(
+        graft.Fanout(t.documents.filter(col("doc_id") % 10 === 0)),
+        col("doc_id"), col("text"), LmMaxV, LmMaxB, d)
+    }
+    TextOps.knScoreAgainstModel(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), dir, KnPplThresh)
+  }
+
+  // ===== q213/q214 WordPiece tokenizer ====================================
+  // The THIRD tokenizer family member (BERT's; q156 BPE, q203 unigram-LM):
+  // induction merges the adjacent pair maximizing the LIKELIHOOD score
+  // count(ab)/(count(a)·count(b)) — one correctly-rounded double division
+  // of exact-in-double integers, ties (sym_a, sym_b) lexicographic — and
+  // serving is greedy LONGEST-MATCH-FIRST against the flat vocabulary
+  // (not the merge sequence — WordPiece's defining difference from BPE).
+  // The induction oracle unrolls rounds as MATERIALIZED CTEs (the q156
+  // discipline) with a symbol-count CTE joined per round; the serving
+  // oracle precomputes a per-(word, position) longest-match table and
+  // walks it with a recursive CTE — greedy matching is deterministic, so
+  // the walk is a chain, never a search.
+
+  private val WpRounds = 8
+
+  /** The WordPiece trainer's oracle chain: wp0..wpN word tables,
+    * ws1..wsN symbol counts, wq1..wqN chosen merges.
+    */
+  private def wpCteChain(rounds: Int, applyLast: Boolean): String = {
+    def symCte(i: Int): String =
+      s"""ws$i AS MATERIALIZED (
+         |  SELECT u.s AS s, CAST(sum(n) AS BIGINT) AS c
+         |  FROM wp${i - 1}, unnest(syms) AS u(s) GROUP BY 1)""".stripMargin
+    def pickCte(i: Int): String =
+      s"""wq$i AS MATERIALIZED (
+         |  SELECT a, b, cnt, ca, cb FROM (
+         |    SELECT pc.a, pc.b, pc.cnt, sa.c AS ca, sb.c AS cb,
+         |      CAST(pc.cnt AS DOUBLE) / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score
+         |    FROM (SELECT u.p.a AS a, u.p.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |          FROM wp${i - 1}, unnest(list_transform(range(1, len(syms)),
+         |            j -> {'a': syms[j], 'b': syms[j + 1]})) AS u(p)
+         |          WHERE len(syms) >= 2 GROUP BY 1, 2) pc
+         |    JOIN ws$i sa ON pc.a = sa.s
+         |    JOIN ws$i sb ON pc.b = sb.s)
+         |  ORDER BY score DESC, a, b LIMIT 1)""".stripMargin
+    def applyCte(i: Int): String =
+      s"""wp$i AS MATERIALIZED (
+         |  SELECT w, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = wq$i.a
+         |          AND x[1] = wq$i.b
+         |        THEN list_append(acc[1:len(acc) - 1], wq$i.a ||
+         |          CASE WHEN wq$i.b[1:2] = '##' THEN wq$i.b[3:] ELSE wq$i.b END)
+         |        ELSE list_append(acc, x[1]) END) AS syms, n
+         |  FROM wp${i - 1} CROSS JOIN wq$i)""".stripMargin
+    val roundsSql = (1 to rounds).map(i =>
+      symCte(i) + ",\n" + pickCte(i) +
+        (if (i < rounds || applyLast) ",\n" + applyCte(i) else ""))
+      .mkString(",\n")
+    s"""wp0 AS MATERIALIZED (
+       |  SELECT w, list_transform(range(1, len(w) + 1),
+       |    i -> CASE WHEN i = 1 THEN w[i:i] ELSE '##' || w[i:i] END) AS syms, n
+       |  FROM (SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w FROM documents) GROUP BY w)),
+       |$roundsSql""".stripMargin
+  }
+
+  private def q213(t: Tables): DataFrame =
+    TextOps.wordPieceMerges(graft.Fanout(t.documents), col("text"), WpRounds,
+      requireFull = true) // the oracle unrolls exactly WpRounds CTE rounds
+
+  private val q213Sql = {
+    val sel = (1 to WpRounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count, ca AS cnt_a, cb AS cnt_b FROM wq$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${wpCteChain(WpRounds, applyLast = false)}
+       |$sel""".stripMargin
+  }
+
+  private def q214(t: Tables): DataFrame = {
+    val wt = TextOps.wordPieceWordTable(graft.Fanout(t.documents), col("text"))
+    val merges = TextOps.wordPieceMerges(graft.Fanout(t.documents),
+      col("text"), WpRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .select(col("sym_a"), col("sym_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextOps.wordPieceTokens(wt.select(col("w")).distinct(),
+      TextOps.wordPieceVocab(wt, merges))
+      .select(col("w"), size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), " ").as("toks_str"))
+  }
+
+  private val q214Sql = {
+    // vocab = wp0's initial symbols ∪ every round's merge product
+    val products = (1 to WpRounds).map(i =>
+      s"SELECT a || CASE WHEN b[1:2] = '##' THEN b[3:] ELSE b END AS s FROM wq$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE ${wpCteChain(WpRounds, applyLast = false)},
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM wp0),
+       |pv AS MATERIALIZED (
+       |  SELECT DISTINCT (s[1:2] = '##') AS cont,
+       |    CASE WHEN s[1:2] = '##' THEN s[3:] ELSE s END AS piece, s AS sym,
+       |    len(CASE WHEN s[1:2] = '##' THEN s[3:] ELSE s END) AS plen
+       |  FROM (SELECT unnest(syms) AS s FROM wp0
+       |  UNION ALL $products)),
+       |posn AS (SELECT w, unnest(generate_series(1, len(w))) AS pos FROM words),
+       |lm AS MATERIALIZED (
+       |  SELECT w, pos, arg_max(sym, plen) AS sym, max(plen) AS plen FROM (
+       |    SELECT p.w, p.pos, v.sym, v.plen FROM posn p JOIN pv v
+       |      ON ((p.pos = 1) = (NOT v.cont))
+       |     AND substr(p.w, p.pos, v.plen) = v.piece)
+       |  GROUP BY 1, 2),
+       |st AS (SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.pos + l.plen, list_append(s.toks, l.sym)
+       |  FROM st s JOIN lm l ON s.w = l.w AND s.pos = l.pos
+       |  WHERE s.pos <= len(s.w)),
+       |res AS (SELECT w, toks FROM st WHERE pos = len(w) + 1)
+       |SELECT wd.w,
+       |  CAST(CASE WHEN r.w IS NULL THEN 1 ELSE len(r.toks) END AS BIGINT) AS n_toks,
+       |  CASE WHEN r.w IS NULL THEN '[UNK]'
+       |       ELSE array_to_string(r.toks, ' ') END AS toks_str
+       |FROM words wd LEFT JOIN res r ON wd.w = r.w""".stripMargin
+  }
+
+  // ===== q215 IVF-SQ8 scalar-quantized ANN ================================
+  // The third compressed-index family member (FAISS's
+  // IndexIVFScalarQuantizer; q168 PQ, q208 residual-PQ): each dimension
+  // quantizes independently to one byte under a per-dim affine map —
+  // 4× smaller than float32 with a quantizer model of only 2·dim
+  // doubles. Approx scores are cosine against the RECONSTRUCTED vector,
+  // top-SqShort re-rank exactly on raw vectors (the shared refine
+  // discipline). Every step — float min/max stats, step = (mx−mn)/255,
+  // clamp(⌊(x−mn)/step + ½⌋), reconstruction, index-ordered folds,
+  // round-4, vec_id tie-break — is replayed verbatim by the oracle.
+
+  private val SqShort = 50
+
+  private def q215(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.sq8TopK(queries, e, IvfCells, IvfProbe, TopK, SqShort)
+  }
+
+  private val q215Sql = {
+    def best(src: String, id: String, vec: String, n: String) =
+      s"""SELECT $id, $vec, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.$id
+         |      ORDER BY round(${cosSql(s"s.$vec", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM $src s CROSS JOIN cents c) WHERE crn <= $n""".stripMargin
+    // 0D-init index-ordered fold — the engine's aggregate(_, 0D, +) exactly
+    def fsum(items: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $items), (p,q) -> p+q)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |lists AS MATERIALIZED (${best("e", "vec_id", "v", "1")}),
+       |probes AS (${best("q0", "q_id", "qv", IvfProbe.toString)}),
+       |stt AS (SELECT i AS d, min(v[i]) AS mn, (max(v[i]) - min(v[i])) / 255 AS step
+       |        FROM e, unnest(generate_series(1, $Dim)) AS t(i) GROUP BY 1),
+       |sta AS (SELECT list({'mn': mn, 'step': step} ORDER BY d) AS st FROM stt),
+       |codes AS MATERIALIZED (SELECT vec_id, cell,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> CASE WHEN st[i].step > 0
+       |        THEN least(greatest(CAST(floor((l.v[i] - st[i].mn) / st[i].step + 0.5) AS INT), 0), 255)
+       |        ELSE 0 END) AS c
+       |  FROM lists l CROSS JOIN sta),
+       |cand AS (SELECT p.q_id, q.qv, c.vec_id,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> st[i].mn + c.c[i] * st[i].step) AS rv
+       |  FROM probes p JOIN codes c ON p.cell = c.cell AND c.vec_id <> p.q_id
+       |  JOIN q0 q ON q.q_id = p.q_id CROSS JOIN sta),
+       |appr AS (SELECT q_id, vec_id, round(
+       |    ${fsum(s"list_transform(generate_series(1, $Dim), i -> qv[i]*rv[i])")}
+       |    / (sqrt(${fsum("list_transform(qv, x -> x*x)")})
+       |       * sqrt(${fsum("list_transform(rv, x -> x*x)")})), 4) AS score
+       |  FROM cand),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |    FROM appr) WHERE rn <= $SqShort),
+       |rr AS (SELECT sh.q_id, sh.vec_id, round(${cosSql("q.qv", "x.v")}, 4) AS score
+       |       FROM short sh JOIN q0 q USING (q_id) JOIN e x ON sh.vec_id = x.vec_id),
+       |r AS (SELECT q_id, vec_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |      FROM rr)
+       |SELECT q_id, vec_id, score, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+  }
+
   private def q204(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     val dir = cachedIndexDir(t.dir,
@@ -5206,7 +5468,12 @@ object Pipeline {
     "q207_span_removal" -> wrap(q207),
     "q208_ann_pq_residual" -> wrap(q208),
     "q209_ann_pqr_stored" -> wrap(q209),
-    "q210_unigram_byte_level" -> wrap(q210)
+    "q210_unigram_byte_level" -> wrap(q210),
+    "q211_kn_perplexity" -> wrap(q211),
+    "q212_kn_stored_scoring" -> wrap(q212),
+    "q213_wordpiece_induction" -> wrap(q213),
+    "q214_wordpiece_tokenize" -> wrap(q214),
+    "q215_ann_sq8" -> wrap(q215)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5342,6 +5609,11 @@ object Pipeline {
     // stored-and-probed must equal the direct residual operator: q208's
     // oracle verbatim (the stored ≡ direct index contract)
     "q209_ann_pqr_stored" -> q208Sql,
-    "q210_unigram_byte_level" -> q210Sql
+    "q210_unigram_byte_level" -> q210Sql,
+    "q211_kn_perplexity" -> q211Sql,
+    "q212_kn_stored_scoring" -> q211Sql,
+    "q213_wordpiece_induction" -> q213Sql,
+    "q214_wordpiece_tokenize" -> q214Sql,
+    "q215_ann_sq8" -> q215Sql
   )
 }

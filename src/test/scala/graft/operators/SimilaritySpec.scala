@@ -346,6 +346,48 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("SQ8: per-dim quantization error bounded by step/2; ADC-limited recall ~ raw-probe ceiling") {
+    // scalar quantization at 1 byte/dim (64 bytes/vector here) carries
+    // far more precision than the 8-byte PQ codes — with the shortlist
+    // squeezed to k (no re-rank rescue) its approx-cosine ranking should
+    // sit at the probed-cells ceiling itself (raw-list probe ~0.305 at
+    // nCells=16 nProbe=2 on the real sf0.01 embeddings)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    try {
+      def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      val exact = topSet(Similarity.bruteForceTopK(queries, emb, 10))
+      def recall(approx: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, e) =>
+          approx.getOrElse(q, Set.empty).count(e).toDouble / e.size
+        }.sum / exact.size
+      val sq = recall(topSet(
+        Similarity.sq8TopK(queries, emb, 16, 2, 10, shortlist = 10)))
+      info(s"SQ8 ADC-limited recall@10: $sq")
+      assert(sq >= 0.28, s"SQ8 shortlist=k recall floor: $sq (raw ceiling ~0.305)")
+      // quantization guarantee: |reconstruction − x| ≤ step_d/2 per dim
+      // (+1 ulp slack), with step derived exactly as the operator does
+      val vecs = emb.as[(Long, Array[Float])].collect()
+      val dim = vecs.head._2.length
+      val mn = Array.tabulate(dim)(d => vecs.map(_._2(d).toDouble).min)
+      val mx = Array.tabulate(dim)(d => vecs.map(_._2(d).toDouble).max)
+      for ((_, v) <- vecs.take(50); d <- 0 until dim) {
+        val step = (mx(d) - mn(d)) / 255.0
+        if (step > 0) {
+          val code = math.min(255, math.max(0,
+            math.floor((v(d) - mn(d)) / step + 0.5).toInt))
+          val rec = mn(d) + code * step
+          assert(math.abs(rec - v(d)) <= step / 2 + 1e-12,
+            s"dim $d: |${rec} - ${v(d)}| > step/2 = ${step / 2}")
+        }
+      }
+    } finally graft.CacheScope.drain()
+  }
+
   test("residual-PQ index lifecycle: frozen-quantizer ingest, replay convergence, compaction probe-identical, deletion erases") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")

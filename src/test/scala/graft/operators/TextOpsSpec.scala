@@ -226,6 +226,153 @@ class TextOpsSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("wordPieceMerges: likelihood selection beats raw count") {
+    // (f,##g) occurs only 5 times but its parts occur nowhere else →
+    // score 5/(5·5) = 0.2; (a,##b) occurs 10 times but 'a' starts 20
+    // words → 10/(20·10) = 0.05. BPE's raw-count rule would merge
+    // (a,##b); WordPiece must pick (f,##g).
+    val docs = Seq(Seq.fill(10)("ab"), Seq.fill(10)("ac"), Seq.fill(5)("fg"))
+      .flatten.mkString(" ")
+    val m = TextOps.wordPieceMerges(Seq(docs).toDF("text"), $"text", 1)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    assert(m == Seq((1L, "f", "##g", 5L, 5L, 5L)))
+  }
+
+  test("wordPieceMerges: continuation merges keep '##'; products merge on") {
+    // "xyz"×4: syms [x, ##y, ##z]; both pairs score 4/16; tie-break
+    // lexicographic → (##y, ##z) merges first, to "##yz" (the '##' of the
+    // RIGHT part is consumed, the left's kept); round 2 merges (x, ##yz)
+    // into the full word
+    val docs = Seq(Seq.fill(4)("xyz").mkString(" ")).toDF("text")
+    val m2 = TextOps.wordPieceMerges(docs, $"text", 2)
+      .as[(Long, String, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m2(0) == ((1L, "##y", "##z", 4L, 4L, 4L)))
+    assert(m2(1) == ((2L, "x", "##yz", 4L, 4L, 4L)))
+  }
+
+  test("wordPieceTokens: greedy longest-match-first; BERT UNK semantics") {
+    val words = Seq("abc", "abcd", "b", "abab").toDF("w")
+    val vocab = Seq("a", "ab", "##b", "##c", "##bc", "##ab")
+    val toks = TextOps.wordPieceTokens(words, vocab)
+      .as[(String, Seq[String])].collect().toMap
+    // longest FIRST match wins: "ab" beats "a" even though a + ##bc also
+    // yields two tokens
+    assert(toks("abc") == Seq("ab", "##c"))
+    // one unmatchable position fails the WHOLE word, not just the tail
+    assert(toks("abcd") == Seq("[UNK]"))
+    // 'b' exists only as a continuation — word-initial position can't use it
+    assert(toks("b") == Seq("[UNK]"))
+    assert(toks("abab") == Seq("ab", "##ab"))
+  }
+
+  test("wordPiece trainer vocab serves its own corpus: no UNK, exact round-trip") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"text")
+    val wt = TextOps.wordPieceWordTable(docs, $"text")
+    val merges = TextOps.wordPieceMerges(docs, $"text", 4)
+      .orderBy($"merge_round").as[(Long, String, String, Long, Long, Long)]
+      .collect().map(m => (m._2, m._3)).toSeq
+    assert(merges.size == 4)
+    val vocab = TextOps.wordPieceVocab(wt, merges)
+    val out = TextOps.wordPieceTokens(wt.select($"w").distinct(), vocab)
+      .as[(String, Seq[String])].collect()
+    assert(out.nonEmpty)
+    val bad = out.filter { case (w, ts) =>
+      ts == Seq("[UNK]") || ts.map(_.stripPrefix("##")).mkString != w }
+    assert(bad.isEmpty, bad.take(3).toSeq)
+  }
+
+  test("knPerplexityFilter: Kneser-Ney vs an independent reimplementation") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def toks(s: String) = s.toLowerCase.split("""\s+""").filter(_.nonEmpty).toSeq
+    // from-scratch interpolated-KN scorer (D = 3/4): no shared code
+    def expected(refs: Seq[String], target: String, maxV: Int, maxB: Int)
+        : Option[(Long, Double, Double)] = {
+      val refDocs = refs.map(toks).filter(_.length >= 2)
+      val uni = refDocs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val voc = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(maxV).toMap
+      val big = refDocs
+        .flatMap(_.sliding(2).filter(_.length == 2).map(p => (p.head, p(1))))
+        .filter { case (a, b) => voc.contains(a) && voc.contains(b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(maxB).toMap
+      val c1b = big.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val n1f = big.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+      val ncw = big.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+      val ntot = big.size.toLong; val nv = voc.size.toLong
+      val ws = toks(target)
+      if (ws.length < 2) None else {
+        val pairs = ws.sliding(2).map(p => (p.head, p(1))).toSeq
+        val grouped = pairs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+        var s = 0.0
+        grouped.foreach { case ((w1, w2), n) =>
+          val pc = (ncw.getOrElse(w2, 0L) + 1).toDouble / (ntot + nv + 1).toDouble
+          val p = c1b.get(w1) match {
+            case Some(cb) =>
+              math.max(4 * big.getOrElse((w1, w2), 0L) - 3, 0L).toDouble /
+                (4 * cb).toDouble +
+                (3 * n1f(w1)).toDouble / (4 * cb).toDouble * pc
+            case None => pc
+          }
+          s += n * math.log(p)
+        }
+        val h = r4(-s / pairs.length)
+        Some((pairs.length.toLong, h, r4(math.exp(h))))
+      }
+    }
+    // "francisco" is frequent but welded to one context ("san"); "cat"
+    // has the same unigram count spread over many predecessors
+    val refs = Seq(
+      "san francisco san francisco san francisco san francisco",
+      "a cat the cat my cat one cat",
+      "a b a b")
+    val targets = Seq(10L -> "san francisco cat", 11L -> "zzz francisco",
+      12L -> "zzz cat", 13L -> "x")
+    val docs = (refs.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      targets.map { case (i, t) => (i, t) }).toDF("doc_id", "text")
+    for (maxV <- Seq(20, 4)) { // un-pruned, and pruned vocab
+      val out = TextOps.knPerplexityFilter(docs, col("doc_id"), col("text"),
+          col("doc_id") < 10, maxV, 20, pplThreshold = 20.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(!out.contains(13L), "single-token doc must drop")
+      for ((id, text) <- targets.take(3) ++ refs.zipWithIndex.map(z => (z._2.toLong, z._1))) {
+        val (m, h, ppl) = expected(refs, text, maxV, 20).get
+        assert(out(id) == ((id, m, h, ppl, ppl <= 20.0)),
+          (maxV, id, out(id), (m, h, ppl)))
+      }
+      // the Francisco effect: after an OOV context both words back off to
+      // their CONTINUATION probability — "francisco" (1 distinct
+      // predecessor) must score strictly worse than "cat" (4 distinct
+      // predecessors), even though their unigram counts are equal. Only
+      // meaningful un-pruned: maxV=4 prunes cat's rarer predecessors out
+      // of the bigram table, collapsing both continuation counts to 1.
+      if (maxV == 20)
+        assert(out(11L)._4 > out(12L)._4,
+          s"continuation effect lost: ${out(11L)} vs ${out(12L)}")
+    }
+  }
+
+  test("knScoreAgainstModel: the stored LM artifact serves KN identically") {
+    val docs = Seq(
+      (0L, "san francisco san francisco a cat the cat"), (1L, "a b a b"),
+      (10L, "san francisco cat"), (11L, "zzz francisco"), (12L, "x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kn-model").toString
+    try {
+      // the SAME artifact writeLmModel emits — one stored model, two smoothings
+      TextOps.writeLmModel(docs.filter($"doc_id" < 10), col("doc_id"),
+        col("text"), 20, 20, dir)
+      val stored = TextOps.knScoreAgainstModel(docs, col("doc_id"),
+          col("text"), dir, pplThreshold = 20.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val direct = TextOps.knPerplexityFilter(docs, col("doc_id"),
+          col("text"), col("doc_id") < 10, 20, 20, 20.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(stored == direct && stored.nonEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
   test("hashedLinearScore: exact fold against an independent reimplementation") {
     // independent scorer: same hash contract (first 7 md5 hex chars),
     // written from scratch — pins feature construction (unigrams + space-
