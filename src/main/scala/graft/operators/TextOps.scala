@@ -375,6 +375,36 @@ object TextOps {
     words.select(col("w"),
       graft.functions.wordpiece_encode(col("w"), vocab).as("toks"))
 
+  /** Persist a trained WordPiece tokenizer to `dir` — `vocab/` (the flat
+    * serving vocabulary, one symbol per row with a stable `ord` for
+    * deterministic reload order) and `merges/` (the audit trail of how
+    * it was built, [[wordPieceMerges]]' output). The model-artifact
+    * pattern ([[writeBpeModel]]'s sibling): strings round-trip parquet
+    * losslessly and greedy longest-match-first depends only on SET
+    * membership, so stored-and-applied ≡ freshly-trained.
+    */
+  def writeWordPieceModel(wordTable: DataFrame, merges: DataFrame,
+      dir: String): Unit = {
+    val spark = wordTable.sparkSession
+    import spark.implicits._
+    val ms = merges.orderBy(col("merge_round"))
+      .select(col("sym_a"), col("sym_b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    wordPieceVocab(wordTable, ms).zipWithIndex
+      .toDF("sym", "ord").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Load a [[writeWordPieceModel]] vocabulary — the bounded driver-side
+    * artifact [[wordPieceTokens]] ships as expression data.
+    */
+  def loadWordPieceVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    spark.read.parquet(s"$dir/vocab").orderBy(col("ord"))
+      .select(col("sym")).collect().map(_.getString(0)).toSeq
+
   /** Tokenize a word set with a learned merge list ([[bpeMerges]] output):
     * per word, start from characters and apply each merge rule IN ORDER
     * with the same exact greedy left-to-right stack fold the trainer used.

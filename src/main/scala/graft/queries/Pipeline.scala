@@ -3142,6 +3142,30 @@ object Pipeline {
        |FROM words wd LEFT JOIN res r ON wd.w = r.w""".stripMargin
   }
 
+  // ===== q216 stored-WordPiece tokenization ===============================
+  // q214's production form: the flat serving vocabulary (initial symbols
+  // ∪ merge products) and the merge audit trail freeze into parquet (the
+  // q181/q204 tokenizer-artifact contract); serving tokenizes against
+  // the LOADED vocabulary with the identical greedy longest-match-first
+  // expression. Membership-set semantics round-trip parquet losslessly,
+  // so stored ≡ fresh — q214's oracle VERBATIM, the tokenizer-integrity
+  // contract on the third family.
+
+  private def q216(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, s"wp_model_v1_$WpRounds") { d =>
+      TextOps.writeWordPieceModel(
+        TextOps.wordPieceWordTable(graft.Fanout(t.documents), col("text")),
+        TextOps.wordPieceMerges(graft.Fanout(t.documents), col("text"),
+          WpRounds, requireFull = true), d)
+    }
+    val wt = TextOps.wordPieceWordTable(graft.Fanout(t.documents), col("text"))
+    TextOps.wordPieceTokens(wt.select(col("w")).distinct(),
+      TextOps.loadWordPieceVocab(spark, dir))
+      .select(col("w"), size(col("toks")).cast("long").as("n_toks"),
+        array_join(col("toks"), " ").as("toks_str"))
+  }
+
   // ===== q215 IVF-SQ8 scalar-quantized ANN ================================
   // The third compressed-index family member (FAISS's
   // IndexIVFScalarQuantizer; q168 PQ, q208 residual-PQ): each dimension
@@ -5473,7 +5497,8 @@ object Pipeline {
     "q212_kn_stored_scoring" -> wrap(q212),
     "q213_wordpiece_induction" -> wrap(q213),
     "q214_wordpiece_tokenize" -> wrap(q214),
-    "q215_ann_sq8" -> wrap(q215)
+    "q215_ann_sq8" -> wrap(q215),
+    "q216_wordpiece_stored" -> wrap(q216)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5614,6 +5639,9 @@ object Pipeline {
     "q212_kn_stored_scoring" -> q211Sql,
     "q213_wordpiece_induction" -> q213Sql,
     "q214_wordpiece_tokenize" -> q214Sql,
-    "q215_ann_sq8" -> q215Sql
+    "q215_ann_sq8" -> q215Sql,
+    // stored-and-applied must equal freshly-trained: q214's oracle
+    // verbatim (the tokenizer-integrity contract)
+    "q216_wordpiece_stored" -> q214Sql
   )
 }

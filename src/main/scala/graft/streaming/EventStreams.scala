@@ -712,6 +712,56 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming Kneser-Ney quality filtering — [[lmScoreIngest]]'s sibling
+    * with the PRODUCTION smoothing
+    * ([[graft.operators.TextOps.knScoreAgainstModel]]): the SAME stored
+    * LM artifact serves both smoothings (the discount statistics derive
+    * from the pruned tables at load), so an operator can switch add-one →
+    * KN online without retraining or re-shipping a model. Per-batch
+    * report under `batch=<id>`, overwrite mode, replay-idempotent;
+    * the model never adapts to the stream it filters.
+    */
+  def knScoreIngest(modelDir: String, outDir: String, pplThreshold: Double)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.knScoreAgainstModel(batch.toDF(),
+          col("doc_id"), col("text"), modelDir, pplThreshold)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Streaming WordPiece tokenization — [[unigramTokenizeIngest]]'s
+    * sibling over a stored
+    * [[graft.operators.TextOps.writeWordPieceModel]] artifact: each
+    * micro-batch tokenizes its DISTINCT words through the frozen
+    * vocabulary (greedy longest-match-first as expression data — one
+    * bounded model read per batch) and writes per-doc
+    * (id, n_tokens, n_unk) under `batch=<id>` — overwrite mode,
+    * replay-idempotent. Unsegmentable words count as ONE `[UNK]` token
+    * and are tallied separately: a rising n_unk is the drift signal that
+    * triggers a retrain-and-swap, never an in-stream vocab update.
+    */
+  def wordPieceTokenizeIngest(modelDir: String, outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.{col, explode, expr, size, sum, when, lit, element_at}
+      val spark = batch.sparkSession
+      val vocab = graft.operators.TextOps.loadWordPieceVocab(spark, modelDir)
+      val words = batch.select(explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .distinct()
+      val wt = graft.operators.TextOps.wordPieceTokens(words, vocab)
+        .select(col("w"), size(col("toks")).cast("long").as("nt"),
+          when(element_at(col("toks"), 1) === lit("[UNK]"), 1L).otherwise(0L)
+            .as("unk"))
+      batch.select(col("id"), explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+        .join(wt, Seq("w"))
+        .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"),
+          sum(col("unk")).as("n_unk"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming contrastive training-pair export — the serving twin of the
     * offline [[graft.operators.Retrieval.trainingPairs]] miner (q199):
     * each micro-batch of (id, text) SEED documents derives its query

@@ -282,6 +282,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).toSeq)
   }
 
+  test("writeWordPieceModel / loadWordPieceVocab: stored-and-applied ≡ freshly-trained") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"text")
+    val wt = TextOps.wordPieceWordTable(docs, $"text")
+    val mergesDf = TextOps.wordPieceMerges(docs, $"text", 3)
+    val merges = mergesDf.orderBy($"merge_round")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("wp-model").toString
+    try {
+      TextOps.writeWordPieceModel(wt, mergesDf, dir)
+      val stored = TextOps.loadWordPieceVocab(spark, dir)
+      assert(stored == TextOps.wordPieceVocab(wt, merges))
+      val fresh = TextOps.wordPieceTokens(wt.select($"w").distinct(),
+          TextOps.wordPieceVocab(wt, merges))
+        .as[(String, Seq[String])].collect().toSet
+      val viaStore = TextOps.wordPieceTokens(wt.select($"w").distinct(), stored)
+        .as[(String, Seq[String])].collect().toSet
+      assert(viaStore == fresh && fresh.nonEmpty)
+      // rebuild is overwrite-idempotent
+      TextOps.writeWordPieceModel(wt, mergesDf, dir)
+      assert(TextOps.loadWordPieceVocab(spark, dir) == stored)
+    } finally graft.CacheScope.drain()
+  }
+
   test("knPerplexityFilter: Kneser-Ney vs an independent reimplementation") {
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     def toks(s: String) = s.toLowerCase.split("""\s+""").filter(_.nonEmpty).toSeq

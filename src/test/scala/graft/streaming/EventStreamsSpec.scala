@@ -991,6 +991,93 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("knScoreIngest: KN serving over the SAME stored LM artifact; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("knscore").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"text")
+    // ONE artifact, two smoothings: this is writeLmModel's output serving KN
+    graft.operators.TextOps.writeLmModel(docs.filter($"doc_id" % 10 === 0),
+      col("doc_id"), col("text"), 500, 1000, model)
+    val rows = docs.filter($"doc_id" % 10 =!= 0)
+      .as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(EventStreams.knScoreIngest(model, out, 40.0))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      def streamed() = spark.read.parquet(out)
+        .select("id", "n_bigrams", "h", "ppl", "keep")
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val offline = graft.operators.TextOps.knScoreAgainstModel(
+          rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          model, 40.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      // KN scores differ from add-one scores over the identical artifact
+      val addOne = graft.operators.TextOps.lmScoreAgainstModel(
+          rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          model, 0.7, 40.0)
+        .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+      assert(addOne.map(r => (r._1, r._4)) != offline.map(r => (r._1, r._4)),
+        "KN must not degenerate into the add-one smoothing")
+      val sink = EventStreams.knScoreIngest(model, out, 40.0)
+      sink(b1.toDF("doc_id", "text"), 1)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
+  test("wordPieceTokenizeIngest: streamed docs tokenize against the stored vocab; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("wptok").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    val wt = graft.operators.TextOps.wordPieceWordTable(docs, $"text")
+    graft.operators.TextOps.writeWordPieceModel(wt,
+      graft.operators.TextOps.wordPieceMerges(docs, $"text", 3), model)
+    val rows = docs.filter($"id" < 40).as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.wordPieceTokenizeIngest(model, out))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      def streamed() = spark.read.parquet(out)
+        .select("id", "n_tokens", "n_unk")
+        .as[(Long, Long, Long)].collect().toSet
+      val vocab = graft.operators.TextOps.loadWordPieceVocab(spark, model)
+      val words = docs.filter($"id" < 40)
+        .select($"id", explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      val wtoks = graft.operators.TextOps.wordPieceTokens(
+        words.select($"w").distinct(), vocab)
+        .select($"w", size($"toks").cast("long").as("nt"),
+          when(element_at($"toks", 1) === "[UNK]", 1L).otherwise(0L).as("unk"))
+      val offline = words.join(wtoks, Seq("w"))
+        .groupBy($"id").agg(sum($"nt").as("n_tokens"), sum($"unk").as("n_unk"))
+        .as[(Long, Long, Long)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      // the vocab was trained on the full corpus word table, so the
+      // served slice segments without UNK (the drift signal stays 0)
+      assert(s1.forall(_._3 == 0L))
+      val sink = EventStreams.wordPieceTokenizeIngest(model, out)
+      sink(b1.toDF("id", "text"), 1)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("trainingPairIngest: streamed seeds export pairs against frozen artifacts; serving ≡ offline; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
