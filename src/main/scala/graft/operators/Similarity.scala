@@ -772,45 +772,22 @@ object Similarity {
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, nCells: Int,
       nProbe: Int, k: Int, shortlist: Int = 50): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val cents = centroidsOf(corpus, nCells)
     val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
       .persistScoped() // feeds the stats pass, the candidate join, re-rank
-    // per-dim affine params: ONE map-side-combined (dim)-cell aggregate,
-    // driver-collected as the bounded quantizer artifact (2·dim doubles)
-    val st = lists.select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("d"))
-      .agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
-      .orderBy(col("d")).collect()
-    require(st.length == dim, s"stats covered ${st.length} of $dim dims")
-    val mn = st.map(_.getDouble(1)).toSeq
-    val step = st.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
-    val mnL = typedLit(mn)
-    val stepL = typedLit(step)
-    def mAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
-    def sAt(i: Column) = element_at(stepL, (i + 1).cast("int"))
+    val (mnL, stepL) = sq8Lits(sq8Stats(lists))
     val codes = lists.select(col("vec_id"), col("cell"),
-      transform(col("embedding"), (x, i) =>
-        when(sAt(i) > lit(0.0),
-          least(greatest(
-            floor((x.cast("double") - mAt(i)) / sAt(i) + lit(0.5)).cast("int"),
-            lit(0)), lit(255)))
-          .otherwise(lit(0))).as("codes"))
+      sq8EncodeCol(col("embedding"), mnL, stepL).as("codes"))
     val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
     val q0 = queries.select(col("q_id"), col("q_vec"),
       expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("qv"))
       .persistScoped() // feeds the approx scoring and the re-rank
-    def fsum(arr: Column) = aggregate(arr, lit(0.0), (a, v) => a + v)
     val scored = codes
       .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .join(broadcast(q0.select(col("q_id"), col("qv"))), Seq("q_id"))
-      .withColumn("rv", transform(col("codes"), (c, i) => mAt(i) + c * sAt(i)))
       .select(col("q_id"), col("vec_id"),
-        round(fsum(zip_with(col("qv"), col("rv"), (x, y) => x * y)) /
-          (sqrt(fsum(transform(col("qv"), x => x * x))) *
-            sqrt(fsum(transform(col("rv"), x => x * x)))), 4).as("score"))
+        sq8ApproxScore(col("qv"), col("codes"), mnL, stepL).as("score"))
     val sl = rankTopK(scored, shortlist).select(col("q_id"), col("vec_id"))
     val rs = sl
       .join(broadcast(q0.select(col("q_id"), col("q_vec"))), Seq("q_id"))
@@ -818,6 +795,164 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_vec"), col("embedding")), 4).as("score"))
     rankTopK(rs, k)
+  }
+
+  /** Per-dim SQ8 quantizer params of a vector frame: (d, mn, step) — dim
+    * rows from ONE map-side-combined aggregate. step = (mx − mn)/255 is
+    * computed HERE (one double division) so build, ingest, direct probe
+    * and oracle all share the identical value.
+    */
+  private def sq8Stats(vectors: DataFrame): DataFrame =
+    vectors.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        ((max(col("x").cast("double")) - min(col("x").cast("double"))) / 255.0)
+          .as("step"))
+
+  /** Collect a [[sq8Stats]] frame into the two expression-data literals
+    * the encode/score columns consume — 2·dim doubles, the bounded
+    * quantizer artifact (the PQ-codebook pattern).
+    */
+  private def sq8Lits(stats: DataFrame): (Column, Column) = {
+    val rows = stats.orderBy(col("d")).collect()
+    (typedLit(rows.map(_.getDouble(1)).toSeq),
+      typedLit(rows.map(_.getDouble(2)).toSeq))
+  }
+
+  /** SQ8 encode: code_d = clamp(⌊(x_d − mn_d)/step_d + ½⌋, 0, 255)
+    * (constant dims → 0) — one narrow `transform`, shared by the direct
+    * operator, the stored build, and ingest so encoding cannot drift.
+    */
+  private def sq8EncodeCol(vec: Column, mnL: Column, stepL: Column): Column = {
+    def mAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
+    def sAt(i: Column) = element_at(stepL, (i + 1).cast("int"))
+    transform(vec, (x, i) =>
+      when(sAt(i) > lit(0.0),
+        least(greatest(
+          floor((x.cast("double") - mAt(i)) / sAt(i) + lit(0.5)).cast("int"),
+          lit(0)), lit(255)))
+        .otherwise(lit(0)))
+  }
+
+  /** SQ8 approx score: round-4 cosine of the query against the
+    * reconstructed vector r_d = mn_d + code_d·step_d (index-ordered
+    * 0-init folds) — shared by the direct operator and the stored probe.
+    */
+  private def sq8ApproxScore(qv: Column, codes: Column,
+      mnL: Column, stepL: Column): Column = {
+    def mAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
+    def sAt(i: Column) = element_at(stepL, (i + 1).cast("int"))
+    def fsum(arr: Column) = aggregate(arr, lit(0.0), (a, v) => a + v)
+    val rv = transform(codes, (c, i) => mAt(i) + c * sAt(i))
+    round(fsum(zip_with(qv, rv, (x, y) => x * y)) /
+      (sqrt(fsum(transform(qv, x => x * x))) *
+        sqrt(fsum(transform(rv, x => x * x)))), 4)
+  }
+
+  /** Persist an IVF-SQ8 index — the FOURTH stored ANN layout (raw q145,
+    * PQ, residual-PQ): `centroids/`, `sqstats/` (the 2·dim-double
+    * quantizer — the frozen-model artifact of this family), cell-
+    * partitioned 1-byte-per-dim `codes/batch=0`, and the vec_id-sorted
+    * raw `vectors/batch=0` refine store. Compaction and deletion are the
+    * PQ layout's own schema-preserving ops
+    * ([[compactIvfIndexPQ]]/[[deleteFromIvfIndexPQ]]) — same store
+    * names, column-generic folds — so the lifecycle surface is shared,
+    * not reimplemented.
+    */
+  def writeIvfIndexSQ(corpus: DataFrame, dir: String, nCells: Int): Unit = {
+    val spark = corpus.sparkSession
+    val cents = centroidsOf(corpus, nCells)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
+      .persistScoped()
+    val stats = sq8Stats(lists).persistScoped()
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/sqstats")
+    val (mnL, stepL) = sq8Lits(stats)
+    lists.select(col("vec_id"),
+        sq8EncodeCol(col("embedding"), mnL, stepL).as("codes"),
+        col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
+    corpus.select(col("vec_id"), col("embedding"))
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/vectors/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Replay-safe incremental ingestion into a [[writeIvfIndexSQ]] index:
+    * the batch assigns against the FROZEN stored centroids and encodes
+    * against the FROZEN stored quantizer stats (deletion ≠ retraining —
+    * the frozen-quantizer contract of [[ingestIntoIvfIndexPQ]]; a batch
+    * value outside a dim's build-time [mn, mx] clamps to the range edge,
+    * the FAISS SQ behavior — quantizer drift is a rebuild-and-swap
+    * decision, surfaced by monitoring clamp rates, never an in-stream
+    * stats update), then OVERWRITES its own batch partitions.
+    */
+  def ingestIntoIvfIndexSQ(newVectors: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val (mnL, stepL) = sq8Lits(spark.read.parquet(s"$dir/sqstats"))
+    val e = Compaction.currentEpoch(spark, dir)
+    narrowBestCell(newVectors, cents, "vec_id", "embedding")
+      .select(col("vec_id"),
+        sq8EncodeCol(col("embedding"), mnL, stepL).as("codes"),
+        col("cell").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
+    newVectors.select(col("vec_id"), col("embedding"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "vectors", e)}/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Probe a [[writeIvfIndexSQ]] index: reconstruct-and-score against the
+    * cell-pruned codes scan (the stored quantizer rides as expression
+    * data), exact re-rank of the bounded shortlist through the refine
+    * store's pushed-down fetch — [[ivfTopKAgainstIndexPQR]]'s probe shape
+    * with per-dim affine reconstruction in place of the codebook LUT.
+    * Identical output to [[sq8TopK]] over the indexed corpus (stored ≡
+    * direct, hash-gated via q215's oracle).
+    */
+  def ivfTopKAgainstIndexSQ(queries: DataFrame, dir: String, nProbe: Int,
+      k: Int, shortlist: Int = 50,
+      inListMax: Int = DefaultInListMax): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val (mnL, stepL) = sq8Lits(spark.read.parquet(s"$dir/sqstats"))
+    val epoch = Compaction.currentEpoch(spark, dir)
+    val codes = spark.read.parquet(Compaction.epochPath(dir, "codes", epoch))
+    val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
+      .withColumn("cell", col("cell").cast("int"))
+    val q0 = queries.select(col("q_id"), col("q_vec"),
+      expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("qv"))
+      .persistScoped() // feeds the approx scan AND the exact-rerank join
+    val short = codes
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(q0.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("appr", sq8ApproxScore(col("qv"), col("codes"), mnL, stepL))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.topk_by_score(col("appr"), col("vec_id"), shortlist)
+        .as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+      .persistScoped() // feeds the id fetch AND the exact-rerank join
+    val idsDf = short.select(col("vec_id")).distinct()
+    val capped = idsDf.limit(inListMax + 1).collect()
+    val vecStore = spark.read.parquet(Compaction.epochPath(dir, "vectors", epoch))
+    val raw =
+      if (capped.length <= inListMax)
+        vecStore.filter(col("vec_id").isin(capped.map(_.getLong(0)).toSeq: _*))
+          .select(col("vec_id"), col("embedding"))
+      else
+        vecStore.join(idsDf, Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding"))
+    val rescored = short.join(raw, Seq("vec_id"))
+      .join(broadcast(q0.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .withColumn("score", round(cosine(col("q_vec"), col("embedding")), 4))
+    rankTopK(rescored, k)
   }
 
   /** Deterministic coordinate permutation for PQ subspace slicing — the

@@ -3142,6 +3142,24 @@ object Pipeline {
        |FROM words wd LEFT JOIN res r ON wd.w = r.w""".stripMargin
   }
 
+  // ===== q217 stored IVF-SQ8 index ========================================
+  // q215's production form: the FOURTH stored ANN layout (raw, PQ,
+  // residual-PQ, SQ8) — quantizer stats (2·dim doubles) frozen beside
+  // cell-partitioned 1-byte codes and the vec_id-sorted refine store;
+  // compaction/deletion are the PQ layout's schema-preserving ops,
+  // SHARED not reimplemented. Stored-and-probed ≡ the direct operator —
+  // q215's oracle VERBATIM (the q209 contract on the fourth family);
+  // the frozen-quantizer ingest lifecycle is spec-pinned.
+
+  private def q217(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = cachedIndexDir(t.dir, s"ivf_sq8_v1_$IvfCells")(
+      d => Similarity.writeIvfIndexSQ(e, d, IvfCells))
+    Similarity.ivfTopKAgainstIndexSQ(queries, dir, IvfProbe, TopK, SqShort)
+  }
+
   // ===== q216 stored-WordPiece tokenization ===============================
   // q214's production form: the flat serving vocabulary (initial symbols
   // ∪ merge products) and the merge audit trail freeze into parquet (the
@@ -5498,7 +5516,8 @@ object Pipeline {
     "q213_wordpiece_induction" -> wrap(q213),
     "q214_wordpiece_tokenize" -> wrap(q214),
     "q215_ann_sq8" -> wrap(q215),
-    "q216_wordpiece_stored" -> wrap(q216)
+    "q216_wordpiece_stored" -> wrap(q216),
+    "q217_ann_sq8_stored" -> wrap(q217)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5642,6 +5661,9 @@ object Pipeline {
     "q215_ann_sq8" -> q215Sql,
     // stored-and-applied must equal freshly-trained: q214's oracle
     // verbatim (the tokenizer-integrity contract)
-    "q216_wordpiece_stored" -> q214Sql
+    "q216_wordpiece_stored" -> q214Sql,
+    // stored-and-probed must equal the direct SQ8 operator: q215's
+    // oracle verbatim (the q209 contract on the fourth layout)
+    "q217_ann_sq8_stored" -> q215Sql
   )
 }

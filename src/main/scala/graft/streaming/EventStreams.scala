@@ -413,6 +413,31 @@ object EventStreams {
         .ingestIntoIvfIndexPQR(batch.toDF(), indexDir, batchId + 1)
     }
 
+  /** [[pqProbeIngest]] over the SQ8 layout — per-dim affine
+    * reconstruction in place of the codebook LUT, same read-only
+    * idempotent serving contract
+    * ([[graft.operators.Similarity.ivfTopKAgainstIndexSQ]]).
+    */
+  def sqProbeIngest(indexDir: String, outDir: String, nProbe: Int, k: Int,
+      shortlist: Int = 50)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ivfTopKAgainstIndexSQ(batch.toDF(), indexDir, nProbe, k, shortlist)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** [[pqIngest]] over the SQ8 layout — frozen centroids + frozen
+    * quantizer stats, replay-convergent own-partition overwrites
+    * ([[graft.operators.Similarity.ingestIntoIvfIndexSQ]]).
+    */
+  def sqIngest(indexDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      graft.operators.Similarity
+        .ingestIntoIvfIndexSQ(batch.toDF(), indexDir, batchId + 1)
+    }
+
   /** Streaming BM25 retrieval — [[annProbeIngest]]'s lexical twin: each
     * micro-batch of (q_id, term) query bags probes a stored
     * [[graft.operators.Retrieval.writeBm25Index]] posting index

@@ -388,6 +388,52 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("SQ8 index lifecycle: stored ≡ direct; frozen-quantizer ingest, replay convergence, compaction probe-identical, deletion erases") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-sq-lc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf-sq-full").toString
+    try {
+      def probe(d: String = dir) =
+        Similarity.ivfTopKAgainstIndexSQ(queries, d, 2, 10)
+          .select("q_id", "vec_id", "score", "rnk")
+          .as[(Long, Long, Double, Long)].collect().toSet
+      // stored ≡ direct over the same corpus (the gate contract, locally)
+      Similarity.writeIvfIndexSQ(emb, dirFull, 16)
+      val direct = Similarity.sq8TopK(queries, emb, 16, 2, 10)
+        .select("q_id", "vec_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(probe(dirFull) == direct && direct.nonEmpty)
+      // lifecycle: build half, ingest the other half against the FROZEN
+      // quantizer (stats stay the build's — the rebuild-and-swap contract)
+      Similarity.writeIvfIndexSQ(emb.filter($"vec_id" % 2 === 0), dir, 16)
+      val statsBefore = spark.read.parquet(s"$dir/sqstats")
+        .as[(Int, Double, Double)].collect().toSet
+      val buildOnly = probe()
+      Similarity.ingestIntoIvfIndexSQ(emb.filter($"vec_id" % 2 === 1), dir, 1L)
+      assert(spark.read.parquet(s"$dir/sqstats")
+        .as[(Int, Double, Double)].collect().toSet == statsBefore,
+        "ingest must not move the frozen quantizer stats")
+      val afterIngest = probe()
+      assert(afterIngest.exists(_._2 % 2 == 1), "ingested vectors invisible")
+      assert(afterIngest != buildOnly)
+      // replayed ingest converges to the identical index
+      Similarity.ingestIntoIvfIndexSQ(emb.filter($"vec_id" % 2 === 1), dir, 1L)
+      assert(probe() == afterIngest)
+      // compaction (the PQ layout's shared op) is probe-identical
+      Similarity.compactIvfIndexPQ(spark, dir)
+      assert(probe() == afterIngest)
+      // deletion erases: deleted ids never appear again, bytes gone
+      val victims = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+      Similarity.deleteFromIvfIndexPQ(spark, dir, victims)
+      val afterDelete = probe()
+      assert(!afterDelete.exists(_._2 % 10 == 3), "deleted ids still probed")
+      assert(afterDelete.nonEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
   test("residual-PQ index lifecycle: frozen-quantizer ingest, replay convergence, compaction probe-identical, deletion erases") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")

@@ -509,6 +509,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("sqIngest + sqProbeIngest: streamed vectors extend the SQ8 index; serving ≡ offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = java.nio.file.Files.createTempDirectory("sqingest").toString
+    val idx = s"$base/index"; val idx2 = s"$base/index2"; val out = s"$base/out"
+    // SQ8 stats are per-dim min/max, so build+stream ≡ build+offline-ingest
+    // over the SAME frozen quantizer (not ≡ a from-scratch union build —
+    // a batch CAN extend a dim's range; it clamps, the FAISS behavior)
+    val initial = emb.filter($"vec_id" % 3 =!= 1)
+    val late = emb.filter($"vec_id" % 3 === 1)
+    graft.operators.Similarity.writeIvfIndexSQ(initial, idx, 16)
+    graft.operators.Similarity.writeIvfIndexSQ(initial, idx2, 16)
+    graft.operators.Similarity.ingestIntoIvfIndexSQ(late, idx2, 1L)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch(EventStreams.sqIngest(idx))
+      .outputMode("update").start()
+    try {
+      input.addData(late.as[(Long, Array[Float])].collect().toSeq)
+      q.processAllAvailable()
+      val queries = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "vec_id", "score", "rnk")
+          .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val offline = sorted(
+        graft.operators.Similarity.ivfTopKAgainstIndexSQ(queries, idx2, 2, 10))
+      assert(sorted(
+        graft.operators.Similarity.ivfTopKAgainstIndexSQ(queries, idx, 2, 10))
+        == offline && offline.nonEmpty)
+      val qrows = queries.as[(Long, Array[Float])].collect().toSeq
+      val sink = EventStreams.sqProbeIngest(idx, out, 2, 10)
+      sink(qrows.toDF("q_id", "q_vec"), 0)
+      sink(qrows.toDF("q_id", "q_vec"), 0) // replay
+      assert(sorted(spark.read.parquet(s"$out/batch=0")) == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("dedupIngest replay: a re-delivered batch re-derives the same kept set") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("dedupingest2").toString
