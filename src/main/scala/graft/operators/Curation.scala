@@ -132,6 +132,47 @@ object Curation {
           - greatest(col("bin") * budget, col("__cum"))).as("span_tokens"))
   }
 
+  /** Packed training SHARDS — the step past [[packManifest]] that
+    * MATERIALIZES what a pretraining loader mmaps: per (domain, bin), the
+    * ordered token stream assembled from every span the manifest routes
+    * into that bin (docs in id order — the packing contract — each
+    * contributing `slice(toks, off_in_doc, span_tokens)`), reported as
+    * (n_tokens, md5 of the space-joined stream) so the gate hash-checks
+    * the EXACT BYTES a trainer would read. Every bin except each
+    * domain's last is exactly `budget` tokens BY CONSTRUCTION
+    * ([[packManifest]]'s invariant).
+    *
+    * 100 TB design: the manifest side is the distributed prefix scan;
+    * the slice join is one equi-join on (domain, id); and the per-bin
+    * assembly aggregates AT MOST `budget` tokens of state per group
+    * (bins are budget-sized by definition — the one place a
+    * collect_list is bounded by the operator's own contract).
+    *
+    * Input: df with (domain, id, toks: array<string>).
+    * Output: (domain, bin, n_tokens, stream_md5).
+    */
+  def packShards(df: DataFrame, domain: Column, id: Column, toks: Column,
+      budget: Long, partitions: Int): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = df.select(domain.cast("string").as("domain"),
+      id.cast("long").as("id"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .persistScoped() // feeds the manifest scan AND the slice join
+    val manifest = packManifest(base, col("domain"), col("id"),
+      col("n_tok"), budget, partitions)
+    manifest
+      .join(base.select(col("domain"), col("id"), col("toks")),
+        Seq("domain", "id"))
+      .select(col("domain"), col("bin"), col("id"), col("span_tokens"),
+        expr("slice(toks, CAST(off_in_doc + 1 AS INT), CAST(span_tokens AS INT))")
+          .as("sl"))
+      .groupBy(col("domain"), col("bin"))
+      .agg(sum(col("span_tokens")).as("n_tokens"),
+        md5(expr(
+          "array_join(flatten(transform(sort_array(collect_list(struct(id, sl))), x -> x.sl)), ' ')"))
+          .as("stream_md5"))
+  }
+
   /** Rows with the per-domain exclusive prefix sum in `__cum`:
     * single-window form (scanParts = None) or distributed-scan form.
     * `ord` optionally prepends an ordering key before the id (default:

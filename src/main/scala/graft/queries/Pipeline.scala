@@ -3160,6 +3160,72 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndexSQ(queries, dir, IvfProbe, TopK, SqShort)
   }
 
+  // ===== q218 packed training-shard export ================================
+  // The artifact a pretraining loader actually mmaps — the step past
+  // q191's manifest: per (source, bin), the ORDERED token stream
+  // assembled from the stored byte-level BPE tokenizer's per-doc tokens
+  // (q181's artifact, q183's application) through q72/q191's distributed
+  // prefix-sum packing, reported as (n_tokens, stream md5) so the gate
+  // hash-checks the exact bytes a trainer reads. This chains THREE
+  // gate-proven contracts — tokenize, pack, assemble — into the one
+  // deliverable they exist for; per-bin assembly state is bounded by the
+  // budget BY CONSTRUCTION. Oracle = the q183 CTE chain + per-doc
+  // flatten + q191's prefix sum + the slice/assembly arithmetic.
+
+  private def q218(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val bpeDir = cachedIndexDir(t.dir, s"bpe_byte_model_v1_$BpeRounds") { d =>
+      TextOps.writeBpeModel(
+        TextOps.bpeMergesByteLevel(graft.Fanout(t.documents), col("text"),
+          BpeRounds, requireFull = true), d)
+    }
+    val merges = TextOps.loadBpeMerges(spark, bpeDir)
+    val dw = graft.Fanout(t.documents).select(col("source"), col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+    // tokenize the VOCAB once (the q157/q183 cost shape), flatten per doc
+    val wt = dw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+          .as("toks"))
+    val dt = dw.join(wt, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("toks"))
+    graft.operators.Curation.packShards(dt, col("source"), col("doc_id"),
+      col("toks"), PackBudget, partitions = 32)
+      .select(col("domain").as("source"), col("bin"), col("n_tokens"),
+        col("stream_md5"))
+  }
+
+  private lazy val q218Sql =
+    s"""WITH ${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevel)},
+       |dwr AS (SELECT source, doc_id,
+       |    regexp_extract_all(lower(text), '${TextOps.byteLevelTokenPattern}') AS ws
+       |  FROM documents),
+       |dw AS (SELECT source, doc_id, ws[i] AS w, i AS pos
+       |  FROM dwr, unnest(generate_series(1, len(ws))) AS t(i)),
+       |dt AS (SELECT source, doc_id, flatten(list(syms ORDER BY pos)) AS toks
+       |  FROM dw JOIN wc$BpeRounds USING (w) GROUP BY 1, 2),
+       |d AS (SELECT source, doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tok FROM dt),
+       |c AS (SELECT source, doc_id, toks, n_tok,
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM d),
+       |m AS (SELECT source, doc_id, t.b AS bin,
+       |    list_slice(toks, greatest(t.b * $PackBudget, cum) - cum + 1,
+       |      least((t.b + 1) * $PackBudget, cum + n_tok) - cum) AS sl,
+       |    CAST(least((t.b + 1) * $PackBudget, cum + n_tok)
+       |      - greatest(t.b * $PackBudget, cum) AS BIGINT) AS span
+       |  FROM c, unnest(generate_series(cum // $PackBudget,
+       |    (cum + n_tok - 1) // $PackBudget)) AS t(b)
+       |  WHERE n_tok > 0)
+       |SELECT source, bin, CAST(sum(span) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(flatten(list(sl ORDER BY doc_id)), ' ')) AS stream_md5
+       |FROM m GROUP BY 1, 2""".stripMargin
+
   // ===== q216 stored-WordPiece tokenization ===============================
   // q214's production form: the flat serving vocabulary (initial symbols
   // ∪ merge products) and the merge audit trail freeze into parquet (the
@@ -5517,7 +5583,8 @@ object Pipeline {
     "q214_wordpiece_tokenize" -> wrap(q214),
     "q215_ann_sq8" -> wrap(q215),
     "q216_wordpiece_stored" -> wrap(q216),
-    "q217_ann_sq8_stored" -> wrap(q217)
+    "q217_ann_sq8_stored" -> wrap(q217),
+    "q218_packed_shards" -> wrap(q218)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5664,6 +5731,7 @@ object Pipeline {
     "q216_wordpiece_stored" -> q214Sql,
     // stored-and-probed must equal the direct SQ8 operator: q215's
     // oracle verbatim (the q209 contract on the fourth layout)
-    "q217_ann_sq8_stored" -> q215Sql
+    "q217_ann_sq8_stored" -> q215Sql,
+    "q218_packed_shards" -> q218Sql
   )
 }

@@ -110,6 +110,27 @@ class CurationSpec extends AnyFunSuite {
       && byBin(("b", 1L)) == 1000L)
   }
 
+  test("packShards: streams assemble straddles in id order; full bins exactly budget; md5 by hand") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: t1..t3; doc 2: t4..t7 straddles bin 0→1 (budget 5);
+    // doc 3: t8..t9 lands in bin 1 after the straddle tail
+    val d = Seq(
+      ("a", 1L, Seq("t1", "t2", "t3")),
+      ("a", 2L, Seq("t4", "t5", "t6", "t7")),
+      ("a", 3L, Seq("t8", "t9")),
+      ("b", 9L, Seq("x1"))
+    ).toDF("src", "id", "toks")
+    val out = Curation.packShards(d, col("src"), col("id"), col("toks"),
+        budget = 5L, partitions = 4)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      ("a", 0L) -> (5L, md5("t1 t2 t3 t4 t5")),   // exactly budget-full
+      ("a", 1L) -> (4L, md5("t6 t7 t8 t9")),       // straddle tail + doc 3
+      ("b", 0L) -> (1L, md5("x1"))))               // b packs independently
+  }
+
   test("packManifest survives a narrow single-partition sink (the coalesce(1) stage-collapse regression)") {
     // the exact failure the gate caught: binsOf's __pid comes from
     // TaskContext, and a downstream NARROW coalesce(1) used to collapse
