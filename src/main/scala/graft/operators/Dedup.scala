@@ -911,6 +911,194 @@ object Dedup {
     (labels, iter)
   }
 
+  // ===== Incremental connected-components labeling ========================
+
+  /** Persist a near-dup CLUSTERING artifact — (id, comp) labels with
+    * comp = min member id, [[connectedComponents]]' canonical form — in
+    * the versioned layout: `labels/batch=0` plus an (initially empty)
+    * `remap/` store of MERGE EVENTS. The clustering every leakage-safe
+    * op downstream consumes (q170's split, q194's batches, q135's reps)
+    * becomes maintainable under ingestion instead of recomputed from
+    * scratch per batch.
+    *
+    * The incremental contract (min-label algebra): a stored component's
+    * label is the min id of its members, so merging components {A, B}
+    * with new docs N yields label min(label(A), label(B), min(N)) — the
+    * exact from-scratch label of the union component. Ingest therefore
+    * only needs CC over the QUOTIENT graph (batch ids + touched
+    * component labels), which is batch-sized; existing rows are never
+    * rewritten — label changes land as (from_comp → to_comp) remap rows
+    * that readers apply in batch order and compaction folds in.
+    *
+    * Every doc id gets a row (isolated docs label themselves).
+    */
+  def writeCcLabels(ids: DataFrame, edges: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val labels = connectedComponents(edges.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "lid")
+    ids.select(col("id"))
+      .join(labels, col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .write.mode("overwrite").parquet(s"$dir/labels/batch=0")
+    emptyCcRemap(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/remap/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Schema-carrying empty remap frame (one empty file still writes —
+    * the delete-everything-epoch lesson).
+    */
+  private def emptyCcRemap(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("from_comp"), col("id").as("to_comp"))
+
+  /** Replay-safe incremental ingestion into a [[writeCcLabels]] store:
+    * `edges` are the batch's near-dup pairs (≥ one endpoint in
+    * `batchIds`; the other may be an existing doc — e.g. from a stored
+    * dedup-index probe). Each endpoint maps to its QUOTIENT node (itself
+    * if new, its current resolved component label if existing), CC runs
+    * on that batch-sized quotient graph, and the batch writes:
+    *
+    *  - `labels/batch=<id>`: the new docs' labels (own-partition
+    *    overwrite — replay-convergent);
+    *  - `remap/batch=<id>`: (from_comp → to_comp) rows for every
+    *    EXISTING component the batch merged (the merge events; usually
+    *    empty or tiny).
+    *
+    * Cost ∝ batch: resolved labels are semi-filtered to the touched ids
+    * under a broadcast of the batch's endpoint set before anything
+    * joins, so the corpus-sized label store is scanned once and never
+    * shuffled; the quotient CC runs on ≤ |batch edges| edges.
+    */
+  def ingestIntoCcLabels(batchIds: DataFrame, edges: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = batchIds.sparkSession
+    import graft.CacheScope.ScopedPersist
+    val e = Compaction.currentEpoch(spark, dir)
+    val bIds = batchIds.select(col("id")).persistScoped()
+    val ed = edges.select(col("id_a"), col("id_b")).persistScoped()
+    val touched = ed.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().persistScoped() // ≤ 2·|batch edges| — batch-bounded
+    // resolve against batches < batchId ONLY: a replayed batch must
+    // recompute from the PRE-BATCH state, or it would observe its own
+    // earlier remap as already-applied, re-derive an EMPTY merge set,
+    // and overwrite-erase the recorded merge events (the replay-
+    // convergence bug the lifecycle spec caught)
+    val curT = ccLabelsResolvedBefore(spark, dir, batchId)
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .persistScoped() // batch-bounded: only touched existing ids survive
+    val qe = ed
+      .join(broadcast(bIds.select(col("id").as("id_a"),
+        lit(true).as("__na"))), Seq("id_a"), "left")
+      .join(broadcast(bIds.select(col("id").as("id_b"),
+        lit(true).as("__nb"))), Seq("id_b"), "left")
+      .join(broadcast(curT.select(col("id").as("id_a"),
+        col("comp").as("__ca"))), Seq("id_a"), "left")
+      .join(broadcast(curT.select(col("id").as("id_b"),
+        col("comp").as("__cb"))), Seq("id_b"), "left")
+      .select(
+        when(col("__na"), col("id_a")).otherwise(col("__ca")).as("id_a"),
+        when(col("__nb"), col("id_b")).otherwise(col("__cb")).as("id_b"))
+      .persistScoped()
+    val dangling = qe.filter(col("id_a").isNull || col("id_b").isNull).count()
+    require(dangling == 0,
+      s"$dangling edge endpoint(s) neither in the batch nor in the stored labels")
+    val qlabels = connectedComponents(qe.filter(col("id_a") =!= col("id_b")))
+      .persistScoped() // quotient-sized
+    bIds
+      .join(qlabels.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "labels", e)}/batch=$batchId")
+    curT.select(col("comp").as("from_comp")).distinct()
+      .join(qlabels.select(col("id").as("from_comp"),
+        col("comp").as("to_comp")), Seq("from_comp"))
+      .filter(col("from_comp") =!= col("to_comp"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "remap", e)}/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The store's current (id, comp) labeling: base labels with every
+    * batch's remap applied IN BATCH ORDER (each remap maps labels as
+    * resolved at its own ingest time, so sequential application
+    * composes exactly). Remap tables are merge events — tiny — and
+    * broadcast; chain depth is bounded by the batches since the last
+    * [[compactCcLabels]].
+    */
+  def ccLabelsResolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    ccLabelsResolvedBefore(spark, dir, Long.MaxValue)
+
+  /** Resolution over batches < `beforeBatch` only — the pre-batch view an
+    * ingest derives its quotient from (replay convergence demands the
+    * batch's output be a pure function of the PRE-batch store).
+    */
+  private def ccLabelsResolvedBefore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, beforeBatch: Long): DataFrame = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val labels = spark.read
+      .parquet(Compaction.epochPath(dir, "labels", e))
+      .filter(col("batch").cast("long") < beforeBatch)
+      .select(col("id"), col("comp"))
+    val remap = spark.read.parquet(Compaction.epochPath(dir, "remap", e))
+    val batches = remap.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filter(_ < beforeBatch).sorted
+    batches.foldLeft(labels) { (acc, b) =>
+      acc.join(broadcast(remap.filter(col("batch") === b)
+          .select(col("from_comp"), col("to_comp"))),
+          col("comp") === col("from_comp"), "left")
+        .select(col("id"), coalesce(col("to_comp"), col("comp")).as("comp"))
+    }
+  }
+
+  /** Fold the remap chain into the labels (epoch swap): one fully
+    * resolved `labels/batch=0`, an empty remap store. The consult-after-
+    * checkpoint contract of the other versioned families applies.
+    */
+  def compactCcLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    ccLabelsResolved(spark, dir)
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "labels", e + 1)}/batch=0")
+    emptyCcRemap(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "remap", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, Compaction.epochPath(dir, "labels", e))
+    Compaction.deleteDir(spark, Compaction.epochPath(dir, "remap", e))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
+  /** Physical deletion from the labels store: the ids' rows are GONE and
+    * every component re-canonicalizes to its surviving min id (a deleted
+    * label id cannot keep naming a component). HONEST LIMIT, documented:
+    * the store holds labels, not edges — deleting a BRIDGE doc does not
+    * split its component (re-deriving connectivity needs the pair
+    * source; that is a rebuild-and-swap, exactly like quantizer drift in
+    * the SQ8/PQ families).
+    */
+  def deleteFromCcLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val survivors = ccLabelsResolved(spark, dir)
+      .join(ids.select(col("id")), Seq("id"), "left_anti")
+    val relabel = survivors.groupBy(col("comp")).agg(min(col("id")).as("__nc"))
+    survivors.join(relabel, Seq("comp"))
+      .select(col("id"), col("__nc").as("comp"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "labels", e + 1)}/batch=0")
+    emptyCcRemap(spark).coalesce(1).write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "remap", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, Compaction.epochPath(dir, "labels", e))
+    Compaction.deleteDir(spark, Compaction.epochPath(dir, "remap", e))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
   /** Plain iterative min-label propagation — the pre-alternating-star
     * implementation, kept for round-count comparison and as the simpler
     * shape for dense dup-cluster graphs (diameter ~1-2, where star rounds

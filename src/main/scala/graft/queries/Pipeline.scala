@@ -3160,6 +3160,36 @@ object Pipeline {
     Similarity.ivfTopKAgainstIndexSQ(queries, dir, IvfProbe, TopK, SqShort)
   }
 
+  // ===== q219 incremental connected-components labels =====================
+  // The near-dup CLUSTERING becomes a maintained artifact: q62 recomputes
+  // components from scratch per run, but every leakage-safe downstream
+  // (q170's split, q194's contrastive batches, q135's reps) consumes the
+  // labeling continuously, so it gets the stored-index treatment —
+  // build once, ingest batches by running CC over the batch-sized
+  // QUOTIENT graph only (min-label algebra: merged label = min of merged
+  // labels, exactly the from-scratch label), merge events as remap rows,
+  // compaction folding the chain. The gate builds on two-thirds of the
+  // corpus, ingests the rest, compacts, and must hash-match q62's
+  // from-scratch oracle VERBATIM — incremental ≡ one-shot.
+
+  private def q219(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, "cc_labels_v1") { d =>
+      val docs = graft.Fanout(
+        t.documents.select(col("doc_id").as("id"), col("text")))
+      val pairs = Dedup.minhashLshPairs(docs, 3, MinHashes, Bands, CorpusT)
+        .select(col("id_a"), col("id_b"))
+      def isNew(c: Column) = c % 3 === 1
+      val ids = t.documents.select(col("doc_id").as("id"))
+      Dedup.writeCcLabels(ids.filter(!isNew(col("id"))),
+        pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b"))), d)
+      Dedup.ingestIntoCcLabels(ids.filter(isNew(col("id"))),
+        pairs.filter(isNew(col("id_a")) || isNew(col("id_b"))), d, 1L)
+      Dedup.compactCcLabels(spark, d)
+    }
+    Dedup.ccLabelsResolved(spark, dir).select(col("id"), col("comp"))
+  }
+
   // ===== q218 packed training-shard export ================================
   // The artifact a pretraining loader actually mmaps — the step past
   // q191's manifest: per (source, bin), the ORDERED token stream
@@ -5584,7 +5614,8 @@ object Pipeline {
     "q215_ann_sq8" -> wrap(q215),
     "q216_wordpiece_stored" -> wrap(q216),
     "q217_ann_sq8_stored" -> wrap(q217),
-    "q218_packed_shards" -> wrap(q218)
+    "q218_packed_shards" -> wrap(q218),
+    "q219_cc_incremental" -> wrap(q219)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5732,6 +5763,9 @@ object Pipeline {
     // stored-and-probed must equal the direct SQ8 operator: q215's
     // oracle verbatim (the q209 contract on the fourth layout)
     "q217_ann_sq8_stored" -> q215Sql,
-    "q218_packed_shards" -> q218Sql
+    "q218_packed_shards" -> q218Sql,
+    // incremental build+ingest+compact must equal the one-shot
+    // clustering: q62's from-scratch oracle verbatim
+    "q219_cc_incremental" -> q62Sql
   )
 }

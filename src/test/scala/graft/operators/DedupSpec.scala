@@ -159,6 +159,59 @@ class DedupSpec extends AnyFunSuite {
     assert(clean == Set(1L, 3L, 5L))
   }
 
+  test("incremental CC labels: merges via remap chain ≡ from-scratch; compaction folds; delete re-canonicalizes") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-inc").toString
+    try {
+      def resolved() = Dedup.ccLabelsResolved(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      // initial: comps {1,2}, {5,6}, {8,9}; 11 isolated
+      Dedup.writeCcLabels(
+        Seq(1L, 2L, 5L, 6L, 8L, 9L, 11L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b"), dir)
+      assert(resolved() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+        8L -> 8L, 9L -> 8L, 11L -> 11L))
+      // batch 1: doc 10 bridges comps 5 and 8 → merged label min(5,8,10)=5,
+      // remap 8→5 recorded as a merge event, existing rows untouched
+      Dedup.ingestIntoCcLabels(Seq(10L).toDF("id"),
+        Seq((10L, 5L), (10L, 8L)).toDF("id_a", "id_b"), dir, 1L)
+      val r1 = resolved()
+      assert(r1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+        8L -> 5L, 9L -> 5L, 10L -> 5L, 11L -> 11L))
+      // replayed batch converges to identical store contents
+      Dedup.ingestIntoCcLabels(Seq(10L).toDF("id"),
+        Seq((10L, 5L), (10L, 8L)).toDF("id_a", "id_b"), dir, 1L)
+      assert(resolved() == r1)
+      // batch 2: doc 20 bridges comp 1 and (merged) comp 5 → remap 5→1;
+      // id 9's resolution now CHAINS: base 8 → (b1) 5 → (b2) 1
+      Dedup.ingestIntoCcLabels(Seq(20L).toDF("id"),
+        Seq((20L, 2L), (20L, 6L)).toDF("id_a", "id_b"), dir, 2L)
+      val all = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 8L -> 1L,
+        9L -> 1L, 10L -> 1L, 11L -> 11L, 20L -> 1L)
+      assert(resolved() == all)
+      // ≡ from-scratch over the union edge set (the gate contract)
+      val scratch = Dedup.connectedComponents(
+        Seq((1L, 2L), (5L, 6L), (8L, 9L), (10L, 5L), (10L, 8L),
+          (20L, 2L), (20L, 6L)).toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(all.filter(_._1 != 11L) == scratch)
+      // compaction folds the remap chain; resolution identical; store empty
+      Dedup.compactCcLabels(spark, dir)
+      assert(resolved() == all)
+      assert(spark.read.parquet(s"${Compaction.epochPath(dir, "remap", 1)}")
+        .count() == 0)
+      // delete the LABEL id: component re-canonicalizes to surviving min
+      Dedup.deleteFromCcLabels(spark, dir, Seq(1L).toDF("id"))
+      val afterDel = resolved()
+      assert(!afterDel.contains(1L) && afterDel(2L) == 2L && afterDel(9L) == 2L)
+      // documented limit: deleting a BRIDGE doc does not split the
+      // component (the store holds labels, not edges)
+      Dedup.deleteFromCcLabels(spark, dir, Seq(10L, 20L).toDF("id"))
+      val afterBridge = resolved()
+      assert(afterBridge(6L) == 2L && afterBridge(9L) == 2L,
+        "label store keeps merged components after a bridge delete by design")
+    } finally graft.CacheScope.drain()
+  }
+
   test("connectedComponents: min-label propagation across multi-hop chains") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (diameter 3 → needs
     // multiple rounds); {10,11}; {20,21,22} via star at 20
