@@ -785,6 +785,49 @@ object Dedup {
       Seq("id"), "left_anti")
   }
 
+  /** Verified near-dup PAIRS of a batch against a stored corpus index —
+    * within-batch pairs ([[minhashLshPairs]]) plus (existing, new) cross
+    * pairs (band-key candidates verified by exact shingle Jaccard): the
+    * EDGE FEED for the incremental clustering ([[ingestIntoCcLabels]]).
+    * `beforeBatch` restricts the index side to batches < b (versioned
+    * layout only) so a crash-replayed batch derives the IDENTICAL pair
+    * set even after its own corpus-index ingest landed — the
+    * pre-batch-state contract the CC ingest itself follows.
+    */
+  def nearDupPairsAgainstIndex(newDocs: DataFrame, dir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, beforeBatch: Option[Long] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val e = Compaction.currentEpoch(spark, dir)
+    def pre(df: DataFrame): DataFrame = beforeBatch match {
+      case Some(b) => df.filter(col("batch").cast("long") < b)
+      case None => df
+    }
+    val nd = newDocs.persistScoped()
+    val within = minhashLshPairs(nd, n, numHashes, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    val bandedNew = bandKeys(lshSignatures(nd, n, numHashes), numHashes, bands)
+    val exBands = pre(spark.read.parquet(Compaction.epochPath(dir, "bands", e)))
+      .select(col("id"), col("band"), col("key"))
+    val exShingles =
+      pre(spark.read.parquet(Compaction.epochPath(dir, "shingles", e)))
+        .select(col("id"), col("sh"), col("n_sh"))
+    val cand = bandedNew.as("x")
+      .join(exBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.id").as("id_n"), col("y.id").as("id_e"))
+      .distinct()
+    val cross = cand
+      .join(shingleArrays(nd, n).as("a"), col("id_n") === col("a.id"))
+      .join(exShingles.as("b"), col("id_e") === col("b.id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("a.sh"), col("b.sh")))
+      .filter(round(col("n_common").cast("double") /
+        (col("a.n_sh") + col("b.n_sh") - col("n_common")), 4) >= threshold)
+      .select(col("id_e").as("id_a"), col("id_n").as("id_b"))
+    within.unionByName(cross)
+  }
+
   /** Distributed connected components over a near-dup pair graph:
     * cluster id = min doc id reachable through the similarity relation.
     *

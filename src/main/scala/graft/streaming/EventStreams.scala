@@ -737,6 +737,40 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming incremental clustering — q219's maintained CC labels kept
+    * fresh online (the [[dedupIngest]] companion): each micro-batch of
+    * (id, text) documents (1) derives its verified near-dup pairs —
+    * within itself plus against batches < b of the stored corpus index
+    * ([[graft.operators.Dedup.nearDupPairsAgainstIndex]]), (2) extends
+    * the corpus index with its own views, and (3) ingests ids + pairs
+    * into the CC label store (quotient-graph CC + remap merge events).
+    * Replay-convergent END TO END: pair derivation and the label ingest
+    * both resolve against the PRE-batch state, and every write
+    * overwrites its own batch partition. Downstream leakage-safe ops
+    * (split/contrastive batches/rep selection) read
+    * [[graft.operators.Dedup.ccLabelsResolved]] at any point and see a
+    * labeling consistent with everything ingested so far.
+    */
+  def ccLabelIngest(indexDir: String, ccDir: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      val b = batchId + 1
+      val docs = batch.toDF()
+      // eager checkpoint: the pair plan scans the index views the corpus
+      // ingest below is about to extend; beforeBatch already excludes the
+      // batch's own rows, but materializing first also spares the cc
+      // ingest a recomputation of the whole LSH pipeline
+      val pairs = graft.operators.Dedup.nearDupPairsAgainstIndex(
+        docs, indexDir, n, numHashes, bands, threshold,
+        beforeBatch = Some(b)).localCheckpoint(true)
+      graft.operators.Dedup.ingestIntoCorpusIndex(docs, indexDir, b, n,
+        numHashes, bands)
+      graft.operators.Dedup.ingestIntoCcLabels(docs.select(col("id")),
+        pairs, ccDir, b)
+    }
+
   /** Streaming Kneser-Ney quality filtering — [[lmScoreIngest]]'s sibling
     * with the PRODUCTION smoothing
     * ([[graft.operators.TextOps.knScoreAgainstModel]]): the SAME stored

@@ -509,6 +509,55 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("ccLabelIngest: streamed docs maintain the clustering; final ≡ from-scratch; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("cclabel").toString
+    val idx = s"$base/index"; val cc = s"$base/cc"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text")
+    val initial = docs.filter($"id" % 3 =!= 1)
+    val late = docs.filter($"id" % 3 === 1)
+      .as[(Long, String)].collect().toSeq
+    graft.operators.Dedup.writeCorpusIndexVersioned(initial, idx)
+    graft.operators.Dedup.writeCcLabels(initial.select($"id"),
+      graft.operators.Dedup.minhashLshPairs(initial, 3, 64, 16, 0.8)
+        .select($"id_a", $"id_b"), cc)
+    val (b0, b1) = late.splitAt(late.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream.foreachBatch(EventStreams.ccLabelIngest(idx, cc))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      def resolved() = graft.operators.Dedup.ccLabelsResolved(spark, cc)
+        .as[(Long, Long)].collect().toMap
+      // every pair (a, b) surfaces when the LATER doc's batch processes
+      // (within-batch, or cross against the index holding the earlier
+      // one), so the maintained labeling must equal the from-scratch
+      // clustering of the full corpus
+      val scratch = {
+        val labels = graft.operators.Dedup.connectedComponents(
+          graft.operators.Dedup.minhashLshPairs(docs, 3, 64, 16, 0.8)
+            .select($"id_a", $"id_b"))
+          .withColumnRenamed("id", "lid")
+        docs.select($"id").join(labels, $"id" === $"lid", "left")
+          .select($"id", coalesce($"comp", $"id").as("comp"))
+          .as[(Long, Long)].collect().toMap
+      }
+      val r = resolved()
+      assert(r == scratch && r.nonEmpty)
+      // the fixture must actually exercise a cross-batch merge
+      assert(scratch.exists { case (id, comp) => id % 3 == 1 && comp != id },
+        "fixture has no near-dup touching the streamed slice")
+      // crash-replay of the LAST batch converges to identical labels
+      val sink = EventStreams.ccLabelIngest(idx, cc)
+      sink(b1.toDF("id", "text"), 1)
+      assert(resolved() == r)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("sqIngest + sqProbeIngest: streamed vectors extend the SQ8 index; serving ≡ offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
