@@ -2762,6 +2762,93 @@ object Pipeline {
       |  CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  // ===== q220 real image resize (decode → nearest-neighbor → features) ===
+  // The thumbnail/normalize stage of a multimodal pipeline made fully
+  // oracle-replayable: q202's real codec payloads decode, resize to
+  // 16×16 through the PURE-INTEGER nearest-neighbor map sx = ⌊x·w/16⌋
+  // (never Graphics2D scaling — renderer-dependent), and the RESIZED
+  // raster reduces to exact-integer features. Sources span 8..31 px per
+  // side, so both up- and down-scaling run ON the gate. The oracle
+  // evaluates the generator formula AT the mapped source coordinates —
+  // decode, resize and reduction all sit inside the hash.
+
+  private val ImgResizeTo = 16
+
+  private def q220(t: Tables): DataFrame = {
+    val withImg = Multimodal.withImageColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeResizedImageFeatures(withImg, "media",
+      ImgResizeTo, ImgResizeTo)
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("peak_lum"))
+  }
+
+  private val q220Sql =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(8 + doc_id % 24 AS INTEGER) AS w,
+       |    CAST(8 + (doc_id // 24) % 24 AS INTEGER) AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id,
+       |    (doc_id * 31 + ((tx.x * w) // $ImgResizeTo) * 7
+       |       + ((ty.y * h) // $ImgResizeTo) * 13) % 256 AS r,
+       |    (doc_id + ((tx.x * w) // $ImgResizeTo)
+       |       * ((ty.y * h) // $ImgResizeTo)) % 256 AS g,
+       |    (((tx.x * w) // $ImgResizeTo)
+       |       + 3 * ((ty.y * h) // $ImgResizeTo)) % 256 AS b
+       |  FROM d,
+       |    unnest(generate_series(0, $ImgResizeTo - 1)) AS tx(x),
+       |    unnest(generate_series(0, $ImgResizeTo - 1)) AS ty(y))
+       |SELECT doc_id,
+       |  CAST($ImgResizeTo AS INTEGER) AS img_w,
+       |  CAST($ImgResizeTo AS INTEGER) AS img_h,
+       |  CAST(${ImgResizeTo * ImgResizeTo} AS BIGINT) AS n_px,
+       |  CAST(sum(r) AS BIGINT) AS sum_r,
+       |  CAST(sum(g) AS BIGINT) AS sum_g,
+       |  CAST(sum(b) AS BIGINT) AS sum_b,
+       |  CAST(max(299 * r + 587 * g + 114 * b) AS BIGINT) AS peak_lum
+       |FROM px GROUP BY doc_id""".stripMargin
+
+  // ===== q221 real video container parse + frame sampling ================
+  // The third modality decodes for REAL: YUV4MPEG2 (y4m) is a plain-text
+  // header + uncompressed 4:2:0 frames — the interchange container every
+  // video toolchain emits — so container parsing (magic, W/H/F
+  // parameters, every per-frame FRAME marker, exact plane-length
+  // arithmetic) needs no codec library, exactly like WAV-PCM did for
+  // audio. The gate synthesizes a clip per doc from a pure-integer pixel
+  // formula, parses it back, samples every 2nd frame (the
+  // keyframe-extraction shape) and reduces sampled Y planes to exact
+  // integers; the oracle replays the formula over generate_series
+  // without parsing anything — any container/indexing corruption breaks
+  // the hash.
+
+  private val VidSampleEvery = 2
+
+  private def q221(t: Tables): DataFrame = {
+    val withVid = Multimodal.withVideoColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeVideoFeatures(withVid, "media", VidSampleEvery)
+      .select(col("doc_id"), col("vid_w"), col("vid_h"), col("n_frames"),
+        col("n_sampled"), col("sum_y"), col("peak_y"))
+  }
+
+  private val q221Sql =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(4 + 2 * (doc_id % 6) AS INTEGER) AS w,
+       |    CAST(4 + 2 * ((doc_id // 6) % 6) AS INTEGER) AS h,
+       |    CAST(3 + doc_id % 5 AS INTEGER) AS nf
+       |  FROM documents),
+       |px AS (SELECT doc_id, w, h, nf, tf.f,
+       |    (doc_id * 17 + tf.f * 29 + tx.x * 5 + ty.y * 11) % 256 AS yv
+       |  FROM d,
+       |    unnest(generate_series(0, nf - 1, $VidSampleEvery)) AS tf(f),
+       |    unnest(generate_series(0, w - 1)) AS tx(x),
+       |    unnest(generate_series(0, h - 1)) AS ty(y))
+       |SELECT doc_id, w AS vid_w, h AS vid_h, nf AS n_frames,
+       |  CAST(count(DISTINCT f) AS INTEGER) AS n_sampled,
+       |  CAST(sum(yv) AS BIGINT) AS sum_y,
+       |  CAST(max(yv) AS BIGINT) AS peak_y
+       |FROM px GROUP BY doc_id, w, h, nf""".stripMargin
+
   // ===== q206 CDC chunks in the stored dedup-index lifecycle =============
   // q201's modality made STORED: the versioned dedup index
   // (q178's hashes/bands/shingles) grows a fourth `chunks/` view so
@@ -5615,7 +5702,9 @@ object Pipeline {
     "q216_wordpiece_stored" -> wrap(q216),
     "q217_ann_sq8_stored" -> wrap(q217),
     "q218_packed_shards" -> wrap(q218),
-    "q219_cc_incremental" -> wrap(q219)
+    "q219_cc_incremental" -> wrap(q219),
+    "q220_image_resize" -> wrap(q220),
+    "q221_video_frame_sample" -> wrap(q221)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5766,6 +5855,8 @@ object Pipeline {
     "q218_packed_shards" -> q218Sql,
     // incremental build+ingest+compact must equal the one-shot
     // clustering: q62's from-scratch oracle verbatim
-    "q219_cc_incremental" -> q62Sql
+    "q219_cc_incremental" -> q62Sql,
+    "q220_image_resize" -> q220Sql,
+    "q221_video_frame_sample" -> q221Sql
   )
 }

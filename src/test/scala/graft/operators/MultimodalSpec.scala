@@ -236,4 +236,62 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"img_w".isNull && $"peak_lum".isNull).count()
     assert(nulls == 2L)
   }
+
+  test("resizeNearest: identity at source size; exact integer source map up/down") {
+    val img = Multimodal.ImageCodec.synthImage(7L)
+    val (w, h) = (img.getWidth, img.getHeight)
+    // identity: (x·w)/w = x — every pixel survives a same-size resize
+    val same = Multimodal.ImageCodec.resizeNearest(img, w, h)
+    assert(Multimodal.ImageCodec.features(same) ==
+      Multimodal.ImageCodec.features(img))
+    // hand-checked map for up- and down-scaling
+    for ((tw, th) <- Seq((2 * w, 2 * h), (w / 2, h / 2), (5, 9))) {
+      val out = Multimodal.ImageCodec.resizeNearest(img, tw, th)
+      assert(out.getWidth == tw && out.getHeight == th)
+      for (x <- 0 until tw; y <- 0 until th)
+        assert(out.getRGB(x, y) == img.getRGB(x * w / tw, y * h / th),
+          s"($x,$y) of ${tw}x$th")
+    }
+  }
+
+  test("VideoCodec: y4m parse round-trip; corrupt containers rejected; sampled features exact") {
+    import Multimodal.VideoCodec
+    for (id <- Seq(0L, 7L, 41L)) {
+      val bytes = VideoCodec.synthY4m(id)
+      val Some((w, h, fn, fd, offs)) = VideoCodec.parseY4m(bytes)
+      assert(w == 4 + 2 * (id % 6) && h == 4 + 2 * ((id / 6) % 6))
+      assert(fn == 25 && fd == 1)
+      assert(offs.length == 3 + id % 5)
+      // Y plane of frame f at (x, y) replays the generator formula
+      for (f <- offs.indices; x <- 0 until w; y <- 0 until h)
+        assert((bytes(offs(f) + y * w + x) & 0xff) ==
+          (id * 17 + f * 29 + x * 5 + y * 11) % 256)
+    }
+    // corrupt containers are data, not exceptions
+    val good = VideoCodec.synthY4m(3L)
+    assert(VideoCodec.parseY4m(null).isEmpty)
+    assert(VideoCodec.parseY4m("MPEG".getBytes).isEmpty)
+    assert(VideoCodec.parseY4m(good.dropRight(1)).isEmpty)  // truncated frame
+    val badMarker = good.clone(); badMarker(good.indexOf('\n'.toByte) + 1) = 'X'
+    assert(VideoCodec.parseY4m(badMarker).isEmpty)
+    // distributed sampled features: every-2nd vs every frame
+    val df = Seq(3L, 10L).toDF("doc_id")
+    val withVid = Multimodal.withVideoColumn(df, "doc_id")
+    def feats(every: Int) =
+      Multimodal.decodeVideoFeatures(withVid, "media", every)
+        .select($"doc_id", $"n_frames", $"n_sampled", $"sum_y")
+        .as[(Long, Int, Int, Long)].collect().map(t => t._1 -> t).toMap
+    def expected(id: Long, every: Int): (Int, Int, Long) = {
+      val w = (4 + 2 * (id % 6)).toInt; val h = (4 + 2 * ((id / 6) % 6)).toInt
+      val nf = (3 + id % 5).toInt
+      val fs = 0 until nf by every
+      val sum = (for (f <- fs; x <- 0 until w; y <- 0 until h)
+        yield (id * 17 + f * 29 + x * 5 + y * 11) % 256).sum
+      (nf, fs.size, sum)
+    }
+    for (every <- Seq(1, 2); id <- Seq(3L, 10L)) {
+      val (nf, ns, sum) = expected(id, every)
+      assert(feats(every)(id) == ((id, nf, ns, sum)), s"id $id every $every")
+    }
+  }
 }
