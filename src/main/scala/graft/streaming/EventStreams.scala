@@ -737,6 +737,41 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming packed-shard export — q218's online form: each
+    * micro-batch of (id, text) documents tokenizes against the FROZEN
+    * stored byte-level BPE artifact (the q181 model) and packs into
+    * budget-sized bins WITHIN THE BATCH, written under `batch=<id>`.
+    * Packing is inherently a batch decision (bins are contiguous token
+    * ranges), so the streaming contract is per-batch bins — each batch's
+    * shards are final the moment it commits, trainers consume closed
+    * batches; only each batch's LAST bin per source may be short.
+    * Replay-idempotent: tokenization and packing are pure functions of
+    * the batch + the frozen model.
+    */
+  def packShardsIngest(bpeModelDir: String, outDir: String, budget: Long)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions._
+      val spark = batch.sparkSession
+      val merges = graft.operators.TextOps.loadBpeMerges(spark, bpeModelDir)
+      val dw = batch.toDF().select(col("source"), col("id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit(graft.operators.TextOps.byteLevelTokenPattern), lit(0)))
+          .as(Seq("pos", "w")))
+      val wt = dw.select(col("w")).distinct()
+        .select(col("w"),
+          graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+            .as("toks"))
+      val dt = dw.join(wt, Seq("w"))
+        .groupBy(col("source"), col("id"))
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+          .as("toks"))
+      graft.operators.Curation.packShards(dt, col("source"), col("id"),
+        col("toks"), budget, partitions = 32)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming incremental clustering — q219's maintained CC labels kept
     * fresh online (the [[dedupIngest]] companion): each micro-batch of
     * (id, text) documents (1) derives its verified near-dup pairs —

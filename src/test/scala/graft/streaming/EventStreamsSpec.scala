@@ -509,6 +509,52 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("packShardsIngest: per-batch shards against the frozen tokenizer ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"source", $"doc_id".as("id"), $"text")
+    graft.operators.TextOps.writeBpeModel(
+      graft.operators.TextOps.bpeMergesByteLevel(docs, $"text", 4), model)
+    val rows = docs.filter($"id" < 40)
+      .as[(String, Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(String, Long, String)]
+    val q = input.toDF().toDF("source", "id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.packShardsIngest(model, out, budget = 50L))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      // offline: the same per-batch tokenize+pack over batch 1's docs
+      val merges = graft.operators.TextOps.loadBpeMerges(spark, model)
+      val dw = b1.toDF("source", "id", "text").select($"source", $"id",
+        posexplode(regexp_extract_all(lower($"text"),
+          lit(graft.operators.TextOps.byteLevelTokenPattern), lit(0)))
+          .as(Seq("pos", "w")))
+      val wt = dw.select($"w").distinct()
+        .select($"w", graft.functions.bpe_encode($"w", merges,
+          byteLevel = true).as("toks"))
+      val dt = dw.join(wt, Seq("w")).groupBy($"source", $"id")
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+          .as("toks"))
+      val offline = graft.operators.Curation.packShards(dt, $"source", $"id",
+          $"toks", 50L, 8)
+        .as[(String, Long, Long, String)].collect().toSet
+      def streamedB1() = spark.read.parquet(s"$out/batch=1")
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(streamedB1() == offline && offline.nonEmpty)
+      // replay re-derives identical shards
+      val sink = EventStreams.packShardsIngest(model, out, 50L)
+      sink(b1.toDF("source", "id", "text"), 1)
+      assert(streamedB1() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("ccLabelIngest: streamed docs maintain the clustering; final ≡ from-scratch; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
