@@ -91,6 +91,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** ANN QUALITY EVALUATION — the recall@k / reciprocal-rank report an
+    * index deployment monitors continuously (every recall number this
+    * engine's specs pin is this computation; here it is a first-class,
+    * oracle-gated operator): ground truth = [[bruteForceTopK]] (exact),
+    * system = [[ivfTopK]] under (nCells, nProbe), per query
+    * n_hits = |system ∩ truth|, recall = n_hits/k, rr = 1/rank of the
+    * FIRST true hit in the system ranking (0 when none — the MRR
+    * contribution). All numbers are single divisions of exact integers,
+    * rounded to 4 dp.
+    *
+    * 100 TB posture: evaluation runs on a PROBE SAMPLE (|Q| ≪ corpus —
+    * the caller picks the sample); truth is the broadcast-query brute
+    * pass, the system side is the cell-pruned probe; the comparison is
+    * one (q_id, vec_id) hash join + a bounded per-query aggregate.
+    */
+  def annEvalReport(queries: DataFrame, corpus: DataFrame, nCells: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    val truth = bruteForceTopK(queries, corpus, k)
+      .select(col("q_id"), col("vec_id"))
+    val sys = ivfTopK(queries, corpus, nCells, nProbe, k)
+      .select(col("q_id"), col("vec_id"), col("rnk"))
+    val agg = sys.join(truth, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rnk")).as("fr"))
+    queries.select(col("q_id"))
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4)
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 4).as("rr"))
+  }
+
   /** Number of random hyperplanes (signature bits) for LSH bucketing. */
   val LshPlanes = 12
 

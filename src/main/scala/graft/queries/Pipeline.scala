@@ -3343,6 +3343,56 @@ object Pipeline {
        |  md5(array_to_string(flatten(list(sl ORDER BY doc_id)), ' ')) AS stream_md5
        |FROM m GROUP BY 1, 2""".stripMargin
 
+  // ===== q223 ANN quality evaluation (recall@k, reciprocal rank) =========
+  // The index-quality monitor a production ANN deployment runs
+  // continuously — every recall floor this repo's specs pin is this
+  // computation, promoted to a first-class oracle-gated operator:
+  // ground truth = exact brute-force top-k, system = the IVF probe,
+  // per-query n_hits / recall / reciprocal-rank of the first true hit.
+  // The oracle composes q35's and q44's chains verbatim-shaped and
+  // replays the metric arithmetic (single divisions of exact integers).
+
+  private def q223(t: Tables): DataFrame = {
+    val e = graft.Fanout(t.embeddings)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.annEvalReport(queries, e, IvfCells, IvfProbe, TopK)
+  }
+
+  private val q223Sql = {
+    def best(src: String, id: String, vec: String, n: String) =
+      s"""SELECT $id, $vec, cent_id AS cell FROM (
+         |  SELECT s.*, c.cent_id,
+         |    row_number() OVER (PARTITION BY s.$id
+         |      ORDER BY round(${cosSql(s"s.$vec", "c.cvec")}, 4) DESC, c.cent_id) AS crn
+         |  FROM $src s CROSS JOIN cents c) WHERE crn <= $n""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |bt AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |    FROM (SELECT q_id, vec_id, round(${cosSql("qv", "v")}, 4) AS score
+       |          FROM q0 CROSS JOIN e WHERE vec_id <> q_id))
+       |  WHERE rn <= $TopK),
+       |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $IvfCells),
+       |lists AS (${best("e", "vec_id", "v", "1")}),
+       |probes AS (${best("q0", "q_id", "qv", IvfProbe.toString)}),
+       |sysr AS (SELECT q_id, vec_id, rnk FROM (
+       |    SELECT q_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |    FROM (SELECT p.q_id, l.vec_id, round(${cosSql("p.qv", "l.v")}, 4) AS score
+       |          FROM probes p JOIN lists l ON p.cell = l.cell AND l.vec_id <> p.q_id))
+       |  WHERE rnk <= $TopK),
+       |h AS (SELECT s.q_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |        min(s.rnk) AS fr
+       |      FROM sysr s JOIN bt ON s.q_id = bt.q_id AND s.vec_id = bt.vec_id
+       |      GROUP BY 1)
+       |SELECT q0.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+       |  round(COALESCE(CAST(h.n_hits AS DOUBLE), 0) / $TopK, 4) AS recall,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / h.fr, 0), 4) AS rr
+       |FROM q0 LEFT JOIN h ON q0.q_id = h.q_id""".stripMargin
+  }
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -5803,7 +5853,8 @@ object Pipeline {
     "q219_cc_incremental" -> wrap(q219),
     "q220_image_resize" -> wrap(q220),
     "q221_video_frame_sample" -> wrap(q221),
-    "q222_dedup_tokenize_shards" -> wrap(q222)
+    "q222_dedup_tokenize_shards" -> wrap(q222),
+    "q223_ann_eval_report" -> wrap(q223)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5957,6 +6008,7 @@ object Pipeline {
     "q219_cc_incremental" -> q62Sql,
     "q220_image_resize" -> q220Sql,
     "q221_video_frame_sample" -> q221Sql,
-    "q222_dedup_tokenize_shards" -> q222Sql
+    "q222_dedup_tokenize_shards" -> q222Sql,
+    "q223_ann_eval_report" -> q223Sql
   )
 }

@@ -346,6 +346,37 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("annEvalReport: recall/rr equal an independent recomputation; macro recall = the pinned probe ceiling") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    try {
+      val rep = Similarity.annEvalReport(queries, emb, 16, 2, 10)
+        .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+      val truth = Similarity.bruteForceTopK(queries, emb, 10)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val sys = Similarity.ivfTopK(queries, emb, 16, 2, 10)
+        .select("q_id", "vec_id", "rnk").as[(Long, Long, Long)].collect()
+        .groupBy(_._1)
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val qids = queries.select($"q_id").as[Long].collect()
+      assert(rep.keySet == qids.toSet)
+      for (q <- qids) {
+        val hits = sys.getOrElse(q, Array.empty)
+          .filter(s => truth.getOrElse(q, Set.empty)(s._2))
+        val expHits = hits.length.toLong
+        val expRr = if (hits.isEmpty) 0.0 else r4(1.0 / hits.map(_._3).min)
+        assert(rep(q) == ((q, expHits, r4(expHits.toDouble / 10), expRr)), s"q $q")
+      }
+      // macro recall = the probed-cells ceiling every index spec pins
+      val macroR = rep.values.map(_._3).sum / rep.size
+      assert(math.abs(macroR - 0.305) < 1e-9, s"macro recall $macroR")
+    } finally graft.CacheScope.drain()
+  }
+
   test("SQ8: per-dim quantization error bounded by step/2; ADC-limited recall ~ raw-probe ceiling") {
     // scalar quantization at 1 byte/dim (64 bytes/vector here) carries
     // far more precision than the 8-byte PQ codes — with the shortlist
