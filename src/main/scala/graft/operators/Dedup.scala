@@ -977,6 +977,14 @@ object Dedup {
     */
   def writeCcLabels(ids: DataFrame, edges: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
+    // Mirror the ingest's dangling-endpoint require: an endpoint outside
+    // `ids` would silently become a component label (min id) with no row
+    // in the store. Batch-bounded: explode(edges) anti-joined to ids.
+    val dangling = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .join(ids.select(col("id")), Seq("id"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling edge endpoint(s) not present in the id set")
     val labels = connectedComponents(edges.select(col("id_a"), col("id_b")))
       .withColumnRenamed("id", "lid")
     ids.select(col("id"))
@@ -1337,6 +1345,20 @@ object Dedup {
         md5(col("chunk")).as("chunk_md5"))
   }
 
+  /** Packed first-owner election key id·2²⁰ + pos (one long — trivially
+    * reproducible in any SQL engine). The packing is only injective while
+    * pos < 2²⁰ (tokens-per-doc) AND id < 2⁴³; sequential harness ids are
+    * fine, but hash-derived 64-bit ids would SILENTLY corrupt first-owner
+    * election, so out-of-range inputs fail loudly per row instead
+    * (raise_error — one exact-integer comparison pair in the hot path).
+    */
+  private def electionKey(id: Column, pos: Column): Column =
+    when(id < 0 || id >= lit(1L << 43) || pos < 0 || pos >= lit(1L << 20),
+      raise_error(concat_ws(" ",
+        lit("election key overflow (0 <= id < 2^43 and 0 <= pos < 2^20 required): id ="),
+        id.cast("string"), lit("pos ="), pos.cast("string"))).cast("long"))
+      .otherwise(id * lit(1048576L) + pos)
+
   def segmentDedup(docs: DataFrame, segLen: Int): DataFrame = {
     val segs = docs
       .withColumn("__w", split(lower(col("text")), """\s+"""))
@@ -1346,10 +1368,9 @@ object Dedup {
       .select(col("id"), col("__st").cast("long").as("pos"),
         concat_ws(" ", slice(col("__w"), col("__st") + 1, lit(segLen))).as("seg"))
       .withColumn("h", md5(col("seg")))
-      // first-owner key: (id, pos) packed into one long — docs are far
-      // shorter than 2^20 tokens, and the same encoding is trivially
-      // reproducible in any SQL engine (id * 2^20 + pos)
-      .withColumn("fk", col("id") * lit(1048576L) + col("pos"))
+      // first-owner key: (id, pos) packed into one long ([[electionKey]] —
+      // loud on id/pos outside the injective range)
+      .withColumn("fk", electionKey(col("id"), col("pos")))
       .persistScoped()
     val firstOwner = segs.groupBy(col("h")).agg(min(col("fk")).as("mfk"))
     segs.join(firstOwner,
@@ -1476,11 +1497,11 @@ object Dedup {
       .persistScoped() // feeds the dup/owner aggregate AND the cut join
     val owners = grams.groupBy(col("h"))
       .agg(countDistinct(col("id")).as("nd"),
-        min(col("id") * lit(1048576L) + col("pos")).as("ofk"))
+        min(electionKey(col("id"), col("pos"))).as("ofk"))
       .filter(col("nd") >= 2)
       .select(col("h"), col("ofk"))
     val cuts = grams.join(owners, Seq("h"))
-      .filter(col("id") * lit(1048576L) + col("pos") =!= col("ofk"))
+      .filter(electionKey(col("id"), col("pos")) =!= col("ofk"))
       .select(col("id"), col("pos"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))

@@ -374,8 +374,12 @@ object Multimodal {
     /** Parse a y4m payload: (w, h, fpsNum, fpsDen, yPlaneOffsets) — one
       * offset per frame, pointing at the frame's Y plane. None for
       * corrupt/truncated/non-y4m bytes (corrupt blobs are data, not
-      * exceptions). Validates the magic, W/H/F parameters, EVERY frame's
-      * FRAME marker, and exact 4:2:0 length arithmetic.
+      * exceptions). Validates the magic, W/H/F parameters, the C
+      * colorspace tag (only the C420 family — C420, C420jpeg, C420paldv,
+      * C420mpeg2 — matches the 4:2:0 frame-length arithmetic below; a
+      * C444/C422 clip is rejected explicitly here rather than by length
+      * mismatch accident), EVERY frame's FRAME marker, and exact 4:2:0
+      * length arithmetic.
       */
     def parseY4m(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Array[Int])] = {
       if (bytes == null) return None
@@ -385,6 +389,7 @@ object Multimodal {
       val toks = header.split(' ')
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
       var w = -1; var h = -1; var fn = -1; var fd = -1
+      var cspace = "C420" // the spec default when no C tag is present
       toks.drop(1).foreach { t =>
         if (t.nonEmpty) t.charAt(0) match {
           case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
@@ -394,10 +399,13 @@ object Multimodal {
               fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
             case _ => ()
           }
+          case 'C' => cspace = t
           case _ => ()
         }
       }
       if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || w % 2 != 0 || h % 2 != 0)
+        return None
+      if (!Set("C420", "C420jpeg", "C420paldv", "C420mpeg2").contains(cspace))
         return None
       val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
       val marker = "FRAME".getBytes("US-ASCII")

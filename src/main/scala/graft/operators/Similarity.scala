@@ -96,8 +96,10 @@ object Similarity {
     * engine's specs pin is this computation; here it is a first-class,
     * oracle-gated operator): ground truth = [[bruteForceTopK]] (exact),
     * system = [[ivfTopK]] under (nCells, nProbe), per query
-    * n_hits = |system ∩ truth|, recall = n_hits/k, rr = 1/rank of the
-    * FIRST true hit in the system ranking (0 when none — the MRR
+    * n_hits = |system ∩ truth|, recall = n_hits / |truth| (the per-query
+    * truth count, which is min(k, |corpus|−1) — dividing by the constant
+    * k would misdefine recall on corpora smaller than k+1), rr = 1/rank
+    * of the FIRST true hit in the system ranking (0 when none — the MRR
     * contribution). All numbers are single divisions of exact integers,
     * rounded to 4 dp.
     *
@@ -110,17 +112,21 @@ object Similarity {
       nProbe: Int, k: Int): DataFrame = {
     val truth = bruteForceTopK(queries, corpus, k)
       .select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // feeds both the hit join and the truth count
+    val nTruth = truth.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_truth"))
     val sys = ivfTopK(queries, corpus, nCells, nProbe, k)
       .select(col("q_id"), col("vec_id"), col("rnk"))
     val agg = sys.join(truth, Seq("q_id", "vec_id"))
       .groupBy(col("q_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("rnk")).as("fr"))
     queries.select(col("q_id"))
+      .join(nTruth, Seq("q_id"), "left")
       .join(agg, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4)
-          .as("recall"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth"), 4).as("recall"),
         round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 4).as("rr"))
   }
 

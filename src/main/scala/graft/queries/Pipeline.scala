@@ -3386,11 +3386,13 @@ object Pipeline {
        |h AS (SELECT s.q_id, CAST(count(*) AS BIGINT) AS n_hits,
        |        min(s.rnk) AS fr
        |      FROM sysr s JOIN bt ON s.q_id = bt.q_id AND s.vec_id = bt.vec_id
-       |      GROUP BY 1)
+       |      GROUP BY 1),
+       |tc AS (SELECT q_id, count(*) AS n_truth FROM bt GROUP BY 1)
        |SELECT q0.q_id, COALESCE(h.n_hits, 0) AS n_hits,
-       |  round(COALESCE(CAST(h.n_hits AS DOUBLE), 0) / $TopK, 4) AS recall,
+       |  round(COALESCE(CAST(h.n_hits AS DOUBLE), 0) / tc.n_truth, 4) AS recall,
        |  round(COALESCE(CAST(1 AS DOUBLE) / h.fr, 0), 4) AS rr
-       |FROM q0 LEFT JOIN h ON q0.q_id = h.q_id""".stripMargin
+       |FROM q0 LEFT JOIN tc ON q0.q_id = tc.q_id
+       |  LEFT JOIN h ON q0.q_id = h.q_id""".stripMargin
   }
 
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========

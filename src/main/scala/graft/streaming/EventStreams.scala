@@ -834,11 +834,14 @@ object EventStreams {
     * replay-idempotent. Unsegmentable words count as ONE `[UNK]` token
     * and are tallied separately: a rising n_unk is the drift signal that
     * triggers a retrain-and-swap, never an in-stream vocab update.
+    * EVERY ingested doc gets a row — a doc with no extractable words
+    * (empty/whitespace text) reports (id, 0, 0) rather than a silent gap
+    * (the per-doc aggregate left-joins back to the batch's id set).
     */
   def wordPieceTokenizeIngest(modelDir: String, outDir: String)
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => graft.CacheScope.scoped {
-      import org.apache.spark.sql.functions.{col, explode, expr, size, sum, when, lit, element_at}
+      import org.apache.spark.sql.functions.{col, explode, expr, size, sum, when, lit, element_at, coalesce}
       val spark = batch.sparkSession
       val vocab = graft.operators.TextOps.loadWordPieceVocab(spark, modelDir)
       val words = batch.select(explode(expr(
@@ -848,11 +851,15 @@ object EventStreams {
         .select(col("w"), size(col("toks")).cast("long").as("nt"),
           when(element_at(col("toks"), 1) === lit("[UNK]"), 1L).otherwise(0L)
             .as("unk"))
-      batch.select(col("id"), explode(expr(
+      val perDoc = batch.select(col("id"), explode(expr(
         "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")).as("w"))
         .join(wt, Seq("w"))
-        .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"),
-          sum(col("unk")).as("n_unk"))
+        .groupBy(col("id")).agg(sum(col("nt")).as("nt"),
+          sum(col("unk")).as("unk"))
+      batch.select(col("id"))
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nt"), lit(0L)).as("n_tokens"),
+          coalesce(col("unk"), lit(0L)).as("n_unk"))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 

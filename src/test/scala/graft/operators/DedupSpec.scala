@@ -756,4 +756,35 @@ class DedupSpec extends AnyFunSuite {
       }
     } finally graft.CacheScope.drain()
   }
+
+  test("election key overflow fails loudly: hash-derived ids >= 2^43 cannot silently corrupt first-owner election") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // segmentDedup: out-of-range id
+    val bigId = Seq((1L << 43, "p q r s t u"), (7L, "p q r s t u"))
+      .toDF("id", "text")
+    val e1 = intercept[Throwable] { Dedup.segmentDedup(bigId, 3).collect() }
+    assert(messages(e1).contains("election key overflow"), messages(e1))
+    // removeDuplicateSpans: same guard on the owner-election aggregate
+    val e2 = intercept[Throwable] {
+      Dedup.removeDuplicateSpans(bigId, 3).collect()
+    }
+    assert(messages(e2).contains("election key overflow"), messages(e2))
+    graft.CacheScope.drain()
+    // in-range ids are untouched (the q81/q207 surface)
+    val ok = Seq(((1L << 43) - 1, "p q r s t u"), (7L, "x y z w v u"))
+      .toDF("id", "text")
+    assert(Dedup.segmentDedup(ok, 3).count() == 2)
+    graft.CacheScope.drain()
+  }
+
+  test("writeCcLabels rejects edges with endpoints outside the id set (mirror of the ingest's dangling check)") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-dangling").toString
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeCcLabels(Seq(1L, 2L).toDF("id"),
+        Seq((1L, 3L)).toDF("id_a", "id_b"), dir)
+    }
+    assert(e.getMessage.contains("edge endpoint"))
+  }
 }

@@ -274,6 +274,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoCodec.parseY4m(good.dropRight(1)).isEmpty)  // truncated frame
     val badMarker = good.clone(); badMarker(good.indexOf('\n'.toByte) + 1) = 'X'
     assert(VideoCodec.parseY4m(badMarker).isEmpty)
+    // non-4:2:0 colorspaces are rejected EXPLICITLY (the header tag, not
+    // length-arithmetic accident): same payload, C tag rewritten
+    def withCspace(c: String): Array[Byte] = {
+      val nl = good.indexOf('\n'.toByte)
+      val hdr = new String(good, 0, nl, "US-ASCII").replace("C420", c)
+      (hdr + "\n").getBytes("US-ASCII") ++ good.drop(nl + 1)
+    }
+    for (c <- Seq("C444", "C422", "C420p10", "Cmono"))
+      assert(VideoCodec.parseY4m(withCspace(c)).isEmpty, c)
+    for (c <- Seq("C420", "C420jpeg", "C420mpeg2", "C420paldv"))
+      assert(VideoCodec.parseY4m(withCspace(c)).nonEmpty, c)
+    // an absent C tag defaults to 4:2:0 per the y4m spec
+    val nl = good.indexOf('\n'.toByte)
+    val hdrNoC = new String(good, 0, nl, "US-ASCII").replace(" C420", "")
+    assert(VideoCodec.parseY4m(
+      (hdrNoC + "\n").getBytes("US-ASCII") ++ good.drop(nl + 1)).nonEmpty)
     // distributed sampled features: every-2nd vs every frame
     val df = Seq(3L, 10L).toDF("doc_id")
     val withVid = Multimodal.withVideoColumn(df, "doc_id")

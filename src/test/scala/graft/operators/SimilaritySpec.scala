@@ -377,6 +377,24 @@ class SimilaritySpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("annEvalReport: recall reaches 1.0 on corpora smaller than k+1 (denominator = per-query truth count, not k)") {
+    // 6 vectors, k=10 → only 5 truth rows per query; a full probe
+    // (nProbe = nCells) retrieves everything, so recall must be exactly
+    // 1.0 — dividing by the constant k would cap it at 0.5
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" < 6)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    try {
+      val rep = Similarity.annEvalReport(queries, emb, 2, 2, 10)
+        .as[(Long, Long, Double, Double)].collect()
+      assert(rep.length == 1)
+      assert(rep(0)._2 == 5L, s"n_hits ${rep(0)._2}")
+      assert(rep(0)._3 == 1.0, s"recall ${rep(0)._3}")
+      assert(rep(0)._4 == 1.0, s"rr ${rep(0)._4}")
+    } finally graft.CacheScope.drain()
+  }
+
   test("SQ8: per-dim quantization error bounded by step/2; ADC-limited recall ~ raw-probe ceiling") {
     // scalar quantization at 1 byte/dim (64 bytes/vector here) carries
     // far more precision than the 8-byte PQ codes — with the shortlist

@@ -1210,6 +1210,14 @@ class EventStreamsSpec extends AnyFunSuite {
       val sink = EventStreams.wordPieceTokenizeIngest(model, out)
       sink(b1.toDF("id", "text"), 1)
       assert(streamed() == offline)
+      // EVERY ingested doc reports — a doc with no extractable words gets
+      // (id, 0, 0) rather than a silent per-doc gap
+      sink(Seq((9001L, ""), (9002L, "   \t  "), (9003L, "real words here"))
+        .toDF("id", "text"), 1)
+      val withEmpty = streamed()
+      assert(withEmpty.contains((9001L, 0L, 0L)))
+      assert(withEmpty.contains((9002L, 0L, 0L)))
+      assert(withEmpty.exists(r => r._1 == 9003L && r._2 > 0L))
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
