@@ -173,6 +173,54 @@ object Curation {
           .as("stream_md5"))
   }
 
+  /** TOKEN-ID shard export — [[packShards]] made literally consumable: a
+    * pretraining loader mmaps INT token ids against a frozen (piece → id)
+    * vocabulary, not piece strings, so this variant maps every piece
+    * through `vocab` (expression data — one map literal, no join) BEFORE
+    * assembly and returns, per (domain, bin), the ordered id array itself
+    * plus (n_tokens, md5 of the space-joined DECIMAL id stream) for the
+    * hash gate. A piece absent from the vocabulary fails LOUDLY
+    * (raise_error) — a frozen vocab that cannot express its own
+    * tokenizer's output is a deployment bug, and a silent null would
+    * corrupt every downstream shard byte.
+    *
+    * 100 TB design: [[packShards]]' own ([[packManifest]] prefix scan +
+    * slice join + budget-bounded per-bin assembly); the id map adds one
+    * narrow transform per row.
+    *
+    * Input: df with (domain, id, toks: array<string>).
+    * Output: (domain, bin, n_tokens, token_ids: array<long>, stream_md5).
+    */
+  def packShardIds(df: DataFrame, domain: Column, id: Column, toks: Column,
+      vocab: Map[String, Long], budget: Long, partitions: Int): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val vlit = typedLit(vocab)
+    val ids = transform(toks, p =>
+      when(element_at(vlit, p).isNull,
+        raise_error(concat(lit("piece not in the frozen vocab: "), p))
+          .cast("long"))
+        .otherwise(element_at(vlit, p)))
+    val base = df.select(domain.cast("string").as("domain"),
+      id.cast("long").as("id"), ids.as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+      .persistScoped() // feeds the manifest scan AND the slice join
+    val manifest = packManifest(base, col("domain"), col("id"),
+      col("n_tok"), budget, partitions)
+    manifest
+      .join(base.select(col("domain"), col("id"), col("ids")),
+        Seq("domain", "id"))
+      .select(col("domain"), col("bin"), col("id"), col("span_tokens"),
+        expr("slice(ids, CAST(off_in_doc + 1 AS INT), CAST(span_tokens AS INT))")
+          .as("sl"))
+      .groupBy(col("domain"), col("bin"))
+      .agg(sum(col("span_tokens")).as("n_tokens"),
+        expr("flatten(transform(sort_array(collect_list(struct(id, sl))), x -> x.sl))")
+          .as("token_ids"))
+      .select(col("domain"), col("bin"), col("n_tokens"), col("token_ids"),
+        md5(array_join(transform(col("token_ids"),
+          x => x.cast("string")), " ")).as("stream_md5"))
+  }
+
   /** Rows with the per-domain exclusive prefix sum in `__cum`:
     * single-window form (scanParts = None) or distributed-scan form.
     * `ord` optionally prepends an ordering key before the id (default:

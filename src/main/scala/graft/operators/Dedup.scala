@@ -1123,6 +1123,20 @@ object Dedup {
     e + 1
   }
 
+  /** Auto-compaction trigger — [[Similarity.compactIvfIndexIfNeeded]]'s
+    * pattern on the CC label store: the resolution cost grows with every
+    * ingest (each batch adds one broadcast remap join to
+    * [[ccLabelsResolved]]'s chain plus one batch dir to the listing), so
+    * compact when the current epoch's `remap/` holds more than
+    * `maxBatches` sealed batches. Consult AFTER the producer's checkpoint
+    * commit (the [[Compaction.batchCount]] contract).
+    */
+  def compactCcLabelsIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "remap") > maxBatches)
+      Some(compactCcLabels(spark, dir))
+    else None
+
   /** Physical deletion from the labels store: the ids' rows are GONE and
     * every component re-canonicalizes to its surviving min id (a deleted
     * label id cannot keep naming a component). HONEST LIMIT, documented:

@@ -90,26 +90,68 @@ object Sketches {
       batchId: Long): Unit = {
     require(batchId >= 1, s"batch 0 is the build (got $batchId)")
     val spark = batch.sparkSession
+    val e = Compaction.currentEpoch(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     countMin(batch, key, m.getAs[Int]("depth"), m.getAs[Int]("width"))
-      .write.mode("overwrite").parquet(s"$dir/cells/batch=$batchId")
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "cells", e)}/batch=$batchId")
     spark.catalog.refreshByPath(dir)
   }
 
   /** Point-query a stored sketch: cells SUM across batch partitions
     * (linearity), then the per-key min — identical estimates to a
-    * one-shot [[countMin]] over everything ever ingested.
+    * one-shot [[countMin]] over everything ever ingested. Epoch-aware:
+    * probes resolve the `EPOCH` pointer first (the versioned-index read
+    * contract), so a concurrent [[compactCountMin]] is invisible.
     */
   def countMinEstimateAgainstStore(dir: String, keys: DataFrame,
       key: Column): DataFrame = {
     val spark = keys.sparkSession
+    val e = Compaction.currentEpoch(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(Compaction.epochPath(dir, "cells", e))
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("c")).as("c"))
     countMinEstimate(cells, keys, key,
       m.getAs[Int]("depth"), m.getAs[Int]("width"))
   }
+
+  /** Fold every batch's cells into ONE summed `batch=0` under the next
+    * epoch (atomic pointer swap, old epoch deleted after) — the missing
+    * maintenance op of the sketch store: probes SUM cells across every
+    * `batch=N` directory, so an ever-ingesting store's probe cost grows
+    * with batch count forever without this. CountMin LINEARITY makes the
+    * fold trivially exact: the compacted store's summed cells are
+    * bit-identical to the uncompacted store's (the same integer sums,
+    * associativity) — probe-identical by construction, spec-pinned.
+    * Replay horizon: like every index compaction, run only past the
+    * producer's committed batches.
+    */
+  def compactCountMin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    spark.read.parquet(Compaction.epochPath(dir, "cells", e))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+      .coalesce(1) // ≤ d·w rows — one file is the whole point
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "cells", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Compaction.deleteDir(spark, Compaction.epochPath(dir, "cells", e))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
+  /** Auto-compaction trigger — [[Similarity.compactIvfIndexIfNeeded]]'s
+    * pattern on the sketch store: compact when the current epoch holds
+    * more than `maxBatches` sealed batch directories. Consult AFTER the
+    * producer's checkpoint commit (the [[Compaction.batchCount]] contract).
+    */
+  def compactCountMinIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "cells") > maxBatches)
+      Some(compactCountMin(spark, dir))
+    else None
 
   /** Point-query a [[countMin]] sketch for a set of keys: estimate =
     * min over the d rows of the key's bucket counters (absent cells are

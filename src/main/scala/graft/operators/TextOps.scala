@@ -375,6 +375,56 @@ object TextOps {
     words.select(col("w"),
       graft.functions.wordpiece_encode(col("w"), vocab).as("toks"))
 
+  /** Invert a WordPiece token array back to its source word: the first
+    * piece verbatim, every continuation piece with its `##` marker
+    * stripped, concatenated — the standard WordPiece detokenization. An
+    * `[UNK]` word does NOT round-trip (the vocabulary lost it — exactly
+    * what a round-trip gate exists to count). One codegen'd expression,
+    * no UDF.
+    */
+  def wordPieceDetokenize(toks: Column): Column =
+    concat(element_at(toks, 1),
+      concat_ws("", transform(slice(toks, lit(2), size(toks) - 1),
+        x => when(x.startsWith("##"), x.substr(lit(3), length(x)))
+          .otherwise(x))))
+
+  /** Tokenizer INTEGRITY gate for the WordPiece family —
+    * [[bpeRoundTripByteLevel]]'s contract on greedy longest-match-first
+    * serving: every distinct lowercased whitespace word encodes through
+    * the flat vocabulary and decodes back ([[wordPieceDetokenize]]); per
+    * document, reports the word count, round-trip mismatches (an `[UNK]`
+    * is a mismatch unless the word IS the unk literal), and the md5 of
+    * the position-ordered decoded stream — equal to the original word
+    * stream's md5 iff the round trip is exact (the hash-compare oracle
+    * shape; the oracle computes the md5 from the ORIGINAL words and
+    * asserts 0 mismatches).
+    *
+    * 100 TB posture: encode+decode run once per DISTINCT word; the
+    * corpus side is one posexplode + equi-join + per-doc sorted fold.
+    *
+    * @return (id, n_pretokens, n_mismatch, rt_md5), docs with ≥1 word only
+    */
+  def wordPieceRoundTrip(docs: DataFrame, id: Column, text: Column,
+      vocab: Seq[String]): DataFrame = {
+    val words = docs.select(text.as("__t"))
+      .select(explode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
+      .distinct()
+    val dec = wordPieceTokens(words, vocab)
+      .select(col("w"), wordPieceDetokenize(col("toks")).as("dec"))
+    docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"), posexplode(expr(
+        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)"))
+        .as(Seq("pos", "w")))
+      .join(dec, "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(when(col("dec") =!= col("w"), 1L).otherwise(0L)).as("n_mismatch"),
+        md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(pos, dec))), x -> x.dec), '')"))
+          .as("rt_md5"))
+  }
+
   /** Persist a trained WordPiece tokenizer to `dir` — `vocab/` (the flat
     * serving vocabulary, one symbol per row with a stable `ord` for
     * deterministic reload order) and `merges/` (the audit trail of how
@@ -467,6 +517,43 @@ object TextOps {
       .orderBy(col("merge_round"))
       .collect().map(r =>
         (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+
+  /** The frozen (piece → id) vocabulary of a BYTE-LEVEL BPE merge list —
+    * what turns piece-string shards into the INT token-id arrays a
+    * pretraining loader actually mmaps. Ids follow the GPT-2 layout: the
+    * closed 256-symbol byte alphabet (uppercase hex pairs — Spark's
+    * hex-of-string) takes ids 0..255 in byte order, then each merge's
+    * product takes 256 + its round index. Should two merge products ever
+    * collide on the same string (possible in principle: "AB"+"CDEF" ≡
+    * "ABCD"+"EF"), the SMALLEST id wins — the map must be a function.
+    * Driver-sized by construction (256 + |merges| entries).
+    */
+  def bpeVocabIdsByteLevel(merges: Seq[(String, String)]): Map[String, Long] = {
+    val entries = (0 until 256).map(b => f"$b%02X" -> b.toLong) ++
+      merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256L + i) }
+    entries.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+  }
+
+  /** Persist a [[bpeVocabIdsByteLevel]] map as the `vocab_ids` artifact —
+    * the loader-facing twin of [[writeBpeModel]]: one bounded parquet of
+    * (piece, id) rows a trainer's data loader reads ONCE to interpret
+    * every token-id shard ever produced under this tokenizer.
+    */
+  def writeBpeVocabIds(spark: org.apache.spark.sql.SparkSession,
+      vocab: Map[String, Long], dir: String): Unit = {
+    import spark.implicits._
+    vocab.toSeq.sortBy(_._2).toDF("piece", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab_ids")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Load a [[writeBpeVocabIds]] artifact back to the driver-sized map the
+    * shard exporter ships as expression data.
+    */
+  def loadBpeVocabIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    spark.read.parquet(s"$dir/vocab_ids")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Per-document token counts under a learned BPE vocabulary — the
     * data-prep-time application of [[bpeMerges]] (what decides sequence
@@ -1134,6 +1221,178 @@ object TextOps {
     LinearModel(wInt.take(dim).map(_ / 10000.0), wInt(dim) / 10000.0,
       losses.result())
   }
+
+  /** A trained multiclass hashed-linear model ([[trainHashedLangId]]):
+    * one-vs-rest binary head per class over a SHARED hashed char-n-gram
+    * feature space. `classes` is sorted (the id order every consumer
+    * replays); `weights(ci)` has `dim` entries, bias separate.
+    */
+  final case class LangIdModel(classes: Seq[String],
+      weights: Array[Array[Double]], biases: Array[Double],
+      losses: Seq[Double])
+
+  /** Char n-gram array (n consecutive code points of `t`, every offset) —
+    * the fastText-langid feature family. Empty when the text is shorter
+    * than n (guarded: Spark's sequence(1, 0) would count DOWN).
+    */
+  private def charGrams(t: Column, n: Int): Column =
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Whitespace-normalized lowercase text + its char 2-/3-gram features —
+    * ONE definition shared by trainer and server (feature drift between
+    * the two is the classic serving bug).
+    */
+  private def langIdBase(docs: DataFrame, id: Column, text: Column,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val norm = trim(regexp_replace(lower(text), """\s+""", " "))
+    docs.select((Seq(id.as("id"), norm.as("t")) ++
+        extra.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("gs", concat(charGrams(col("t"), 2), charGrams(col("t"), 3)))
+      .filter(size(col("gs")) > 0)
+  }
+
+  /** TRAIN the multiclass language-ID model — the actual CCNet/RefinedWeb
+    * stage 0 (a trained fastText-style classifier over char n-grams;
+    * [[langId]]'s stopword scorer is the rule-based teaching form): a
+    * one-vs-rest logistic head per label over hashed char 2-/3-grams
+    * (j = h28(gram) mod dim; bias rides as feature j = dim), trained with
+    * [[trainHashedLinear]]'s EXACT integerized recipe — per-doc scores
+    * fold sorted (j, count) pairs, residuals integerize to
+    * round((p−y)·10⁴) before the gradient sum, weights live as integer
+    * ten-thousandths updated by half-up integer division with the shared
+    * per-feature normalizer n_j — so an oracle re-derives every class's
+    * weights from scratch and must land on the identical model.
+    *
+    * 100 TB design: the corpus featurizes ONCE into a persisted
+    * (id, yi, fs) frame; each iteration is one narrow scoring map (the
+    * K class heads ride as ONE 2-D array literal, scored via a K-row
+    * explode) and one gradient hash-aggregate whose exchange carries at
+    * most K·(dim+1) partial sums per task. Classes = the sorted distinct
+    * labels of the TRAINING slice (driver-sized by construction).
+    */
+  def trainHashedLangId(docs: DataFrame, id: Column, text: Column,
+      label: Column, dim: Int, iters: Int, lrNum: Long = 1L,
+      lrDen: Long = 2L): LangIdModel = {
+    import graft.CacheScope.ScopedPersist
+    require(iters >= 1 && dim >= 1 && lrNum >= 1 && lrDen >= 1)
+    val base = langIdBase(docs, id, text,
+      extra = Seq("y" -> label.cast("string")))
+    val classes = base.select(col("y")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(classes.nonEmpty, "no trainable documents")
+    val k = classes.length
+    val clsIdx = classes.zipWithIndex.map { case (c, i) => c -> i }.toMap
+    val feats = base
+      .select(col("id"), col("y"), explode(col("gs")).as("f"))
+      .withColumn("j", pmod(Dedup.SharedHash.hash28(col("f")), lit(dim.toLong)))
+      .groupBy(col("id"), col("y"), col("j")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"), col("y"))
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("fs0"))
+      .select(col("id"),
+        element_at(typedLit(clsIdx), col("y")).as("yi"),
+        concat(col("fs0"),
+          array(struct(lit(dim.toLong).as("j"), lit(1L).as("c")))).as("fs"))
+      .persistScoped() // featurize once; every iteration reads this frame
+    val nj = Array.fill(dim + 1)(1L)
+    feats.select(explode(col("fs")).as("x"))
+      .groupBy(col("x.j")).agg(sum(col("x.c")).as("nj"))
+      .collect()
+      .foreach(r => nj(r.getAs[Long]("j").toInt) = r.getAs[Long]("nj"))
+    val wInt = Array.fill(k, dim + 1)(0L)
+    def halfUpDiv(a: Long, b: Long): Long =
+      if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val wlit = typedLit(wInt.map(_.map(_ / 10000.0).toSeq).toSeq)
+      val scored = feats
+        .select(col("id"), col("yi"), col("fs"),
+          explode(sequence(lit(0), lit(k - 1))).as("ci"))
+        .withColumn("s", round(aggregate(col("fs"), lit(0.0), (acc, x) =>
+          acc + element_at(element_at(wlit, col("ci") + 1),
+            (x.getField("j") + 1).cast("int")) * x.getField("c")), 4))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 4))
+        .withColumn("yb", when(col("yi") === col("ci"), 1).otherwise(0))
+        .withColumn("ri", round((col("p") - col("yb")) * 10000).cast("long"))
+        .persistScoped()
+      val g = Array.fill(k, dim + 1)(0L)
+      scored.select(col("ci"), explode(col("fs")).as("x"), col("ri"))
+        .groupBy(col("ci"), col("x.j")).agg(sum(col("ri") * col("x.c")).as("g"))
+        .collect()
+        .foreach(r => g(r.getAs[Int]("ci"))(r.getAs[Long]("j").toInt) =
+          r.getAs[Long]("g"))
+      losses += scored.agg(avg(-(col("yb") * log(greatest(col("p"), lit(1e-6)))
+        + (lit(1) - col("yb"))
+          * log(greatest(lit(1.0) - col("p"), lit(1e-6))))))
+        .head().getDouble(0)
+      for (ci <- 0 until k; j <- 0 to dim)
+        wInt(ci)(j) = wInt(ci)(j) - halfUpDiv(lrNum * g(ci)(j), lrDen * nj(j))
+    }
+    LangIdModel(classes, wInt.map(_.take(dim).map(_ / 10000.0)),
+      wInt.map(w => w(dim) / 10000.0), losses.result())
+  }
+
+  /** Serve a [[LangIdModel]]: per doc, each class's one-vs-rest score is
+    * bias + the DOC-ORDER fold of hashed-gram weights (the q174 narrow
+    * zero-shuffle form — K codegen'd folds per row, no join, no
+    * explode); pred = argmax score with ties to the alphabetically first
+    * class (max of (score, −ci) structs — deterministic, no window).
+    * Output: (id, pred_lang, score).
+    */
+  def langIdScore(docs: DataFrame, id: Column, text: Column,
+      model: LangIdModel): DataFrame = {
+    val dim = model.weights(0).length
+    val base = langIdBase(docs, id, text)
+    val scoreCols = model.classes.indices.map { ci =>
+      val warr = typedLit(model.weights(ci).toSeq)
+      round(lit(model.biases(ci)) + aggregate(col("gs"), lit(0.0),
+        (acc, x) => acc + element_at(warr,
+          (pmod(Dedup.SharedHash.hash28(x), lit(dim.toLong)) + 1)
+            .cast("int"))), 4)
+    }
+    val packed = array(scoreCols.zipWithIndex.map { case (s, ci) =>
+      struct(s.as("s"), lit(-ci).as("ni")) }: _*)
+    base.select(col("id"), array_max(packed).as("b"))
+      .select(col("id"),
+        element_at(typedLit(model.classes),
+          (-col("b.ni") + 1).cast("int")).as("pred_lang"),
+        col("b.s").as("score"))
+  }
+
+  /** Persist a [[LangIdModel]] to `dir/langid` (K bounded rows — the
+    * model-artifact pattern): train once, classify forever.
+    */
+  def writeLangIdModel(spark: org.apache.spark.sql.SparkSession,
+      model: LangIdModel, dir: String): Unit = {
+    import spark.implicits._
+    model.classes.indices
+      .map(ci => (model.classes(ci), model.weights(ci).toSeq,
+        model.biases(ci)))
+      .toDF("cls", "weights", "bias")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/langid")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Load a stored [[writeLangIdModel]] artifact (class-sorted — the
+    * deterministic id order [[langIdScore]]'s tie-break depends on).
+    */
+  def loadLangIdModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LangIdModel = {
+    val rows = spark.read.parquet(s"$dir/langid")
+      .collect().map(r => (r.getString(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    LangIdModel(rows.map(_._1).toSeq, rows.map(_._2), rows.map(_._3), Nil)
+  }
+
+  /** Classify documents with a stored langid artifact: the K-row model
+    * loads driver-side and rides into [[langIdScore]] as expression data.
+    */
+  def langIdScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
+      dir: String): DataFrame =
+    langIdScore(docs, id, text, loadLangIdModel(docs.sparkSession, dir))
 
   /** Persist a [[LinearModel]] to `dir/linear` (one parquet row) — the
     * model-artifact pattern of [[writeLmModel]]: train once, serve

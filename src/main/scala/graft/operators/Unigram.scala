@@ -200,4 +200,60 @@ object Unigram {
       maxPieceLen: Int = MaxPieceLen): DataFrame =
     words.withColumn("toks", graft.functions.unigram_encode(
       col("w"), model, maxPieceLen, UnkScoreMicro))
+
+  /** [[byteCharsToString]] as a Column (the distributed inverse): each
+    * code point of a byte-level string IS one UTF-8 byte value (≤ 0xFF by
+    * the [[wordTableByteLevel]] construction), so the original string is
+    * hex(code point) per char → concat → unhex → UTF-8 decode. Pure
+    * codegen'd expression chain, no UDF.
+    */
+  def byteCharsToStringCol(s: Column): Column =
+    decode(unhex(concat_ws("",
+      transform(sequence(lit(1), length(s)),
+        i => lpad(conv(ascii(s.substr(i, lit(1))).cast("string"),
+          10, 16), 2, "0")))), "UTF-8")
+
+  /** Tokenizer INTEGRITY gate for the byte-level unigram family —
+    * [[TextOps.bpeRoundTripByteLevel]]'s contract on the Viterbi encoder:
+    * every distinct pre-token maps to byte chars
+    * ([[wordTableByteLevel]]'s symbolization), Viterbi-encodes through
+    * the trained model, and decodes back (concat pieces — Viterbi
+    * SEGMENTS the word, so the piece concatenation is the byte-char word
+    * — then [[byteCharsToStringCol]]); per document the gate reports the
+    * pre-token count, round-trip mismatches, and the md5 of the
+    * position-ordered decoded stream (= the original stream's md5 iff
+    * the round trip is exact — the hash-compare oracle shape).
+    *
+    * 100 TB posture: encode+decode run once per DISTINCT pre-token; the
+    * corpus side is one posexplode + equi-join + per-doc sorted fold.
+    *
+    * @return (id, n_pretokens, n_mismatch, rt_md5), docs with ≥1
+    *         pre-token only
+    */
+  def roundTripByteLevel(docs: DataFrame, id: Column, text: Column,
+      model: Seq[(String, Long)],
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
+    val byteChars = expr(
+      """array_join(transform(sequence(1, length(hex(w0)) div 2),
+        |  i -> chr(CAST(conv(substring(hex(w0), 2 * i - 1, 2), 16, 10)
+        |           AS BIGINT))), '')""".stripMargin)
+    val vocab = docs.select(text.as("__t"))
+      .select(explode(regexp_extract_all(lower(col("__t")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as("w0"))
+      .distinct()
+      .select(col("w0"), byteChars.as("w"))
+      .select(col("w0"), byteCharsToStringCol(concat_ws("",
+        graft.functions.unigram_encode(col("w"), model, maxPieceLen,
+          UnkScoreMicro))).as("dec"))
+    docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"), posexplode(regexp_extract_all(lower(col("__t")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w0")))
+      .join(vocab, "w0")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(when(col("dec") =!= col("w0"), 1L).otherwise(0L)).as("n_mismatch"),
+        md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(pos, dec))), x -> x.dec), '')"))
+          .as("rt_md5"))
+  }
 }

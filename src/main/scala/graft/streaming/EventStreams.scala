@@ -824,6 +824,26 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming language identification — the serving twin of the TRAINED
+    * multiclass langid model
+    * ([[graft.operators.TextOps.langIdScoreAgainstModel]], CCNet stage
+    * 0): each micro-batch classifies against the FROZEN stored artifact
+    * (K bounded rows shipped as expression data — one narrow zero-shuffle
+    * map per batch, no join) and writes per-doc (id, pred_lang, score)
+    * under `batch=<id>` — overwrite mode, replay-idempotent. The model
+    * never adapts to the stream (drift triggers a retrain-and-swap, the
+    * stored-artifact discipline); docs whose normalized text has no
+    * char bigram are dropped (nothing to classify), matching offline.
+    */
+  def langIdIngest(modelDir: String, outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.langIdScoreAgainstModel(batch.toDF(),
+          col("id"), col("text"), modelDir)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming WordPiece tokenization — [[unigramTokenizeIngest]]'s
     * sibling over a stored
     * [[graft.operators.TextOps.writeWordPieceModel]] artifact: each

@@ -131,6 +131,40 @@ class CurationSpec extends AnyFunSuite {
       ("b", 0L) -> (1L, md5("x1"))))               // b packs independently
   }
 
+  test("packShardIds: id arrays assemble like packShards mapped through the vocab; OOV piece fails loudly") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      ("a", 1L, Seq("t1", "t2", "t3")),
+      ("a", 2L, Seq("t4", "t5", "t6", "t7")),
+      ("a", 3L, Seq("t8", "t9")),
+      ("b", 9L, Seq("x1"))
+    ).toDF("src", "id", "toks")
+    val vocab = (1 to 9).map(i => s"t$i" -> (100L + i)).toMap + ("x1" -> 7L)
+    try {
+      val out = Curation.packShardIds(d, col("src"), col("id"), col("toks"),
+          vocab, budget = 5L, partitions = 4)
+        .as[(String, Long, Long, Seq[Long], String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(out == Map(
+        ("a", 0L) -> ((5L, Seq(101L, 102L, 103L, 104L, 105L),
+          md5("101 102 103 104 105"))),
+        ("a", 1L) -> ((4L, Seq(106L, 107L, 108L, 109L),
+          md5("106 107 108 109"))),
+        ("b", 0L) -> ((1L, Seq(7L), md5("7")))))
+      graft.CacheScope.drain()
+      // a piece outside the frozen vocab raises, never a silent null
+      val missing = vocab - "t9"
+      val e = intercept[Throwable] {
+        Curation.packShardIds(d, col("src"), col("id"), col("toks"),
+          missing, budget = 5L, partitions = 4).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("piece not in the frozen vocab"), msgs)
+    } finally graft.CacheScope.drain()
+  }
+
   test("packManifest survives a narrow single-partition sink (the coalesce(1) stage-collapse regression)") {
     // the exact failure the gate caught: binsOf's __pid comes from
     // TaskContext, and a downstream NARROW coalesce(1) used to collapse

@@ -779,6 +779,29 @@ class DedupSpec extends AnyFunSuite {
     graft.CacheScope.drain()
   }
 
+  test("compactCcLabelsIfNeeded thresholds on the remap batch count; resolution unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ifneeded").toString
+    try {
+      def resolved() = Dedup.ccLabelsResolved(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      Dedup.writeCcLabels(Seq(1L, 2L, 5L, 6L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"), dir)
+      Dedup.ingestIntoCcLabels(Seq(10L).toDF("id"),
+        Seq((10L, 1L), (10L, 5L)).toDF("id_a", "id_b"), dir, 1L)
+      val before = resolved()
+      assert(before == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 10L -> 1L))
+      // under threshold (2 remap batches): no-op
+      assert(Dedup.compactCcLabelsIfNeeded(spark, dir, maxBatches = 3).isEmpty)
+      assert(Compaction.currentEpoch(spark, dir) == 0)
+      // over threshold: epoch swap, remap chain folded, resolution unchanged
+      assert(Dedup.compactCcLabelsIfNeeded(spark, dir, maxBatches = 1)
+        .contains(1))
+      assert(Compaction.currentEpoch(spark, dir) == 1)
+      assert(Compaction.batchCount(spark, dir, "remap") == 1)
+      assert(resolved() == before)
+    } finally graft.CacheScope.drain()
+  }
+
   test("writeCcLabels rejects edges with endpoints outside the id set (mirror of the ingest's dangling check)") {
     val dir = java.nio.file.Files.createTempDirectory("cc-dangling").toString
     val e = intercept[IllegalArgumentException] {

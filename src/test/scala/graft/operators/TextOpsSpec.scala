@@ -282,6 +282,98 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(3).toSeq)
   }
 
+  test("trainHashedLangId: separable fixture generalizes to held-out docs; stored ≡ fresh; loss decreases") {
+    import org.apache.spark.sql.functions.col
+    try {
+      // three fake "languages" with DISJOINT char alphabets — unlike the
+      // harness fixture (whose lang label is independent of the text, the
+      // q182-catches-the-overfit shape), here language signal transfers,
+      // and the held-out confusion matrix must be diagonal
+      val alphabets = Seq("aa" -> "abcde", "bb" -> "fghij", "cc" -> "klmno")
+      val rnd = new scala.util.Random(7)
+      val docs = (for (((lang, alpha), li) <- alphabets.zipWithIndex;
+                       i <- 0 until 30) yield {
+        val text = (1 to 12).map(_ =>
+          (1 to 4).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+          .mkString(" ")
+        (li * 30L + i, text, lang)
+      }).toDF("id", "text", "lang")
+      val train = docs.filter($"id" % 3 =!= 0)
+      val model = TextOps.trainHashedLangId(train, col("id"), col("text"),
+        col("lang"), dim = 256, iters = 12)
+      assert(model.classes == Seq("aa", "bb", "cc"))
+      assert(model.losses.last < model.losses.head,
+        s"loss did not decrease: ${model.losses}")
+      // held-out third classifies perfectly (the alphabets are disjoint)
+      val heldOut = docs.filter($"id" % 3 === 0)
+      val pred = TextOps.langIdScore(heldOut, col("id"), col("text"), model)
+        .join(docs.select($"id", $"lang"), "id")
+        .select($"id", $"pred_lang", $"lang")
+        .as[(Long, String, String)].collect()
+      assert(pred.length == 30)
+      val wrong = pred.filter(p => p._2 != p._3)
+      assert(wrong.isEmpty, s"misclassified: ${wrong.take(5).toSeq}")
+      // stored-and-served ≡ freshly-trained, bit for bit
+      val dir = java.nio.file.Files.createTempDirectory("langid").toString
+      TextOps.writeLangIdModel(spark, model, dir)
+      val fresh = TextOps.langIdScore(docs, col("id"), col("text"), model)
+        .as[(Long, String, Double)].collect().toSet
+      val stored = TextOps.langIdScoreAgainstModel(docs, col("id"),
+          col("text"), dir)
+        .as[(Long, String, Double)].collect().toSet
+      assert(fresh == stored && fresh.nonEmpty)
+    } finally graft.CacheScope.drain()
+  }
+
+  test("bpeVocabIdsByteLevel: GPT-2 layout (bytes 0..255, merges 256+round); stored artifact round-trips; collisions keep min id") {
+    // byte alphabet ids in byte order
+    val m = TextOps.bpeVocabIdsByteLevel(Seq.empty)
+    assert(m.size == 256 && m("00") == 0L && m("0A") == 10L && m("FF") == 255L)
+    // merge products number from 256 in round order
+    val m2 = TextOps.bpeVocabIdsByteLevel(Seq(("61", "62"), ("6162", "63")))
+    assert(m2("6162") == 256L && m2("616263") == 257L && m2.size == 258)
+    // a product colliding with an earlier entry keeps the SMALLEST id
+    val m3 = TextOps.bpeVocabIdsByteLevel(
+      Seq(("61", "62"), ("6162", "63"), ("61", "6263")))
+    assert(m3("616263") == 257L && m3.size == 258)
+    // write/load round-trips the map exactly
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab-ids").toString
+    TextOps.writeBpeVocabIds(spark, m2, dir)
+    assert(TextOps.loadBpeVocabIds(spark, dir) == m2)
+  }
+
+  test("wordPieceDetokenize inverts encoding; wordPieceRoundTrip: zero mismatches on covered corpus, UNK counted as mismatch") {
+    import org.apache.spark.sql.functions.col
+    try {
+      // detokenize: first piece verbatim, ## stripped from continuations
+      val dec = Seq(Seq("ab", "##c"), Seq("a", "##b", "##ab"), Seq("[UNK]"))
+        .toDF("toks").select(TextOps.wordPieceDetokenize($"toks"))
+        .as[String].collect().toSeq
+      assert(dec == Seq("abc", "abab", "[UNK]"))
+      // full-coverage corpus: every doc reports zero mismatches and the
+      // original word-stream md5
+      val docs = Seq((1L, "cat sat mat"), (2L, "sat cat"))
+        .toDF("id", "text")
+      val wt = TextOps.wordPieceWordTable(docs, $"text")
+      val vocab = TextOps.wordPieceVocab(wt, Seq.empty)
+      val rt = TextOps.wordPieceRoundTrip(docs, col("id"), col("text"), vocab)
+        .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+      val expected = docs.select($"id", md5(expr(
+          """array_join(filter(split(lower(text), '\\s+'),
+            |  x -> length(x) > 0), '')""".stripMargin)).as("m"))
+        .as[(Long, String)].collect().toMap
+      assert(rt(1L) == ((1L, 3L, 0L, expected(1L))))
+      assert(rt(2L) == ((2L, 2L, 0L, expected(2L))))
+      // a vocabulary that lost a word: that word counts as a mismatch
+      val narrow = vocab.filterNot(s => s == "m" || s == "##m")
+      val rt2 = TextOps.wordPieceRoundTrip(docs, col("id"), col("text"),
+          narrow)
+        .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+      assert(rt2(1L)._3 == 1L) // "mat" → [UNK] ≠ "mat"
+      assert(rt2(2L)._3 == 0L)
+    } finally graft.CacheScope.drain()
+  }
+
   test("writeWordPieceModel / loadWordPieceVocab: stored-and-applied ≡ freshly-trained") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
       .select($"text")

@@ -119,4 +119,36 @@ class UnigramSpec extends AnyFunSuite {
     // ln(2)·1e6 = 693147.18 → 693147; ln(4)·1e6 = 1386294.36 → 1386294
     assert(Unigram.scoreMicro(2L, 4L) == 693147L - 1386294L)
   }
+
+  test("byteCharsToStringCol equals the JVM inverse; byte-level round trip is exact incl. multi-byte text") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val docs = Seq((1L, "Théâtre café a b"), (2L, "cat sat a"),
+        (3L, "日本語 cat")).toDF("id", "text")
+      // the distributed inverse ≡ the JVM helper, on every byte-level word
+      val words = Unigram.wordTableByteLevel(docs, $"text")
+        .select($"w", Unigram.byteCharsToStringCol($"w").as("dec"))
+        .as[(String, String)].collect()
+      assert(words.nonEmpty)
+      words.foreach { case (w, dec) =>
+        assert(dec == Unigram.byteCharsToString(w), w)
+      }
+      // full round trip through a trained model: zero mismatches, md5 of
+      // the decoded stream equals the md5 of the original pre-token stream
+      val pieces = Unigram.trainPiecesFrom(
+        Unigram.wordTableByteLevel(docs, $"text"), seedTopK = 60, rounds = 2)
+      val model = pieces.map(p => p.piece -> p.scoreMicro)
+      val rt = Unigram.roundTripByteLevel(docs, col("id"), col("text"), model)
+        .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+      val expected = docs.select($"id",
+          md5(array_join(regexp_extract_all(lower($"text"),
+            lit(TextOps.byteLevelTokenPattern), lit(0)), "")).as("m"))
+        .as[(Long, String)].collect().toMap
+      assert(rt.keySet == Set(1L, 2L, 3L))
+      rt.foreach { case (id, (_, n, mism, md)) =>
+        assert(n > 0 && mism == 0L, s"doc $id")
+        assert(md == expected(id), s"doc $id stream md5")
+      }
+    } finally graft.CacheScope.drain()
+  }
 }

@@ -1168,6 +1168,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("langIdIngest: streamed docs classify against the frozen stored model; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("langid-ing").toString
+    val model = s"$base/model"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text", $"lang")
+    graft.operators.TextOps.writeLangIdModel(spark,
+      graft.operators.TextOps.trainHashedLangId(docs, $"id", $"text",
+        $"lang", dim = 128, iters = 4), model)
+    val rows = docs.filter($"id" < 40).select($"id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val (b0, b1) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.langIdIngest(model, out))
+      .outputMode("update").start()
+    try {
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      def streamed() = spark.read.parquet(out)
+        .select("id", "pred_lang", "score")
+        .as[(Long, String, Double)].collect().toSet
+      val offline = graft.operators.TextOps.langIdScoreAgainstModel(
+          docs.filter($"id" < 40), $"id", $"text", model)
+        .as[(Long, String, Double)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      // replay converges (overwrite-own-partition)
+      val sink = EventStreams.langIdIngest(model, out)
+      sink(b1.toDF("id", "text"), 1)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("wordPieceTokenizeIngest: streamed docs tokenize against the stored vocab; serving ≡ offline; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
