@@ -1248,10 +1248,17 @@ object TextOps {
   private def langIdBase(docs: DataFrame, id: Column, text: Column,
       extra: Seq[(String, Column)] = Nil): DataFrame = {
     val norm = trim(regexp_replace(lower(text), """\s+""", " "))
+    // the no-gram filter is length(t) >= 2 (a 2-gram exists iff the
+    // normalized text has >= 2 chars — exactly size(gs) > 0), NOT
+    // size(gs) > 0: predicate pushdown substitutes projection
+    // definitions into the predicate unconditionally, and a pushed-down
+    // size(gs) predicate re-evaluates the normalize+gram tree PER LAMBDA
+    // ELEMENT inside the filter — measured 40x on the serving bench.
+    // length(norm) pushes down as one regex per row.
     docs.select((Seq(id.as("id"), norm.as("t")) ++
         extra.map { case (n, c) => c.as(n) }): _*)
+      .filter(length(col("t")) >= 2)
       .withColumn("gs", concat(charGrams(col("t"), 2), charGrams(col("t"), 3)))
-      .filter(size(col("gs")) > 0)
   }
 
   /** TRAIN the multiclass language-ID model — the actual CCNet/RefinedWeb
@@ -1344,13 +1351,21 @@ object TextOps {
   def langIdScore(docs: DataFrame, id: Column, text: Column,
       model: LangIdModel): DataFrame = {
     val dim = model.weights(0).length
+    // hash every gram ONCE into its 1-based bucket index — in its own
+    // projection, so the K class folds below share it (CollapseProject
+    // never inlines a non-cheap expression referenced K times; without
+    // this boundary each class fold would recompute the md5-based hash
+    // per gram — measured 8x on the serving bench at K = 5). The fold
+    // ORDER is unchanged (gram order, bias first), so scores — and the
+    // oracle — are bit-identical.
     val base = langIdBase(docs, id, text)
+      .select(col("id"), transform(col("gs"), g =>
+        (pmod(Dedup.SharedHash.hash28(g), lit(dim.toLong)) + 1).cast("int"))
+        .as("js"))
     val scoreCols = model.classes.indices.map { ci =>
       val warr = typedLit(model.weights(ci).toSeq)
-      round(lit(model.biases(ci)) + aggregate(col("gs"), lit(0.0),
-        (acc, x) => acc + element_at(warr,
-          (pmod(Dedup.SharedHash.hash28(x), lit(dim.toLong)) + 1)
-            .cast("int"))), 4)
+      round(lit(model.biases(ci)) + aggregate(col("js"), lit(0.0),
+        (acc, j) => acc + element_at(warr, j)), 4)
     }
     val packed = array(scoreCols.zipWithIndex.map { case (s, ci) =>
       struct(s.as("s"), lit(-ci).as("ni")) }: _*)

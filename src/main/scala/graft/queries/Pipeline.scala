@@ -3779,6 +3779,118 @@ object Pipeline {
        |FROM pk_m GROUP BY 1, 2""".stripMargin
   }
 
+  // ===== q230 dedup → survivor tokenizer → TOKEN-ID shards ================
+  // q222's composed flagship taken to its literal deliverable: the same
+  // dedup → survivor-trained byte-BPE → pack chain, but the frozen
+  // (piece → id) vocabulary derives from the SURVIVOR-trained merges
+  // (q226's GPT-2 layout) and the shards materialize as INT token-id
+  // arrays — the end-to-end production path from raw corpus to the file
+  // a trainer mmaps, gated as ONE hash over the decimal id stream. Any
+  // drift in dedup's survivor rule, the trainer's slice, the id layout,
+  // or the packer's order breaks it.
+
+  private def q230(t: Tables): DataFrame = {
+    val docs0 = graft.Fanout(t.documents)
+      .select(col("doc_id"), col("source"), col("text"))
+    val survivors = docs0.join(Dedup.dedupCorpus(
+        docs0.select(col("doc_id").as("id"), col("text")),
+        3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds trainer AND tokenization AND packing
+    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+      BpeRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextOps.bpeVocabIdsByteLevel(merges)
+    val dw = survivors.select(col("source"), col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+    val wt = dw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+          .as("toks"))
+    val dt = dw.join(wt, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("toks"))
+    graft.operators.Curation.packShardIds(dt, col("source"), col("doc_id"),
+      col("toks"), vocab, PackBudget, partitions = 32)
+      .select(col("domain").as("source"), col("bin"), col("n_tokens"),
+        col("stream_md5"))
+  }
+
+  private lazy val q230Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    val products = (1 to BpeRounds).map(i =>
+      s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH
+       |x_ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+       |x_h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |    list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM (
+       |    SELECT id, ${shinglesSql(3)} AS ss FROM (
+       |      SELECT id, regexp_split_to_array(lower(text), '\\s+') AS words
+       |      FROM x_ex))
+       |  WHERE len(ss) > 0),
+       |x_sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM x_h),
+       |x_bands AS (SELECT id, t.b AS band,
+       |    array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows),
+       |      z -> CAST(z AS VARCHAR)), '_') AS key
+       |  FROM x_sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |x_drops AS (SELECT DISTINCT id_b FROM (
+       |    SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |      a.n_sh AS na, b.n_sh AS nb
+       |    FROM (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |          FROM x_bands x JOIN x_bands y
+       |          ON x.band = y.band AND x.key = y.key AND x.id < y.id) c
+       |    JOIN x_sig a ON c.id_a = a.id JOIN x_sig b ON c.id_b = b.id)
+       |  WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT),
+       |sv AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM documents d JOIN (
+       |    SELECT id FROM x_ex WHERE id NOT IN (SELECT id_b FROM x_drops)
+       |  ) k ON d.doc_id = k.id),
+       |${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevelFrom("sv"))},
+       |vparts AS (
+       |  SELECT lpad(upper(to_hex(i)), 2, '0') AS piece, CAST(i AS BIGINT) AS id
+       |  FROM generate_series(0, 255) AS t(i)
+       |  UNION ALL $products),
+       |v AS MATERIALIZED (SELECT piece, min(id) AS id FROM vparts GROUP BY 1),
+       |wi AS MATERIALIZED (SELECT w, list(id ORDER BY j) AS ids FROM (
+       |    SELECT u.w, u.j, v.id FROM (
+       |      SELECT w, syms[j] AS s, j
+       |      FROM wc$BpeRounds, unnest(generate_series(1, len(syms))) AS t(j)) u
+       |    JOIN v ON u.s = v.piece)
+       |  GROUP BY w),
+       |dwr AS (SELECT source, doc_id,
+       |    regexp_extract_all(lower(text), '${TextOps.byteLevelTokenPattern}') AS ws
+       |  FROM sv),
+       |dw AS (SELECT source, doc_id, ws[i] AS w, i AS pos
+       |  FROM dwr, unnest(generate_series(1, len(ws))) AS t(i)),
+       |dt AS (SELECT source, doc_id, flatten(list(ids ORDER BY pos)) AS toks
+       |  FROM dw JOIN wi USING (w) GROUP BY 1, 2),
+       |pk_d AS (SELECT source, doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tok FROM dt),
+       |pk_c AS (SELECT source, doc_id, toks, n_tok,
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM pk_d),
+       |pk_m AS (SELECT source, doc_id, t.b AS bin,
+       |    list_slice(toks, greatest(t.b * $PackBudget, cum) - cum + 1,
+       |      least((t.b + 1) * $PackBudget, cum + n_tok) - cum) AS sl,
+       |    CAST(least((t.b + 1) * $PackBudget, cum + n_tok)
+       |      - greatest(t.b * $PackBudget, cum) AS BIGINT) AS span
+       |  FROM pk_c, unnest(generate_series(cum // $PackBudget,
+       |    (cum + n_tok - 1) // $PackBudget)) AS t(b)
+       |  WHERE n_tok > 0)
+       |SELECT source, bin, CAST(sum(span) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_transform(flatten(list(sl ORDER BY doc_id)),
+       |    x -> CAST(x AS VARCHAR)), ' ')) AS stream_md5
+       |FROM pk_m GROUP BY 1, 2""".stripMargin
+  }
+
   // ===== q216 stored-WordPiece tokenization ===============================
   // q214's production form: the flat serving vocabulary (initial symbols
   // ∪ merge products) and the merge audit trail freeze into parquet (the
@@ -6193,7 +6305,8 @@ object Pipeline {
     "q226_token_id_shards" -> wrap(q226),
     "q227_langid_trained" -> wrap(q227),
     "q228_langid_eval" -> wrap(q228),
-    "q229_countmin_compacted" -> wrap(q229)
+    "q229_countmin_compacted" -> wrap(q229),
+    "q230_dedup_token_id_shards" -> wrap(q230)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6354,6 +6467,7 @@ object Pipeline {
     "q226_token_id_shards" -> q226Sql,
     "q227_langid_trained" -> q227Sql,
     "q228_langid_eval" -> q228Sql,
-    "q229_countmin_compacted" -> q195Sql
+    "q229_countmin_compacted" -> q195Sql,
+    "q230_dedup_token_id_shards" -> q230Sql
   )
 }

@@ -1029,6 +1029,21 @@ class EventStreamsSpec extends AnyFunSuite {
           dir, Seq("a", "b", "c", "zz").toDF("k"), col("k"))
         .as[(String, Long)].collect().toMap
       assert(replayed == oneShot)
+      // maintenance tick AFTER the producer's commit (the
+      // Compaction.batchCount consult contract): 3 batch dirs > 2 →
+      // fold to one epoch-1 batch; probes unchanged, and the NEXT
+      // streamed batch keeps landing in the new epoch
+      assert(graft.operators.Sketches
+        .compactCountMinIfNeeded(spark, dir, maxBatches = 2).contains(1))
+      assert(graft.operators.Compaction.batchCount(spark, dir, "cells") == 1)
+      assert(graft.operators.Sketches.countMinEstimateAgainstStore(dir,
+          Seq("a", "b", "c", "zz").toDF("k"), col("k"))
+        .as[(String, Long)].collect().toMap == oneShot)
+      input.addData(Seq((9001L, "c"), (9002L, "c"))); q.processAllAvailable()
+      val after = graft.operators.Sketches.countMinEstimateAgainstStore(dir,
+          Seq("c").toDF("k"), col("k"))
+        .as[(String, Long)].collect().toMap
+      assert(after("c") == oneShot("c") + 2L)
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
