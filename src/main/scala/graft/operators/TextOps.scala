@@ -1409,6 +1409,69 @@ object TextOps {
       dir: String): DataFrame =
     langIdScore(docs, id, text, loadLangIdModel(docs.sparkSession, dir))
 
+  /** Persist the REFERENCE prediction distribution of a corpus under a
+    * stored langid model — the baseline a drift monitor compares every
+    * serving batch against (rows: (pred_lang, n), bounded at K).
+    */
+  def writeLangIdReference(docs: DataFrame, id: Column, text: Column,
+      modelDir: String, dir: String): Unit = {
+    val spark = docs.sparkSession
+    langIdScoreAgainstModel(docs, id, text, modelDir)
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/langid_ref")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Language-ID DRIFT report — the retrain-trigger signal for the
+    * stored classifier made first-class (the n_unk counterpart of the
+    * tokenizer family): classify `docs` under the FROZEN model, compare
+    * the per-class prediction distribution against the stored
+    * [[writeLangIdReference]] baseline, and report the add-one-smoothed
+    * Jensen-Shannon divergence (the q200 recipe over the K-class
+    * alphabet: p = (n_cls+1)/(n+K), term-fold in class-sorted order,
+    * round-4). A rising jsd means the serving stream has drifted from
+    * the training distribution — the signal that triggers a
+    * retrain-and-swap, never an in-stream model update.
+    *
+    * 100 TB posture: one zero-shuffle serving map + ONE K-cell count
+    * aggregate; everything after is broadcast-scale (K rows).
+    *
+    * Output: (pred_lang, n_batch, n_ref, batch_p, ref_p, jsd) — one row
+    * per model class, jsd identical on every row.
+    */
+  def langIdDriftReport(docs: DataFrame, id: Column, text: Column,
+      modelDir: String, refDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = loadLangIdModel(spark, modelDir)
+    val k = model.classes.length
+    val bc = langIdScore(docs, id, text, model)
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("bn"))
+    val ref = spark.read.parquet(s"$refDir/langid_ref")
+      .select(col("pred_lang"), col("n").as("rn"))
+    val cells0 = model.classes.toDF("pred_lang")
+      .join(broadcast(bc), Seq("pred_lang"), "left")
+      .join(broadcast(ref), Seq("pred_lang"), "left")
+      .select(col("pred_lang"),
+        coalesce(col("bn"), lit(0L)).as("n_batch"),
+        coalesce(col("rn"), lit(0L)).as("n_ref"))
+    val tot = cells0.agg(sum(col("n_batch")).as("bt"),
+      sum(col("n_ref")).as("rt"))
+    val cells = cells0.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_batch") + 1).cast("double") / (col("bt") + k))
+      .withColumn("q", (col("n_ref") + 1).cast("double") / (col("rt") + k))
+      .withColumn("term",
+        lit(0.5) * col("p") * log(lit(2) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+    val j = cells.agg(round(aggregate(
+        expr("sort_array(collect_list(struct(pred_lang, term)))"),
+        lit(0.0), (a, x) => a + x.getField("term")), 4).as("jsd"))
+    cells.crossJoin(broadcast(j))
+      .select(col("pred_lang"), col("n_batch"), col("n_ref"),
+        round(col("p"), 6).as("batch_p"), round(col("q"), 6).as("ref_p"),
+        col("jsd"))
+  }
+
   /** Persist a [[LinearModel]] to `dir/linear` (one parquet row) — the
     * model-artifact pattern of [[writeLmModel]]: train once, serve
     * forever. Doubles round-trip parquet bit-exactly, so stored-and-served

@@ -3681,6 +3681,60 @@ object Pipeline {
     """SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
       |FROM sc GROUP BY 1, 2""".stripMargin)
 
+  // ===== q231 language-ID drift monitoring ================================
+  // The retrain-trigger signal for the stored classifier made
+  // first-class and ORACLE-GATED (the n_unk counterpart of the tokenizer
+  // family): the model trains on everything (q227's cached artifact),
+  // the REFERENCE distribution freezes from the doc_id % 3 ≠ 0 slice's
+  // predictions (writeLangIdReference), and the % 3 = 0 slice serves as
+  // the monitored "batch" — per class (n_batch, n_ref, smoothed
+  // fractions) and the q200-recipe Jensen-Shannon divergence. The
+  // oracle re-trains the model from scratch (langIdSql's unrolled
+  // rounds), replays both distributions from the SAME sc, and must land
+  // on the identical round-4 jsd.
+
+  private def q231(t: Tables): DataFrame = {
+    val modelDir = langIdModelDir(t, trainAll = true)
+    val refDir = cachedIndexDir(t.dir,
+      s"langid_ref_v1_${LangDim}_${LangIters}_${LangLrNum}_$LangLrDen") { d =>
+      TextOps.writeLangIdReference(
+        graft.Fanout(t.documents.filter(col("doc_id") % 3 =!= 0)),
+        col("doc_id"), col("text"), modelDir, d)
+    }
+    TextOps.langIdDriftReport(
+      graft.Fanout(t.documents.filter(col("doc_id") % 3 === 0)),
+      col("doc_id"), col("text"), modelDir, refDir)
+  }
+
+  private lazy val q231Sql = langIdSql("TRUE", "TRUE",
+    """SELECT * FROM (
+      |  WITH cells AS (
+      |    SELECT c.cl,
+      |      CAST(coalesce(b.bn, 0) AS BIGINT) AS bn,
+      |      CAST(coalesce(r.rn, 0) AS BIGINT) AS rn,
+      |      CAST(coalesce(b.bn, 0) + 1 AS DOUBLE) / (bt.t + kk.k) AS p,
+      |      CAST(coalesce(r.rn, 0) + 1 AS DOUBLE) / (rt.t + kk.k) AS q
+      |    FROM cls c
+      |    LEFT JOIN (SELECT pred_lang, count(*) AS bn FROM sc
+      |               WHERE id % 3 = 0 GROUP BY 1) b ON b.pred_lang = c.cl
+      |    LEFT JOIN (SELECT pred_lang, count(*) AS rn FROM sc
+      |               WHERE id % 3 <> 0 GROUP BY 1) r ON r.pred_lang = c.cl
+      |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS t FROM sc
+      |                WHERE id % 3 = 0) bt
+      |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS t FROM sc
+      |                WHERE id % 3 <> 0) rt
+      |    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k FROM cls) kk),
+      |  ct AS (SELECT cl, bn, rn, p, q,
+      |      0.5 * p * ln(2 * p / (p + q))
+      |        + 0.5 * q * ln(2 * q / (p + q)) AS term
+      |    FROM cells),
+      |  tj AS (SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_sort(list({'w': cl, 't': term})),
+      |        x -> x.t)), (a, v) -> a + v), 4) AS jsd FROM ct)
+      |  SELECT cl AS pred_lang, bn AS n_batch, rn AS n_ref,
+      |    round(p, 6) AS batch_p, round(q, 6) AS ref_p, tj.jsd
+      |  FROM ct CROSS JOIN tj)""".stripMargin)
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -6306,7 +6360,8 @@ object Pipeline {
     "q227_langid_trained" -> wrap(q227),
     "q228_langid_eval" -> wrap(q228),
     "q229_countmin_compacted" -> wrap(q229),
-    "q230_dedup_token_id_shards" -> wrap(q230)
+    "q230_dedup_token_id_shards" -> wrap(q230),
+    "q231_langid_drift" -> wrap(q231)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6468,6 +6523,7 @@ object Pipeline {
     "q227_langid_trained" -> q227Sql,
     "q228_langid_eval" -> q228Sql,
     "q229_countmin_compacted" -> q195Sql,
-    "q230_dedup_token_id_shards" -> q230Sql
+    "q230_dedup_token_id_shards" -> q230Sql,
+    "q231_langid_drift" -> q231Sql
   )
 }

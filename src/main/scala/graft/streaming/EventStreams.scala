@@ -844,6 +844,23 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming language-ID DRIFT monitoring — [[langIdIngest]]'s
+    * watchdog: each micro-batch classifies under the FROZEN model and
+    * writes its [[graft.operators.TextOps.langIdDriftReport]] against
+    * the stored reference distribution under `batch=<id>` (overwrite,
+    * replay-idempotent). The jsd column is the retrain-trigger signal —
+    * an operator alerts on it; the model and reference never adapt to
+    * the stream they monitor.
+    */
+  def langIdDriftIngest(modelDir: String, refDir: String, outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.langIdDriftReport(batch.toDF(),
+          col("id"), col("text"), modelDir, refDir)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming WordPiece tokenization — [[unigramTokenizeIngest]]'s
     * sibling over a stored
     * [[graft.operators.TextOps.writeWordPieceModel]] artifact: each

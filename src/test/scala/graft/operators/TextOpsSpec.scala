@@ -325,6 +325,44 @@ class TextOpsSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("langIdDriftReport: in-distribution batch ~ zero jsd; single-class batch drifts loudly; all classes reported") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val alphabets = Seq("aa" -> "abcde", "bb" -> "fghij", "cc" -> "klmno")
+      val rnd = new scala.util.Random(11)
+      val docs = (for (((lang, alpha), li) <- alphabets.zipWithIndex;
+                       i <- 0 until 30) yield {
+        val text = (1 to 12).map(_ =>
+          (1 to 4).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+          .mkString(" ")
+        (li * 30L + i, text, lang)
+      }).toDF("id", "text", "lang")
+      val base = java.nio.file.Files.createTempDirectory("liddrift").toString
+      val modelDir = s"$base/model"; val refDir = s"$base/ref"
+      TextOps.writeLangIdModel(spark,
+        TextOps.trainHashedLangId(docs, col("id"), col("text"), col("lang"),
+          dim = 256, iters = 12), modelDir)
+      TextOps.writeLangIdReference(docs, col("id"), col("text"), modelDir,
+        refDir)
+      def report(batch: org.apache.spark.sql.DataFrame) =
+        TextOps.langIdDriftReport(batch, col("id"), col("text"), modelDir,
+            refDir)
+          .as[(String, Long, Long, Double, Double, Double)].collect()
+      // a balanced batch (every 3rd doc — same thirds) barely drifts
+      val balanced = report(docs.filter($"id" % 3 === 0))
+      assert(balanced.map(_._1).sorted.toSeq == Seq("aa", "bb", "cc"))
+      assert(balanced.map(_._6).distinct.length == 1) // jsd same on every row
+      assert(balanced.head._6 < 0.01, s"balanced jsd ${balanced.head._6}")
+      // an all-one-class batch drifts loudly — the retrain trigger
+      val skewed = report(docs.filter($"lang" === "aa"))
+      assert(skewed.head._6 > 0.2, s"skewed jsd ${skewed.head._6}")
+      // zero-count classes still get a row (smoothed, never divide-by-0)
+      val zeroRows = skewed.filter(r => r._1 != "aa")
+      assert(zeroRows.length == 2 && zeroRows.forall(_._2 == 0L))
+      assert(zeroRows.forall(_._4 > 0.0)) // smoothed batch_p stays positive
+    } finally graft.CacheScope.drain()
+  }
+
   test("bpeVocabIdsByteLevel: GPT-2 layout (bytes 0..255, merges 256+round); stored artifact round-trips; collisions keep min id") {
     // byte alphabet ids in byte order
     val m = TextOps.bpeVocabIdsByteLevel(Seq.empty)

@@ -1219,6 +1219,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("langIdDriftIngest: per-batch drift report against the frozen reference; serving ≡ offline; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("liddrift-ing").toString
+    val model = s"$base/model"; val ref = s"$base/ref"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id".as("id"), $"text", $"lang")
+    graft.operators.TextOps.writeLangIdModel(spark,
+      graft.operators.TextOps.trainHashedLangId(docs, $"id", $"text",
+        $"lang", dim = 128, iters = 4), model)
+    graft.operators.TextOps.writeLangIdReference(docs, $"id", $"text",
+      model, ref)
+    val rows = docs.filter($"id" < 30).select($"id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.langIdDriftIngest(model, ref, out))
+      .outputMode("update").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+      def streamed() = spark.read.parquet(s"$out/batch=0")
+        .select("pred_lang", "n_batch", "n_ref", "batch_p", "ref_p", "jsd")
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val offline = graft.operators.TextOps.langIdDriftReport(
+          docs.filter($"id" < 30), $"id", $"text", model, ref)
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+      val s1 = streamed()
+      assert(s1.nonEmpty && s1 == offline)
+      // replay converges
+      val sink = EventStreams.langIdDriftIngest(model, ref, out)
+      sink(rows.toDF("id", "text"), 0)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("wordPieceTokenizeIngest: streamed docs tokenize against the stored vocab; serving ≡ offline; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
