@@ -555,6 +555,21 @@ object TextOps {
     spark.read.parquet(s"$dir/vocab_ids")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** Frozen (piece → id) vocabulary for a stored WordPiece model —
+    * the BERT id convention: `[UNK]` takes id 0 (it IS a servable output
+    * of [[wordPieceTokens]], so the id map must cover it), then the
+    * stored vocabulary entries follow their persisted `ord` at id 1..
+    * ([[loadWordPieceVocab]]'s order). Duplicate strings keep the
+    * smallest id (the map must be a function). Feed to
+    * [[graft.operators.Curation.packShardIds]] for WordPiece-family
+    * token-id shard export.
+    */
+  def wordPieceVocabIds(vocab: Seq[String]): Map[String, Long] = {
+    val entries = ("[UNK]" -> 0L) +:
+      vocab.zipWithIndex.map { case (s, i) => s -> (i + 1L) }
+    entries.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+  }
+
   /** Per-document token counts under a learned BPE vocabulary — the
     * data-prep-time application of [[bpeMerges]] (what decides sequence
     * packing, token budgets and mixture weights). Returns (id, n_tokens).

@@ -201,6 +201,18 @@ object Unigram {
     words.withColumn("toks", graft.functions.unigram_encode(
       col("w"), model, maxPieceLen, UnkScoreMicro))
 
+  /** Frozen (piece → id) vocabulary of a trained unigram model: ids
+    * follow the stored piece order ([[loadModel]] is piece-sorted), so
+    * the map is reproducible from the artifact alone. A piece the model
+    * never stored has no id — the shard exporter raises on it
+    * (byte-level training floors every SEEN single byte char, so any
+    * text over the training alphabet is covered; genuinely unseen bytes
+    * fail loudly rather than silently corrupting the id stream).
+    */
+  def vocabIds(model: Seq[(String, Long)]): Map[String, Long] =
+    model.map(_._1).sorted.zipWithIndex
+      .map { case (p, i) => p -> i.toLong }.toMap
+
   /** [[byteCharsToString]] as a Column (the distributed inverse): each
     * code point of a byte-level string IS one UTF-8 byte value (≤ 0xFF by
     * the [[wordTableByteLevel]] construction), so the original string is

@@ -772,6 +772,43 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming TOKEN-ID shard export — [[packShardsIngest]]'s
+    * loader-facing twin (the q226 artifact online): each micro-batch
+    * tokenizes through the FROZEN stored BPE model, maps pieces through
+    * the FROZEN stored (piece → id) vocabulary
+    * ([[graft.operators.TextOps.loadBpeVocabIds]] — OOV raises), packs
+    * with [[graft.operators.Curation.packShardIds]] and writes the
+    * per-(source, bin) INT id arrays + decimal-stream md5 under
+    * `batch=<id>` — overwrite mode, replay-idempotent. Bins are
+    * batch-local (shard assembly is per-export-unit by design — a
+    * trainer consumes whole shard files, never cross-batch splices).
+    */
+  def packShardIdsIngest(bpeModelDir: String, vocabIdsDir: String,
+      outDir: String, budget: Long)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions._
+      val spark = batch.sparkSession
+      val merges = graft.operators.TextOps.loadBpeMerges(spark, bpeModelDir)
+      val vocab = graft.operators.TextOps.loadBpeVocabIds(spark, vocabIdsDir)
+      val dw = batch.toDF().select(col("source"), col("id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit(graft.operators.TextOps.byteLevelTokenPattern), lit(0)))
+          .as(Seq("pos", "w")))
+      val wt = dw.select(col("w")).distinct()
+        .select(col("w"),
+          graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+            .as("toks"))
+      val dt = dw.join(wt, Seq("w"))
+        .groupBy(col("source"), col("id"))
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+          .as("toks"))
+      graft.operators.Curation.packShardIds(dt, col("source"), col("id"),
+        col("toks"), vocab, budget, partitions = 32)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming incremental clustering — q219's maintained CC labels kept
     * fresh online (the [[dedupIngest]] companion): each micro-batch of
     * (id, text) documents (1) derives its verified near-dup pairs —

@@ -380,6 +380,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.loadBpeVocabIds(spark, dir) == m2)
   }
 
+  test("wordPieceVocabIds: [UNK] = 0, stored ord order, every servable piece covered") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"text")
+    val wt = TextOps.wordPieceWordTable(docs, $"text")
+    val merges = TextOps.wordPieceMerges(docs, $"text", 3)
+      .orderBy($"merge_round").as[(Long, String, String, Long, Long, Long)]
+      .collect().map(m => (m._2, m._3)).toSeq
+    val vocab = TextOps.wordPieceVocab(wt, merges)
+    val ids = TextOps.wordPieceVocabIds(vocab)
+    assert(ids("[UNK]") == 0L)
+    assert(vocab.zipWithIndex.forall { case (s, i) => ids(s) == i + 1L })
+    assert(ids.values.toSeq.distinct.length == ids.size) // injective
+    // every piece the tokenizer can emit on ANY input has an id:
+    // vocabulary pieces for segmentable words, [UNK] for the rest
+    val toks = TextOps.wordPieceTokens(
+        (wt.select($"w").distinct().as[String].collect().toSeq :+ "zzz@@!!")
+          .toDF("w"), vocab)
+      .select(explode($"toks")).as[String].collect().toSet
+    assert(toks.forall(ids.contains), toks.filterNot(ids.contains).take(3))
+  }
+
   test("wordPieceDetokenize inverts encoding; wordPieceRoundTrip: zero mismatches on covered corpus, UNK counted as mismatch") {
     import org.apache.spark.sql.functions.col
     try {

@@ -120,6 +120,28 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.scoreMicro(2L, 4L) == 693147L - 1386294L)
   }
 
+  test("vocabIds: piece-sorted ranks, injective, covers every Viterbi piece of the training corpus") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val docs = Seq((1L, "cat sat mat"), (2L, "sat cat dog")).toDF("id", "text")
+      val pieces = Unigram.trainPiecesFrom(
+        Unigram.wordTableByteLevel(docs, col("text")), seedTopK = 40, rounds = 2)
+      val model = pieces.map(p => p.piece -> p.scoreMicro)
+      val ids = Unigram.vocabIds(model)
+      assert(ids.size == pieces.size)
+      assert(ids.values.toSeq.distinct.length == ids.size)
+      // ids are ranks in piece-sorted order — reproducible from the artifact
+      val sorted = model.map(_._1).sorted
+      assert(sorted.zipWithIndex.forall { case (p, i) => ids(p) == i.toLong })
+      // every piece the encoder emits on the training corpus has an id
+      val emitted = Unigram.tokenize(
+          Unigram.wordTableByteLevel(docs, col("text")).select(col("w")),
+          model)
+        .select(explode(col("toks"))).as[String].collect().toSet
+      assert(emitted.forall(ids.contains), emitted.filterNot(ids.contains))
+    } finally graft.CacheScope.drain()
+  }
+
   test("byteCharsToStringCol equals the JVM inverse; byte-level round trip is exact incl. multi-byte text") {
     import org.apache.spark.sql.functions.col
     try {

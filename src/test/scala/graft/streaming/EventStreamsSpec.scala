@@ -555,6 +555,64 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { q.stop(); graft.CacheScope.drain() }
   }
 
+  test("packShardIdsIngest: per-batch TOKEN-ID shards against the frozen tokenizer + vocab ≡ offline; ids ≡ the string shards mapped; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("idshards").toString
+    val model = s"$base/model"; val vdir = s"$base/vocab"; val out = s"$base/out"
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"source", $"doc_id".as("id"), $"text")
+    graft.operators.TextOps.writeBpeModel(
+      graft.operators.TextOps.bpeMergesByteLevel(docs, $"text", 4), model)
+    val merges = graft.operators.TextOps.loadBpeMerges(spark, model)
+    graft.operators.TextOps.writeBpeVocabIds(spark,
+      graft.operators.TextOps.bpeVocabIdsByteLevel(merges), vdir)
+    val vocab = graft.operators.TextOps.loadBpeVocabIds(spark, vdir)
+    val rows = docs.filter($"id" < 30)
+      .as[(String, Long, String)].collect().toSeq
+    val input = MemoryStream[(String, Long, String)]
+    val q = input.toDF().toDF("source", "id", "text")
+      .writeStream
+      .foreachBatch(EventStreams.packShardIdsIngest(model, vdir, out,
+        budget = 50L))
+      .outputMode("update").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+      def streamed() = spark.read.parquet(s"$out/batch=0")
+        .select("domain", "bin", "n_tokens", "token_ids", "stream_md5")
+        .as[(String, Long, Long, Seq[Long], String)].collect().toSet
+      // offline twin over the same batch
+      val dw = rows.toDF("source", "id", "text").select($"source", $"id",
+        posexplode(regexp_extract_all(lower($"text"),
+          lit(graft.operators.TextOps.byteLevelTokenPattern), lit(0)))
+          .as(Seq("pos", "w")))
+      val wt = dw.select($"w").distinct()
+        .select($"w", graft.functions.bpe_encode($"w", merges,
+          byteLevel = true).as("toks"))
+      val dt = dw.join(wt, Seq("w")).groupBy($"source", $"id")
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+          .as("toks"))
+      val offline = graft.operators.Curation.packShardIds(dt, $"source",
+          $"id", $"toks", vocab, 50L, 8)
+        .as[(String, Long, Long, Seq[Long], String)].collect().toSet
+      val s0 = streamed()
+      assert(s0 == offline && offline.nonEmpty)
+      // the id arrays ARE the string shards mapped through the vocab:
+      // same bins, same lengths, ids within the vocab's range
+      val strShards = graft.operators.Curation.packShards(dt, $"source",
+          $"id", $"toks", 50L, 8)
+        .select($"domain", $"bin", $"n_tokens")
+        .as[(String, Long, Long)].collect().toSet
+      assert(s0.map(r => (r._1, r._2, r._3)) == strShards)
+      assert(s0.forall(_._4.forall(i => i >= 0 && i < 256L + merges.length)))
+      // replay re-derives identical shards
+      val sink = EventStreams.packShardIdsIngest(model, vdir, out, 50L)
+      sink(rows.toDF("source", "id", "text"), 0)
+      assert(streamed() == offline)
+    } finally { q.stop(); graft.CacheScope.drain() }
+  }
+
   test("ccLabelIngest: streamed docs maintain the clustering; final ≡ from-scratch; replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
