@@ -111,6 +111,43 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(text,
           emailPattern, "<EMAIL>"), urlPattern, "<URL>"), phonePattern, "<PHONE>"))
 
+  /** Word-BLOCKLIST content filter — the wordlist stage every published
+    * curation pipeline runs before its model-based filters (C4 removed
+    * any page containing a "List of Dirty, Naughty…" word, Raffel et al.
+    * 2020 §2.2; Dolma and RefinedWeb keep the document but gate on the
+    * blocked-token FRACTION, which is the form here): count whitespace
+    * tokens hitting a bounded blocklist and keep the document only while
+    * the blocked fraction stays under the threshold.
+    *
+    * The keep decision is EXACT-INTEGER — n_blocked·10⁴ <
+    * maxTenThousandths·n_words — so two engines cannot diverge on a float
+    * boundary; the round-4 ratio rides along for reporting only. An empty
+    * document keeps (vacuously clean), reported with ratio 0.
+    *
+    * 100 TB design: the blocklist is expression data (one literal array
+    * inside a codegen'd lambda filter — no join, no broadcast); the whole
+    * operator is one narrow map over the scan, zero shuffles.
+    *
+    * Output: (id, n_words, n_blocked, blocked_ratio, kept).
+    */
+  def blocklistFilter(df: DataFrame, id: Column, text: Column,
+      blocklist: Seq[String], maxTenThousandths: Long): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase).distinct)
+    df.select(id.cast("long").as("id"),
+        regexp_extract_all(lower(text), lit("""\S+"""), lit(0)).as("__ws"))
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(filter(col("__ws"), w => array_contains(bl, w)))
+          .cast("long").as("n_blocked"))
+      .select(col("id"), col("n_words"), col("n_blocked"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_blocked").cast("double") / col("n_words"), 4))
+          .as("blocked_ratio"),
+        (col("n_words") === 0 ||
+          col("n_blocked") * lit(10000L) < lit(maxTenThousandths) * col("n_words"))
+          .as("kept"))
+  }
+
   /** Word n-gram shingles (lowercased), distinct, first-occurrence order —
     * the unit of MinHash and exact-Jaccard dedup. Appended as column `out`.
     * Native kernel (graft.functions.ShinglesExpr): the composable

@@ -3735,6 +3735,39 @@ object Pipeline {
       |    round(p, 6) AS batch_p, round(q, 6) AS ref_p, tj.jsd
       |  FROM ct CROSS JOIN tj)""".stripMargin)
 
+  // ===== q232 word-blocklist content filter ===============================
+  // The wordlist-based safety stage published pipelines run before any
+  // model-based filter (C4 dropped pages on ANY blocklist hit, Raffel et
+  // al. 2020 §2.2; Dolma/RefinedWeb gate on the blocked FRACTION — the
+  // form here): whitespace tokens vs a bounded blocklist, keep while
+  // n_blocked·10⁴ < τ·n_words (exact integers — no float boundary). The
+  // fixture list {slow, dup, stale} at τ = 400 (4%) splits sf0.01 about
+  // 62/38, so the gate exercises both branches.
+
+  private val BlockList = Seq("slow", "dup", "stale")
+  private val BlockTau = 400L
+
+  private def q232(t: Tables): DataFrame =
+    TextOps.blocklistFilter(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), BlockList, BlockTau)
+      .select(col("id").as("doc_id"), col("n_words"), col("n_blocked"),
+        col("blocked_ratio"), col("kept"))
+
+  private val q232Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+       |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(ws, x -> list_contains(
+       |      [${BlockList.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
+       |      AS n_blocked
+       |  FROM w)
+       |SELECT doc_id, n_words, n_blocked,
+       |  CASE WHEN n_words = 0 THEN 0.0
+       |    ELSE round(CAST(n_blocked AS DOUBLE) / n_words, 4) END
+       |    AS blocked_ratio,
+       |  (n_words = 0 OR n_blocked * 10000 < $BlockTau * n_words) AS kept
+       |FROM c""".stripMargin
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -6361,7 +6394,8 @@ object Pipeline {
     "q228_langid_eval" -> wrap(q228),
     "q229_countmin_compacted" -> wrap(q229),
     "q230_dedup_token_id_shards" -> wrap(q230),
-    "q231_langid_drift" -> wrap(q231)
+    "q231_langid_drift" -> wrap(q231),
+    "q232_blocklist_filter" -> wrap(q232)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6524,6 +6558,7 @@ object Pipeline {
     "q228_langid_eval" -> q228Sql,
     "q229_countmin_compacted" -> q195Sql,
     "q230_dedup_token_id_shards" -> q230Sql,
-    "q231_langid_drift" -> q231Sql
+    "q231_langid_drift" -> q231Sql,
+    "q232_blocklist_filter" -> q232Sql
   )
 }

@@ -27,6 +27,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh(2).isEmpty)
   }
 
+  test("blocklistFilter: exact-integer threshold, boundary row drops, empty doc keeps") {
+    val df = Seq(
+      (1L, "clean words only here"),            // 0/4 → kept
+      (2L, "bad bad bad good"),                 // 3/4 → dropped
+      (3L, "bad one two three four five six seven eight nine"), // 1/10 = τ boundary
+      (4L, ""),                                 // empty → kept, ratio 0
+      (5L, "BAD mixed Case bad")                // lowercased: 2/4 → dropped
+    ).toDF("id", "text")
+    // τ = 1000 (10%): kept iff n_blocked·10⁴ < 1000·n_words — the
+    // boundary row (exactly 10%) must DROP (strict <)
+    val out = TextOps.blocklistFilter(df, $"id", $"text", Seq("bad"), 1000L)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 0L, 0.0, true)))
+    assert(out(2L) == ((2L, 4L, 3L, 0.75, false)))
+    assert(out(3L) == ((3L, 10L, 1L, 0.1, false)))
+    assert(out(4L) == ((4L, 0L, 0L, 0.0, true)))
+    assert(out(5L) == ((5L, 4L, 2L, 0.5, false)))
+  }
+
   test("langId picks the language with most stopword hits; CJK wins; und fallback") {
     val df = Seq(
       "the cat of the house is in the garden",
