@@ -192,14 +192,48 @@ object Curation {
     * Output: (domain, bin, n_tokens, token_ids: array<long>, stream_md5).
     */
   def packShardIds(df: DataFrame, domain: Column, id: Column, toks: Column,
-      vocab: Map[String, Long], budget: Long, partitions: Int): DataFrame = {
+      vocab: Map[String, Long], budget: Long, partitions: Int): DataFrame =
+    packIds(df, domain, id, toks, vocab, sep = None, budget, partitions)
+
+  /** EOS-SEPARATED token-id shards — the literal GPT-2 packing contract
+    * (Radford et al. 2019 trained on documents tokenized, terminated
+    * with <|endoftext|>, concatenated, and sliced into fixed contexts):
+    * every document contributes its ids PLUS one trailing `eosId`, so a
+    * loader slicing ANY shard can recover document boundaries and the LM
+    * observes the end-of-document event it must learn to emit. The
+    * separator counts against the budget — it occupies a context
+    * position, which is exactly what a trainer pays for it — so bins
+    * stay budget-exact and the [[packManifest]] invariant holds
+    * unchanged over n_tok+1. `eosId` must not collide with a vocab id
+    * (require — a reused id would make boundaries indistinguishable
+    * from content); the GPT-2 convention is the next free id past the
+    * merge products.
+    *
+    * 100 TB design: identical to [[packShardIds]] — the append is one
+    * narrow `concat` before the prefix scan.
+    *
+    * Output: (domain, bin, n_tokens, token_ids: array<long>, stream_md5).
+    */
+  def packShardIdsSep(df: DataFrame, domain: Column, id: Column,
+      toks: Column, vocab: Map[String, Long], eosId: Long, budget: Long,
+      partitions: Int): DataFrame = {
+    require(!vocab.valuesIterator.contains(eosId),
+      s"eosId $eosId collides with a vocabulary id")
+    packIds(df, domain, id, toks, vocab, sep = Some(eosId), budget,
+      partitions)
+  }
+
+  private def packIds(df: DataFrame, domain: Column, id: Column,
+      toks: Column, vocab: Map[String, Long], sep: Option[Long],
+      budget: Long, partitions: Int): DataFrame = {
     import graft.CacheScope.ScopedPersist
     val vlit = typedLit(vocab)
-    val ids = transform(toks, p =>
+    val mapped = transform(toks, p =>
       when(element_at(vlit, p).isNull,
         raise_error(concat(lit("piece not in the frozen vocab: "), p))
           .cast("long"))
         .otherwise(element_at(vlit, p)))
+    val ids = sep.fold(mapped)(e => concat(mapped, array(lit(e))))
     val base = df.select(domain.cast("string").as("domain"),
       id.cast("long").as("id"), ids.as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))

@@ -3469,7 +3469,9 @@ object Pipeline {
   // closing the last gap between "gate-proven contract" and "file a
   // trainer opens". Oracle = q218's chain with the vocab CTE composed in.
 
-  private def q226(t: Tables): DataFrame = {
+  private def q226(t: Tables): DataFrame = tokenIdShards(t, eos = None)
+
+  private def tokenIdShards(t: Tables, eos: Option[Long]): DataFrame = {
     val spark = t.documents.sparkSession
     val bpeDir = cachedIndexDir(t.dir, s"bpe_byte_model_v1_$BpeRounds") { d =>
       TextOps.writeBpeModel(
@@ -3494,16 +3496,34 @@ object Pipeline {
       .agg(expr(
         "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
         .as("toks"))
-    graft.operators.Curation.packShardIds(dt, col("source"), col("doc_id"),
-      col("toks"), vocab, PackBudget, partitions = 32)
-      .select(col("domain").as("source"), col("bin"), col("n_tokens"),
-        col("stream_md5"))
+    val packed = eos match {
+      case None =>
+        graft.operators.Curation.packShardIds(dt, col("source"),
+          col("doc_id"), col("toks"), vocab, PackBudget, partitions = 32)
+      case Some(e) =>
+        graft.operators.Curation.packShardIdsSep(dt, col("source"),
+          col("doc_id"), col("toks"), vocab, e, PackBudget, partitions = 32)
+    }
+    packed.select(col("domain").as("source"), col("bin"), col("n_tokens"),
+      col("stream_md5"))
   }
 
-  private lazy val q226Sql = {
+  private lazy val q226Sql = tokenIdShardsSql(eos = None)
+
+  private def tokenIdShardsSql(eos: Option[Long]): String = {
     val products = (1 to BpeRounds).map(i =>
       s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
       .mkString("\n  UNION ALL ")
+    val dCte = eos match {
+      case None =>
+        """d AS (SELECT source, doc_id, toks,
+          |    CAST(len(toks) AS BIGINT) AS n_tok FROM dt),""".stripMargin
+      case Some(e) =>
+        s"""de AS (SELECT source, doc_id,
+           |    list_append(toks, CAST($e AS BIGINT)) AS toks FROM dt),
+           |d AS (SELECT source, doc_id, toks,
+           |    CAST(len(toks) AS BIGINT) AS n_tok FROM de),""".stripMargin
+    }
     s"""WITH ${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevel)},
        |vparts AS (
        |  SELECT lpad(upper(to_hex(i)), 2, '0') AS piece, CAST(i AS BIGINT) AS id
@@ -3523,8 +3543,7 @@ object Pipeline {
        |  FROM dwr, unnest(generate_series(1, len(ws))) AS t(i)),
        |dt AS (SELECT source, doc_id, flatten(list(ids ORDER BY pos)) AS toks
        |  FROM dw JOIN wi USING (w) GROUP BY 1, 2),
-       |d AS (SELECT source, doc_id, toks,
-       |    CAST(len(toks) AS BIGINT) AS n_tok FROM dt),
+       |$dCte
        |c AS (SELECT source, doc_id, toks, n_tok,
        |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
@@ -3767,6 +3786,28 @@ object Pipeline {
        |    AS blocked_ratio,
        |  (n_words = 0 OR n_blocked * 10000 < $BlockTau * n_words) AS kept
        |FROM c""".stripMargin
+
+  // ===== q233 EOS-separated token-id shards ===============================
+  // The literal GPT-2 packing contract (Radford et al. 2019: tokenize,
+  // append <|endoftext|>, concatenate, slice into fixed contexts) on
+  // q226's export: every document contributes its ids plus one trailing
+  // EOS — so a loader slicing any shard recovers document boundaries and
+  // the LM observes the end-of-document event. The separator counts
+  // against the budget (it occupies a context position); the EOS id is
+  // the GPT-2 convention's next free slot past the merge products
+  // (256 + rounds). The oracle is q226's chain with one list_append CTE
+  // composed in — every bin boundary shifts, so the hash catches a
+  // separator dropped, doubled, or placed before the document instead
+  // of after.
+
+  // lazy: BpeRounds is declared further down the file (object vals
+  // initialize in declaration order)
+  private lazy val EosId = 256L + BpeRounds
+
+  private def q233(t: Tables): DataFrame =
+    tokenIdShards(t, eos = Some(EosId))
+
+  private lazy val q233Sql = tokenIdShardsSql(eos = Some(EosId))
 
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
@@ -6395,7 +6436,8 @@ object Pipeline {
     "q229_countmin_compacted" -> wrap(q229),
     "q230_dedup_token_id_shards" -> wrap(q230),
     "q231_langid_drift" -> wrap(q231),
-    "q232_blocklist_filter" -> wrap(q232)
+    "q232_blocklist_filter" -> wrap(q232),
+    "q233_eos_token_id_shards" -> wrap(q233)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6559,6 +6601,7 @@ object Pipeline {
     "q229_countmin_compacted" -> q195Sql,
     "q230_dedup_token_id_shards" -> q230Sql,
     "q231_langid_drift" -> q231Sql,
-    "q232_blocklist_filter" -> q232Sql
+    "q232_blocklist_filter" -> q232Sql,
+    "q233_eos_token_id_shards" -> q233Sql
   )
 }

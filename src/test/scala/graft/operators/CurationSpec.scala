@@ -165,6 +165,38 @@ class CurationSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("packShardIdsSep: one EOS after each doc, counted against the budget; collision raises") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      ("a", 1L, Seq("t1", "t2", "t3")),
+      ("a", 2L, Seq("t4", "t5")),
+      ("b", 9L, Seq("x1"))
+    ).toDF("src", "id", "toks")
+    val vocab = (1 to 5).map(i => s"t$i" -> (100L + i)).toMap + ("x1" -> 7L)
+    try {
+      // streams: a = 101 102 103 EOS 104 105 EOS (7 ids), b = 7 EOS —
+      // with budget 5 the separator SHIFTS the bin boundary (doc 2's
+      // 104 straddles into bin 0 where packShardIds would not straddle)
+      val out = Curation.packShardIdsSep(d, col("src"), col("id"),
+          col("toks"), vocab, eosId = 999L, budget = 5L, partitions = 4)
+        .as[(String, Long, Long, Seq[Long], String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(out == Map(
+        ("a", 0L) -> ((5L, Seq(101L, 102L, 103L, 999L, 104L),
+          md5("101 102 103 999 104"))),
+        ("a", 1L) -> ((2L, Seq(105L, 999L), md5("105 999"))),
+        ("b", 0L) -> ((2L, Seq(7L, 999L), md5("7 999")))))
+      graft.CacheScope.drain()
+      // an EOS id already claimed by the vocabulary is a contract bug
+      val e = intercept[IllegalArgumentException] {
+        Curation.packShardIdsSep(d, col("src"), col("id"), col("toks"),
+          vocab, eosId = 103L, budget = 5L, partitions = 4)
+      }
+      assert(e.getMessage.contains("collides"))
+    } finally graft.CacheScope.drain()
+  }
+
   test("packManifest survives a narrow single-partition sink (the coalesce(1) stage-collapse regression)") {
     // the exact failure the gate caught: binsOf's __pid comes from
     // TaskContext, and a downstream NARROW coalesce(1) used to collapse
