@@ -1266,6 +1266,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Perceptual-hash near-dup pairs over a 64-bit fingerprint carried as
+    * (hi, lo) 32-bit halves — the image twin of [[simhashPairs]], built
+    * for [[Multimodal.decodeImageAHash]] output but generic over any
+    * two-half fingerprint. Same lossless banding: split the 64 bits into
+    * maxHamming+1 equal chunks; by pigeonhole any pair within maxHamming
+    * matches at least one chunk exactly, so one equi-join per chunk finds
+    * ALL such pairs, then exact hamming (bit_count of both xors)
+    * verifies. Chunk width must divide 32 so no band straddles the
+    * hi/lo boundary (maxHamming ∈ {1, 3, 7}).
+    *
+    * Input: (id, ah_hi, ah_lo) — null fingerprints (undecodable images)
+    * are dropped, not paired. Output: (id_a, id_b, hamming), identical
+    * to the O(n²) scan the oracle runs.
+    */
+  def ahashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0 && (64 / chunks <= 32) && 32 % (64 / chunks) == 0,
+      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7})")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val banded = docs
+      .filter(col("ah_hi").isNotNull && col("ah_lo").isNotNull)
+      .select(col("id"), col("ah_hi"), col("ah_lo"),
+        explode(array((0 until chunks).map { c =>
+          val bit = c * width
+          val key =
+            if (bit < 32) shiftright(col("ah_lo"), bit).bitwiseAND(lit(mask))
+            else shiftright(col("ah_hi"), bit - 32).bitwiseAND(lit(mask))
+          struct(lit(c).as("chunk"), key.as("key"))
+        }: _*)).as("ck"))
+      .select(col("id"), col("ah_hi"), col("ah_lo"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.ah_hi").as("hi_a"), col("x.ah_lo").as("lo_a"),
+        col("y.ah_hi").as("hi_b"), col("y.ah_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Segment-level (paragraph-level) dedup: split every document into
     * consecutive `segLen`-token segments, keep each distinct segment only
     * at its globally-first occurrence (lowest (id, position)), and

@@ -292,6 +292,63 @@ object Multimodal {
       out
     }
 
+    /** Perceptual AVERAGE HASH (aHash) — the pHash-family fingerprint
+      * image-dedup pipelines run at corpus scale (LAION deduplicated on
+      * perceptual hashes; the classic recipe is Krawetz's aHash): resize
+      * to the 8×8 grid through the EXACT-INTEGER nearest map
+      * ([[resizeNearest]]), reduce each cell to the ITU-601 luma
+      * NUMERATOR 299r + 587g + 114b, and set bit i = y·8 + x iff
+      * 64·lum_i > Σlum — the strict-inequality integer form of
+      * "above the mean", so no division and no float boundary exists
+      * for engines to diverge on. Returned as the (hi, lo) 32-bit
+      * halves: bit 63 of a single long would be sign-hostile to bit
+      * arithmetic in BOTH Spark SQL and the oracle, while two
+      * non-negative 32-bit halves shift/xor safely everywhere.
+      */
+    def averageHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val r8 = resizeNearest(img, 8, 8)
+      val px = r8.getRGB(0, 0, 8, 8, null, 0, 8)
+      val lum = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < 64) {
+        val p = px(i)
+        val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        lum(i) = l
+        tot += l
+        i += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      i = 0
+      while (i < 64) {
+        if (lum(i) * 64L > tot) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+
+    /** Deterministic NEAR-DUPLICATE variant family for a non-negative id:
+      * the base raster is [[synthImage]](id % groups); ids with
+      * (id / groups) odd additionally white out the single source pixel
+      * the 8×8 resize samples for cell (3, 3) — (3w/8, 3h/8), which no
+      * other cell samples because ⌊x·w/8⌋ is strictly increasing for
+      * w ≥ 8 — so variants of one base differ from it by that flipped
+      * cell plus whatever mean-marginal cells move, while same-class
+      * variants are IDENTICAL. Pure integer arithmetic end to end: an
+      * oracle replays the perturbed cell as CASE (x, y) = (3, 3).
+      */
+    def synthVariant(id: Long, groups: Int): java.awt.image.BufferedImage = {
+      require(groups >= 1)
+      val img = synthImage(id % groups)
+      if ((id / groups) % 2 == 1)
+        img.setRGB(3 * img.getWidth / 8, 3 * img.getHeight / 8, 0xffffff)
+      img
+    }
+
     /** Exact-integer pixel features: (w, h, n_px, sum_r, sum_g, sum_b,
       * peak_lum) where peak_lum = max over pixels of 299r + 587g + 114b
       * (the ITU-601 luma numerator — kept as an integer, no division).
@@ -557,6 +614,59 @@ object Multimodal {
           case None => Seq[Any](null, null, null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** aHash schema appended by [[decodeImageAHash]]. */
+  val imageAHashSchema: StructType = StructType(Seq(
+    StructField("img_w", IntegerType),
+    StructField("img_h", IntegerType),
+    StructField("ah_hi", LongType),
+    StructField("ah_lo", LongType)))
+
+  /** REAL decode → perceptual AVERAGE HASH over a binary column — the
+    * fingerprint stage of image dedup ([[ImageCodec.averageHash]]): one
+    * narrow pass appending (img_w, img_h, ah_hi, ah_lo); undecodable
+    * payloads yield null features (corrupt blobs are data at 100 TB).
+    * Pairs come from [[Dedup.ahashPairs]]' lossless banding — this op
+    * only fingerprints, so the expensive decode runs exactly once per
+    * image no matter how many band probes follow.
+    */
+  def decodeImageAHash(df: DataFrame, mediaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ imageAHashSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = Option(payload).flatMap(ImageCodec.decode) match {
+          case Some(img) =>
+            val (hi, lo) = ImageCodec.averageHash(img)
+            Seq[Any](img.getWidth, img.getHeight, hi, lo)
+          case None => Seq[Any](null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach a REAL near-duplicate-family image payload per row
+    * ([[ImageCodec.synthVariant]]) — the fixture for image-dedup gates:
+    * ids sharing id % groups are the same base image, odd classes carry
+    * the one-pixel perturbation. Format alternates PNG/BMP by id parity
+    * (both lossless JDK codecs run). One narrow pass.
+    */
+  def withImageVariantColumn(df: DataFrame, idCol: String,
+      groups: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        Row.fromSeq(r.toSeq :+
+          ImageCodec.encode(ImageCodec.synthVariant(id, groups), fmt))
       }
     }(Encoders.row(outSchema))
   }

@@ -3809,6 +3809,85 @@ object Pipeline {
 
   private lazy val q233Sql = tokenIdShardsSql(eos = Some(EosId))
 
+  // ===== q234/q235 perceptual image hash + image near-dup pairs ==========
+  // Image DEDUP — the multimodal counterpart of q32's SimHash, and the
+  // stage LAION ran over billions of images: q234 fingerprints every
+  // REAL-decoded image with the average hash (8×8 exact-integer nearest
+  // resize → ITU-601 luma numerators → strict above-mean bits, carried
+  // as non-negative 32-bit halves so bit arithmetic is sign-safe in
+  // both engines); q235 plants a near-duplicate family (base image =
+  // id % 40, odd classes perturb the one source pixel cell (3,3)
+  // samples) and reports all pairs within hamming 3 via the lossless
+  // 4×16-bit banding — identical rows to the O(n²) scan the oracle
+  // runs. Decode runs ONCE per image; only 64-bit fingerprints shuffle.
+
+  private val AHashGroups = 40
+
+  private def q234(t: Tables): DataFrame = {
+    val withImg = Multimodal.withImageColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeImageAHash(withImg, "media")
+      .select(col("doc_id"), col("img_w"), col("img_h"),
+        col("ah_hi"), col("ah_lo"))
+  }
+
+  /** The aHash cell/bit CTEs shared by q234/q235: per doc, the 8×8
+    * resized luma grid of [[Multimodal.ImageCodec.synthImage]](idExpr)
+    * (optionally with q235's variant perturbation), the strict
+    * above-mean bits, and the (hi, lo) halves.
+    */
+  private def ahashSql(idExpr: String, variant: Boolean): String = {
+    val lum =
+      s"""299 * (($idExpr * 31 + ((tx.x * w) // 8) * 7
+         |      + ((ty.y * h) // 8) * 13) % 256)
+         |  + 587 * (($idExpr + ((tx.x * w) // 8) * ((ty.y * h) // 8)) % 256)
+         |  + 114 * ((((tx.x * w) // 8) + 3 * ((ty.y * h) // 8)) % 256)""".stripMargin
+    val lumExpr =
+      if (variant)
+        s"""CASE WHEN (doc_id // $AHashGroups) % 2 = 1
+           |      AND tx.x = 3 AND ty.y = 3 THEN 255000
+           |    ELSE $lum END""".stripMargin
+      else lum
+    s"""d AS (SELECT doc_id,
+       |    CAST(8 + ($idExpr) % 24 AS INTEGER) AS w,
+       |    CAST(8 + (($idExpr) // 24) % 24 AS INTEGER) AS h
+       |  FROM documents),
+       |cell AS (SELECT doc_id, w, h, ty.y * 8 + tx.x AS i,
+       |    CAST($lumExpr AS BIGINT) AS lum
+       |  FROM d,
+       |    unnest(generate_series(0, 7)) AS tx(x),
+       |    unnest(generate_series(0, 7)) AS ty(y)),
+       |s AS (SELECT doc_id, sum(lum) AS tot FROM cell GROUP BY 1),
+       |ah AS (SELECT c.doc_id, c.w, c.h,
+       |    CAST(sum(CASE WHEN c.i >= 32 AND 64 * c.lum > s.tot
+       |      THEN CAST(1 AS BIGINT) << (c.i - 32) ELSE 0 END) AS BIGINT) AS ah_hi,
+       |    CAST(sum(CASE WHEN c.i < 32 AND 64 * c.lum > s.tot
+       |      THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS BIGINT) AS ah_lo
+       |  FROM cell c JOIN s USING (doc_id) GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private lazy val q234Sql =
+    s"""WITH ${ahashSql("doc_id", variant = false)}
+       |SELECT doc_id, w AS img_w, h AS img_h, ah_hi, ah_lo FROM ah""".stripMargin
+
+  private def q235(t: Tables): DataFrame = {
+    val withImg = Multimodal.withImageVariantColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id", AHashGroups)
+    val hashes = Multimodal.decodeImageAHash(withImg, "media")
+      .select(col("doc_id").as("id"), col("ah_hi"), col("ah_lo"))
+    Dedup.ahashPairs(hashes, MaxHamming)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  private lazy val q235Sql =
+    s"""WITH ${ahashSql(s"doc_id % $AHashGroups", variant = true)}
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.ah_hi, y.ah_hi))
+       |    + bit_count(xor(x.ah_lo, y.ah_lo)) AS BIGINT) AS hamming
+       |FROM ah x JOIN ah y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.ah_hi, y.ah_hi))
+       |    + bit_count(xor(x.ah_lo, y.ah_lo)) <= $MaxHamming""".stripMargin
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -6437,7 +6516,9 @@ object Pipeline {
     "q230_dedup_token_id_shards" -> wrap(q230),
     "q231_langid_drift" -> wrap(q231),
     "q232_blocklist_filter" -> wrap(q232),
-    "q233_eos_token_id_shards" -> wrap(q233)
+    "q233_eos_token_id_shards" -> wrap(q233),
+    "q234_image_ahash" -> wrap(q234),
+    "q235_image_neardup_pairs" -> wrap(q235)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6602,6 +6683,8 @@ object Pipeline {
     "q230_dedup_token_id_shards" -> q230Sql,
     "q231_langid_drift" -> q231Sql,
     "q232_blocklist_filter" -> q232Sql,
-    "q233_eos_token_id_shards" -> q233Sql
+    "q233_eos_token_id_shards" -> q233Sql,
+    "q234_image_ahash" -> q234Sql,
+    "q235_image_neardup_pairs" -> q235Sql
   )
 }

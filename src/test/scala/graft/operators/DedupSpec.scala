@@ -281,6 +281,33 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("ahashPairs banding is lossless over hi/lo halves; nulls dropped; bad width rejected") {
+    // hand-built 64-bit fingerprints as (hi, lo): a≡b (ham 0), c at ham 3
+    // from a spread across BOTH halves (2 bits in lo, 1 in hi — a band
+    // straddle would lose it), d at ham 4 (excluded), e undecodable
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(0x0000AAAAL), java.lang.Long.valueOf(0x55550000L)),
+      (2L, java.lang.Long.valueOf(0x0000AAAAL), java.lang.Long.valueOf(0x55550000L)),
+      (3L, java.lang.Long.valueOf(0x0000AAABL), java.lang.Long.valueOf(0x55550003L)),
+      (4L, java.lang.Long.valueOf(0x0000AAAAL), java.lang.Long.valueOf(0x5555000FL)),
+      (5L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "ah_hi", "ah_lo")
+    val banded = Dedup.ahashPairs(rows, 3).as[(Long, Long, Int)].collect().toSet
+    val all = rows.filter(col("ah_hi").isNotNull)
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (ia, ha, la) <- all; (ib, hb, lb) <- all if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute)
+    assert(banded.contains((1L, 2L, 0)) && banded.contains((1L, 3L, 3)))
+    assert(!banded.exists(p => p._1 == 5L || p._2 == 5L))
+    // chunk widths that straddle the hi/lo boundary are rejected loudly
+    val e = intercept[IllegalArgumentException](Dedup.ahashPairs(rows, 2))
+    assert(e.getMessage.contains("divide 32"))
+  }
+
   test("segmentDedup keeps each segment at its first owner and reassembles in order") {
     // segLen=4: doc 1 = [A B C D] [E F G H]; doc 2 shares segment [A B C D]
     // and owns [X Y Z W]; doc 3 is entirely a copy of doc 1's segments.

@@ -254,6 +254,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("averageHash: independent reimplementation, strict above-mean, hi/lo non-negative") {
+    import Multimodal.ImageCodec
+    for (id <- Seq(0L, 7L, 41L, 123L)) {
+      val img = ImageCodec.synthImage(id)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // independent recomputation straight off the SOURCE raster via the
+      // documented map: cell (x, y) samples (x·w/8, y·h/8)
+      val lums = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val p = img.getRGB(x * w / 8, y * h / 8)
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+      }
+      val tot = lums.sum
+      var (ehi, elo) = (0L, 0L)
+      for (i <- 0 until 64 if lums(i) * 64L > tot)
+        if (i < 32) elo |= 1L << i else ehi |= 1L << (i - 32)
+      assert(ImageCodec.averageHash(img) == ((ehi, elo)), s"id $id")
+      assert(ehi >= 0 && elo >= 0 && ehi < (1L << 32) && elo < (1L << 32))
+    }
+    // a flat image (every lum equals the mean — strict > nowhere) is all-zero
+    val flat = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) flat.setRGB(x, y, 0x808080)
+    assert(ImageCodec.averageHash(flat) == ((0L, 0L)))
+  }
+
+  test("synthVariant: same-class identical, odd class perturbs exactly the cell-(3,3) pixel") {
+    import Multimodal.ImageCodec
+    val groups = 40
+    // ids 7, 47, 127 share base 7; 47 (47/40 = 1) and 127 (127/40 = 3)
+    // are odd-class — identical to each other, differing from the base
+    // only at (3w/8, 3h/8)
+    val base = ImageCodec.synthVariant(7L, groups)
+    val v1 = ImageCodec.synthVariant(47L, groups)
+    val v2 = ImageCodec.synthVariant(127L, groups)
+    val (w, h) = (base.getWidth, base.getHeight)
+    assert((0 until w).forall(x => (0 until h).forall(y =>
+      v1.getRGB(x, y) == v2.getRGB(x, y))))
+    val diffs = for (x <- 0 until w; y <- 0 until h
+      if base.getRGB(x, y) != v1.getRGB(x, y)) yield (x, y)
+    assert(diffs == Seq((3 * w / 8, 3 * h / 8)))
+    assert((v1.getRGB(3 * w / 8, 3 * h / 8) & 0xffffff) == 0xffffff)
+    // the perturbation lands in exactly one resized cell: hamming between
+    // base and variant aHash stays small (the flipped cell + mean margin)
+    val (bh, bl) = ImageCodec.averageHash(base)
+    val (vh, vl) = ImageCodec.averageHash(v1)
+    val ham = java.lang.Long.bitCount(bh ^ vh) + java.lang.Long.bitCount(bl ^ vl)
+    assert(ham >= 1 && ham <= 8, s"hamming $ham")
+  }
+
   test("VideoCodec: y4m parse round-trip; corrupt containers rejected; sampled features exact") {
     import Multimodal.VideoCodec
     for (id <- Seq(0L, 7L, 41L)) {
