@@ -1312,6 +1312,192 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ===== stored image-fingerprint (aHash) index lifecycle ================
+  // The image twin of the text dedup index: a crawler dedups every new
+  // image against the corpus ON ARRIVAL, so the fingerprints live in a
+  // versioned store with the same lifecycle the text/BM25/IVF families
+  // have — batch-partitioned replay-safe ingest, epoch-swap compaction,
+  // physical erasure. Two views: `hashes/batch=N` (id, ah_hi, ah_lo — the
+  // erasure unit) and `bands/batch=N` partitioned by `bkt` (the banded
+  // rows a probe's equi-join DPP-prunes to the probe keys' buckets — at
+  // billions of stored images a probe batch must read its candidate
+  // buckets, never the store). Band geometry (maxHamming, buckets) is
+  // FROZEN at build in `params/` and re-read by ingest and probe, so the
+  // layout cannot drift between producers.
+
+  /** The banded rows of a fingerprint batch: one row per (band, key)
+    * with the full fingerprint carried so the probe verifies hamming
+    * without a second fetch join. bkt = key % buckets is the DPP
+    * partition unit.
+    */
+  private def ahashBandRows(fps: DataFrame, maxHamming: Int,
+      buckets: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    fps.filter(col("ah_hi").isNotNull && col("ah_lo").isNotNull)
+      .select(col("id"), col("ah_hi"), col("ah_lo"),
+        explode(array((0 until chunks).map { c =>
+          val bit = c * width
+          val key =
+            if (bit < 32) shiftright(col("ah_lo"), bit).bitwiseAND(lit(mask))
+            else shiftright(col("ah_hi"), bit - 32).bitwiseAND(lit(mask))
+          struct(lit(c).as("band"), key.as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("ah_hi"), col("ah_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"),
+        (col("bk.key") % buckets).as("bkt"))
+  }
+
+  /** Build the stored aHash index (batch 0). Input: (id, ah_hi, ah_lo)
+    * from [[Multimodal.decodeImageAHash]]; null fingerprints (corrupt
+    * images) are not indexed.
+    */
+  def writeAHashIndex(fps: DataFrame, dir: String, maxHamming: Int = 3,
+      buckets: Int = 64): Unit = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0 && (64 / chunks <= 32) && 32 % (64 / chunks) == 0,
+      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7})")
+    val spark = fps.sparkSession
+    import spark.implicits._
+    Seq((maxHamming, buckets)).toDF("max_hamming", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    fps.filter(col("ah_hi").isNotNull && col("ah_lo").isNotNull)
+      .select(col("id"), col("ah_hi"), col("ah_lo"))
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
+    Compaction.writePartitioned(
+      ahashBandRows(fps, maxHamming, buckets).repartition(col("bkt")),
+      "bkt", s"$dir/bands/batch=0")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The frozen band geometry of a stored index. */
+  private[graft] def ahashParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params")
+      .select(col("max_hamming"), col("buckets")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Replay-safe incremental ingest: the batch OVERWRITES its own
+    * batch=<id> partitions under the live epoch (a crash-replayed
+    * producer rewrites identical files); per-ingest cost ∝ batch. Band
+    * geometry comes from the frozen `params/` — never from the caller.
+    */
+  def ingestIntoAHashIndex(fps: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    require(batchId >= 1, s"batch 0 is the build (got $batchId)")
+    val spark = fps.sparkSession
+    val (maxHamming, buckets) = ahashParams(spark, dir)
+    val e = Compaction.currentEpoch(spark, dir)
+    fps.filter(col("ah_hi").isNotNull && col("ah_lo").isNotNull)
+      .select(col("id"), col("ah_hi"), col("ah_lo"))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e)}/batch=$batchId")
+    Compaction.writePartitioned(
+      ahashBandRows(fps, maxHamming, buckets).repartition(col("bkt")),
+      "bkt", s"${Compaction.epochPath(dir, "bands", e)}/batch=$batchId")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Probe a fingerprint batch against the stored index: every stored
+    * image within the index's frozen maxHamming of a probe, as
+    * (id, match_id, hamming), self-matches (id = match_id) excluded.
+    * Lossless banding (the [[ahashPairs]] pigeonhole) against the
+    * stored band rows — the equi-join carries `bkt`, so partition
+    * pruning reads only the probe keys' buckets, and the stored rows
+    * carry their fingerprint, so verification needs no second join.
+    * `beforeBatch` restricts to batches < b (the pre-batch-state
+    * contract a replayed streaming producer needs).
+    */
+  def ahashAgainstIndex(fps: DataFrame, dir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val spark = fps.sparkSession
+    val (maxHamming, buckets) = ahashParams(spark, dir)
+    val e = Compaction.currentEpoch(spark, dir)
+    val stored0 = spark.read
+      .parquet(Compaction.epochPath(dir, "bands", e))
+    val stored = beforeBatch.fold(stored0)(b =>
+      stored0.filter(col("batch") < b))
+    ahashBandRows(fps, maxHamming, buckets).as("x")
+      .join(stored.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.key") === col("y.key") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("match_id"),
+        col("x.ah_hi").as("hi_a"), col("x.ah_lo").as("lo_a"),
+        col("y.ah_hi").as("hi_b"), col("y.ah_lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("match_id"), col("hamming"))
+  }
+
+  /** Compact: fold every batch into ONE consolidated batch=0 under the
+    * next epoch (bands re-packed one file per bucket — the probe's DPP
+    * unit), atomic epoch-pointer swap, superseded epoch deleted. Probe
+    * results identical pre/post (spec-pinned). Run beyond the producer's
+    * replay horizon ([[Similarity.compactIvfIndex]]'s contract).
+    */
+  def compactAHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val e = Compaction.currentEpoch(spark, dir)
+    val curH = Compaction.epochPath(dir, "hashes", e)
+    val curB = Compaction.epochPath(dir, "bands", e)
+    def fold(df: DataFrame): DataFrame =
+      df.select(df.columns.filter(_ != "batch").map(col): _*)
+    fold(spark.read.parquet(curH))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e + 1)}/batch=0")
+    Compaction.writePartitioned(
+      fold(spark.read.parquet(curB)).repartition(col("bkt")),
+      "bkt", s"${Compaction.epochPath(dir, "bands", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Seq(curH, curB).foreach(Compaction.deleteDir(spark, _))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
+  /** Auto-compaction trigger — thresholds on the bands view (the probe's
+    * DPP-pruned side, where batch-listing cost bites first); the
+    * [[Compaction.batchCount]] consult-after-checkpoint contract.
+    */
+  def compactAHashIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBatches: Int): Option[Int] =
+    if (Compaction.batchCount(spark, dir, "bands") > maxBatches)
+      Some(compactAHashIndex(spark, dir))
+    else None
+
+  /** Physically DELETE images from the store — perceptual fingerprints
+    * are derived personal data under the same erasure obligation as the
+    * images; anti-join rewrite of both views committed by the atomic
+    * epoch swap. A post-delete probe ≡ probing an index built from the
+    * survivors (fingerprints are per-image — nothing cross-image to
+    * recount). Absent ids are ignored (idempotent).
+    *
+    * @return the new epoch number
+    */
+  def deleteFromAHashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Int = {
+    val del = ids.select(col("id"))
+    val e = Compaction.currentEpoch(spark, dir)
+    val curH = Compaction.epochPath(dir, "hashes", e)
+    val curB = Compaction.epochPath(dir, "bands", e)
+    def survivors(df: DataFrame): DataFrame =
+      df.join(del, Seq("id"), "left_anti")
+        .select(df.columns.filter(_ != "batch").map(col): _*)
+    survivors(spark.read.parquet(curH))
+      .write.mode("overwrite")
+      .parquet(s"${Compaction.epochPath(dir, "hashes", e + 1)}/batch=0")
+    Compaction.writePartitioned(
+      survivors(spark.read.parquet(curB)).repartition(col("bkt")),
+      "bkt", s"${Compaction.epochPath(dir, "bands", e + 1)}/batch=0")
+    Compaction.advanceEpoch(spark, dir, e + 1)
+    Seq(curH, curB).foreach(Compaction.deleteDir(spark, _))
+    spark.catalog.refreshByPath(dir)
+    e + 1
+  }
+
   /** Segment-level (paragraph-level) dedup: split every document into
     * consecutive `segLen`-token segments, keep each distinct segment only
     * at its globally-first occurrence (lowest (id, position)), and

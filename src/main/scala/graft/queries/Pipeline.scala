@@ -3888,6 +3888,44 @@ object Pipeline {
        |WHERE bit_count(xor(x.ah_hi, y.ah_hi))
        |    + bit_count(xor(x.ah_lo, y.ah_lo)) <= $MaxHamming""".stripMargin
 
+  // ===== q236 stored image-fingerprint index (probe on arrival) ==========
+  // The image dedup made a STORE with the text/BM25/IVF lifecycle: build
+  // the versioned aHash index on doc_id % 10 ≠ 5 (batch 0), ingest the
+  // rest as batch 1, probe EVERY image against it and report all stored
+  // matches within the frozen hamming radius — the crawler's
+  // dedup-on-arrival shape. The banded store carries its fingerprints
+  // (no second fetch join) and its `bkt` partition unit prunes probes to
+  // candidate buckets; since batch 0 ∪ batch 1 = the corpus, the oracle
+  // is the O(n²) directed scan with self-matches excluded — build/ingest
+  // split drift, banding loss, or a band-geometry drift between build
+  // and probe all break the match set.
+
+  private def ahashFingerprints(t: Tables, pred: Column): DataFrame =
+    Multimodal.decodeImageAHash(
+      Multimodal.withImageVariantColumn(
+        graft.Fanout(t.documents.filter(pred)).select(col("doc_id")),
+        "doc_id", AHashGroups), "media")
+      .select(col("doc_id").as("id"), col("ah_hi"), col("ah_lo"))
+
+  private def q236(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"ahash_idx_v1_$AHashGroups") { d =>
+      Dedup.writeAHashIndex(ahashFingerprints(t, col("doc_id") % 10 =!= 5), d)
+      Dedup.ingestIntoAHashIndex(
+        ahashFingerprints(t, col("doc_id") % 10 === 5), d, batchId = 1)
+    }
+    Dedup.ahashAgainstIndex(ahashFingerprints(t, lit(true)), dir)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  private lazy val q236Sql =
+    s"""WITH ${ahashSql(s"doc_id % $AHashGroups", variant = true)}
+       |SELECT x.doc_id AS id, y.doc_id AS match_id,
+       |  CAST(bit_count(xor(x.ah_hi, y.ah_hi))
+       |    + bit_count(xor(x.ah_lo, y.ah_lo)) AS BIGINT) AS hamming
+       |FROM ah x JOIN ah y ON x.doc_id <> y.doc_id
+       |WHERE bit_count(xor(x.ah_hi, y.ah_hi))
+       |    + bit_count(xor(x.ah_lo, y.ah_lo)) <= $MaxHamming""".stripMargin
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -6518,7 +6556,8 @@ object Pipeline {
     "q232_blocklist_filter" -> wrap(q232),
     "q233_eos_token_id_shards" -> wrap(q233),
     "q234_image_ahash" -> wrap(q234),
-    "q235_image_neardup_pairs" -> wrap(q235)
+    "q235_image_neardup_pairs" -> wrap(q235),
+    "q236_image_index_probe" -> wrap(q236)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6685,6 +6724,7 @@ object Pipeline {
     "q232_blocklist_filter" -> q232Sql,
     "q233_eos_token_id_shards" -> q233Sql,
     "q234_image_ahash" -> q234Sql,
-    "q235_image_neardup_pairs" -> q235Sql
+    "q235_image_neardup_pairs" -> q235Sql,
+    "q236_image_index_probe" -> q236Sql
   )
 }

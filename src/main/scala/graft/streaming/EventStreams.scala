@@ -843,6 +843,56 @@ object EventStreams {
         pairs, ccDir, b)
     }
 
+  /** Streaming IMAGE dedup-on-arrival — [[dedupIngest]]'s image twin over
+    * the stored aHash index: each micro-batch of (id, media) images is
+    * fingerprinted ONCE (real decode,
+    * [[graft.operators.Multimodal.decodeImageAHash]]), deduplicated
+    * within the batch (drop any image whose fingerprint matches a LOWER
+    * id within the store's frozen hamming radius), probed against
+    * strictly OLDER store batches (`beforeBatch` — a crash-replayed
+    * batch probes exactly what the first attempt probed, its own
+    * half-written entries invisible), and reported under
+    * `outDir/batch=<id>` as (id, ah_hi, ah_lo, n_store_dups, kept).
+    * Kept fingerprints ingest into the store under batch=<id+1>
+    * (batch 0 is the build); undecodable payloads report null
+    * fingerprints and kept = false (quarantine, never silently
+    * indexed). Band geometry comes from the store's frozen `params/`,
+    * so the stream cannot drift from the build. Overwrite mode
+    * everywhere — replay-idempotent.
+    */
+  def imageAHashIngest(indexDir: String, outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+      import graft.CacheScope.ScopedPersist
+      val spark = batch.sparkSession
+      val b = batchId + 1
+      val (maxHamming, _) = graft.operators.Dedup.ahashParams(spark, indexDir)
+      val fps = graft.operators.Multimodal.decodeImageAHash(
+          batch.select(col("id"), col("media")), "media")
+        .select(col("id"), col("ah_hi"), col("ah_lo"))
+        .persistScoped() // within-batch pairs + probe + report + ingest
+      // within-batch: drop any image matching a lower id (keep-lowest)
+      val withinDrops = graft.operators.Dedup.ahashPairs(fps, maxHamming)
+        .select(col("id_b").as("id")).distinct()
+      // store matches per probe, strictly older batches only
+      val storeDups = graft.operators.Dedup
+        .ahashAgainstIndex(fps, indexDir, beforeBatch = Some(b))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_store_dups"))
+      val report = fps
+        .join(storeDups, Seq("id"), "left")
+        .join(withinDrops.withColumn("__wd", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("ah_hi"), col("ah_lo"),
+          coalesce(col("n_store_dups"), lit(0L)).as("n_store_dups"),
+          (col("ah_hi").isNotNull && col("__wd").isNull &&
+            coalesce(col("n_store_dups"), lit(0L)) === 0).as("kept"))
+        .persistScoped()
+      report.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.operators.Dedup.ingestIntoAHashIndex(
+        report.filter(col("kept")).select(col("id"), col("ah_hi"), col("ah_lo")),
+        indexDir, b)
+    }
+
   /** Streaming Kneser-Ney quality filtering — [[lmScoreIngest]]'s sibling
     * with the PRODUCTION smoothing
     * ([[graft.operators.TextOps.knScoreAgainstModel]]): the SAME stored

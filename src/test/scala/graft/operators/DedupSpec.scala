@@ -308,6 +308,56 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("divide 32"))
   }
 
+  test("aHash index lifecycle: build+ingest ≡ brute force; replay/compact/delete invariants; beforeBatch") {
+    val ids = spark.range(0, 60).select($"id".as("doc_id"))
+    val fps = Multimodal.decodeImageAHash(
+      Multimodal.withImageVariantColumn(ids, "doc_id", groups = 8), "media")
+      .select($"doc_id".as("id"), $"ah_hi", $"ah_lo")
+    val all = fps.as[(Long, Long, Long)].collect()
+    def brute(store: Set[Long], probes: Set[Long]) = (for {
+      (ip, hp, lp) <- all if probes(ip)
+      (is, hs, ls) <- all if store(is) && is != ip
+      h = java.lang.Long.bitCount(hp ^ hs) + java.lang.Long.bitCount(lp ^ ls)
+      if h <= 3
+    } yield (ip, is, h)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ahash-idx").toString
+    def probe = Dedup.ahashAgainstIndex(fps, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    val everyone = (0L until 60L).toSet
+    try {
+      Dedup.writeAHashIndex(fps.filter($"id" % 10 =!= 5), dir)
+      Dedup.ingestIntoAHashIndex(fps.filter($"id" % 10 === 5), dir, 1L)
+      val p1 = probe
+      assert(p1 == brute(everyone, everyone),
+        "build+ingest probe must equal the directed brute-force scan")
+      assert(p1.nonEmpty)
+      // crash replay of batch 1 → identical store, identical probe
+      Dedup.ingestIntoAHashIndex(fps.filter($"id" % 10 === 5), dir, 1L)
+      assert(probe == p1)
+      // the pre-batch-state contract: beforeBatch=1 sees only the build
+      assert(Dedup.ahashAgainstIndex(fps, dir, beforeBatch = Some(1L))
+        .as[(Long, Long, Int)].collect().toSet ==
+        brute(everyone.filter(_ % 10 != 5), everyone))
+      // compaction: epoch swap, probe-identical, superseded epoch gone
+      assert(Dedup.compactAHashIndex(spark, dir) == 1)
+      assert(probe == p1)
+      assert(!new java.io.File(s"$dir/hashes").exists())
+      // IfNeeded trigger: one consolidated batch → under threshold
+      assert(Dedup.compactAHashIndexIfNeeded(spark, dir, maxBatches = 1).isEmpty)
+      // physical deletion ≡ survivors-only store; bytes gone; idempotent
+      val victims = ids.filter($"doc_id" % 10 === 3).select($"doc_id".as("id"))
+      assert(Dedup.deleteFromAHashIndex(spark, dir, victims) == 2)
+      val post = probe
+      assert(post == brute(everyone.filter(_ % 10 != 3), everyone))
+      assert(spark.read.parquet(s"$dir/hashes_e2")
+        .filter($"id" % 10 === 3).count() == 0)
+      assert(spark.read.parquet(s"$dir/bands_e2")
+        .filter($"id" % 10 === 3).count() == 0)
+      assert(Dedup.deleteFromAHashIndex(spark, dir, victims) == 3)
+      assert(probe == post)
+    } finally graft.CacheScope.drain()
+  }
+
   test("segmentDedup keeps each segment at its first owner and reassembles in order") {
     // segLen=4: doc 1 = [A B C D] [E F G H]; doc 2 shares segment [A B C D]
     // and owns [X Y Z W]; doc 3 is entirely a copy of doc 1's segments.

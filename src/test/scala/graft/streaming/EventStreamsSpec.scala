@@ -721,6 +721,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(second == first)
   }
 
+  test("imageAHashIngest: dedup-on-arrival vs store and within batch; undecodables quarantined; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    // hand-controlled hashes: an 8x8 image with columns < k white has
+    // aHash bits exactly on those 8k cells (white is above the mean while
+    // any black cell exists), so hamming(img(k), img(k')) = 8|k - k'|
+    def img(k: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8)
+        im.setRGB(x, y, if (x < k) 0xffffff else 0)
+      Multimodal.ImageCodec.encode(im, "png")
+    }
+    def fps(rows: (Long, Array[Byte])*) =
+      Multimodal.decodeImageAHash(rows.toSeq.toDF("id", "media"), "media")
+        .select($"id", $"ah_hi", $"ah_lo")
+    val base = java.nio.file.Files.createTempDirectory("ahashingest").toString
+    val idx = s"$base/index"; val out = s"$base/out"
+    Dedup.writeAHashIndex(fps(1L -> img(2), 2L -> img(4)), idx)
+    val sink = EventStreams.imageAHashIngest(idx, out)
+    val b0 = Seq(10L -> img(4), // exact dup of stored 2
+      11L -> img(6),            // new (hamming 16 from 2, 32 from 1)
+      12L -> img(6),            // within-batch dup of 11
+      13L -> "not an image".getBytes("UTF-8")).toDF("id", "media")
+    sink(b0, 0L)
+    def report(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select($"id", $"n_store_dups", $"kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val r0 = report(0L)
+    assert(r0 == Map(10L -> ((1L, false)), 11L -> ((0L, true)),
+      12L -> ((0L, false)), 13L -> ((0L, false))))
+    // the store grew by the kept image only: 14 dups 11, 15 is new
+    sink(Seq(14L -> img(6), 15L -> img(3)).toDF("id", "media"), 1L)
+    assert(report(1L) == Map(14L -> ((1L, false)), 15L -> ((0L, true))))
+    // crash-replay of batch 0: probes only the build (beforeBatch), not
+    // its own first-attempt entries — identical report
+    sink(b0, 0L)
+    assert(report(0L) == r0)
+  }
+
   /** Unigram tf with dl attached over the sf0.001 documents — the
     * [[graft.operators.Retrieval]] input shape for the streaming twins.
     */
