@@ -148,6 +148,78 @@ object TextOps {
           .as("kept"))
   }
 
+  /** The Dolma-style TAGGER TABLE + mixer decision — the published
+    * curation architecture (Dolma: "taggers" emit per-document
+    * attributes, a config-driven "mixer" applies the keep rules;
+    * RefinedWeb/C4 fuse the same checks inline): FOUR safety/quality
+    * taggers evaluated in ONE pass — word blocklist
+    * ([[blocklistFilter]]'s exact-integer rule), PII exposure
+    * (emails + urls + phones ≤ piiMax), Gopher repetition (the
+    * [[repetitionFilter]] signals off the native kernel), and
+    * stopword-ratio quality — plus the conjunction `kept` and a
+    * `reasons` audit string naming every failed tagger, the attribute
+    * provenance a curation team actually debugs with.
+    *
+    * The tagger table carries EVERY input row — a zero-token document
+    * fails repetition (Gopher's ≥1-token contract) and quality
+    * (undefined ratio → false) and says so in `reasons`, never a
+    * silent drop.
+    *
+    * 100 TB design: zero shuffles, zero joins — every tagger is a
+    * codegen'd expression over the same projected row; the repetition
+    * kernel is per-document. Composing the standalone operators via
+    * joins would re-scan and re-shuffle four times for what one
+    * projection computes.
+    *
+    * Output: (id, keep_blocklist, keep_pii, keep_repetition,
+    * keep_quality, kept, reasons).
+    */
+  def taggerTable(df: DataFrame, id: Column, text: Column,
+      blocklist: Seq[String], blockTau: Long, piiMax: Long,
+      maxTopTokFrac: Double, maxTopBigramFrac: Double, minTtr: Double,
+      minStopwordRatio: Double): DataFrame = {
+    val bl = typedLit(blocklist.map(_.toLowerCase).distinct)
+    val base = df.select(id.cast("long").as("id"), text.as("__t"),
+        regexp_extract_all(lower(text), lit("""\S+"""), lit(0)).as("__ws"))
+      .select(col("id"), col("__t"), col("__ws"),
+        size(col("__ws")).cast("long").as("__nw"),
+        size(filter(col("__ws"), w => array_contains(bl, w)))
+          .cast("long").as("__nb"),
+        (size(regexp_extract_all(col("__t"), lit(emailPattern), lit(0))) +
+          size(regexp_extract_all(col("__t"), lit(urlPattern), lit(0))) +
+          size(regexp_extract_all(col("__t"), lit(phonePattern), lit(0))))
+          .cast("long").as("__npii"),
+        stopwordHits(col("__t"), stopwords.head._2).cast("long").as("__nstop"),
+        graft.functions.repetition_signals(col("__ws"), 1).as("__s1"),
+        graft.functions.repetition_signals(col("__ws"), 2).as("__s2"))
+    val ttr = round(element_at(col("__s1"), 2).cast("double") / col("__nw"), 4)
+    val tokFrac = round(element_at(col("__s1"), 1).cast("double") / col("__nw"), 4)
+    val bgFrac = when(col("__s2").isNotNull,
+      round(element_at(col("__s2"), 1).cast("double") / (col("__nw") - 1), 4))
+      .otherwise(lit(0.0))
+    val scored = base.select(col("id"),
+      (col("__nw") === 0 ||
+        col("__nb") * lit(10000L) < lit(blockTau) * col("__nw"))
+        .as("keep_blocklist"),
+      (col("__npii") <= piiMax).as("keep_pii"),
+      coalesce(col("__s1").isNotNull &&
+        tokFrac <= maxTopTokFrac && bgFrac <= maxTopBigramFrac &&
+        ttr >= minTtr, lit(false)).as("keep_repetition"),
+      when(col("__nw") === 0, lit(false))
+        .otherwise(round(col("__nstop").cast("double") / col("__nw"), 4)
+          >= minStopwordRatio).as("keep_quality"))
+    scored.select(col("id"), col("keep_blocklist"), col("keep_pii"),
+      col("keep_repetition"), col("keep_quality"),
+      (col("keep_blocklist") && col("keep_pii") &&
+        col("keep_repetition") && col("keep_quality")).as("kept"),
+      array_join(filter(array(
+        when(!col("keep_blocklist"), lit("blocklist")),
+        when(!col("keep_pii"), lit("pii")),
+        when(!col("keep_repetition"), lit("repetition")),
+        when(!col("keep_quality"), lit("quality"))),
+        x => x.isNotNull), ",").as("reasons"))
+  }
+
   /** Word n-gram shingles (lowercased), distinct, first-occurrence order —
     * the unit of MinHash and exact-Jaccard dedup. Appended as column `out`.
     * Native kernel (graft.functions.ShinglesExpr): the composable

@@ -3926,6 +3926,88 @@ object Pipeline {
        |WHERE bit_count(xor(x.ah_hi, y.ah_hi))
        |    + bit_count(xor(x.ah_lo, y.ah_lo)) <= $MaxHamming""".stripMargin
 
+  // ===== q237 Dolma tagger table + mixer decision =========================
+  // The published curation ARCHITECTURE, not just its stages: Dolma's
+  // taggers emit per-doc attributes and a config-driven mixer applies
+  // keep rules — here four taggers (blocklist, PII exposure, Gopher
+  // repetition, stopword quality) evaluated in ONE narrow zero-shuffle
+  // pass with the conjunction plus a `reasons` audit string naming every
+  // failed tagger. The oracle recomputes each tagger with its own
+  // operator's oracle recipe (q232/q55/q169/q28) and rebuilds the same
+  // reasons string — a drift in ANY tagger's semantics or in the mixer
+  // rule breaks the hash. (On this fixture the PII tagger passes every
+  // row — the vocabulary has no emails/urls/phones — but its leg is
+  // live code both sides; the spec exercises it on planted PII.)
+
+  private val TagPiiMax = 2L
+  private val TagMinStopword = 0.02
+
+  private def q237(t: Tables): DataFrame =
+    TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), BlockList, BlockTau, TagPiiMax,
+      RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+      .select(col("id").as("doc_id"), col("keep_blocklist"),
+        col("keep_pii"), col("keep_repetition"), col("keep_quality"),
+        col("kept"), col("reasons"))
+
+  private lazy val q237Sql = {
+    val enStop = TextOps.stopwords.head._2
+    s"""WITH w AS (SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+       |blk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+       |    CAST(len(list_filter(ws, x -> list_contains(
+       |      [${BlockList.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
+       |      AS nb
+       |  FROM w),
+       |pii AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}'))
+       |      + len(regexp_extract_all(text, '${TextOps.urlPattern}'))
+       |      + len(regexp_extract_all(text, '${TextOps.phonePattern}'))
+       |      AS BIGINT) AS npii
+       |  FROM documents),
+       |tt AS (SELECT doc_id AS id, len(ws) AS n, unnest(ws) AS tk
+       |  FROM w WHERE len(ws) > 0),
+       |ttc AS (SELECT id, n, tk, count(*) AS c FROM tt GROUP BY 1, 2, 3),
+       |tts AS (SELECT id, n, max(c) AS topc,
+       |    CAST(count(*) AS BIGINT) AS nd FROM ttc GROUP BY 1, 2),
+       |tbg0 AS (SELECT doc_id AS id, ws,
+       |    unnest(generate_series(1, len(ws) - 1)) AS i
+       |  FROM w WHERE len(ws) >= 2),
+       |tbg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS b FROM tbg0),
+       |tbc AS (SELECT id, b, count(*) AS c FROM tbg GROUP BY 1, 2),
+       |tbs AS (SELECT id, max(c) AS topb FROM tbc GROUP BY 1),
+       |rep AS (SELECT tts.id AS doc_id,
+       |    (round(CAST(tts.topc AS DOUBLE) / tts.n, 4) <= $RepMaxTok
+       |     AND CASE WHEN tbs.topb IS NOT NULL
+       |       THEN round(CAST(tbs.topb AS DOUBLE) / (tts.n - 1), 4)
+       |       ELSE 0.0 END <= $RepMaxBigram
+       |     AND round(CAST(tts.nd AS DOUBLE) / tts.n, 4) >= $RepMinTtr) AS kr
+       |  FROM tts LEFT JOIN tbs USING (id)),
+       |qual AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN false
+       |    ELSE round(CAST(len(regexp_extract_all(lower(text), '$enStop'))
+       |      AS DOUBLE) / len(ws), 4) >= $TagMinStopword END AS kq
+       |  FROM w),
+       |k AS (SELECT blk.doc_id,
+       |    (blk.nw = 0 OR blk.nb * 10000 < $BlockTau * blk.nw)
+       |      AS keep_blocklist,
+       |    (pii.npii <= $TagPiiMax) AS keep_pii,
+       |    coalesce(rep.kr, false) AS keep_repetition,
+       |    qual.kq AS keep_quality
+       |  FROM blk JOIN pii USING (doc_id) JOIN qual USING (doc_id)
+       |  LEFT JOIN rep USING (doc_id))
+       |SELECT doc_id, keep_blocklist, keep_pii, keep_repetition,
+       |  keep_quality,
+       |  (keep_blocklist AND keep_pii AND keep_repetition AND keep_quality)
+       |    AS kept,
+       |  coalesce(array_to_string(list_filter([
+       |    CASE WHEN NOT keep_blocklist THEN 'blocklist' END,
+       |    CASE WHEN NOT keep_pii THEN 'pii' END,
+       |    CASE WHEN NOT keep_repetition THEN 'repetition' END,
+       |    CASE WHEN NOT keep_quality THEN 'quality' END],
+       |    x -> x IS NOT NULL), ','), '') AS reasons
+       |FROM k""".stripMargin
+  }
+
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
   // The core production path (dedup, THEN train the tokenizer on the
   // survivors, THEN materialize shards) composed as ONE DataFrame and
@@ -6557,7 +6639,8 @@ object Pipeline {
     "q233_eos_token_id_shards" -> wrap(q233),
     "q234_image_ahash" -> wrap(q234),
     "q235_image_neardup_pairs" -> wrap(q235),
-    "q236_image_index_probe" -> wrap(q236)
+    "q236_image_index_probe" -> wrap(q236),
+    "q237_tagger_table" -> wrap(q237)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6725,6 +6808,7 @@ object Pipeline {
     "q233_eos_token_id_shards" -> q233Sql,
     "q234_image_ahash" -> q234Sql,
     "q235_image_neardup_pairs" -> q235Sql,
-    "q236_image_index_probe" -> q236Sql
+    "q236_image_index_probe" -> q236Sql,
+    "q237_tagger_table" -> q237Sql
   )
 }

@@ -47,6 +47,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 4L, 2L, 0.5, false)))
   }
 
+  test("taggerTable: four taggers, one pass; planted PII fires; empty doc never silently drops") {
+    val df = Seq(
+      (1L, "the cat of the house is in the garden with the dog today"),
+      (2L, "bad bad bad the cat of the house is here"), // blocklist (3/9 > 10%)
+      (3L, "the report is at a@b.co and c@d.eu plus http://x.io today ok"), // 3 PII hits > 2
+      (4L, "spam spam spam spam spam spam spam spam the end"), // repetition
+      (5L, "zzz qqq www kkk mmm nnn ppp rrr ttt vvv"), // no stopwords: quality
+      (6L, "")                                          // empty: rep + quality fail
+    ).toDF("id", "text")
+    val out = TextOps.taggerTable(df, $"id", $"text",
+        blocklist = Seq("bad"), blockTau = 1000L, piiMax = 2L,
+        maxTopTokFrac = 0.35, maxTopBigramFrac = 0.3, minTtr = 0.2,
+        minStopwordRatio = 0.02)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6, "every input row survives into the tagger table")
+    assert(out(1L) == ((1L, true, true, true, true, true, "")))
+    assert(out(2L)._2 == false && out(2L)._6 == false &&
+      out(2L)._7.contains("blocklist"))
+    assert(out(3L)._3 == false && out(3L)._7 == "pii")
+    assert(out(4L)._4 == false && out(4L)._7.contains("repetition"))
+    assert(out(5L)._5 == false && out(5L)._7 == "quality")
+    assert(out(6L) == ((6L, true, true, false, false, false,
+      "repetition,quality")))
+  }
+
   test("langId picks the language with most stopword hits; CJK wins; und fallback") {
     val df = Seq(
       "the cat of the house is in the garden",
