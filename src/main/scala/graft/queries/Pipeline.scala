@@ -3950,62 +3950,195 @@ object Pipeline {
         col("keep_pii"), col("keep_repetition"), col("keep_quality"),
         col("kept"), col("reasons"))
 
-  private lazy val q237Sql = {
+  /** The tagger-table CTE chain (prefix tg_), ending in `tg_k` with the
+    * four keep columns + kept — shared by q237 and the q238 composed
+    * flagship's front end.
+    */
+  private lazy val taggerCteSql = {
     val enStop = TextOps.stopwords.head._2
-    s"""WITH w AS (SELECT doc_id, text,
+    s"""tg_w AS (SELECT doc_id, text,
        |    regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
-       |blk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
+       |tg_blk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
        |    CAST(len(list_filter(ws, x -> list_contains(
        |      [${BlockList.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
        |      AS nb
-       |  FROM w),
-       |pii AS (SELECT doc_id,
+       |  FROM tg_w),
+       |tg_pii AS (SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}'))
        |      + len(regexp_extract_all(text, '${TextOps.urlPattern}'))
        |      + len(regexp_extract_all(text, '${TextOps.phonePattern}'))
        |      AS BIGINT) AS npii
        |  FROM documents),
-       |tt AS (SELECT doc_id AS id, len(ws) AS n, unnest(ws) AS tk
-       |  FROM w WHERE len(ws) > 0),
-       |ttc AS (SELECT id, n, tk, count(*) AS c FROM tt GROUP BY 1, 2, 3),
-       |tts AS (SELECT id, n, max(c) AS topc,
-       |    CAST(count(*) AS BIGINT) AS nd FROM ttc GROUP BY 1, 2),
-       |tbg0 AS (SELECT doc_id AS id, ws,
+       |tg_tt AS (SELECT doc_id AS id, len(ws) AS n, unnest(ws) AS tk
+       |  FROM tg_w WHERE len(ws) > 0),
+       |tg_ttc AS (SELECT id, n, tk, count(*) AS c FROM tg_tt GROUP BY 1, 2, 3),
+       |tg_tts AS (SELECT id, n, max(c) AS topc,
+       |    CAST(count(*) AS BIGINT) AS nd FROM tg_ttc GROUP BY 1, 2),
+       |tg_bg0 AS (SELECT doc_id AS id, ws,
        |    unnest(generate_series(1, len(ws) - 1)) AS i
-       |  FROM w WHERE len(ws) >= 2),
-       |tbg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS b FROM tbg0),
-       |tbc AS (SELECT id, b, count(*) AS c FROM tbg GROUP BY 1, 2),
-       |tbs AS (SELECT id, max(c) AS topb FROM tbc GROUP BY 1),
-       |rep AS (SELECT tts.id AS doc_id,
-       |    (round(CAST(tts.topc AS DOUBLE) / tts.n, 4) <= $RepMaxTok
-       |     AND CASE WHEN tbs.topb IS NOT NULL
-       |       THEN round(CAST(tbs.topb AS DOUBLE) / (tts.n - 1), 4)
+       |  FROM tg_w WHERE len(ws) >= 2),
+       |tg_bg AS (SELECT id, ws[i] || ' ' || ws[i+1] AS b FROM tg_bg0),
+       |tg_bc AS (SELECT id, b, count(*) AS c FROM tg_bg GROUP BY 1, 2),
+       |tg_bs AS (SELECT id, max(c) AS topb FROM tg_bc GROUP BY 1),
+       |tg_rep AS (SELECT tg_tts.id AS doc_id,
+       |    (round(CAST(tg_tts.topc AS DOUBLE) / tg_tts.n, 4) <= $RepMaxTok
+       |     AND CASE WHEN tg_bs.topb IS NOT NULL
+       |       THEN round(CAST(tg_bs.topb AS DOUBLE) / (tg_tts.n - 1), 4)
        |       ELSE 0.0 END <= $RepMaxBigram
-       |     AND round(CAST(tts.nd AS DOUBLE) / tts.n, 4) >= $RepMinTtr) AS kr
-       |  FROM tts LEFT JOIN tbs USING (id)),
-       |qual AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN false
+       |     AND round(CAST(tg_tts.nd AS DOUBLE) / tg_tts.n, 4) >= $RepMinTtr)
+       |      AS kr
+       |  FROM tg_tts LEFT JOIN tg_bs USING (id)),
+       |tg_qual AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN false
        |    ELSE round(CAST(len(regexp_extract_all(lower(text), '$enStop'))
        |      AS DOUBLE) / len(ws), 4) >= $TagMinStopword END AS kq
-       |  FROM w),
-       |k AS (SELECT blk.doc_id,
-       |    (blk.nw = 0 OR blk.nb * 10000 < $BlockTau * blk.nw)
+       |  FROM tg_w),
+       |tg_k AS (SELECT tg_blk.doc_id,
+       |    (tg_blk.nw = 0 OR tg_blk.nb * 10000 < $BlockTau * tg_blk.nw)
        |      AS keep_blocklist,
-       |    (pii.npii <= $TagPiiMax) AS keep_pii,
-       |    coalesce(rep.kr, false) AS keep_repetition,
-       |    qual.kq AS keep_quality
-       |  FROM blk JOIN pii USING (doc_id) JOIN qual USING (doc_id)
-       |  LEFT JOIN rep USING (doc_id))
+       |    (tg_pii.npii <= $TagPiiMax) AS keep_pii,
+       |    coalesce(tg_rep.kr, false) AS keep_repetition,
+       |    tg_qual.kq AS keep_quality,
+       |    ((tg_blk.nw = 0 OR tg_blk.nb * 10000 < $BlockTau * tg_blk.nw)
+       |      AND tg_pii.npii <= $TagPiiMax AND coalesce(tg_rep.kr, false)
+       |      AND tg_qual.kq) AS kept
+       |  FROM tg_blk JOIN tg_pii USING (doc_id) JOIN tg_qual USING (doc_id)
+       |  LEFT JOIN tg_rep USING (doc_id))""".stripMargin
+  }
+
+  private lazy val q237Sql =
+    s"""WITH $taggerCteSql
        |SELECT doc_id, keep_blocklist, keep_pii, keep_repetition,
-       |  keep_quality,
-       |  (keep_blocklist AND keep_pii AND keep_repetition AND keep_quality)
-       |    AS kept,
+       |  keep_quality, kept,
        |  coalesce(array_to_string(list_filter([
        |    CASE WHEN NOT keep_blocklist THEN 'blocklist' END,
        |    CASE WHEN NOT keep_pii THEN 'pii' END,
        |    CASE WHEN NOT keep_repetition THEN 'repetition' END,
        |    CASE WHEN NOT keep_quality THEN 'quality' END],
        |    x -> x IS NOT NULL), ','), '') AS reasons
-       |FROM k""".stripMargin
+       |FROM tg_k""".stripMargin
+
+  // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
+  // The complete published production path as ONE DataFrame and ONE
+  // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
+  // the survivors dedup (exact + MinHash-LSH, q61's operator), the
+  // byte-level BPE trains ON THE CURATED SURVIVORS (training before
+  // filtering would overweight junk text's merges), the frozen GPT-2 id
+  // layout derives from those survivor merges, and the shards
+  // materialize as EOS-separated token-id streams (q233's loader
+  // contract). Raw corpus in, the file a trainer mmaps out — drift in
+  // ANY tagger, the mixer rule, the survivor election, the trainer
+  // slice, the id layout, the EOS placement or the pack order breaks
+  // the hash.
+
+  private def q238(t: Tables): DataFrame = {
+    val keptIds = TextOps.taggerTable(graft.Fanout(t.documents),
+        col("doc_id"), col("text"), BlockList, BlockTau, TagPiiMax,
+        RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+      .filter(col("kept")).select(col("id").as("doc_id"))
+    val docs0 = graft.Fanout(t.documents)
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"))
+    val survivors = docs0.join(Dedup.dedupCorpus(
+        docs0.select(col("doc_id").as("id"), col("text")),
+        3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds trainer AND tokenization AND packing
+    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+      BpeRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextOps.bpeVocabIdsByteLevel(merges)
+    val dw = survivors.select(col("source"), col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+    val wt = dw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+          .as("toks"))
+    val dt = dw.join(wt, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("toks"))
+    graft.operators.Curation.packShardIdsSep(dt, col("source"),
+      col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
+      .select(col("domain").as("source"), col("bin"), col("n_tokens"),
+        col("stream_md5"))
+  }
+
+  private lazy val q238Sql = {
+    val rows = MinHashes / Bands
+    val sigExprs = (0 until MinHashes).map { i =>
+      s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
+    }.mkString("[", ", ", "]")
+    val products = (1 to BpeRounds).map(i =>
+      s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $taggerCteSql,
+       |din AS MATERIALIZED (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN tg_k USING (doc_id) WHERE tg_k.kept),
+       |x_ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM din GROUP BY text),
+       |x_h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
+       |    list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM (
+       |    SELECT id, ${shinglesSql(3)} AS ss FROM (
+       |      SELECT id, regexp_split_to_array(lower(text), '\\s+') AS words
+       |      FROM x_ex))
+       |  WHERE len(ss) > 0),
+       |x_sig AS MATERIALIZED (SELECT id, ss, n_sh, $sigExprs AS sig FROM x_h),
+       |x_bands AS (SELECT id, t.b AS band,
+       |    array_to_string(list_transform(list_slice(sig, t.b*$rows+1, t.b*$rows+$rows),
+       |      z -> CAST(z AS VARCHAR)), '_') AS key
+       |  FROM x_sig CROSS JOIN generate_series(0, ${Bands - 1}) AS t(b)),
+       |x_drops AS (SELECT DISTINCT id_b FROM (
+       |    SELECT c.id_a, c.id_b, len(list_intersect(a.ss, b.ss)) AS c,
+       |      a.n_sh AS na, b.n_sh AS nb
+       |    FROM (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |          FROM x_bands x JOIN x_bands y
+       |          ON x.band = y.band AND x.key = y.key AND x.id < y.id) c
+       |    JOIN x_sig a ON c.id_a = a.id JOIN x_sig b ON c.id_b = b.id)
+       |  WHERE round(CAST(c AS DOUBLE)/(na+nb-c), 4) >= $CorpusT),
+       |sv AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM din d JOIN (
+       |    SELECT id FROM x_ex WHERE id NOT IN (SELECT id_b FROM x_drops)
+       |  ) k ON d.doc_id = k.id),
+       |${bpeCteChain(BpeRounds, applyLast = true, bpeWc0ByteLevelFrom("sv"))},
+       |vparts AS (
+       |  SELECT lpad(upper(to_hex(i)), 2, '0') AS piece, CAST(i AS BIGINT) AS id
+       |  FROM generate_series(0, 255) AS t(i)
+       |  UNION ALL $products),
+       |v AS MATERIALIZED (SELECT piece, min(id) AS id FROM vparts GROUP BY 1),
+       |wi AS MATERIALIZED (SELECT w, list(id ORDER BY j) AS ids FROM (
+       |    SELECT u.w, u.j, v.id FROM (
+       |      SELECT w, syms[j] AS s, j
+       |      FROM wc$BpeRounds, unnest(generate_series(1, len(syms))) AS t(j)) u
+       |    JOIN v ON u.s = v.piece)
+       |  GROUP BY w),
+       |dwr AS (SELECT source, doc_id,
+       |    regexp_extract_all(lower(text), '${TextOps.byteLevelTokenPattern}') AS ws
+       |  FROM sv),
+       |dw AS (SELECT source, doc_id, ws[i] AS w, i AS pos
+       |  FROM dwr, unnest(generate_series(1, len(ws))) AS t(i)),
+       |dt AS (SELECT source, doc_id, flatten(list(ids ORDER BY pos)) AS toks
+       |  FROM dw JOIN wi USING (w) GROUP BY 1, 2),
+       |de AS (SELECT source, doc_id,
+       |    list_append(toks, CAST($EosId AS BIGINT)) AS toks FROM dt),
+       |pk_d AS (SELECT source, doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tok FROM de),
+       |pk_c AS (SELECT source, doc_id, toks, n_tok,
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM pk_d),
+       |pk_m AS (SELECT source, doc_id, t.b AS bin,
+       |    list_slice(toks, greatest(t.b * $PackBudget, cum) - cum + 1,
+       |      least((t.b + 1) * $PackBudget, cum + n_tok) - cum) AS sl,
+       |    CAST(least((t.b + 1) * $PackBudget, cum + n_tok)
+       |      - greatest(t.b * $PackBudget, cum) AS BIGINT) AS span
+       |  FROM pk_c, unnest(generate_series(cum // $PackBudget,
+       |    (cum + n_tok - 1) // $PackBudget)) AS t(b)
+       |  WHERE n_tok > 0)
+       |SELECT source, bin, CAST(sum(span) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_transform(flatten(list(sl ORDER BY doc_id)),
+       |    x -> CAST(x AS VARCHAR)), ' ')) AS stream_md5
+       |FROM pk_m GROUP BY 1, 2""".stripMargin
   }
 
   // ===== q222 dedup → survivor-trained tokenizer → packed shards =========
@@ -6640,7 +6773,8 @@ object Pipeline {
     "q234_image_ahash" -> wrap(q234),
     "q235_image_neardup_pairs" -> wrap(q235),
     "q236_image_index_probe" -> wrap(q236),
-    "q237_tagger_table" -> wrap(q237)
+    "q237_tagger_table" -> wrap(q237),
+    "q238_full_curation_shards" -> wrap(q238)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6809,6 +6943,7 @@ object Pipeline {
     "q234_image_ahash" -> q234Sql,
     "q235_image_neardup_pairs" -> q235Sql,
     "q236_image_index_probe" -> q236Sql,
-    "q237_tagger_table" -> q237Sql
+    "q237_tagger_table" -> q237Sql,
+    "q238_full_curation_shards" -> q238Sql
   )
 }
