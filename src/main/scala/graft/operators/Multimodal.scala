@@ -511,6 +511,138 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio synthesis + perceptual fingerprint — the audio leg of the
+    * dedup-fingerprint family ([[ImageCodec.averageHash]]'s sibling). The
+    * fingerprint is the classic energy-delta hash (the teaching form of
+    * Haitsma–Kalker / Chromaprint audio fingerprints): split the sample
+    * stream into 65 equal windows, accumulate each window's EXACT-INTEGER
+    * energy Σs², and set bit i iff energy_i > energy_{i+1} (strict — no
+    * division, no float). Robust to volume-independent structure, and
+    * every step is SQL-replayable.
+    */
+  object AudioCodec {
+    private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    private def le32(v: Int) = Array[Byte]((v & 0xff).toByte,
+      (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    /** Encode mono/stereo 16-bit PCM samples as a real RIFF/WAVE payload —
+      * the write side of [[HeaderCodec.wavPcm16]] (round-trip exact).
+      */
+    def encodeWavPcm16(rate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s.toInt & 0xffff))
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * channels * 2) ++ le16(channels * 2) ++
+        le16(16) ++ "data".getBytes ++ le32(data.length) ++ data
+    }
+
+    /** Deterministic synthetic mono clip for a non-negative id:
+      * n = 64 + id%192 samples at 8 kHz, sample k =
+      * ((id·13 + k·7919) % 65536) − 32768. Pure integer arithmetic — the
+      * oracle replays samples without parsing the container.
+      */
+    def synthWav(id: Long): Array[Byte] = {
+      require(id >= 0, "synthWav is defined for non-negative ids")
+      val n = (64 + id % 192).toInt
+      val samples = Array.tabulate(n)(k =>
+        (((id * 13 + k.toLong * 7919) % 65536) - 32768).toShort)
+      encodeWavPcm16(8000, 1, samples)
+    }
+
+    /** Near-duplicate variant family: base clip = [[synthWav]](id % groups);
+      * ids with (id / groups) odd additionally clamp the single sample at
+      * index n/2 to 32767 — one sample lands in one energy window, so the
+      * variant differs from its base by at most the two bits that window's
+      * deltas feed, while same-class variants are identical.
+      */
+    def synthWavVariant(id: Long, groups: Int): Array[Byte] = {
+      require(groups >= 1)
+      val base = id % groups
+      val n = (64 + base % 192).toInt
+      val samples = Array.tabulate(n)(k =>
+        (((base * 13 + k.toLong * 7919) % 65536) - 32768).toShort)
+      if ((id / groups) % 2 == 1) samples(n / 2) = 32767
+      encodeWavPcm16(8000, 1, samples)
+    }
+
+    /** The energy-delta fingerprint of a decoded sample array, as the
+      * (hi, lo) 32-bit halves ([[ImageCodec.averageHash]]'s carry
+      * convention). Window of sample k is (k·65)/n — integer division,
+      * the exact GROUP BY an oracle replays; windows left empty by short
+      * clips (n < 65) contribute energy 0.
+      */
+    def energyDeltaHash(samples: Array[Short]): (Long, Long) = {
+      val n = samples.length
+      val e = new Array[Long](65)
+      var k = 0
+      while (k < n) {
+        val s = samples(k).toLong
+        e(((k.toLong * 65) / n).toInt) += s * s
+        k += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i) > e(i + 1)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** Fingerprint schema appended by [[decodeAudioFingerprint]]. */
+  val audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("af_hi", LongType),
+    StructField("af_lo", LongType)))
+
+  /** REAL decode → energy-delta fingerprint over a binary column — the
+    * audio sibling of [[decodeImageAHash]]: one narrow pass appending
+    * (n_samples, af_hi, af_lo); non-PCM/corrupt payloads yield nulls.
+    * Pairs and the stored lifecycle reuse the image machinery
+    * ([[Dedup.ahashPairs]] / the aHash index) — the fingerprint carry
+    * convention is shared by design.
+    */
+  def decodeAudioFingerprint(df: DataFrame, mediaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ audioFingerprintSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = Option(payload).flatMap(HeaderCodec.wavPcm16) match {
+          case Some((_, _, samples)) =>
+            val (hi, lo) = AudioCodec.energyDeltaHash(samples)
+            Seq[Any](samples.length.toLong, hi, lo)
+          case None => Seq[Any](null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach a REAL WAV payload per row ([[AudioCodec.synthWavVariant]] —
+    * groups = 0 means the plain [[AudioCodec.synthWav]] family with no
+    * planted near-dups). One narrow pass; id column non-negative long.
+    */
+  def withAudioColumn(df: DataFrame, idCol: String,
+      groups: Int = 0): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idx)
+        val payload = if (groups <= 0) AudioCodec.synthWav(id)
+          else AudioCodec.synthWavVariant(id, groups)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Audio-feature schema appended by [[decodeWavAudio]]. */
   val wavFeatureSchema: StructType = StructType(Seq(
     StructField("wav_channels", IntegerType),

@@ -4017,6 +4017,85 @@ object Pipeline {
        |    x -> x IS NOT NULL), ','), '') AS reasons
        |FROM tg_k""".stripMargin
 
+  // ===== q239/q240 audio fingerprint + audio near-dup pairs ==============
+  // The THIRD modality joins the dedup-fingerprint family: q239 decodes
+  // REAL WAV-PCM clips and reduces each to the energy-delta hash
+  // (Haitsma–Kalker/Chromaprint's teaching form — 65 exact-integer
+  // window energies, bit i = e_i > e_{i+1}, no division), carried as the
+  // same sign-safe (hi, lo) halves as the image aHash so the banded-pair
+  // and stored-index machinery is SHARED, not duplicated. q240 plants a
+  // near-duplicate clip family (base = id % 40, odd classes clamp the
+  // one sample at n/2 — at most the two bits its window's deltas feed)
+  // and reports all pairs within hamming 3 via the lossless banding —
+  // identical rows to the oracle's O(n²) scan over arithmetic replays.
+
+  private val AudioGroups = 40
+
+  /** Energy-delta fingerprint CTEs: per doc the synthetic sample replay,
+    * 65 window energies (empty windows 0), delta bits, (hi, lo) halves.
+    */
+  private def audioFpSql(idExpr: String, variant: Boolean): String = {
+    val sBase = s"((($idExpr) * 13 + t.k * 7919) % 65536) - 32768"
+    val sExpr =
+      if (variant)
+        s"""CASE WHEN (doc_id // $AudioGroups) % 2 = 1 AND t.k = n // 2
+           |      THEN 32767 ELSE $sBase END""".stripMargin
+      else sBase
+    s"""d AS (SELECT doc_id,
+       |    CAST(64 + ($idExpr) % 192 AS BIGINT) AS n FROM documents),
+       |samp AS (SELECT doc_id, n, t.k, CAST($sExpr AS BIGINT) AS s
+       |  FROM d, unnest(generate_series(0, n - 1)) AS t(k)),
+       |aw AS (SELECT doc_id, (k * 65) // n AS w, sum(s * s) AS e
+       |  FROM samp GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, t.w
+       |  FROM d, unnest(generate_series(0, 64)) AS t(w)),
+       |ew AS (SELECT g.doc_id, g.w, CAST(coalesce(a.e, 0) AS BIGINT) AS e
+       |  FROM grid g LEFT JOIN aw a ON a.doc_id = g.doc_id AND a.w = g.w),
+       |bits AS (SELECT x.doc_id, x.w AS i,
+       |    CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+       |  FROM ew x JOIN ew y ON x.doc_id = y.doc_id AND y.w = x.w + 1
+       |  WHERE x.w < 64),
+       |af AS (SELECT b.doc_id, d.n AS n_samples,
+       |    CAST(sum(CASE WHEN i >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+       |      AS BIGINT) AS af_hi,
+       |    CAST(sum(CASE WHEN i < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+       |      AS BIGINT) AS af_lo
+       |  FROM bits b JOIN d USING (doc_id) GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def q239(t: Tables): DataFrame = {
+    val withWav = Multimodal.withAudioColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeAudioFingerprint(withWav, "media")
+      .select(col("doc_id"), col("n_samples"), col("af_hi"), col("af_lo"))
+  }
+
+  private lazy val q239Sql =
+    s"""WITH ${audioFpSql("doc_id", variant = false)}
+       |SELECT doc_id, n_samples, af_hi, af_lo FROM af""".stripMargin
+
+  private def q240(t: Tables): DataFrame = {
+    val withWav = Multimodal.withAudioColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id",
+      groups = AudioGroups)
+    val fps = Multimodal.decodeAudioFingerprint(withWav, "media")
+      .select(col("doc_id").as("id"), col("af_hi").as("ah_hi"),
+        col("af_lo").as("ah_lo"))
+    Dedup.ahashPairs(fps, MaxHamming)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  private lazy val q240Sql =
+    s"""WITH ${audioFpSql(s"doc_id % $AudioGroups", variant = true)}
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.af_hi, y.af_hi))
+       |    + bit_count(xor(x.af_lo, y.af_lo)) AS BIGINT) AS hamming
+       |FROM af x JOIN af y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.af_hi, y.af_hi))
+       |    + bit_count(xor(x.af_lo, y.af_lo)) <= $MaxHamming""".stripMargin
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -6774,7 +6853,9 @@ object Pipeline {
     "q235_image_neardup_pairs" -> wrap(q235),
     "q236_image_index_probe" -> wrap(q236),
     "q237_tagger_table" -> wrap(q237),
-    "q238_full_curation_shards" -> wrap(q238)
+    "q238_full_curation_shards" -> wrap(q238),
+    "q239_audio_fingerprint" -> wrap(q239),
+    "q240_audio_neardup_pairs" -> wrap(q240)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6944,6 +7025,8 @@ object Pipeline {
     "q235_image_neardup_pairs" -> q235Sql,
     "q236_image_index_probe" -> q236Sql,
     "q237_tagger_table" -> q237Sql,
-    "q238_full_curation_shards" -> q238Sql
+    "q238_full_curation_shards" -> q238Sql,
+    "q239_audio_fingerprint" -> q239Sql,
+    "q240_audio_neardup_pairs" -> q240Sql
   )
 }

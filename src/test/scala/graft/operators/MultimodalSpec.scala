@@ -303,6 +303,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham >= 1 && ham <= 8, s"hamming $ham")
   }
 
+  test("AudioCodec: synthWav round-trips through the real container; energy-delta hash reimplementation; variant = one clamped sample") {
+    import Multimodal.{AudioCodec, HeaderCodec}
+    for (id <- Seq(0L, 7L, 123L)) {
+      val Some((ch, rate, samples)) = HeaderCodec.wavPcm16(AudioCodec.synthWav(id))
+      assert(ch == 1 && rate == 8000)
+      assert(samples.length == (64 + id % 192).toInt)
+      // the documented sample formula, recomputed independently
+      for (k <- samples.indices)
+        assert(samples(k) == (((id * 13 + k.toLong * 7919) % 65536) - 32768).toShort)
+      // hash: independent window/delta recomputation
+      val n = samples.length
+      val e = Array.fill(65)(0L)
+      for (k <- 0 until n) e((k * 65 / n).toInt) += samples(k).toLong * samples(k)
+      var (ehi, elo) = (0L, 0L)
+      for (i <- 0 until 64 if e(i) > e(i + 1))
+        if (i < 32) elo |= 1L << i else ehi |= 1L << (i - 32)
+      assert(AudioCodec.energyDeltaHash(samples) == ((ehi, elo)), s"id $id")
+    }
+    // variant: same-class identical; odd class differs from base at exactly
+    // sample n/2, and the fingerprint moves by at most 2 bits
+    val groups = 8
+    val Some((_, _, base)) = HeaderCodec.wavPcm16(AudioCodec.synthWavVariant(3L, groups))
+    val Some((_, _, v1)) = HeaderCodec.wavPcm16(AudioCodec.synthWavVariant(11L, groups))
+    val Some((_, _, v2)) = HeaderCodec.wavPcm16(AudioCodec.synthWavVariant(27L, groups))
+    assert(v1.toSeq == v2.toSeq)
+    val diffs = base.indices.filter(k => base(k) != v1(k))
+    assert(diffs == Seq(base.length / 2) || diffs.isEmpty) // equal if already 32767
+    assert(v1(base.length / 2) == 32767)
+    val (bh, bl) = AudioCodec.energyDeltaHash(base)
+    val (vh, vl) = AudioCodec.energyDeltaHash(v1)
+    assert(java.lang.Long.bitCount(bh ^ vh) + java.lang.Long.bitCount(bl ^ vl) <= 2)
+    // distributed fingerprints: non-PCM and null payloads yield nulls
+    val rows = Seq((1L, AudioCodec.synthWav(1L)), (2L, "junk".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val got = Multimodal.decodeAudioFingerprint(rows, "media")
+      .select($"id", $"n_samples", $"af_hi", $"af_lo")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 65L)
+    assert(got(2L).isNullAt(1) && got(3L).isNullAt(2))
+  }
+
   test("VideoCodec: y4m parse round-trip; corrupt containers rejected; sampled features exact") {
     import Multimodal.VideoCodec
     for (id <- Seq(0L, 7L, 41L)) {
