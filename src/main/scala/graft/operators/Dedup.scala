@@ -1412,14 +1412,27 @@ object Dedup {
     */
   def ahashAgainstIndex(fps: DataFrame, dir: String,
       beforeBatch: Option[Long] = None): DataFrame = {
+    import graft.CacheScope.ScopedPersist
     val spark = fps.sparkSession
     val (maxHamming, buckets) = ahashParams(spark, dir)
     val e = Compaction.currentEpoch(spark, dir)
+    val probe = ahashBandRows(fps, maxHamming, buckets)
+      .persistScoped() // bucket-set derivation + the candidate join
+    // STATIC partition pruning on the stored bands: Spark's dynamic
+    // pruning declines this join (the probe side is a mapPartitions
+    // decode with no selective predicate), so the probe's distinct
+    // bucket set — BOUNDED by `buckets` (≤ 64 rows by construction,
+    // never by probe size) — collects and pushes down as an IN
+    // partition filter. At a billion stored images a probe batch then
+    // opens only its candidate bucket directories, never the store.
+    val probeBkts = probe.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0)).sorted
     val stored0 = spark.read
       .parquet(Compaction.epochPath(dir, "bands", e))
+      .filter(col("bkt").isin(probeBkts: _*))
     val stored = beforeBatch.fold(stored0)(b =>
       stored0.filter(col("batch") < b))
-    ahashBandRows(fps, maxHamming, buckets).as("x")
+    probe.as("x")
       .join(stored.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.key") === col("y.key") && col("x.id") =!= col("y.id"))

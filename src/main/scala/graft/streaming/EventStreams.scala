@@ -931,6 +931,28 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming TAGGER table — the crawler's arrival-time filter
+    * ([[graft.operators.TextOps.taggerTable]] as a foreachBatch sink):
+    * each micro-batch of (id, text) documents is tagged by all four
+    * safety/quality taggers in one narrow zero-shuffle pass and the full
+    * attribute table (keeps + mixer decision + reasons) lands under
+    * `batch=<id>` — overwrite mode, replay-idempotent. The table carries
+    * EVERY batch row (drops are decisions with reasons, never silent),
+    * so a downstream mixer re-run with different rules needs no
+    * re-tagging — exactly Dolma's tagger/mixer split.
+    */
+  def taggerIngest(outDir: String, blocklist: Seq[String], blockTau: Long,
+      piiMax: Long, maxTopTokFrac: Double, maxTopBigramFrac: Double,
+      minTtr: Double, minStopwordRatio: Double)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.TextOps.taggerTable(batch.toDF(),
+          col("id"), col("text"), blocklist, blockTau, piiMax,
+          maxTopTokFrac, maxTopBigramFrac, minTtr, minStopwordRatio)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming language-ID DRIFT monitoring — [[langIdIngest]]'s
     * watchdog: each micro-batch classifies under the FROZEN model and
     * writes its [[graft.operators.TextOps.langIdDriftReport]] against

@@ -933,4 +933,81 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     } finally CacheScope.drain()
   }
+
+  test("q234/q239 media fingerprints: pure narrow passes — decode once, no agg/window/join") {
+    // the fingerprint stage's contract at blob scale: pixels/samples never
+    // leave the scan stage — only (hi, lo) halves do. Any aggregate,
+    // window or join means someone moved hash derivation off the decode
+    // pass; the only permitted exchange is Fanout's round-robin spread.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q234_image_ahash", "q239_audio_fingerprint")) {
+      val df = graft.queries.Pipeline.defs(q)(spark, "/root/testdata/sf0.001")
+      try {
+        df.count()
+        def unwrap(p: SparkPlan): Seq[SparkPlan] =
+          p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+            .flatMap(unwrap)
+        val ps = unwrap(df.queryExecution.executedPlan)
+        assert(ps.flatMap(_.collect { case x: BaseAggregateExec => x }).isEmpty, q)
+        assert(ps.flatMap(_.collect { case x: WindowExec => x }).isEmpty, q)
+        assert(ps.flatMap(_.collect { case x: BaseJoinExec => x }).isEmpty, q)
+        ps.flatMap(_.collect { case s: ShuffleExchangeLike => s }).foreach { s =>
+          assert(s.outputPartitioning.toString.contains("RoundRobinPartitioning"),
+            s"non-Fanout exchange in $q: ${s.outputPartitioning}")
+        }
+      } finally CacheScope.drain()
+    }
+  }
+
+  test("q236 stored-fingerprint probe: bands scan partition-pruned to the probe's buckets") {
+    // the store's probe economics: the probe's distinct bucket set
+    // (bounded by `buckets`, never probe size) must reach the stored
+    // bands scan as a static IN partition filter — at a billion stored
+    // images a probe opens only candidate bucket directories. Spark's
+    // DYNAMIC pruning declines this join (the probe side is a
+    // mapPartitions decode with no selective predicate), which is
+    // exactly why ahashAgainstIndex pushes the bounded set statically.
+    val df = graft.queries.Pipeline.defs("q236_image_index_probe")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val p = plan(df)
+      val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(pf.exists(l => l.contains("bkt") &&
+        (l.contains("INSET") || l.contains(" IN "))),
+        s"stored bands scan not bucket-pruned:\n${pf.mkString("\n")}")
+    } finally CacheScope.drain()
+  }
+
+  test("q235/q240 fingerprint pairs: banded equi-joins only — never a cartesian/nested loop") {
+    // the lossless-banding economics: candidates come from band-key
+    // equi-joins (pigeonhole), so the executed plan must contain zero
+    // CartesianProduct/BroadcastNestedLoop nodes — their presence means
+    // the O(n²) scan the banding exists to avoid is back.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (q <- Seq("q235_image_neardup_pairs", "q240_audio_neardup_pairs")) {
+      val df = graft.queries.Pipeline.defs(q)(spark, "/root/testdata/sf0.001")
+      try {
+        df.count()
+        def unwrap(p: SparkPlan): Seq[SparkPlan] =
+          p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+            .flatMap(unwrap)
+        val joins = unwrap(df.queryExecution.executedPlan)
+          .flatMap(_.collect { case j: BaseJoinExec => j })
+        assert(joins.nonEmpty, s"expected the band-key join in $q")
+        joins.foreach {
+          case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec =>
+            fail(s"non-equi join in $q")
+          case _ => ()
+        }
+      } finally CacheScope.drain()
+    }
+  }
 }

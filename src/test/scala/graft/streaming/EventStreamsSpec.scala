@@ -721,6 +721,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(second == first)
   }
 
+  test("taggerIngest: per-batch tagger table ≡ offline; every row lands; replay idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("taggeringest").toString
+    val sink = EventStreams.taggerIngest(out, Seq("bad"), 1000L, 2L,
+      0.35, 0.3, 0.2, 0.02)
+    val b0 = Seq(
+      (1L, "the cat of the house is in the garden today"),
+      (2L, "bad bad bad the cat is here today ok"),
+      (3L, "")).toDF("id", "text")
+    sink(b0, 0L)
+    def rows(b: Long) = spark.read.parquet(s"$out/batch=$b")
+      .select($"id", $"kept", $"reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val r0 = rows(0L)
+    val offline = graft.operators.TextOps.taggerTable(b0, $"id", $"text",
+        Seq("bad"), 1000L, 2L, 0.35, 0.3, 0.2, 0.02)
+      .select($"id", $"kept", $"reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r0 == offline, "streaming report must equal the offline tagger table")
+    assert(r0.keySet == Set(1L, 2L, 3L), "every batch row lands, drops included")
+    assert(r0(3L) == ((false, "repetition,quality")))
+    sink(b0, 0L) // replay
+    assert(rows(0L) == r0)
+  }
+
   test("imageAHashIngest: dedup-on-arrival vs store and within batch; undecodables quarantined; replay idempotent") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
