@@ -856,6 +856,68 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Keyframe-hash schema appended by [[decodeVideoKeyframeAHash]]. */
+  val videoKeyframeAHashSchema: StructType = StructType(Seq(
+    StructField("vid_w", IntegerType),
+    StructField("vid_h", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("kf", IntegerType),
+    StructField("kf_hi", LongType),
+    StructField("kf_lo", LongType)))
+
+  /** REAL video parse → KEYFRAME perceptual hash — video dedup's standard
+    * reduction (fingerprint a representative frame, then dedup frames
+    * like images): the middle frame's Y plane (already luma) resizes to
+    * the 8×8 grid through the same exact-integer nearest map as
+    * [[ImageCodec.averageHash]] (sx = ⌊cx·w/8⌋ — for the sub-8×8 clips
+    * y4m allows, several cells sample one pixel, the standard nearest
+    * upscale), bits are the strict above-mean comparison 64·y > Σy, and
+    * the (hi, lo) carry is shared with the image/audio fingerprints so
+    * pairs and the stored lifecycle reuse [[Dedup.ahashPairs]] / the
+    * aHash index unchanged. One narrow pass; corrupt/non-y4m payloads
+    * yield nulls.
+    */
+  def decodeVideoKeyframeAHash(df: DataFrame, mediaCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ videoKeyframeAHashSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = Option(payload).flatMap(VideoCodec.parseY4m) match {
+          case Some((w, h, _, _, offs)) =>
+            val m = offs.length / 2
+            val o = offs(m)
+            val lum = new Array[Long](64)
+            var tot = 0L
+            var cy = 0
+            while (cy < 8) {
+              val sy = cy * h / 8
+              var cx = 0
+              while (cx < 8) {
+                val v = (payload(o + sy * w + cx * w / 8) & 0xff).toLong
+                lum(cy * 8 + cx) = v
+                tot += v
+                cx += 1
+              }
+              cy += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            var i = 0
+            while (i < 64) {
+              if (lum(i) * 64L > tot) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            Seq[Any](w, h, offs.length, m, hi, lo)
+          case None => Seq[Any](null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach a REAL y4m video payload per row ([[VideoCodec.synthY4m]]).
     * One narrow pass; the id column must be a non-negative long.
     */

@@ -4096,6 +4096,47 @@ object Pipeline {
        |WHERE bit_count(xor(x.af_hi, y.af_hi))
        |    + bit_count(xor(x.af_lo, y.af_lo)) <= $MaxHamming""".stripMargin
 
+  // ===== q241 video keyframe perceptual hash ==============================
+  // Video dedup's standard reduction (fingerprint a representative frame,
+  // then dedup frames like images): the middle frame's Y plane — already
+  // luma — through the same 8×8 exact-integer nearest map and strict
+  // above-mean bits as the image aHash; the shared (hi, lo) carry means
+  // pairs and the stored lifecycle reuse Dedup.ahashPairs / the aHash
+  // index with zero new machinery. All THREE modalities now fingerprint
+  // into one dedup family. The oracle replays the synthetic Y formula at
+  // the keyframe index over the nearest map — container parsing, frame
+  // indexing and the resize arithmetic all sit under the hash.
+
+  private def q241(t: Tables): DataFrame = {
+    val withVid = Multimodal.withVideoColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id")
+    Multimodal.decodeVideoKeyframeAHash(withVid, "media")
+      .select(col("doc_id"), col("vid_w"), col("vid_h"), col("n_frames"),
+        col("kf"), col("kf_hi"), col("kf_lo"))
+  }
+
+  private lazy val q241Sql =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(4 + 2 * (doc_id % 6) AS INTEGER) AS w,
+       |    CAST(4 + 2 * ((doc_id // 6) % 6) AS INTEGER) AS h,
+       |    CAST(3 + doc_id % 5 AS INTEGER) AS nf
+       |  FROM documents),
+       |cell AS (SELECT doc_id, w, h, nf, ty.y * 8 + tx.x AS i,
+       |    CAST((doc_id * 17 + (nf // 2) * 29
+       |      + ((tx.x * w) // 8) * 5 + ((ty.y * h) // 8) * 11) % 256
+       |      AS BIGINT) AS lum
+       |  FROM d,
+       |    unnest(generate_series(0, 7)) AS tx(x),
+       |    unnest(generate_series(0, 7)) AS ty(y)),
+       |s AS (SELECT doc_id, sum(lum) AS tot FROM cell GROUP BY 1)
+       |SELECT c.doc_id, c.w AS vid_w, c.h AS vid_h, c.nf AS n_frames,
+       |  CAST(c.nf // 2 AS INTEGER) AS kf,
+       |  CAST(sum(CASE WHEN c.i >= 32 AND 64 * c.lum > s.tot
+       |    THEN CAST(1 AS BIGINT) << (c.i - 32) ELSE 0 END) AS BIGINT) AS kf_hi,
+       |  CAST(sum(CASE WHEN c.i < 32 AND 64 * c.lum > s.tot
+       |    THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS BIGINT) AS kf_lo
+       |FROM cell c JOIN s USING (doc_id) GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -6855,7 +6896,8 @@ object Pipeline {
     "q237_tagger_table" -> wrap(q237),
     "q238_full_curation_shards" -> wrap(q238),
     "q239_audio_fingerprint" -> wrap(q239),
-    "q240_audio_neardup_pairs" -> wrap(q240)
+    "q240_audio_neardup_pairs" -> wrap(q240),
+    "q241_video_keyframe_ahash" -> wrap(q241)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7027,6 +7069,7 @@ object Pipeline {
     "q237_tagger_table" -> q237Sql,
     "q238_full_curation_shards" -> q238Sql,
     "q239_audio_fingerprint" -> q239Sql,
-    "q240_audio_neardup_pairs" -> q240Sql
+    "q240_audio_neardup_pairs" -> q240Sql,
+    "q241_video_keyframe_ahash" -> q241Sql
   )
 }

@@ -344,6 +344,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(3L).isNullAt(2))
   }
 
+  test("decodeVideoKeyframeAHash: middle-frame Y grid reimplementation; corrupt payloads null") {
+    import Multimodal.VideoCodec
+    val rows = Seq((7L, VideoCodec.synthY4m(7L)),
+      (41L, VideoCodec.synthY4m(41L)),
+      (2L, "YUV4MPEG2 garbage".getBytes("US-ASCII"))).toDF("id", "media")
+    val got = Multimodal.decodeVideoKeyframeAHash(rows, "media")
+      .select($"id", $"vid_w", $"vid_h", $"n_frames", $"kf", $"kf_hi", $"kf_lo")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(7L, 41L)) {
+      val Some((w, h, _, _, offs)) = VideoCodec.parseY4m(VideoCodec.synthY4m(id))
+      val m = offs.length / 2
+      // independent recomputation from the documented synth formula +
+      // the nearest map (sub-8x8 planes: several cells sample one pixel)
+      val lums = for (cy <- 0 until 8; cx <- 0 until 8)
+        yield (id * 17 + m * 29 + (cx * w / 8) * 5 + (cy * h / 8) * 11) % 256
+      val tot = lums.sum
+      var (ehi, elo) = (0L, 0L)
+      for (i <- 0 until 64 if lums(i) * 64L > tot)
+        if (i < 32) elo |= 1L << i else ehi |= 1L << (i - 32)
+      val r = got(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(4) == m)
+      assert(r.getLong(5) == ehi && r.getLong(6) == elo, s"id $id")
+    }
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(5))
+  }
+
   test("VideoCodec: y4m parse round-trip; corrupt containers rejected; sampled features exact") {
     import Multimodal.VideoCodec
     for (id <- Seq(0L, 7L, 41L)) {
