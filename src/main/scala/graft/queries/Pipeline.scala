@@ -4137,6 +4137,40 @@ object Pipeline {
        |    THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS BIGINT) AS kf_lo
        |FROM cell c JOIN s USING (doc_id) GROUP BY 1, 2, 3, 4, 5""".stripMargin
 
+  // ===== q242 stored attribute table + two mixer configs ==================
+  // Dolma's architectural POINT, gated: taggers run ONCE and their
+  // attribute table persists; a mixer is a config-time projection over
+  // the stored artifact, so changing keep rules never re-tags the
+  // corpus. The gate stores q237's table (the stored-artifact
+  // discipline every trained model here follows) and applies two mixes
+  // — `strict` (all four taggers) and `safety_only` (blocklist + PII,
+  // the mix a pretraining-ablation run would use) — as reads of the
+  // SAME artifact; the oracle re-derives both memberships from the
+  // tagger CTE chain. Re-tagging drift between the mixes is impossible
+  // by construction, which is exactly what the shared artifact asserts.
+
+  private def q242(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = cachedIndexDir(t.dir, "tagger_attrs_v1") { d =>
+      TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
+          col("text"), BlockList, BlockTau, TagPiiMax,
+          RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+        .write.mode("overwrite").parquet(s"$d/attrs")
+    }
+    val attrs = spark.read.parquet(s"$dir/attrs")
+    attrs.filter(col("kept"))
+      .select(lit("strict").as("mix"), col("id").as("doc_id"))
+      .union(attrs.filter(col("keep_blocklist") && col("keep_pii"))
+        .select(lit("safety_only").as("mix"), col("id").as("doc_id")))
+  }
+
+  private lazy val q242Sql =
+    s"""WITH $taggerCteSql
+       |SELECT 'strict' AS mix, doc_id FROM tg_k WHERE kept
+       |UNION ALL
+       |SELECT 'safety_only' AS mix, doc_id FROM tg_k
+       |WHERE keep_blocklist AND keep_pii""".stripMargin
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -6897,7 +6931,8 @@ object Pipeline {
     "q238_full_curation_shards" -> wrap(q238),
     "q239_audio_fingerprint" -> wrap(q239),
     "q240_audio_neardup_pairs" -> wrap(q240),
-    "q241_video_keyframe_ahash" -> wrap(q241)
+    "q241_video_keyframe_ahash" -> wrap(q241),
+    "q242_stored_attrs_mixes" -> wrap(q242)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7070,6 +7105,7 @@ object Pipeline {
     "q238_full_curation_shards" -> q238Sql,
     "q239_audio_fingerprint" -> q239Sql,
     "q240_audio_neardup_pairs" -> q240Sql,
-    "q241_video_keyframe_ahash" -> q241Sql
+    "q241_video_keyframe_ahash" -> q241Sql,
+    "q242_stored_attrs_mixes" -> q242Sql
   )
 }
