@@ -4171,6 +4171,42 @@ object Pipeline {
        |SELECT 'safety_only' AS mix, doc_id FROM tg_k
        |WHERE keep_blocklist AND keep_pii""".stripMargin
 
+  // ===== q243 audio through the shared fingerprint store ==================
+  // The stored aHash-index lifecycle is modality-AGNOSTIC by the shared
+  // (hi, lo) carry — q243 proves it loudly: the same
+  // build/ingest/probe surface as q236, fed audio energy-delta
+  // fingerprints instead of image hashes. One store implementation
+  // serves every modality; the oracle is the directed O(n²) scan over
+  // the audio-variant arithmetic replay. Nothing about the store is
+  // image-shaped — which is exactly what this gate pins.
+
+  private def audioFps(t: Tables, pred: Column): DataFrame =
+    Multimodal.decodeAudioFingerprint(
+      Multimodal.withAudioColumn(
+        graft.Fanout(t.documents.filter(pred)).select(col("doc_id")),
+        "doc_id", groups = AudioGroups), "media")
+      .select(col("doc_id").as("id"), col("af_hi").as("ah_hi"),
+        col("af_lo").as("ah_lo"))
+
+  private def q243(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"ahash_audio_idx_v1_$AudioGroups") { d =>
+      Dedup.writeAHashIndex(audioFps(t, col("doc_id") % 10 =!= 5), d)
+      Dedup.ingestIntoAHashIndex(
+        audioFps(t, col("doc_id") % 10 === 5), d, batchId = 1)
+    }
+    Dedup.ahashAgainstIndex(audioFps(t, lit(true)), dir)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  private lazy val q243Sql =
+    s"""WITH ${audioFpSql(s"doc_id % $AudioGroups", variant = true)}
+       |SELECT x.doc_id AS id, y.doc_id AS match_id,
+       |  CAST(bit_count(xor(x.af_hi, y.af_hi))
+       |    + bit_count(xor(x.af_lo, y.af_lo)) AS BIGINT) AS hamming
+       |FROM af x JOIN af y ON x.doc_id <> y.doc_id
+       |WHERE bit_count(xor(x.af_hi, y.af_hi))
+       |    + bit_count(xor(x.af_lo, y.af_lo)) <= $MaxHamming""".stripMargin
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -6932,7 +6968,8 @@ object Pipeline {
     "q239_audio_fingerprint" -> wrap(q239),
     "q240_audio_neardup_pairs" -> wrap(q240),
     "q241_video_keyframe_ahash" -> wrap(q241),
-    "q242_stored_attrs_mixes" -> wrap(q242)
+    "q242_stored_attrs_mixes" -> wrap(q242),
+    "q243_audio_index_probe" -> wrap(q243)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7106,6 +7143,7 @@ object Pipeline {
     "q239_audio_fingerprint" -> q239Sql,
     "q240_audio_neardup_pairs" -> q240Sql,
     "q241_video_keyframe_ahash" -> q241Sql,
-    "q242_stored_attrs_mixes" -> q242Sql
+    "q242_stored_attrs_mixes" -> q242Sql,
+    "q243_audio_index_probe" -> q243Sql
   )
 }
