@@ -116,9 +116,10 @@ object Curation {
     * @return (domain, id, bin, off_in_doc, span_tokens)
     */
   def packManifest(df: DataFrame, domain: Column, id: Column,
-      tokens: Column, budget: Long, partitions: Int): DataFrame = {
+      tokens: Column, budget: Long, partitions: Int,
+      ord: Option[Column] = None): DataFrame = {
     require(budget >= 1)
-    binsOf(df, domain, id, tokens, Some(partitions))
+    binsOf(df, domain, id, tokens, Some(partitions), ord)
       .filter(col("__tok") > 0)
       .select(col("__dom").as("domain"), col("__id").as("id"),
         col("__tok"), col("__cum"),
@@ -188,12 +189,30 @@ object Curation {
     * slice join + budget-bounded per-bin assembly); the id map adds one
     * narrow transform per row.
     *
+    * ==Shard-order consumption contract==
+    * Within each (domain, bin) a consumer observes documents in
+    * ascending `id` order, and bins within a domain cover the id-ordered
+    * token stream consecutively — the export is DETERMINISTIC and
+    * UNSHUFFLED by default. This is deliberate: example-order
+    * randomization belongs to the training LOADER (which samples shards
+    * and shuffles within its buffer anyway), while a deterministic pack
+    * order is what makes the artifact diffable, resumable, and
+    * hash-gateable. Loaders that read shards strictly sequentially (no
+    * shuffle buffer) can opt into `interleave = true`: the per-domain
+    * pack order becomes (hash28(id), id) — a content-hash interleave
+    * baked into the artifact, so consecutive reads see a deterministic
+    * but distribution-mixed document stream. Both orders satisfy the
+    * same bin invariants (every bin but the domain's last exactly full;
+    * per-doc spans contiguous).
+    *
     * Input: df with (domain, id, toks: array<string>).
     * Output: (domain, bin, n_tokens, token_ids: array<long>, stream_md5).
     */
   def packShardIds(df: DataFrame, domain: Column, id: Column, toks: Column,
-      vocab: Map[String, Long], budget: Long, partitions: Int): DataFrame =
-    packIds(df, domain, id, toks, vocab, sep = None, budget, partitions)
+      vocab: Map[String, Long], budget: Long, partitions: Int,
+      interleave: Boolean = false): DataFrame =
+    packIds(df, domain, id, toks, vocab, sep = None, budget, partitions,
+      interleave)
 
   /** EOS-SEPARATED token-id shards — the literal GPT-2 packing contract
     * (Radford et al. 2019 trained on documents tokenized, terminated
@@ -216,16 +235,17 @@ object Curation {
     */
   def packShardIdsSep(df: DataFrame, domain: Column, id: Column,
       toks: Column, vocab: Map[String, Long], eosId: Long, budget: Long,
-      partitions: Int): DataFrame = {
+      partitions: Int, interleave: Boolean = false): DataFrame = {
     require(!vocab.valuesIterator.contains(eosId),
       s"eosId $eosId collides with a vocabulary id")
     packIds(df, domain, id, toks, vocab, sep = Some(eosId), budget,
-      partitions)
+      partitions, interleave)
   }
 
   private def packIds(df: DataFrame, domain: Column, id: Column,
       toks: Column, vocab: Map[String, Long], sep: Option[Long],
-      budget: Long, partitions: Int): DataFrame = {
+      budget: Long, partitions: Int,
+      interleave: Boolean = false): DataFrame = {
     import graft.CacheScope.ScopedPersist
     val vlit = typedLit(vocab)
     val mapped = transform(toks, p =>
@@ -234,21 +254,29 @@ object Curation {
           .cast("long"))
         .otherwise(element_at(vlit, p)))
     val ids = sep.fold(mapped)(e => concat(mapped, array(lit(e))))
+    // content-hash interleave: the pack order becomes
+    // (hash28(id), id) per domain — a deterministic shuffle baked into
+    // the artifact for trainers whose loader reads shards sequentially.
+    // Default stays id order (shuffle belongs to the loader).
+    val ordExpr =
+      if (interleave) Dedup.SharedHash.hash28(id.cast("string"))
+      else lit(0L)
     val base = df.select(domain.cast("string").as("domain"),
-      id.cast("long").as("id"), ids.as("ids"))
+      id.cast("long").as("id"), ids.as("ids"), ordExpr.as("ord"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
       .persistScoped() // feeds the manifest scan AND the slice join
     val manifest = packManifest(base, col("domain"), col("id"),
-      col("n_tok"), budget, partitions)
+      col("n_tok"), budget, partitions, ord = Some(col("ord")))
     manifest
-      .join(base.select(col("domain"), col("id"), col("ids")),
+      .join(base.select(col("domain"), col("id"), col("ids"), col("ord")),
         Seq("domain", "id"))
-      .select(col("domain"), col("bin"), col("id"), col("span_tokens"),
+      .select(col("domain"), col("bin"), col("ord"), col("id"),
+        col("span_tokens"),
         expr("slice(ids, CAST(off_in_doc + 1 AS INT), CAST(span_tokens AS INT))")
           .as("sl"))
       .groupBy(col("domain"), col("bin"))
       .agg(sum(col("span_tokens")).as("n_tokens"),
-        expr("flatten(transform(sort_array(collect_list(struct(id, sl))), x -> x.sl))")
+        expr("flatten(transform(sort_array(collect_list(struct(ord, id, sl))), x -> x.sl))")
           .as("token_ids"))
       .select(col("domain"), col("bin"), col("n_tokens"), col("token_ids"),
         md5(array_join(transform(col("token_ids"),

@@ -1283,7 +1283,7 @@ object Dedup {
   def ahashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0 && (64 / chunks <= 32) && 32 % (64 / chunks) == 0,
-      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7})")
+      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7, 15, 31, 63})")
     val width = 64 / chunks
     val mask = (1L << width) - 1
     val banded = docs
@@ -1357,7 +1357,7 @@ object Dedup {
       buckets: Int = 64): Unit = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0 && (64 / chunks <= 32) && 32 % (64 / chunks) == 0,
-      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7})")
+      s"chunk width 64/$chunks must divide 32 (maxHamming in {1, 3, 7, 15, 31, 63})")
     val spark = fps.sparkSession
     import spark.implicits._
     Seq((maxHamming, buckets)).toDF("max_hamming", "buckets")
@@ -1611,6 +1611,12 @@ object Dedup {
     * election, so out-of-range inputs fail loudly per row instead
     * (raise_error — one exact-integer comparison pair in the hot path).
     */
+  /** Public face of [[electionKey]] for composite-unit fingerprints —
+    * e.g. per-frame video hashes keyed by (doc, frame) flowing through
+    * [[ahashPairs]], whose `id` is one long. Same injectivity guard.
+    */
+  def packedKey(id: Column, pos: Column): Column = electionKey(id, pos)
+
   private def electionKey(id: Column, pos: Column): Column =
     when(id < 0 || id >= lit(1L << 43) || pos < 0 || pos >= lit(1L << 20),
       raise_error(concat_ws(" ",

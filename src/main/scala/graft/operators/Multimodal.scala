@@ -428,6 +428,57 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** RE-CUT near-duplicate clip family ([[ImageCodec.synthVariant]]'s
+      * video sibling): ids sharing id % groups are the same underlying
+      * CONTENT SEQUENCE (geometry and length derive from the base, so
+      * family members agree), and cut = ((id/groups) % 2)·2 shifts which
+      * content window the clip carries — frame f shows content frame
+      * f + cut. Two cuts of one base share the content frames in the
+      * overlap, so a PER-FRAME fingerprint still collides exactly where
+      * a re-cut (trimmed intro, shifted edit) preserves frames — while
+      * the single middle-keyframe hash sees DIFFERENT content frames
+      * (m vs m + 2) and misses the pair. Y(f,x,y) =
+      * (base·17 + (f+cut)·29 + x·5 + y·11)%256; U/V analogous.
+      */
+    def synthY4mRecut(id: Long, groups: Int): Array[Byte] = {
+      require(id >= 0 && groups > 0)
+      val base = id % groups
+      val cut = ((id / groups) % 2).toInt * 2
+      val w = (4 + 2 * (base % 6)).toInt
+      val h = (4 + 2 * ((base / 6) % 6)).toInt
+      val nf = (3 + base % 5).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+      var f = 0
+      while (f < nf) {
+        val g = f + cut
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            bos.write(((base * 17 + g * 29 + x * 5 + y * 11) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        var j = 0
+        while (j < h / 2) {
+          var i = 0
+          while (i < w / 2) { bos.write(((base + g + 2 * i + 3 * j) % 256).toInt); i += 1 }
+          j += 1
+        }
+        j = 0
+        while (j < h / 2) {
+          var i = 0
+          while (i < w / 2) { bos.write(((base * 7 + g * 3 + i + j) % 256).toInt); i += 1 }
+          j += 1
+        }
+        f += 1
+      }
+      bos.toByteArray
+    }
+
     /** Parse a y4m payload: (w, h, fpsNum, fpsDen, yPlaneOffsets) — one
       * offset per frame, pointing at the frame's Y plane. None for
       * corrupt/truncated/non-y4m bytes (corrupt blobs are data, not
@@ -914,6 +965,92 @@ object Multimodal {
           case None => Seq[Any](null, null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-hash schema appended by [[decodeVideoFrameAHashes]]. */
+  val videoFrameAHashSchema: StructType = StructType(Seq(
+    StructField("vid_w", IntegerType),
+    StructField("vid_h", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("fr_hi", LongType),
+    StructField("fr_lo", LongType)))
+
+  /** MULTI-keyframe perceptual hashes — the production video-dedup
+    * reduction ([[decodeVideoKeyframeAHash]] hashes ONE representative
+    * frame; a re-cut clip's middle frame differs, so real pipelines
+    * fingerprint EVERY sampled keyframe and match clips on ANY shared
+    * frame): every `sampleEvery`-th frame's Y plane through the same
+    * 8×8 exact-integer nearest map and strict above-mean bits, one
+    * output row per sampled frame with the shared (hi, lo) carry — so
+    * [[graft.operators.Dedup.ahashPairs]] and the stored aHash index
+    * consume frames exactly like images, keyed by
+    * [[graft.operators.Dedup.packedKey]](doc, frame). Generator shape
+    * (1 row → n_sampled rows, the reference's flat-map processors);
+    * corrupt/non-y4m payloads yield ONE all-null row (quarantine
+    * visible, never silent).
+    */
+  def decodeVideoFrameAHashes(df: DataFrame, mediaCol: String,
+      sampleEvery: Int): DataFrame = {
+    require(sampleEvery >= 1)
+    val outSchema = StructType(df.schema.fields ++ videoFrameAHashSchema.fields)
+    val idx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        Option(payload).flatMap(VideoCodec.parseY4m) match {
+          case Some((w, h, _, _, offs)) =>
+            Iterator.range(0, offs.length, sampleEvery).map { f =>
+              val o = offs(f)
+              val lum = new Array[Long](64)
+              var tot = 0L
+              var cy = 0
+              while (cy < 8) {
+                val sy = cy * h / 8
+                var cx = 0
+                while (cx < 8) {
+                  val v = (payload(o + sy * w + cx * w / 8) & 0xff).toLong
+                  lum(cy * 8 + cx) = v
+                  tot += v
+                  cx += 1
+                }
+                cy += 1
+              }
+              var hi = 0L
+              var lo = 0L
+              var i = 0
+              while (i < 64) {
+                if (lum(i) * 64L > tot) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq[Any](w, h, offs.length, f, hi, lo))
+            }
+          case None =>
+            Iterator.single(Row.fromSeq(r.toSeq ++
+              Seq[Any](null, null, null, null, null, null)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Attach a REAL re-cut-family y4m payload per row
+    * ([[VideoCodec.synthY4mRecut]]) — the fixture for multi-keyframe
+    * video dedup. One narrow pass; the id column must be a
+    * non-negative long.
+    */
+  def withVideoRecutColumn(df: DataFrame, idCol: String,
+      groups: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("media", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          VideoCodec.synthY4mRecut(r.getLong(idx), groups))
       }
     }(Encoders.row(outSchema))
   }

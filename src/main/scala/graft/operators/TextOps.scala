@@ -148,39 +148,80 @@ object TextOps {
           .as("kept"))
   }
 
+  /** The COMPLETE Gopher A1.1 document-shape rule set (Rae et al. 2021,
+    * appendix A1.1 — public paper), as exact-integer thresholds so two
+    * engines cannot diverge on a float boundary. Fractions are in
+    * ten-thousandths (the [[blocklistFilter]] convention); the
+    * mean-word-length band is integer chars, compared as
+    * Σlen ∈ [min·n, max·n]. Defaults are Gopher's published values
+    * (50–100 000 words, mean length 3–10, 10% symbols, 90% bullet
+    * lines, 30% ellipsis lines) plus a 30% duplicate-line bound (the
+    * Gopher repetition-section line rule).
+    */
+  final case class GopherRules(
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Long = 3L,
+      maxMeanWordLen: Long = 10L,
+      symbolTau: Long = 1000L,
+      bulletTau: Long = 9000L,
+      ellipsisTau: Long = 3000L,
+      dupLineTau: Long = 3000L)
+
   /** The Dolma-style TAGGER TABLE + mixer decision — the published
     * curation architecture (Dolma: "taggers" emit per-document
     * attributes, a config-driven "mixer" applies the keep rules;
-    * RefinedWeb/C4 fuse the same checks inline): FOUR safety/quality
+    * RefinedWeb/C4 fuse the same checks inline): SEVEN safety/quality
     * taggers evaluated in ONE pass — word blocklist
     * ([[blocklistFilter]]'s exact-integer rule), PII exposure
     * (emails + urls + phones ≤ piiMax), Gopher repetition (the
-    * [[repetitionFilter]] signals off the native kernel), and
-    * stopword-ratio quality — plus the conjunction `kept` and a
-    * `reasons` audit string naming every failed tagger, the attribute
+    * [[repetitionFilter]] signals off the native kernel),
+    * stopword-ratio quality, and the remaining Gopher A1.1
+    * document-shape rules ([[GopherRules]]): word-count bounds +
+    * mean-word-length band (`keep_doclen`), symbol-to-word ratio for
+    * `#`/`...`/`…` (`keep_symbols`), and the line rules — bullet-start
+    * fraction, ellipsis-end fraction, duplicate-line fraction
+    * (`keep_lines`) — plus the conjunction `kept` and a `reasons`
+    * audit string naming every failed tagger, the attribute
     * provenance a curation team actually debugs with.
     *
     * The tagger table carries EVERY input row — a zero-token document
-    * fails repetition (Gopher's ≥1-token contract) and quality
-    * (undefined ratio → false) and says so in `reasons`, never a
-    * silent drop.
+    * fails repetition (Gopher's ≥1-token contract), quality
+    * (undefined ratio → false) and doclen (below any minWords ≥ 1),
+    * and says so in `reasons`, never a silent drop. Line rules: keep
+    * iff n_bullet·10⁴ < bulletTau·n_lines (Gopher drops at ≥ 90%) AND
+    * n_ellipsis·10⁴ ≤ ellipsisTau·n_lines AND
+    * (n_lines − n_distinct)·10⁴ ≤ dupLineTau·n_lines; the symbol rule
+    * keeps iff n_sym·10⁴ ≤ symbolTau·n_words (empty doc: vacuously
+    * clean, the blocklist convention).
     *
     * 100 TB design: zero shuffles, zero joins — every tagger is a
     * codegen'd expression over the same projected row; the repetition
     * kernel is per-document. Composing the standalone operators via
-    * joins would re-scan and re-shuffle four times for what one
+    * joins would re-scan and re-shuffle seven times for what one
     * projection computes.
     *
     * Output: (id, keep_blocklist, keep_pii, keep_repetition,
-    * keep_quality, kept, reasons).
+    * keep_quality, keep_doclen, keep_symbols, keep_lines, kept,
+    * reasons).
     */
   def taggerTable(df: DataFrame, id: Column, text: Column,
       blocklist: Seq[String], blockTau: Long, piiMax: Long,
       maxTopTokFrac: Double, maxTopBigramFrac: Double, minTtr: Double,
-      minStopwordRatio: Double): DataFrame = {
+      minStopwordRatio: Double,
+      gopher: GopherRules = GopherRules()): DataFrame = {
     val bl = typedLit(blocklist.map(_.toLowerCase).distinct)
+    val bulletStart = (l: Column) => {
+      val t = ltrim(l)
+      t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+    }
+    val ellipsisEnd = (l: Column) => {
+      val t = rtrim(l)
+      t.endsWith("...") || t.endsWith("…")
+    }
     val base = df.select(id.cast("long").as("id"), text.as("__t"),
-        regexp_extract_all(lower(text), lit("""\S+"""), lit(0)).as("__ws"))
+        regexp_extract_all(lower(text), lit("""\S+"""), lit(0)).as("__ws"),
+        split(text, "\n").as("__ls"))
       .select(col("id"), col("__t"), col("__ws"),
         size(col("__ws")).cast("long").as("__nw"),
         size(filter(col("__ws"), w => array_contains(bl, w)))
@@ -191,12 +232,21 @@ object TextOps {
           .cast("long").as("__npii"),
         stopwordHits(col("__t"), stopwords.head._2).cast("long").as("__nstop"),
         graft.functions.repetition_signals(col("__ws"), 1).as("__s1"),
-        graft.functions.repetition_signals(col("__ws"), 2).as("__s2"))
+        graft.functions.repetition_signals(col("__ws"), 2).as("__s2"),
+        aggregate(col("__ws"), lit(0L), (a, x) => a + length(x).cast("long"))
+          .as("__sumlen"),
+        size(regexp_extract_all(col("__t"), lit("""#|\.\.\.|…"""), lit(0)))
+          .cast("long").as("__nsym"),
+        size(col("__ls")).cast("long").as("__nl"),
+        size(filter(col("__ls"), bulletStart)).cast("long").as("__nbul"),
+        size(filter(col("__ls"), ellipsisEnd)).cast("long").as("__nell"),
+        size(array_distinct(col("__ls"))).cast("long").as("__ndist"))
     val ttr = round(element_at(col("__s1"), 2).cast("double") / col("__nw"), 4)
     val tokFrac = round(element_at(col("__s1"), 1).cast("double") / col("__nw"), 4)
     val bgFrac = when(col("__s2").isNotNull,
       round(element_at(col("__s2"), 1).cast("double") / (col("__nw") - 1), 4))
       .otherwise(lit(0.0))
+    val g = gopher
     val scored = base.select(col("id"),
       (col("__nw") === 0 ||
         col("__nb") * lit(10000L) < lit(blockTau) * col("__nw"))
@@ -207,16 +257,34 @@ object TextOps {
         ttr >= minTtr, lit(false)).as("keep_repetition"),
       when(col("__nw") === 0, lit(false))
         .otherwise(round(col("__nstop").cast("double") / col("__nw"), 4)
-          >= minStopwordRatio).as("keep_quality"))
+          >= minStopwordRatio).as("keep_quality"),
+      (col("__nw") >= g.minWords && col("__nw") <= g.maxWords &&
+        col("__sumlen") >= lit(g.minMeanWordLen) * col("__nw") &&
+        col("__sumlen") <= lit(g.maxMeanWordLen) * col("__nw"))
+        .as("keep_doclen"),
+      (col("__nw") === 0 ||
+        col("__nsym") * lit(10000L) <= lit(g.symbolTau) * col("__nw"))
+        .as("keep_symbols"),
+      (col("__nbul") * lit(10000L) < lit(g.bulletTau) * col("__nl") &&
+        col("__nell") * lit(10000L) <= lit(g.ellipsisTau) * col("__nl") &&
+        (col("__nl") - col("__ndist")) * lit(10000L)
+          <= lit(g.dupLineTau) * col("__nl"))
+        .as("keep_lines"))
     scored.select(col("id"), col("keep_blocklist"), col("keep_pii"),
-      col("keep_repetition"), col("keep_quality"),
+      col("keep_repetition"), col("keep_quality"), col("keep_doclen"),
+      col("keep_symbols"), col("keep_lines"),
       (col("keep_blocklist") && col("keep_pii") &&
-        col("keep_repetition") && col("keep_quality")).as("kept"),
+        col("keep_repetition") && col("keep_quality") &&
+        col("keep_doclen") && col("keep_symbols") && col("keep_lines"))
+        .as("kept"),
       array_join(filter(array(
         when(!col("keep_blocklist"), lit("blocklist")),
         when(!col("keep_pii"), lit("pii")),
         when(!col("keep_repetition"), lit("repetition")),
-        when(!col("keep_quality"), lit("quality"))),
+        when(!col("keep_quality"), lit("quality")),
+        when(!col("keep_doclen"), lit("doclen")),
+        when(!col("keep_symbols"), lit("symbols")),
+        when(!col("keep_lines"), lit("lines"))),
         x => x.isNotNull), ",").as("reasons"))
   }
 
@@ -1186,6 +1254,182 @@ object TextOps {
       spark.read.parquet(s"$dir/bigrams"), pplThreshold)
   }
 
+  /** ≥3-token docs with the token array — the trigram family's corpus
+    * base ([[lmTokens]] at order 3).
+    */
+  private def lm3Tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 3)
+
+  /** Adjacent-triple explode: (id [, is_ref], w1, w2, w3) — one row per
+    * trigram POSITION (multiplicity preserved for the counts).
+    */
+  private def lm3Triples(base: DataFrame): DataFrame = {
+    val extra = base.columns.filter(c => c != "id" && c != "ws").map(col)
+    base.select((col("id") +: extra :+
+        explode(transform(sequence(lit(1), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2"),
+            element_at(col("ws"), i + 2).as("w3")))).as("p")): _*)
+      .select((col("id") +: extra :+ col("p.w1") :+ col("p.w2") :+
+        col("p.w3")): _*)
+  }
+
+  /** Train the pruned trigram model from reference tokens/triples:
+    * (vocab(w, uc), trigrams(w1, w2, w3, tc)) — both bounded by the
+    * deterministic (count desc, terms) top-k, the [[lmTrain]] recipe at
+    * order 3.
+    */
+  private def lm3Train(refBase: DataFrame, refTriples: DataFrame,
+      maxV: Int, maxT: Int): (DataFrame, DataFrame) = {
+    import graft.CacheScope.ScopedPersist
+    val vocab = refBase.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      .orderBy(col("uc").desc, col("w")).limit(maxV)
+      .persistScoped() // bounded model artifact: ≤ maxV rows, reused 4×
+    val trigrams = refTriples
+      .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+      .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+      .join(broadcast(vocab.select(col("w").as("w3"))), Seq("w3"), "left_semi")
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("w1"), col("w2"), col("w3")).limit(maxT)
+    (vocab, trigrams)
+  }
+
+  /** Interpolated TRIGRAM Kneser-Ney — [[knPerplexityFilter]]'s
+    * machinery generalized to order 3, the shape KenLM/CCNet production
+    * filters actually run (5-gram in production; order 3 exercises the
+    * full recursion: raw counts at the top order, CONTINUATION counts at
+    * every lower order):
+    *
+    *   p(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *                + D·N1+(w1w2·)/c(w1w2·) · p_c(w3|w2)
+    *   p_c(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *                + D·N1+(w2·)/N1+(·w2·) · p_c(w3)
+    *   p_c(w3)    = (N1+(·w3) + 1)/(N1+(··) + |V| + 1)   (add-one: OOV > 0)
+    *
+    * where every N1+ is a TYPE count over the PRUNED trigram table (the
+    * Kneser-Ney insight applied recursively: lower orders ask "after how
+    * many distinct contexts", never "how often"). A missing (w1,w2)
+    * context backs off to p_c(w3|w2); a missing w2 continuation context
+    * backs off to p_c(w3) — the standard interpolated-KN recursion.
+    *
+    * D is fixed at 3/4 (exact in binary), so every max(x − D, 0)/y is
+    * computed as greatest(4x − 3, 0)/(4y) over exact integers; ALL model
+    * ingredients — c(w1w2·), both type-count families, the totals —
+    * derive from the pruned trigram table, so the stored artifact (the
+    * [[writeLm3Model]] `vocab/` + `trigrams/` pair, the [[writeLmModel]]
+    * family layout one order up) reproduces serving exactly: stored ≡
+    * fresh BY CONSTRUCTION.
+    *
+    * Determinism: the per-triple probability is a fixed tree of
+    * correctly-rounded IEEE ops over exact integers, written identically
+    * in the oracle (the q175/q211 discipline); the per-doc sum is the
+    * q119 sorted fold over (w1, w2, w3)-keyed terms.
+    *
+    * 100 TB design: identical to the bigram path — the model is bounded
+    * (maxV + maxT rows; every derived context/continuation table is
+    * strictly smaller) and BROADCASTS into the scoring joins; the corpus
+    * side is one explode + per-(doc, trigram) partial aggregation. No
+    * shuffle grows with the model order.
+    *
+    * Output: id, n_trigrams, h, ppl, keep.
+    */
+  def kn3PerplexityFilter(docs: DataFrame, id: Column, text: Column,
+      refFilter: Column, maxV: Int, maxT: Int,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val triples = lm3Triples(base).persistScoped()
+    val (vocab, trigrams) = lm3Train(base.filter(col("is_ref")),
+      triples.filter(col("is_ref")), maxV, maxT)
+    kn3Score(triples, vocab, trigrams, pplThreshold)
+  }
+
+  /** Score per-doc triples with trigram Kneser-Ney against a
+    * (vocab, trigrams) model — the shared serving core of the direct and
+    * stored-model paths. All discount statistics derive HERE from the
+    * pruned trigram table (exact integers), keeping the artifact layout
+    * identical to [[writeLm3Model]]'s while guaranteeing stored ≡ fresh.
+    */
+  private def kn3Score(triples: DataFrame, vocab: DataFrame,
+      trigrams: DataFrame, pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val tri = trigrams.persistScoped() // ≤ maxT rows; feeds four derivations
+    val ctx3 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tc")).as("c12b"), count(lit(1)).as("n1f12"))
+    val mid = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n23")).persistScoped() // type counts N1+(·w2w3)
+    val ctx2 = mid.groupBy(col("w2"))
+      .agg(sum(col("n23")).as("n2b"), count(lit(1)).as("nd2"))
+    val cw = mid.groupBy(col("w3")).agg(count(lit(1)).as("ncw3"))
+    val tot = mid.agg(count(lit(1)).as("ntot"))
+      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
+    val dn = triples.groupBy(col("id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    // pc and p2m materialize as columns so every branch reuses the
+    // identical double (same expression tree as the oracle's)
+    val pcExpr = (coalesce(col("ncw3"), lit(0L)) + 1).cast("double") /
+      (col("ntot") + col("nv") + 1).cast("double")
+    val p2 = greatest(lit(4) * coalesce(col("n23"), lit(0L)) - 3, lit(0L))
+        .cast("double") / (lit(4) * col("n2b")).cast("double") +
+      (lit(3) * col("nd2")).cast("double") /
+        (lit(4) * col("n2b")).cast("double") * col("pc")
+    val p3 = greatest(lit(4) * coalesce(col("tc"), lit(0L)) - 3, lit(0L))
+        .cast("double") / (lit(4) * col("c12b")).cast("double") +
+      (lit(3) * col("n1f12")).cast("double") /
+        (lit(4) * col("c12b")).cast("double") * col("p2m")
+    val scored = dn
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
+      .join(broadcast(mid), Seq("w2", "w3"), "left")
+      .join(broadcast(ctx2), Seq("w2"), "left")
+      .join(broadcast(cw), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pc", pcExpr)
+      .withColumn("p2m",
+        when(col("n2b").isNotNull, p2).otherwise(col("pc")))
+      .withColumn("lp",
+        log(when(col("c12b").isNotNull, p3).otherwise(col("p2m"))))
+    scored.groupBy(col("id"))
+      .agg(sum(col("n")).as("m"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("w3"),
+          (col("n").cast("double") * col("lp")).as("v")))).as("ts"))
+      .select(col("id"), col("m").as("n_trigrams"),
+        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
+          .as("h"))
+      .withColumn("ppl", round(exp(col("h")), 4))
+      .withColumn("keep", col("ppl") <= pplThreshold)
+  }
+
+  /** Persist the trigram KN model — `vocab/` + `trigrams/` parquet, the
+    * [[writeLmModel]] artifact family one order up. Discount statistics
+    * derive from the pruned table at load (exact integers), so one
+    * artifact serves fresh-equal.
+    */
+  def writeLm3Model(docs: DataFrame, id: Column, text: Column,
+      maxV: Int, maxT: Int, dir: String): Unit = {
+    import graft.CacheScope.ScopedPersist
+    val base = lm3Tokens(docs, id, text)
+    val triples = lm3Triples(base).persistScoped()
+    val (vocab, trigrams) = lm3Train(base, triples, maxV, maxT)
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    trigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/trigrams")
+    docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** Trigram Kneser-Ney scoring against a [[writeLm3Model]] artifact. */
+  def kn3ScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
+      dir: String, pplThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    kn3Score(lm3Triples(lm3Tokens(docs, id, text)),
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/trigrams"), pplThreshold)
+  }
+
   /** fastText-style hashed linear quality classifier — the SERVING shape
     * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
     * Classification"; the CCNet / GPT-3-style quality filters are this
@@ -1594,6 +1838,60 @@ object TextOps {
       .select(col("pred_lang"), col("n_batch"), col("n_ref"),
         round(col("p"), 6).as("batch_p"), round(col("q"), 6).as("ref_p"),
         col("jsd"))
+  }
+
+  /** The OPERATIONAL drift contract [[langIdDriftReport]] reports into:
+    * per-BATCH JSD against the frozen reference plus the alert decision
+    * a deployment actually pages on. `batch` is any caller expression
+    * (arrival window, shard, resample bucket); each batch's prediction
+    * distribution is compared to the stored reference with the same
+    * add-one smoothing and class-sorted term fold as the report, and
+    * `alert = jsd > tau`. The alert threshold is calibrated by
+    * resampling IN-distribution batches and reading their JSD spread —
+    * `LangIdDriftSpec` pins a zero false-positive rate on resampled
+    * in-distribution batches at the gate's tau, with the planted
+    * single-language batch still alerting (the separation that makes a
+    * threshold operable at all).
+    *
+    * 100 TB posture: one zero-shuffle serving map + ONE (batches × K)
+    * count aggregate; everything after is broadcast-scale.
+    *
+    * Output: (batch, n_docs, jsd, alert) — one row per batch.
+    */
+  def langIdDriftBatches(docs: DataFrame, id: Column, text: Column,
+      batch: Column, modelDir: String, refDir: String,
+      tau: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = loadLangIdModel(spark, modelDir)
+    val k = model.classes.length
+    val scored = langIdScore(docs,
+        struct(batch.cast("long").as("b"), id.as("i")), text, model)
+      .select(col("id.b").as("batch"), col("pred_lang"))
+    val bc = scored.groupBy(col("batch"), col("pred_lang"))
+      .agg(count(lit(1)).as("bn"))
+    val bt = scored.groupBy(col("batch")).agg(count(lit(1)).as("bt"))
+    val ref = spark.read.parquet(s"$refDir/langid_ref")
+      .select(col("pred_lang"), col("n").as("rn"))
+    val rt = ref.agg(sum(col("rn")).as("rt"))
+    val cells = bt
+      .crossJoin(broadcast(model.classes.toDF("pred_lang")))
+      .join(broadcast(bc), Seq("batch", "pred_lang"), "left")
+      .join(broadcast(ref), Seq("pred_lang"), "left")
+      .crossJoin(broadcast(rt))
+      .withColumn("p",
+        (coalesce(col("bn"), lit(0L)) + 1).cast("double") / (col("bt") + k))
+      .withColumn("q",
+        (coalesce(col("rn"), lit(0L)) + 1).cast("double") / (col("rt") + k))
+      .withColumn("term",
+        lit(0.5) * col("p") * log(lit(2) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+    cells.groupBy(col("batch"))
+      .agg(first(col("bt")).as("n_docs"),
+        round(aggregate(
+          expr("sort_array(collect_list(struct(pred_lang, term)))"),
+          lit(0.0), (a, x) => a + x.getField("term")), 4).as("jsd"))
+      .withColumn("alert", col("jsd") > tau)
   }
 
   /** Persist a [[LinearModel]] to `dir/linear` (one parquet row) — the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheScope.ScopedPersist
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps, Unigram}
+import graft.operators.{Dedup, Graph, Html, Multimodal, Retrieval, Similarity, TextOps, Unigram}
 
 /** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
   * search, text analysis, multimodal plumbing, sessionization.
@@ -3113,6 +3113,169 @@ object Pipeline {
       col("text"), dir, KnPplThresh)
   }
 
+  // ===== q246/q247 TRIGRAM Kneser-Ney + stored serving ====================
+  // q211's exact-integer discount machinery generalized to interpolated
+  // ORDER 3 — KenLM's actual shape (production is 5-gram; order 3
+  // exercises the full recursion): raw counts at the trigram order,
+  // CONTINUATION type-counts at the bigram order (N1+(·w2w3), the
+  // Kneser-Ney insight applied recursively), add-one continuation
+  // unigram at the bottom. D = 3/4 exact; every branch is the same
+  // IEEE expression tree in both engines; per-doc sum is the q119
+  // sorted fold over (w1, w2, w3) terms. Same training slice / pruning
+  // discipline as q211 so the two rows differ ONLY in model order —
+  // an auditable substitution. q247 serves the same scores from the
+  // stored vocab/ + trigrams/ artifact (writeLm3Model — the q176
+  // family layout one order up); oracle = q246's verbatim.
+
+  private val Lm3MaxT = 6000
+  private val Kn3PplThresh = 30.0
+
+  private def q246(t: Tables): DataFrame =
+    TextOps.kn3PerplexityFilter(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, LmMaxV, Lm3MaxT, Kn3PplThresh)
+
+  private val q246Sql =
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, ws FROM w0 WHERE len(ws) >= 3),
+       |ru AS (SELECT w, count(*) AS uc FROM (
+       |    SELECT unnest(ws) AS w FROM d WHERE id % 10 = 0) GROUP BY 1),
+       |voc AS (SELECT w, uc FROM ru ORDER BY uc DESC, w LIMIT $LmMaxV),
+       |ap AS (SELECT id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3 FROM (
+       |    SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM d)),
+       |rt AS (SELECT w1, w2, w3, count(*) AS tc FROM ap
+       |       JOIN voc v1 ON ap.w1 = v1.w JOIN voc v2 ON ap.w2 = v2.w
+       |       JOIN voc v3 ON ap.w3 = v3.w
+       |       WHERE id % 10 = 0 GROUP BY 1, 2, 3),
+       |tri AS (SELECT w1, w2, w3, tc FROM rt
+       |        ORDER BY tc DESC, w1, w2, w3 LIMIT $Lm3MaxT),
+       |ctx3 AS (SELECT w1, w2, CAST(sum(tc) AS BIGINT) AS c12b,
+       |               CAST(count(*) AS BIGINT) AS n1f12 FROM tri GROUP BY 1, 2),
+       |mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n23
+       |        FROM tri GROUP BY 1, 2),
+       |ctx2 AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS n2b,
+       |               CAST(count(*) AS BIGINT) AS nd2 FROM mid GROUP BY 1),
+       |cw AS (SELECT w3, CAST(count(*) AS BIGINT) AS ncw3 FROM mid GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT count(*) FROM mid) AS BIGINT) AS ntot,
+       |               CAST((SELECT count(*) FROM voc) AS BIGINT) AS nv),
+       |dn AS (SELECT id, w1, w2, w3, count(*) AS n FROM ap GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT dn.id, dn.w1, dn.w2, dn.w3, dn.n,
+       |    ln(CASE WHEN c3.c12b IS NOT NULL THEN
+       |        CAST(greatest(4 * COALESCE(b.tc, 0) - 3, 0) AS DOUBLE)
+       |          / CAST(4 * c3.c12b AS DOUBLE)
+       |        + CAST(3 * c3.n1f12 AS DOUBLE) / CAST(4 * c3.c12b AS DOUBLE)
+       |          * (CASE WHEN c2.n2b IS NOT NULL THEN
+       |              CAST(greatest(4 * COALESCE(m.n23, 0) - 3, 0) AS DOUBLE)
+       |                / CAST(4 * c2.n2b AS DOUBLE)
+       |              + CAST(3 * c2.nd2 AS DOUBLE) / CAST(4 * c2.n2b AS DOUBLE)
+       |                * (CAST(COALESCE(p.ncw3, 0) + 1 AS DOUBLE)
+       |                   / CAST(ntot + nv + 1 AS DOUBLE))
+       |            ELSE CAST(COALESCE(p.ncw3, 0) + 1 AS DOUBLE)
+       |                 / CAST(ntot + nv + 1 AS DOUBLE) END)
+       |      ELSE (CASE WHEN c2.n2b IS NOT NULL THEN
+       |              CAST(greatest(4 * COALESCE(m.n23, 0) - 3, 0) AS DOUBLE)
+       |                / CAST(4 * c2.n2b AS DOUBLE)
+       |              + CAST(3 * c2.nd2 AS DOUBLE) / CAST(4 * c2.n2b AS DOUBLE)
+       |                * (CAST(COALESCE(p.ncw3, 0) + 1 AS DOUBLE)
+       |                   / CAST(ntot + nv + 1 AS DOUBLE))
+       |            ELSE CAST(COALESCE(p.ncw3, 0) + 1 AS DOUBLE)
+       |                 / CAST(ntot + nv + 1 AS DOUBLE) END) END) AS lp
+       |  FROM dn
+       |  LEFT JOIN tri b ON dn.w1 = b.w1 AND dn.w2 = b.w2 AND dn.w3 = b.w3
+       |  LEFT JOIN ctx3 c3 ON dn.w1 = c3.w1 AND dn.w2 = c3.w2
+       |  LEFT JOIN mid m ON dn.w2 = m.w2 AND dn.w3 = m.w3
+       |  LEFT JOIN ctx2 c2 ON dn.w2 = c2.w2
+       |  LEFT JOIN cw p ON dn.w3 = p.w3
+       |  CROSS JOIN tot),
+       |f AS (SELECT id, CAST(sum(n) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list(
+       |        {'w1': w1, 'w2': w2, 'w3': w3, 'v': n * lp})),
+       |        x -> x.v)), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY id),
+       |g AS (SELECT id, m AS n_trigrams, round(-s / m, 4) AS h FROM f)
+       |SELECT id, n_trigrams, h, round(exp(h), 4) AS ppl,
+       |  (round(exp(h), 4) <= $Kn3PplThresh) AS keep FROM g""".stripMargin
+
+  private def q247(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"lm3_model_v1_${LmMaxV}_$Lm3MaxT") { d =>
+      TextOps.writeLm3Model(
+        graft.Fanout(t.documents.filter(col("doc_id") % 10 === 0)),
+        col("doc_id"), col("text"), LmMaxV, Lm3MaxT, d)
+    }
+    TextOps.kn3ScoreAgainstModel(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), dir, Kn3PplThresh)
+  }
+
+  // ===== q248 multi-keyframe video dedup pairs ============================
+  // q241's single-middle-keyframe reduction fails exactly where video
+  // dedup matters: a RE-CUT clip (trimmed intro, shifted edit) has a
+  // different middle frame but shares most content frames. The
+  // production reduction fingerprints EVERY sampled keyframe (q221's
+  // every-2nd-frame sampling) and matches clips on ANY frame pair
+  // within hamming 3 — here each sampled frame rides the shared
+  // (hi, lo) carry through the SAME banded-pair kernel, keyed by the
+  // overflow-guarded packedKey(doc, frame), and pairs reduce to
+  // (doc_a, doc_b, n_frame_hits, min_hamming). The fixture is the
+  // re-cut family (synthY4mRecut: same base content, cut ∈ {0, 2});
+  // VideoDedupSpec pins a planted re-cut pair the middle-frame hash
+  // provably misses. Oracle: O(n²) frame scan over the arithmetic
+  // replay (q241's shape with the frame dimension).
+
+  private val VideoGroups = 40
+
+  private def q248(t: Tables): DataFrame = {
+    val withVid = Multimodal.withVideoRecutColumn(
+      graft.Fanout(t.documents).select(col("doc_id")), "doc_id",
+      VideoGroups)
+    val fps = Multimodal.decodeVideoFrameAHashes(withVid, "media",
+        sampleEvery = 2)
+      .select(Dedup.packedKey(col("doc_id"),
+          col("frame_idx").cast("long")).as("id"),
+        col("fr_hi").as("ah_hi"), col("fr_lo").as("ah_lo"))
+    Dedup.ahashPairs(fps, MaxHamming)
+      .select(shiftright(col("id_a"), 20).as("da"),
+        shiftright(col("id_b"), 20).as("db"), col("hamming"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da").as("id_a"), col("db").as("id_b"))
+      .agg(count(lit(1)).as("n_frame_hits"),
+        min(col("hamming").cast("long")).as("min_hamming"))
+  }
+
+  private lazy val q248Sql =
+    s"""WITH vd AS (SELECT doc_id, doc_id % $VideoGroups AS base,
+       |    ((doc_id // $VideoGroups) % 2) * 2 AS cut FROM documents),
+       |vg AS (SELECT doc_id, base, cut,
+       |    CAST(4 + 2 * (base % 6) AS BIGINT) AS w,
+       |    CAST(4 + 2 * ((base // 6) % 6) AS BIGINT) AS h,
+       |    CAST(3 + base % 5 AS BIGINT) AS nf FROM vd),
+       |vf AS (SELECT doc_id, base, cut, w, h, t.f FROM vg,
+       |    unnest(generate_series(0, nf - 1, 2)) AS t(f)),
+       |vc AS (SELECT doc_id, f, tx.x + ty.y * 8 AS i,
+       |    CAST((base*17 + (f+cut)*29 + ((tx.x*w)//8)*5
+       |      + ((ty.y*h)//8)*11) % 256 AS BIGINT) AS lum
+       |  FROM vf,
+       |    unnest(generate_series(0, 7)) AS tx(x),
+       |    unnest(generate_series(0, 7)) AS ty(y)),
+       |vs AS (SELECT doc_id, f, sum(lum) AS tot FROM vc GROUP BY 1, 2),
+       |vh AS (SELECT c.doc_id, c.f,
+       |    CAST(sum(CASE WHEN c.i >= 32 AND 64 * c.lum > s.tot
+       |      THEN CAST(1 AS BIGINT) << (c.i - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN c.i < 32 AND 64 * c.lum > s.tot
+       |      THEN CAST(1 AS BIGINT) << c.i ELSE 0 END) AS BIGINT) AS lo
+       |  FROM vc c JOIN vs s ON s.doc_id = c.doc_id AND s.f = c.f
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.hi, b.hi))
+       |      + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hm
+       |  FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi))
+       |      + bit_count(xor(a.lo, b.lo)) <= $MaxHamming)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frame_hits,
+       |  CAST(min(hm) AS BIGINT) AS min_hamming
+       |FROM vp GROUP BY 1, 2""".stripMargin
+
   // ===== q213/q214 WordPiece tokenizer ====================================
   // The THIRD tokenizer family member (BERT's; q156 BPE, q203 unigram-LM):
   // induction merges the adjacent pair maximizing the LIKELIHOOD score
@@ -3471,7 +3634,8 @@ object Pipeline {
 
   private def q226(t: Tables): DataFrame = tokenIdShards(t, eos = None)
 
-  private def tokenIdShards(t: Tables, eos: Option[Long]): DataFrame = {
+  private def tokenIdShards(t: Tables, eos: Option[Long],
+      interleave: Boolean = false): DataFrame = {
     val spark = t.documents.sparkSession
     val bpeDir = cachedIndexDir(t.dir, s"bpe_byte_model_v1_$BpeRounds") { d =>
       TextOps.writeBpeModel(
@@ -3499,10 +3663,12 @@ object Pipeline {
     val packed = eos match {
       case None =>
         graft.operators.Curation.packShardIds(dt, col("source"),
-          col("doc_id"), col("toks"), vocab, PackBudget, partitions = 32)
+          col("doc_id"), col("toks"), vocab, PackBudget, partitions = 32,
+          interleave = interleave)
       case Some(e) =>
         graft.operators.Curation.packShardIdsSep(dt, col("source"),
-          col("doc_id"), col("toks"), vocab, e, PackBudget, partitions = 32)
+          col("doc_id"), col("toks"), vocab, e, PackBudget, partitions = 32,
+          interleave = interleave)
     }
     packed.select(col("domain").as("source"), col("bin"), col("n_tokens"),
       col("stream_md5"))
@@ -3510,7 +3676,12 @@ object Pipeline {
 
   private lazy val q226Sql = tokenIdShardsSql(eos = None)
 
-  private def tokenIdShardsSql(eos: Option[Long]): String = {
+  private def tokenIdShardsSql(eos: Option[Long],
+      interleave: Boolean = false): String = {
+    val ordKey =
+      if (interleave)
+        s"${Dedup.SharedHash.hash28Sql("CAST(doc_id AS VARCHAR)")}, doc_id"
+      else "doc_id"
     val products = (1 to BpeRounds).map(i =>
       s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
       .mkString("\n  UNION ALL ")
@@ -3545,7 +3716,7 @@ object Pipeline {
        |  FROM dw JOIN wi USING (w) GROUP BY 1, 2),
        |$dCte
        |c AS (SELECT source, doc_id, toks, n_tok,
-       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY $ordKey
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
        |  FROM d),
        |m AS (SELECT source, doc_id, t.b AS bin,
@@ -3557,7 +3728,7 @@ object Pipeline {
        |    (cum + n_tok - 1) // $PackBudget)) AS t(b)
        |  WHERE n_tok > 0)
        |SELECT source, bin, CAST(sum(span) AS BIGINT) AS n_tokens,
-       |  md5(array_to_string(list_transform(flatten(list(sl ORDER BY doc_id)),
+       |  md5(array_to_string(list_transform(flatten(list(sl ORDER BY $ordKey)),
        |    x -> CAST(x AS VARCHAR)), ' ')) AS stream_md5
        |FROM m GROUP BY 1, 2""".stripMargin
   }
@@ -3754,6 +3925,78 @@ object Pipeline {
       |    round(p, 6) AS batch_p, round(q, 6) AS ref_p, tj.jsd
       |  FROM ct CROSS JOIN tj)""".stripMargin)
 
+  // ===== q249 drift ALERT decision over resampled batches =================
+  // The monitoring contract a deployment actually sets (q231 reports ONE
+  // jsd; an operator needs a per-batch alert with a calibrated
+  // threshold): the monitored slice resamples into four deterministic
+  // in-distribution batches ((doc_id div 3) % 4 — each a random-ish
+  // subsample of the same distribution) plus one PLANTED drifted batch
+  // (the slice's true-'en' docs only — single-language skew, the
+  // failure mode language-ID drift monitoring exists to catch), and
+  // each batch gets the q231-recipe smoothed JSD against the frozen
+  // reference plus alert = jsd > tau. The gate pins the FALSE-POSITIVE
+  // half of the calibration: eight resampled in-distribution batches,
+  // every one below tau (FPR = 0 at the documented threshold, with the
+  // per-batch jsd spread visible in the row values). The ALERT-FIRES
+  // half cannot be planted from this corpus — the fixture's lang label
+  // is independent of the text (q182's lesson), so the trained model
+  // predicts one class everywhere and every corpus subset has the same
+  // prediction distribution; LangIdDriftSpec therefore pins the
+  // separation (in-distribution FPR 0 AND planted single-language batch
+  // alerting > 0.2) on the disjoint-alphabet fixture where language
+  // signal actually transfers.
+
+  private val DriftTau = 0.08
+
+  private def q249(t: Tables): DataFrame = {
+    val modelDir = langIdModelDir(t, trainAll = true)
+    val refDir = cachedIndexDir(t.dir,
+      s"langid_ref_v1_${LangDim}_${LangIters}_${LangLrNum}_$LangLrDen") { d =>
+      TextOps.writeLangIdReference(
+        graft.Fanout(t.documents.filter(col("doc_id") % 3 =!= 0)),
+        col("doc_id"), col("text"), modelDir, d)
+    }
+    val mon = t.documents.filter(col("doc_id") % 3 === 0)
+    val inDist = mon.select(expr("(doc_id div 3) % 8").as("batch"),
+      col("doc_id"), col("text"))
+    TextOps.langIdDriftBatches(graft.Fanout(inDist),
+      col("doc_id"), col("text"), col("batch"), modelDir, refDir, DriftTau)
+  }
+
+  private lazy val q249Sql = langIdSql("TRUE", "TRUE",
+    s"""SELECT * FROM (
+      |  WITH mon AS (
+      |    SELECT s.id, s.pred_lang, (s.id // 3) % 8 AS batch
+      |    FROM sc s WHERE s.id % 3 = 0),
+      |  bts AS (SELECT batch, CAST(count(*) AS BIGINT) AS bt
+      |          FROM mon GROUP BY 1),
+      |  bns AS (SELECT batch, pred_lang, CAST(count(*) AS BIGINT) AS bn
+      |          FROM mon GROUP BY 1, 2),
+      |  refc AS (SELECT pred_lang, count(*) AS rn FROM sc
+      |           WHERE id % 3 <> 0 GROUP BY 1),
+      |  rts AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sc
+      |          WHERE id % 3 <> 0),
+      |  kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cls),
+      |  cells AS (
+      |    SELECT b.batch, b.bt, c.cl,
+      |      CAST(coalesce(n.bn, 0) + 1 AS DOUBLE) / (b.bt + kk.k) AS p,
+      |      CAST(coalesce(r.rn, 0) + 1 AS DOUBLE) / (rts.t + kk.k) AS q
+      |    FROM bts b
+      |    CROSS JOIN cls c
+      |    LEFT JOIN bns n ON n.batch = b.batch AND n.pred_lang = c.cl
+      |    LEFT JOIN refc r ON r.pred_lang = c.cl
+      |    CROSS JOIN rts CROSS JOIN kk),
+      |  ct AS (SELECT batch, bt, cl,
+      |      0.5 * p * ln(2 * p / (p + q))
+      |        + 0.5 * q * ln(2 * q / (p + q)) AS term
+      |    FROM cells),
+      |  tj AS (SELECT batch, any_value(bt) AS n_docs,
+      |      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(list_sort(list({'w': cl, 't': term})),
+      |          x -> x.t)), (a, v) -> a + v), 4) AS jsd
+      |    FROM ct GROUP BY batch)
+      |  SELECT batch, n_docs, jsd, (jsd > $DriftTau) AS alert FROM tj)""".stripMargin)
+
   // ===== q232 word-blocklist content filter ===============================
   // The wordlist-based safety stage published pipelines run before any
   // model-based filter (C4 dropped pages on ANY blocklist hit, Raffel et
@@ -3808,6 +4051,23 @@ object Pipeline {
     tokenIdShards(t, eos = Some(EosId))
 
   private lazy val q233Sql = tokenIdShardsSql(eos = Some(EosId))
+
+  // ===== q250 content-hash-interleaved shard export =======================
+  // The shard-order consumption contract's OPT-IN half (the default
+  // export is id-ordered — shuffle belongs to the loader; see
+  // packShardIds' scaladoc): for loaders that read shards strictly
+  // sequentially, the per-domain pack order becomes (hash28(id), id) —
+  // a deterministic content-hash interleave baked into the artifact.
+  // Same q233 EOS contract, same bin invariants; ONLY the order key
+  // changes, and the oracle replays the identical hash28 ordering, so
+  // the hash pins that the interleave is the documented permutation and
+  // nothing else.
+
+  private def q250(t: Tables): DataFrame =
+    tokenIdShards(t, eos = Some(EosId), interleave = true)
+
+  private lazy val q250Sql =
+    tokenIdShardsSql(eos = Some(EosId), interleave = true)
 
   // ===== q234/q235 perceptual image hash + image near-dup pairs ==========
   // Image DEDUP — the multimodal counterpart of q32's SimHash, and the
@@ -3941,23 +4201,34 @@ object Pipeline {
 
   private val TagPiiMax = 2L
   private val TagMinStopword = 0.02
+  // Gopher A1.1 document-shape thresholds (exact-integer carry — the
+  // blocklistFilter convention). minWords 20 (not Gopher's 50) so the
+  // fixture's short docs exercise the rule; the rest are the published
+  // values: mean word length 3–10 chars, 10% symbol ratio, 90% bullet
+  // lines, 30% ellipsis lines, 30% duplicate lines.
+  private val TagGopher = TextOps.GopherRules(minWords = 20L,
+    maxWords = 100000L, minMeanWordLen = 3L, maxMeanWordLen = 10L,
+    symbolTau = 1000L, bulletTau = 9000L, ellipsisTau = 3000L,
+    dupLineTau = 3000L)
 
   private def q237(t: Tables): DataFrame =
     TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
       col("text"), BlockList, BlockTau, TagPiiMax,
-      RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+      RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
       .select(col("id").as("doc_id"), col("keep_blocklist"),
         col("keep_pii"), col("keep_repetition"), col("keep_quality"),
+        col("keep_doclen"), col("keep_symbols"), col("keep_lines"),
         col("kept"), col("reasons"))
 
   /** The tagger-table CTE chain (prefix tg_), ending in `tg_k` with the
-    * four keep columns + kept — shared by q237 and the q238 composed
-    * flagship's front end.
+    * seven keep columns + kept — shared by q237, the q238 composed
+    * flagship's front end, and (over extracted HTML text, via `src`)
+    * the q245 composed extraction flagship.
     */
-  private lazy val taggerCteSql = {
+  private def taggerCteFor(src: String): String = {
     val enStop = TextOps.stopwords.head._2
     s"""tg_w AS (SELECT doc_id, text,
-       |    regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+       |    regexp_extract_all(lower(text), '\\S+') AS ws FROM $src),
        |tg_blk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw,
        |    CAST(len(list_filter(ws, x -> list_contains(
        |      [${BlockList.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
@@ -3968,7 +4239,7 @@ object Pipeline {
        |      + len(regexp_extract_all(text, '${TextOps.urlPattern}'))
        |      + len(regexp_extract_all(text, '${TextOps.phonePattern}'))
        |      AS BIGINT) AS npii
-       |  FROM documents),
+       |  FROM $src),
        |tg_tt AS (SELECT doc_id AS id, len(ws) AS n, unnest(ws) AS tk
        |  FROM tg_w WHERE len(ws) > 0),
        |tg_ttc AS (SELECT id, n, tk, count(*) AS c FROM tg_tt GROUP BY 1, 2, 3),
@@ -3992,28 +4263,71 @@ object Pipeline {
        |    ELSE round(CAST(len(regexp_extract_all(lower(text), '$enStop'))
        |      AS DOUBLE) / len(ws), 4) >= $TagMinStopword END AS kq
        |  FROM tg_w),
+       |tg_len AS (SELECT doc_id, CAST(list_reduce(list_prepend(0,
+       |      list_transform(ws, x -> len(x))), (a, b) -> a + b) AS BIGINT)
+       |      AS sumlen,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+       |      AS nsym
+       |  FROM tg_w),
+       |tg_li AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS nl,
+       |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+       |      OR starts_with(ltrim(l), '*')
+       |      OR starts_with(ltrim(l), '•'))) AS BIGINT) AS nbul,
+       |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS nell,
+       |    CAST(len(list_distinct(ls)) AS BIGINT) AS ndist
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+       |        FROM $src)),
        |tg_k AS (SELECT tg_blk.doc_id,
        |    (tg_blk.nw = 0 OR tg_blk.nb * 10000 < $BlockTau * tg_blk.nw)
        |      AS keep_blocklist,
        |    (tg_pii.npii <= $TagPiiMax) AS keep_pii,
        |    coalesce(tg_rep.kr, false) AS keep_repetition,
        |    tg_qual.kq AS keep_quality,
+       |    (tg_blk.nw >= ${TagGopher.minWords}
+       |      AND tg_blk.nw <= ${TagGopher.maxWords}
+       |      AND tg_len.sumlen >= ${TagGopher.minMeanWordLen} * tg_blk.nw
+       |      AND tg_len.sumlen <= ${TagGopher.maxMeanWordLen} * tg_blk.nw)
+       |      AS keep_doclen,
+       |    (tg_blk.nw = 0
+       |      OR tg_len.nsym * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw)
+       |      AS keep_symbols,
+       |    (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
+       |      AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
+       |      AND (tg_li.nl - tg_li.ndist) * 10000
+       |        <= ${TagGopher.dupLineTau} * tg_li.nl) AS keep_lines,
        |    ((tg_blk.nw = 0 OR tg_blk.nb * 10000 < $BlockTau * tg_blk.nw)
        |      AND tg_pii.npii <= $TagPiiMax AND coalesce(tg_rep.kr, false)
-       |      AND tg_qual.kq) AS kept
+       |      AND tg_qual.kq
+       |      AND (tg_blk.nw >= ${TagGopher.minWords}
+       |        AND tg_blk.nw <= ${TagGopher.maxWords}
+       |        AND tg_len.sumlen >= ${TagGopher.minMeanWordLen} * tg_blk.nw
+       |        AND tg_len.sumlen <= ${TagGopher.maxMeanWordLen} * tg_blk.nw)
+       |      AND (tg_blk.nw = 0
+       |        OR tg_len.nsym * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw)
+       |      AND (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
+       |        AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
+       |        AND (tg_li.nl - tg_li.ndist) * 10000
+       |          <= ${TagGopher.dupLineTau} * tg_li.nl)) AS kept
        |  FROM tg_blk JOIN tg_pii USING (doc_id) JOIN tg_qual USING (doc_id)
+       |  JOIN tg_len USING (doc_id) JOIN tg_li USING (doc_id)
        |  LEFT JOIN tg_rep USING (doc_id))""".stripMargin
   }
+
+  private lazy val taggerCteSql = taggerCteFor("documents")
 
   private lazy val q237Sql =
     s"""WITH $taggerCteSql
        |SELECT doc_id, keep_blocklist, keep_pii, keep_repetition,
-       |  keep_quality, kept,
+       |  keep_quality, keep_doclen, keep_symbols, keep_lines, kept,
        |  coalesce(array_to_string(list_filter([
        |    CASE WHEN NOT keep_blocklist THEN 'blocklist' END,
        |    CASE WHEN NOT keep_pii THEN 'pii' END,
        |    CASE WHEN NOT keep_repetition THEN 'repetition' END,
-       |    CASE WHEN NOT keep_quality THEN 'quality' END],
+       |    CASE WHEN NOT keep_quality THEN 'quality' END,
+       |    CASE WHEN NOT keep_doclen THEN 'doclen' END,
+       |    CASE WHEN NOT keep_symbols THEN 'symbols' END,
+       |    CASE WHEN NOT keep_lines THEN 'lines' END],
        |    x -> x IS NOT NULL), ','), '') AS reasons
        |FROM tg_k""".stripMargin
 
@@ -4151,10 +4465,10 @@ object Pipeline {
 
   private def q242(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val dir = cachedIndexDir(t.dir, "tagger_attrs_v1") { d =>
+    val dir = cachedIndexDir(t.dir, "tagger_attrs_v2") { d =>
       TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
           col("text"), BlockList, BlockTau, TagPiiMax,
-          RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+          RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
         .write.mode("overwrite").parquet(s"$d/attrs")
     }
     val attrs = spark.read.parquet(s"$dir/attrs")
@@ -4207,6 +4521,135 @@ object Pipeline {
        |WHERE bit_count(xor(x.af_hi, y.af_hi))
        |    + bit_count(xor(x.af_lo, y.af_lo)) <= $MaxHamming""".stripMargin
 
+  // ===== q244 HTML/markup text extraction =================================
+  // The pipeline ENTRY POINT every published curation stack starts from
+  // (C4, CCNet, RefinedWeb, Dolma all begin at crawled HTML): the
+  // deterministic resiliparse-lite extractor — script/style/comment
+  // drop, block segmentation by container element with per-block type
+  // tags, residual tag strip, entity decode (&amp; last), whitespace
+  // normalization — as ONE narrow zero-shuffle pass of codegen'd string
+  // expressions. The fixture synthesizes HTML from the corpus text
+  // (the withImageColumn discipline) with a trap for every rule: a
+  // script with tag-looking source, a comment with a ghost <p>, nav/
+  // footer chrome, encoded literals that must DECODE (not render as
+  // markup) — and the oracle replays both the synthesis concatenation
+  // and every strip/decode rule in SQL, so drift in either side breaks
+  // the hash.
+
+  private def q244(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("text")),
+      col("text"), "html")
+    Html.extractBlocks(withHtml.select(col("doc_id"), col("html")),
+      col("html"))
+      .select(col("doc_id"), col("block_type"), col("block_idx"),
+        col("block_text"))
+  }
+
+  /** HTML synthesis + extraction replay CTEs (prefix ht_), ending in
+    * `ht_k` (doc_id, rank, block_type, block_idx, block_text) — shared
+    * by q244 and the q245 composed flagship.
+    */
+  private lazy val htmlCteSql = {
+    val entityChain = "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(arr[i], '<[^>]*>', '', 'gs'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&')"
+    s"""ht_w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n
+       |  FROM documents),
+       |ht_html AS (SELECT doc_id,
+       |    concat(
+       |      '<html><head><title>fixture</title><style>p { color: #fff; }</style><script>if (1 < 2) { alert("x &amp; y"); }</script></head><body><!-- <p>ghost block</p> --><nav><a href="/">home</a> | <a href="/about">about</a></nav><h1>',
+       |      array_to_string(ws[1:3], ' &amp; '), '</h1>',
+       |      CASE WHEN n >= 4 THEN array_to_string(list_transform(
+       |        generate_series(0, (n - 4) // 10),
+       |        k -> concat('<p>', array_to_string(ws[k*10+4 : k*10+13], ' '),
+       |          ' &lt;eop&gt;</p>')), '') ELSE '' END,
+       |      '<ul><li>',
+       |      CASE WHEN n >= 2 THEN concat(ws[n-1], '&nbsp;', ws[n])
+       |        ELSE 'item&nbsp;only' END,
+       |      '</li><li>it&#39;s &quot;quoted&quot;</li></ul><div class="footer">contact us</div></body></html>')
+       |    AS html FROM ht_w),
+       |ht_c AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '<script\\b[^>]*>.*?</script>', '', 'gs'),
+       |      '<style\\b[^>]*>.*?</style>', '', 'gs'),
+       |      '<!--.*?-->', '', 'gs') AS ch
+       |  FROM ht_html),
+       |ht_t AS (
+       |  SELECT doc_id, 0 AS rank, 'nav' AS block_type,
+       |    regexp_extract_all(ch, '<nav[^>]*>(.*?)</nav>', 1, 's') AS arr
+       |  FROM ht_c
+       |  UNION ALL SELECT doc_id, 1, 'h1',
+       |    regexp_extract_all(ch, '<h1[^>]*>(.*?)</h1>', 1, 's') FROM ht_c
+       |  UNION ALL SELECT doc_id, 2, 'p',
+       |    regexp_extract_all(ch, '<p[^>]*>(.*?)</p>', 1, 's') FROM ht_c
+       |  UNION ALL SELECT doc_id, 3, 'li',
+       |    regexp_extract_all(ch, '<li[^>]*>(.*?)</li>', 1, 's') FROM ht_c
+       |  UNION ALL SELECT doc_id, 4, 'div',
+       |    regexp_extract_all(ch, '<div[^>]*>(.*?)</div>', 1, 's') FROM ht_c),
+       |ht_b AS (SELECT doc_id, rank, block_type,
+       |    CAST(i - 1 AS BIGINT) AS block_idx,
+       |    trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS block_text
+       |  FROM ht_t, unnest(generate_series(1, len(arr))) AS t(i)),
+       |ht_k AS (SELECT doc_id, rank, block_type, block_idx, block_text
+       |  FROM ht_b WHERE len(block_text) > 0)""".stripMargin
+  }
+
+  private lazy val q244Sql =
+    s"""WITH $htmlCteSql
+       |SELECT doc_id, block_type, block_idx, block_text FROM ht_k""".stripMargin
+
+  // ===== q245 composed: raw HTML → extract → tag → dedup ==================
+  // The q238 discipline applied to the extraction entry point: crawled
+  // HTML in, curated survivor set out, as ONE hash — synthesis →
+  // extraction (content blocks only; nav/div chrome dropped as
+  // boilerplate) → the seven-tagger mixer over the EXTRACTED text →
+  // exact-dedup election (min doc_id per identical extracted text).
+  // Drift in any extraction rule changes the extracted text, flips a
+  // tagger or the election, and breaks the hash.
+
+  private def q245(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("text")),
+      col("text"), "html")
+    val content = Html.extractText(withHtml, col("html"), "ctext")
+      .select(col("doc_id"), col("ctext"))
+    val keptIds = TextOps.taggerTable(content, col("doc_id"), col("ctext"),
+        BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
+        RepMinTtr, TagMinStopword, TagGopher)
+      .filter(col("kept")).select(col("id").as("doc_id"))
+    val kept = content.join(keptIds, Seq("doc_id"), "left_semi")
+    val survivors = kept.groupBy(col("ctext"))
+      .agg(min(col("doc_id")).as("sid"))
+    val nIn = content.agg(count(lit(1)).as("n_docs"))
+    val nKept = kept.agg(count(lit(1)).as("n_kept"))
+    val sv = survivors.agg(count(lit(1)).as("n_survivors"),
+      md5(array_join(transform(sort_array(collect_list(col("sid"))),
+        x => x.cast("string")), " ")).as("ids_md5"))
+    nIn.crossJoin(broadcast(nKept)).crossJoin(broadcast(sv))
+  }
+
+  private lazy val q245Sql =
+    s"""WITH $htmlCteSql,
+       |ht_doc AS (SELECT d.doc_id, coalesce(b.text, '') AS text
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, array_to_string(
+       |        list(block_text ORDER BY rank, block_idx), chr(10)) AS text
+       |    FROM ht_k WHERE rank BETWEEN 1 AND 3 GROUP BY doc_id) b
+       |  USING (doc_id)),
+       |${taggerCteFor("ht_doc")},
+       |ht_kept AS (SELECT d.doc_id, d.text FROM ht_doc d
+       |  JOIN tg_k USING (doc_id) WHERE tg_k.kept),
+       |ht_el AS (SELECT text, min(doc_id) AS sid FROM ht_kept GROUP BY text)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ht_doc) AS n_docs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ht_kept) AS n_kept,
+       |  CAST(count(*) AS BIGINT) AS n_survivors,
+       |  md5(array_to_string(list_transform(list_sort(list(sid)),
+       |    x -> CAST(x AS VARCHAR)), ' ')) AS ids_md5
+       |FROM ht_el""".stripMargin
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -4223,7 +4666,7 @@ object Pipeline {
   private def q238(t: Tables): DataFrame = {
     val keptIds = TextOps.taggerTable(graft.Fanout(t.documents),
         col("doc_id"), col("text"), BlockList, BlockTau, TagPiiMax,
-        RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword)
+        RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
     val docs0 = graft.Fanout(t.documents)
       .join(keptIds, Seq("doc_id"), "left_semi")
@@ -6969,7 +7412,14 @@ object Pipeline {
     "q240_audio_neardup_pairs" -> wrap(q240),
     "q241_video_keyframe_ahash" -> wrap(q241),
     "q242_stored_attrs_mixes" -> wrap(q242),
-    "q243_audio_index_probe" -> wrap(q243)
+    "q243_audio_index_probe" -> wrap(q243),
+    "q244_html_extract" -> wrap(q244),
+    "q245_html_curation" -> wrap(q245),
+    "q246_kn3_perplexity" -> wrap(q246),
+    "q247_kn3_stored_scoring" -> wrap(q247),
+    "q248_video_multiframe_pairs" -> wrap(q248),
+    "q249_langid_drift_alert" -> wrap(q249),
+    "q250_interleaved_id_shards" -> wrap(q250)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7144,6 +7594,15 @@ object Pipeline {
     "q240_audio_neardup_pairs" -> q240Sql,
     "q241_video_keyframe_ahash" -> q241Sql,
     "q242_stored_attrs_mixes" -> q242Sql,
-    "q243_audio_index_probe" -> q243Sql
+    "q243_audio_index_probe" -> q243Sql,
+    "q244_html_extract" -> q244Sql,
+    "q245_html_curation" -> q245Sql,
+    "q246_kn3_perplexity" -> q246Sql,
+    // stored trigram model must score exactly like the fresh build:
+    // q246's oracle verbatim (the stored-artifact contract at order 3)
+    "q247_kn3_stored_scoring" -> q246Sql,
+    "q248_video_multiframe_pairs" -> q248Sql,
+    "q249_langid_drift_alert" -> q249Sql,
+    "q250_interleaved_id_shards" -> q250Sql
   )
 }

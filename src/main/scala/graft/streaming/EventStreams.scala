@@ -943,13 +943,35 @@ object EventStreams {
     */
   def taggerIngest(outDir: String, blocklist: Seq[String], blockTau: Long,
       piiMax: Long, maxTopTokFrac: Double, maxTopBigramFrac: Double,
-      minTtr: Double, minStopwordRatio: Double)
+      minTtr: Double, minStopwordRatio: Double,
+      gopher: graft.operators.TextOps.GopherRules =
+        graft.operators.TextOps.GopherRules())
       : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => graft.CacheScope.scoped {
       import org.apache.spark.sql.functions.col
       graft.operators.TextOps.taggerTable(batch.toDF(),
           col("id"), col("text"), blocklist, blockTau, piiMax,
-          maxTopTokFrac, maxTopBigramFrac, minTtr, minStopwordRatio)
+          maxTopTokFrac, maxTopBigramFrac, minTtr, minStopwordRatio, gopher)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
+  /** Streaming HTML EXTRACTION — the crawler's arrival-time entry point
+    * ([[graft.operators.Html.extractBlocks]] as a foreachBatch sink):
+    * each micro-batch of (id, html) pages is segmented by the
+    * deterministic extractor in one narrow zero-shuffle pass and the
+    * block table (id, block_type, block_idx, block_text) lands under
+    * `batch=<id>` — overwrite mode, replay-idempotent. Downstream
+    * taggers/dedup consume the extracted text without ever re-parsing
+    * markup — exactly the batch pipeline's q244 → q245 split.
+    */
+  def htmlExtractIngest(outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Html.extractBlocks(
+          batch.toDF().select(col("id"), col("html")), col("html"))
+        .select(col("id"), col("block_type"), col("block_idx"),
+          col("block_text"))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 

@@ -197,6 +197,43 @@ class CurationSpec extends AnyFunSuite {
     } finally graft.CacheScope.drain()
   }
 
+  test("packShardIds interleave: pack order is (hash28(id), id); default stays id order; bin invariants hold") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      ("a", 1L, Seq("t1")),
+      ("a", 2L, Seq("t2")),
+      ("a", 3L, Seq("t3")),
+      ("a", 4L, Seq("t4"))
+    ).toDF("src", "id", "toks")
+    val vocab = (1 to 4).map(i => s"t$i" -> (100L + i)).toMap
+    try {
+      // the documented permutation, derived through the same SharedHash
+      // the operator uses
+      val order = d.select(col("id"),
+          Dedup.SharedHash.hash28(col("id").cast("string")).as("h"))
+        .as[(Long, Long)].collect().sortBy { case (i, h) => (h, i) }
+        .map(_._1).toSeq
+      assert(order.toSet == Set(1L, 2L, 3L, 4L))
+      assert(order != Seq(1L, 2L, 3L, 4L),
+        "fixture must actually permute (pick other ids if not)")
+      val inter = Curation.packShardIds(d, col("src"), col("id"),
+          col("toks"), vocab, budget = 100L, partitions = 4,
+          interleave = true)
+        .as[(String, Long, Long, Seq[Long], String)].collect()
+      assert(inter.length == 1 && inter(0)._3 == 4L)
+      val expected = order.map(i => 100L + i)
+      assert(inter(0)._4 == expected)
+      assert(inter(0)._5 == md5(expected.mkString(" ")))
+      graft.CacheScope.drain()
+      // default export unchanged: strict id order
+      val plain = Curation.packShardIds(d, col("src"), col("id"),
+          col("toks"), vocab, budget = 100L, partitions = 4)
+        .as[(String, Long, Long, Seq[Long], String)].collect()
+      assert(plain(0)._4 == Seq(101L, 102L, 103L, 104L))
+    } finally graft.CacheScope.drain()
+  }
+
   test("packManifest survives a narrow single-partition sink (the coalesce(1) stage-collapse regression)") {
     // the exact failure the gate caught: binsOf's __pid comes from
     // TaskContext, and a downstream NARROW coalesce(1) used to collapse

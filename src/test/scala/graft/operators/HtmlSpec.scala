@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HtmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val page =
+    "<html><head><title>t</title>" +
+      "<style>p { color: red; } /* <p>style trap</p> */</style>" +
+      "<script>if (1 < 2) { var s = \"</div> trap\"; }</script>" +
+      "</head><body>" +
+      "<!-- comment trap <p>ghost</p> -->" +
+      "<nav><a href=\"/\">home</a> | <a href=\"/x\">about</a></nav>" +
+      "<h1>alpha &amp; beta</h1>" +
+      "<p>one   two\n three</p>" +
+      "<p>encoded &lt;b&gt; stays &quot;text&quot;</p>" +
+      "<p>   </p>" + // whitespace-only block: dropped
+      "<ul><li>it&#39;s here</li><li>a&nbsp;b</li></ul>" +
+      "<div class=\"footer\">contact us</div>" +
+      "</body></html>"
+
+  test("extractBlocks: drops script/style/comment, segments, strips, decodes, normalizes") {
+    val df = Seq((1L, page)).toDF("id", "html")
+    val out = Html.extractBlocks(df, $"html")
+      .select($"block_type", $"block_idx", $"block_text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("nav", 0L, "home | about"),
+      ("h1", 0L, "alpha & beta"),
+      ("p", 0L, "one two three"),
+      ("p", 1L, "encoded <b> stays \"text\""),
+      // p idx 2 (whitespace-only) dropped, but indices of earlier blocks
+      // are stable — the pre-drop occurrence index contract
+      ("li", 0L, "it's here"),
+      ("li", 1L, "a b"),
+      ("div", 0L, "contact us")))
+  }
+
+  test("extractText: content blocks only (nav/div chrome dropped), newline-joined in order") {
+    val df = Seq((1L, page)).toDF("id", "html")
+    val txt = Html.extractText(df, $"html", "ctext")
+      .select($"ctext").as[String].head()
+    assert(txt ==
+      "alpha & beta\none two three\nencoded <b> stays \"text\"\nit's here\na b")
+  }
+
+  test("decode order: &amp; decodes LAST so &amp;lt; yields literal &lt; not <") {
+    val df = Seq((1L, "<p>&amp;lt;keep&amp;gt;</p>")).toDF("id", "html")
+    val out = Html.extractBlocks(df, $"html")
+      .select($"block_text").as[String].head()
+    assert(out == "&lt;keep&gt;")
+  }
+
+  test("withHtmlColumn: synthesis wraps every word; round-trip recovers title/paras/lis") {
+    val text = (1 to 17).map(i => s"w$i").mkString(" ") // 17 words
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val html = Html.withHtmlColumn(df, $"text", "html")
+    val blocks = Html.extractBlocks(html.select($"doc_id", $"html"), $"html")
+      .select($"block_type", $"block_idx", $"block_text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(blocks.filter(_._1 == "h1").map(_._3) == Seq("w1 & w2 & w3"))
+    // paras: words 4..13, 14..17, each with the decoded <eop> marker
+    assert(blocks.filter(_._1 == "p").map(_._3) == Seq(
+      (4 to 13).map(i => s"w$i").mkString(" ") + " <eop>",
+      (14 to 17).map(i => s"w$i").mkString(" ") + " <eop>"))
+    assert(blocks.filter(_._1 == "li").map(_._3) ==
+      Seq("w16 w17", "it's \"quoted\""))
+    assert(blocks.filter(_._1 == "nav").map(_._3) == Seq("home | about"))
+    assert(blocks.filter(_._1 == "div").map(_._3) == Seq("contact us"))
+    // the script/style/comment traps never leak into any block
+    assert(blocks.forall(b => !b._3.contains("ghost") &&
+      !b._3.contains("alert") && !b._3.contains("color")))
+  }
+
+  test("withHtmlColumn: short docs (under 4 / under 2 words) stay total") {
+    val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c")).toDF("doc_id", "text")
+    val blocks = Html.extractBlocks(
+      Html.withHtmlColumn(df, $"text", "html").select($"doc_id", $"html"),
+      $"html")
+      .select($"doc_id", $"block_type", $"block_text")
+      .as[(Long, String, String)].collect()
+    // no <p> blocks below 4 words; the one-word doc gets the fallback li
+    assert(!blocks.exists(b => b._1 == 1L && b._2 == "p"))
+    assert(blocks.filter(b => b._1 == 1L && b._2 == "li").map(_._3).toSeq ==
+      Seq("item only", "it's \"quoted\""))
+    assert(blocks.filter(b => b._1 == 2L && b._2 == "li").map(_._3).toSeq ==
+      Seq("two words", "it's \"quoted\""))
+    assert(blocks.filter(b => b._1 == 3L && b._2 == "h1").map(_._3).toSeq ==
+      Seq("a & b & c"))
+  }
+}

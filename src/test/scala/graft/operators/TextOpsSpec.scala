@@ -47,30 +47,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 4L, 2L, 0.5, false)))
   }
 
-  test("taggerTable: four taggers, one pass; planted PII fires; empty doc never silently drops") {
+  test("taggerTable: seven taggers, one pass; planted PII fires; empty doc never silently drops") {
     val df = Seq(
       (1L, "the cat of the house is in the garden with the dog today"),
       (2L, "bad bad bad the cat of the house is here"), // blocklist (3/9 > 10%)
       (3L, "the report is at a@b.co and c@d.eu plus http://x.io today ok"), // 3 PII hits > 2
       (4L, "spam spam spam spam spam spam spam spam the end"), // repetition
       (5L, "zzz qqq www kkk mmm nnn ppp rrr ttt vvv"), // no stopwords: quality
-      (6L, "")                                          // empty: rep + quality fail
+      (6L, "")                                          // empty: rep + quality + doclen fail
     ).toDF("id", "text")
     val out = TextOps.taggerTable(df, $"id", $"text",
         blocklist = Seq("bad"), blockTau = 1000L, piiMax = 2L,
         maxTopTokFrac = 0.35, maxTopBigramFrac = 0.3, minTtr = 0.2,
-        minStopwordRatio = 0.02)
-      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, String)]
+        minStopwordRatio = 0.02,
+        gopher = TextOps.GopherRules(minWords = 1L))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean,
+           Boolean, Boolean, String)]
       .collect().map(r => r._1 -> r).toMap
     assert(out.size == 6, "every input row survives into the tagger table")
-    assert(out(1L) == ((1L, true, true, true, true, true, "")))
-    assert(out(2L)._2 == false && out(2L)._6 == false &&
-      out(2L)._7.contains("blocklist"))
-    assert(out(3L)._3 == false && out(3L)._7 == "pii")
-    assert(out(4L)._4 == false && out(4L)._7.contains("repetition"))
-    assert(out(5L)._5 == false && out(5L)._7 == "quality")
-    assert(out(6L) == ((6L, true, true, false, false, false,
-      "repetition,quality")))
+    assert(out(1L) == ((1L, true, true, true, true, true, true, true, true, "")))
+    assert(out(2L)._2 == false && out(2L)._9 == false &&
+      out(2L)._10.contains("blocklist"))
+    assert(out(3L)._3 == false && out(3L)._10 == "pii")
+    assert(out(4L)._4 == false && out(4L)._10.contains("repetition"))
+    assert(out(5L)._5 == false && out(5L)._10 == "quality")
+    assert(out(6L) == ((6L, true, true, false, false, false, true, true, false,
+      "repetition,quality,doclen")))
+  }
+
+  test("taggerTable: Gopher document-shape rules — doclen/symbols/lines each fire alone") {
+    // Loosen every non-Gopher tagger so only the shape rules decide.
+    def tag(docs: Seq[(Long, String)], g: TextOps.GopherRules) =
+      TextOps.taggerTable(docs.toDF("id", "text"), $"id", $"text",
+          blocklist = Seq.empty, blockTau = 10000L, piiMax = 100L,
+          maxTopTokFrac = 1.0, maxTopBigramFrac = 1.0, minTtr = 0.0,
+          minStopwordRatio = 0.0, gopher = g)
+        .select($"id", $"keep_doclen", $"keep_symbols", $"keep_lines", $"reasons")
+        .as[(Long, Boolean, Boolean, Boolean, String)]
+        .collect().map(r => r._1 -> r).toMap
+    val g = TextOps.GopherRules(minWords = 5L)
+    val out = tag(Seq(
+      (1L, "one two three"),                       // 3 words < 5: doclen
+      (2L, "alpha bravo carol delta eagle frank"), // clean
+      (3L, "supercalifragilistic extraordinarily incomprehensibilities overqualification jackhammering"), // mean len > 10: doclen
+      (4L, "see C# and #tags #everywhere ... fine"), // 4 symbols / 7 words > 10%: symbols
+      (5L, "- alpha bravo\n- alpha carol\n- alpha delta\n- alpha eagle\n- alpha frank\n- bravo carol\n- bravo delta\n- bravo eagle\n- bravo frank\nintro line here of words"), // 9/10 bullet lines
+      (6L, "first line goes on...\nsecond line is also trailing off...\nthird line is plain here okay\nfourth line is plain too okay"), // 2/4 ellipsis > 30%
+      (7L, "same line of words here\nsame line of words here\nsame line of words here\nunique line of words here")), // dup fraction 2/4 > 30%
+      g)
+    assert(out(1L) == ((1L, false, true, true, "doclen")))
+    assert(out(2L) == ((2L, true, true, true, "")))
+    assert(out(3L) == ((3L, false, true, true, "doclen")))
+    assert(out(4L) == ((4L, true, false, true, "symbols")))
+    assert(out(5L)._4 == false && out(5L)._5 == "lines")
+    assert(out(6L)._4 == false && out(6L)._5 == "lines")
+    assert(out(7L)._4 == false && out(7L)._5 == "lines")
   }
 
   test("langId picks the language with most stopword hits; CJK wins; und fallback") {

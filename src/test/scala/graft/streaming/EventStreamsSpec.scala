@@ -741,9 +741,33 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(r0 == offline, "streaming report must equal the offline tagger table")
     assert(r0.keySet == Set(1L, 2L, 3L), "every batch row lands, drops included")
-    assert(r0(3L) == ((false, "repetition,quality")))
+    assert(r0(3L) == ((false, "repetition,quality,doclen")))
     sink(b0, 0L) // replay
     assert(rows(0L) == r0)
+  }
+
+  test("htmlExtractIngest: per-batch block table ≡ offline extractor; replay idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("htmlingest").toString
+    val sink = EventStreams.htmlExtractIngest(out)
+    val b0 = Seq(
+      (1L, "<html><body><h1>a &amp; b</h1><p>one two</p></body></html>"),
+      (2L, "<nav>x</nav><script>drop()</script><p>kept</p>")).toDF("id", "html")
+    sink(b0, 0L)
+    def rows() = spark.read.parquet(s"$out/batch=0")
+      .select($"id", $"block_type", $"block_idx", $"block_text")
+      .as[(Long, String, Long, String)].collect().toSet
+    val r0 = rows()
+    val offline = graft.operators.Html.extractBlocks(b0,
+        org.apache.spark.sql.functions.col("html"))
+      .select($"id", $"block_type", $"block_idx", $"block_text")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(r0 == offline && r0.nonEmpty)
+    assert(r0.contains((1L, "h1", 0L, "a & b")))
+    assert(r0.contains((2L, "nav", 0L, "x")))
+    assert(!r0.exists(_._4.contains("drop")), "script content never leaks")
+    sink(b0, 0L) // replay
+    assert(rows() == r0)
   }
 
   test("imageAHashIngest: dedup-on-arrival vs store and within batch; undecodables quarantined; replay idempotent") {
