@@ -114,6 +114,41 @@ object Html {
         col("__b.block_idx").cast("long").as("block_idx"),
         col("block_text"))): _*)
 
+  /** BLOCK SIGNALS — the link-density boilerplate heuristic every
+    * published extractor runs (jusText / trafilatura / resiliparse:
+    * a block whose text is mostly anchor text is navigation chrome
+    * regardless of its tag): per block, `link_chars` = Σ length of the
+    * cleaned inner text of its `<a>` elements, `text_chars` = length
+    * of the cleaned block text, and
+    * `boilerplate` = chrome-by-tag (nav/div) OR 2·link_chars >
+    * text_chars (link density > ½, exact integers — no float
+    * boundary). The tag rule catches footers with no links; the
+    * density rule catches link farms inside content tags — the spec
+    * pins each firing alone. Same one narrow pass as
+    * [[extractBlocks]]; empty blocks drop.
+    *
+    * Output: input columns + (block_type, block_idx, link_chars,
+    * text_chars, block_text, boilerplate).
+    */
+  def blockSignals(df: DataFrame, html: Column): DataFrame = {
+    val aInner = (raw: Column) =>
+      regexp_extract_all(raw, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+    df.withColumn("__b", explode(blockStructs(html)))
+      .withColumn("block_text", cleanBlock(col("__b.raw")))
+      .filter(length(col("block_text")) > 0)
+      .withColumn("link_chars",
+        aggregate(transform(aInner(col("__b.raw")), x => cleanBlock(x)),
+          lit(0L), (a, x) => a + length(x).cast("long")))
+      .withColumn("text_chars", length(col("block_text")).cast("long"))
+      .select((df.columns.map(col) ++ Seq(
+        col("__b.block_type").as("block_type"),
+        col("__b.block_idx").cast("long").as("block_idx"),
+        col("link_chars"), col("text_chars"), col("block_text"),
+        (col("__b.rank").isin(0, 4) ||
+          lit(2L) * col("link_chars") > col("text_chars"))
+          .as("boilerplate"))): _*)
+  }
+
   /** DOCUMENT TEXT extraction: the content blocks (h1/p/li — nav and
     * div chrome dropped as boilerplate) cleaned and joined with
     * newlines in (rank, idx) order, appended as `out`. The shape the

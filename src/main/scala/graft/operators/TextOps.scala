@@ -166,7 +166,8 @@ object TextOps {
       symbolTau: Long = 1000L,
       bulletTau: Long = 9000L,
       ellipsisTau: Long = 3000L,
-      dupLineTau: Long = 3000L)
+      dupLineTau: Long = 3000L,
+      dupCharTau: Long = 2000L)
 
   /** The Dolma-style TAGGER TABLE + mixer decision — the published
     * curation architecture (Dolma: "taggers" emit per-document
@@ -191,7 +192,10 @@ object TextOps {
     * and says so in `reasons`, never a silent drop. Line rules: keep
     * iff n_bullet·10⁴ < bulletTau·n_lines (Gopher drops at ≥ 90%) AND
     * n_ellipsis·10⁴ ≤ ellipsisTau·n_lines AND
-    * (n_lines − n_distinct)·10⁴ ≤ dupLineTau·n_lines; the symbol rule
+    * (n_lines − n_distinct)·10⁴ ≤ dupLineTau·n_lines AND the
+    * duplicate-line CHARACTER fraction
+    * (Σlen(lines) − Σlen(distinct lines))·10⁴ ≤ dupCharTau·Σlen(lines)
+    * (vacuous at zero chars); the symbol rule
     * keeps iff n_sym·10⁴ ≤ symbolTau·n_words (empty doc: vacuously
     * clean, the blocklist convention).
     *
@@ -240,7 +244,11 @@ object TextOps {
         size(col("__ls")).cast("long").as("__nl"),
         size(filter(col("__ls"), bulletStart)).cast("long").as("__nbul"),
         size(filter(col("__ls"), ellipsisEnd)).cast("long").as("__nell"),
-        size(array_distinct(col("__ls"))).cast("long").as("__ndist"))
+        size(array_distinct(col("__ls"))).cast("long").as("__ndist"),
+        aggregate(col("__ls"), lit(0L), (a, l) => a + length(l).cast("long"))
+          .as("__lentot"),
+        aggregate(array_distinct(col("__ls")), lit(0L),
+          (a, l) => a + length(l).cast("long")).as("__lendist"))
     val ttr = round(element_at(col("__s1"), 2).cast("double") / col("__nw"), 4)
     val tokFrac = round(element_at(col("__s1"), 1).cast("double") / col("__nw"), 4)
     val bgFrac = when(col("__s2").isNotNull,
@@ -268,7 +276,10 @@ object TextOps {
       (col("__nbul") * lit(10000L) < lit(g.bulletTau) * col("__nl") &&
         col("__nell") * lit(10000L) <= lit(g.ellipsisTau) * col("__nl") &&
         (col("__nl") - col("__ndist")) * lit(10000L)
-          <= lit(g.dupLineTau) * col("__nl"))
+          <= lit(g.dupLineTau) * col("__nl") &&
+        (col("__lentot") === 0 ||
+          (col("__lentot") - col("__lendist")) * lit(10000L)
+            <= lit(g.dupCharTau) * col("__lentot")))
         .as("keep_lines"))
     scored.select(col("id"), col("keep_blocklist"), col("keep_pii"),
       col("keep_repetition"), col("keep_quality"), col("keep_doclen"),

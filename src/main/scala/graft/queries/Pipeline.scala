@@ -4209,7 +4209,7 @@ object Pipeline {
   private val TagGopher = TextOps.GopherRules(minWords = 20L,
     maxWords = 100000L, minMeanWordLen = 3L, maxMeanWordLen = 10L,
     symbolTau = 1000L, bulletTau = 9000L, ellipsisTau = 3000L,
-    dupLineTau = 3000L)
+    dupLineTau = 3000L, dupCharTau = 2000L)
 
   private def q237(t: Tables): DataFrame =
     TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
@@ -4275,7 +4275,11 @@ object Pipeline {
        |      OR starts_with(ltrim(l), '•'))) AS BIGINT) AS nbul,
        |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
        |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS nell,
-       |    CAST(len(list_distinct(ls)) AS BIGINT) AS ndist
+       |    CAST(len(list_distinct(ls)) AS BIGINT) AS ndist,
+       |    CAST(list_reduce(list_prepend(0, list_transform(ls,
+       |      l -> len(l))), (a, b) -> a + b) AS BIGINT) AS lentot,
+       |    CAST(list_reduce(list_prepend(0, list_transform(list_distinct(ls),
+       |      l -> len(l))), (a, b) -> a + b) AS BIGINT) AS lendist
        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
        |        FROM $src)),
        |tg_k AS (SELECT tg_blk.doc_id,
@@ -4295,7 +4299,9 @@ object Pipeline {
        |    (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
        |      AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
        |      AND (tg_li.nl - tg_li.ndist) * 10000
-       |        <= ${TagGopher.dupLineTau} * tg_li.nl) AS keep_lines,
+       |        <= ${TagGopher.dupLineTau} * tg_li.nl
+       |      AND (tg_li.lentot = 0 OR (tg_li.lentot - tg_li.lendist) * 10000
+       |        <= ${TagGopher.dupCharTau} * tg_li.lentot)) AS keep_lines,
        |    ((tg_blk.nw = 0 OR tg_blk.nb * 10000 < $BlockTau * tg_blk.nw)
        |      AND tg_pii.npii <= $TagPiiMax AND coalesce(tg_rep.kr, false)
        |      AND tg_qual.kq
@@ -4308,7 +4314,10 @@ object Pipeline {
        |      AND (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
        |        AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
        |        AND (tg_li.nl - tg_li.ndist) * 10000
-       |          <= ${TagGopher.dupLineTau} * tg_li.nl)) AS kept
+       |          <= ${TagGopher.dupLineTau} * tg_li.nl
+       |        AND (tg_li.lentot = 0
+       |          OR (tg_li.lentot - tg_li.lendist) * 10000
+       |            <= ${TagGopher.dupCharTau} * tg_li.lentot))) AS kept
        |  FROM tg_blk JOIN tg_pii USING (doc_id) JOIN tg_qual USING (doc_id)
        |  JOIN tg_len USING (doc_id) JOIN tg_li USING (doc_id)
        |  LEFT JOIN tg_rep USING (doc_id))""".stripMargin
@@ -4465,7 +4474,7 @@ object Pipeline {
 
   private def q242(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
-    val dir = cachedIndexDir(t.dir, "tagger_attrs_v2") { d =>
+    val dir = cachedIndexDir(t.dir, "tagger_attrs_v3") { d =>
       TextOps.taggerTable(graft.Fanout(t.documents), col("doc_id"),
           col("text"), BlockList, BlockTau, TagPiiMax,
           RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
@@ -4550,11 +4559,18 @@ object Pipeline {
     * `ht_k` (doc_id, rank, block_type, block_idx, block_text) — shared
     * by q244 and the q245 composed flagship.
     */
-  private lazy val htmlCteSql = {
-    val entityChain = "replace(replace(replace(replace(replace(replace(" +
-      "regexp_replace(arr[i], '<[^>]*>', '', 'gs'), " +
+  /** The strip→decode→normalize chain over a SQL expression — must
+    * mirror Html.cleanBlock exactly (tag strip, entity decode with
+    * &amp; last, whitespace collapse happens at the call site).
+    */
+  private def entityChainSql(e: String): String =
+    "replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', '', 'gs'), " +
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
       "'&nbsp;', ' '), '&amp;', '&')"
+
+  private lazy val htmlCteSql = {
+    val entityChain = entityChainSql("arr[i]")
     s"""ht_w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n
        |  FROM documents),
@@ -4590,7 +4606,7 @@ object Pipeline {
        |  UNION ALL SELECT doc_id, 4, 'div',
        |    regexp_extract_all(ch, '<div[^>]*>(.*?)</div>', 1, 's') FROM ht_c),
        |ht_b AS (SELECT doc_id, rank, block_type,
-       |    CAST(i - 1 AS BIGINT) AS block_idx,
+       |    CAST(i - 1 AS BIGINT) AS block_idx, arr[i] AS raw,
        |    trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS block_text
        |  FROM ht_t, unnest(generate_series(1, len(arr))) AS t(i)),
        |ht_k AS (SELECT doc_id, rank, block_type, block_idx, block_text
@@ -4654,6 +4670,42 @@ object Pipeline {
        |    x -> CAST(x AS VARCHAR)), ' ')) AS ids_md5
        |FROM ht_el""".stripMargin
 
+  // ===== q252 link-density block boilerplate signals ======================
+  // The jusText/trafilatura heuristic the tag-name chrome rule cannot
+  // express: a block whose text is mostly anchor text is navigation
+  // regardless of its element — per block, link_chars (Σ cleaned <a>
+  // inner text) vs text_chars, boilerplate = chrome-by-tag OR
+  // 2·link_chars > text_chars (exact integers). On the fixture the nav
+  // fires BOTH rules, the div footer only the tag rule (no links) —
+  // the gate pins the two rules' independence; HtmlSpec plants a
+  // link-farm <p> the tag rule misses.
+
+  private def q252(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("text")),
+      col("text"), "html")
+    Html.blockSignals(withHtml.select(col("doc_id"), col("html")),
+      col("html"))
+      .select(col("doc_id"), col("block_type"), col("block_idx"),
+        col("link_chars"), col("text_chars"), col("boilerplate"))
+  }
+
+  private lazy val q252Sql = {
+    val inner = entityChainSql("x")
+    s"""WITH $htmlCteSql,
+       |ht_lk AS (SELECT doc_id, rank, block_type, block_idx, block_text,
+       |    CAST(list_reduce(list_prepend(0, list_transform(
+       |      regexp_extract_all(raw, '<a[^>]*>(.*?)</a>', 1, 's'),
+       |      x -> len(trim(regexp_replace($inner, '\\s+', ' ', 'g'))))),
+       |      (a, b) -> a + b) AS BIGINT) AS link_chars
+       |  FROM ht_b WHERE len(block_text) > 0)
+       |SELECT doc_id, block_type, block_idx, link_chars,
+       |  CAST(len(block_text) AS BIGINT) AS text_chars,
+       |  (rank IN (0, 4) OR 2 * link_chars > len(block_text))
+       |    AS boilerplate
+       |FROM ht_lk""".stripMargin
+  }
+
   // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
   // The complete published production path as ONE DataFrame and ONE
   // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
@@ -4703,7 +4755,12 @@ object Pipeline {
         col("stream_md5"))
   }
 
-  private lazy val q238Sql = {
+  /** The full-curation oracle chain (tagger → dedup → survivor BPE →
+    * EOS id shards) over any (doc_id, source, text) source table —
+    * q238 runs it on `documents`, q251 on the HTML-extracted `ht_src`.
+    * `pre` prepends extra CTEs (the ht_ extraction chain for q251).
+    */
+  private def fullCurationShardsSql(src: String, pre: String): String = {
     val rows = MinHashes / Bands
     val sigExprs = (0 until MinHashes).map { i =>
       s"list_min(list_transform(xs, x -> (${Dedup.hashA(i)}*x + ${Dedup.hashB(i)}) % ${Dedup.P}))"
@@ -4711,9 +4768,9 @@ object Pipeline {
     val products = (1 to BpeRounds).map(i =>
       s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH $taggerCteSql,
+    s"""WITH $pre${taggerCteFor(src)},
        |din AS MATERIALIZED (SELECT d.doc_id, d.source, d.text
-       |  FROM documents d JOIN tg_k USING (doc_id) WHERE tg_k.kept),
+       |  FROM $src d JOIN tg_k USING (doc_id) WHERE tg_k.kept),
        |x_ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM din GROUP BY text),
        |x_h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
        |    list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM (
@@ -4987,6 +5044,72 @@ object Pipeline {
        |    x -> CAST(x AS VARCHAR)), ' ')) AS stream_md5
        |FROM pk_m GROUP BY 1, 2""".stripMargin
   }
+
+  private lazy val q238Sql = fullCurationShardsSql("documents", "")
+
+  // ===== q251 THE pipeline end-to-end: crawled HTML → trainer file ========
+  // The complete story this engine exists to tell, as ONE DataFrame and
+  // ONE hash: raw crawled HTML (q244's synthesis) → deterministic
+  // extraction (content blocks, chrome dropped) → the seven-tagger
+  // mixer over the EXTRACTED text → exact + MinHash-LSH dedup →
+  // byte-BPE trained on the curated survivors → survivor-derived GPT-2
+  // id layout → EOS-separated token-id shards. q238 starts from plain
+  // text; q245 stops at the survivor election; this row closes the gap
+  // — drift in ANY extraction rule, tagger, election, trainer slice,
+  // id layout, EOS placement or pack order breaks the hash. Oracle =
+  // the shared full-curation chain over the ht_ extraction CTEs.
+
+  private def q251(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("source"),
+        col("text")), col("text"), "html")
+    // extract ONCE (the q245 lesson): the content frame feeds the
+    // tagger, the dedup election, the trainer and the packing tail
+    val content = Html.extractText(withHtml, col("html"), "ctext")
+      .select(col("doc_id"), col("source"), col("ctext").as("text"))
+      .persistScoped()
+    val keptIds = TextOps.taggerTable(content, col("doc_id"), col("text"),
+        BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
+        RepMinTtr, TagMinStopword, TagGopher)
+      .filter(col("kept")).select(col("id").as("doc_id"))
+    val docs0 = content.join(keptIds, Seq("doc_id"), "left_semi")
+    val survivors = docs0.join(Dedup.dedupCorpus(
+        docs0.select(col("doc_id").as("id"), col("text")),
+        3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds trainer AND tokenization AND packing
+    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+      BpeRounds, requireFull = true)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextOps.bpeVocabIdsByteLevel(merges)
+    val dw = survivors.select(col("source"), col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+    val wt = dw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+          .as("toks"))
+    val dt = dw.join(wt, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("toks"))
+    graft.operators.Curation.packShardIdsSep(dt, col("source"),
+      col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
+      .select(col("domain").as("source"), col("bin"), col("n_tokens"),
+        col("stream_md5"))
+  }
+
+  private lazy val q251Sql = fullCurationShardsSql("ht_src",
+    s"""$htmlCteSql,
+       |ht_src AS (SELECT d.doc_id, d.source, coalesce(b.text, '') AS text
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, array_to_string(
+       |        list(block_text ORDER BY rank, block_idx), chr(10)) AS text
+       |    FROM ht_k WHERE rank BETWEEN 1 AND 3 GROUP BY doc_id) b
+       |  USING (doc_id)),
+       |""".stripMargin)
 
   // ===== q216 stored-WordPiece tokenization ===============================
   // q214's production form: the flat serving vocabulary (initial symbols
@@ -7423,7 +7546,9 @@ object Pipeline {
     "q247_kn3_stored_scoring" -> wrap(q247),
     "q248_video_multiframe_pairs" -> wrap(q248),
     "q249_langid_drift_alert" -> wrap(q249),
-    "q250_interleaved_id_shards" -> wrap(q250)
+    "q250_interleaved_id_shards" -> wrap(q250),
+    "q251_html_to_shards" -> wrap(q251),
+    "q252_block_boilerplate" -> wrap(q252)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7607,6 +7732,8 @@ object Pipeline {
     "q247_kn3_stored_scoring" -> q246Sql,
     "q248_video_multiframe_pairs" -> q248Sql,
     "q249_langid_drift_alert" -> q249Sql,
-    "q250_interleaved_id_shards" -> q250Sql
+    "q250_interleaved_id_shards" -> q250Sql,
+    "q251_html_to_shards" -> q251Sql,
+    "q252_block_boilerplate" -> q252Sql
   )
 }

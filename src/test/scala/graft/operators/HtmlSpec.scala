@@ -77,6 +77,30 @@ class HtmlSpec extends AnyFunSuite {
       !b._3.contains("alert") && !b._3.contains("color")))
   }
 
+  test("blockSignals: link-density catches the link farm the tag rule misses; footer by tag only") {
+    val farm = "<html><body>" +
+      "<p>read <a href=\"/a\">this whole article here</a> and <a href=\"/b\">also this one</a></p>" + // mostly anchor text
+      "<p>a normal paragraph with one <a href=\"/c\">link</a> in plenty of prose around it</p>" +
+      "<nav><a href=\"/\">home</a> | <a href=\"/x\">about</a></nav>" +
+      "<div>plain footer text</div>" +
+      "</body></html>"
+    val df = Seq((1L, farm)).toDF("id", "html")
+    val out = Html.blockSignals(df, $"html")
+      .select($"block_type", $"block_idx", $"link_chars", $"text_chars", $"boilerplate")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // p0: "read this whole article here and also this one" (46 chars);
+    // links: "this whole article here"(23) + "also this one"(13) = 36
+    assert(out(("p", 0L)) == (("p", 0L, 36L, 46L, true)),
+      s"link farm must flag: ${out(("p", 0L))}")
+    // p1: link "link"(4) in 74 chars of prose — content
+    val p1 = out(("p", 1L))
+    assert(p1._5 == false && p1._3 == 4L)
+    // nav: both rules; div: tag rule alone (zero link chars)
+    assert(out(("nav", 0L))._5 == true)
+    assert(out(("div", 0L)) == (("div", 0L, 0L, 17L, true)))
+  }
+
   test("withHtmlColumn: short docs (under 4 / under 2 words) stay total") {
     val df = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c")).toDF("doc_id", "text")
     val blocks = Html.extractBlocks(
