@@ -33,10 +33,16 @@ import org.apache.spark.sql.functions._
   *  5. NORMALIZE whitespace per block (collapse runs, trim) and drop
   *     blocks that normalize to empty.
   *
-  * Reference: the reference runtime ships text through opaque
-  * user processors (tez-runtime-library ValuesIterator consumers);
-  * extraction-as-expression is the Spark-native replacement — no UDF,
-  * no per-row interpreter, whole-stage codegen end to end.
+  * Reference: the reference runtime ships text through opaque per-row
+  * user processors (tez-mapreduce/src/main/java/org/apache/tez/
+  * mapreduce/processor/map/MapProcessor.java — arbitrary record
+  * transforms the engine cannot see into); extraction-as-expression is
+  * the Spark-native replacement — no UDF, no per-row interpreter,
+  * whole-stage codegen end to end, and Catalyst can prune/push through
+  * it. The extraction RULES come from the public pipeline literature
+  * (C4 — Raffel et al. 2020 §2.2; CCNet — Wenzek et al. 2019;
+  * RefinedWeb — Penedo et al. 2023; Dolma — Soldaini et al. 2024;
+  * resiliparse/jusText as the deterministic extractor family).
   */
 object Html {
 
