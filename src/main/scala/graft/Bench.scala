@@ -93,7 +93,16 @@ object Bench {
     // row — the file copy always carries all rows
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    spark.stop()
+    // exit HARD once the record is written: Spark session stop + sbt
+    // teardown take 10-30s on this suite, and the round-14 driver run
+    // was killed (rc=124) in exactly that window — AFTER the JSON line
+    // had printed — which voided the whole artifact. The JVM owns no
+    // state worth unwinding here (BENCH_LOCAL.json is already on disk,
+    // /tmp scratch is reused-or-rebuilt by design), so halt(0) makes
+    // the process exit 0 inside the wrapper's budget with the JSON
+    // line as the LAST stdout line (what the driver parses).
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 
   /** Measured bucketed-vs-shuffled join rows — the repeated-workload story

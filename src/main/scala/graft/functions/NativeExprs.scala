@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Dedup
 
@@ -485,6 +486,101 @@ object NativeKernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Decode HTML NUMERIC character references — `&#123;` (decimal) and
+    * `&#x1F;`/`&#X1f;` (hex) — to their code points, one left-to-right
+    * scan. Invalid references stay literal: no terminating `;`, no
+    * digits, > 7 digits, value 0, beyond U+10FFFF, or a surrogate
+    * (U+D800–U+DFFF — not a scalar value; DuckDB's chr() errors on
+    * them, and the oracle guards identically). Named entities are NOT
+    * handled here — [[graft.operators.Html.decodeEntities]] sequences
+    * named (non-amp) → numeric → `&amp;` so `&amp;#39;` renders as the
+    * literal `&#39;` a browser shows, never double-decoded.
+    */
+  def decodeNumericRefs(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf("&#") < 0) return s
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      if (str.charAt(i) == '&' && i + 2 < n && str.charAt(i + 1) == '#') {
+        var j = i + 2
+        var hex = false
+        if (str.charAt(j) == 'x' || str.charAt(j) == 'X') { hex = true; j += 1 }
+        val dstart = j
+        var v = 0L
+        var bad = false
+        while (!bad && j < n && str.charAt(j) != ';' && j - dstart < 8) {
+          val d = Character.digit(str.charAt(j), if (hex) 16 else 10)
+          if (d < 0) bad = true else { v = v * (if (hex) 16 else 10) + d; j += 1 }
+        }
+        val ok = !bad && j > dstart && j < n && str.charAt(j) == ';' &&
+          v >= 1L && v <= 0x10FFFFL && !(v >= 0xD800L && v <= 0xDFFFL)
+        if (ok) { sb.appendCodePoint(v.toInt); i = j + 1 }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(str.charAt(i)); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Split a WARC FILE into its records by exact Content-Length offset
+    * arithmetic (the container's actual framing — scanning for a
+    * `WARC/1.0` marker would break the moment a payload embeds one):
+    * per record, find the header terminator `\r\n\r\n`, read the
+    * header's `Content-Length`, take exactly that many chars of
+    * payload, then consume the mandatory two-CRLF record separator.
+    * Anything that breaks the arithmetic — no header terminator, no
+    * parseable Content-Length, payload running past end-of-file,
+    * missing separator — emits the REMAINDER as one final malformed
+    * record (quarantine is data, the [[graft.operators.Multimodal]]
+    * corrupt-payload convention) and stops; records BEFORE the break
+    * are unaffected. Offsets are CHARS, not bytes — identical on the
+    * ASCII fixture corpus and on any single-byte payload; a byte-true
+    * variant is the same arithmetic over a binary column (documented
+    * teaching simplification, [[graft.operators.Warc]]).
+    */
+  def warcSplitRecords(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[Any]()
+    val n = str.length
+    var off = 0
+    var broken = false
+    while (off < n && !broken) {
+      val he = str.indexOf("\r\n\r\n", off)
+      var cl = -1L
+      if (he >= 0) {
+        val key = "\r\nContent-Length: "
+        val ki = str.indexOf(key, off)
+        if (ki >= 0 && ki < he) {
+          var j = ki + key.length
+          var v = 0L
+          var any = false
+          while (j < he && str.charAt(j) >= '0' && str.charAt(j) <= '9' &&
+              v <= Int.MaxValue) {
+            v = v * 10 + (str.charAt(j) - '0'); j += 1; any = true
+          }
+          if (any && v <= Int.MaxValue && j < n && str.charAt(j) == '\r') cl = v
+        }
+      }
+      if (he < 0 || cl < 0 || he.toLong + 4 + cl > n) {
+        out.add(UTF8String.fromString(str.substring(off)))
+        broken = true
+      } else {
+        val recEnd = he + 4 + cl.toInt
+        out.add(UTF8String.fromString(str.substring(off, recEnd)))
+        off = recEnd
+        if (off < n) {
+          if (str.startsWith("\r\n\r\n", off)) off += 4
+          else {
+            out.add(UTF8String.fromString(str.substring(off)))
+            broken = true
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** minhash_sig(array<long>) → array<long> of `num` signature slots. */
@@ -932,6 +1028,42 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
     val ref = ctx.addReferenceObj("wpExpr", this, classOf[WordPieceEncodeExpr].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** decode_numeric_refs(string) → string with HTML numeric character
+  * references (`&#123;` / `&#x1F;`) decoded to their code points —
+  * [[NativeKernels.decodeNumericRefs]] as one codegen'd tree node. The
+  * composable equivalent (sentinel-split + per-piece transform, the
+  * DuckDB oracle's replay shape) allocates an array per row and runs
+  * the lambda interpreted; this is a single scan.
+  */
+case class DecodeNumericRefsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.decodeNumericRefs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.decodeNumericRefs($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** warc_records(string) → array<string> of WARC records split by exact
+  * Content-Length offset arithmetic ([[NativeKernels.warcSplitRecords]]);
+  * a malformed tail (broken framing) arrives as the final array element
+  * for the field parser to quarantine.
+  */
+case class WarcRecordsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.warcSplitRecords(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.warcSplitRecords($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

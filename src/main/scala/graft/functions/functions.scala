@@ -44,6 +44,20 @@ package object functions {
     ExpressionUtils.column(SortedIntersectCountExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** HTML numeric character reference decode (`&#123;` / `&#x1F;`) — one
+    * codegen'd scan ([[graft.functions.DecodeNumericRefsExpr]]).
+    */
+  def decode_numeric_refs(s: Column): Column =
+    ExpressionUtils.column(graft.functions.DecodeNumericRefsExpr(
+      ExpressionUtils.expression(s)))
+
+  /** WARC file → array of records, exact Content-Length framing
+    * ([[graft.functions.WarcRecordsExpr]]).
+    */
+  def warc_records(file: Column): Column =
+    ExpressionUtils.column(graft.functions.WarcRecordsExpr(
+      ExpressionUtils.expression(file)))
+
   /** All stride-1 n-word window md5s (duplicates kept, window order) —
     * the passage-hash kernel for [[graft.operators.Dedup.duplicatePassages]].
     */

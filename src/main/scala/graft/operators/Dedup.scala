@@ -1274,7 +1274,7 @@ object Dedup {
     * matches at least one chunk exactly, so one equi-join per chunk finds
     * ALL such pairs, then exact hamming (bit_count of both xors)
     * verifies. Chunk width must divide 32 so no band straddles the
-    * hi/lo boundary (maxHamming ∈ {1, 3, 7}).
+    * hi/lo boundary (maxHamming ∈ {1, 3, 7, 15, 31, 63}).
     *
     * Input: (id, ah_hi, ah_lo) — null fingerprints (undecodable images)
     * are dropped, not paired. Output: (id_a, id_b, hamming), identical

@@ -18,20 +18,40 @@ import org.apache.spark.sql.functions._
   *     `<style>…</style>` and `<!-- … -->` comments (dotall,
   *     non-greedy — the standard first pass; anything inside them,
   *     including tag-looking text, never reaches the output).
-  *  2. SEGMENT into blocks by container element — `nav`, `h1`, `p`,
-  *     `li`, `div` — keeping each block's element type and its
-  *     occurrence index within that type. Blocks are emitted in
-  *     (type-rank, index) order with ranks nav=0 < h1=1 < p=2 < li=3
-  *     < div=4.
-  *  3. STRIP residual inline tags (`<a>`, … → removed) inside each
-  *     block.
-  *  4. DECODE entities — `&lt; &gt; &quot; &#39; &nbsp;` first,
+  *  2. SEGMENT into blocks by container element — `nav`, `h1`–`h6`,
+  *     `blockquote`, `p`, `li`, `td`, `div` — in PRIORITY order: each
+  *     tag's blocks are extracted and their spans REMOVED from the
+  *     working string before the next tag is segmented. Priority =
+  *     rank order (nav first, div last), so a `<p>` nested inside
+  *     `<nav>` belongs to the nav block (chrome subtrees suppress
+  *     their content), and a `<p>` nested inside `<div>` is claimed
+  *     by the p pass — the div block keeps only its OWN residual text
+  *     (no double-count). Tag names match with a word boundary
+  *     (`<p\b`), so `<pre>`/`<param>` never match `p`, `<link>` never
+  *     matches `li`. Blocks are emitted in (type-rank, index) order;
+  *     `block_idx` is the occurrence index within the type on that
+  *     type's working string. SAME-tag nesting (`<div>` directly
+  *     inside `<div>`) remains outside the contract: the non-greedy
+  *     regex pairs the outer open with the first close — the
+  *     documented flat-markup teaching form (real extractors parse a
+  *     DOM; every other published rule here survives that upgrade).
+  *  3. Convert `<br>`/`<br/>` to a NEWLINE (it is a line separator,
+  *     not markup — the Gopher line rules downstream depend on it),
+  *     then STRIP residual inline tags (`<a>`, … → removed) inside
+  *     each block.
+  *  4. DECODE entities — named `&lt; &gt; &quot; &#39; &nbsp;` first,
+  *     then NUMERIC character references (`&#8212;` decimal /
+  *     `&#x27;` hex → code point, invalid or out-of-range refs stay
+  *     literal — [[graft.functions.NativeKernels.decodeNumericRefs]]),
   *     `&amp;` LAST (the standard order: decoding `&amp;` first would
-  *     double-decode `&amp;lt;`). Decoding happens AFTER tag-strip, so
-  *     an encoded literal like `&lt;b&gt;` survives as visible text —
-  *     exactly what a browser renders.
-  *  5. NORMALIZE whitespace per block (collapse runs, trim) and drop
-  *     blocks that normalize to empty.
+  *     double-decode `&amp;lt;`, and `&amp;#39;` must render as the
+  *     literal `&#39;` a browser shows). Decoding happens AFTER
+  *     tag-strip, so an encoded literal like `&lt;b&gt;` survives as
+  *     visible text — exactly what a browser renders.
+  *  5. NORMALIZE whitespace per block — whitespace runs containing a
+  *     newline collapse to one `\n` (preserving the `<br>` line
+  *     structure), horizontal runs collapse to one space, edges
+  *     trimmed — and drop blocks that normalize to empty.
   *
   * Reference: the reference runtime ships text through opaque per-row
   * user processors (tez-mapreduce/src/main/java/org/apache/tez/
@@ -47,22 +67,37 @@ import org.apache.spark.sql.functions._
 object Html {
 
   /** Block-level container tags recognized by the segmenter, with
-    * their emission ranks. `nav` and `div` are BOILERPLATE types
-    * (navigation chrome, footers); `h1`/`p`/`li` are CONTENT — the
-    * split [[extractText]] uses.
+    * their emission ranks = extraction PRIORITY order. `nav` and `div`
+    * are BOILERPLATE types (navigation chrome, footers); the ranks
+    * between them are CONTENT — the split [[extractText]] uses. nav
+    * ranks (and extracts) FIRST so chrome subtrees claim their nested
+    * content; div ranks LAST as the catch-all container, so content
+    * tags inside a div are claimed by their own pass first.
     */
-  val blockTags: Seq[(String, Int)] =
-    Seq(("nav", 0), ("h1", 1), ("p", 2), ("li", 3), ("div", 4))
+  val blockTags: Seq[(String, Int)] = Seq(
+    ("nav", 0), ("h1", 1), ("h2", 2), ("h3", 3), ("h4", 4), ("h5", 5),
+    ("h6", 6), ("blockquote", 7), ("p", 8), ("li", 9), ("td", 10),
+    ("div", 11))
+
+  /** Boilerplate-by-tag ranks (navigation chrome, footer/catch-all). */
+  val chromeRanks: Set[Int] = Set(0, 11)
 
   /** Content ranks: blocks contributing to [[extractText]]'s document
-    * text (boilerplate nav/footer chrome excluded — the C4/RefinedWeb
-    * main-content rule in its deterministic teaching form).
+    * text (boilerplate nav/div chrome excluded — the C4/RefinedWeb
+    * main-content rule in its deterministic teaching form). The
+    * contiguous band between the chrome ranks.
     */
-  val contentRanks: Set[Int] = Set(1, 2, 3)
+  val contentRanks: Set[Int] = (1 to 10).toSet
 
-  private val entitySteps: Seq[(String, String)] = Seq(
+  /** Named entities decoded BEFORE numeric refs; `&amp;` handled last
+    * (see the contract above).
+    */
+  private val namedEntities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    "&#39;" -> "'", "&nbsp;" -> " ")
+
+  private def blockRegex(tag: String): String =
+    s"(?s)<$tag\\b[^>]*>(.*?)</$tag>"
 
   /** Pass 1: drop script/style/comment subtrees. */
   def dropNonContent(html: Column): Column =
@@ -71,37 +106,57 @@ object Html {
       "(?s)<style\\b[^>]*>.*?</style>", ""),
       "(?s)<!--.*?-->", "")
 
-  /** Pass 3: strip residual tags inside a block. */
+  /** Pass 3a: `<br>` variants → newline (before tag-strip eats them). */
+  def brToNewline(c: Column): Column =
+    regexp_replace(c, "(?i)<br\\s*/?>", "\n")
+
+  /** Pass 3b: strip residual tags inside a block. */
   def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
 
-  /** Pass 4: entity decode, `&amp;` last. */
-  def decodeEntities(c: Column): Column =
-    entitySteps.foldLeft(c) { case (acc, (from, to)) =>
+  /** Pass 4: entity decode — named, then numeric refs, `&amp;` last. */
+  def decodeEntities(c: Column): Column = {
+    val named = namedEntities.foldLeft(c) { case (acc, (from, to)) =>
       replace(acc, lit(from), lit(to))
     }
+    replace(graft.functions.decode_numeric_refs(named),
+      lit("&amp;"), lit("&"))
+  }
 
-  /** Pass 5: whitespace normalization. */
+  /** Pass 5: whitespace normalization, newline-preserving: any
+    * whitespace run containing a `\n` → one `\n`, horizontal runs →
+    * one space, edges trimmed.
+    */
   def normalizeWs(c: Column): Column =
-    trim(regexp_replace(c, "\\s+", " "))
+    trim(regexp_replace(regexp_replace(c,
+      "\\s*\\n\\s*", "\n"), "[ \\t\\x0B\\f\\r]+", " "), " \n")
 
-  /** The full per-block clean: strip → decode → normalize. */
+  /** The full per-block clean: br→\n → strip → decode → normalize. */
   def cleanBlock(raw: Column): Column =
-    normalizeWs(decodeEntities(stripTags(raw)))
+    normalizeWs(decodeEntities(stripTags(brToNewline(raw))))
 
   /** All blocks of the document as one in-order array of
     * (rank, block_type, block_idx, raw) structs — the shared core of
-    * [[extractBlocks]] and [[extractText]]. Array order IS
-    * (rank, idx) order by construction, so no sort is ever needed.
+    * [[extractBlocks]], [[blockSignals]] and [[extractText]]. Array
+    * order IS (rank, idx) order by construction, so no sort is ever
+    * needed. Priority chain: tag k's extraction runs on the input
+    * with tags 0..k-1's spans already removed (see the contract);
+    * whole-stage codegen's common-subexpression elimination shares
+    * each intermediate string across the extract and the next
+    * removal, so the chain costs ~2 regex passes per tag, not
+    * O(tags²).
     */
   private def blockStructs(html: Column): Column = {
-    val cleaned = dropNonContent(html)
-    concat(blockTags.map { case (tag, rank) =>
-      transform(
-        regexp_extract_all(cleaned, lit(s"(?s)<$tag[^>]*>(.*?)</$tag>"),
-          lit(1)),
+    var cur = dropNonContent(html)
+    val parts = blockTags.map { case (tag, rank) =>
+      val rx = blockRegex(tag)
+      val arr = transform(
+        regexp_extract_all(cur, lit(rx), lit(1)),
         (x, i) => struct(lit(rank).as("rank"), lit(tag).as("block_type"),
           i.as("block_idx"), x.as("raw")))
-    }: _*)
+      cur = regexp_replace(cur, rx, "")
+      arr
+    }
+    concat(parts: _*)
   }
 
   /** BLOCK TABLE extraction: one output row per non-empty block —
@@ -124,8 +179,9 @@ object Html {
     * published extractor runs (jusText / trafilatura / resiliparse:
     * a block whose text is mostly anchor text is navigation chrome
     * regardless of its tag): per block, `link_chars` = Σ length of the
-    * cleaned inner text of its `<a>` elements, `text_chars` = length
-    * of the cleaned block text, and
+    * cleaned inner text of its `<a>` elements (word-boundary matched —
+    * `<abbr>`/`<aside>`/`<article>` never count), `text_chars` =
+    * length of the cleaned block text, and
     * `boilerplate` = chrome-by-tag (nav/div) OR 2·link_chars >
     * text_chars (link density > ½, exact integers — no float
     * boundary). The tag rule catches footers with no links; the
@@ -138,7 +194,7 @@ object Html {
     */
   def blockSignals(df: DataFrame, html: Column): DataFrame = {
     val aInner = (raw: Column) =>
-      regexp_extract_all(raw, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1))
+      regexp_extract_all(raw, lit("(?s)<a\\b[^>]*>(.*?)</a>"), lit(1))
     df.withColumn("__b", explode(blockStructs(html)))
       .withColumn("block_text", cleanBlock(col("__b.raw")))
       .filter(length(col("block_text")) > 0)
@@ -150,21 +206,22 @@ object Html {
         col("__b.block_type").as("block_type"),
         col("__b.block_idx").cast("long").as("block_idx"),
         col("link_chars"), col("text_chars"), col("block_text"),
-        (col("__b.rank").isin(0, 4) ||
+        (col("__b.rank").isin(chromeRanks.toSeq.map(Int.box): _*) ||
           lit(2L) * col("link_chars") > col("text_chars"))
           .as("boilerplate"))): _*)
   }
 
-  /** DOCUMENT TEXT extraction: the content blocks (h1/p/li — nav and
-    * div chrome dropped as boilerplate) cleaned and joined with
-    * newlines in (rank, idx) order, appended as `out`. The shape the
-    * tagger table / dedup / tokenizer stages consume — raw crawled
-    * HTML in, pipeline-ready text out, zero shuffles.
+  /** DOCUMENT TEXT extraction: the content blocks (h1–h6, blockquote,
+    * p, li, td — nav and div chrome dropped as boilerplate, INCLUDING
+    * anything nested inside them, which their pass claimed) cleaned
+    * and joined with newlines in (rank, idx) order, appended as `out`.
+    * The shape the tagger table / dedup / tokenizer stages consume —
+    * raw crawled HTML in, pipeline-ready text out, zero shuffles.
     */
   def extractText(df: DataFrame, html: Column, out: String): DataFrame = {
-    // content ranks are the contiguous h1=1..li=3 band (nav=0/div=4 chrome)
+    // content ranks are the contiguous h1=1..td=10 band (nav=0/div=11)
     val content = filter(blockStructs(html),
-      b => b.getField("rank") >= 1 && b.getField("rank") <= 3)
+      b => b.getField("rank") >= 1 && b.getField("rank") <= 10)
     df.withColumn(out,
       array_join(
         filter(transform(content, b => cleanBlock(b.getField("raw"))),
@@ -173,15 +230,34 @@ object Html {
 
   /** Deterministic HTML FIXTURE synthesis (the [[Multimodal]]
     * `withImageColumn` discipline for markup): wrap a plain-text
-    * document into an HTML page — head with style + script traps
-    * (tag-looking content that must be dropped), a comment trap, nav
-    * chrome, an `<h1>` from the first three words with `&amp;`
-    * separators, `<p>` blocks of ten words each carrying an encoded
-    * `&lt;eop&gt;` literal, a two-item `<ul>` (last two words joined
-    * by `&nbsp;`, plus an entity-quoting item), and a `<div>` footer.
-    * Every extraction rule has a trap that breaks the oracle hash if
-    * the rule drifts; the DuckDB oracle replays this exact
-    * concatenation arithmetic.
+    * document into an HTML page with a trap for every extraction
+    * rule — the DuckDB oracle replays this exact concatenation
+    * arithmetic, so drift in either synthesis or extraction breaks
+    * the hash. Traps, in page order:
+    *
+    *  - head: style + script with tag-looking source (subtree drop),
+    *    a `<link>` element (`<li\b` must not match it — without the
+    *    word boundary it pairs with the body's first `</li>` and
+    *    swallows half the page);
+    *  - a comment with a ghost `<p>` (comment drop);
+    *  - nav chrome containing an `<abbr>` ([[blockSignals]]' `<a\b`
+    *    must not count it as anchor text) AND a nested `<p>` (the
+    *    priority chain must claim it for the nav block, never emit it
+    *    as content);
+    *  - `<h1>` from the first three words with `&amp;` separators;
+    *  - `<h2>` with a DECIMAL numeric ref (`&#8212;` → em dash);
+    *  - a `<blockquote>` block;
+    *  - a `<pre>` trap (`<p\b` must not match it — without the
+    *    boundary it swallows text up to the first real `</p>`);
+    *  - `<p>` blocks of ten words each carrying an encoded
+    *    `&lt;eop&gt;` literal; then one static `<p>` with a `<br>`
+    *    (→ newline in the block text);
+    *  - a two-item `<ul>` (last two words joined by `&nbsp;`, plus an
+    *    entity-quoting item with a HEX numeric ref `&#x27;`);
+    *  - a `<table>` row (`<td>` block; `table`/`tr` tags strip as
+    *    residual);
+    *  - a `<div>` footer with ANOTHER nested `<p>` (the p pass claims
+    *    it; the div block keeps only its own text — no double-count).
     */
   def withHtmlColumn(df: DataFrame, text: Column, out: String): DataFrame = {
     val ws = regexp_extract_all(text, lit("""\S+"""), lit(0))
@@ -199,12 +275,20 @@ object Html {
       lit("<html><head><title>fixture</title>" +
         "<style>p { color: #fff; }</style>" +
         "<script>if (1 < 2) { alert(\"x &amp; y\"); }</script>" +
+        "<link rel=\"stylesheet\" href=\"/css/main.css\">" +
         "</head><body><!-- <p>ghost block</p> -->" +
-        "<nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav>" +
+        "<nav><abbr title=\"ht\">HT</abbr> <a href=\"/\">home</a> | " +
+        "<a href=\"/about\">about</a><p>nested menu item</p></nav>" +
         "<h1>"),
-      title, lit("</h1>"), paras,
-      lit("<ul><li>"), li1,
-      lit("</li><li>it&#39;s &quot;quoted&quot;</li></ul>" +
-        "<div class=\"footer\">contact us</div></body></html>")))
+      title, lit("</h1>" +
+        "<h2>section &#8212; overview</h2>" +
+        "<blockquote>quoted words here</blockquote>" +
+        "<pre>raw &amp; code</pre>"), paras,
+      lit("<p>line one<br>line two</p>" +
+        "<ul><li>"), li1,
+      lit("</li><li>it&#x27;s &quot;quoted&quot;</li></ul>" +
+        "<table><tr><td>cell &#65; text</td></tr></table>" +
+        "<div class=\"footer\">contact us<p>div nested para</p></div>" +
+        "</body></html>")))
   }
 }

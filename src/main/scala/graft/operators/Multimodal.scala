@@ -1135,4 +1135,52 @@ object Multimodal {
     df.withColumn("n_frames", (col("n_bytes") % 240 + 1).cast("int"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+
+  /** CROSS-MODAL pair dedup — the CLIP/LAION data-cleaning shape: a
+    * (caption, image) pair is dropped when EITHER side matches a stored
+    * fingerprint — caption md5 against a stored
+    * [[Dedup.writeCorpusIndex]] text index's `hashes/` view, image
+    * aHash against a stored [[Dedup.writeAHashIndex]] within its frozen
+    * hamming radius. Neither modality's operator changes — this is the
+    * PAIR-level decision composed over the two existing stores, which
+    * is exactly why the stores share one lifecycle (a pair pipeline
+    * probes both per batch).
+    *
+    * Input: (id, caption, media). Output: (id, text_dup, image_dup,
+    * kept = ¬text_dup ∧ ¬image_dup). An undecodable image has no
+    * fingerprint and cannot image-match (corrupt data never
+    * accidentally dedups away — the quarantine convention); every
+    * input pair gets an output row.
+    *
+    * 100 TB design: the text probe is one semi-join against the hashes
+    * view; the image probe rides [[Dedup.ahashAgainstIndex]]'s
+    * bucket-pruned banded join (≤ 64 bucket directories opened per
+    * batch, never the store); decode runs once per pair.
+    */
+  def pairDedupAgainstStores(pairs: DataFrame, textIndexDir: String,
+      imageIndexDir: String): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val spark = pairs.sparkSession
+    val p = pairs.persistScoped() // decode + two probes + final frame
+    val e = Compaction.currentEpoch(spark, textIndexDir)
+    val textHashes = spark.read
+      .parquet(Compaction.epochPath(textIndexDir, "hashes", e))
+      .select(col("h"))
+    val textDups = p.select(col("id"), md5(col("caption")).as("h"))
+      .join(textHashes, Seq("h"), "left_semi")
+      .select(col("id"), lit(true).as("text_dup"))
+    val imgDups = Dedup.ahashAgainstIndex(
+        decodeImageAHash(p.select(col("id"), col("media")), "media")
+          .select(col("id"), col("ah_hi"), col("ah_lo")),
+        imageIndexDir)
+      .select(col("id")).distinct()
+      .select(col("id"), lit(true).as("image_dup"))
+    p.select(col("id"))
+      .join(textDups, Seq("id"), "left")
+      .join(imgDups, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"))
+      .withColumn("kept", !col("text_dup") && !col("image_dup"))
+  }
 }

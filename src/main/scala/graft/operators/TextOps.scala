@@ -189,15 +189,18 @@ object TextOps {
     * The tagger table carries EVERY input row — a zero-token document
     * fails repetition (Gopher's ≥1-token contract), quality
     * (undefined ratio → false) and doclen (below any minWords ≥ 1),
-    * and says so in `reasons`, never a silent drop. Line rules: keep
-    * iff n_bullet·10⁴ < bulletTau·n_lines (Gopher drops at ≥ 90%) AND
+    * and says so in `reasons`, never a silent drop. Line rules — all
+    * comparisons keep-iff-≤ (Rae et al. drop only when the fraction
+    * EXCEEDS the threshold): n_bullet·10⁴ ≤ bulletTau·n_lines AND
     * n_ellipsis·10⁴ ≤ ellipsisTau·n_lines AND
     * (n_lines − n_distinct)·10⁴ ≤ dupLineTau·n_lines AND the
     * duplicate-line CHARACTER fraction
     * (Σlen(lines) − Σlen(distinct lines))·10⁴ ≤ dupCharTau·Σlen(lines)
-    * (vacuous at zero chars); the symbol rule
-    * keeps iff n_sym·10⁴ ≤ symbolTau·n_words (empty doc: vacuously
-    * clean, the blocklist convention).
+    * (vacuous at zero chars); the symbol rule tests EACH symbol's
+    * ratio separately (Gopher's per-symbol contract): keep iff
+    * n_hash·10⁴ ≤ symbolTau·n_words AND n_ellipsis_sym·10⁴ ≤
+    * symbolTau·n_words (empty doc: vacuously clean, the blocklist
+    * convention).
     *
     * 100 TB design: zero shuffles, zero joins — every tagger is a
     * codegen'd expression over the same projected row; the repetition
@@ -239,8 +242,10 @@ object TextOps {
         graft.functions.repetition_signals(col("__ws"), 2).as("__s2"),
         aggregate(col("__ws"), lit(0L), (a, x) => a + length(x).cast("long"))
           .as("__sumlen"),
-        size(regexp_extract_all(col("__t"), lit("""#|\.\.\.|…"""), lit(0)))
-          .cast("long").as("__nsym"),
+        size(regexp_extract_all(col("__t"), lit("#"), lit(0)))
+          .cast("long").as("__nhash"),
+        size(regexp_extract_all(col("__t"), lit("""\.\.\.|…"""), lit(0)))
+          .cast("long").as("__nellsym"),
         size(col("__ls")).cast("long").as("__nl"),
         size(filter(col("__ls"), bulletStart)).cast("long").as("__nbul"),
         size(filter(col("__ls"), ellipsisEnd)).cast("long").as("__nell"),
@@ -271,9 +276,10 @@ object TextOps {
         col("__sumlen") <= lit(g.maxMeanWordLen) * col("__nw"))
         .as("keep_doclen"),
       (col("__nw") === 0 ||
-        col("__nsym") * lit(10000L) <= lit(g.symbolTau) * col("__nw"))
+        (col("__nhash") * lit(10000L) <= lit(g.symbolTau) * col("__nw") &&
+          col("__nellsym") * lit(10000L) <= lit(g.symbolTau) * col("__nw")))
         .as("keep_symbols"),
-      (col("__nbul") * lit(10000L) < lit(g.bulletTau) * col("__nl") &&
+      (col("__nbul") * lit(10000L) <= lit(g.bulletTau) * col("__nl") &&
         col("__nell") * lit(10000L) <= lit(g.ellipsisTau) * col("__nl") &&
         (col("__nl") - col("__ndist")) * lit(10000L)
           <= lit(g.dupLineTau) * col("__nl") &&
@@ -1439,6 +1445,180 @@ object TextOps {
     kn3Score(lm3Triples(lm3Tokens(docs, id, text)),
       spark.read.parquet(s"$dir/vocab"),
       spark.read.parquet(s"$dir/trigrams"), pplThreshold)
+  }
+
+  private def lm5Tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 5)
+
+  /** Adjacent 5-gram explode: (id [, is_ref], w1..w5) — one row per
+    * position (multiplicity preserved for the counts).
+    */
+  private def lm5Grams(base: DataFrame): DataFrame = {
+    val extra = base.columns.filter(c => c != "id" && c != "ws").map(col)
+    base.select((col("id") +: extra :+
+        explode(transform(sequence(lit(1), size(col("ws")) - 4),
+          i => struct((0 to 4).map(k =>
+            element_at(col("ws"), i + k).as(s"w${k + 1}")): _*))).as("p")): _*)
+      .select((col("id") +: extra) ++
+        (1 to 5).map(k => col(s"p.w$k")): _*)
+  }
+
+  /** Train the pruned 5-gram model from reference tokens/grams:
+    * (vocab(w, uc), grams5(w1..w5, c)) — both bounded by the
+    * deterministic (count desc, terms) top-k, [[lm3Train]] two orders
+    * up.
+    */
+  private def lm5Train(refBase: DataFrame, refGrams: DataFrame,
+      maxV: Int, maxT: Int): (DataFrame, DataFrame) = {
+    import graft.CacheScope.ScopedPersist
+    val vocab = refBase.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      .orderBy(col("uc").desc, col("w")).limit(maxV)
+      .persistScoped() // bounded model artifact: ≤ maxV rows, reused 6×
+    val grams5 = (1 to 5).foldLeft(refGrams) { (acc, k) =>
+      acc.join(broadcast(vocab.select(col("w").as(s"w$k"))),
+        Seq(s"w$k"), "left_semi")
+    }
+      .groupBy((1 to 5).map(k => col(s"w$k")): _*).agg(count(lit(1)).as("c"))
+      .orderBy((col("c").desc +: (1 to 5).map(k => col(s"w$k"))): _*)
+      .limit(maxT)
+    (vocab, grams5)
+  }
+
+  /** Interpolated 5-GRAM Kneser-Ney — [[kn3PerplexityFilter]] at
+    * KenLM's PRODUCTION order (the order CCNet's published filters
+    * ship): raw counts at the top order, CONTINUATION type counts at
+    * EVERY lower order, derived recursively — each level's table is
+    * the distinct-context count of the level above (the same
+    * mid-from-tri / ctx2-from-mid derivation of the order-3 path,
+    * applied three more times), add-one continuation unigram at the
+    * bottom. D = 3/4 exact, every max(x − D, 0)/y computed as
+    * greatest(4x − 3, 0)/(4y) over exact integers; every backoff
+    * normalizer/weight derives from the ONE pruned 5-gram table, so
+    * the stored artifact ([[writeLm5Model]] `vocab/` + `ngrams5/`)
+    * reproduces serving exactly: stored ≡ fresh BY CONSTRUCTION.
+    *
+    * 100 TB design: unchanged from order 3 — the model is bounded
+    * (maxV + maxT rows; each derived table strictly smaller) and
+    * BROADCASTS into the scoring joins; the corpus side is one explode
+    * + per-(doc, 5-gram) partial aggregation. Raising the order adds
+    * bounded broadcast joins, never a corpus-sized shuffle.
+    *
+    * Output: id, n_grams5, h, ppl, keep.
+    */
+  def kn5PerplexityFilter(docs: DataFrame, id: Column, text: Column,
+      refFilter: Column, maxV: Int, maxT: Int,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 5)
+    val grams = lm5Grams(base).persistScoped()
+    val (vocab, g5) = lm5Train(base.filter(col("is_ref")),
+      grams.filter(col("is_ref")), maxV, maxT)
+    kn5Score(grams, vocab, g5, pplThreshold)
+  }
+
+  /** Score per-doc 5-grams with interpolated KN against a
+    * (vocab, grams5) model — shared by the direct and stored paths.
+    * All discount statistics derive HERE from the pruned table.
+    */
+  private def kn5Score(grams: DataFrame, vocab: DataFrame,
+      grams5: DataFrame, pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val g5 = grams5.persistScoped() // ≤ maxT rows; feeds six derivations
+    // raw top order: c(w1..w4·) and N1+(w1..w4·)
+    val ctx5 = g5.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(sum(col("c")).as("cb5"), count(lit(1)).as("nf5"))
+    // continuation level 4: N1+(·w2w3w4w5) and its normalizers
+    val m4 = g5.groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("n4")).persistScoped()
+    val ctx4 = m4.groupBy(col("w2"), col("w3"), col("w4"))
+      .agg(sum(col("n4")).as("n4b"), count(lit(1)).as("nd4"))
+    // continuation level 3: N1+(·w3w4w5) over the level-4 types
+    val m3 = m4.groupBy(col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("n3")).persistScoped()
+    val ctx3 = m3.groupBy(col("w3"), col("w4"))
+      .agg(sum(col("n3")).as("n3b"), count(lit(1)).as("nd3"))
+    // continuation level 2: N1+(·w4w5)
+    val m2 = m3.groupBy(col("w4"), col("w5"))
+      .agg(count(lit(1)).as("n2")).persistScoped()
+    val ctx2 = m2.groupBy(col("w4"))
+      .agg(sum(col("n2")).as("n2b"), count(lit(1)).as("nd2"))
+    // continuation unigram: N1+(·w5), N1+(··), |V|
+    val cw = m2.groupBy(col("w5")).agg(count(lit(1)).as("ncw5"))
+    val tot = m2.agg(count(lit(1)).as("ntot"))
+      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
+    val dn = grams.groupBy((col("id") +:
+        (1 to 5).map(k => col(s"w$k"))): _*)
+      .agg(count(lit(1)).as("n"))
+    def disc(num: Column, den: Column, types: Column, lower: Column): Column =
+      greatest(lit(4) * coalesce(num, lit(0L)) - 3, lit(0L)).cast("double") /
+        (lit(4) * den).cast("double") +
+        (lit(3) * types).cast("double") /
+          (lit(4) * den).cast("double") * lower
+    val scored = dn
+      .join(broadcast(g5), (1 to 5).map(k => s"w$k"), "left")
+      .join(broadcast(ctx5), (1 to 4).map(k => s"w$k"), "left")
+      .join(broadcast(m4), (2 to 5).map(k => s"w$k"), "left")
+      .join(broadcast(ctx4), (2 to 4).map(k => s"w$k"), "left")
+      .join(broadcast(m3), (3 to 5).map(k => s"w$k"), "left")
+      .join(broadcast(ctx3), (3 to 4).map(k => s"w$k"), "left")
+      .join(broadcast(m2), (4 to 5).map(k => s"w$k"), "left")
+      .join(broadcast(ctx2), Seq("w4"), "left")
+      .join(broadcast(cw), Seq("w5"), "left")
+      .crossJoin(broadcast(tot))
+      // each level materializes as a column so every branch reuses the
+      // identical double (the kn3Score pc/p2m discipline)
+      .withColumn("pc1",
+        (coalesce(col("ncw5"), lit(0L)) + 1).cast("double") /
+          (col("ntot") + col("nv") + 1).cast("double"))
+      .withColumn("pc2", when(col("n2b").isNotNull,
+        disc(col("n2"), col("n2b"), col("nd2"), col("pc1")))
+        .otherwise(col("pc1")))
+      .withColumn("pc3", when(col("n3b").isNotNull,
+        disc(col("n3"), col("n3b"), col("nd3"), col("pc2")))
+        .otherwise(col("pc2")))
+      .withColumn("pc4", when(col("n4b").isNotNull,
+        disc(col("n4"), col("n4b"), col("nd4"), col("pc3")))
+        .otherwise(col("pc3")))
+      .withColumn("lp", log(when(col("cb5").isNotNull,
+        disc(col("c"), col("cb5"), col("nf5"), col("pc4")))
+        .otherwise(col("pc4"))))
+    scored.groupBy(col("id"))
+      .agg(sum(col("n")).as("m"),
+        sort_array(collect_list(struct((1 to 5).map(k => col(s"w$k")) :+
+          (col("n").cast("double") * col("lp")).as("v"): _*))).as("ts"))
+      .select(col("id"), col("m").as("n_grams5"),
+        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
+          .as("h"))
+      .withColumn("ppl", round(exp(col("h")), 4))
+      .withColumn("keep", col("ppl") <= pplThreshold)
+  }
+
+  /** Persist the 5-gram KN model — `vocab/` + `ngrams5/` parquet, the
+    * [[writeLm3Model]] family at production order.
+    */
+  def writeLm5Model(docs: DataFrame, id: Column, text: Column,
+      maxV: Int, maxT: Int, dir: String): Unit = {
+    import graft.CacheScope.ScopedPersist
+    val base = lm5Tokens(docs, id, text)
+    val grams = lm5Grams(base).persistScoped()
+    val (vocab, g5) = lm5Train(base, grams, maxV, maxT)
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    g5.coalesce(1).write.mode("overwrite").parquet(s"$dir/ngrams5")
+    docs.sparkSession.catalog.refreshByPath(dir)
+  }
+
+  /** 5-gram Kneser-Ney scoring against a [[writeLm5Model]] artifact. */
+  def kn5ScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
+      dir: String, pplThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    kn5Score(lm5Grams(lm5Tokens(docs, id, text)),
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/ngrams5"), pplThreshold)
   }
 
   /** fastText-style hashed linear quality classifier — the SERVING shape

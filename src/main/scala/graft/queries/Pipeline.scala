@@ -3208,6 +3208,193 @@ object Pipeline {
       col("text"), dir, Kn3PplThresh)
   }
 
+  // ===== q254/q255 5-GRAM Kneser-Ney at production order ==================
+  // q246's machinery at the order KenLM/CCNet production filters ship:
+  // raw counts at the 5-gram order, continuation TYPE counts derived
+  // recursively at orders 4→3→2 (each level the distinct-context count
+  // of the level above), add-one continuation unigram at the bottom.
+  // Same training slice / pruning / D = 3/4 exact-integer discipline as
+  // q246, so the three rows q211 → q246 → q254 differ ONLY in model
+  // order — an auditable ladder. The oracle's nested backoff CASE is
+  // GENERATED by the same recursion the engine computes, one level per
+  // call. q255 serves from the stored vocab/ + ngrams5/ artifact
+  // (writeLm5Model); oracle = q254's verbatim (stored ≡ fresh).
+
+  private val Lm5MaxT = 8000
+  private val Kn5PplThresh = 30.0
+
+  private def q254(t: Tables): DataFrame =
+    TextOps.kn5PerplexityFilter(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), col("doc_id") % 10 === 0, LmMaxV, Lm5MaxT, Kn5PplThresh)
+
+  private def q255(t: Tables): DataFrame = {
+    val dir = cachedIndexDir(t.dir, s"lm5_model_v1_${LmMaxV}_$Lm5MaxT") { d =>
+      TextOps.writeLm5Model(
+        graft.Fanout(t.documents.filter(col("doc_id") % 10 === 0)),
+        col("doc_id"), col("text"), LmMaxV, Lm5MaxT, d)
+    }
+    TextOps.kn5ScoreAgainstModel(graft.Fanout(t.documents), col("doc_id"),
+      col("text"), dir, Kn5PplThresh)
+  }
+
+  private lazy val q254Sql = {
+    // the interpolated-KN backoff ladder, generated level by level —
+    // level 1 is the add-one continuation unigram; level k discounts
+    // its continuation count and interpolates level k-1
+    def pc(level: Int): String = level match {
+      case 1 =>
+        "CAST(COALESCE(p.ncw5, 0) + 1 AS DOUBLE) / CAST(ntot + nv + 1 AS DOUBLE)"
+      case k =>
+        val (m, n, cx, nb, nd) = k match {
+          case 2 => ("m2", "n2", "c2", "n2b", "nd2")
+          case 3 => ("m3", "n3", "c3", "n3b", "nd3")
+          case _ => ("m4", "n4", "c4", "n4b", "nd4")
+        }
+        s"""(CASE WHEN $cx.$nb IS NOT NULL THEN
+           |      CAST(greatest(4 * COALESCE($m.$n, 0) - 3, 0) AS DOUBLE)
+           |        / CAST(4 * $cx.$nb AS DOUBLE)
+           |      + CAST(3 * $cx.$nd AS DOUBLE) / CAST(4 * $cx.$nb AS DOUBLE)
+           |        * ${pc(k - 1)}
+           |      ELSE ${pc(k - 1)} END)""".stripMargin
+    }
+    val top =
+      s"""CASE WHEN c5.cb5 IS NOT NULL THEN
+         |      CAST(greatest(4 * COALESCE(b.c, 0) - 3, 0) AS DOUBLE)
+         |        / CAST(4 * c5.cb5 AS DOUBLE)
+         |      + CAST(3 * c5.nf5 AS DOUBLE) / CAST(4 * c5.cb5 AS DOUBLE)
+         |        * ${pc(4)}
+         |      ELSE ${pc(4)} END""".stripMargin
+    val ws15 = (1 to 5).map(k => s"w$k").mkString(", ")
+    s"""WITH w0 AS (SELECT doc_id AS id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |d AS (SELECT id, ws FROM w0 WHERE len(ws) >= 5),
+       |ru AS (SELECT w, count(*) AS uc FROM (
+       |    SELECT unnest(ws) AS w FROM d WHERE id % 10 = 0) GROUP BY 1),
+       |voc AS (SELECT w, uc FROM ru ORDER BY uc DESC, w LIMIT $LmMaxV),
+       |ap AS (SELECT id, ${(1 to 5).map(k => s"ws[i+${k - 1}] AS w$k")
+          .mkString(", ")} FROM (
+       |    SELECT id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM d)),
+       |rt AS (SELECT $ws15, count(*) AS c FROM ap
+       |       ${(1 to 5).map(k => s"JOIN voc v$k ON ap.w$k = v$k.w")
+          .mkString(" ")}
+       |       WHERE id % 10 = 0 GROUP BY ${(1 to 5).mkString(", ")}),
+       |g5 AS (SELECT $ws15, c FROM rt ORDER BY c DESC, $ws15 LIMIT $Lm5MaxT),
+       |cx5 AS (SELECT w1, w2, w3, w4, CAST(sum(c) AS BIGINT) AS cb5,
+       |               CAST(count(*) AS BIGINT) AS nf5 FROM g5 GROUP BY 1, 2, 3, 4),
+       |m4 AS (SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS n4
+       |        FROM g5 GROUP BY 1, 2, 3, 4),
+       |cx4 AS (SELECT w2, w3, w4, CAST(sum(n4) AS BIGINT) AS n4b,
+       |               CAST(count(*) AS BIGINT) AS nd4 FROM m4 GROUP BY 1, 2, 3),
+       |m3 AS (SELECT w3, w4, w5, CAST(count(*) AS BIGINT) AS n3
+       |        FROM m4 GROUP BY 1, 2, 3),
+       |cx3 AS (SELECT w3, w4, CAST(sum(n3) AS BIGINT) AS n3b,
+       |               CAST(count(*) AS BIGINT) AS nd3 FROM m3 GROUP BY 1, 2),
+       |m2 AS (SELECT w4, w5, CAST(count(*) AS BIGINT) AS n2
+       |        FROM m3 GROUP BY 1, 2),
+       |cx2 AS (SELECT w4, CAST(sum(n2) AS BIGINT) AS n2b,
+       |               CAST(count(*) AS BIGINT) AS nd2 FROM m2 GROUP BY 1),
+       |cw AS (SELECT w5, CAST(count(*) AS BIGINT) AS ncw5 FROM m2 GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT count(*) FROM m2) AS BIGINT) AS ntot,
+       |               CAST((SELECT count(*) FROM voc) AS BIGINT) AS nv),
+       |dn AS (SELECT id, $ws15, count(*) AS n FROM ap
+       |       GROUP BY ${(1 to 6).mkString(", ")}),
+       |sc AS (SELECT dn.id, ${(1 to 5).map(k => s"dn.w$k").mkString(", ")},
+       |    dn.n, ln($top) AS lp
+       |  FROM dn
+       |  LEFT JOIN g5 b ON ${(1 to 5).map(k => s"dn.w$k = b.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN cx5 c5 ON ${(1 to 4).map(k => s"dn.w$k = c5.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN m4 ON ${(2 to 5).map(k => s"dn.w$k = m4.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN cx4 c4 ON ${(2 to 4).map(k => s"dn.w$k = c4.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN m3 ON ${(3 to 5).map(k => s"dn.w$k = m3.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN cx3 c3 ON ${(3 to 4).map(k => s"dn.w$k = c3.w$k")
+          .mkString(" AND ")}
+       |  LEFT JOIN m2 ON dn.w4 = m2.w4 AND dn.w5 = m2.w5
+       |  LEFT JOIN cx2 c2 ON dn.w4 = c2.w4
+       |  LEFT JOIN cw p ON dn.w5 = p.w5
+       |  CROSS JOIN tot),
+       |f AS (SELECT id, CAST(sum(n) AS BIGINT) AS m,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list_sort(list(
+       |        {${(1 to 5).map(k => s"'w$k': w$k").mkString(", ")},
+       |         'v': n * lp})),
+       |        x -> x.v)), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY id),
+       |g AS (SELECT id, m AS n_grams5, round(-s / m, 4) AS h FROM f)
+       |SELECT id, n_grams5, h, round(exp(h), 4) AS ppl,
+       |  (round(exp(h), 4) <= $Kn5PplThresh) AS keep FROM g""".stripMargin
+  }
+
+  // ===== q256 cross-modal (caption, image) pair curation ==================
+  // The CLIP/LAION data-cleaning shape the modality silos don't cover:
+  // a PAIR drops when EITHER side matches a store — caption md5 against
+  // the stored text corpus index, image aHash against the stored
+  // fingerprint index (its frozen hamming radius) — AND the caption
+  // must clear the seven-tagger quality mixer. Stores: captions of the
+  // doc_id % 4 slice, image fingerprints of the doc_id % 6 slice under
+  // offset ids (a real store has its own id space; the offset also
+  // means a pair CAN match its own stored twin — dedup-against-store,
+  // not self-exclusion). The oracle replays both membership scans
+  // (exact text equality; the O(n·m) aHash scan over the synthesized
+  // grid arithmetic) and the tagger chain — drift in either store's
+  // probe, the pair rule, or any tagger breaks the hash.
+
+  private val PairStoreOffset = 1000000L
+
+  private def q256(t: Tables): DataFrame = {
+    val textDir = cachedIndexDir(t.dir, "pair_text_idx_v1") { d =>
+      Dedup.writeCorpusIndex(
+        t.documents.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("id"), col("text")), d)
+    }
+    val imgDir = cachedIndexDir(t.dir, s"pair_img_idx_v1_$AHashGroups") { d =>
+      Dedup.writeAHashIndex(
+        Multimodal.decodeImageAHash(
+          Multimodal.withImageVariantColumn(
+            graft.Fanout(t.documents.filter(col("doc_id") % 6 === 0))
+              .select(col("doc_id")), "doc_id", AHashGroups), "media")
+          .select((col("doc_id") + PairStoreOffset).as("id"),
+            col("ah_hi"), col("ah_lo")), d)
+    }
+    val pairs = Multimodal.withImageVariantColumn(
+        graft.Fanout(t.documents).select(col("doc_id"), col("text")),
+        "doc_id", AHashGroups)
+      .select(col("doc_id").as("id"), col("text").as("caption"),
+        col("media"))
+    val deduped = Multimodal.pairDedupAgainstStores(pairs, textDir, imgDir)
+    val capKept = TextOps.taggerTable(pairs, col("id"), col("caption"),
+        BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
+        RepMinTtr, TagMinStopword, TagGopher)
+      .select(col("id"), col("kept").as("caption_kept"))
+    deduped.join(capKept, Seq("id"))
+      .select(col("id").as("doc_id"), col("text_dup"), col("image_dup"),
+        col("caption_kept"),
+        (!col("text_dup") && !col("image_dup") && col("caption_kept"))
+          .as("kept"))
+  }
+
+  private lazy val q256Sql =
+    s"""WITH ${ahashSql(s"doc_id % $AHashGroups", variant = true)},
+       |${taggerCteFor("documents")},
+       |imd AS (SELECT DISTINCT x.doc_id AS id FROM ah x JOIN ah y
+       |  ON y.doc_id % 6 = 0
+       |  AND bit_count(xor(x.ah_hi, y.ah_hi))
+       |    + bit_count(xor(x.ah_lo, y.ah_lo)) <= $MaxHamming),
+       |txd AS (SELECT DISTINCT dd.doc_id AS id FROM documents dd
+       |  JOIN documents ss ON ss.doc_id % 4 = 0 AND dd.text = ss.text)
+       |SELECT dd.doc_id,
+       |  (dd.doc_id IN (SELECT id FROM txd)) AS text_dup,
+       |  (dd.doc_id IN (SELECT id FROM imd)) AS image_dup,
+       |  k.kept AS caption_kept,
+       |  (dd.doc_id NOT IN (SELECT id FROM txd)
+       |    AND dd.doc_id NOT IN (SELECT id FROM imd) AND k.kept) AS kept
+       |FROM documents dd JOIN tg_k k ON k.doc_id = dd.doc_id""".stripMargin
+
   // ===== q248 multi-keyframe video dedup pairs ============================
   // q241's single-middle-keyframe reduction fails exactly where video
   // dedup matters: a RE-CUT clip (trimmed intro, shifted edit) has a
@@ -3755,6 +3942,12 @@ object Pipeline {
   private val LangIters = 12
   private val LangLrNum = 1L
   private val LangLrDen = 2L
+  /** CCNet stage-0 keep rule for the curation flagships: winning-class
+    * raw score ≥ τ (σ(s) ≥ ½ ⟺ s ≥ 0 is the published probability-0.5
+    * rule; the fixture's score spread straddles 0, so the gate makes a
+    * real split — measured at sf0.01 before pinning).
+    */
+  private val LangGateTau = 0.0
 
   private def langIdModelDir(t: Tables, trainAll: Boolean): String = {
     val spark = t.documents.sparkSession
@@ -3793,10 +3986,27 @@ object Pipeline {
     * trigrams) per class and argmaxes with the same (score DESC, ci ASC)
     * tie-break. `finalSelect` sees CTE `sc(id, lang, pred_lang, score)`.
     */
-  private def langIdSql(trainPred: String, servePred: String,
-      finalSelect: String): String = {
+  private def langIdGram(e: String) = Dedup.SharedHash.hash28Sql(e)
+
+  /** The char 2-/3-gram list of a normalized text expression — the
+    * oracle replay of langIdBase's featurization, shared by training
+    * and every serving site.
+    */
+  private def langIdGramList(t: String): String =
+    s"""list_concat(
+       |  list_transform(generate_series(1, len($t) - 1), i -> substr($t, i, 2)),
+       |  CASE WHEN len($t) >= 3
+       |    THEN list_transform(generate_series(1, len($t) - 2), i -> substr($t, i, 3))
+       |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+
+  /** TRAINING replay CTE chain (d0 … w$LangIters) — re-derives the
+    * stored langid model's weights from scratch; embeddable wherever a
+    * serving site needs the frozen model (q227/q228 via [[langIdSql]],
+    * the langid-gated curation flagships via [[langIdGateCtes]]).
+    */
+  private def langIdTrainCtes(trainPred: String): String = {
     val dim = LangDim
-    def h(e: String) = Dedup.SharedHash.hash28Sql(e)
+    def h(e: String) = langIdGram(e)
     def iterCtes(i: Int): String =
       s"""s$i AS MATERIALIZED (SELECT fv.id, fv.yi, w.ci, fv.fs,
          |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -3820,13 +4030,7 @@ object Pipeline {
          |    LEFT JOIN g$i g ON g.ci = w.ci AND g.j = t0.jj
          |    LEFT JOIN nf ON nf.j = t0.jj)
          |  GROUP BY ci)""".stripMargin
-    def gramList(t: String) =
-      s"""list_concat(
-         |  list_transform(generate_series(1, len($t) - 1), i -> substr($t, i, 2)),
-         |  CASE WHEN len($t) >= 3
-         |    THEN list_transform(generate_series(1, len($t) - 2), i -> substr($t, i, 3))
-         |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
-    s"""WITH d0 AS (SELECT doc_id AS id, lang,
+    s"""d0 AS (SELECT doc_id AS id, lang,
        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
        |  FROM documents),
        |b AS MATERIALIZED (SELECT id, lang, t FROM d0
@@ -3834,8 +4038,8 @@ object Pipeline {
        |cls AS MATERIALIZED (SELECT lang AS cl,
        |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS ci
        |  FROM (SELECT DISTINCT lang FROM b)),
-       |f0 AS (SELECT id, lang, unnest(${gramList("t")}) AS f FROM b),
-       |fc AS (SELECT id, lang, ${h("f")} % $dim AS j,
+       |f0 AS (SELECT id, lang, unnest(${langIdGramList("t")}) AS f FROM b),
+       |fc AS (SELECT id, lang, ${langIdGram("f")} % $dim AS j,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM f0 GROUP BY 1, 2, 3),
        |fv AS MATERIALIZED (SELECT id, cc.ci AS yi,
@@ -3846,13 +4050,19 @@ object Pipeline {
        |  FROM fv, unnest(fv.fs) AS u(x) GROUP BY 1),
        |w0 AS MATERIALIZED (SELECT ci, list_transform(generate_series(0, $dim),
        |    x -> CAST(0 AS BIGINT)) AS wil FROM cls),
-       |${(1 to LangIters).map(iterCtes).mkString(",\n")},
+       |${(1 to LangIters).map(iterCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private def langIdSql(trainPred: String, servePred: String,
+      finalSelect: String): String = {
+    val dim = LangDim
+    s"""WITH ${langIdTrainCtes(trainPred)},
        |sv AS (SELECT id, lang, t FROM d0 WHERE len(t) >= 2 AND ($servePred)),
        |u AS (SELECT sv.id, sv.lang, w.ci,
        |    round(w.wil[$dim + 1] / 10000.0
        |      + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |          list_transform(${gramList("sv.t")},
-       |            x -> w.wil[(${h("x")} % $dim) + 1] / 10000.0)),
+       |          list_transform(${langIdGramList("sv.t")},
+       |            x -> w.wil[(${langIdGram("x")} % $dim) + 1] / 10000.0)),
        |        (a, b) -> a + b), 4) AS s
        |  FROM sv CROSS JOIN w$LangIters w),
        |pr AS (SELECT id, lang, ci, s,
@@ -3861,6 +4071,36 @@ object Pipeline {
        |sc AS (SELECT p.id, p.lang, c.cl AS pred_lang, p.s AS score
        |  FROM pr p JOIN cls c USING (ci) WHERE rn = 1)
        |$finalSelect""".stripMargin
+  }
+
+  /** SERVING + GATE replay over any (doc_id, text) source CTE: score
+    * every doc under the replayed frozen model (the exact doc-order
+    * gram fold + argmax tie-break of langIdScore) and keep ids whose
+    * winning score clears [[LangGateTau]] — the CCNet stage-0 rule
+    * composed into the curation flagships. Docs whose normalized text
+    * is shorter than 2 chars have no grams, no score, and do not pass
+    * (matching langIdBase's length filter). CTE names are lg_-prefixed
+    * to coexist with the tg_/ht_/x_/pk_ chains. Ends in
+    * `lg_keep(doc_id)`.
+    */
+  private def langIdGateCtes(src: String): String = {
+    val dim = LangDim
+    s"""lg_sv AS (SELECT doc_id AS id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM $src),
+       |lg_u AS (SELECT s0.id, w.ci,
+       |    round(w.wil[$dim + 1] / 10000.0
+       |      + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(${langIdGramList("s0.t")},
+       |            x -> w.wil[(${langIdGram("x")} % $dim) + 1] / 10000.0)),
+       |        (a, b) -> a + b), 4) AS s
+       |  FROM (SELECT id, t FROM lg_sv WHERE len(t) >= 2) s0
+       |  CROSS JOIN w$LangIters w),
+       |lg_pr AS (SELECT id, ci, s,
+       |    row_number() OVER (PARTITION BY id ORDER BY s DESC, ci) AS rn
+       |  FROM lg_u),
+       |lg_keep AS (SELECT id AS doc_id FROM lg_pr
+       |  WHERE rn = 1 AND s >= $LangGateTau)""".stripMargin
   }
 
   private lazy val q227Sql = langIdSql("TRUE", "TRUE",
@@ -3928,8 +4168,8 @@ object Pipeline {
   // ===== q249 drift ALERT decision over resampled batches =================
   // The monitoring contract a deployment actually sets (q231 reports ONE
   // jsd; an operator needs a per-batch alert with a calibrated
-  // threshold): the monitored slice resamples into four deterministic
-  // in-distribution batches ((doc_id div 3) % 4 — each a random-ish
+  // threshold): the monitored slice resamples into eight deterministic
+  // in-distribution batches ((doc_id div 3) % 8 — each a random-ish
   // subsample of the same distribution) plus one PLANTED drifted batch
   // (the slice's true-'en' docs only — single-language skew, the
   // failure mode language-ID drift monitoring exists to catch), and
@@ -4266,8 +4506,9 @@ object Pipeline {
        |tg_len AS (SELECT doc_id, CAST(list_reduce(list_prepend(0,
        |      list_transform(ws, x -> len(x))), (a, b) -> a + b) AS BIGINT)
        |      AS sumlen,
-       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
-       |      AS nsym
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS nhash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT)
+       |      AS nellsym
        |  FROM tg_w),
        |tg_li AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS nl,
        |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
@@ -4294,9 +4535,10 @@ object Pipeline {
        |      AND tg_len.sumlen <= ${TagGopher.maxMeanWordLen} * tg_blk.nw)
        |      AS keep_doclen,
        |    (tg_blk.nw = 0
-       |      OR tg_len.nsym * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw)
+       |      OR (tg_len.nhash * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw
+       |        AND tg_len.nellsym * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw))
        |      AS keep_symbols,
-       |    (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
+       |    (tg_li.nbul * 10000 <= ${TagGopher.bulletTau} * tg_li.nl
        |      AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
        |      AND (tg_li.nl - tg_li.ndist) * 10000
        |        <= ${TagGopher.dupLineTau} * tg_li.nl
@@ -4310,8 +4552,10 @@ object Pipeline {
        |        AND tg_len.sumlen >= ${TagGopher.minMeanWordLen} * tg_blk.nw
        |        AND tg_len.sumlen <= ${TagGopher.maxMeanWordLen} * tg_blk.nw)
        |      AND (tg_blk.nw = 0
-       |        OR tg_len.nsym * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw)
-       |      AND (tg_li.nbul * 10000 < ${TagGopher.bulletTau} * tg_li.nl
+       |        OR (tg_len.nhash * 10000 <= ${TagGopher.symbolTau} * tg_blk.nw
+       |          AND tg_len.nellsym * 10000
+       |            <= ${TagGopher.symbolTau} * tg_blk.nw))
+       |      AND (tg_li.nbul * 10000 <= ${TagGopher.bulletTau} * tg_li.nl
        |        AND tg_li.nell * 10000 <= ${TagGopher.ellipsisTau} * tg_li.nl
        |        AND (tg_li.nl - tg_li.ndist) * 10000
        |          <= ${TagGopher.dupLineTau} * tg_li.nl
@@ -4559,33 +4803,86 @@ object Pipeline {
     * `ht_k` (doc_id, rank, block_type, block_idx, block_text) — shared
     * by q244 and the q245 composed flagship.
     */
-  /** The strip→decode→normalize chain over a SQL expression — must
-    * mirror Html.cleanBlock exactly (tag strip, entity decode with
-    * &amp; last, whitespace collapse happens at the call site).
+  /** NUMERIC character-reference decode over a SQL expression — the
+    * sentinel-split replay of
+    * [[graft.functions.NativeKernels.decodeNumericRefs]]: a control
+    * char is inserted before every `&#`, the string splits there, and
+    * each piece starting with a VALID reference (1-8 digits, value in
+    * 1..0x10FFFF, not a surrogate — the kernel's exact guards)
+    * decodes via chr(). Invalid refs stay literal, like the kernel.
     */
-  private def entityChainSql(e: String): String =
-    "replace(replace(replace(replace(replace(replace(" +
-      s"regexp_replace($e, '<[^>]*>', '', 'gs'), " +
+  private def numericRefSql(e: String): String = {
+    val dec = "CAST(regexp_extract(p, '^&#([0-9]{1,8});', 1) AS BIGINT)"
+    val hex = "CAST('0x' || regexp_extract(p, '^&#[xX]([0-9a-fA-F]{1,8});', 1) AS BIGINT)"
+    s"array_to_string(list_transform(string_split(replace($e, '&#', chr(1) || '&#'), chr(1)), " +
+      "p -> CASE " +
+      s"WHEN regexp_matches(p, '^&#[0-9]{1,8};') AND $dec BETWEEN 1 AND 1114111 " +
+      s"AND NOT ($dec BETWEEN 55296 AND 57343) " +
+      s"THEN chr(CAST($dec AS INTEGER)) || regexp_replace(p, '^&#[0-9]{1,8};', '') " +
+      s"WHEN regexp_matches(p, '^&#[xX][0-9a-fA-F]{1,8};') AND $hex BETWEEN 1 AND 1114111 " +
+      s"AND NOT ($hex BETWEEN 55296 AND 57343) " +
+      s"THEN chr(CAST($hex AS INTEGER)) || regexp_replace(p, '^&#[xX][0-9a-fA-F]{1,8};', '') " +
+      "ELSE p END), '')"
+  }
+
+  /** The br→newline → strip → decode (named, numeric, &amp; last) →
+    * newline-preserving whitespace-normalize chain over a SQL
+    * expression — must mirror Html.cleanBlock exactly.
+    */
+  private def cleanBlockSql(e: String): String = {
+    val br = s"regexp_replace($e, '<br\\s*/?>', chr(10), 'gi')"
+    val strip = s"regexp_replace($br, '<[^>]*>', '', 'gs')"
+    val named = "replace(replace(replace(replace(replace(" +
+      s"$strip, " +
       "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
-      "'&nbsp;', ' '), '&amp;', '&')"
+      "'&nbsp;', ' ')"
+    val amp = s"replace(${numericRefSql(named)}, '&amp;', '&')"
+    s"trim(regexp_replace(regexp_replace($amp, '\\s*\\n\\s*', chr(10), 'g'), " +
+      "'[ \\t\\x0B\\f\\r]+', ' ', 'g'), ' ' || chr(10))"
+  }
+
+  /** The fixture page synthesized by Html.withHtmlColumn, replayed as
+    * one DuckDB concat — every static trap string must match the Scala
+    * side byte for byte.
+    */
+  private lazy val htmlSynthSql =
+    """concat(
+      |      '<html><head><title>fixture</title><style>p { color: #fff; }</style><script>if (1 < 2) { alert("x &amp; y"); }</script><link rel="stylesheet" href="/css/main.css"></head><body><!-- <p>ghost block</p> --><nav><abbr title="ht">HT</abbr> <a href="/">home</a> | <a href="/about">about</a><p>nested menu item</p></nav><h1>',
+      |      array_to_string(ws[1:3], ' &amp; '),
+      |      '</h1><h2>section &#8212; overview</h2><blockquote>quoted words here</blockquote><pre>raw &amp; code</pre>',
+      |      CASE WHEN n >= 4 THEN array_to_string(list_transform(
+      |        generate_series(0, (n - 4) // 10),
+      |        k -> concat('<p>', array_to_string(ws[k*10+4 : k*10+13], ' '),
+      |          ' &lt;eop&gt;</p>')), '') ELSE '' END,
+      |      '<p>line one<br>line two</p><ul><li>',
+      |      CASE WHEN n >= 2 THEN concat(ws[n-1], '&nbsp;', ws[n])
+      |        ELSE 'item&nbsp;only' END,
+      |      '</li><li>it&#x27;s &quot;quoted&quot;</li></ul><table><tr><td>cell &#65; text</td></tr></table><div class="footer">contact us<p>div nested para</p></div></body></html>')""".stripMargin
 
   private lazy val htmlCteSql = {
-    val entityChain = entityChainSql("arr[i]")
+    // Priority removal-chain segmentation, generated from the SAME tag
+    // table the Scala extractor uses (Html.blockTags) so the two sides
+    // cannot drift independently: tag k extracts from the residual of
+    // tags 0..k-1 and removes its own spans for tag k+1.
+    val tagChain = graft.operators.Html.blockTags.zipWithIndex.map {
+      case ((tag, _), k) =>
+        val src = if (k == 0) "ht_c" else s"ht_g${k - 1}"
+        val in = if (k == 0) "ch" else "res"
+        val rx = s"<$tag\\b[^>]*>(.*?)</$tag>"
+        s"""ht_g$k AS (SELECT doc_id,
+           |    regexp_extract_all($in, '$rx', 1, 's') AS arr,
+           |    regexp_replace($in, '$rx', '', 'gs') AS res
+           |  FROM $src)"""
+    }.mkString(",\n")
+    val tagUnion = graft.operators.Html.blockTags.zipWithIndex.map {
+      case ((tag, rank), k) =>
+        s"SELECT doc_id, $rank AS rank, '$tag' AS block_type, arr FROM ht_g$k"
+    }.mkString("\n  UNION ALL ")
     s"""ht_w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n
        |  FROM documents),
        |ht_html AS (SELECT doc_id,
-       |    concat(
-       |      '<html><head><title>fixture</title><style>p { color: #fff; }</style><script>if (1 < 2) { alert("x &amp; y"); }</script></head><body><!-- <p>ghost block</p> --><nav><a href="/">home</a> | <a href="/about">about</a></nav><h1>',
-       |      array_to_string(ws[1:3], ' &amp; '), '</h1>',
-       |      CASE WHEN n >= 4 THEN array_to_string(list_transform(
-       |        generate_series(0, (n - 4) // 10),
-       |        k -> concat('<p>', array_to_string(ws[k*10+4 : k*10+13], ' '),
-       |          ' &lt;eop&gt;</p>')), '') ELSE '' END,
-       |      '<ul><li>',
-       |      CASE WHEN n >= 2 THEN concat(ws[n-1], '&nbsp;', ws[n])
-       |        ELSE 'item&nbsp;only' END,
-       |      '</li><li>it&#39;s &quot;quoted&quot;</li></ul><div class="footer">contact us</div></body></html>')
+       |    $htmlSynthSql
        |    AS html FROM ht_w),
        |ht_c AS (SELECT doc_id,
        |    regexp_replace(regexp_replace(regexp_replace(html,
@@ -4593,21 +4890,12 @@ object Pipeline {
        |      '<style\\b[^>]*>.*?</style>', '', 'gs'),
        |      '<!--.*?-->', '', 'gs') AS ch
        |  FROM ht_html),
+       |$tagChain,
        |ht_t AS (
-       |  SELECT doc_id, 0 AS rank, 'nav' AS block_type,
-       |    regexp_extract_all(ch, '<nav[^>]*>(.*?)</nav>', 1, 's') AS arr
-       |  FROM ht_c
-       |  UNION ALL SELECT doc_id, 1, 'h1',
-       |    regexp_extract_all(ch, '<h1[^>]*>(.*?)</h1>', 1, 's') FROM ht_c
-       |  UNION ALL SELECT doc_id, 2, 'p',
-       |    regexp_extract_all(ch, '<p[^>]*>(.*?)</p>', 1, 's') FROM ht_c
-       |  UNION ALL SELECT doc_id, 3, 'li',
-       |    regexp_extract_all(ch, '<li[^>]*>(.*?)</li>', 1, 's') FROM ht_c
-       |  UNION ALL SELECT doc_id, 4, 'div',
-       |    regexp_extract_all(ch, '<div[^>]*>(.*?)</div>', 1, 's') FROM ht_c),
+       |  $tagUnion),
        |ht_b AS (SELECT doc_id, rank, block_type,
        |    CAST(i - 1 AS BIGINT) AS block_idx, arr[i] AS raw,
-       |    trim(regexp_replace($entityChain, '\\s+', ' ', 'g')) AS block_text
+       |    ${cleanBlockSql("arr[i]")} AS block_text
        |  FROM ht_t, unnest(generate_series(1, len(arr))) AS t(i)),
        |ht_k AS (SELECT doc_id, rank, block_type, block_idx, block_text
        |  FROM ht_b WHERE len(block_text) > 0)""".stripMargin
@@ -4657,7 +4945,7 @@ object Pipeline {
        |  FROM documents d LEFT JOIN (
        |    SELECT doc_id, array_to_string(
        |        list(block_text ORDER BY rank, block_idx), chr(10)) AS text
-       |    FROM ht_k WHERE rank BETWEEN 1 AND 3 GROUP BY doc_id) b
+       |    FROM ht_k WHERE rank BETWEEN 1 AND 10 GROUP BY doc_id) b
        |  USING (doc_id)),
        |${taggerCteFor("ht_doc")},
        |ht_kept AS (SELECT d.doc_id, d.text FROM ht_doc d
@@ -4691,41 +4979,100 @@ object Pipeline {
   }
 
   private lazy val q252Sql = {
-    val inner = entityChainSql("x")
     s"""WITH $htmlCteSql,
        |ht_lk AS (SELECT doc_id, rank, block_type, block_idx, block_text,
        |    CAST(list_reduce(list_prepend(0, list_transform(
-       |      regexp_extract_all(raw, '<a[^>]*>(.*?)</a>', 1, 's'),
-       |      x -> len(trim(regexp_replace($inner, '\\s+', ' ', 'g'))))),
+       |      regexp_extract_all(raw, '<a\\b[^>]*>(.*?)</a>', 1, 's'),
+       |      x -> len(${cleanBlockSql("x")}))),
        |      (a, b) -> a + b) AS BIGINT) AS link_chars
        |  FROM ht_b WHERE len(block_text) > 0)
        |SELECT doc_id, block_type, block_idx, link_chars,
        |  CAST(len(block_text) AS BIGINT) AS text_chars,
-       |  (rank IN (0, 4) OR 2 * link_chars > len(block_text))
+       |  (rank IN (0, 11) OR 2 * link_chars > len(block_text))
        |    AS boilerplate
        |FROM ht_lk""".stripMargin
   }
 
-  // ===== q238 FULL curation flagship: tag → dedup → train → EOS shards ===
+  // ===== q253 WARC container ingestion ====================================
+  // "Crawl in" end-to-end: the fixture packs every synthesized page
+  // (q244's HTML) into multi-record WARC FILES — 16 records per file,
+  // Content-Length framing, identity carried ONLY inside the record's
+  // target URI, and every 23rd doc's version line corrupted to
+  // WARC/9.9 (length-preserving, so the framing of the REST of the
+  // file is intact) — then the operator chain splits files into
+  // records by exact offset arithmetic and parses typed fields,
+  // quarantining the corrupted records as data (nulls + flag). The
+  // oracle replays the synthesis arithmetic directly: a parser that
+  // mis-frames any record, loses a payload char, or fails to
+  // quarantine diverges from the synthesized expectation.
+  // (Truncated-file framing breaks are WarcSpec's to pin — they poison
+  // the remainder of one file by design, which this fixture never
+  // exercises.)
+
+  private val WarcMalformEvery = 23
+
+  private def q253(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("source"),
+        col("text")), col("text"), "html")
+    val files = Warc.withWarcFiles(
+      Warc.withWarcRecord(withHtml, col("doc_id"), col("source"),
+        col("html"), "rec", malformEvery = WarcMalformEvery),
+      col("doc_id"), col("rec"))
+    Warc.parseFields(Warc.records(files, col("warc")), col("rec"))
+      .select(col("warc_version"), col("url"), col("status"),
+        col("content_type"), md5(col("html")).as("html_md5"),
+        col("malformed"))
+  }
+
+  private lazy val q253Sql =
+    s"""WITH $htmlCteSql,
+       |wr AS (SELECT d.doc_id, d.source, h.html
+       |  FROM documents d JOIN ht_html h USING (doc_id))
+       |SELECT
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN 'WARC/9.9'
+       |    ELSE 'WARC/1.0' END AS warc_version,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE 'http://example.com/' || source || '/' || doc_id END AS url,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE 200 END AS status,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE 'text/html; charset=utf-8' END AS content_type,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE md5(html) END AS html_md5,
+       |  (doc_id % $WarcMalformEvery = 0) AS malformed
+       |FROM wr""".stripMargin
+
+  // ===== q238 FULL curation flagship: langid+tag → dedup → train → shards =
   // The complete published production path as ONE DataFrame and ONE
-  // hash: the Dolma tagger-mixer drops unsafe/low-quality docs (q237),
-  // the survivors dedup (exact + MinHash-LSH, q61's operator), the
-  // byte-level BPE trains ON THE CURATED SURVIVORS (training before
-  // filtering would overweight junk text's merges), the frozen GPT-2 id
-  // layout derives from those survivor merges, and the shards
-  // materialize as EOS-separated token-id streams (q233's loader
-  // contract). Raw corpus in, the file a trainer mmaps out — drift in
-  // ANY tagger, the mixer rule, the survivor election, the trainer
-  // slice, the id layout, the EOS placement or the pack order breaks
-  // the hash.
+  // hash: CCNet's stage-0 language gate under the STORED q227
+  // classifier (winning score ≥ τ — the trained-model discipline, not
+  // the rule-based q29 scorer) composes with the Dolma tagger-mixer
+  // dropping unsafe/low-quality docs (q237), the survivors dedup
+  // (exact + MinHash-LSH, q61's operator), the byte-level BPE trains
+  // ON THE CURATED SURVIVORS (training before filtering would
+  // overweight junk text's merges), the frozen GPT-2 id layout derives
+  // from those survivor merges, and the shards materialize as
+  // EOS-separated token-id streams (q233's loader contract). Raw
+  // corpus in, the file a trainer mmaps out — drift in the langid
+  // model replay, its gate, ANY tagger, the mixer rule, the survivor
+  // election, the trainer slice, the id layout, the EOS placement or
+  // the pack order breaks the hash.
 
   private def q238(t: Tables): DataFrame = {
     val keptIds = TextOps.taggerTable(graft.Fanout(t.documents),
         col("doc_id"), col("text"), BlockList, BlockTau, TagPiiMax,
         RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
+    // CCNet stage 0 composed into the mixer: classify under the STORED
+    // q227 artifact and keep docs whose winning score clears the gate
+    val langKept = TextOps.langIdScoreAgainstModel(
+        graft.Fanout(t.documents), col("doc_id"), col("text"),
+        langIdModelDir(t, trainAll = true))
+      .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
     val docs0 = graft.Fanout(t.documents)
       .join(keptIds, Seq("doc_id"), "left_semi")
+      .join(langKept, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), col("text"))
     val survivors = docs0.join(Dedup.dedupCorpus(
         docs0.select(col("doc_id").as("id"), col("text")),
@@ -4769,8 +5116,11 @@ object Pipeline {
       s"SELECT a || b AS piece, CAST(${255 + i} AS BIGINT) AS id FROM p$i")
       .mkString("\n  UNION ALL ")
     s"""WITH $pre${taggerCteFor(src)},
+       |${langIdTrainCtes("TRUE")},
+       |${langIdGateCtes(src)},
        |din AS MATERIALIZED (SELECT d.doc_id, d.source, d.text
-       |  FROM $src d JOIN tg_k USING (doc_id) WHERE tg_k.kept),
+       |  FROM $src d JOIN tg_k USING (doc_id)
+       |  JOIN lg_keep USING (doc_id) WHERE tg_k.kept),
        |x_ex AS MATERIALIZED (SELECT min(doc_id) AS id, text FROM din GROUP BY text),
        |x_h AS MATERIALIZED (SELECT id, ss, len(ss) AS n_sh,
        |    list_transform(ss, s -> ${Dedup.SharedHash.hash28Sql("s")}) AS xs FROM (
@@ -5047,32 +5397,56 @@ object Pipeline {
 
   private lazy val q238Sql = fullCurationShardsSql("documents", "")
 
-  // ===== q251 THE pipeline end-to-end: crawled HTML → trainer file ========
+  // ===== q251 THE pipeline end-to-end: WARC crawl → trainer file ==========
   // The complete story this engine exists to tell, as ONE DataFrame and
-  // ONE hash: raw crawled HTML (q244's synthesis) → deterministic
-  // extraction (content blocks, chrome dropped) → the seven-tagger
-  // mixer over the EXTRACTED text → exact + MinHash-LSH dedup →
-  // byte-BPE trained on the curated survivors → survivor-derived GPT-2
-  // id layout → EOS-separated token-id shards. q238 starts from plain
-  // text; q245 stops at the survivor election; this row closes the gap
-  // — drift in ANY extraction rule, tagger, election, trainer slice,
-  // id layout, EOS placement or pack order breaks the hash. Oracle =
-  // the shared full-curation chain over the ht_ extraction CTEs.
+  // ONE hash: WARC container files (multi-record, Content-Length
+  // framing — q253's operator) → record split + field parse → the
+  // crawled HTML payload (q244's synthesis) → deterministic extraction
+  // (content blocks, chrome dropped) → CCNet stage-0 langid gate
+  // (stored q227 model, scored on the EXTRACTED text) + the
+  // seven-tagger mixer → exact + MinHash-LSH dedup → byte-BPE trained
+  // on the curated survivors → survivor-derived GPT-2 id layout →
+  // EOS-separated token-id shards. Document identity (doc_id, source)
+  // is recovered from the record's target URI — the only identity a
+  // crawl actually carries. q238 starts from plain text; q245 stops at
+  // the survivor election; this row closes the gap — drift in the WARC
+  // framing, ANY extraction rule, tagger, election, trainer slice, id
+  // layout, EOS placement or pack order breaks the hash. Oracle = the
+  // shared full-curation chain over the ht_ extraction CTEs (synthesis
+  // replayed; the container round-trip must be exactly lossless to
+  // match it).
 
   private def q251(t: Tables): DataFrame = {
     val withHtml = Html.withHtmlColumn(
       graft.Fanout(t.documents).select(col("doc_id"), col("source"),
         col("text")), col("text"), "html")
+    val files = Warc.withWarcFiles(
+      Warc.withWarcRecord(withHtml, col("doc_id"), col("source"),
+        col("html"), "rec"),
+      col("doc_id"), col("rec"))
+    val pages = Warc.parseFields(Warc.records(files, col("warc")),
+        col("rec"))
+      .select(
+        regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        regexp_extract(col("url"), "example\\.com/([^/]+)/", 1)
+          .as("source"),
+        col("html"))
     // extract ONCE (the q245 lesson): the content frame feeds the
     // tagger, the dedup election, the trainer and the packing tail
-    val content = Html.extractText(withHtml, col("html"), "ctext")
+    val content = Html.extractText(pages, col("html"), "ctext")
       .select(col("doc_id"), col("source"), col("ctext").as("text"))
       .persistScoped()
     val keptIds = TextOps.taggerTable(content, col("doc_id"), col("text"),
         BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
         RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
+    // CCNet stage 0 over the EXTRACTED text, stored-model discipline
+    val langKept = TextOps.langIdScoreAgainstModel(content,
+        col("doc_id"), col("text"), langIdModelDir(t, trainAll = true))
+      .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
     val docs0 = content.join(keptIds, Seq("doc_id"), "left_semi")
+      .join(langKept, Seq("doc_id"), "left_semi")
     val survivors = docs0.join(Dedup.dedupCorpus(
         docs0.select(col("doc_id").as("id"), col("text")),
         3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
@@ -5107,7 +5481,7 @@ object Pipeline {
        |  FROM documents d LEFT JOIN (
        |    SELECT doc_id, array_to_string(
        |        list(block_text ORDER BY rank, block_idx), chr(10)) AS text
-       |    FROM ht_k WHERE rank BETWEEN 1 AND 3 GROUP BY doc_id) b
+       |    FROM ht_k WHERE rank BETWEEN 1 AND 10 GROUP BY doc_id) b
        |  USING (doc_id)),
        |""".stripMargin)
 
@@ -7548,7 +7922,11 @@ object Pipeline {
     "q249_langid_drift_alert" -> wrap(q249),
     "q250_interleaved_id_shards" -> wrap(q250),
     "q251_html_to_shards" -> wrap(q251),
-    "q252_block_boilerplate" -> wrap(q252)
+    "q252_block_boilerplate" -> wrap(q252),
+    "q253_warc_ingest" -> wrap(q253),
+    "q254_kn5_perplexity" -> wrap(q254),
+    "q255_kn5_stored_scoring" -> wrap(q255),
+    "q256_pair_dedup" -> wrap(q256)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7734,6 +8112,13 @@ object Pipeline {
     "q249_langid_drift_alert" -> q249Sql,
     "q250_interleaved_id_shards" -> q250Sql,
     "q251_html_to_shards" -> q251Sql,
-    "q252_block_boilerplate" -> q252Sql
+    "q252_block_boilerplate" -> q252Sql,
+    "q253_warc_ingest" -> q253Sql,
+    "q254_kn5_perplexity" -> q254Sql,
+    // stored ≡ fresh by construction: the artifact is the pruned
+    // (vocab, ngrams5) pair and every discount statistic derives from
+    // it at load — q254's oracle verbatim (the q247 discipline)
+    "q255_kn5_stored_scoring" -> q254Sql,
+    "q256_pair_dedup" -> q256Sql
   )
 }

@@ -32,7 +32,9 @@ class HtmlSpec extends AnyFunSuite {
     assert(out == Seq(
       ("nav", 0L, "home | about"),
       ("h1", 0L, "alpha & beta"),
-      ("p", 0L, "one two three"),
+      // in-block "\n" survives normalization (runs containing a newline
+      // collapse to ONE newline; horizontal runs to one space)
+      ("p", 0L, "one two\nthree"),
       ("p", 1L, "encoded <b> stays \"text\""),
       // p idx 2 (whitespace-only) dropped, but indices of earlier blocks
       // are stable — the pre-drop occurrence index contract
@@ -46,7 +48,7 @@ class HtmlSpec extends AnyFunSuite {
     val txt = Html.extractText(df, $"html", "ctext")
       .select($"ctext").as[String].head()
     assert(txt ==
-      "alpha & beta\none two three\nencoded <b> stays \"text\"\nit's here\na b")
+      "alpha & beta\none two\nthree\nencoded <b> stays \"text\"\nit's here\na b")
   }
 
   test("decode order: &amp; decodes LAST so &amp;lt; yields literal &lt; not <") {
@@ -56,7 +58,7 @@ class HtmlSpec extends AnyFunSuite {
     assert(out == "&lt;keep&gt;")
   }
 
-  test("withHtmlColumn: synthesis wraps every word; round-trip recovers title/paras/lis") {
+  test("withHtmlColumn: synthesis wraps every word; round-trip recovers every block family") {
     val text = (1 to 17).map(i => s"w$i").mkString(" ") // 17 words
     val df = Seq((1L, text)).toDF("doc_id", "text")
     val html = Html.withHtmlColumn(df, $"text", "html")
@@ -64,17 +66,54 @@ class HtmlSpec extends AnyFunSuite {
       .select($"block_type", $"block_idx", $"block_text")
       .as[(String, Long, String)].collect().toSeq
     assert(blocks.filter(_._1 == "h1").map(_._3) == Seq("w1 & w2 & w3"))
-    // paras: words 4..13, 14..17, each with the decoded <eop> marker
+    // decimal numeric ref decodes (em dash); hex ref in the second li
+    assert(blocks.filter(_._1 == "h2").map(_._3) == Seq("section — overview"))
+    assert(blocks.filter(_._1 == "blockquote").map(_._3) == Seq("quoted words here"))
+    // paras: words 4..13, 14..17 with the decoded <eop> marker, then the
+    // static <br> para (newline preserved), then the div-nested para the
+    // p pass CLAIMS from the footer (priority chain — no double-count)
     assert(blocks.filter(_._1 == "p").map(_._3) == Seq(
       (4 to 13).map(i => s"w$i").mkString(" ") + " <eop>",
-      (14 to 17).map(i => s"w$i").mkString(" ") + " <eop>"))
+      (14 to 17).map(i => s"w$i").mkString(" ") + " <eop>",
+      "line one\nline two",
+      "div nested para"))
     assert(blocks.filter(_._1 == "li").map(_._3) ==
       Seq("w16 w17", "it's \"quoted\""))
-    assert(blocks.filter(_._1 == "nav").map(_._3) == Seq("home | about"))
+    assert(blocks.filter(_._1 == "td").map(_._3) == Seq("cell A text"))
+    // nav claims its nested <p> (never emitted as content); the <abbr>
+    // strips as residual inline markup
+    assert(blocks.filter(_._1 == "nav").map(_._3) ==
+      Seq("HT home | aboutnested menu item"))
+    // the div keeps only its OWN text — the nested para went to the p pass
     assert(blocks.filter(_._1 == "div").map(_._3) == Seq("contact us"))
-    // the script/style/comment traps never leak into any block
+    // the script/style/comment/<pre>/<link> traps never leak into any
+    // block ("raw & code" would appear if <p\b> matched <pre>; css would
+    // appear if <li\b> matched <link>)
     assert(blocks.forall(b => !b._3.contains("ghost") &&
-      !b._3.contains("alert") && !b._3.contains("color")))
+      !b._3.contains("alert") && !b._3.contains("color") &&
+      !b._3.contains("raw & code") && !b._3.contains("css")))
+  }
+
+  test("numeric refs: valid decimal/hex decode; invalid, out-of-range and surrogate refs stay literal") {
+    val df = Seq((1L,
+      "<p>a &#65; b &#x42; c &#x; d &#999999999; e &#xD800; f &#0; g &amp;#39;</p>"))
+      .toDF("id", "html")
+    val out = Html.extractBlocks(df, $"html").select($"block_text").as[String].head()
+    // &amp;#39; renders as the literal &#39; (amp decodes LAST, after
+    // numeric — never double-decoded)
+    assert(out == "a A b B c &#x; d &#999999999; e &#xD800; f &#0; g &#39;")
+  }
+
+  test("priority chain: a <p> inside <nav> is chrome (extractText drops it with the nav)") {
+    val df = Seq((1L,
+      "<html><body><nav>menu<p>nested link list</p></nav><p>real content here</p></body></html>"))
+      .toDF("id", "html")
+    val txt = Html.extractText(df, $"html", "ctext").select($"ctext").as[String].head()
+    assert(txt == "real content here")
+    // and the block table emits the nested text under the NAV block only
+    val blocks = Html.extractBlocks(df, $"html")
+      .select($"block_type", $"block_text").as[(String, String)].collect().toSeq
+    assert(blocks == Seq(("nav", "menunested link list"), ("p", "real content here")))
   }
 
   test("blockSignals: link-density catches the link farm the tag rule misses; footer by tag only") {

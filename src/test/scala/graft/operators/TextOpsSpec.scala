@@ -90,14 +90,15 @@ class TextOpsSpec extends AnyFunSuite {
       (1L, "one two three"),                       // 3 words < 5: doclen
       (2L, "alpha bravo carol delta eagle frank"), // clean
       (3L, "supercalifragilistic extraordinarily incomprehensibilities overqualification jackhammering"), // mean len > 10: doclen
-      (4L, "see C# and #tags #everywhere ... fine"), // 4 symbols / 7 words > 10%: symbols
-      (5L, "- alpha bravo\n- alpha carol\n- alpha delta\n- alpha eagle\n- alpha frank\n- bravo carol\n- bravo delta\n- bravo eagle\n- bravo frank\nintro line here of words"), // 9/10 bullet lines
+      (4L, "see C# and #tags #everywhere ... fine"), // 3 hashes / 7 words > 10%: symbols (per-symbol ratio)
+      (5L, "- alpha bravo\n- alpha carol\n- alpha delta\n- alpha eagle\n- alpha frank\n- bravo carol\n- bravo delta\n- bravo eagle\n- bravo frank\n- carol delta\nintro line here of words"), // 10/11 bullet lines > 90% (exactly 90% keeps)
       (6L, "first line goes on...\nsecond line is also trailing off...\nthird line is plain here okay\nfourth line is plain too okay"), // 2/4 ellipsis > 30%
       (7L, "same line of words here\nsame line of words here\nsame line of words here\nunique line of words here"), // dup fraction 2/4 > 30%
       (8L, (Seq.fill(2)("alpha bravo carol delta eagle frank golf hotel india juliet") ++
         Seq("kilo lima", "mike nov", "oscar papa", "quebec romeo",
           "sierra tango", "uncle victor", "whiskey xray", "yankee zulu"))
-        .mkString("\n"))), // dup LINE fraction 1/10 ok; dup CHAR fraction 60/~200 > 20%
+        .mkString("\n")), // dup LINE fraction 1/10 ok; dup CHAR fraction 60/~200 > 20%
+      (9L, "- alpha bravo\n- alpha carol\n- alpha delta\n- alpha eagle\n- alpha frank\n- bravo carol\n- bravo delta\n- bravo eagle\n- bravo frank\nintro line here of words")), // EXACTLY 9/10 = 90% bullet lines: Gopher drops only ABOVE the threshold, so this keeps
       g)
     assert(out(1L) == ((1L, false, true, true, "doclen")))
     assert(out(2L) == ((2L, true, true, true, "")))
@@ -109,6 +110,7 @@ class TextOpsSpec extends AnyFunSuite {
     // duplicate-line CHAR fraction fires where the line fraction passes:
     // 1 dup line of 10 (10% <= 30%) but that line carries 60 of ~200 chars
     assert(out(8L)._4 == false && out(8L)._5 == "lines")
+    assert(out(9L) == ((9L, true, true, true, "")))
   }
 
   test("langId picks the language with most stopword hits; CJK wins; und fallback") {
