@@ -121,21 +121,21 @@ object Warc {
       .withColumn("__version",
         regexp_extract(col("__rec"), "^(WARC/[0-9.]+)\r\n", 1))
       .withColumn("__cl",
-        regexp_extract(col("__header"), "\r\nContent-Length: ([0-9]{1,9})\r", 1)
-          .cast("long"))
+        nullif(regexp_extract(col("__header"),
+          "\r\nContent-Length: ([0-9]{1,9})(?:\r|$)", 1), lit("")).cast("long"))
       .withColumn("__uri",
-        regexp_extract(col("__header"), "\r\nWARC-Target-URI: ([^\r\n]+)\r", 1))
+        regexp_extract(col("__header"), "\r\nWARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("__http",
         col("__rec").substr(length(col("__header")) + 5, length(col("__rec"))))
       .withColumn("__status",
-        regexp_extract(col("__http"), "^HTTP/1\\.1 ([0-9]{3}) ", 1)
-          .cast("int"))
+        nullif(regexp_extract(col("__http"), "^HTTP/1\\.1 ([0-9]{3}) ", 1),
+          lit("")).cast("int"))
       .withColumn("__hh", substring_index(col("__http"), "\r\n\r\n", 1))
       .withColumn("__ctype",
-        regexp_extract(col("__hh"), "\r\nContent-Type: ([^\r\n]+)\r", 1))
+        regexp_extract(col("__hh"), "\r\nContent-Type: ([^\r\n]+)", 1))
       .withColumn("__hcl",
-        regexp_extract(col("__hh"), "\r\nContent-Length: ([0-9]{1,9})\r", 1)
-          .cast("long"))
+        nullif(regexp_extract(col("__hh"),
+          "\r\nContent-Length: ([0-9]{1,9})(?:\r|$)", 1), lit("")).cast("long"))
       .withColumn("__body",
         col("__http").substr(length(col("__hh")) + 5, length(col("__http"))))
       .withColumn("malformed",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.CacheScope.ScopedPersist
 
 import graft.Tables
-import graft.operators.{Dedup, Graph, Html, Multimodal, Retrieval, Similarity, TextOps, Unigram}
+import graft.operators.{Dedup, Graph, Html, Multimodal, Retrieval, Similarity, TextOps, Unigram, Warc}
 
 /** Training-data pipeline queries (SURVEY.md §7.2 step 6): dedup, similarity
   * search, text analysis, multimodal plumbing, sessionization.
@@ -3943,11 +3943,15 @@ object Pipeline {
   private val LangLrNum = 1L
   private val LangLrDen = 2L
   /** CCNet stage-0 keep rule for the curation flagships: winning-class
-    * raw score ≥ τ (σ(s) ≥ ½ ⟺ s ≥ 0 is the published probability-0.5
-    * rule; the fixture's score spread straddles 0, so the gate makes a
-    * real split — measured at sf0.01 before pinning).
+    * raw score ≥ τ. CCNet publishes the rule on the PROBABILITY (keep
+    * when p ≥ 0.5 ⟺ s ≥ 0), but this fixture's one-vs-rest heads are
+    * over-confident (every winning score lands in [1.8, 52] at
+    * sf0.01 — measured before pinning), so s ≥ 0 would be a vacuous
+    * gate; τ = 6.0 sits at the ~5th percentile and makes the stage a
+    * REAL split (a few percent of docs drop on langid alone) while
+    * leaving the downstream dedup/trainer stages a full-sized corpus.
     */
-  private val LangGateTau = 0.0
+  private val LangGateTau = 6.0
 
   private def langIdModelDir(t: Tables, trainAll: Boolean): String = {
     val spark = t.documents.sparkSession

@@ -975,6 +975,31 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming WARC INGESTION — the crawl front door one container
+    * ahead of [[htmlExtractIngest]]
+    * ([[graft.operators.Warc.parseFields]] as a foreachBatch sink):
+    * each micro-batch of (file_id, warc) container files splits into
+    * records by exact Content-Length framing and the typed field table
+    * (file_id, warc_version, url, status, content_type, html,
+    * malformed) lands under `batch=<id>` — overwrite mode,
+    * replay-idempotent. Quarantined records ARRIVE as rows (null
+    * fields + flag), so a malformed-rate monitor reads the same table
+    * the extractor consumes — no separate error stream to lose.
+    */
+  def warcIngest(outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Warc.parseFields(
+          graft.operators.Warc.records(
+            batch.toDF().select(col("file_id"), col("warc")), col("warc")),
+          col("rec"))
+        .select(col("file_id"), col("warc_version"), col("url"),
+          col("status"), col("content_type"), col("html"),
+          col("malformed"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming language-ID DRIFT monitoring — [[langIdIngest]]'s
     * watchdog: each micro-batch classifies under the FROZEN model and
     * writes its [[graft.operators.TextOps.langIdDriftReport]] against

@@ -147,8 +147,11 @@ class HtmlSpec extends AnyFunSuite {
       $"html")
       .select($"doc_id", $"block_type", $"block_text")
       .as[(Long, String, String)].collect()
-    // no <p> blocks below 4 words; the one-word doc gets the fallback li
-    assert(!blocks.exists(b => b._1 == 1L && b._2 == "p"))
+    // no DYNAMIC <p> blocks below 4 words — only the fixture's two
+    // static traps (the <br> para and the div-nested para) remain; the
+    // one-word doc gets the fallback li
+    assert(blocks.filter(b => b._1 == 1L && b._2 == "p").map(_._3).toSeq ==
+      Seq("line one\nline two", "div nested para"))
     assert(blocks.filter(b => b._1 == 1L && b._2 == "li").map(_._3).toSeq ==
       Seq("item only", "it's \"quoted\""))
     assert(blocks.filter(b => b._1 == 2L && b._2 == "li").map(_._3).toSeq ==

@@ -770,6 +770,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows() == r0)
   }
 
+  test("warcIngest: per-batch field table ≡ offline parse; quarantine arrives as rows; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.Warc
+    val out = java.nio.file.Files.createTempDirectory("warcingest").toString
+    val sink = EventStreams.warcIngest(out)
+    val recs = Warc.withWarcRecord(
+      Seq((1L, "s", "<p>one</p>"), (2L, "s", "<p>two</p>"),
+        (23L, "s", "<p>bad</p>")).toDF("doc_id", "source", "html"),
+      $"doc_id", $"source", $"html", "rec", malformEvery = 23)
+    val b0 = Warc.withWarcFiles(recs, $"doc_id", $"rec", docsPerFile = 2)
+    sink(b0, 0L)
+    def rows() = spark.read.parquet(s"$out/batch=0")
+      .select($"url", $"malformed")
+      .as[(Option[String], Boolean)].collect().toSet
+    val r0 = rows()
+    val offline = Warc.parseFields(Warc.records(b0, $"warc"), $"rec")
+      .select($"url", $"malformed")
+      .as[(Option[String], Boolean)].collect().toSet
+    assert(r0 == offline && r0.size == 3)
+    assert(r0.contains((Some("http://example.com/s/1"), false)))
+    assert(r0.contains((None, true)), "the corrupted record arrives quarantined")
+    sink(b0, 0L) // replay
+    assert(rows() == r0)
+  }
+
   test("imageAHashIngest: dedup-on-arrival vs store and within batch; undecodables quarantined; replay idempotent") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
