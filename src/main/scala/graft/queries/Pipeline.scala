@@ -5069,10 +5069,19 @@ object Pipeline {
         RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
     // CCNet stage 0 composed into the mixer: classify under the STORED
-    // q227 artifact and keep docs whose winning score clears the gate
+    // q227 artifact and keep docs whose winning score clears the gate.
+    // The scored frame localCheckpoints BEFORE the τ filter: a filter
+    // directly on `score` pushes the predicate through the serving
+    // projections, substituting the whole K-fold scoring tree below
+    // the shared gram-hash projection (langIdBase's documented 40×
+    // pathology — measured 17s for 500 docs here); the checkpoint
+    // evaluates the scoring exactly once, truncates the K × dim
+    // literal tree out of the flagship's lineage, and the filter runs
+    // over materialized rows (3 columns/doc, distributed).
     val langKept = TextOps.langIdScoreAgainstModel(
         graft.Fanout(t.documents), col("doc_id"), col("text"),
         langIdModelDir(t, trainAll = true))
+      .localCheckpoint()
       .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
     val docs0 = graft.Fanout(t.documents)
       .join(keptIds, Seq("doc_id"), "left_semi")
@@ -5445,9 +5454,11 @@ object Pipeline {
         BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
         RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
-    // CCNet stage 0 over the EXTRACTED text, stored-model discipline
+    // CCNet stage 0 over the EXTRACTED text, stored-model discipline;
+    // checkpoint-before-filter for the same pushdown pathology as q238
     val langKept = TextOps.langIdScoreAgainstModel(content,
         col("doc_id"), col("text"), langIdModelDir(t, trainAll = true))
+      .localCheckpoint()
       .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
     val docs0 = content.join(keptIds, Seq("doc_id"), "left_semi")
       .join(langKept, Seq("doc_id"), "left_semi")
