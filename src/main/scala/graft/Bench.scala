@@ -101,7 +101,12 @@ object Bench {
     // /tmp scratch is reused-or-rebuilt by design), so halt(0) makes
     // the process exit 0 inside the wrapper's budget with the JSON
     // line as the LAST stdout line (what the driver parses).
+    // halt skips shutdown hooks AND buffered-stream draining: flush both
+    // std streams explicitly (log4j writes to stderr via console appender,
+    // already line-flushed). halt(0) must remain the LAST statement of
+    // main — code added after it will silently never run.
     System.out.flush()
+    System.err.flush()
     Runtime.getRuntime.halt(0)
   }
 

@@ -581,6 +581,240 @@ object NativeKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** indexOf for a small ASCII needle over raw bytes — the byte twin of
+    * `String.indexOf` the char-form framing uses.
+    */
+  private def bytesIndexOf(h: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    val n = h.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && h(i + j) == needle(j)) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  private val CrlfCrlf = Array[Byte]('\r', '\n', '\r', '\n')
+  private val ClKey: Array[Byte] =
+    "\r\nContent-Length: ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Byte-true twin of [[warcSplitRecords]] — the PRODUCTION framing:
+    * identical offset arithmetic, but offsets and the declared
+    * `Content-Length` count OCTETS over a binary column, so multibyte
+    * payload encodings (UTF-8 beyond ASCII, charset'd bodies) frame
+    * correctly where the char form would desync. Same quarantine
+    * contract: any arithmetic break emits the remainder as one final
+    * malformed record and stops; records before the break are
+    * unaffected.
+    */
+  def warcSplitRecordsBytes(b: Array[Byte]): ArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    val n = b.length
+    var off = 0
+    var broken = false
+    while (off < n && !broken) {
+      val he = bytesIndexOf(b, CrlfCrlf, off)
+      var cl = -1L
+      if (he >= 0) {
+        val ki = bytesIndexOf(b, ClKey, off)
+        if (ki >= 0 && ki < he) {
+          var j = ki + ClKey.length
+          var v = 0L
+          var any = false
+          while (j < he && b(j) >= '0' && b(j) <= '9' && v <= Int.MaxValue) {
+            v = v * 10 + (b(j) - '0'); j += 1; any = true
+          }
+          if (any && v <= Int.MaxValue && j < n && b(j) == '\r') cl = v
+        }
+      }
+      if (he < 0 || cl < 0 || he.toLong + 4 + cl > n) {
+        out.add(java.util.Arrays.copyOfRange(b, off, n))
+        broken = true
+      } else {
+        val recEnd = he + 4 + cl.toInt
+        out.add(java.util.Arrays.copyOfRange(b, off, recEnd))
+        off = recEnd
+        if (off < n) {
+          if (off + 4 <= n && b(off) == '\r' && b(off + 1) == '\n' &&
+              b(off + 2) == '\r' && b(off + 3) == '\n') off += 4
+          else {
+            out.add(java.util.Arrays.copyOfRange(b, off, n))
+            broken = true
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One deterministic gzip MEMBER (RFC 1952) around `b` — fixture-side
+    * synthesis twin of [[gunzipMembers]]. Java's GZIPOutputStream writes
+    * a fixed header (MTIME = 0, no OS-specific fields) and default-level
+    * deflate, so the bytes are stable for a fixed input.
+    */
+  def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a stream of CONCATENATED gzip members (the `.warc.gz`
+    * layout Common Crawl ships — one member per record) into the
+    * concatenated payload bytes, stopping at the FIRST failure and
+    * returning everything decompressed up to it (quarantine-is-data:
+    * a corrupt member header yields the prior members intact and the
+    * stream simply ends there; a truncated deflate stream yields its
+    * deterministic partial output, which the framing kernel then
+    * quarantines as a malformed remainder record). Member parsing is
+    * explicit RFC 1952 — magic/CM check, FLG-driven optional-field
+    * skip (FEXTRA/FNAME/FCOMMENT/FHCRC), raw-deflate inflate, 8-byte
+    * trailer with ISIZE check — rather than GZIPInputStream, whose
+    * multi-member resync behavior on corrupt input is unspecified.
+    */
+  def gunzipMembers(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length * 3)
+    val n = b.length
+    var off = 0
+    var ok = true
+    while (ok && off < n) {
+      // header: magic 1f 8b, CM = 8 (deflate), FLG
+      if (off + 10 > n || (b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+          b(off + 2) != 8) { ok = false }
+      else {
+        val flg = b(off + 3) & 0xff
+        var p = off + 10
+        try {
+          if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian XLEN + bytes
+            val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+            p += 2 + xlen
+          }
+          if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 }  // FNAME
+          if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+          if ((flg & 2) != 0) p += 2                                // FHCRC
+          if (p > n) throw new java.io.EOFException("gzip header past end")
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(b, p, n - p)
+          val buf = new Array[Byte](8192)
+          val member = new java.io.ByteArrayOutputStream(8192)
+          var done = false
+          while (!done) {
+            val k = inf.inflate(buf)
+            if (k > 0) member.write(buf, 0, k)
+            else if (inf.finished()) done = true
+            else throw new java.util.zip.DataFormatException("truncated deflate")
+          }
+          val tailStart = p + ((n - p) - inf.getRemaining)
+          inf.end()
+          // trailer: CRC32 + ISIZE (mod 2^32), both little-endian
+          if (tailStart + 8 > n)
+            throw new java.io.EOFException("gzip trailer past end")
+          var isize = 0L
+          var i = 0
+          while (i < 4) {
+            isize |= (b(tailStart + 4 + i) & 0xffL) << (8 * i); i += 1
+          }
+          if (isize != (member.size().toLong & 0xffffffffL))
+            throw new java.util.zip.ZipException("gzip ISIZE mismatch")
+          member.writeTo(out)
+          off = tailStart + 8
+        } catch {
+          case _: Exception =>
+            // mid-member break: keep the deterministic partial output
+            // (the framing kernel quarantines it) and stop the stream
+            ok = false
+            try {
+              val inf2 = new java.util.zip.Inflater(true)
+              inf2.setInput(b, p, n - p)
+              val buf = new Array[Byte](8192)
+              var done = false
+              while (!done) {
+                try {
+                  val k = inf2.inflate(buf)
+                  if (k > 0) out.write(buf, 0, k) else done = true
+                } catch { case _: Exception => done = true }
+              }
+              inf2.end()
+            } catch { case _: Exception => () }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Concatenate an array of binary values into one — the file-packing
+    * fold for multi-member `.warc.gz` synthesis (null elements skipped).
+    */
+  def concatBinary(arr: ArrayData): Array[Byte] = {
+    val cnt = arr.numElements()
+    var total = 0
+    var i = 0
+    while (i < cnt) {
+      if (!arr.isNullAt(i)) total += arr.getBinary(i).length
+      i += 1
+    }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < cnt) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getBinary(i)
+        System.arraycopy(x, 0, out, off, x.length)
+        off += x.length
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Decode bytes under a per-row charset NAME (the HTTP Content-Type
+    * `charset=` parameter): unknown/illegal names fall back to UTF-8,
+    * malformed sequences and unmappable bytes decode to U+FFFD
+    * (CodingErrorAction.REPLACE) — deterministic, never a thrown task
+    * (corrupt payloads are data, the [[graft.operators.Multimodal]]
+    * convention).
+    */
+  def decodeCharsetBytes(b: Array[Byte], cs: UTF8String): UTF8String = {
+    val charset = resolveCharset(cs)
+    val dec = charset.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val cb = dec.decode(java.nio.ByteBuffer.wrap(b))
+    UTF8String.fromString(cb.toString)
+  }
+
+  /** Encode a string under a per-row charset name — the synthesis twin
+    * of [[decodeCharsetBytes]] (unknown names → UTF-8, unencodable
+    * chars → the charset's replacement byte).
+    */
+  def encodeCharsetBytes(s: UTF8String, cs: UTF8String): Array[Byte] = {
+    val charset = resolveCharset(cs)
+    val enc = charset.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val bb = enc.encode(java.nio.CharBuffer.wrap(s.toString))
+    val out = new Array[Byte](bb.remaining())
+    bb.get(out)
+    out
+  }
+
+  private def resolveCharset(cs: UTF8String): java.nio.charset.Charset = {
+    if (cs == null) return java.nio.charset.StandardCharsets.UTF_8
+    val name = cs.toString.trim
+    if (name.isEmpty) return java.nio.charset.StandardCharsets.UTF_8
+    try {
+      if (java.nio.charset.Charset.isSupported(name))
+        java.nio.charset.Charset.forName(name)
+      else java.nio.charset.StandardCharsets.UTF_8
+    } catch {
+      case _: Exception => java.nio.charset.StandardCharsets.UTF_8
+    }
+  }
 }
 
 /** minhash_sig(array<long>) → array<long> of `num` signature slots. */
@@ -1066,4 +1300,99 @@ case class WarcRecordsExpr(child: Expression)
       s"${ev.value} = graft.functions.NativeKernels.warcSplitRecords($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** warc_records_bin(binary) → array<binary> of WARC records split by
+  * exact Content-Length OCTET arithmetic
+  * ([[NativeKernels.warcSplitRecordsBytes]]) — the byte-true production
+  * framing; same malformed-remainder quarantine contract as the char
+  * form.
+  */
+case class WarcRecordsBytesExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.warcSplitRecordsBytes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.warcSplitRecordsBytes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** warc_gunzip(binary) → binary: concatenated-gzip-member decompression
+  * with stop-at-first-failure quarantine ([[NativeKernels.gunzipMembers]]).
+  */
+case class GunzipMembersExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.gunzipMembers(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.gunzipMembers($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** gzip_member(binary) → binary: one deterministic gzip member
+  * ([[NativeKernels.gzipMember]]) — fixture synthesis side.
+  */
+case class GzipMemberExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.gzipMember(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.gzipMember($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** concat_binary(array<binary>) → binary ([[NativeKernels.concatBinary]]). */
+case class ConcatBinaryExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.concatBinary(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.concatBinary($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** decode_charset(binary, charset-name) → string with per-ROW charset
+  * (the HTTP `charset=` parameter as a column — Spark's builtin
+  * `decode` takes only a static charset); unknown names → UTF-8,
+  * malformed bytes → U+FFFD ([[NativeKernels.decodeCharsetBytes]]).
+  */
+case class DecodeCharsetExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any, cs: Any): Any =
+    NativeKernels.decodeCharsetBytes(b.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, cs) =>
+      s"${ev.value} = graft.functions.NativeKernels.decodeCharsetBytes($b, $cs);")
+  override protected def withNewChildInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** encode_charset(string, charset-name) → binary — synthesis twin of
+  * [[DecodeCharsetExpr]] ([[NativeKernels.encodeCharsetBytes]]).
+  */
+case class EncodeCharsetExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any, cs: Any): Any =
+    NativeKernels.encodeCharsetBytes(s.asInstanceOf[UTF8String],
+      cs.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, cs) =>
+      s"${ev.value} = graft.functions.NativeKernels.encodeCharsetBytes($s, $cs);")
+  override protected def withNewChildInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }

@@ -58,6 +58,46 @@ package object functions {
     ExpressionUtils.column(graft.functions.WarcRecordsExpr(
       ExpressionUtils.expression(file)))
 
+  /** Byte-true WARC file → array<binary> of records, exact
+    * Content-Length OCTET framing ([[graft.functions.WarcRecordsBytesExpr]]).
+    */
+  def warc_records_bin(file: Column): Column =
+    ExpressionUtils.column(graft.functions.WarcRecordsBytesExpr(
+      ExpressionUtils.expression(file)))
+
+  /** Concatenated-gzip-member decompression (`.warc.gz` layout), bytes
+    * up to the first failure ([[graft.functions.GunzipMembersExpr]]).
+    */
+  def warc_gunzip(file: Column): Column =
+    ExpressionUtils.column(graft.functions.GunzipMembersExpr(
+      ExpressionUtils.expression(file)))
+
+  /** One deterministic gzip member — fixture synthesis side
+    * ([[graft.functions.GzipMemberExpr]]).
+    */
+  def gzip_member(b: Column): Column =
+    ExpressionUtils.column(graft.functions.GzipMemberExpr(
+      ExpressionUtils.expression(b)))
+
+  /** concat(array<binary>) → binary ([[graft.functions.ConcatBinaryExpr]]). */
+  def concat_binary(arr: Column): Column =
+    ExpressionUtils.column(graft.functions.ConcatBinaryExpr(
+      ExpressionUtils.expression(arr)))
+
+  /** Per-row-charset decode (binary, name) → string; unknown names →
+    * UTF-8, malformed bytes → U+FFFD ([[graft.functions.DecodeCharsetExpr]]).
+    */
+  def decode_charset(b: Column, cs: Column): Column =
+    ExpressionUtils.column(graft.functions.DecodeCharsetExpr(
+      ExpressionUtils.expression(b), ExpressionUtils.expression(cs)))
+
+  /** Per-row-charset encode (string, name) → binary — synthesis twin of
+    * [[decode_charset]] ([[graft.functions.EncodeCharsetExpr]]).
+    */
+  def encode_charset(s: Column, cs: Column): Column =
+    ExpressionUtils.column(graft.functions.EncodeCharsetExpr(
+      ExpressionUtils.expression(s), ExpressionUtils.expression(cs)))
+
   /** All stride-1 n-word window md5s (duplicates kept, window order) —
     * the passage-hash kernel for [[graft.operators.Dedup.duplicatePassages]].
     */

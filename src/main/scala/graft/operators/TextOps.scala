@@ -1271,155 +1271,190 @@ object TextOps {
       spark.read.parquet(s"$dir/bigrams"), pplThreshold)
   }
 
-  /** ≥3-token docs with the token array — the trigram family's corpus
-    * base ([[lmTokens]] at order 3).
+  // ===== higher-order interpolated Kneser-Ney (orders 3 and 5) ===========
+  // ONE order-parameterized generator serves both gated orders: the KN
+  // recursion is structural — raw counts discounted at the top order,
+  // CONTINUATION type counts at every lower order (each level's table is
+  // the distinct-context count of the level above), add-one continuation
+  // unigram at the bottom — so the order is a loop bound, not a reason
+  // for twin code. The oracle side generates its CASE chain recursively
+  // from the same parameter (q246/q254), keeping the two sides from
+  // drifting independently.
+
+  /** ≥order-token docs with the token array — the n-gram families'
+    * corpus base.
     */
-  private def lm3Tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
+  private def lmNTokens(docs: DataFrame, id: Column, text: Column,
+      order: Int): DataFrame =
     docs.select(id.as("id"),
         filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= order)
 
-  /** Adjacent-triple explode: (id [, is_ref], w1, w2, w3) — one row per
-    * trigram POSITION (multiplicity preserved for the counts).
+  /** [[lmNTokens]] carrying the reference flag (the direct-path split). */
+  private def lmNBase(docs: DataFrame, id: Column, text: Column,
+      refFilter: Column, order: Int): DataFrame =
+    docs.select(id.as("id"), refFilter.as("is_ref"),
+        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= order)
+
+  /** Adjacent n-gram explode: (id [, is_ref], w1..wN) — one row per
+    * n-gram POSITION (multiplicity preserved for the counts).
     */
-  private def lm3Triples(base: DataFrame): DataFrame = {
+  private def lmNGrams(base: DataFrame, order: Int): DataFrame = {
     val extra = base.columns.filter(c => c != "id" && c != "ws").map(col)
     base.select((col("id") +: extra :+
-        explode(transform(sequence(lit(1), size(col("ws")) - 2),
-          i => struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2"),
-            element_at(col("ws"), i + 2).as("w3")))).as("p")): _*)
-      .select((col("id") +: extra :+ col("p.w1") :+ col("p.w2") :+
-        col("p.w3")): _*)
+        explode(transform(sequence(lit(1), size(col("ws")) - (order - 1)),
+          i => struct((0 until order).map(k =>
+            element_at(col("ws"), i + k).as(s"w${k + 1}")): _*))).as("p")): _*)
+      .select((col("id") +: extra) ++
+        (1 to order).map(k => col(s"p.w$k")): _*)
   }
 
-  /** Train the pruned trigram model from reference tokens/triples:
-    * (vocab(w, uc), trigrams(w1, w2, w3, tc)) — both bounded by the
-    * deterministic (count desc, terms) top-k, the [[lmTrain]] recipe at
-    * order 3.
+  /** Train the pruned top-order table from reference tokens/grams:
+    * (vocab(w, uc), pruned(w1..wN, countCol)) — both bounded by the
+    * deterministic (count desc, terms) top-k. `countCol` preserves each
+    * order's stored-artifact column name (`tc` at order 3, `c` at 5 —
+    * the [[writeLm3Model]]/[[writeLm5Model]] layouts predate the
+    * unification and stay stable for stored readers).
     */
-  private def lm3Train(refBase: DataFrame, refTriples: DataFrame,
-      maxV: Int, maxT: Int): (DataFrame, DataFrame) = {
+  private def lmNTrain(refBase: DataFrame, refGrams: DataFrame, order: Int,
+      countCol: String, maxV: Int, maxT: Int): (DataFrame, DataFrame) = {
     import graft.CacheScope.ScopedPersist
     val vocab = refBase.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("uc"))
       .orderBy(col("uc").desc, col("w")).limit(maxV)
-      .persistScoped() // bounded model artifact: ≤ maxV rows, reused 4×
-    val trigrams = refTriples
-      .join(broadcast(vocab.select(col("w").as("w1"))), Seq("w1"), "left_semi")
-      .join(broadcast(vocab.select(col("w").as("w2"))), Seq("w2"), "left_semi")
-      .join(broadcast(vocab.select(col("w").as("w3"))), Seq("w3"), "left_semi")
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
-      .orderBy(col("tc").desc, col("w1"), col("w2"), col("w3")).limit(maxT)
-    (vocab, trigrams)
+      .persistScoped() // bounded model artifact: ≤ maxV rows, reused per level
+    val pruned = (1 to order).foldLeft(refGrams) { (acc, k) =>
+      acc.join(broadcast(vocab.select(col("w").as(s"w$k"))),
+        Seq(s"w$k"), "left_semi")
+    }
+      .groupBy((1 to order).map(k => col(s"w$k")): _*)
+      .agg(count(lit(1)).as(countCol))
+      .orderBy((col(countCol).desc +: (1 to order).map(k => col(s"w$k"))): _*)
+      .limit(maxT)
+    (vocab, pruned)
+  }
+
+  /** Score per-doc n-grams with interpolated Kneser-Ney against a
+    * (vocab, pruned top-order table) model — the shared serving core of
+    * the direct and stored paths at BOTH gated orders (3 and 5):
+    *
+    *   p(wN|w1..wN−1)  = max(c(w1..wN) − D, 0)/c(w1..wN−1·)
+    *                     + D·N1+(w1..wN−1·)/c(w1..wN−1·) · p_c(level N−1)
+    *   p_c(level k)    = max(N1+(·ctx_k) − D, 0)/N1+(·ctx_{k−1}·)
+    *                     + D·N1+(ctx_{k−1}·)/N1+(·ctx_{k−1}·) · p_c(k−1)
+    *   p_c(wN)         = (N1+(·wN) + 1)/(N1+(··) + |V| + 1)  (add-one: OOV > 0)
+    *
+    * where every N1+ is a TYPE count derived recursively from the ONE
+    * pruned top-order table (the Kneser-Ney insight applied at every
+    * level: lower orders ask "after how many distinct contexts", never
+    * "how often"); a missing context at any level backs off to the level
+    * below. D is fixed at 3/4 (exact in binary), so every
+    * max(x − D, 0)/y is computed as greatest(4x − 3, 0)/(4y) over exact
+    * integers. ALL model ingredients derive from the pruned table, so
+    * the stored artifact reproduces serving exactly: stored ≡ fresh BY
+    * CONSTRUCTION.
+    *
+    * Determinism: the per-gram probability is a fixed tree of
+    * correctly-rounded IEEE ops over exact integers, written identically
+    * in the oracle (the q175/q211 discipline); the per-doc sum is the
+    * q119 sorted fold over gram-keyed terms.
+    *
+    * 100 TB design: the model is bounded (maxV + maxT rows; every
+    * derived context/continuation table strictly smaller) and
+    * BROADCASTS into the scoring joins; the corpus side is one explode
+    * + per-(doc, n-gram) partial aggregation. Raising the order adds
+    * bounded broadcast joins, never a corpus-sized shuffle.
+    *
+    * Output: id, <nOut>, h, ppl, keep.
+    */
+  private def knScoreN(grams: DataFrame, vocab: DataFrame,
+      pruned: DataFrame, order: Int, countCol: String, nOut: String,
+      pplThreshold: Double): DataFrame = {
+    import graft.CacheScope.ScopedPersist
+    val gN = pruned.persistScoped() // ≤ maxT rows; feeds every derivation
+    // raw top order: c(w1..wN−1·) and N1+(w1..wN−1·)
+    val ctxTop = gN.groupBy((1 until order).map(k => col(s"w$k")): _*)
+      .agg(sum(col(countCol)).as("cb"), count(lit(1)).as("nf"))
+    // continuation chain: m_{N−1} from the pruned table, then each m_k
+    // from m_{k+1}, keyed by the LAST k words
+    val ms: Seq[(Int, DataFrame)] = {
+      var prev = gN
+      (order - 1 to 2 by -1).map { k =>
+        val keys = (order - k + 1) to order
+        val m = prev.groupBy(keys.map(i => col(s"w$i")): _*)
+          .agg(count(lit(1)).as(s"n$k")).persistScoped()
+        prev = m
+        k -> m
+      }
+    }
+    val ctxs: Map[Int, DataFrame] = ms.map { case (k, m) =>
+      val keys = (order - k + 1) until order
+      k -> m.groupBy(keys.map(i => col(s"w$i")): _*)
+        .agg(sum(col(s"n$k")).as(s"n${k}b"), count(lit(1)).as(s"nd$k"))
+    }.toMap
+    val m2 = ms.last._2
+    // continuation unigram: N1+(·wN), N1+(··), |V|
+    val cw = m2.groupBy(col(s"w$order")).agg(count(lit(1)).as("ncw"))
+    val tot = m2.agg(count(lit(1)).as("ntot"))
+      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
+    val dn = grams.groupBy((col("id") +:
+        (1 to order).map(k => col(s"w$k"))): _*)
+      .agg(count(lit(1)).as("n"))
+    def disc(num: Column, den: Column, types: Column, lower: Column): Column =
+      greatest(lit(4) * coalesce(num, lit(0L)) - 3, lit(0L)).cast("double") /
+        (lit(4) * den).cast("double") +
+        (lit(3) * types).cast("double") /
+          (lit(4) * den).cast("double") * lower
+    var scored = dn
+      .join(broadcast(gN), (1 to order).map(k => s"w$k"), "left")
+      .join(broadcast(ctxTop), (1 until order).map(k => s"w$k"), "left")
+    for ((k, m) <- ms)
+      scored = scored
+        .join(broadcast(m), ((order - k + 1) to order).map(i => s"w$i"),
+          "left")
+        .join(broadcast(ctxs(k)),
+          ((order - k + 1) until order).map(i => s"w$i"), "left")
+    scored = scored
+      .join(broadcast(cw), Seq(s"w$order"), "left")
+      .crossJoin(broadcast(tot))
+      // each level materializes as a column so every branch reuses the
+      // identical double (same expression tree as the oracle's)
+      .withColumn("pc1",
+        (coalesce(col("ncw"), lit(0L)) + 1).cast("double") /
+          (col("ntot") + col("nv") + 1).cast("double"))
+    for (k <- 2 until order)
+      scored = scored.withColumn(s"pc$k", when(col(s"n${k}b").isNotNull,
+        disc(col(s"n$k"), col(s"n${k}b"), col(s"nd$k"), col(s"pc${k - 1}")))
+        .otherwise(col(s"pc${k - 1}")))
+    scored = scored.withColumn("lp", log(when(col("cb").isNotNull,
+      disc(col(countCol), col("cb"), col("nf"), col(s"pc${order - 1}")))
+      .otherwise(col(s"pc${order - 1}"))))
+    scored.groupBy(col("id"))
+      .agg(sum(col("n")).as("m"),
+        sort_array(collect_list(struct((1 to order).map(k => col(s"w$k")) :+
+          (col("n").cast("double") * col("lp")).as("v"): _*))).as("ts"))
+      .select(col("id"), col("m").as(nOut),
+        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
+          .as("h"))
+      .withColumn("ppl", round(exp(col("h")), 4))
+      .withColumn("keep", col("ppl") <= pplThreshold)
   }
 
   /** Interpolated TRIGRAM Kneser-Ney — [[knPerplexityFilter]]'s
-    * machinery generalized to order 3, the shape KenLM/CCNet production
-    * filters actually run (5-gram in production; order 3 exercises the
-    * full recursion: raw counts at the top order, CONTINUATION counts at
-    * every lower order):
-    *
-    *   p(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
-    *                + D·N1+(w1w2·)/c(w1w2·) · p_c(w3|w2)
-    *   p_c(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
-    *                + D·N1+(w2·)/N1+(·w2·) · p_c(w3)
-    *   p_c(w3)    = (N1+(·w3) + 1)/(N1+(··) + |V| + 1)   (add-one: OOV > 0)
-    *
-    * where every N1+ is a TYPE count over the PRUNED trigram table (the
-    * Kneser-Ney insight applied recursively: lower orders ask "after how
-    * many distinct contexts", never "how often"). A missing (w1,w2)
-    * context backs off to p_c(w3|w2); a missing w2 continuation context
-    * backs off to p_c(w3) — the standard interpolated-KN recursion.
-    *
-    * D is fixed at 3/4 (exact in binary), so every max(x − D, 0)/y is
-    * computed as greatest(4x − 3, 0)/(4y) over exact integers; ALL model
-    * ingredients — c(w1w2·), both type-count families, the totals —
-    * derive from the pruned trigram table, so the stored artifact (the
-    * [[writeLm3Model]] `vocab/` + `trigrams/` pair, the [[writeLmModel]]
-    * family layout one order up) reproduces serving exactly: stored ≡
-    * fresh BY CONSTRUCTION.
-    *
-    * Determinism: the per-triple probability is a fixed tree of
-    * correctly-rounded IEEE ops over exact integers, written identically
-    * in the oracle (the q175/q211 discipline); the per-doc sum is the
-    * q119 sorted fold over (w1, w2, w3)-keyed terms.
-    *
-    * 100 TB design: identical to the bigram path — the model is bounded
-    * (maxV + maxT rows; every derived context/continuation table is
-    * strictly smaller) and BROADCASTS into the scoring joins; the corpus
-    * side is one explode + per-(doc, trigram) partial aggregation. No
-    * shuffle grows with the model order.
-    *
-    * Output: id, n_trigrams, h, ppl, keep.
+    * machinery at order 3 through the unified [[knScoreN]] core (raw
+    * counts at the top order, CONTINUATION counts at every lower
+    * order). Output: id, n_trigrams, h, ppl, keep.
     */
   def kn3PerplexityFilter(docs: DataFrame, id: Column, text: Column,
       refFilter: Column, maxV: Int, maxT: Int,
       pplThreshold: Double): DataFrame = {
     import graft.CacheScope.ScopedPersist
-    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
-        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val triples = lm3Triples(base).persistScoped()
-    val (vocab, trigrams) = lm3Train(base.filter(col("is_ref")),
-      triples.filter(col("is_ref")), maxV, maxT)
-    kn3Score(triples, vocab, trigrams, pplThreshold)
-  }
-
-  /** Score per-doc triples with trigram Kneser-Ney against a
-    * (vocab, trigrams) model — the shared serving core of the direct and
-    * stored-model paths. All discount statistics derive HERE from the
-    * pruned trigram table (exact integers), keeping the artifact layout
-    * identical to [[writeLm3Model]]'s while guaranteeing stored ≡ fresh.
-    */
-  private def kn3Score(triples: DataFrame, vocab: DataFrame,
-      trigrams: DataFrame, pplThreshold: Double): DataFrame = {
-    import graft.CacheScope.ScopedPersist
-    val tri = trigrams.persistScoped() // ≤ maxT rows; feeds four derivations
-    val ctx3 = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("tc")).as("c12b"), count(lit(1)).as("n1f12"))
-    val mid = tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n23")).persistScoped() // type counts N1+(·w2w3)
-    val ctx2 = mid.groupBy(col("w2"))
-      .agg(sum(col("n23")).as("n2b"), count(lit(1)).as("nd2"))
-    val cw = mid.groupBy(col("w3")).agg(count(lit(1)).as("ncw3"))
-    val tot = mid.agg(count(lit(1)).as("ntot"))
-      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
-    val dn = triples.groupBy(col("id"), col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n"))
-    // pc and p2m materialize as columns so every branch reuses the
-    // identical double (same expression tree as the oracle's)
-    val pcExpr = (coalesce(col("ncw3"), lit(0L)) + 1).cast("double") /
-      (col("ntot") + col("nv") + 1).cast("double")
-    val p2 = greatest(lit(4) * coalesce(col("n23"), lit(0L)) - 3, lit(0L))
-        .cast("double") / (lit(4) * col("n2b")).cast("double") +
-      (lit(3) * col("nd2")).cast("double") /
-        (lit(4) * col("n2b")).cast("double") * col("pc")
-    val p3 = greatest(lit(4) * coalesce(col("tc"), lit(0L)) - 3, lit(0L))
-        .cast("double") / (lit(4) * col("c12b")).cast("double") +
-      (lit(3) * col("n1f12")).cast("double") /
-        (lit(4) * col("c12b")).cast("double") * col("p2m")
-    val scored = dn
-      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
-      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
-      .join(broadcast(mid), Seq("w2", "w3"), "left")
-      .join(broadcast(ctx2), Seq("w2"), "left")
-      .join(broadcast(cw), Seq("w3"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("pc", pcExpr)
-      .withColumn("p2m",
-        when(col("n2b").isNotNull, p2).otherwise(col("pc")))
-      .withColumn("lp",
-        log(when(col("c12b").isNotNull, p3).otherwise(col("p2m"))))
-    scored.groupBy(col("id"))
-      .agg(sum(col("n")).as("m"),
-        sort_array(collect_list(struct(col("w1"), col("w2"), col("w3"),
-          (col("n").cast("double") * col("lp")).as("v")))).as("ts"))
-      .select(col("id"), col("m").as("n_trigrams"),
-        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
-          .as("h"))
-      .withColumn("ppl", round(exp(col("h")), 4))
-      .withColumn("keep", col("ppl") <= pplThreshold)
+    val base = lmNBase(docs, id, text, refFilter, 3)
+    val triples = lmNGrams(base, 3).persistScoped()
+    val (vocab, trigrams) = lmNTrain(base.filter(col("is_ref")),
+      triples.filter(col("is_ref")), 3, "tc", maxV, maxT)
+    knScoreN(triples, vocab, trigrams, 3, "tc", "n_trigrams", pplThreshold)
   }
 
   /** Persist the trigram KN model — `vocab/` + `trigrams/` parquet, the
@@ -1430,9 +1465,9 @@ object TextOps {
   def writeLm3Model(docs: DataFrame, id: Column, text: Column,
       maxV: Int, maxT: Int, dir: String): Unit = {
     import graft.CacheScope.ScopedPersist
-    val base = lm3Tokens(docs, id, text)
-    val triples = lm3Triples(base).persistScoped()
-    val (vocab, trigrams) = lm3Train(base, triples, maxV, maxT)
+    val base = lmNTokens(docs, id, text, 3)
+    val triples = lmNGrams(base, 3).persistScoped()
+    val (vocab, trigrams) = lmNTrain(base, triples, 3, "tc", maxV, maxT)
     vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
     trigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/trigrams")
     docs.sparkSession.catalog.refreshByPath(dir)
@@ -1442,160 +1477,25 @@ object TextOps {
   def kn3ScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
       dir: String, pplThreshold: Double): DataFrame = {
     val spark = docs.sparkSession
-    kn3Score(lm3Triples(lm3Tokens(docs, id, text)),
+    knScoreN(lmNGrams(lmNTokens(docs, id, text, 3), 3),
       spark.read.parquet(s"$dir/vocab"),
-      spark.read.parquet(s"$dir/trigrams"), pplThreshold)
+      spark.read.parquet(s"$dir/trigrams"), 3, "tc", "n_trigrams",
+      pplThreshold)
   }
 
-  private def lm5Tokens(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("id"),
-        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
-      .filter(size(col("ws")) >= 5)
-
-  /** Adjacent 5-gram explode: (id [, is_ref], w1..w5) — one row per
-    * position (multiplicity preserved for the counts).
-    */
-  private def lm5Grams(base: DataFrame): DataFrame = {
-    val extra = base.columns.filter(c => c != "id" && c != "ws").map(col)
-    base.select((col("id") +: extra :+
-        explode(transform(sequence(lit(1), size(col("ws")) - 4),
-          i => struct((0 to 4).map(k =>
-            element_at(col("ws"), i + k).as(s"w${k + 1}")): _*))).as("p")): _*)
-      .select((col("id") +: extra) ++
-        (1 to 5).map(k => col(s"p.w$k")): _*)
-  }
-
-  /** Train the pruned 5-gram model from reference tokens/grams:
-    * (vocab(w, uc), grams5(w1..w5, c)) — both bounded by the
-    * deterministic (count desc, terms) top-k, [[lm3Train]] two orders
-    * up.
-    */
-  private def lm5Train(refBase: DataFrame, refGrams: DataFrame,
-      maxV: Int, maxT: Int): (DataFrame, DataFrame) = {
-    import graft.CacheScope.ScopedPersist
-    val vocab = refBase.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("uc"))
-      .orderBy(col("uc").desc, col("w")).limit(maxV)
-      .persistScoped() // bounded model artifact: ≤ maxV rows, reused 6×
-    val grams5 = (1 to 5).foldLeft(refGrams) { (acc, k) =>
-      acc.join(broadcast(vocab.select(col("w").as(s"w$k"))),
-        Seq(s"w$k"), "left_semi")
-    }
-      .groupBy((1 to 5).map(k => col(s"w$k")): _*).agg(count(lit(1)).as("c"))
-      .orderBy((col("c").desc +: (1 to 5).map(k => col(s"w$k"))): _*)
-      .limit(maxT)
-    (vocab, grams5)
-  }
-
-  /** Interpolated 5-GRAM Kneser-Ney — [[kn3PerplexityFilter]] at
-    * KenLM's PRODUCTION order (the order CCNet's published filters
-    * ship): raw counts at the top order, CONTINUATION type counts at
-    * EVERY lower order, derived recursively — each level's table is
-    * the distinct-context count of the level above (the same
-    * mid-from-tri / ctx2-from-mid derivation of the order-3 path,
-    * applied three more times), add-one continuation unigram at the
-    * bottom. D = 3/4 exact, every max(x − D, 0)/y computed as
-    * greatest(4x − 3, 0)/(4y) over exact integers; every backoff
-    * normalizer/weight derives from the ONE pruned 5-gram table, so
-    * the stored artifact ([[writeLm5Model]] `vocab/` + `ngrams5/`)
-    * reproduces serving exactly: stored ≡ fresh BY CONSTRUCTION.
-    *
-    * 100 TB design: unchanged from order 3 — the model is bounded
-    * (maxV + maxT rows; each derived table strictly smaller) and
-    * BROADCASTS into the scoring joins; the corpus side is one explode
-    * + per-(doc, 5-gram) partial aggregation. Raising the order adds
-    * bounded broadcast joins, never a corpus-sized shuffle.
-    *
+  /** Interpolated 5-GRAM Kneser-Ney — [[knScoreN]] at KenLM's
+    * PRODUCTION order (the order CCNet's published filters ship).
     * Output: id, n_grams5, h, ppl, keep.
     */
   def kn5PerplexityFilter(docs: DataFrame, id: Column, text: Column,
       refFilter: Column, maxV: Int, maxT: Int,
       pplThreshold: Double): DataFrame = {
     import graft.CacheScope.ScopedPersist
-    val base = docs.select(id.as("id"), refFilter.as("is_ref"),
-        filter(split(lower(text), """\s+"""), x => length(x) > 0).as("ws"))
-      .filter(size(col("ws")) >= 5)
-    val grams = lm5Grams(base).persistScoped()
-    val (vocab, g5) = lm5Train(base.filter(col("is_ref")),
-      grams.filter(col("is_ref")), maxV, maxT)
-    kn5Score(grams, vocab, g5, pplThreshold)
-  }
-
-  /** Score per-doc 5-grams with interpolated KN against a
-    * (vocab, grams5) model — shared by the direct and stored paths.
-    * All discount statistics derive HERE from the pruned table.
-    */
-  private def kn5Score(grams: DataFrame, vocab: DataFrame,
-      grams5: DataFrame, pplThreshold: Double): DataFrame = {
-    import graft.CacheScope.ScopedPersist
-    val g5 = grams5.persistScoped() // ≤ maxT rows; feeds six derivations
-    // raw top order: c(w1..w4·) and N1+(w1..w4·)
-    val ctx5 = g5.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
-      .agg(sum(col("c")).as("cb5"), count(lit(1)).as("nf5"))
-    // continuation level 4: N1+(·w2w3w4w5) and its normalizers
-    val m4 = g5.groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("n4")).persistScoped()
-    val ctx4 = m4.groupBy(col("w2"), col("w3"), col("w4"))
-      .agg(sum(col("n4")).as("n4b"), count(lit(1)).as("nd4"))
-    // continuation level 3: N1+(·w3w4w5) over the level-4 types
-    val m3 = m4.groupBy(col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("n3")).persistScoped()
-    val ctx3 = m3.groupBy(col("w3"), col("w4"))
-      .agg(sum(col("n3")).as("n3b"), count(lit(1)).as("nd3"))
-    // continuation level 2: N1+(·w4w5)
-    val m2 = m3.groupBy(col("w4"), col("w5"))
-      .agg(count(lit(1)).as("n2")).persistScoped()
-    val ctx2 = m2.groupBy(col("w4"))
-      .agg(sum(col("n2")).as("n2b"), count(lit(1)).as("nd2"))
-    // continuation unigram: N1+(·w5), N1+(··), |V|
-    val cw = m2.groupBy(col("w5")).agg(count(lit(1)).as("ncw5"))
-    val tot = m2.agg(count(lit(1)).as("ntot"))
-      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
-    val dn = grams.groupBy((col("id") +:
-        (1 to 5).map(k => col(s"w$k"))): _*)
-      .agg(count(lit(1)).as("n"))
-    def disc(num: Column, den: Column, types: Column, lower: Column): Column =
-      greatest(lit(4) * coalesce(num, lit(0L)) - 3, lit(0L)).cast("double") /
-        (lit(4) * den).cast("double") +
-        (lit(3) * types).cast("double") /
-          (lit(4) * den).cast("double") * lower
-    val scored = dn
-      .join(broadcast(g5), (1 to 5).map(k => s"w$k"), "left")
-      .join(broadcast(ctx5), (1 to 4).map(k => s"w$k"), "left")
-      .join(broadcast(m4), (2 to 5).map(k => s"w$k"), "left")
-      .join(broadcast(ctx4), (2 to 4).map(k => s"w$k"), "left")
-      .join(broadcast(m3), (3 to 5).map(k => s"w$k"), "left")
-      .join(broadcast(ctx3), (3 to 4).map(k => s"w$k"), "left")
-      .join(broadcast(m2), (4 to 5).map(k => s"w$k"), "left")
-      .join(broadcast(ctx2), Seq("w4"), "left")
-      .join(broadcast(cw), Seq("w5"), "left")
-      .crossJoin(broadcast(tot))
-      // each level materializes as a column so every branch reuses the
-      // identical double (the kn3Score pc/p2m discipline)
-      .withColumn("pc1",
-        (coalesce(col("ncw5"), lit(0L)) + 1).cast("double") /
-          (col("ntot") + col("nv") + 1).cast("double"))
-      .withColumn("pc2", when(col("n2b").isNotNull,
-        disc(col("n2"), col("n2b"), col("nd2"), col("pc1")))
-        .otherwise(col("pc1")))
-      .withColumn("pc3", when(col("n3b").isNotNull,
-        disc(col("n3"), col("n3b"), col("nd3"), col("pc2")))
-        .otherwise(col("pc2")))
-      .withColumn("pc4", when(col("n4b").isNotNull,
-        disc(col("n4"), col("n4b"), col("nd4"), col("pc3")))
-        .otherwise(col("pc3")))
-      .withColumn("lp", log(when(col("cb5").isNotNull,
-        disc(col("c"), col("cb5"), col("nf5"), col("pc4")))
-        .otherwise(col("pc4"))))
-    scored.groupBy(col("id"))
-      .agg(sum(col("n")).as("m"),
-        sort_array(collect_list(struct((1 to 5).map(k => col(s"w$k")) :+
-          (col("n").cast("double") * col("lp")).as("v"): _*))).as("ts"))
-      .select(col("id"), col("m").as("n_grams5"),
-        round(-expr("aggregate(ts, 0D, (a, x) -> a + x.v)") / col("m"), 4)
-          .as("h"))
-      .withColumn("ppl", round(exp(col("h")), 4))
-      .withColumn("keep", col("ppl") <= pplThreshold)
+    val base = lmNBase(docs, id, text, refFilter, 5)
+    val grams = lmNGrams(base, 5).persistScoped()
+    val (vocab, g5) = lmNTrain(base.filter(col("is_ref")),
+      grams.filter(col("is_ref")), 5, "c", maxV, maxT)
+    knScoreN(grams, vocab, g5, 5, "c", "n_grams5", pplThreshold)
   }
 
   /** Persist the 5-gram KN model — `vocab/` + `ngrams5/` parquet, the
@@ -1604,9 +1504,9 @@ object TextOps {
   def writeLm5Model(docs: DataFrame, id: Column, text: Column,
       maxV: Int, maxT: Int, dir: String): Unit = {
     import graft.CacheScope.ScopedPersist
-    val base = lm5Tokens(docs, id, text)
-    val grams = lm5Grams(base).persistScoped()
-    val (vocab, g5) = lm5Train(base, grams, maxV, maxT)
+    val base = lmNTokens(docs, id, text, 5)
+    val grams = lmNGrams(base, 5).persistScoped()
+    val (vocab, g5) = lmNTrain(base, grams, 5, "c", maxV, maxT)
     vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
     g5.coalesce(1).write.mode("overwrite").parquet(s"$dir/ngrams5")
     docs.sparkSession.catalog.refreshByPath(dir)
@@ -1616,9 +1516,10 @@ object TextOps {
   def kn5ScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
       dir: String, pplThreshold: Double): DataFrame = {
     val spark = docs.sparkSession
-    kn5Score(lm5Grams(lm5Tokens(docs, id, text)),
+    knScoreN(lmNGrams(lmNTokens(docs, id, text, 5), 5),
       spark.read.parquet(s"$dir/vocab"),
-      spark.read.parquet(s"$dir/ngrams5"), pplThreshold)
+      spark.read.parquet(s"$dir/ngrams5"), 5, "c", "n_grams5",
+      pplThreshold)
   }
 
   /** fastText-style hashed linear quality classifier — the SERVING shape
@@ -1967,6 +1868,34 @@ object TextOps {
   def langIdScoreAgainstModel(docs: DataFrame, id: Column, text: Column,
       dir: String): DataFrame =
     langIdScore(docs, id, text, loadLangIdModel(docs.sparkSession, dir))
+
+  /** Persist the stage-0 gate THRESHOLD as a stored score-QUANTILE
+    * artifact (`dir/gate`, one (prob, value) row): score `docs` under
+    * the stored model and take the exact `prob`-quantile of the winning
+    * scores via [[Profiling.exactQuantiles]] — lower-nearest element
+    * semantics, no global sort, no per-group value buffering. One
+    * artifact family now carries model AND threshold: τ is MEASURED on
+    * the training corpus, versioned with the model, and replayed by the
+    * gate — never a magic number in query code. (CCNet publishes the
+    * gate on the probability — keep when p ≥ 0.5 ⟺ s ≥ 0 — but
+    * one-vs-rest heads can be systematically over-confident, making
+    * s ≥ 0 vacuous; a measured quantile pins the gate to an actual
+    * split of the corpus it will run on.)
+    */
+  def writeLangIdGate(docs: DataFrame, id: Column, text: Column,
+      modelDir: String, prob: Double, dir: String): Unit = {
+    val spark = docs.sparkSession
+    Profiling.exactQuantiles(
+        langIdScoreAgainstModel(docs, id, text, modelDir), col("score"),
+        Seq(prob))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gate")
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** The stored [[writeLangIdGate]] threshold (bounded 1-row artifact). */
+  def loadLangIdGateTau(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Double =
+    spark.read.parquet(s"$dir/gate").head().getAs[Double]("value")
 
   /** Persist the REFERENCE prediction distribution of a corpus under a
     * stored langid model — the baseline a drift monitor compares every

@@ -3395,6 +3395,213 @@ object Pipeline {
        |    AND dd.doc_id NOT IN (SELECT id FROM imd) AND k.kept) AS kept
        |FROM documents dd JOIN tg_k k ON k.doc_id = dd.doc_id""".stripMargin
 
+  // ===== q257 byte-true gzip WARC ingestion ===============================
+  // q253's documented teaching simplification closed: the PRODUCTION
+  // Common Crawl encoding — records as BYTES with octet-counted
+  // Content-Lengths, each record its own gzip MEMBER, members
+  // concatenated per file, the HTTP charset parameter APPLIED to the
+  // body decode. Three traps make every byte-level rule load-bearing:
+  // (a) multibyte payload suffixes (2- and 3-byte UTF-8 sequences for
+  // utf-8 docs, a 0xE9 latin-1 byte for every doc_id % 7 == 3 doc) make
+  // chars ≠ octets, so char-counting framing desyncs and the wrong
+  // charset decode breaks html_md5; (b) every 23rd doc keeps q253's
+  // length-preserving WARC/9.9 version corruption (quarantine-as-data
+  // through the gzip round-trip); (c) every 5th file's LAST gzip member
+  // gets its magic bytes zeroed — member decompression stops exactly
+  // there, the file's prior 15 records survive intact, and the record
+  // is ABSENT from the output (nothing decompressed = nothing to
+  // quarantine; WarcSpec pins the partial-deflate variant where a
+  // remainder DOES quarantine). The oracle replays the synthesis
+  // expectation — a parser that mis-frames an octet, mis-applies a
+  // charset, or loses a sibling record to the corrupt member diverges.
+
+  private val WarcGzCorruptEveryFile = 5
+  private val WarcCharsetEvery = 7 // doc_id % 7 == 3 → iso-8859-1
+
+  private def q257(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("source"),
+        col("text")), col("text"), "html")
+    val cs = when(col("doc_id") % WarcCharsetEvery === 3, lit("iso-8859-1"))
+      .otherwise(lit("utf-8"))
+    // ' café €' / ' café' written as escapes so the traps
+    // don't depend on this source file's own encoding
+    val htmlT = concat(col("html"),
+      when(cs === "utf-8", lit(" caf\u00e9 \u20ac"))
+        .otherwise(lit(" caf\u00e9")))
+    val recs = Warc.withWarcRecordBytes(withHtml, col("doc_id"),
+      Warc.defaultUri(col("doc_id"), col("source")), htmlT, cs, "rec",
+      malformEvery = WarcMalformEvery)
+    val files = Warc.withWarcFilesGz(recs, col("doc_id"), col("rec"),
+      docsPerFile = 16, corruptEveryFile = WarcGzCorruptEveryFile)
+    Warc.parseFieldsBinary(Warc.recordsGz(files, "warc"), col("rec"))
+      .select(col("warc_version"), col("url"), col("status"),
+        col("content_type"), col("charset"),
+        md5(col("html")).as("html_md5"), col("malformed"))
+  }
+
+  private lazy val q257Sql =
+    s"""WITH $htmlCteSql,
+       |wr AS (SELECT d.doc_id, d.source, h.html
+       |  FROM documents d JOIN ht_html h USING (doc_id))
+       |SELECT
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN 'WARC/9.9'
+       |    ELSE 'WARC/1.0' END AS warc_version,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE 'http://example.com/' || source || '/' || doc_id END AS url,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    ELSE 200 END AS status,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    WHEN doc_id % $WarcCharsetEvery = 3
+       |      THEN 'text/html; charset=iso-8859-1'
+       |    ELSE 'text/html; charset=utf-8' END AS content_type,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    WHEN doc_id % $WarcCharsetEvery = 3 THEN 'iso-8859-1'
+       |    ELSE 'utf-8' END AS charset,
+       |  CASE WHEN doc_id % $WarcMalformEvery = 0 THEN NULL
+       |    WHEN doc_id % $WarcCharsetEvery = 3
+       |      THEN md5(html || ' caf' || chr(233))
+       |    ELSE md5(html || ' caf' || chr(233) || ' ' || chr(8364))
+       |    END AS html_md5,
+       |  (doc_id % $WarcMalformEvery = 0) AS malformed
+       |FROM wr
+       |WHERE NOT (doc_id % 16 = 15
+       |  AND (doc_id // 16) % $WarcGzCorruptEveryFile = 0)""".stripMargin
+
+  // ===== q258 URL canonicalization ========================================
+  // The crawl-frontier normalization stage ahead of URL dedup: six
+  // messy variants of each page's URL — case-shifted scheme/host,
+  // explicit default port, fragment, non-default port (KEPT), tracking
+  // params among real ones (order preserved), all-tracking query
+  // (dropped entirely), and a scheme-less string (null canonical,
+  // quarantine-as-data). The oracle replays the canonical EXPECTATION
+  // per variant — any rule drift (a port wrongly stripped, a param
+  // reordered, a host case preserved) diverges.
+
+  /** The messy-URL fixture: deterministic variants keyed doc_id % 6
+    * over collision groups g = ⌊doc_id/3⌋ (so variants 0/1 of one
+    * group canonicalize identically — the URL-dedup collision q259
+    * elects on). Host carries g so grouped docs share it:
+    * h{g%7}.site{g%5}.com (.co.uk for variant 3 — the multi-part
+    * public-suffix rule's witness).
+    */
+  private def messyUrl(docId: Column): Column = {
+    val g = floor(docId / 3).cast("long")
+    val hb = concat(lit("h"), (g % 7).cast("string"),
+      lit(".site"), (g % 5).cast("string"))
+    val gs = g.cast("string")
+    val v = docId % 6
+    when(v === 0, concat(lit("http://"), hb, lit(".com/d/"), gs))
+      .when(v === 1, concat(lit("HTTP://"), upper(hb), lit(".COM:80/d/"),
+        gs, lit("#frag")))
+      .when(v === 2, concat(lit("http://"), hb, lit(".com:8080/d/"), gs,
+        lit("?utm_source=feed&utm_campaign=c")))
+      .when(v === 3, concat(lit("https://"), upper(hb), lit(".CO.UK:443/d/"),
+        gs, lit("?b=2&a=1&utm_medium=m")))
+      .when(v === 4, concat(lit("http://"), hb, lit(".com/d/"), gs,
+        lit("?gclid=x&ref=tw")))
+      .otherwise(concat(hb, lit(".com/d/"), gs))
+  }
+
+  private def q258(t: Tables): DataFrame = {
+    val urls = graft.Fanout(t.documents)
+      .select(col("doc_id"), messyUrl(col("doc_id")).as("url_raw"))
+    urls.select(col("doc_id"),
+      graft.operators.Url.canonicalize(col("url_raw")).as("url_canon"),
+      nullif(graft.operators.Url.hostOf(col("url_raw")), lit(""))
+        .as("host"),
+      graft.operators.Url.registeredDomain(
+        nullif(graft.operators.Url.hostOf(col("url_raw")), lit("")))
+        .as("registered_domain"))
+  }
+
+  private lazy val q258Sql =
+    """WITH u AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 6 AS v
+      |  FROM documents),
+      |e AS (SELECT doc_id, v,
+      |  'h' || (g % 7) || '.site' || (g % 5) AS hb,
+      |  CAST(g AS VARCHAR) AS gs FROM u)
+      |SELECT doc_id,
+      |  CASE WHEN v = 5 THEN NULL
+      |    WHEN v = 2 THEN 'http://' || hb || '.com:8080/d/' || gs
+      |    WHEN v = 3 THEN 'https://' || hb || '.co.uk/d/' || gs || '?b=2&a=1'
+      |    ELSE 'http://' || hb || '.com/d/' || gs END AS url_canon,
+      |  CASE WHEN v = 5 THEN NULL
+      |    WHEN v = 3 THEN hb || '.co.uk'
+      |    ELSE hb || '.com' END AS host,
+      |  CASE WHEN v = 5 THEN NULL
+      |    WHEN v = 3 THEN 'site' || (doc_id // 3 % 5) || '.co.uk'
+      |    ELSE 'site' || (doc_id // 3 % 5) || '.com'
+      |    END AS registered_domain
+      |FROM e""".stripMargin
+
+  // ===== q259 composed: gzip WARC → URL canon → URL dedup → domain cap ====
+  // The crawl front door as ONE chain and ONE hash: `.warc.gz` files in
+  // (q257's byte-true container, messy target URIs, both quarantine
+  // traps live), records split and parsed, identity recovered from
+  // WARC-Record-ID (the record's OWN id — the target URI is the thing
+  // under test here), URLs canonicalized, URL-exact dedup electing
+  // min-id survivors per canonical form, then the per-domain cap over
+  // the REGISTERED domain of the canonical host — the frontier stage
+  // every crawl pipeline runs before content dedup. Scheme-less URLs
+  // (variant 5) have no canonical identity and drop at the urlGroups
+  // null filter; WARC/9.9 and corrupt-member docs never reach it.
+
+  private val UrlCapK = 6
+
+  private def q259(t: Tables): DataFrame = {
+    val withHtml = Html.withHtmlColumn(
+      graft.Fanout(t.documents).select(col("doc_id"), col("source"),
+        col("text")), col("text"), "html")
+    val recs = Warc.withWarcRecordBytes(withHtml, col("doc_id"),
+      messyUrl(col("doc_id")), col("html"), lit("utf-8"), "rec",
+      malformEvery = WarcMalformEvery)
+    val files = Warc.withWarcFilesGz(recs, col("doc_id"), col("rec"),
+      docsPerFile = 16, corruptEveryFile = WarcGzCorruptEveryFile)
+    val pages = Warc.parseFieldsBinary(Warc.recordsGz(files, "warc"),
+        col("rec"))
+      .filter(!col("malformed"))
+      .select(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+        .cast("long").as("doc_id"), col("url"))
+    val groups = graft.operators.Url.urlGroups(pages, col("url"),
+      col("doc_id"))
+    val surv = groups.select(col("url_canon"), col("n_dups"),
+      col("keep_id"),
+      graft.operators.Url.registeredDomain(
+        graft.operators.Url.hostOf(col("url_canon"))).as("domain"))
+    graft.operators.Curation.domainCap(surv, col("domain"),
+        col("keep_id"), col("n_dups").cast("double"), UrlCapK)
+      .select(col("domain"), col("rank"), col("id").as("keep_id"),
+        col("score").cast("long").as("n_dups"))
+  }
+
+  private lazy val q259Sql =
+    s"""WITH docs AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 6 AS v
+       |  FROM documents
+       |  WHERE doc_id % $WarcMalformEvery <> 0
+       |    AND NOT (doc_id % 16 = 15
+       |      AND (doc_id // 16) % $WarcGzCorruptEveryFile = 0)
+       |    AND doc_id % 6 <> 5),
+       |e AS (SELECT doc_id, v, g,
+       |  'h' || (g % 7) || '.site' || (g % 5) AS hb,
+       |  CAST(g AS VARCHAR) AS gs FROM docs),
+       |c AS (SELECT doc_id,
+       |  CASE WHEN v = 2 THEN 'http://' || hb || '.com:8080/d/' || gs
+       |    WHEN v = 3 THEN 'https://' || hb || '.co.uk/d/' || gs || '?b=2&a=1'
+       |    ELSE 'http://' || hb || '.com/d/' || gs END AS url_canon,
+       |  CASE WHEN v = 3 THEN 'site' || (g % 5) || '.co.uk'
+       |    ELSE 'site' || (g % 5) || '.com' END AS domain
+       |  FROM e),
+       |grp AS (SELECT url_canon, min(domain) AS domain,
+       |    count(*) AS n_dups, min(doc_id) AS keep_id
+       |  FROM c GROUP BY url_canon),
+       |r AS (SELECT domain, n_dups, keep_id,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY n_dups DESC, keep_id) AS rank
+       |  FROM grp)
+       |SELECT domain, CAST(rank AS INTEGER) AS rank, keep_id, n_dups
+       |FROM r WHERE rank <= $UrlCapK""".stripMargin
+
   // ===== q248 multi-keyframe video dedup pairs ============================
   // q241's single-middle-keyframe reduction fails exactly where video
   // dedup matters: a RE-CUT clip (trimmed intro, shifted edit) has a
@@ -3943,20 +4150,35 @@ object Pipeline {
   private val LangLrNum = 1L
   private val LangLrDen = 2L
   /** CCNet stage-0 keep rule for the curation flagships: winning-class
-    * raw score ≥ τ. CCNet publishes the rule on the PROBABILITY (keep
-    * when p ≥ 0.5 ⟺ s ≥ 0), but this fixture's one-vs-rest heads are
-    * over-confident (every winning score lands in [1.8, 52] at
-    * sf0.01 — measured before pinning), so s ≥ 0 would be a vacuous
-    * gate; τ = 6.0 sits at the ~5th percentile and makes the stage a
-    * REAL split (a few percent of docs drop on langid alone) while
-    * leaving the downstream dedup/trainer stages a full-sized corpus.
+    * raw score ≥ τ, where τ is the STORED quantile-artifact threshold
+    * ([[graft.operators.TextOps.writeLangIdGate]]): the exact 5th
+    * percentile of the training corpus's winning scores, written next
+    * to the model (one artifact family carries model AND threshold).
+    * CCNet publishes the rule on the PROBABILITY (keep when p ≥ 0.5 ⟺
+    * s ≥ 0), but this fixture's one-vs-rest heads are over-confident
+    * (every winning score lands in [1.8, 52] at sf0.01 — measured
+    * before pinning), so s ≥ 0 would be a vacuous gate; the measured
+    * 5th-percentile quantile makes the stage a REAL split (a few
+    * percent of docs drop on langid alone) while leaving the downstream
+    * dedup/trainer stages a full-sized corpus. The oracle replays the
+    * quantile derivation ([[langIdGateCtes]]' lg_tau) — the rank rule
+    * is [[graft.operators.Profiling.exactQuantiles]]' lower-nearest
+    * element at rank max(1, ⌈p·n − 1e-6⌉).
     */
-  private val LangGateTau = 6.0
+  private val LangGateProb = 0.05
+
+  /** The stored gate threshold for the trainAll model (1-row read of
+    * the [[graft.operators.TextOps.writeLangIdGate]] artifact).
+    */
+  private def langGateTau(t: Tables): Double =
+    TextOps.loadLangIdGateTau(t.documents.sparkSession,
+      langIdModelDir(t, trainAll = true))
 
   private def langIdModelDir(t: Tables, trainAll: Boolean): String = {
     val spark = t.documents.sparkSession
+    // v2: the trainAll artifact gained the gate/ quantile (stored τ)
     val (tag, slice) =
-      if (trainAll) ("langid_model_v1", t.documents)
+      if (trainAll) ("langid_model_v2", t.documents)
       else ("langid_eval_model_v1", t.documents.filter(col("doc_id") % 3 =!= 0))
     cachedIndexDir(t.dir,
       s"${tag}_${LangDim}_${LangIters}_${LangLrNum}_$LangLrDen") { d =>
@@ -3964,6 +4186,11 @@ object Pipeline {
         TextOps.trainHashedLangId(graft.Fanout(slice), col("doc_id"),
           col("text"), col("lang"), LangDim, LangIters, LangLrNum,
           LangLrDen), d)
+      // the gate quantile is measured on the TRAINING corpus under the
+      // just-stored model — τ versions with the model it gates for
+      if (trainAll)
+        TextOps.writeLangIdGate(graft.Fanout(slice), col("doc_id"),
+          col("text"), d, LangGateProb, d)
     }
   }
 
@@ -4080,31 +4307,44 @@ object Pipeline {
   /** SERVING + GATE replay over any (doc_id, text) source CTE: score
     * every doc under the replayed frozen model (the exact doc-order
     * gram fold + argmax tie-break of langIdScore) and keep ids whose
-    * winning score clears [[LangGateTau]] — the CCNet stage-0 rule
-    * composed into the curation flagships. Docs whose normalized text
-    * is shorter than 2 chars have no grams, no score, and do not pass
-    * (matching langIdBase's length filter). CTE names are lg_-prefixed
-    * to coexist with the tg_/ht_/x_/pk_ chains. Ends in
-    * `lg_keep(doc_id)`.
+    * winning score clears the STORED gate quantile τ — replayed in
+    * lg_tau as the [[graft.operators.Profiling.exactQuantiles]] rank
+    * rule (lower-nearest element at rank max(1, ⌈p·n − 1e-6⌉)) over the
+    * winning scores of the RAW training corpus (`documents` — always,
+    * even when `src` is the extracted-text chain: τ versions with the
+    * model's own training corpus, not with the serving input). Docs
+    * whose normalized text is shorter than 2 chars have no grams, no
+    * score, and do not pass (matching langIdBase's length filter). CTE
+    * names are lg_-prefixed to coexist with the tg_/ht_/x_/pk_ chains.
+    * Ends in `lg_keep(doc_id)`.
     */
   private def langIdGateCtes(src: String): String = {
     val dim = LangDim
-    s"""lg_sv AS (SELECT doc_id AS id,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-       |  FROM $src),
-       |lg_u AS (SELECT s0.id, w.ci,
-       |    round(w.wil[$dim + 1] / 10000.0
-       |      + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |          list_transform(${langIdGramList("s0.t")},
-       |            x -> w.wil[(${langIdGram("x")} % $dim) + 1] / 10000.0)),
-       |        (a, b) -> a + b), 4) AS s
-       |  FROM (SELECT id, t FROM lg_sv WHERE len(t) >= 2) s0
-       |  CROSS JOIN w$LangIters w),
-       |lg_pr AS (SELECT id, ci, s,
-       |    row_number() OVER (PARTITION BY id ORDER BY s DESC, ci) AS rn
-       |  FROM lg_u),
-       |lg_keep AS (SELECT id AS doc_id FROM lg_pr
-       |  WHERE rn = 1 AND s >= $LangGateTau)""".stripMargin
+    def serve(p: String, from: String) =
+      s"""${p}sv AS (SELECT doc_id AS id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM $from),
+         |${p}u AS (SELECT s0.id, w.ci,
+         |    round(w.wil[$dim + 1] / 10000.0
+         |      + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(${langIdGramList("s0.t")},
+         |            x -> w.wil[(${langIdGram("x")} % $dim) + 1] / 10000.0)),
+         |        (a, b) -> a + b), 4) AS s
+         |  FROM (SELECT id, t FROM ${p}sv WHERE len(t) >= 2) s0
+         |  CROSS JOIN w$LangIters w),
+         |${p}pr AS (SELECT id, ci, s,
+         |    row_number() OVER (PARTITION BY id ORDER BY s DESC, ci) AS rn
+         |  FROM ${p}u)""".stripMargin
+    s"""${serve("lg_", src)},
+       |${serve("lg_t", "documents")},
+       |lg_tau AS (SELECT s AS tau FROM (
+       |    SELECT s, row_number() OVER (ORDER BY s) AS r,
+       |      count(*) OVER () AS n
+       |    FROM (SELECT s FROM lg_tpr WHERE rn = 1))
+       |  WHERE r = greatest(1,
+       |    CAST(ceil($LangGateProb * n - 0.000001) AS BIGINT))),
+       |lg_keep AS (SELECT id AS doc_id FROM lg_pr, lg_tau
+       |  WHERE rn = 1 AND s >= tau)""".stripMargin
   }
 
   private lazy val q227Sql = langIdSql("TRUE", "TRUE",
@@ -5023,7 +5263,7 @@ object Pipeline {
       Warc.withWarcRecord(withHtml, col("doc_id"), col("source"),
         col("html"), "rec", malformEvery = WarcMalformEvery),
       col("doc_id"), col("rec"))
-    Warc.parseFields(Warc.records(files, col("warc")), col("rec"))
+    Warc.parseFields(Warc.records(files, "warc"), col("rec"))
       .select(col("warc_version"), col("url"), col("status"),
         col("content_type"), md5(col("html")).as("html_md5"),
         col("malformed"))
@@ -5082,7 +5322,7 @@ object Pipeline {
         graft.Fanout(t.documents), col("doc_id"), col("text"),
         langIdModelDir(t, trainAll = true))
       .localCheckpoint()
-      .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
+      .filter(col("score") >= langGateTau(t)).select(col("id").as("doc_id"))
     val docs0 = graft.Fanout(t.documents)
       .join(keptIds, Seq("doc_id"), "left_semi")
       .join(langKept, Seq("doc_id"), "left_semi")
@@ -5437,8 +5677,13 @@ object Pipeline {
       Warc.withWarcRecord(withHtml, col("doc_id"), col("source"),
         col("html"), "rec"),
       col("doc_id"), col("rec"))
-    val pages = Warc.parseFields(Warc.records(files, col("warc")),
+    // malformEvery = 0 here, so the filter drops nothing today — it
+    // pins the CONTRACT: a future malformed-record fixture (null url →
+    // null doc_id) drops visibly at the gate instead of flowing
+    // null-id rows into extraction and tagging
+    val pages = Warc.parseFields(Warc.records(files, "warc"),
         col("rec"))
+      .filter(!col("malformed"))
       .select(
         regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
           .as("doc_id"),
@@ -5459,7 +5704,7 @@ object Pipeline {
     val langKept = TextOps.langIdScoreAgainstModel(content,
         col("doc_id"), col("text"), langIdModelDir(t, trainAll = true))
       .localCheckpoint()
-      .filter(col("score") >= LangGateTau).select(col("id").as("doc_id"))
+      .filter(col("score") >= langGateTau(t)).select(col("id").as("doc_id"))
     val docs0 = content.join(keptIds, Seq("doc_id"), "left_semi")
       .join(langKept, Seq("doc_id"), "left_semi")
     val survivors = docs0.join(Dedup.dedupCorpus(
@@ -7941,7 +8186,10 @@ object Pipeline {
     "q253_warc_ingest" -> wrap(q253),
     "q254_kn5_perplexity" -> wrap(q254),
     "q255_kn5_stored_scoring" -> wrap(q255),
-    "q256_pair_dedup" -> wrap(q256)
+    "q256_pair_dedup" -> wrap(q256),
+    "q257_warc_gz_ingest" -> wrap(q257),
+    "q258_url_canonicalize" -> wrap(q258),
+    "q259_url_dedup_domain_cap" -> wrap(q259)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8134,6 +8382,9 @@ object Pipeline {
     // (vocab, ngrams5) pair and every discount statistic derives from
     // it at load — q254's oracle verbatim (the q247 discipline)
     "q255_kn5_stored_scoring" -> q254Sql,
-    "q256_pair_dedup" -> q256Sql
+    "q256_pair_dedup" -> q256Sql,
+    "q257_warc_gz_ingest" -> q257Sql,
+    "q258_url_canonicalize" -> q258Sql,
+    "q259_url_dedup_domain_cap" -> q259Sql
   )
 }

@@ -992,7 +992,7 @@ object EventStreams {
       import org.apache.spark.sql.functions.col
       graft.operators.Warc.parseFields(
           graft.operators.Warc.records(
-            batch.toDF().select(col("file_id"), col("warc")), col("warc")),
+            batch.toDF().select(col("file_id"), col("warc")), "warc"),
           col("rec"))
         .select(col("file_id"), col("warc_version"), col("url"),
           col("status"), col("content_type"), col("html"),

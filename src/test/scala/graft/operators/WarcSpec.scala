@@ -18,7 +18,7 @@ class WarcSpec extends AnyFunSuite {
 
   private def parse(warcFile: String) = {
     val df = Seq((0L, warcFile)).toDF("file_id", "warc")
-    Warc.parseFields(Warc.records(df, $"warc"), $"rec")
+    Warc.parseFields(Warc.records(df, "warc"), $"rec")
       .select($"warc_version", $"url", $"status", $"content_type",
         $"html", $"malformed")
       .as[(Option[String], Option[String], Option[Int], Option[String],
@@ -105,5 +105,113 @@ class WarcSpec extends AnyFunSuite {
   test("garbage file: one malformed record, nothing thrown") {
     val out = parse("this is not a warc file at all")
     assert(out == Seq((None, None, None, None, None, true)))
+  }
+
+  // ===== byte-true + gzip path ============================================
+
+  private def recBytes(id: Long, uri: String, html: String, cs: String,
+      malformEvery: Int = 0): Array[Byte] = {
+    val df = Seq((id, uri, html, cs)).toDF("doc_id", "uri", "html", "cs")
+    Warc.withWarcRecordBytes(df, $"doc_id", $"uri", $"html", $"cs", "rec",
+      malformEvery).select($"rec").as[Array[Byte]].head()
+  }
+
+  private val Sep = "\r\n\r\n".getBytes("US-ASCII")
+
+  private def member(rec: Array[Byte]): Array[Byte] =
+    graft.functions.NativeKernels.gzipMember(rec ++ Sep)
+
+  private def parseBin(file: Array[Byte]) = {
+    val df = Seq((0L, file)).toDF("file_id", "warc")
+    Warc.parseFieldsBinary(Warc.recordsGz(df, "warc"), $"rec")
+      .select($"warc_version", $"url", $"record_id", $"status",
+        $"charset", $"html", $"malformed")
+      .as[(Option[String], Option[String], Option[String], Option[Int],
+        Option[String], Option[String], Boolean)]
+      .collect().toSeq
+  }
+
+  test("byte synthesis: Content-Lengths count OCTETS, not chars (multibyte UTF-8 payload)") {
+    val html = "<p>café €</p>" // é = 2 bytes, € = 3 bytes in UTF-8
+    val r = recBytes(5L, "http://example.com/s/5", html, "utf-8")
+    val s = new String(r, "ISO-8859-1") // byte-transparent view
+    val header = s.substring(0, s.indexOf("\r\n\r\n"))
+    val cl = "\r\nContent-Length: ([0-9]+)".r
+      .findFirstMatchIn(header).get.group(1).toInt
+    // record length checks out in BYTES (chars would be 3 short)
+    assert(r.length == header.length + 4 + cl)
+    assert(html.length != html.getBytes("UTF-8").length) // the trap is live
+    val hcl = "Content-Length: ([0-9]+)".r
+      .findFirstMatchIn(s.substring(header.length + 4)).get.group(1).toInt
+    assert(hcl == html.getBytes("UTF-8").length)
+  }
+
+  test("gzip file round-trip: members decompress, octet framing splits, charset decodes (incl. latin-1 high bytes)") {
+    val h1 = "<p>plain ascii</p>"
+    val h2 = "<p>café € multibyte</p>"
+    val h3 = "<p>café latin</p>" // é = single 0xE9 byte under latin-1
+    val file =
+      member(recBytes(1L, "http://e.com/1", h1, "utf-8")) ++
+        member(recBytes(2L, "http://e.com/2", h2, "utf-8")) ++
+        member(recBytes(3L, "http://e.com/3", h3, "iso-8859-1"))
+    val out = parseBin(file)
+    assert(out.size == 3)
+    assert(out.forall(!_._7))
+    assert(out.map(_._6.get) == Seq(h1, h2, h3))
+    assert(out.map(_._5.get) == Seq("utf-8", "utf-8", "iso-8859-1"))
+    assert(out.map(_._3.get) ==
+      Seq("urn:graft:1", "urn:graft:2", "urn:graft:3"))
+    // a charset-oblivious (utf-8-everything) decode would have mangled
+    // h3's 0xE9 byte into U+FFFD
+    assert(!out(2)._6.get.contains('\uFFFD'))
+  }
+
+  test("corrupt gzip member header: prior records survive intact, the stream ends there") {
+    val df = Seq(
+      (0L, "http://e.com/0", "<p>zero</p>", "utf-8"),
+      (1L, "http://e.com/1", "<p>one</p>", "utf-8"))
+      .toDF("doc_id", "uri", "html", "cs")
+    val recs = Warc.withWarcRecordBytes(df, $"doc_id", $"uri", $"html",
+      $"cs", "rec")
+    // docsPerFile = 2, corruptEveryFile = 1 → file 0's last slot
+    // (doc 1) gets its gzip magic zeroed
+    val files = Warc.withWarcFilesGz(recs, $"doc_id", $"rec",
+      docsPerFile = 2, corruptEveryFile = 1)
+    val out = Warc.parseFieldsBinary(Warc.recordsGz(files, "warc"), $"rec")
+      .select($"url", $"malformed")
+      .as[(Option[String], Boolean)].collect().toSeq
+    assert(out == Seq((Some("http://e.com/0"), false)))
+  }
+
+  test("truncated deflate stream: deterministic partial remainder quarantines; prior records parse") {
+    val h1 = "<p>first record is fine</p>"
+    // long, low-redundancy body so truncating the member leaves a
+    // non-empty partial inflate
+    val h2 = "<p>" + (0 until 400).map(i => s"w$i").mkString(" ") + "</p>"
+    val m2 = member(recBytes(2L, "http://e.com/2", h2, "utf-8"))
+    val file = member(recBytes(1L, "http://e.com/1", h1, "utf-8")) ++
+      m2.dropRight(12)
+    val out = parseBin(file)
+    assert(out.head._2.contains("http://e.com/1") && !out.head._7)
+    // the partial record's framing cannot check out → quarantined tail
+    assert(out.size == 2 && out.last._7)
+  }
+
+  test("char/byte parity: identical fields on an all-ASCII corpus") {
+    val htmls = Seq("<p>alpha</p>", "<p>beta gamma</p>")
+    val charOut = {
+      val rs = htmls.zipWithIndex.map { case (h, i) =>
+        rec(i.toLong, "s", h)
+      }
+      parse(rs.mkString("", "\r\n\r\n", "\r\n\r\n"))
+    }
+    val binOut = {
+      val file = htmls.zipWithIndex.map { case (h, i) =>
+        member(recBytes(i.toLong, s"http://example.com/s/$i", h, "utf-8"))
+      }.reduce(_ ++ _)
+      parseBin(file)
+    }
+    assert(charOut.map(r => (r._1, r._2, r._3, r._5, r._6)) ==
+      binOut.map(r => (r._1, r._2, r._4, r._6, r._7)))
   }
 }

@@ -785,7 +785,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .select($"url", $"malformed")
       .as[(Option[String], Boolean)].collect().toSet
     val r0 = rows()
-    val offline = Warc.parseFields(Warc.records(b0, $"warc"), $"rec")
+    val offline = Warc.parseFields(Warc.records(b0, "warc"), $"rec")
       .select($"url", $"malformed")
       .as[(Option[String], Boolean)].collect().toSet
     assert(r0 == offline && r0.size == 3)
