@@ -803,6 +803,280 @@ object NativeKernels {
     out
   }
 
+  /** Stack-based HTML block segmentation — ONE depth-aware scan over
+    * the (script/style/comment-stripped) page, replacing the regex
+    * priority chain whose non-greedy pairing mis-split SAME-tag nesting
+    * (`<div>` directly inside `<div>` paired the outer open with the
+    * first close — the former flat-markup teaching caveat, now closed).
+    *
+    * Ownership rule (equal to the priority chain on markup without
+    * same-tag nesting — pinned by the unchanged q244/q252 oracles —
+    * and DOM-correct on it): an opening block tag starts a NEW block
+    * iff no block is open OR its rank ≤ the innermost open block's
+    * rank (rank = extraction priority, [[graft.operators.Html
+    * .blockTags]] — nav 0 … div 11); otherwise the tag and its content
+    * are ABSORBED verbatim into the owning block's raw (chrome like
+    * `<nav>` claims nested `<p>` content exactly as before). Open
+    * blocks nest with non-increasing ranks, so the innermost rank IS
+    * the minimum. A closing tag closes the NEAREST matching open
+    * block (leniently emitting any unclosed inner blocks above it);
+    * a close with no matching open block, and every non-block tag
+    * (`<a>`, `<br>`, `<table>`…), append verbatim — the per-block
+    * clean pass strips or converts them exactly as before. Text
+    * outside any block is dropped (chain-identical). Self-closing
+    * block tags emit an empty block (dropped by the empty filter).
+    * Unterminated trailing markup (`<` with no `>`) appends as text.
+    *
+    * Output rows (rank, block_type, block_idx, raw) sorted by
+    * (rank, block_idx); block_idx counts per type in document OPEN
+    * order — both identical to the chain's emission order.
+    */
+  def htmlSegmentBlocks(html: UTF8String): ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val ranks = graft.operators.Html.tagRanks
+    final class Frame(val tag: String, val rank: Int, val idx: Int) {
+      val sb = new java.lang.StringBuilder(64)
+    }
+    val stack = new scala.collection.mutable.ArrayBuffer[Frame](8)
+    val blocks = new scala.collection.mutable.ArrayBuffer[(Int, String, Int, String)](16)
+    val idxByTag = new java.util.HashMap[String, Int]()
+    def nextIdx(tag: String): Int = {
+      val v = idxByTag.getOrDefault(tag, 0)
+      idxByTag.put(tag, v + 1)
+      v
+    }
+    def emit(f: Frame): Unit =
+      blocks += ((f.rank, f.tag, f.idx, f.sb.toString))
+    def appendText(t: CharSequence): Unit =
+      if (stack.nonEmpty) { stack.last.sb.append(t); () }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) != '<') {
+        var j = i
+        while (j < n && s.charAt(j) != '<') j += 1
+        appendText(s.subSequence(i, j))
+        i = j
+      } else {
+        var j = i + 1
+        val closing = j < n && s.charAt(j) == '/'
+        if (closing) j += 1
+        val nameStart = j
+        while (j < n && (Character.isLetterOrDigit(s.charAt(j)))) j += 1
+        val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        val gt = s.indexOf('>', j)
+        if (name.isEmpty) {
+          // not a tag ('< ', '<!', '<3'): the '<' is literal text; the
+          // rest rescans, so a REAL tag right after still segments
+          // (the per-block clean strips any '<…>' leftovers, exactly
+          // like the chain's stripTags)
+          appendText("<")
+          i += 1
+        } else if (gt < 0) { // unterminated trailing markup → text
+          appendText(s.subSequence(i, n))
+          i = n
+        } else {
+          val markup = s.substring(i, gt + 1)
+          val selfClose = s.charAt(gt - 1) == '/'
+          val rank = ranks.getOrElse(name, -1)
+          if (rank < 0) appendText(markup) // non-block tag
+          else if (closing) {
+            var k = stack.length - 1
+            while (k >= 0 && stack(k).tag != name) k -= 1
+            if (k < 0) appendText(markup) // stray close — absorbed
+            else {
+              while (stack.length > k) {
+                emit(stack.last)
+                stack.remove(stack.length - 1)
+              }
+            }
+          } else if (stack.isEmpty || rank <= stack.last.rank) {
+            val f = new Frame(name, rank, nextIdx(name))
+            if (selfClose) emit(f) else stack += f
+          } else appendText(markup) // absorbed into the owning block
+          i = gt + 1
+        }
+      }
+    }
+    while (stack.nonEmpty) { // lenient EOF: emit unclosed blocks
+      emit(stack.last)
+      stack.remove(stack.length - 1)
+    }
+    val sorted = blocks.sortBy(b => (b._1, b._3))
+    new GenericArrayData(sorted.map { case (rank, tag, idx, raw) =>
+      InternalRow(rank, UTF8String.fromString(tag), idx,
+        UTF8String.fromString(raw))
+    }.toArray[Any])
+  }
+
+  // ===== URL kernels ======================================================
+  // One scan apiece, replacing the composable regexp-chain Column forms:
+  // those trees (~30-80 nodes each) are safe standing alone but MULTIPLY
+  // under composition — canonicalize(resolve(..)) at Column-construction,
+  // then again under CollapseProject/filter-pushdown alias substitution —
+  // into five-figure-node projections that cost the optimizer tens of
+  // seconds and push codegen off the whole-stage cliff (measured: the
+  // q261 edge build went 8+ min at sf0.01; as 1-node kernel calls it is
+  // sub-second). Semantics are pinned by UrlSpec and the q258-q261
+  // constructed-expectation oracles.
+
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private def isSchemeStart(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isSchemeStart(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' ||
+      c == '-'
+
+  /** Length of a `scheme:` prefix of `s` (index of the `:`), or -1. */
+  private def schemePrefixLen(s: String): Int = {
+    if (s.isEmpty || !isSchemeStart(s.charAt(0))) return -1
+    var i = 1
+    while (i < s.length && isSchemeChar(s.charAt(i))) i += 1
+    if (i < s.length && s.charAt(i) == ':') i else -1
+  }
+
+  /** Parsed (scheme, hostport, path, query) of a trimmed, DEFRAGGED URL
+    * (everything from the first `#` dropped first — the rule every URL
+    * kernel shares); null when there is no `scheme://` prefix. scheme
+    * and hostport are lowercased; path is "" when absent (callers
+    * apply the "/" default); query is "" when absent.
+    */
+  private def parseUrl(u0: String): Array[String] = {
+    val hash = u0.indexOf('#')
+    val u = if (hash >= 0) u0.substring(0, hash) else u0
+    val sl = schemePrefixLen(u)
+    if (sl < 0 || sl + 2 >= u.length || u.charAt(sl + 1) != '/' ||
+      u.charAt(sl + 2) != '/') return null
+    val scheme = u.substring(0, sl).toLowerCase(java.util.Locale.ROOT)
+    val rest = u.substring(sl + 3)
+    var he = 0
+    while (he < rest.length && rest.charAt(he) != '/' &&
+      rest.charAt(he) != '?') he += 1
+    val hostport = rest.substring(0, he).toLowerCase(java.util.Locale.ROOT)
+    val after = rest.substring(he)
+    val q = after.indexOf('?')
+    val path = if (q >= 0) after.substring(0, q) else after
+    val query = if (q >= 0) after.substring(q + 1) else ""
+    Array(scheme, hostport, path, query)
+  }
+
+  /** [[graft.operators.Url.trackingFixedNames]] + the `utm_*` wildcard
+    * rule, ASCII-exact to the documentation regex.
+    */
+  def isTrackingParam(p: String): Boolean = {
+    if (p.startsWith("utm_")) {
+      var j = 4
+      while (j < p.length && (isSchemeStart(p.charAt(j)) ||
+        (p.charAt(j) >= '0' && p.charAt(j) <= '9') || p.charAt(j) == '_'))
+        j += 1
+      j < p.length && p.charAt(j) == '='
+    } else graft.operators.Url.trackingFixedNames.exists(nm =>
+      p.length > nm.length && p.startsWith(nm) &&
+        p.charAt(nm.length) == '=')
+  }
+
+  /** Canonical form of a raw URL ([[graft.operators.Url.canonicalize]]
+    * contract): scheme/host lowercase, default port stripped, fragment
+    * stripped, empty path → `/`, tracking params removed with survivors
+    * kept in order, left-empty query dropped; null when no `scheme://`.
+    */
+  def urlCanonicalize(url: UTF8String): UTF8String = {
+    val parts = parseUrl(trimSpaces(url.toString))
+    if (parts == null) return null
+    val scheme = parts(0)
+    val hostport = parts(1)
+    val ci = hostport.indexOf(':')
+    val host = if (ci >= 0) hostport.substring(0, ci) else hostport
+    val li = hostport.lastIndexOf(':')
+    var port = ""
+    if (li >= 0 && li + 1 < hostport.length) {
+      val cand = hostport.substring(li + 1)
+      if (cand.forall(c => c >= '0' && c <= '9')) port = cand
+    }
+    val keepPort = port.nonEmpty &&
+      !(scheme == "http" && port == "80") &&
+      !(scheme == "https" && port == "443")
+    val path = if (parts(2).isEmpty) "/" else parts(2)
+    val query = parts(3)
+    val params = query.split("&", -1)
+      .filter(x => x.nonEmpty && !isTrackingParam(x))
+    val qpart =
+      if (query.isEmpty || params.isEmpty) ""
+      else "?" + params.mkString("&")
+    UTF8String.fromString(scheme + "://" + host +
+      (if (keepPort) ":" + port else "") + path + qpart)
+  }
+
+  /** Lowercased host of a raw URL ("" when there is no `scheme://`
+    * prefix — [[graft.operators.Url.hostOf]] contract).
+    */
+  def urlHost(url: UTF8String): UTF8String = {
+    val parts = parseUrl(trimSpaces(url.toString))
+    if (parts == null) return UTF8String.EMPTY_UTF8
+    val hostport = parts(1)
+    val ci = hostport.indexOf(':')
+    UTF8String.fromString(
+      if (ci >= 0) hostport.substring(0, ci) else hostport)
+  }
+
+  /** Registrable domain of a lowercased host
+    * ([[graft.operators.Url.registeredDomain]] contract): last two
+    * labels, or three under a multi-part public suffix.
+    */
+  def urlRegisteredDomain(host: UTF8String): UTF8String = {
+    val h = host.toString
+    val labels = h.split("\\.", -1)
+    val n = labels.length
+    if (n < 2) return host
+    val last2 = labels(n - 2) + "." + labels(n - 1)
+    if (n >= 3 && multiPartSuffixSet.contains(last2))
+      UTF8String.fromString(labels(n - 3) + "." + last2)
+    else UTF8String.fromString(last2)
+  }
+
+  private lazy val multiPartSuffixSet: Set[String] =
+    graft.operators.Url.multiPartSuffixes.toSet
+
+  /** Reference resolution of an href against its page's base URL
+    * ([[graft.operators.Url.resolve]] contract; null = not a crawlable
+    * outlink or no base identity).
+    */
+  def urlResolve(base: UTF8String, href: UTF8String): UTF8String = {
+    val h = trimSpaces(href.toString)
+    val sl = schemePrefixLen(h)
+    if (sl >= 0) {
+      val hs = h.substring(0, sl).toLowerCase(java.util.Locale.ROOT)
+      return if (hs == "http" || hs == "https") UTF8String.fromString(h)
+        else null
+    }
+    val parts = parseUrl(trimSpaces(base.toString))
+    if (parts == null) return null
+    val scheme = parts(0)
+    val hostport = parts(1)
+    val path = if (parts(2).isEmpty) "/" else parts(2)
+    val query = parts(3)
+    val qpart = if (query.isEmpty) "" else "?" + query
+    val ls = path.lastIndexOf('/')
+    val dir = if (ls >= 0) path.substring(0, ls + 1) else "/"
+    val origin = scheme + "://" + hostport
+    val out =
+      if (h.startsWith("//")) scheme + ":" + h
+      else if (h.startsWith("/")) origin + h
+      else if (h.startsWith("?")) origin + path + h
+      else if (h.startsWith("#")) origin + path + qpart + h
+      else if (h.isEmpty) origin + path + qpart
+      else origin + dir + h
+    UTF8String.fromString(out)
+  }
+
   private def resolveCharset(cs: UTF8String): java.nio.charset.Charset = {
     if (cs == null) return java.nio.charset.StandardCharsets.UTF_8
     val name = cs.toString.trim
@@ -1320,6 +1594,92 @@ case class WarcRecordsBytesExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** html_blocks(string) → array<struct<rank:int, block_type:string,
+  * block_idx:int, raw:string>> — stack-based block segmentation in one
+  * depth-aware scan ([[NativeKernels.htmlSegmentBlocks]]); array order
+  * is (rank, block_idx).
+  */
+case class HtmlBlocksExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("block_type", StringType, nullable = false),
+    StructField("block_idx", IntegerType, nullable = false),
+    StructField("raw", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.htmlSegmentBlocks(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.htmlSegmentBlocks($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** url_canonicalize(string) → string|null ([[NativeKernels.urlCanonicalize]]):
+  * the crawl-frontier canonical form; null when no `scheme://` prefix.
+  */
+case class UrlCanonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.urlCanonicalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.NativeKernels.urlCanonicalize($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** url_host(string) → string ([[NativeKernels.urlHost]]): lowercased
+  * host, "" when no `scheme://` prefix.
+  */
+case class UrlHostExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.urlHost(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.urlHost($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** url_registered_domain(string) → string
+  * ([[NativeKernels.urlRegisteredDomain]]): registrable domain of a
+  * lowercased host under the embedded multi-part-suffix excerpt.
+  */
+case class UrlRegDomainExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeKernels.urlRegisteredDomain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeKernels.urlRegisteredDomain($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** url_resolve(base, href) → string|null ([[NativeKernels.urlResolve]]):
+  * RFC 3986 frontier-subset reference resolution; null = not a
+  * crawlable outlink (non-http(s) scheme) or no base identity.
+  */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, h: Any): Any =
+    NativeKernels.urlResolve(b.asInstanceOf[UTF8String],
+      h.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) => s"""
+      ${ev.value} = graft.functions.NativeKernels.urlResolve($b, $h);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** warc_gunzip(binary) → binary: concatenated-gzip-member decompression
   * with stop-at-first-failure quarantine ([[NativeKernels.gunzipMembers]]).
   */
@@ -1377,7 +1737,7 @@ case class DecodeCharsetExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, cs) =>
       s"${ev.value} = graft.functions.NativeKernels.decodeCharsetBytes($b, $cs);")
-  override protected def withNewChildInternal(newLeft: Expression,
+  override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
@@ -1393,6 +1753,6 @@ case class EncodeCharsetExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, cs) =>
       s"${ev.value} = graft.functions.NativeKernels.encodeCharsetBytes($s, $cs);")
-  override protected def withNewChildInternal(newLeft: Expression,
+  override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }

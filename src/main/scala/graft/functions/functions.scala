@@ -58,6 +58,42 @@ package object functions {
     ExpressionUtils.column(graft.functions.WarcRecordsExpr(
       ExpressionUtils.expression(file)))
 
+  /** Stack-based HTML block segmentation → array of (rank, block_type,
+    * block_idx, raw) structs in (rank, idx) order
+    * ([[graft.functions.HtmlBlocksExpr]]).
+    */
+  def html_blocks(html: Column): Column =
+    ExpressionUtils.column(graft.functions.HtmlBlocksExpr(
+      ExpressionUtils.expression(html)))
+
+  /** Crawl-frontier canonical URL form; null when no `scheme://`
+    * ([[graft.functions.UrlCanonExpr]]).
+    */
+  def url_canonicalize(url: Column): Column =
+    ExpressionUtils.column(graft.functions.UrlCanonExpr(
+      ExpressionUtils.expression(url)))
+
+  /** Lowercased host of a URL; "" when no `scheme://`
+    * ([[graft.functions.UrlHostExpr]]).
+    */
+  def url_host(url: Column): Column =
+    ExpressionUtils.column(graft.functions.UrlHostExpr(
+      ExpressionUtils.expression(url)))
+
+  /** Registrable domain of a lowercased host
+    * ([[graft.functions.UrlRegDomainExpr]]).
+    */
+  def url_registered_domain(host: Column): Column =
+    ExpressionUtils.column(graft.functions.UrlRegDomainExpr(
+      ExpressionUtils.expression(host)))
+
+  /** href resolved against its page's base URL; null = not a crawlable
+    * outlink ([[graft.functions.UrlResolveExpr]]).
+    */
+  def url_resolve(base: Column, href: Column): Column =
+    ExpressionUtils.column(graft.functions.UrlResolveExpr(
+      ExpressionUtils.expression(base), ExpressionUtils.expression(href)))
+
   /** Byte-true WARC file → array<binary> of records, exact
     * Content-Length OCTET framing ([[graft.functions.WarcRecordsBytesExpr]]).
     */

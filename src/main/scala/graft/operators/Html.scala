@@ -19,22 +19,30 @@ import org.apache.spark.sql.functions._
   *     non-greedy — the standard first pass; anything inside them,
   *     including tag-looking text, never reaches the output).
   *  2. SEGMENT into blocks by container element — `nav`, `h1`–`h6`,
-  *     `blockquote`, `p`, `li`, `td`, `div` — in PRIORITY order: each
-  *     tag's blocks are extracted and their spans REMOVED from the
-  *     working string before the next tag is segmented. Priority =
-  *     rank order (nav first, div last), so a `<p>` nested inside
-  *     `<nav>` belongs to the nav block (chrome subtrees suppress
-  *     their content), and a `<p>` nested inside `<div>` is claimed
-  *     by the p pass — the div block keeps only its OWN residual text
-  *     (no double-count). Tag names match with a word boundary
-  *     (`<p\b`), so `<pre>`/`<param>` never match `p`, `<link>` never
-  *     matches `li`. Blocks are emitted in (type-rank, index) order;
-  *     `block_idx` is the occurrence index within the type on that
-  *     type's working string. SAME-tag nesting (`<div>` directly
-  *     inside `<div>`) remains outside the contract: the non-greedy
-  *     regex pairs the outer open with the first close — the
-  *     documented flat-markup teaching form (real extractors parse a
-  *     DOM; every other published rule here survives that upgrade).
+  *     `blockquote`, `p`, `li`, `td`, `div` — with ONE stack-based
+  *     depth-aware scan ([[graft.functions.NativeKernels
+  *     .htmlSegmentBlocks]]). Ownership rule: an opening block tag
+  *     starts a NEW block iff no block is open or its priority rank
+  *     (nav 0 … div 11) is ≤ the innermost open block's rank;
+  *     otherwise the tag and its content are ABSORBED into the owning
+  *     block — so a `<p>` nested inside `<nav>` belongs to the nav
+  *     block (chrome subtrees suppress their content), a `<p>` nested
+  *     inside `<div>` claims its own text (the div block keeps only
+  *     its OWN residual text — no double-count), and `<div>` directly
+  *     inside `<div>` pairs by DEPTH, each emitting its own block
+  *     (the former regex chain's flat-markup caveat, closed: its
+  *     non-greedy pairing bound the outer open to the FIRST close).
+  *     Only exact tag names segment (`<pre>`/`<param>` never match
+  *     `p`, `<link>` never matches `li`). A closing tag closes the
+  *     nearest matching open block; strays and every non-block tag
+  *     pass through verbatim into the owning block's raw (the clean
+  *     pass strips them). Blocks are emitted in (type-rank, index)
+  *     order; `block_idx` counts per type in document open order. On
+  *     markup WITHOUT same-tag nesting this is block-for-block
+  *     identical to the old priority-removal chain (the oracle's
+  *     regex CTE replay is still generated from that chain and stays
+  *     green); the div-in-div fixture trap pins the depth pairing via
+  *     a constructed expectation.
   *  3. Convert `<br>`/`<br/>` to a NEWLINE (it is a line separator,
   *     not markup — the Gopher line rules downstream depend on it),
   *     then STRIP residual inline tags (`<a>`, … → removed) inside
@@ -79,6 +87,12 @@ object Html {
     ("h6", 6), ("blockquote", 7), ("p", 8), ("li", 9), ("td", 10),
     ("div", 11))
 
+  /** [[blockTags]] as a lookup — the segmentation kernel's tag table
+    * ([[graft.functions.NativeKernels.htmlSegmentBlocks]]); one source
+    * for the Scala kernel AND the oracle CTE generator.
+    */
+  val tagRanks: Map[String, Int] = blockTags.toMap
+
   /** Boilerplate-by-tag ranks (navigation chrome, footer/catch-all). */
   val chromeRanks: Set[Int] = Set(0, 11)
 
@@ -95,9 +109,6 @@ object Html {
   private val namedEntities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ")
-
-  private def blockRegex(tag: String): String =
-    s"(?s)<$tag\\b[^>]*>(.*?)</$tag>"
 
   /** Pass 1: drop script/style/comment subtrees. */
   def dropNonContent(html: Column): Column =
@@ -136,28 +147,15 @@ object Html {
 
   /** All blocks of the document as one in-order array of
     * (rank, block_type, block_idx, raw) structs — the shared core of
-    * [[extractBlocks]], [[blockSignals]] and [[extractText]]. Array
-    * order IS (rank, idx) order by construction, so no sort is ever
-    * needed. Priority chain: tag k's extraction runs on the input
-    * with tags 0..k-1's spans already removed (see the contract);
-    * whole-stage codegen's common-subexpression elimination shares
-    * each intermediate string across the extract and the next
-    * removal, so the chain costs ~2 regex passes per tag, not
-    * O(tags²).
+    * [[extractBlocks]], [[blockSignals]] and [[extractText]]: ONE
+    * stack-based kernel scan over the non-content-stripped page
+    * (see contract step 2 — the 12-tag regex priority chain this
+    * replaced cost ~2 regex passes per tag and mis-paired same-tag
+    * nesting). Array order IS (rank, idx) order by construction, so
+    * no sort is ever needed.
     */
-  private def blockStructs(html: Column): Column = {
-    var cur = dropNonContent(html)
-    val parts = blockTags.map { case (tag, rank) =>
-      val rx = blockRegex(tag)
-      val arr = transform(
-        regexp_extract_all(cur, lit(rx), lit(1)),
-        (x, i) => struct(lit(rank).as("rank"), lit(tag).as("block_type"),
-          i.as("block_idx"), x.as("raw")))
-      cur = regexp_replace(cur, rx, "")
-      arr
-    }
-    concat(parts: _*)
-  }
+  private def blockStructs(html: Column): Column =
+    graft.functions.html_blocks(dropNonContent(html))
 
   /** BLOCK TABLE extraction: one output row per non-empty block —
     * (input columns…, block_type, block_idx, block_text), the
@@ -257,7 +255,10 @@ object Html {
     *  - a `<table>` row (`<td>` block; `table`/`tr` tags strip as
     *    residual);
     *  - a `<div>` footer with ANOTHER nested `<p>` (the p pass claims
-    *    it; the div block keeps only its own text — no double-count).
+    *    it; the div block keeps only its own text — no double-count);
+    *  - the static [[divNestTrap]]: a div DIRECTLY inside a div — the
+    *    stack kernel's depth pairing emits two blocks (the outer's
+    *    segments rejoin around the carved-out inner).
     */
   def withHtmlColumn(df: DataFrame, text: Column, out: String): DataFrame = {
     val ws = regexp_extract_all(text, lit("""\S+"""), lit(0))
@@ -289,6 +290,100 @@ object Html {
       lit("</li><li>it&#x27;s &quot;quoted&quot;</li></ul>" +
         "<table><tr><td>cell &#65; text</td></tr></table>" +
         "<div class=\"footer\">contact us<p>div nested para</p></div>" +
+        divNestTrap +
         "</body></html>")))
+  }
+
+  /** The SAME-TAG NESTING trap (static, after the footer div): a div
+    * directly inside a div — the stack kernel pairs by depth (inner
+    * block "inner scope", outer block "outer scope tail text" with its
+    * double space normalizing away); the old regex chain would have
+    * paired the outer open with the FIRST close ("outer scope inner
+    * scope" + a dangling tail). The oracle replays this trap as a
+    * CONSTRUCTED expectation (regex CTEs cannot express depth pairing)
+    * and runs the chain replay on the page with the static trap
+    * substring removed.
+    */
+  val divNestTrap: String =
+    "<div>outer scope <div>inner scope</div> tail text</div>"
+
+  /** OUTLINK TABLE extraction — the crawl-frontier harvest every
+    * pipeline runs on fetched pages (frontier expansion, anchor-text
+    * signals, the host link graph): one output row per `<a>` element —
+    * (input columns…, link_idx, href, anchor_text). `link_idx` is the
+    * anchor's document order (all anchors count, href-less included, so
+    * indices are stable). `href` is the raw attribute value, double- or
+    * single-quoted (NULL when the anchor has no href — `<a name=…>`
+    * targets are data, not links); resolution against the page URL is
+    * [[Url.resolve]]'s job, canonical identity [[Url.canonicalize]]'s.
+    * `anchor_text` is the [[cleanBlock]]-cleaned inner markup (inline
+    * tags stripped, entities decoded) — what link-graph quality models
+    * consume. Anchors inside `<script>`/`<style>`/comments never
+    * surface ([[dropNonContent]] runs first — a script string literal
+    * containing `<a href…>` is the fixture trap); `href` attributes on
+    * NON-anchor elements (`<link>`, `<img>`) never match.
+    *
+    * Same 100 TB shape as [[extractBlocks]]: pure codegen'd expressions
+    * + one generator, zero shuffles, zero joins.
+    */
+  def extractLinks(df: DataFrame, html: Column): DataFrame = {
+    val anchorRx = "(?is)<a\\b[^>]*>.*?</a>"
+    val m = col("__m")
+    val dq = regexp_extract(m, "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(m, "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'", 1)
+    df.select(df.columns.map(col) :+
+        posexplode(regexp_extract_all(dropNonContent(html),
+          lit(anchorRx), lit(0))).as(Seq("link_idx", "__m")): _*)
+      .select((df.columns.map(col) ++ Seq(
+        col("link_idx").cast("long").as("link_idx"),
+        when(dq =!= "", dq).when(sq =!= "", sq).otherwise(lit(null))
+          .as("href"),
+        cleanBlock(regexp_extract(m, "(?is)^<a\\b[^>]*>(.*?)</a>$", 1))
+          .as("anchor_text"))): _*)
+  }
+
+  /** Deterministic LINK-PAGE fixture ([[withHtmlColumn]]'s discipline
+    * for the outlink surface): nine `<a>` anchors, one per
+    * [[Url.resolve]] rule — absolute cross-host, absolute cross-site,
+    * scheme-relative (`//cdn…`), root-relative, path-relative,
+    * query-only, fragment-only, `mailto:` (non-crawlable → NULL
+    * resolved), and an href-LESS named anchor (NULL href) — plus two
+    * never-match traps: a `<script>` string literal containing a full
+    * ghost anchor (subtree drop must run first) and an `<img src>`/
+    * `<link href>` (href on a non-anchor element). Anchor texts carry
+    * inline markup and entities so `anchor_text` exercises the clean
+    * pass. g = ⌊doc_id/3⌋ keys the cross-site target exactly like
+    * [[graft.queries.Pipeline]]'s messy-URL fixture, so link targets
+    * and page URLs live in one small multi-domain world.
+    */
+  def withLinkHtml(df: DataFrame, docId: Column, out: String): DataFrame = {
+    val d = docId.cast("long")
+    val g = floor(d / 3).cast("long")
+    df.withColumn(out, concat(
+      lit("<html><head><title>links</title>" +
+        "<script>var s = '<a href=\"http://ghost.example/\">ghost</a>';" +
+        "</script><link rel=\"stylesheet\" href=\"/css/m.css\"></head>" +
+        "<body><p>intro <a href=\"http://w"),
+      (d % 5).cast("string"), lit(".ex"), (d % 3).cast("string"),
+      lit(".net/p/"), (d % 11).cast("string"),
+      lit("\">first <b>bold</b> link</a></p>" +
+        "<p><a href=\"https://site"),
+      ((g + 1) % 5).cast("string"), lit(".com/x/"), g.cast("string"),
+      lit("\">cross&amp;site</a></p>" +
+        "<ul><li><a href='//cdn.site"),
+      (g % 5).cast("string"),
+      lit(".com/lib.js'>cdn asset</a></li>" +
+        "<li><a href=\"/r/"),
+      (d % 7).cast("string"),
+      lit("\">root&nbsp;rel</a></li>" +
+        "<li><a href=\"next/"),
+      (d % 3).cast("string"),
+      lit("\">path rel</a></li></ul>" +
+        "<p><a href=\"?page=2\">next page</a> " +
+        "<a href=\"#top\">back to top</a> " +
+        "<a href=\"mailto:op@site"),
+      (g % 5).cast("string"),
+      lit(".com\">mail</a> <a name=\"anchor-only\">no href</a></p>" +
+        "<img src=\"http://img.ex0.net/i.png\"></body></html>")))
   }
 }

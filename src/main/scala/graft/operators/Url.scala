@@ -10,8 +10,17 @@ import org.apache.spark.sql.functions._
   * [[Warc]] ("crawl in" — real target URIs out of the container) and
   * the content stages ([[Html]] extraction, [[Dedup]]).
   *
-  * Canonicalization is a pure codegen'd expression chain (no UDF, no
-  * kernel): scheme and host lowercase, default port stripped (:80 for
+  * Every operator here is ONE native Catalyst expression over a tight
+  * string kernel ([[graft.functions.NativeKernels]] — codegen'd via
+  * doGenCode, no UDF, no row conversion). They started as composable
+  * regexp-chain Columns; those ~30-80-node trees MULTIPLY under
+  * composition (canonicalize(resolve(..)) at Column construction, then
+  * again under CollapseProject / filter-pushdown alias substitution)
+  * into five-figure-node projections — tens of optimizer seconds and
+  * whole-stage-codegen fallback, measured on the q261 edge build
+  * (8+ min → sub-second as kernels). The 1-node form is immune by
+  * construction: there is no tree to substitute. Canonicalization:
+  * scheme and host lowercase, default port stripped (:80 for
   * http, :443 for https — any other port kept), fragment stripped,
   * empty path → `/`, tracking query parameters removed
   * ([[trackingParamRx]]: `utm_*`, click ids, `ref`), remaining
@@ -44,11 +53,21 @@ import org.apache.spark.sql.functions._
   */
 object Url {
 
-  /** Query parameters dropped by canonicalization: analytics campaign
-    * tags (`utm_*`), ad-click ids, and bare referral tags.
+  /** Fixed-name query parameters dropped by canonicalization (ad-click
+    * ids and bare referral tags); `utm_*` campaign tags are the rule's
+    * wildcard half. ONE source for the kernel
+    * ([[graft.functions.NativeKernels.isTrackingParam]]) and the
+    * documentation regex [[trackingParamRx]].
+    */
+  val trackingFixedNames: Seq[String] = Seq(
+    "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid",
+    "ref", "ref_src")
+
+  /** The tracking-parameter rule as a regex (prefix-anchored, name then
+    * `=`) — generated from [[trackingFixedNames]].
     */
   val trackingParamRx: String =
-    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)="
+    "^(utm_[A-Za-z0-9_]*|" + trackingFixedNames.mkString("|") + ")="
 
   /** Embedded multi-part public-suffix excerpt (see scaladoc). */
   val multiPartSuffixes: Seq[String] = Seq(
@@ -59,51 +78,48 @@ object Url {
   /** Lowercased host of a raw URL (empty string when there is no
     * `scheme://` prefix — pair with [[canonicalize]]'s null contract).
     */
-  def hostOf(url: Column): Column = {
-    val rest = regexp_extract(substring_index(trim(url), "#", 1),
-      "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
-    lower(substring_index(regexp_extract(rest, "^([^/?]*)", 1), ":", 1))
-  }
+  def hostOf(url: Column): Column = graft.functions.url_host(url)
 
   /** Canonical form of a raw URL (null when no `scheme://` prefix). */
-  def canonicalize(url: Column): Column = {
-    val nofrag = substring_index(trim(url), "#", 1)
-    val scheme = lower(regexp_extract(nofrag,
-      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_extract(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
-    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
-    val host = lower(substring_index(hostport, ":", 1))
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val keepPort = port =!= "" &&
-      !(scheme === "http" && port === "80") &&
-      !(scheme === "https" && port === "443")
-    val pathq = rest.substr(length(hostport) + 1, length(rest))
-    val path0 = substring_index(pathq, "?", 1)
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(pathq, "^[^?]*\\?(.*)$", 1)
-    val params = filter(split(query, "&"),
-      x => x =!= "" && !x.rlike(trackingParamRx))
-    val qpart = when(query === "" || size(params) === 0, lit(""))
-      .otherwise(concat(lit("?"), array_join(params, "&")))
-    when(scheme === "", lit(null)).otherwise(
-      concat(scheme, lit("://"), host,
-        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-        path, qpart))
-  }
+  def canonicalize(url: Column): Column =
+    graft.functions.url_canonicalize(url)
 
   /** Registrable domain of a lowercased host: last two labels, or last
     * three when the final pair is a multi-part public suffix.
     */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = array_join(slice(labels, -2, 2), ".")
-    when(n >= 3 && array_join(slice(labels, -2, 2), ".")
-        .isin(multiPartSuffixes: _*),
-      array_join(slice(labels, -3, 3), "."))
-      .when(n >= 2, last2)
-      .otherwise(host)
-  }
+  def registeredDomain(host: Column): Column =
+    graft.functions.url_registered_domain(host)
+
+  /** Resolve an href AGAINST ITS PAGE's base URL — the crawl-frontier
+    * step between [[Html.extractLinks]] (raw href attributes out of the
+    * markup) and [[canonicalize]] (most real outlinks are relative; an
+    * unresolved `next/2` has no canonical identity). RFC 3986 reference
+    * resolution in its frontier subset, each rule a fixture witness:
+    *
+    *  - absolute `http(s)://…` href → itself (base not consulted — an
+    *    absolute link survives even an unparseable base; a NULL base or
+    *    href is NULL out, standard null-safe expression semantics);
+    *  - any OTHER scheme (`mailto:`, `javascript:`, `ftp:`…) → NULL —
+    *    not a crawlable outlink (quarantine is data);
+    *  - relative forms against a base with no `scheme://` → NULL;
+    *  - `//host/…` (scheme-relative) → base scheme + `:` + href;
+    *  - `/path` (root-relative) → base origin + href;
+    *  - `?query` → origin + base path + href (base query replaced);
+    *  - `#frag` → origin + base path + base query + href (same-document
+    *    reference — [[canonicalize]] downstream strips the fragment);
+    *  - empty href → the base itself (path + query, fragment dropped);
+    *  - anything else (path-relative) → origin + base DIRECTORY (path
+    *    up to and including its last `/`, `/` when the path is bare)
+    *    + href.
+    *
+    * The origin keeps the base port verbatim and only case-folds —
+    * resolution never canonicalizes; that division of labor keeps each
+    * stage's oracle independently checkable. Dot-segment normalization
+    * (`../`) is not handled (documented, same tier as [[canonicalize]]'s
+    * userinfo/percent-encoding exclusions).
+    */
+  def resolve(base: Column, href: Column): Column =
+    graft.functions.url_resolve(base, href)
 
   /** URL-exact dedup groups over the CANONICAL form: one row per
     * distinct canonical URL with group size and the survivor id (min)

@@ -170,8 +170,8 @@ object Warc {
       .drop(parseTemps: _*)
 
   private val parseTemps = Seq("__rec", "__header", "__version", "__cl",
-    "__uri", "__rid", "__http", "__status", "__hh", "__ctype", "__hcl",
-    "__body")
+    "__uri", "__rid", "__dg", "__http", "__status", "__hh", "__ctype",
+    "__hcl", "__body")
 
   /** The shared header-parse + framing-check chain over a STRING view
     * of the record (the raw record for the char form; the
@@ -194,6 +194,8 @@ object Warc {
         regexp_extract(col("__header"), "\r\nWARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("__rid",
         regexp_extract(col("__header"), "\r\nWARC-Record-ID: <([^>\r\n]+)>", 1))
+      .withColumn("__dg",
+        regexp_extract(col("__header"), "\r\nWARC-Payload-Digest: ([^\r\n]+)", 1))
       .withColumn("__http",
         col("__rec").substr(length(col("__header")) + 5, length(col("__rec"))))
       .withColumn("__status",
@@ -226,6 +228,12 @@ object Warc {
       .withColumn("record_id",
         when(col("malformed") || col("__rid") === "", lit(null))
           .otherwise(col("__rid")))
+      // WARC-Payload-Digest — the crawl index's content claim (CDX's
+      // dedup key half). Lenient like record_id: absent → null; verify
+      // is a separate, explicit step ([[verifyPayloadDigest]]).
+      .withColumn("payload_digest",
+        when(col("malformed") || col("__dg") === "", lit(null))
+          .otherwise(col("__dg")))
       .withColumn("status", when(col("malformed"), lit(null)).otherwise(col("__status")))
       .withColumn("content_type", when(col("malformed"), lit(null)).otherwise(col("__ctype")))
   }
@@ -242,23 +250,57 @@ object Warc {
     */
   def withWarcRecordBytes(df: DataFrame, docId: Column, uri: Column,
       html: Column, charset: Column, out: String,
-      malformEvery: Int = 0): DataFrame = {
+      malformEvery: Int = 0, digest: Boolean = false,
+      corruptDigestEvery: Int = 0): DataFrame = {
     val body = graft.functions.encode_charset(html, charset)
     val httpHead = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="), charset,
       lit("\r\nContent-Length: "), length(body).cast("string"),
       lit("\r\n\r\n"))
     val http = concat(encode(httpHead, "ISO-8859-1"), body)
+    // WARC-Payload-Digest over the HTTP BODY octets (the spec's payload
+    // = the entity the record carries). sha256-hex stands in for
+    // production's sha1:base32 — same plumbing, both engines emit it.
+    // The corruption trap mangles the STORED digest's first hex char
+    // (length-preserving): content fine, index lying — the case digest
+    // verification exists to catch.
+    val dgTrue = concat(lit("sha256:"), sha2(body, 256))
+    val dg =
+      if (corruptDigestEvery > 0)
+        when(docId % corruptDigestEvery === 0,
+          concat(lit("sha256:x"), substring(sha2(body, 256), 2, 63)))
+          .otherwise(dgTrue)
+      else dgTrue
+    val digestLine =
+      if (digest) concat(lit("\r\nWARC-Payload-Digest: "), dg)
+      else lit("")
     val warcHead = concat(
       versionFor(docId, malformEvery),
       lit("\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
       docId.cast("string"),
-      lit(">\r\nWARC-Target-URI: "), uri,
+      lit(">"), digestLine,
+      lit("\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Type: application/http; msgtype=response\r\n" +
         "Content-Length: "),
       length(http).cast("string"), lit("\r\n\r\n"))
     df.withColumn(out, concat(encode(warcHead, "ISO-8859-1"), http))
   }
+
+  /** Payload-digest VERIFICATION over a parsed record table
+    * ([[parseFieldsBinary]] output): `digest_ok` = does the record's
+    * STORED `WARC-Payload-Digest` match the digest recomputed from the
+    * payload it actually carries (re-encoded under its declared
+    * charset). Null when the record is quarantined or ships no digest
+    * header; false = the crawl index is lying about this record's
+    * content — the CDX-consistency check every Common-Crawl-style
+    * pipeline runs before trusting (URL, digest) as a dedup key.
+    */
+  def verifyPayloadDigest(df: DataFrame): DataFrame =
+    df.withColumn("digest_ok",
+      when(col("malformed") || col("payload_digest").isNull, lit(null))
+        .otherwise(col("payload_digest") === concat(lit("sha256:"),
+          sha2(graft.functions.encode_charset(col("html"),
+            coalesce(col("charset"), lit("utf-8"))), 256))))
 
   /** The [[withWarcRecord]] target-URI shape as a reusable column. */
   def defaultUri(docId: Column, source: Column): Column =

@@ -3602,6 +3602,265 @@ object Pipeline {
        |SELECT domain, CAST(rank AS INTEGER) AS rank, keep_id, n_dups
        |FROM r WHERE rank <= $UrlCapK""".stripMargin
 
+  // ===== q260 outlink extraction + resolution =============================
+  // The crawl-frontier harvest: every fetched page's <a> anchors out as
+  // a table (Html.extractLinks — pure codegen projections + one
+  // generator, zero joins), each href RESOLVED against the page's own
+  // messy URL (Url.resolve — most real outlinks are relative) and
+  // canonicalized (Url.canonicalize). One anchor per resolve rule in
+  // the fixture page (absolute cross-host / absolute cross-site /
+  // scheme-relative / root-relative / path-relative / query-only /
+  // fragment-only / mailto → NULL / href-less → NULL), messy bases
+  // keyed doc_id % 6 (q258's fixture — ports, case, fragments,
+  // tracking queries, one scheme-less base that NULLs every relative
+  // resolution but keeps the absolutes). The oracle replays the
+  // EXPECTATION per (variant, link_idx) — independent string
+  // arithmetic, never a parser replay.
+
+  private def linkPages(t: Tables): DataFrame =
+    Html.withLinkHtml(graft.Fanout(t.documents).select(col("doc_id")),
+      col("doc_id"), "html")
+
+  private def q260(t: Tables): DataFrame = {
+    val links = Html.extractLinks(linkPages(t), col("html"))
+    // resolve/canonicalize are 1-node native kernel expressions
+    // (NativeKernels.urlResolve/urlCanonicalize) — composing them is
+    // substitution-safe; their earlier regexp-chain Column forms
+    // multiplied into five-figure-node projections under pushdown
+    // alias substitution (8+ min at sf0.01 — SCALE.md house rule)
+    links.select(col("doc_id"), col("link_idx"), col("href"),
+        col("anchor_text"),
+        graft.operators.Url.resolve(messyUrl(col("doc_id")), col("href"))
+          .as("url_resolved"))
+      .withColumn("url_canon",
+        graft.operators.Url.canonicalize(col("url_resolved")))
+  }
+
+  private lazy val q260Sql =
+    """WITH u AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 6 AS v
+      |  FROM documents),
+      |e AS (SELECT doc_id, g, v,
+      |  'h' || (g % 7) || '.site' || (g % 5) AS hb,
+      |  CAST(g AS VARCHAR) AS gs,
+      |  CAST(doc_id % 5 AS VARCHAR) AS d5,
+      |  CAST(doc_id % 3 AS VARCHAR) AS d3,
+      |  CAST(doc_id % 11 AS VARCHAR) AS d11,
+      |  CAST(doc_id % 7 AS VARCHAR) AS d7,
+      |  CAST((g + 1) % 5 AS VARCHAR) AS g1,
+      |  CAST(g % 5 AS VARCHAR) AS s FROM u),
+      |bb AS (SELECT e.*,
+      |  CASE WHEN v = 3 THEN 'https' ELSE 'http' END AS sch,
+      |  CASE WHEN v = 1 THEN 'http://' || hb || '.com:80'
+      |    WHEN v = 2 THEN 'http://' || hb || '.com:8080'
+      |    WHEN v = 3 THEN 'https://' || hb || '.co.uk:443'
+      |    ELSE 'http://' || hb || '.com' END AS origin,
+      |  CASE WHEN v = 2 THEN 'http://' || hb || '.com:8080'
+      |    WHEN v = 3 THEN 'https://' || hb || '.co.uk'
+      |    ELSE 'http://' || hb || '.com' END AS origin_c,
+      |  '/d/' || gs AS pth,
+      |  CASE WHEN v = 2 THEN '?utm_source=feed&utm_campaign=c'
+      |    WHEN v = 3 THEN '?b=2&a=1&utm_medium=m'
+      |    WHEN v = 4 THEN '?gclid=x&ref=tw' ELSE '' END AS qp,
+      |  CASE WHEN v = 3 THEN '?b=2&a=1' ELSE '' END AS qc
+      |  FROM e),
+      |l AS (SELECT bb.*, i AS link_idx
+      |  FROM bb, unnest(generate_series(0, 8)) AS t(i))
+      |SELECT doc_id, CAST(link_idx AS BIGINT) AS link_idx,
+      |  CASE WHEN link_idx = 0
+      |      THEN 'http://w' || d5 || '.ex' || d3 || '.net/p/' || d11
+      |    WHEN link_idx = 1 THEN 'https://site' || g1 || '.com/x/' || gs
+      |    WHEN link_idx = 2 THEN '//cdn.site' || s || '.com/lib.js'
+      |    WHEN link_idx = 3 THEN '/r/' || d7
+      |    WHEN link_idx = 4 THEN 'next/' || d3
+      |    WHEN link_idx = 5 THEN '?page=2'
+      |    WHEN link_idx = 6 THEN '#top'
+      |    WHEN link_idx = 7 THEN 'mailto:op@site' || s || '.com'
+      |    ELSE NULL END AS href,
+      |  CASE WHEN link_idx = 0 THEN 'first bold link'
+      |    WHEN link_idx = 1 THEN 'cross&site'
+      |    WHEN link_idx = 2 THEN 'cdn asset'
+      |    WHEN link_idx = 3 THEN 'root rel'
+      |    WHEN link_idx = 4 THEN 'path rel'
+      |    WHEN link_idx = 5 THEN 'next page'
+      |    WHEN link_idx = 6 THEN 'back to top'
+      |    WHEN link_idx = 7 THEN 'mail'
+      |    ELSE 'no href' END AS anchor_text,
+      |  CASE WHEN link_idx = 0
+      |      THEN 'http://w' || d5 || '.ex' || d3 || '.net/p/' || d11
+      |    WHEN link_idx = 1 THEN 'https://site' || g1 || '.com/x/' || gs
+      |    WHEN link_idx >= 7 OR v = 5 THEN NULL
+      |    WHEN link_idx = 2 THEN sch || '://cdn.site' || s || '.com/lib.js'
+      |    WHEN link_idx = 3 THEN origin || '/r/' || d7
+      |    WHEN link_idx = 4 THEN origin || '/d/next/' || d3
+      |    WHEN link_idx = 5 THEN origin || pth || '?page=2'
+      |    ELSE origin || pth || qp || '#top' END AS url_resolved,
+      |  CASE WHEN link_idx = 0
+      |      THEN 'http://w' || d5 || '.ex' || d3 || '.net/p/' || d11
+      |    WHEN link_idx = 1 THEN 'https://site' || g1 || '.com/x/' || gs
+      |    WHEN link_idx >= 7 OR v = 5 THEN NULL
+      |    WHEN link_idx = 2 THEN sch || '://cdn.site' || s || '.com/lib.js'
+      |    WHEN link_idx = 3 THEN origin_c || '/r/' || d7
+      |    WHEN link_idx = 4 THEN origin_c || '/d/next/' || d3
+      |    WHEN link_idx = 5 THEN origin_c || pth || '?page=2'
+      |    ELSE origin_c || pth || qc END AS url_canon
+      |FROM l""".stripMargin
+
+  // ===== q261 host link graph → PageRank centrality =======================
+  // The host-level quality signal every crawl pipeline derives from
+  // outlinks: q260's resolved links → registered-domain edges (source
+  // page's domain → link target's domain), SELF-edges dropped (intra-
+  // domain navigation is not an endorsement — and the scheme-relative
+  // cdn link resolves to the SAME registered domain except for co.uk
+  // bases, a deliberate near-miss the filter must judge per row),
+  // orientation-normalized + distinct, then the q122 fixed-point
+  // PageRank (3 unrolled iterations, exact BIGINT contribution sums —
+  // hash-comparable across engines). 100 TB: the edge build is a
+  // narrow projection + ONE distinct aggregate; PR is q122's audited
+  // O(|E|)-per-iteration plan; domains (not pages) are the node set,
+  // bounded by the web's registrable-domain count, not its page count.
+
+  private def q261(t: Tables): DataFrame = {
+    val U = graft.operators.Url
+    val links = Html.extractLinks(linkPages(t), col("html"))
+    // domain edges through the 1-node URL kernels (q260's note): the
+    // regexp-chain Column forms duplicated the resolve tree ~12x here
+    // at Column construction alone — the composition that motivated
+    // kernelizing the whole Url surface
+    val resolved = U.resolve(messyUrl(col("doc_id")), col("href"))
+    val edges = links.select(
+        U.registeredDomain(nullif(U.hostOf(messyUrl(col("doc_id"))),
+          lit(""))).as("sa"),
+        U.registeredDomain(nullif(U.hostOf(resolved), lit(""))).as("sb"))
+      .filter(col("sa").isNotNull && col("sb").isNotNull &&
+        col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("id_a"),
+        greatest(col("sa"), col("sb")).as("id_b"))
+      .distinct()
+      // eager barrier before the PR loop: the domain edge list is
+      // bounded by registrable-domain PAIRS (never page count), and
+      // without it every PR iteration's lineage re-enters the whole
+      // extract+resolve tree via dir's two-orientation union
+      .localCheckpoint()
+    Graph.pageRankFixedPoint(edges, iters = PrIters)
+  }
+
+  private lazy val q261Sql = {
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (SELECT dst, sum(pr // deg) AS c
+         |        FROM dir JOIN $prev ON dir.src = $prev.id GROUP BY dst),
+         |pr$k AS (SELECT deg.id, deg.deg,
+         |           CAST(floor(0.15 * 1000000000000.0 / nn.n_nodes) AS BIGINT)
+         |             + CAST(floor(0.85 * CAST(coalesce(c.c, 0) AS DOUBLE)) AS BIGINT) AS pr
+         |         FROM deg CROSS JOIN nn LEFT JOIN c$k c ON deg.id = c.dst)""".stripMargin
+    s"""WITH u AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 6 AS v
+       |  FROM documents),
+       |e AS (SELECT doc_id, v,
+       |  CAST(doc_id % 3 AS VARCHAR) AS d3,
+       |  CAST((g + 1) % 5 AS VARCHAR) AS g1,
+       |  CAST(g % 5 AS VARCHAR) AS s FROM u),
+       |sd AS (SELECT e.*,
+       |  CASE WHEN v = 3 THEN 'site' || s || '.co.uk'
+       |    ELSE 'site' || s || '.com' END AS src_dom FROM e),
+       |ed AS (
+       |  SELECT src_dom AS sa, 'ex' || d3 || '.net' AS sb
+       |  FROM sd WHERE v <> 5
+       |  UNION ALL
+       |  SELECT src_dom, 'site' || g1 || '.com' FROM sd WHERE v <> 5
+       |  UNION ALL
+       |  SELECT src_dom, 'site' || s || '.com' FROM sd WHERE v = 3),
+       |und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+       |  FROM ed WHERE sa <> sb),
+       |dir AS (SELECT a AS src, b AS dst FROM und
+       |        UNION ALL SELECT b AS src, a AS dst FROM und),
+       |deg AS (SELECT src AS id, count(*) AS deg FROM dir GROUP BY src),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |pr0 AS (SELECT id, deg,
+       |          CAST(floor(1000000000000.0 / nn.n_nodes) AS BIGINT) AS pr
+       |        FROM deg CROSS JOIN nn),
+       |${(1 to PrIters).map(k => iter(s"pr${k - 1}", k)).mkString(",\n")}
+       |SELECT id, pr AS pr_scaled FROM pr$PrIters""".stripMargin
+  }
+
+  // ===== q262 payload-digest verify + (URL, digest) record dedup ==========
+  // The Common-Crawl index discipline: every WARC record ships a
+  // WARC-Payload-Digest content claim, and (canonical URL, digest) is
+  // the CDX dedup key — same pair = a byte-identical re-fetch (keep
+  // one), same URL with a new digest = the page CHANGED (keep both).
+  // The chain: gzip WARC files whose records carry digests (every 13th
+  // doc's STORED digest mangled — content fine, index lying; every
+  // 23rd record quarantined; every 5th file's last member corrupt) →
+  // parse → recompute-and-verify against the payload actually carried
+  // (re-encoded under its declared charset) → per-canonical-URL
+  // aggregate: fetches, DISTINCT verified contents, bad-digest count,
+  // min surviving id. One hash aggregate past the scan; digest math is
+  // codegen'd sha2 over the body bytes. sha256-hex stands in for
+  // production's sha1:base32 (both engines emit it; same plumbing).
+
+  private val DigestCorruptEvery = 13
+
+  private def q262(t: Tables): DataFrame = {
+    val g = floor(col("doc_id") / 3).cast("long")
+    // group-keyed page: docs of one group carry IDENTICAL payloads
+    // (true re-fetches — same digest), except every 7th doc revises
+    // the page (same URL, new digest = changed content)
+    val page = concat(lit("<p>page "), g.cast("string"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" rev "), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      lit("</p>"))
+    val docs = graft.Fanout(t.documents).select(col("doc_id"))
+      .withColumn("page", page)
+    val recs = Warc.withWarcRecordBytes(docs, col("doc_id"),
+      messyUrl(col("doc_id")), col("page"), lit("utf-8"), "rec",
+      malformEvery = WarcMalformEvery, digest = true,
+      corruptDigestEvery = DigestCorruptEvery)
+    val files = Warc.withWarcFilesGz(recs, col("doc_id"), col("rec"),
+      docsPerFile = 16, corruptEveryFile = WarcGzCorruptEveryFile)
+    val checked = Warc.verifyPayloadDigest(
+      Warc.parseFieldsBinary(Warc.recordsGz(files, "warc"), col("rec")))
+    checked.filter(!col("malformed"))
+      .select(graft.operators.Url.canonicalize(col("url")).as("url_canon"),
+        col("payload_digest"), col("digest_ok"),
+        regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long").as("did"))
+      .filter(col("url_canon").isNotNull)
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(when(col("digest_ok"), col("payload_digest")))
+          .as("n_contents"),
+        sum(when(!col("digest_ok"), 1L).otherwise(0L)).as("n_bad_digest"),
+        min(col("did")).as("keep_id"))
+  }
+
+  private lazy val q262Sql =
+    s"""WITH docs AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 6 AS v
+       |  FROM documents
+       |  WHERE doc_id % $WarcMalformEvery <> 0
+       |    AND NOT (doc_id % 16 = 15
+       |      AND (doc_id // 16) % $WarcGzCorruptEveryFile = 0)
+       |    AND doc_id % 6 <> 5),
+       |e AS (SELECT doc_id, v, g,
+       |  'h' || (g % 7) || '.site' || (g % 5) AS hb,
+       |  CAST(g AS VARCHAR) AS gs FROM docs),
+       |c AS (SELECT doc_id, g,
+       |  CASE WHEN v = 2 THEN 'http://' || hb || '.com:8080/d/' || gs
+       |    WHEN v = 3 THEN 'https://' || hb || '.co.uk/d/' || gs || '?b=2&a=1'
+       |    ELSE 'http://' || hb || '.com/d/' || gs END AS url_canon
+       |  FROM e),
+       |r AS (SELECT doc_id, url_canon,
+       |  'sha256:' || sha256('<p>page ' || g ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' rev ' || doc_id ELSE '' END
+       |    || '</p>') AS dg_true,
+       |  doc_id % $DigestCorruptEvery = 0 AS bad FROM c)
+       |SELECT url_canon,
+       |  CAST(count(*) AS BIGINT) AS n_fetches,
+       |  CAST(count(DISTINCT CASE WHEN NOT bad THEN dg_true END) AS BIGINT)
+       |    AS n_contents,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bad_digest,
+       |  min(doc_id) AS keep_id
+       |FROM r GROUP BY url_canon""".stripMargin
+
   // ===== q248 multi-keyframe video dedup pairs ============================
   // q241's single-middle-keyframe reduction fails exactly where video
   // dedup matters: a RE-CUT clip (trimmed intro, shifted edit) has a
@@ -5090,7 +5349,7 @@ object Pipeline {
     * side byte for byte.
     */
   private lazy val htmlSynthSql =
-    """concat(
+    s"""concat(
       |      '<html><head><title>fixture</title><style>p { color: #fff; }</style><script>if (1 < 2) { alert("x &amp; y"); }</script><link rel="stylesheet" href="/css/main.css"></head><body><!-- <p>ghost block</p> --><nav><abbr title="ht">HT</abbr> <a href="/">home</a> | <a href="/about">about</a><p>nested menu item</p></nav><h1>',
       |      array_to_string(ws[1:3], ' &amp; '),
       |      '</h1><h2>section &#8212; overview</h2><blockquote>quoted words here</blockquote><pre>raw &amp; code</pre>',
@@ -5101,13 +5360,21 @@ object Pipeline {
       |      '<p>line one<br>line two</p><ul><li>',
       |      CASE WHEN n >= 2 THEN concat(ws[n-1], '&nbsp;', ws[n])
       |        ELSE 'item&nbsp;only' END,
-      |      '</li><li>it&#x27;s &quot;quoted&quot;</li></ul><table><tr><td>cell &#65; text</td></tr></table><div class="footer">contact us<p>div nested para</p></div></body></html>')""".stripMargin
+      |      '</li><li>it&#x27;s &quot;quoted&quot;</li></ul><table><tr><td>cell &#65; text</td></tr></table><div class="footer">contact us<p>div nested para</p></div>${graft.operators.Html.divNestTrap}</body></html>')""".stripMargin
 
   private lazy val htmlCteSql = {
-    // Priority removal-chain segmentation, generated from the SAME tag
-    // table the Scala extractor uses (Html.blockTags) so the two sides
-    // cannot drift independently: tag k extracts from the residual of
-    // tags 0..k-1 and removes its own spans for tag k+1.
+    // Regex priority-chain segmentation replay, generated from the SAME
+    // tag table the Scala extractor uses (Html.blockTags) so the two
+    // sides cannot drift independently: tag k extracts from the
+    // residual of tags 0..k-1 and removes its own spans for tag k+1.
+    // The Scala side is now the STACK kernel (htmlSegmentBlocks), which
+    // is block-for-block identical to this chain on markup WITHOUT
+    // same-tag nesting — the one construct regex CTEs cannot express.
+    // The fixture's single same-tag construct is the STATIC divNestTrap
+    // string: the chain replay runs on the page with that substring
+    // removed (ht_c), and the trap's two expected div blocks join in as
+    // CONSTRUCTED rows (ht_b UNION — the q253 expectation discipline),
+    // pinning the kernel's depth pairing.
     val tagChain = graft.operators.Html.blockTags.zipWithIndex.map {
       case ((tag, _), k) =>
         val src = if (k == 0) "ht_c" else s"ht_g${k - 1}"
@@ -5129,7 +5396,8 @@ object Pipeline {
        |    $htmlSynthSql
        |    AS html FROM ht_w),
        |ht_c AS (SELECT doc_id,
-       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |    regexp_replace(regexp_replace(regexp_replace(
+       |      replace(html, '${graft.operators.Html.divNestTrap}', ''),
        |      '<script\\b[^>]*>.*?</script>', '', 'gs'),
        |      '<style\\b[^>]*>.*?</style>', '', 'gs'),
        |      '<!--.*?-->', '', 'gs') AS ch
@@ -5140,7 +5408,18 @@ object Pipeline {
        |ht_b AS (SELECT doc_id, rank, block_type,
        |    CAST(i - 1 AS BIGINT) AS block_idx, arr[i] AS raw,
        |    ${cleanBlockSql("arr[i]")} AS block_text
-       |  FROM ht_t, unnest(generate_series(1, len(arr))) AS t(i)),
+       |  FROM ht_t, unnest(generate_series(1, len(arr))) AS t(i)
+       |  UNION ALL
+       |  SELECT doc_id, 11 AS rank, 'div' AS block_type,
+       |    CAST(1 AS BIGINT) AS block_idx,
+       |    'outer scope  tail text' AS raw,
+       |    ${cleanBlockSql("'outer scope  tail text'")} AS block_text
+       |  FROM ht_html
+       |  UNION ALL
+       |  SELECT doc_id, 11 AS rank, 'div' AS block_type,
+       |    CAST(2 AS BIGINT) AS block_idx, 'inner scope' AS raw,
+       |    ${cleanBlockSql("'inner scope'")} AS block_text
+       |  FROM ht_html),
        |ht_k AS (SELECT doc_id, rank, block_type, block_idx, block_text
        |  FROM ht_b WHERE len(block_text) > 0)""".stripMargin
   }
@@ -8189,7 +8468,10 @@ object Pipeline {
     "q256_pair_dedup" -> wrap(q256),
     "q257_warc_gz_ingest" -> wrap(q257),
     "q258_url_canonicalize" -> wrap(q258),
-    "q259_url_dedup_domain_cap" -> wrap(q259)
+    "q259_url_dedup_domain_cap" -> wrap(q259),
+    "q260_outlink_extract" -> wrap(q260),
+    "q261_host_pagerank" -> wrap(q261),
+    "q262_digest_dedup" -> wrap(q262)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8385,6 +8667,9 @@ object Pipeline {
     "q256_pair_dedup" -> q256Sql,
     "q257_warc_gz_ingest" -> q257Sql,
     "q258_url_canonicalize" -> q258Sql,
-    "q259_url_dedup_domain_cap" -> q259Sql
+    "q259_url_dedup_domain_cap" -> q259Sql,
+    "q260_outlink_extract" -> q260Sql,
+    "q261_host_pagerank" -> q261Sql,
+    "q262_digest_dedup" -> q262Sql
   )
 }

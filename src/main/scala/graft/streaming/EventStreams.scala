@@ -1000,6 +1000,34 @@ object EventStreams {
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     }
 
+  /** Streaming OUTLINK HARVEST — the crawl-frontier expansion loop as
+    * a sink ([[graft.operators.Html.extractLinks]] +
+    * [[graft.operators.Url.resolve]]/[[graft.operators.Url.canonicalize]]
+    * as foreachBatch): each micro-batch of (id, url, html) fetched
+    * pages yields its anchor table resolved against each page's OWN
+    * base URL — (id, link_idx, href, anchor_text, url_resolved,
+    * url_canon) under `batch=<id>`, overwrite mode, replay-idempotent.
+    * Non-crawlable hrefs (mailto:/javascript:, href-less anchors)
+    * ARRIVE as rows with null resolution — the frontier scheduler and
+    * the link-graph builder read the same table. All three URL stages
+    * are 1-node native kernel expressions, so the batch plan is scan →
+    * generator → projections: zero joins, zero shuffles per batch.
+    */
+  def outlinkIngest(outDir: String)
+      : (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => graft.CacheScope.scoped {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Html.extractLinks(
+          batch.toDF().select(col("id"), col("url"), col("html")),
+          col("html"))
+        .select(col("id"), col("link_idx"), col("href"), col("anchor_text"),
+          graft.operators.Url.resolve(col("url"), col("href"))
+            .as("url_resolved"))
+        .withColumn("url_canon",
+          graft.operators.Url.canonicalize(col("url_resolved")))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+
   /** Streaming language-ID DRIFT monitoring — [[langIdIngest]]'s
     * watchdog: each micro-batch classifies under the FROZEN model and
     * writes its [[graft.operators.TextOps.langIdDriftReport]] against

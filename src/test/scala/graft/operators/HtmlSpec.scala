@@ -84,8 +84,13 @@ class HtmlSpec extends AnyFunSuite {
     // strips as residual inline markup
     assert(blocks.filter(_._1 == "nav").map(_._3) ==
       Seq("HT home | aboutnested menu item"))
-    // the div keeps only its OWN text — the nested para went to the p pass
-    assert(blocks.filter(_._1 == "div").map(_._3) == Seq("contact us"))
+    // the footer div keeps only its OWN text — the nested para went to
+    // the p pass; then the divNestTrap: the stack kernel pairs same-tag
+    // nesting by DEPTH, so the outer trap div's raw rejoins around the
+    // carved-out inner ("outer scope  tail text" — the double space
+    // collapses in the clean pass) and the inner emits its own block
+    assert(blocks.filter(_._1 == "div").map(_._3) ==
+      Seq("contact us", "outer scope tail text", "inner scope"))
     // the script/style/comment/<pre>/<link> traps never leak into any
     // block ("raw & code" would appear if <p\b> matched <pre>; css would
     // appear if <li\b> matched <link>)
@@ -102,6 +107,46 @@ class HtmlSpec extends AnyFunSuite {
     // &amp;#39; renders as the literal &#39; (amp decodes LAST, after
     // numeric — never double-decoded)
     assert(out == "a A b B c &#x; d &#999999999; e &#xD800; f &#0; g &#39;")
+  }
+
+  test("stack kernel: same-tag nesting pairs by depth; strays and unterminated markup stay lenient") {
+    // three-deep same-tag nesting: each div emits its OWN block, the
+    // outer raws rejoin around the carved-out inner (the old regex
+    // chain paired the outermost open with the FIRST close)
+    val deep = "<div>a <div>b <div>c</div> d</div> e</div>"
+    val df = Seq((1L, deep)).toDF("id", "html")
+    val blocks = Html.extractBlocks(df, $"html")
+      .select($"block_idx", $"block_text").as[(Long, String)].collect().toSeq
+    assert(blocks == Seq((0L, "a e"), (1L, "b d"), (2L, "c")))
+    // a stray close outside any block is dropped; an unclosed block
+    // emits leniently at EOF; a bare '<' (not a tag) is literal text;
+    // emission order is (rank, idx): p (rank 8) before div (rank 11)
+    val messy = Seq((1L, "</p><div>kept text<p>tail < 3")).toDF("id", "html")
+    val out = Html.extractBlocks(messy, $"html")
+      .select($"block_type", $"block_text").as[(String, String)].collect().toSeq
+    assert(out == Seq(("p", "tail < 3"), ("div", "kept text")))
+  }
+
+  test("extractLinks: one row per anchor; quoted hrefs both styles; traps never match") {
+    val df = Seq((7L, "irrelevant")).toDF("doc_id", "text")
+    val page = Html.withLinkHtml(df.select($"doc_id"), $"doc_id", "html")
+    val links = Html.extractLinks(page, $"html")
+      .select($"link_idx", $"href", $"anchor_text")
+      .as[(Long, Option[String], String)].collect().toSeq
+    // doc_id 7: d%5=2 d%3=1 d%11=7 d%7=0, g=2: (g+1)%5=3 g%5=2
+    assert(links == Seq(
+      (0L, Some("http://w2.ex1.net/p/7"), "first bold link"), // <b> stripped
+      (1L, Some("https://site3.com/x/2"), "cross&site"), // &amp; decoded
+      (2L, Some("//cdn.site2.com/lib.js"), "cdn asset"), // single-quoted href
+      (3L, Some("/r/0"), "root rel"), // &nbsp; → space
+      (4L, Some("next/1"), "path rel"),
+      (5L, Some("?page=2"), "next page"),
+      (6L, Some("#top"), "back to top"),
+      (7L, Some("mailto:op@site2.com"), "mail"),
+      (8L, None, "no href"))) // href-less named anchor: NULL href, still a row
+    // the script-string ghost anchor and the <img>/<link> hrefs never leak
+    assert(!links.flatMap(_._2).exists(h =>
+      h.contains("ghost") || h.contains("img.ex0") || h.contains(".css")))
   }
 
   test("priority chain: a <p> inside <nav> is chrome (extractText drops it with the nav)") {

@@ -55,6 +55,42 @@ class UrlSpec extends AnyFunSuite {
       "example.co.uk", "example.co.uk", "co.uk"))
   }
 
+  private def res(base: String, hrefs: String*): Seq[Option[String]] =
+    hrefs.map(h => (base, h)).toDF("b", "h")
+      .select(Url.resolve($"b", $"h").as("r"))
+      .as[Option[String]].collect().toSeq
+
+  test("resolve: absolute http(s) stands alone; other schemes are not crawlable outlinks") {
+    assert(res("http://a.com/d/p?q=1#f",
+      "https://b.net/x", "HTTPS://b.net/x", "mailto:x@y.z",
+      "javascript:void(0)", "ftp://b.net/f") == Seq(
+      Some("https://b.net/x"), Some("HTTPS://b.net/x"), // verbatim — canon's job
+      None, None, None))
+  }
+
+  test("resolve: scheme-relative, root-relative, query, fragment, empty, path-relative") {
+    assert(res("HTTP://A.com:8080/d/p?q=1#f",
+      "//cdn.c.com/l.js", "/r/2", "?page=2", "#top", "", "next/3") == Seq(
+      Some("http://cdn.c.com/l.js"),
+      Some("http://a.com:8080/r/2"), // port verbatim — canon's job
+      Some("http://a.com:8080/d/p?page=2"), // base query replaced
+      Some("http://a.com:8080/d/p?q=1#top"), // base query kept, canon strips #
+      Some("http://a.com:8080/d/p?q=1"), // empty href = the page itself
+      Some("http://a.com:8080/d/next/3"))) // base DIRECTORY + href
+  }
+
+  test("resolve: bare-path base resolves relatives at /; scheme-less base nulls relatives only") {
+    assert(res("http://a.com", "x/y", "?p=1", "#t") == Seq(
+      Some("http://a.com/x/y"), Some("http://a.com/?p=1"),
+      Some("http://a.com/#t")))
+    assert(res("no-scheme.com/d", "http://b.net/x", "/r", "rel") == Seq(
+      Some("http://b.net/x"), None, None))
+    // null href stays null (href-less <a name=…> anchors)
+    val r = Seq(("http://a.com/", Option.empty[String])).toDF("b", "h")
+      .select(Url.resolve($"b", $"h")).as[Option[String]].head()
+    assert(r.isEmpty)
+  }
+
   test("urlGroups: variants of one page collapse to one canonical group with min-id survivor") {
     val df = Seq(
       (1L, "http://e.com/p"),

@@ -197,6 +197,41 @@ class WarcSpec extends AnyFunSuite {
     assert(out.size == 2 && out.last._7)
   }
 
+  test("payload digest: header round-trips, verify recomputes from the carried body, mangled digest flags false") {
+    val html = "<p>café €</p>" // multibyte: digest is over the OCTETS
+    val df = Seq((0L, html), (13L, html), (5L, html))
+      .toDF("doc_id", "html")
+    val recs = Warc.withWarcRecordBytes(df, $"doc_id",
+      concat(lit("http://e.com/"), $"doc_id"), $"html", lit("utf-8"),
+      "rec", digest = true, corruptDigestEvery = 13)
+    val file = recs.orderBy($"doc_id").select($"rec").as[Array[Byte]]
+      .collect().map(member).reduce(_ ++ _)
+    val out = Warc.verifyPayloadDigest(
+      Warc.parseFieldsBinary(Warc.recordsGz(
+        Seq((0L, file)).toDF("file_id", "warc"), "warc"), $"rec"))
+      .select($"record_id", $"payload_digest", $"digest_ok")
+      .as[(String, String, Option[Boolean])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = "sha256:" + java.security.MessageDigest
+      .getInstance("SHA-256").digest(html.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // docs 0 and 13 hit the %13 trap (stored digest mangled, content
+    // fine); doc 5 carries the true digest and verifies
+    assert(out("urn:graft:5") == ((expected, Some(true))))
+    assert(out("urn:graft:0")._1 != expected &&
+      out("urn:graft:0")._2 == Some(false))
+    assert(out("urn:graft:13")._2 == Some(false))
+    // a record synthesized WITHOUT digest parses digest-less: null
+    // claim, null verdict (nothing to verify — never a quarantine)
+    val plain = Warc.verifyPayloadDigest(
+      Warc.parseFieldsBinary(Warc.recordsGz(
+        Seq((0L, member(recBytes(1L, "http://e.com/1", "<p>x</p>",
+          "utf-8")))).toDF("file_id", "warc"), "warc"), $"rec"))
+      .select($"payload_digest", $"digest_ok")
+      .as[(Option[String], Option[Boolean])].head()
+    assert(plain == ((None, None)))
+  }
+
   test("char/byte parity: identical fields on an all-ASCII corpus") {
     val htmls = Seq("<p>alpha</p>", "<p>beta gamma</p>")
     val charOut = {

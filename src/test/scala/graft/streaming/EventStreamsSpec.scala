@@ -795,6 +795,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows() == r0)
   }
 
+  test("outlinkIngest: per-batch anchor table resolved against each page's own base; non-crawlable hrefs arrive null; replay idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("linkingest").toString
+    val sink = EventStreams.outlinkIngest(out)
+    val b0 = Seq(
+      (1L, "http://a.com/d/p",
+        "<p><a href=\"next/2\">more</a> <a href=\"mailto:x@y.z\">mail</a></p>"),
+      (2L, "HTTPS://B.net:443/x?q=1",
+        "<ul><li><a href='/r'>root &amp; rel</a></li></ul>" +
+          "<script>var s='<a href=\"http://ghost/\">g</a>';</script>"))
+      .toDF("id", "url", "html")
+    sink(b0, 0L)
+    def rows() = spark.read.parquet(s"$out/batch=0")
+      .select($"id", $"link_idx", $"href", $"anchor_text", $"url_resolved",
+        $"url_canon")
+      .as[(Long, Long, Option[String], String, Option[String], Option[String])]
+      .collect().toSet
+    val r0 = rows()
+    assert(r0 == Set(
+      (1L, 0L, Some("next/2"), "more",
+        Some("http://a.com/d/next/2"), Some("http://a.com/d/next/2")),
+      (1L, 1L, Some("mailto:x@y.z"), "mail", None, None), // not crawlable — data
+      (2L, 0L, Some("/r"), "root & rel",
+        Some("https://b.net:443/r"), Some("https://b.net/r"))))
+    sink(b0, 0L) // replay
+    assert(rows() == r0)
+  }
+
   test("imageAHashIngest: dedup-on-arrival vs store and within batch; undecodables quarantined; replay idempotent") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal}
