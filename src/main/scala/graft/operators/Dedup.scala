@@ -471,6 +471,12 @@ object Dedup {
     docs.select(md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$dir/hashes")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      // cluster by band before the partitioned write: a narrow write opens
+      // one file per (upstream partition × band) — 512 files at sf0.01 —
+      // and every probe pays that listing/open cost; the AQE rebalance
+      // packs each band dir to advisory-sized files. The shuffled rows are
+      // (band, key, id) band keys — index metadata, never the corpus text.
+      .hint("rebalance", col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
     shingleArrays(docs, n)
       .write.mode("overwrite").parquet(s"$dir/shingles")
@@ -500,6 +506,7 @@ object Dedup {
     docs.select(md5(col("text")).as("h"))
       .write.mode("append").parquet(s"$dir/hashes")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .hint("rebalance", col("band")) // band-packed files (see writeCorpusIndex)
       .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
     shingleArrays(docs, n)
       .write.mode("append").parquet(s"$dir/shingles")
@@ -526,6 +533,7 @@ object Dedup {
     docs.select(col("id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$dir/hashes/batch=0")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .hint("rebalance", col("band")) // band-packed files (see writeCorpusIndex)
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/bands/batch=0")
     shingleArrays(docs, n)
@@ -564,6 +572,7 @@ object Dedup {
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "hashes", e)}/batch=$batchId")
     bandKeys(lshSignatures(docs, n, numHashes), numHashes, bands)
+      .hint("rebalance", col("band")) // band-packed files (see writeCorpusIndex)
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"${Compaction.epochPath(dir, "bands", e)}/batch=$batchId")
     shingleArrays(docs, n)

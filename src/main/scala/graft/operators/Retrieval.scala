@@ -290,9 +290,20 @@ object Retrieval {
       .persistScoped() // feeds the df probe AND the weighting
     val qt = tf.select(col("term")).distinct()
       .withColumn("bucket", termBucket(buckets))
+      .persistScoped() // feeds the bucket-set collect AND the df join
+    // STATIC partition pruning (the ahashAgainstIndex discipline): dynamic
+    // pruning declines this join — the probe side is a shuffle-derived
+    // distinct with no selective predicate — so without the IN filter the
+    // df probe scanned EVERY bucket directory (seen in the r16 plan dump:
+    // PartitionFilters carried only isnotnull(bucket)). The seed-term
+    // bucket set is BOUNDED by `buckets` (≤ the stored modulus, never by
+    // corpus size) — a legal bounded collect.
+    val qtBkts = qt.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
     // postings of a term live wholly inside its bucket: the pruned scan's
     // per-term distinct doc count IS the corpus df
-    val dfq = lists.join(broadcast(qt), Seq("bucket", "term"))
+    val dfq = lists.filter(col("bucket").isin(qtBkts.map(Int.box): _*))
+      .join(broadcast(qt), Seq("bucket", "term"))
       .groupBy(col("term")).agg(count_distinct(col("id")).as("df"))
     tf.join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
@@ -337,6 +348,13 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     terms.withColumn("bucket", termBucket(buckets))
+      // cluster by bucket before the partitioned write: the narrow write
+      // opened one file per (upstream partition × bucket) — 2,049 files at
+      // sf0.01, paid by EVERY later probe as listing + per-file open cost
+      // (the compacted sibling's 64-file layout probed 2-4× faster); the
+      // AQE rebalance packs each bucket directory to advisory-sized files
+      // at any scale, trading one postings shuffle at build time
+      .hint("rebalance", col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/lists")
     // external write to a path this session may already have listed:
     // invalidate Spark's shared file-status cache, or a later read of the
@@ -375,6 +393,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("append").parquet(s"$dir/stats")
     batch.withColumn("bucket", termBucket(buckets))
+      .hint("rebalance", col("bucket")) // one file per bucket per append
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/lists")
     // external write to a path this session may already have listed:
     // invalidate Spark's shared file-status cache, or a later read of the
@@ -403,6 +422,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats/batch=0")
     terms.withColumn("bucket", termBucket(buckets))
+      .hint("rebalance", col("bucket")) // bucket-packed files (see writeBm25Index)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/lists/batch=0")
     // external write to a path this session may already have listed:
@@ -428,6 +448,7 @@ object Retrieval {
       .write.mode("overwrite")
       .parquet(s"${Compaction.epochPath(dir, "stats", e)}/batch=$batchId")
     batch.withColumn("bucket", termBucket(buckets))
+      .hint("rebalance", col("bucket")) // bucket-packed files (see writeBm25Index)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${Compaction.epochPath(dir, "lists", e)}/batch=$batchId")
     // external write to a path this session may already have listed:

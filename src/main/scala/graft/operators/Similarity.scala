@@ -707,7 +707,7 @@ object Similarity {
     val centsD = cents.select(col("cent_id"),
       expr("transform(cvec, x -> CAST(x AS DOUBLE))").as("cv"))
     val lists = narrowBestCell(corpus, cents, "vec_id", "embedding")
-      .persistScoped() // feeds residuals AND the candidate join + re-rank
+      .persistScoped() // feeds residuals AND the exact re-rank fetch
     val resid = lists
       .join(broadcast(centsD), col("cell") === col("cent_id"))
       .select(col("vec_id"), col("cell"),
@@ -739,15 +739,34 @@ object Similarity {
     // [[pqLloyd]] loop; 0 = the training-free oracle-replayable form the
     // gate runs — trained means fold floats in partition order)
     val cb = pqLloyd(sub, cb0, trainIters)
-    val assign = pqAssign(sub, cb).select(col("vec_id"), col("m"), col("code"))
+    // round-16 optimization: score candidates through the SAME native
+    // pq_adc kernel + per-query LUT ARRAY the stored probe uses
+    // ([[ivfTopKAgainstIndexPQR]]). The former shape joined the candidate
+    // set against per-(vec, m) assignments and per-(q, m, code) LUT rows —
+    // (candidates × mSub) rows through TWO hash joins and a per-candidate
+    // collect_list aggregate (all shuffles); the kernel form collapses
+    // each vector's codes ONCE corpus-side and scores every candidate in
+    // a narrow fold. Both fold the m-indexed terms ascending from 0D over
+    // identical doubles, so scores are bit-identical (the oracle's
+    // m-sorted msum replays unchanged).
+    val codes = pqAssign(sub, cb)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("e"))
+      .select(col("vec_id"),
+        expr("transform(e, x -> CAST(x.code AS INT))").as("codes"))
+      .join(resid.select(col("vec_id"), col("cell"), col("n2x")), Seq("vec_id"))
     val probes = bestCells(queries, cents, "q_id", "q_vec", nProbe)
     val q0 = queries.select(col("q_id"), col("q_vec"),
       expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("qv"))
       .persistScoped() // feeds LUT, norms, and the re-rank
-    val lut = q0.crossJoin(broadcast(cb))
+    val luts = q0.crossJoin(broadcast(cb))
       .select(col("q_id"), col("m"), col("code"),
         expr(s"""aggregate(zip_with(slice(qv, m * $subDim + 1, $subDim), cvec,
                (x, y) -> x * y), 0D, (a, v) -> a + v)""").as("ld"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code"), col("ld"))))
+        .as("e"))
+      .select(col("q_id"), expr("transform(e, x -> x.ld)").as("lut"))
     val qn = q0.select(col("q_id"),
       sqrt(expr("aggregate(qv, 0D, (a, x) -> a + x * x)")).as("qn"))
     val qc = probes.select(col("q_id"), col("cell"))
@@ -756,23 +775,14 @@ object Similarity {
       .select(col("q_id"), col("cell"),
         expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)")
           .as("qc"))
-    val cand = lists
-      .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+    // one bounded probe frame: (q_id, cell, qc, lut, qn) — |Q|·nProbe rows
+    val pb = qc.join(luts, Seq("q_id")).join(qn, Seq("q_id"))
+    val scored = codes
+      .join(broadcast(pb), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("cell"), col("vec_id"))
-    val adc = cand
-      .join(assign, Seq("vec_id"))
-      .join(lut, Seq("q_id", "m", "code"))
-      .groupBy(col("q_id"), col("cell"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("ld")))).as("lds"))
-      .select(col("q_id"), col("cell"), col("vec_id"),
-        expr("aggregate(lds, 0D, (a, e) -> a + e.ld)").as("rsum"))
-    val scored = adc
-      .join(broadcast(qc), Seq("q_id", "cell"))
-      .join(resid.select(col("vec_id"), col("n2x")), Seq("vec_id"))
-      .join(broadcast(qn), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round((col("qc") + col("rsum")) / (col("qn") * sqrt(col("n2x"))), 4)
+        round((col("qc") + graft.functions.pq_adc(col("codes"), col("lut"), nCodes))
+          / (col("qn") * sqrt(col("n2x"))), 4)
           .as("score"))
     val sl = rankTopK(scored, shortlist).select(col("q_id"), col("vec_id"))
     val rs = sl

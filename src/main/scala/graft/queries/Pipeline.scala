@@ -1930,18 +1930,22 @@ object Pipeline {
   private def delDocPred = col("id") >= BmSeeds && col("id") % 10 === 6
 
   private def q172(t: Tables): DataFrame = {
-    val tf = bigramTf(t).persistScoped() // full corpus: the index build input
     val spark = t.documents.sparkSession
-    val dir = cachedIndexDir(t.dir, s"bm25_del_v1_$BmBuckets") { d =>
+    val dir = cachedIndexDir(t.dir, s"bm25_del_v2_$BmBuckets") { d =>
+      val tf = bigramTf(t).persistScoped() // full corpus: the build input
       Retrieval.writeBm25IndexVersioned(tf, d, BmBuckets)
       // build+delete is non-idempotent — cachedIndexDir's temp-dir +
       // atomic-rename makes the pair all-or-nothing
       Retrieval.deleteFromBm25Index(spark, d,
         tf.filter(delDocPred).select(col("id")).distinct())
     }
-    val tfKept = tf.filter(!delDocPred) // survivors: the seed-query basis
-    Retrieval.bm25AgainstIndex(bm25SeedQueries(tfKept), dir, BmTopK, BmK1,
-      BmB, excludeSelf = true)
+    // index-derived seed queries (the q154 rationale): post-delete the
+    // postings ARE the survivor corpus, so df/n_docs from the index equal
+    // the survivor-tf derivation's exactly; the seeds (id < BmSeeds) are
+    // never in the deleted set, so their rows are intact in the index
+    Retrieval.bm25AgainstIndex(
+      Retrieval.seedQueriesAgainstIndex(bm25Seeds(t), dir, BmQTerms),
+      dir, BmTopK, BmK1, BmB, excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
@@ -2186,7 +2190,7 @@ object Pipeline {
     // build+ingest+compact+delete is non-idempotent as a sequence —
     // cachedIndexDir's temp-dir + atomic-rename makes it all-or-nothing
     val dir = cachedIndexDir(t.dir,
-      s"corpus_lifecycle_v1_3_${MinHashes}_$Bands") { dd =>
+      s"corpus_lifecycle_v2_3_${MinHashes}_$Bands") { dd =>
       Dedup.writeCorpusIndexVersioned(
         existing.filter(col("id") % 10 =!= 5), dd, 3, MinHashes, Bands)
       Dedup.ingestIntoCorpusIndex(
@@ -2867,7 +2871,7 @@ object Pipeline {
       col("text")))
     val spark = t.documents.sparkSession
     val dir = cachedIndexDir(t.dir,
-      s"cdc_lifecycle_v1_${CdcW}_$CdcM") { dd =>
+      s"cdc_lifecycle_v2_${CdcW}_$CdcM") { dd =>
       Dedup.writeCorpusIndexVersioned(d.filter(col("id") % 10 =!= 5), dd,
         3, MinHashes, Bands, CdcW, CdcM)
       Dedup.ingestIntoCorpusIndex(d.filter(col("id") % 10 === 5), dd, 1L,
@@ -3347,7 +3351,7 @@ object Pipeline {
   private val PairStoreOffset = 1000000L
 
   private def q256(t: Tables): DataFrame = {
-    val textDir = cachedIndexDir(t.dir, "pair_text_idx_v1") { d =>
+    val textDir = cachedIndexDir(t.dir, "pair_text_idx_v2") { d =>
       Dedup.writeCorpusIndex(
         t.documents.filter(col("doc_id") % 4 === 0)
           .select(col("doc_id").as("id"), col("text")), d)
@@ -7195,13 +7199,27 @@ object Pipeline {
   private val BmBuckets = 64
 
   private def q154(t: Tables): DataFrame = {
-    val tf = bigramTf(t).persistScoped() // feeds seed derivation only
-    val dir = cachedIndexDir(t.dir, s"bm25_index_v2_$BmBuckets")(
-      Retrieval.writeBm25Index(tf, _, BmBuckets))
-    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
-      excludeSelf = true)
+    val dir = cachedIndexDir(t.dir, s"bm25_index_v3_$BmBuckets")(
+      Retrieval.writeBm25Index(bigramTf(t), _, BmBuckets))
+    // round-16 optimization: seed queries derive AGAINST THE INDEX
+    // (Retrieval.seedQueriesAgainstIndex — seed text tokenized batch-local,
+    // df from the bucket-pruned postings, n_docs from the summed stats),
+    // not from a full-corpus bigramTf re-tokenize. Same integer counts →
+    // bit-identical weights and top-term tie-breaks, so q152's oracle
+    // applies verbatim; the probe's corpus-sized scan and two corpus-wide
+    // aggregates are gone (guide §1.2: don't compute what you throw away).
+    Retrieval.bm25AgainstIndex(
+      Retrieval.seedQueriesAgainstIndex(bm25Seeds(t), dir, BmQTerms),
+      dir, BmTopK, BmK1, BmB, excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
+
+  /** The stored-index probes' seed documents: (id, text) rows of the
+    * BmSeeds prefix — the only corpus rows the PROBE path reads.
+    */
+  private def bm25Seeds(t: Tables): DataFrame =
+    t.documents.filter(col("doc_id") < BmSeeds)
+      .select(col("doc_id").as("id"), col("text"))
 
   // ===== q155 incremental BM25-index ingestion ===========================
   // The ingestion companion of q154 (and q146's lexical sibling): the
@@ -7213,16 +7231,17 @@ object Pipeline {
   // q152's oracle applies verbatim. Cost per ingest ∝ batch.
 
   private def q155(t: Tables): DataFrame = {
-    val tf = bigramTf(t).persistScoped()
     // non-idempotent build+append, made all-or-nothing by the atomic rename
-    val dir = cachedIndexDir(t.dir, s"bm25_inc_v2_$BmBuckets") { d =>
-      val initial = tf.filter(col("id") % 10 =!= 7)
-      val batch = tf.filter(col("id") % 10 === 7)
-      Retrieval.writeBm25Index(initial, d, BmBuckets)
-      Retrieval.appendToBm25Index(batch, d)
+    val dir = cachedIndexDir(t.dir, s"bm25_inc_v3_$BmBuckets") { d =>
+      val tf = bigramTf(t).persistScoped()
+      Retrieval.writeBm25Index(tf.filter(col("id") % 10 =!= 7), d, BmBuckets)
+      Retrieval.appendToBm25Index(tf.filter(col("id") % 10 === 7), d)
     }
-    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
-      excludeSelf = true)
+    // index-derived seed queries (the q154 rationale; build+append indexes
+    // the full corpus, so df/n_docs equal the from-scratch derivation's)
+    Retrieval.bm25AgainstIndex(
+      Retrieval.seedQueriesAgainstIndex(bm25Seeds(t), dir, BmQTerms),
+      dir, BmTopK, BmK1, BmB, excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
@@ -7236,15 +7255,18 @@ object Pipeline {
   // the same totals, so q152's from-scratch oracle applies verbatim.
 
   private def q166(t: Tables): DataFrame = {
-    val tf = bigramTf(t).persistScoped()
     val spark = t.documents.sparkSession
-    val dir = cachedIndexDir(t.dir, s"bm25_compact_v1_$BmBuckets") { d =>
+    val dir = cachedIndexDir(t.dir, s"bm25_compact_v2_$BmBuckets") { d =>
+      val tf = bigramTf(t).persistScoped()
       Retrieval.writeBm25IndexVersioned(tf.filter(col("id") % 10 =!= 7), d, BmBuckets)
       Retrieval.ingestIntoBm25Index(tf.filter(col("id") % 10 === 7), d, 1L)
       Retrieval.compactBm25Index(spark, d)
     }
-    Retrieval.bm25AgainstIndex(bm25SeedQueries(tf), dir, BmTopK, BmK1, BmB,
-      excludeSelf = true)
+    // index-derived seed queries (the q154 rationale; compaction preserves
+    // postings and stats exactly, so df/n_docs equal the from-scratch ones)
+    Retrieval.bm25AgainstIndex(
+      Retrieval.seedQueriesAgainstIndex(bm25Seeds(t), dir, BmQTerms),
+      dir, BmTopK, BmK1, BmB, excludeSelf = true)
       .select(col("q_id").as("seed_id"), col("doc_id"), col("score"), col("rnk"))
   }
 
@@ -8159,7 +8181,7 @@ object Pipeline {
 
   private def q83(t: Tables): DataFrame = {
     val d = graft.Fanout(t.documents.select(col("doc_id").as("id"), col("text")))
-    val dir = cachedIndexDir(t.dir, s"corpus_index_v2_3_${MinHashes}_$Bands")(
+    val dir = cachedIndexDir(t.dir, s"corpus_index_v3_3_${MinHashes}_$Bands")(
       dd => Dedup.writeCorpusIndex(d.filter(col("id") % 10 =!= 7), dd,
         3, MinHashes, Bands))
     Dedup.dedupAgainstIndex(d.filter(col("id") % 10 === 7), dir,
