@@ -600,16 +600,19 @@ object TextOps {
     */
   def wordPieceRoundTrip(docs: DataFrame, id: Column, text: Column,
       vocab: Seq[String]): DataFrame = {
-    val words = docs.select(text.as("__t"))
-      .select(explode(expr(
-        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
-      .distinct()
-    val dec = wordPieceTokens(words, vocab)
+    import graft.CacheScope.ScopedPersist
+    // split ONCE and persist (q245 persist-boundary rule): the vocab
+    // derivation and the per-doc rejoin both read the word arrays
+    val wordArrs = docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"),
+        expr("filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")
+          .as("__ws"))
+      .persistScoped()
+    val dw = wordArrs.select(col("id"),
+      posexplode(col("__ws")).as(Seq("pos", "w")))
+    val dec = wordPieceTokens(dw.select(col("w")).distinct(), vocab)
       .select(col("w"), wordPieceDetokenize(col("toks")).as("dec"))
-    docs.select(id.as("id"), text.as("__t"))
-      .select(col("id"), posexplode(expr(
-        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)"))
-        .as(Seq("pos", "w")))
+    dw
       .join(dec, "w")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_pretokens"),
@@ -778,17 +781,18 @@ object TextOps {
     */
   def bpeTokenCounts(docs: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val vocab = bpeVocabTokens(
-      docs.select(text.as("__t"))
-        .select(explode(expr(
-          "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
-        .distinct(),
-      merges)
+    import graft.CacheScope.ScopedPersist
+    // split ONCE and persist the word arrays (q245 persist-boundary rule)
+    // — both the distinct-word vocab and the corpus rejoin read them
+    val words = docs.select(id.as("id"), text.as("__t"))
+      .select(col("id"),
+        expr("filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")
+          .as("__ws"))
+      .persistScoped()
+    val dw = words.select(col("id"), explode(col("__ws")).as("w"))
+    val vocab = bpeVocabTokens(dw.select(col("w")).distinct(), merges)
       .select(col("w"), size(col("toks")).cast("long").as("nt"))
-    docs.select(id.as("id"), text.as("__t"))
-      .select(col("id"), explode(expr(
-        "filter(split(lower(__t), '\\\\s+'), x -> length(x) > 0)")).as("w"))
-      .join(vocab, "w")
+    dw.join(vocab, "w")
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
@@ -801,17 +805,21 @@ object TextOps {
     */
   def bpeTokenCountsByteLevel(docs: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val vocab = docs.select(text.as("__t"))
-      .select(explode(regexp_extract_all(lower(col("__t")),
-        lit(byteLevelTokenPattern), lit(0))).as("w"))
-      .distinct()
+    import graft.CacheScope.ScopedPersist
+    // pre-tokenize ONCE and persist the arrays (q245 persist-boundary
+    // rule): the token regex is expensive per row and feeds both the
+    // distinct-word vocab and the corpus rejoin — unpersisted, the full
+    // corpus paid the regex twice per execution
+    val words = docs.select(id.as("id"),
+      regexp_extract_all(lower(text), lit(byteLevelTokenPattern), lit(0))
+        .as("__ws"))
+      .persistScoped()
+    val dw = words.select(col("id"), explode(col("__ws")).as("w"))
+    val vocab = dw.select(col("w")).distinct()
       .select(col("w"),
         size(graft.functions.bpe_encode(col("w"), merges, byteLevel = true))
           .cast("long").as("nt"))
-    docs.select(id.as("id"), text.as("__t"))
-      .select(col("id"), explode(regexp_extract_all(lower(col("__t")),
-        lit(byteLevelTokenPattern), lit(0))).as("w"))
-      .join(vocab, "w")
+    dw.join(vocab, "w")
       .groupBy(col("id")).agg(sum(col("nt")).as("n_tokens"))
   }
 
@@ -1000,16 +1008,20 @@ object TextOps {
     */
   def bpeRoundTripByteLevel(docs: DataFrame, id: Column, text: Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val vocab = docs.select(text.as("__t"))
-      .select(explode(regexp_extract_all(lower(col("__t")),
-        lit(byteLevelTokenPattern), lit(0))).as("w"))
-      .distinct()
+    import graft.CacheScope.ScopedPersist
+    // pre-tokenize ONCE and persist (q245 persist-boundary rule): the
+    // vocab derivation and the per-doc rejoin both read the arrays
+    val words = docs.select(id.as("id"),
+      regexp_extract_all(lower(text), lit(byteLevelTokenPattern), lit(0))
+        .as("__ws"))
+      .persistScoped()
+    val dw = words.select(col("id"),
+      posexplode(col("__ws")).as(Seq("pos", "w")))
+    val vocab = dw.select(col("w")).distinct()
       .select(col("w"), bpeDetokenizeByteLevel(
         graft.functions.bpe_encode(col("w"), merges, byteLevel = true))
         .as("dec"))
-    docs.select(id.as("id"), text.as("__t"))
-      .select(col("id"), posexplode(regexp_extract_all(lower(col("__t")),
-        lit(byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
+    dw
       .join(vocab, "w")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_pretokens"),

@@ -249,17 +249,20 @@ object Unigram {
       """array_join(transform(sequence(1, length(hex(w0)) div 2),
         |  i -> chr(CAST(conv(substring(hex(w0), 2 * i - 1, 2), 16, 10)
         |           AS BIGINT))), '')""".stripMargin)
-    val vocab = docs.select(text.as("__t"))
-      .select(explode(regexp_extract_all(lower(col("__t")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as("w0"))
-      .distinct()
+    // pre-tokenize ONCE and persist (q245 persist-boundary rule): the
+    // vocab derivation and the per-doc rejoin both read the arrays
+    val wordArrs = docs.select(id.as("id"),
+      regexp_extract_all(lower(text), lit(TextOps.byteLevelTokenPattern),
+        lit(0)).as("__ws"))
+      .persistScoped()
+    val dw = wordArrs.select(col("id"),
+      posexplode(col("__ws")).as(Seq("pos", "w0")))
+    val vocab = dw.select(col("w0")).distinct()
       .select(col("w0"), byteChars.as("w"))
       .select(col("w0"), byteCharsToStringCol(concat_ws("",
         graft.functions.unigram_encode(col("w"), model, maxPieceLen,
           UnkScoreMicro))).as("dec"))
-    docs.select(id.as("id"), text.as("__t"))
-      .select(col("id"), posexplode(regexp_extract_all(lower(col("__t")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w0")))
+    dw
       .join(vocab, "w0")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_pretokens"),

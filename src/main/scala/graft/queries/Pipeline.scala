@@ -77,6 +77,34 @@ object Pipeline {
     base
   }
 
+  /** (source, doc_id, toks) per doc under `merges` — the corpus tokenize
+    * shared by every byte-BPE packing tail (q218/q222/q230/q238/q251 and
+    * the id-shard family). The pre-token ARRAY persists once: the q245
+    * persist-boundary rule — the byte-level token regex is expensive per
+    * row and feeds BOTH the distinct-word vocab and the per-doc rejoin,
+    * so unpersisted the full-corpus regex pass ran TWICE per execution
+    * (round-16 FlagDiag: the tail carried ~45 task-seconds at sf0.1, the
+    * duplicated pre-tokenize a large share).
+    */
+  private def byteTokDocs(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("source"), col("doc_id"),
+      regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0)).as("ws"))
+      .persistScoped()
+    val dw = words.select(col("source"), col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val wt = dw.select(col("w")).distinct()
+      .select(col("w"),
+        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
+          .as("toks"))
+    dw.join(wt, Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(expr(
+        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
+        .as("toks"))
+  }
+
   // ===== shared SQL fragments (must mirror the Scala operators exactly) ====
 
   /** DuckDB mirror of TextOps.shingles over a `words` list column. */
@@ -4117,19 +4145,8 @@ object Pipeline {
           BpeRounds, requireFull = true), d)
     }
     val merges = TextOps.loadBpeMerges(spark, bpeDir)
-    val dw = graft.Fanout(t.documents).select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
     // tokenize the VOCAB once (the q157/q183 cost shape), flatten per doc
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(graft.Fanout(t.documents), merges)
     graft.operators.Curation.packShards(dt, col("source"), col("doc_id"),
       col("toks"), PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -4305,18 +4322,7 @@ object Pipeline {
         TextOps.bpeVocabIdsByteLevel(merges), d)
     }
     val vocab = TextOps.loadBpeVocabIds(spark, vocabDir)
-    val dw = graft.Fanout(t.documents).select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(graft.Fanout(t.documents), merges)
     val packed = eos match {
       case None =>
         graft.operators.Curation.packShardIds(dt, col("source"),
@@ -5620,18 +5626,7 @@ object Pipeline {
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dw = survivors.select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(survivors, merges)
     graft.operators.Curation.packShardIdsSep(dt, col("source"),
       col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -5745,18 +5740,7 @@ object Pipeline {
       BpeRounds, requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val dw = survivors.select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(survivors, merges)
     graft.operators.Curation.packShards(dt, col("source"), col("doc_id"),
       col("toks"), PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -5842,18 +5826,7 @@ object Pipeline {
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dw = survivors.select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(survivors, merges)
     graft.operators.Curation.packShardIds(dt, col("source"), col("doc_id"),
       col("toks"), vocab, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -6000,18 +5973,7 @@ object Pipeline {
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dw = survivors.select(col("source"), col("doc_id"),
-      posexplode(regexp_extract_all(lower(col("text")),
-        lit(TextOps.byteLevelTokenPattern), lit(0))).as(Seq("pos", "w")))
-    val wt = dw.select(col("w")).distinct()
-      .select(col("w"),
-        graft.functions.bpe_encode(col("w"), merges, byteLevel = true)
-          .as("toks"))
-    val dt = dw.join(wt, Seq("w"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(expr(
-        "flatten(transform(sort_array(collect_list(struct(pos, toks))), x -> x.toks))")
-        .as("toks"))
+    val dt = byteTokDocs(survivors, merges)
     graft.operators.Curation.packShardIdsSep(dt, col("source"),
       col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
