@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run's default OutputStrategy is LoggedOutput, which prefixes every
+// stdout line with "[info] " — the bench's one-line JSON record then never
+// starts a line with '{' and the driver's strict parse fails (BENCH_r01
+// captured the full line, prefixed, and still recorded parsed: null).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1971,8 +1971,16 @@ object Dedup {
   private def globalRanks(keyed: DataFrame, scanParts: Int): DataFrame = {
     val spark = keyed.sparkSession
     import spark.implicits._
-    val local = keyed
+    // persist BEFORE the range exchange: RangePartitioner's boundary
+    // sampling is its own job over the exchange's child, and this child is
+    // a scan + bkey projection with no shuffle below it — unpersisted, the
+    // expensive key derivation (the sorted-words pass tokenizes and sorts
+    // every document) runs TWICE per pass, once for sampling and once for
+    // the shuffle map (guide §1.2 "don't compute things twice")
+    val keyedP = keyed
       .select(col("bkey").cast("string").as("bkey"), col("id").cast("long").as("id"))
+      .persistScoped()
+    val local = keyedP
       .repartitionByRange(scanParts, col("bkey"), col("id"))
       .sortWithinPartitions(col("bkey"), col("id"))
       .as[(String, Long)]

@@ -155,9 +155,18 @@ object Retrieval {
       shingled: DataFrame, k: Int, slack: Int, jaccardT: Double,
       k1: Double = 1.2, b: Double = 0.75,
       broadcastMax: Int = 100000): DataFrame =
+    // localCheckpoint, not persist: the candidate set is BOUNDED
+    // (≤ |Q|·(k+slack) rows) but its lineage is the whole BM25 chain, and
+    // verifyAndRank substitutes it three times (two id projections + the
+    // verify join) — with plain persist the physical plan re-prints (and
+    // the analyzer re-walks) the full retrieval subtree per reference
+    // (measured: q185 3,327-line / q199 3,579-line plans, guide §3.3
+    // "materialising an intermediate truncates the plan"). The checkpoint
+    // is computed once, inside the timed query, and the downstream plan
+    // starts from an in-memory scan of ≤ |Q|·(k+slack) rows.
     verifyAndRank(
       bm25TopK(terms, queries, k + slack, k1, b, excludeSelf = true)
-        .persistScoped(),
+        .localCheckpoint(),
       shingled, k, jaccardT, broadcastMax)
 
   /** [[hardNegatives]] probing a STORED BM25 index instead of a corpus tf
@@ -173,7 +182,7 @@ object Retrieval {
       broadcastMax: Int = 100000): DataFrame =
     verifyAndRank(
       bm25AgainstIndex(queries, dir, k + slack, k1, b, excludeSelf = true)
-        .persistScoped(),
+        .localCheckpoint(), // bounded rows, huge lineage — see hardNegatives
       shingled, k, jaccardT, broadcastMax)
 
   /** The near-dup verification + re-rank tail shared by the offline and
@@ -184,8 +193,11 @@ object Retrieval {
       k: Int, jaccardT: Double, broadcastMax: Int): DataFrame = {
     val ids = cand.select(col("doc_id").as("id"))
       .union(cand.select(col("q_id").as("id"))).distinct()
+    // bounded (one array row per candidate/seed id) but carries the whole
+    // corpus-shingling lineage into BOTH verify-join branches — checkpoint
+    // truncates it like cand above
     val sh = shingled.join(broadcast(ids), Seq("id"), "left_semi")
-      .persistScoped() // bounded: one array row per candidate/seed id
+      .localCheckpoint()
     val hint: DataFrame => DataFrame =
       if (ids.limit(broadcastMax + 1).count() <= broadcastMax) broadcast
       else identity
@@ -268,6 +280,11 @@ object Retrieval {
     * bigrams and hence no query rows — the same degenerate-seed semantics
     * as the offline derivation.
     *
+    * NOTE: construction is EAGER — deriving the static bucket-IN filter
+    * runs Spark jobs (a bounded collect) at DataFrame-build time, so even
+    * `explain` on the returned frame costs the seed tokenize + bucket
+    * probe. Callers that only want the plan should know it executes.
+    *
     * @param seeds (id, text)
     * @return (q_id, term)
     */
@@ -300,9 +317,16 @@ object Retrieval {
     // corpus size) — a legal bounded collect.
     val qtBkts = qt.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // zero valid seeds (all < 2 tokens) → zero buckets: short-circuit to
+    // an always-false scan filter instead of an empty isin() — the result
+    // (no query rows) is the same, but it no longer leans on Spark's
+    // empty-IN-is-false semantics
+    val bucketPred =
+      if (qtBkts.isEmpty) lit(false)
+      else col("bucket").isin(qtBkts.map(Int.box): _*)
     // postings of a term live wholly inside its bucket: the pruned scan's
     // per-term distinct doc count IS the corpus df
-    val dfq = lists.filter(col("bucket").isin(qtBkts.map(Int.box): _*))
+    val dfq = lists.filter(bucketPred)
       .join(broadcast(qt), Seq("bucket", "term"))
       .groupBy(col("term")).agg(count_distinct(col("id")).as("df"))
     tf.join(broadcast(dfq), "term")
@@ -393,7 +417,7 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("append").parquet(s"$dir/stats")
     batch.withColumn("bucket", termBucket(buckets))
-      .hint("rebalance", col("bucket")) // one file per bucket per append
+      .hint("rebalance", col("bucket")) // advisory-sized files per bucket dir (AQE rebalance)
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/lists")
     // external write to a path this session may already have listed:
     // invalidate Spark's shared file-status cache, or a later read of the

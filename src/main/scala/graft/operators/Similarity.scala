@@ -369,6 +369,7 @@ object Similarity {
     // cast-free (a cast on the partition column can defeat static pruning)
     narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists")
     corpus.sparkSession.catalog.refreshByPath(dir)
   }
@@ -400,6 +401,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
     // external write to a path this session may already have listed:
     // invalidate Spark's shared file-status cache, or a later read of the
@@ -427,6 +429,7 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     narrowBestCell(corpus, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists/batch=0")
     corpus.sparkSession.catalog.refreshByPath(dir)
   }
@@ -448,6 +451,7 @@ object Similarity {
       Compaction.currentEpoch(spark, dir))
     narrowBestCell(newVectors, cents, "vec_id", "embedding")
       .withColumn("cell", col("cell").cast("int"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$lists/batch=$batchId")
     // external write to a path this session may already have listed:
@@ -775,7 +779,12 @@ object Similarity {
       .select(col("q_id"), col("cell"),
         expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)")
           .as("qc"))
-    // one bounded probe frame: (q_id, cell, qc, lut, qn) — |Q|·nProbe rows
+    // one bounded probe frame: (q_id, cell, qc, lut, qn) — |Q|·nProbe rows.
+    // Size envelope: the per-query LUT array (mSub·nCodes doubles) is
+    // duplicated per probed cell, so the broadcast carries
+    // |Q|·nProbe·mSub·nCodes·8 B (gate constants: 4·4·8·16·8 B ≈ 16 KB);
+    // at serving scale grow nProbe/nCodes with this multiplier in mind —
+    // past a few hundred MB, dedup the LUT to a per-q_id broadcast join.
     val pb = qc.join(luts, Seq("q_id")).join(qn, Seq("q_id"))
     val scored = codes
       .join(broadcast(pb), Seq("cell"))
@@ -920,6 +929,7 @@ object Similarity {
     lists.select(col("vec_id"),
         sq8EncodeCol(col("embedding"), mnL, stepL).as("codes"),
         col("cell").cast("int").as("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
     corpus.select(col("vec_id"), col("embedding"))
       .repartitionByRange(col("vec_id"))
@@ -948,6 +958,7 @@ object Similarity {
       .select(col("vec_id"),
         sq8EncodeCol(col("embedding"), mnL, stepL).as("codes"),
         col("cell").cast("int").as("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
     newVectors.select(col("vec_id"), col("embedding"))
@@ -1076,6 +1087,7 @@ object Similarity {
       .withColumn("codes",
         graft.functions.pq_encode(permuteVec(col("embedding"), perm), cb))
       .select(col("vec_id"), col("codes"), col("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
     corpus.select(col("vec_id"), col("embedding"))
       .repartitionByRange(col("vec_id"))
@@ -1108,6 +1120,7 @@ object Similarity {
       .withColumn("codes", graft.functions.pq_encode(
         permuteVec(col("embedding"), metaPerm(meta)), cb))
       .select(col("vec_id"), col("codes"), col("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
     newVectors.select(col("vec_id"), col("embedding"))
@@ -1416,6 +1429,7 @@ object Similarity {
         Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("n2x"),
         col("cell").cast("int").as("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes/batch=0")
     corpus.select(col("vec_id"), col("embedding"))
       .repartitionByRange(col("vec_id"))
@@ -1468,6 +1482,7 @@ object Similarity {
       .join(resid.select(col("vec_id"), col("cell"), col("n2x")), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("n2x"),
         col("cell").cast("int").as("cell"))
+      .hint("rebalance", col("cell")) // cell-packed files (see Retrieval.writeBm25Index)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${Compaction.epochPath(dir, "codes", e)}/batch=$batchId")
     newVectors.select(col("vec_id"), col("embedding"))

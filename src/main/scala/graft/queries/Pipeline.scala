@@ -1534,7 +1534,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_index_v2_$IvfCells")(
+    val dir = cachedIndexDir(t.dir, s"ivf_index_v3_$IvfCells")(
       Similarity.writeIvfIndex(e, _, IvfCells))
     Similarity.ivfTopKAgainstIndex(queries, dir, IvfProbe, TopK)
   }
@@ -1556,7 +1556,7 @@ object Pipeline {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // the build+append sequence is non-idempotent — cachedIndexDir's
     // temp-dir + atomic-rename makes the pair all-or-nothing
-    val dir = cachedIndexDir(t.dir, s"ivf_inc_v2_$IvfCells") { d =>
+    val dir = cachedIndexDir(t.dir, s"ivf_inc_v3_$IvfCells") { d =>
       // initial slice keeps vec_id < IvfCells so the frozen centroids
       // equal the full-corpus centroids; the batch is everything else
       val initial = e.filter(col("vec_id") < IvfCells || col("vec_id") % 10 =!= 7)
@@ -1583,7 +1583,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_compact_v1_$IvfCells") { d =>
+    val dir = cachedIndexDir(t.dir, s"ivf_compact_v2_$IvfCells") { d =>
       val initial = e.filter(col("vec_id") < IvfCells || col("vec_id") % 10 =!= 7)
       val batch = e.filter(col("vec_id") >= IvfCells && col("vec_id") % 10 === 7)
       Similarity.writeIvfIndexVersioned(initial, d, IvfCells)
@@ -1614,7 +1614,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_pq_v2_${IvfCells}_${PqM}_$PqCodes")(
+    val dir = cachedIndexDir(t.dir, s"ivf_pq_v3_${IvfCells}_${PqM}_$PqCodes")(
       d => Similarity.writeIvfIndexPQ(e, d, IvfCells, PqM, PqCodes,
         trainIters = 0))
     Similarity.ivfTopKAgainstIndexPQ(queries, dir, IvfProbe, TopK, PqShort)
@@ -1776,7 +1776,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_pqr_v1_${IvfCells}_${PqM}_$PqCodes")(
+    val dir = cachedIndexDir(t.dir, s"ivf_pqr_v2_${IvfCells}_${PqM}_$PqCodes")(
       d => Similarity.writeIvfIndexPQR(e, d, IvfCells, PqM, PqCodes,
         trainIters = 0))
     Similarity.ivfTopKAgainstIndexPQR(queries, dir, IvfProbe, TopK, PqShort)
@@ -2006,7 +2006,7 @@ object Pipeline {
     val delPred = col("vec_id") >= IvfCells && col("vec_id") % 10 === 6
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_del_v1_$IvfCells") { d =>
+    val dir = cachedIndexDir(t.dir, s"ivf_del_v2_$IvfCells") { d =>
       Similarity.writeIvfIndexVersioned(e, d, IvfCells)
       Similarity.deleteFromIvfIndex(e.sparkSession, d,
         e.filter(delPred).select(col("vec_id")))
@@ -4090,7 +4090,7 @@ object Pipeline {
     val e = graft.Fanout(t.embeddings)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val dir = cachedIndexDir(t.dir, s"ivf_sq8_v1_$IvfCells")(
+    val dir = cachedIndexDir(t.dir, s"ivf_sq8_v2_$IvfCells")(
       d => Similarity.writeIvfIndexSQ(e, d, IvfCells))
     Similarity.ivfTopKAgainstIndexSQ(queries, dir, IvfProbe, TopK, SqShort)
   }

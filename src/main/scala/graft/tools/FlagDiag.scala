@@ -39,7 +39,11 @@ object FlagDiag {
       maxWords = 100000L, minMeanWordLen = 3L, maxMeanWordLen = 10L,
       symbolTau = 1000L, bulletTau = 9000L, ellipsisTau = 3000L,
       dupLineTau = 3000L, dupCharTau = 2000L)
-    val mdir = s"${System.getProperty("java.io.tmpdir")}/diag_langid"
+    // cache path embeds the data dir (the cachedIndexDir discipline): a
+    // rerun after changing SPARK_GRAFT_SF_DIR must retrain, not silently
+    // score against a model built from different data
+    val mdir = s"${System.getProperty("java.io.tmpdir")}/diag_langid_" +
+      new java.io.File(dir).getName + "_" + Integer.toHexString(dir.hashCode)
     if (!new java.io.File(mdir).isDirectory) {
       timed("langid train+gate (one-time)") {
         TextOps.writeLangIdModel(spark,

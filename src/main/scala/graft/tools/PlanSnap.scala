@@ -17,6 +17,8 @@ import graft.{Engine, SparkEntry}
   */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      s"usage: PlanSnap <outDir> <suffix> <q1,q2,...> (got ${args.length} args)")
     val Array(outDir, suffix, list) = args
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session(appName = "plansnap")

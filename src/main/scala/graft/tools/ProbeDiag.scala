@@ -35,8 +35,14 @@ object ProbeDiag {
         f"  jobs=${jobs.get - j0}%3d stages=${stages.get - s0}%3d taskTime=${(taskMs.get - m0) / 1e3}%7.2f s")
       r
     }
+    // cache path embeds the data dir's basename + a path hash (the
+    // cachedIndexDir discipline): rerunning after changing
+    // SPARK_GRAFT_SF_DIR must not silently probe a stale index built
+    // from different data
+    val dirTag = new java.io.File(dir).getName + "_" +
+      Integer.toHexString(dir.hashCode)
     val idx = sys.env.getOrElse("SPARK_GRAFT_DIAG_IDX",
-      s"${System.getProperty("java.io.tmpdir")}/diag_bm25")
+      s"${System.getProperty("java.io.tmpdir")}/diag_bm25_$dirTag")
     // build once (outside the timed probes)
     val tf = graft.Fanout(t.documents)
       .select(col("doc_id").as("id"),
