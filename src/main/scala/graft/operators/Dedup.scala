@@ -946,7 +946,10 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // lazy: the fixpoint counts below materialize it (one job fewer
+      // per round); the init checkpoint above stays EAGER — largeStar
+      // reads its input twice before any count could materialize it
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // fixpoint test on the checkpointed sets: tiny long-pair frames,
       // two anti-joins (set equality), executor-side
       changed = next.join(e, Seq("src", "dst"), "left_anti").count() +
@@ -1223,7 +1226,9 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"),
           max(when(col("__self") === 1, col("comp"))).as("old"))
-        .localCheckpoint(true)
+        // lazy: the convergence filter-count below materializes it; the
+        // INIT labels checkpoint stays eager (two same-round readers)
+        .localCheckpoint(eager = false)
       changed = step.filter(col("comp") < col("old")).count()
       labels = step.select(col("id"), col("comp"))
       iter += 1

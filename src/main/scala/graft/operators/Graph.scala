@@ -156,7 +156,9 @@ object Graph {
       e = e.join(deg.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(deg.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        // lazy: the convergence count right below materializes it (one
+        // job per round instead of two); lineage truncation is identical
+        .localCheckpoint(eager = false)
       val n2 = e.count()
       converged = n2 == nE
       nE = n2
@@ -285,7 +287,8 @@ object Graph {
       val pick = voteRound(dir, lab)
       val next = base.join(pick, base("id") === col("dst"), "left")
         .select(base("id"), coalesce(col("seed_label"), col("plab")).as("label"))
-        .localCheckpoint()
+        // lazy: the diff count below materializes it in the same job
+        .localCheckpoint(eager = false)
       val changed = next.as("nx")
         .join(lab.as("ol"), col("nx.id") === col("ol.id"))
         .filter(!(col("nx.label") <=> col("ol.label")))
@@ -353,7 +356,8 @@ object Graph {
       val pick = voteRound(dir, lab)
       val next = lab.join(pick, lab("id") === col("dst"), "left")
         .select(lab("id"), coalesce(lab("label"), col("plab")).as("label"))
-        .localCheckpoint()
+        // lazy: the labeled count below materializes it in the same job
+        .localCheckpoint(eager = false)
       val n2 = next.filter(col("label").isNotNull).count()
       converged = n2 == nLabeled
       nLabeled = n2

@@ -369,11 +369,25 @@ object TextOps {
     */
   def bpeMergesByteLevel(docs: DataFrame, text: Column, rounds: Int,
       requireFull: Boolean = false): DataFrame =
-    bpeMergeLoop(
+    bpeMergesByteLevelFromPretokens(
       docs
         .select(text.as("__t"))
         .select(explode(regexp_extract_all(lower(col("__t")),
-          lit(byteLevelTokenPattern), lit(0))).as("w"))
+          lit(byteLevelTokenPattern), lit(0))).as("w")),
+      rounds, requireFull)
+
+  /** [[bpeMergesByteLevel]] over an ALREADY pre-tokenized frame — one
+    * column `w`, one row per pre-token occurrence. The shard-packing
+    * family tokenizes the same corpus again right after training, so
+    * deriving both the trainer's word counts and the packing tokenize
+    * from ONE persisted regex pass (instead of two full-corpus regex
+    * passes) is the guide §1.2 "don't compute it twice" form; counts are
+    * identical by construction, so the learned merges are bit-identical.
+    */
+  def bpeMergesByteLevelFromPretokens(pre: DataFrame, rounds: Int,
+      requireFull: Boolean = false): DataFrame =
+    bpeMergeLoop(
+      pre
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         // hex(w) = hex of the word's UTF-8 bytes (Spark hex-of-string
         // semantics, uppercase — DuckDB's hex(varchar) matches both);
@@ -394,7 +408,13 @@ object TextOps {
     val spark = wc0.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var wc = wc0.localCheckpoint()
+    // LAZY checkpoints: each round's argmax (orderBy + head) computes every
+    // partition of wc anyway (the sort reads the whole frame), so an eager
+    // checkpoint job per round only duplicated that pass — lazy halves the
+    // loop's job count (2/round → 1/round) and skips materializing the
+    // LAST round's fold, which nothing ever reads. Lineage truncation is
+    // unchanged once the round's head job commits the checkpoint.
+    var wc = wc0.localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -412,7 +432,8 @@ object TextOps {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, a, b, cnt))
         wc = wc.select(expr(mergeFoldSql(a, b, a + b)).as("syms"), col("n"))
-          .localCheckpoint() // vocab-sized; truncate the per-round lineage
+          // vocab-sized; truncate the per-round lineage (lazy — see wc0)
+          .localCheckpoint(eager = false)
         r += 1
       }
     }
@@ -814,6 +835,16 @@ object TextOps {
       regexp_extract_all(lower(text), lit(byteLevelTokenPattern), lit(0))
         .as("__ws"))
       .persistScoped()
+    bpeTokenCountsByteLevelFromWords(words, merges)
+  }
+
+  /** [[bpeTokenCountsByteLevel]] over an already pre-tokenized (and
+    * persisted) `(id, __ws)` frame — lets a caller that ALSO trains the
+    * tokenizer share one regex pass across trainer and count
+    * (see [[bpeMergesByteLevelFromPretokens]]).
+    */
+  def bpeTokenCountsByteLevelFromWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val dw = words.select(col("id"), explode(col("__ws")).as("w"))
     val vocab = dw.select(col("w")).distinct()
       .select(col("w"),
@@ -1015,6 +1046,15 @@ object TextOps {
       regexp_extract_all(lower(text), lit(byteLevelTokenPattern), lit(0))
         .as("__ws"))
       .persistScoped()
+    bpeRoundTripByteLevelFromWords(words, merges)
+  }
+
+  /** [[bpeRoundTripByteLevel]] over an already pre-tokenized (and
+    * persisted) `(id, __ws)` frame — shares one regex pass with the
+    * trainer (see [[bpeMergesByteLevelFromPretokens]]).
+    */
+  def bpeRoundTripByteLevelFromWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val dw = words.select(col("id"),
       posexplode(col("__ws")).as(Seq("pos", "w")))
     val vocab = dw.select(col("w")).distinct()

@@ -87,11 +87,23 @@ object Pipeline {
     * duplicated pre-tokenize a large share).
     */
   private def byteTokDocs(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val words = docs.select(col("source"), col("doc_id"),
+      merges: Seq[(String, String)]): DataFrame =
+    byteTokDocsFromWords(byteTokWords(docs), merges)
+
+  /** The persisted one-regex-pass pre-token frame (source, doc_id, ws) —
+    * built ONCE per query and shared between the in-query BPE trainer
+    * ([[TextOps.bpeMergesByteLevelFromPretokens]]) and the packing
+    * tokenize ([[byteTokDocsFromWords]]); round-16 left the trainer on
+    * its own second full-corpus regex pass.
+    */
+  private def byteTokWords(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
       regexp_extract_all(lower(col("text")),
         lit(TextOps.byteLevelTokenPattern), lit(0)).as("ws"))
       .persistScoped()
+
+  private def byteTokDocsFromWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val dw = words.select(col("source"), col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "w")))
     val wt = dw.select(col("w")).distinct()
@@ -5461,6 +5473,7 @@ object Pipeline {
         BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
         RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
+      .persistScoped() // `kept` is evaluated twice (election + n_kept)
     val kept = content.join(keptIds, Seq("doc_id"), "left_semi")
     val survivors = kept.groupBy(col("ctext"))
       .agg(min(col("doc_id")).as("sid"))
@@ -5593,10 +5606,15 @@ object Pipeline {
   // the pack order breaks the hash.
 
   private def q238(t: Tables): DataFrame = {
+    // persisted: docs0 below is evaluated three times (exactGroups and
+    // exactSurvivors inside dedupCorpus, plus the survivors join) and the
+    // seven-tagger pass is the expensive leg of its lineage — unpersisted
+    // it ran 3x per execution (guide §1.2)
     val keptIds = TextOps.taggerTable(graft.Fanout(t.documents),
         col("doc_id"), col("text"), BlockList, BlockTau, TagPiiMax,
         RepMaxTok, RepMaxBigram, RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
+      .persistScoped()
     // CCNet stage 0 composed into the mixer: classify under the STORED
     // q227 artifact and keep docs whose winning score clears the gate.
     // The scored frame localCheckpoints BEFORE the τ filter: a filter
@@ -5621,12 +5639,17 @@ object Pipeline {
         3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds trainer AND tokenization AND packing
-    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+    // ONE regex pass feeds trainer AND packing tokenize (guide §1.2):
+    // the pre-token frame persists once; the trainer's word counts and
+    // the per-doc rejoin both read it
+    val tokWords = byteTokWords(survivors)
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      tokWords.select(explode(col("ws")).as("w")),
       BpeRounds, requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dt = byteTokDocs(survivors, merges)
+    val dt = byteTokDocsFromWords(tokWords, merges)
     graft.operators.Curation.packShardIdsSep(dt, col("source"),
       col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -5736,11 +5759,16 @@ object Pipeline {
         3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds trainer AND tokenization AND packing
-    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+    // ONE regex pass feeds trainer AND packing tokenize (guide §1.2):
+    // the pre-token frame persists once; the trainer's word counts and
+    // the per-doc rejoin both read it
+    val tokWords = byteTokWords(survivors)
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      tokWords.select(explode(col("ws")).as("w")),
       BpeRounds, requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val dt = byteTokDocs(survivors, merges)
+    val dt = byteTokDocsFromWords(tokWords, merges)
     graft.operators.Curation.packShards(dt, col("source"), col("doc_id"),
       col("toks"), PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -5821,12 +5849,17 @@ object Pipeline {
         3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds trainer AND tokenization AND packing
-    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+    // ONE regex pass feeds trainer AND packing tokenize (guide §1.2):
+    // the pre-token frame persists once; the trainer's word counts and
+    // the per-doc rejoin both read it
+    val tokWords = byteTokWords(survivors)
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      tokWords.select(explode(col("ws")).as("w")),
       BpeRounds, requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dt = byteTokDocs(survivors, merges)
+    val dt = byteTokDocsFromWords(tokWords, merges)
     graft.operators.Curation.packShardIds(dt, col("source"), col("doc_id"),
       col("toks"), vocab, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -5955,6 +5988,7 @@ object Pipeline {
         BlockList, BlockTau, TagPiiMax, RepMaxTok, RepMaxBigram,
         RepMinTtr, TagMinStopword, TagGopher)
       .filter(col("kept")).select(col("id").as("doc_id"))
+      .persistScoped() // docs0 is evaluated 3x below — see q238
     // CCNet stage 0 over the EXTRACTED text, stored-model discipline;
     // checkpoint-before-filter for the same pushdown pathology as q238
     val langKept = TextOps.langIdScoreAgainstModel(content,
@@ -5968,12 +6002,17 @@ object Pipeline {
         3, MinHashes, Bands, CorpusT).select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds trainer AND tokenization AND packing
-    val merges = TextOps.bpeMergesByteLevel(survivors, col("text"),
+    // ONE regex pass feeds trainer AND packing tokenize (guide §1.2):
+    // the pre-token frame persists once; the trainer's word counts and
+    // the per-doc rejoin both read it
+    val tokWords = byteTokWords(survivors)
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      tokWords.select(explode(col("ws")).as("w")),
       BpeRounds, requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = TextOps.bpeVocabIdsByteLevel(merges)
-    val dt = byteTokDocs(survivors, merges)
+    val dt = byteTokDocsFromWords(tokWords, merges)
     graft.operators.Curation.packShardIdsSep(dt, col("source"),
       col("doc_id"), col("toks"), vocab, EosId, PackBudget, partitions = 32)
       .select(col("domain").as("source"), col("bin"), col("n_tokens"),
@@ -6351,12 +6390,17 @@ object Pipeline {
   // engine's actual round trip.
 
   private def q190(t: Tables): DataFrame = {
-    val merges = TextOps.bpeMergesByteLevel(graft.Fanout(t.documents),
-      col("text"), BpeRounds, requireFull = true)
+    // ONE regex pass feeds trainer AND round-trip (guide §1.2)
+    val words = graft.Fanout(t.documents).select(col("doc_id").as("id"),
+      regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0)).as("__ws"))
+      .persistScoped()
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      words.select(explode(col("__ws")).as("w")), BpeRounds,
+      requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    TextOps.bpeRoundTripByteLevel(graft.Fanout(t.documents), col("doc_id"),
-      col("text"), merges)
+    TextOps.bpeRoundTripByteLevelFromWords(words, merges)
       .select(col("id").as("doc_id"), col("n_pretokens"),
         col("n_mismatch"), col("rt_md5"))
   }
@@ -6782,12 +6826,18 @@ object Pipeline {
       col("doc_id"), col("source"), col("n_tokens"), P2MixBudget)),
       Seq("doc_id"), "left_semi")
       .localCheckpoint() // feeds BPE training AND tokenization AND packing
-    val merges = TextOps.bpeMergesByteLevel(d5, col("text"), BpeRounds,
+    // ONE regex pass feeds trainer AND token counting (guide §1.2)
+    val words5 = d5.select(col("doc_id").as("id"),
+      regexp_extract_all(lower(col("text")),
+        lit(TextOps.byteLevelTokenPattern), lit(0)).as("__ws"))
+      .persistScoped()
+    val merges = TextOps.bpeMergesByteLevelFromPretokens(
+      words5.select(explode(col("__ws")).as("w")), BpeRounds,
       requireFull = true)
       .orderBy(col("merge_round"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val toks = TextOps.bpeTokenCountsByteLevel(d5, col("doc_id"),
-      col("text"), merges).select(col("id").as("doc_id"), col("n_tokens"))
+    val toks = TextOps.bpeTokenCountsByteLevelFromWords(words5, merges)
+      .select(col("id").as("doc_id"), col("n_tokens"))
     graft.operators.Curation.packBinsScalable(
       d5.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
       col("source"), col("doc_id"), col("n_tokens"), P2PackBudget,
